@@ -1,0 +1,658 @@
+"""The engine's query catalog: every operator from SURVEY.md §2 exposed as a
+(spark_builder, duckdb_oracle_sql) pair for the driver's correctness gate.
+
+Determinism rules (so Spark and DuckDB hash-match exactly):
+- Never hash raw double aggregates: double addition is order-dependent and
+  Spark/DuckDB sum in different orders. All money/quantity sums go through
+  DECIMAL (exact, order-independent); any derived ratio is computed from the
+  already-identical decimal/count inputs with identical scalar arithmetic.
+- Ties in top-k / mode are broken by a total order (explicit tiebreak keys).
+- Timestamps are compared in UTC (session TZ pinned); dates via CAST AS DATE.
+- Every computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aroa_etl_spark.session import load_tables
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog query. `oracle` is DuckDB SQL over the same views."""
+
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.builder for n, s in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+def spec(name: str) -> QuerySpec:
+    return _REGISTRY[name]
+
+
+# --------------------------------------------------------------------------
+# decimal helpers: exact, order-independent aggregation
+# --------------------------------------------------------------------------
+
+def d2(c: Column | str) -> Column:
+    """Cast to DECIMAL(18,2) — the canonical money/quantity element type."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(18,2)")
+
+
+def sum2(c: Column, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum. The output keeps the element scale — a
+    scale-REDUCING decimal cast is forbidden engine-wide because DuckDB
+    truncates where Spark rounds (verified empirically)."""
+    return F.sum(c).cast(f"decimal(38,{scale})").alias(alias)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal, scale 4."""
+    return (d2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d2("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+def charge() -> Column:
+    """disc_price * (1 + l_tax) in exact decimal, scale 6."""
+    return (disc_price() * (F.lit(1).cast("decimal(18,2)") + d2("l_tax"))).cast("decimal(18,6)")
+
+
+# SQL fragments for the DuckDB oracle mirroring the helpers above.
+_SQL_D2 = "CAST({c} AS DECIMAL(18,2))"
+_SQL_DISC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+_SQL_CHARGE = (
+    f"CAST({_SQL_DISC} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) "
+    "AS DECIMAL(18,6))"
+)
+
+
+# ==========================================================================
+# Aggregations (SURVEY §2.4) + flagship
+# ==========================================================================
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM({_SQL_DISC}) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DECIMAL(38,6)) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style pricing summary (A8-style multi-metric agg).
+
+    Scale notes: single shuffle on two low-cardinality keys; partial
+    aggregation (map-side combine) happens automatically; the shipdate
+    filter and 7-column projection push into the parquet scan.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum2(d2("l_quantity"), "sum_qty"),
+            sum2(d2("l_extendedprice"), "sum_base_price"),
+            sum2(disc_price(), "sum_disc_price", 4),
+            sum2(charge(), "sum_charge", 6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a4_best_score_per_target",
+    oracle="""
+    SELECT o_custkey,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a4_best_score_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by max (reference A4: best match score per target,
+    matching.py:87) re-expressed over orders."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.max(d2("o_totalprice")).cast("decimal(38,2)").alias("best_price"))
+    )
+
+
+@query(
+    "a2_groupby_stringagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ' ' ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a2_groupby_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + distinct ordered string-agg (reference A2: ' '.join of
+    names per entity, run_clustering.py:45-58)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), " ").alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "a6_bool_any_per_group",
+    oracle="""
+    SELECT o_custkey, bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_over_1000
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a6_bool_any_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean any()/all() per group (reference A6: has_qa per document,
+    enc/deduplication.py:104-107)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.min(F.col("o_totalprice") > 1000).alias("all_over_1000"),
+        )
+    )
+
+
+@query(
+    "a7_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS modal_event, cnt AS n FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def a7_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with deterministic tiebreak
+    (reference A7: value_counts mode detection)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    counts = t["events"].groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event"), F.col("cnt").alias("n"))
+    )
+
+
+@query(
+    "a8_multi_metric_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_multi_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric conditional aggregation in one shuffle (reference A8:
+    matching statistics, enc/matching.py:604-643 — done there with
+    per-group Python probes; here a single groupBy)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ==========================================================================
+# Joins (SURVEY §2.3)
+# ==========================================================================
+
+@query(
+    "j1_inner_equi_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + agg (reference J1: raw rows ⋈ consensus rows,
+    enc/deduplication.py:100). Customer side is broadcast-eligible."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum2(d2("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@query(
+    "j2_left_join_counts",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j2_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched left rows (reference J2: matches ⋈
+    target persdata, run-matching.py:66-68)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(d2("o_totalprice")), F.lit(0)).cast("decimal(38,2)").alias("spend"),
+        )
+    )
+
+
+@query(
+    "j4_top1_per_target_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_order, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def j4_top1_per_target_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-row-per-key dedup via ranking window (reference J4:
+    best-match-per-target done with groupby-max + merge, matching.py:87-93;
+    a window is the single-shuffle Spark idiom)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            d2("o_totalprice").alias("price"),
+        )
+    )
+
+
+@query(
+    "j5_multiway_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM({_SQL_DISC}) AS DECIMAL(38,4)) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def j5_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join over the star schema (reference J5: EAV SQL
+    joins, queries.py:10-48). Dimension sides are broadcast; the single
+    big shuffle is lineitem⋈orders on orderkey."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            sum2(disc_price(), "revenue", 4),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "j_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def j_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). The reference's bucket-intersection set
+    algebra (person_clustering.py:257-262) maps to semi-joins in Spark."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    big = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return (
+        t["customer"]
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "j_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — reference J4's manual re-add of
+    unmatched sources (matching.py:90-91) is an anti-join."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "j8_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'high' AS bucket FROM orders WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'low' AS bucket FROM orders WHERE o_totalprice < 5000
+    """,
+)
+def j8_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all by name (reference J8: unionByName of raw + consensus rows,
+    enc/deduplication.py:289)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    hi = o.filter(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", "o_orderstatus", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 5000).select(
+        "o_orderkey", "o_orderstatus", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+# ==========================================================================
+# Set operations (SURVEY §2.7)
+# ==========================================================================
+
+@query(
+    "set_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "set_except_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of two key sets."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)
+
+
+# ==========================================================================
+# Windows / sorts / top-k (SURVEY §2.5, §2.6)
+# ==========================================================================
+
+@query(
+    "w1_row_number_per_group",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS entry_number
+    FROM events
+    """,
+)
+def w1_row_number_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running entry number within a group (reference W1/A5: cumcount per
+    (file, timestamp), aux_functions.py:415-419)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return t["events"].select("event_id", F.row_number().over(w).alias("entry_number"))
+
+
+@query(
+    "w2_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (reference W2/O4: top-k matches per source with
+    manual insertion sort, matching.py:71-79)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    w = W.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        t["lineitem"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber", d2("l_extendedprice").alias("price"))
+    )
+
+
+@query(
+    "w3_lead_lag_neighbor",
+    oracle="""
+    SELECT event_id, user_id,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type,
+           lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+    FROM events
+    """,
+)
+def w3_lead_lag_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor comparison via lead/lag (reference W3: alphabetic-order
+    check against the next row, indizierung.ipynb cell 18)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "o1_intracell_numeric_sort",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(qty AS VARCHAR), ';' ORDER BY qty ASC, l_linenumber ASC) AS qty_list
+    FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+    GROUP BY l_orderkey
+    """,
+)
+def o1_intracell_numeric_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric sort of a list inside a cell (reference O1:
+    sort_list_in_column, aux_functions.py:147-190) via higher-order array
+    functions — no UDF."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("qty"), F.col("l_linenumber")))
+                    ),
+                    lambda s: s["qty"].cast("string"),
+                ),
+                ";",
+            ).alias("qty_list")
+        )
+    )
+
+
+@query(
+    "o2_global_topk",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order-by + limit (reference O2/O3). Spark executes this as
+    TakeOrderedAndProject — no full sort at scale."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", d2("o_totalprice").alias("price"))
+    )
+
+
+# ==========================================================================
+# Projections / filters / semi-structured (SURVEY §2.2, §2.8 JSON)
+# ==========================================================================
+
+@query(
+    "p3_na_vocab_filter",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE NOT (text IS NULL OR trim(text) IN
+      ('-1','-1.0','None','','NULL','unbekannt','unbekant','-','0','0.0','NA','00','0000'))
+    GROUP BY lang
+    """,
+)
+def p3_na_vocab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emptiness predicate over the NA vocabulary (reference P3:
+    value_is_empty_q / has_value_q, utils.py:8-40) as a pushable filter."""
+    from aroa_etl_spark.functions.vocab import has_value
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .filter(has_value("text"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "js_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def js_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-a-cell extraction (reference S7/JS1: json_data column,
+    enc/unpacking.py:104) via get_json_object — no Python in the loop."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "d_date_parts_agg",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events GROUP BY y, m
+    """,
+)
+def d_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + agg (reference D-family ground work)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(
+            F.year("ts").cast("int").alias("y"),
+            F.month("ts").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum2(d2("value"), "total_value"),
+        )
+    )

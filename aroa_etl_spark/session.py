@@ -1,0 +1,93 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (`local[N]`) is a single JVM; the same configs (AQE,
+shuffle-partition sizing, Arrow) are the ones that matter on a
+1000-executor cluster — only `master` and memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "aroa_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join
+      splitting — the knobs that keep the same plan healthy from
+      sf0.001 local up to 100 TB on a cluster.
+    - Arrow on: every Pandas-UDF kernel (consensus, scoring) transfers
+      columnar batches, not pickled rows.
+    - UTC session timezone: deterministic timestamp semantics and
+      DuckDB-oracle comparability.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as TIMESTAMP(NANOS) which the
+        # vectorized parquet reader rejects; read as long and convert.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver's parquet tables and register them as temp views.
+
+    Returns {name: DataFrame}. Parquet scans get predicate pushdown and
+    column pruning from Catalyst for free.
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+                # nanosAsLong read: convert epoch-nanos to a real timestamp,
+                # truncating to micros exactly like DuckDB's ns->us cast.
+                df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

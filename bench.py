@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall times.
+
+Each query is executed once warm-up-free but after a shared session spin-up;
+the timed action is a full materialization (collect of the aggregate result
+or count for large outputs) so the whole plan — scan, shuffle, agg — is paid.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aroa_etl_spark.plans import catalog  # noqa: E402
+from aroa_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: the queries that exercise the heavy paths (big scans,
+# shuffles, multiway joins, windows, text/dedup kernels when present).
+HEADLINE = [
+    "q1_pricing_summary",
+    "j5_multiway_revenue_by_nation",
+    "j2_left_join_counts",
+    "j4_top1_per_target_window",
+    "w2_topk_per_group",
+    "a8_multi_metric_stats",
+    "o1_intracell_numeric_sort",
+    "js_json_extract",
+]
+# Results with more rows than this are counted, not collected.
+COLLECT_CAP = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="aroa_etl_spark_bench")
+    qmap = catalog.queries()
+    names = [n for n in HEADLINE if n in qmap]
+    # extra registered headline benchmarks (e.g. dedup/text ops) opt in
+    names += [n for n in getattr(catalog, "BENCH_EXTRA", []) if n in qmap and n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        rows = df.limit(COLLECT_CAP + 1).collect()
+        if len(rows) > COLLECT_CAP:
+            df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
