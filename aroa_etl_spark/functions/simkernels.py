@@ -133,46 +133,99 @@ def jaro_similarity(a: str, b: str) -> float:
 
 
 # ---------------------------------------------------------------------------
-# Date-part similarity (similarity_measures.py:12-89)
+# Date-part similarity — exact port of similarity_measures.py:12-89
 # ---------------------------------------------------------------------------
 
 def number_diff(a: int, b: int) -> float:
-    """Closeness of two date parts: 100 - (5^|a-b| - 1), floored at 0
-    (similarity_measures.py:12-15)."""
+    """Closeness of two date parts: max(0, 100 - (5^|a-b| - 1))."""
     d = abs(a - b)
     if d > 3:  # 5^4-1 already > 100
         return 0.0
     return max(0.0, 100.0 - (5.0**d - 1.0))
 
 
-def date_similarity(y1: int, m1: int, d1: int, y2: int, m2: int, d2: int) -> float:
-    """Weighted date similarity with unknown (0) parts skipped and a
-    day/month-swap retry (similarity_measures.py:45-74)."""
-
-    def parts_score(py1, pm1, pd1, py2, pm2, pd2):
-        scores = []
-        for a, b in ((py1, py2), (pm1, pm2), (pd1, pd2)):
-            if a == 0 or b == 0:
-                scores.append(-1.0)  # unknown part: ignored
-            else:
-                scores.append(number_diff(a, b))
-        known = [s for s in scores if s >= 0]
-        if not known:
-            return -1.0
-        return sum(known) / len(known)
-
-    direct = parts_score(y1, m1, d1, y2, m2, d2)
-    swapped = parts_score(y1, d1, m1, y2, m2, d2)
-    return max(direct, swapped)
+_PACKED_RE = re.compile(r"^(\d\d\d\d)(\d\d)(\d\d)\.?0?$")
+_DOTTED_RE = re.compile(r"^(\d\d)\.(\d\d)\.(\d\d\d\d)$")
 
 
-def simple_date_matcher(y1: int, m1: int, d1: int, y2: int, m2: int, d2: int) -> float:
-    """Share of equal non-zero date parts ×100 (similarity_measures.py:79-89)."""
-    hits = 0
-    for a, b in ((y1, y2), (m1, m2), (d1, d2)):
-        if a != 0 and a == b:
-            hits += 1
+def parse_date(date: str) -> tuple[int, int, int] | None:
+    """'yyyymmdd(.0)' or 'dd.mm.yyyy' → (year, month, day); else None
+    (similarity_measures.py:31-42)."""
+    m = _PACKED_RE.match(str(date))
+    if m:
+        y, mo, d = map(int, m.groups())
+        return y, mo, d
+    m = _DOTTED_RE.match(str(date))
+    if m:
+        d, mo, y = map(int, m.groups())
+        return y, mo, d
+    return None
+
+
+def date_similarity(date_1: str, date_2: str) -> float:
+    """Packed-date similarity with 0-parts ignored and a day/month-swap
+    retry; -1 when either side unparseable (similarity_measures.py:45-74).
+    NOTE faithful quirk: two all-zero dates ('00000000') parse fine and
+    score 100 — every part is 'unknown, skip'."""
+    p1, p2 = parse_date(str(date_1)), parse_date(str(date_2))
+    if p1 is None or p2 is None:
+        return -1.0
+    y1, m1, d1 = p1
+    y2, m2, d2 = p2
+
+    def dm(day_a, day_b, mon_a, mon_b):
+        ms = -1.0 if mon_a == 0 or mon_b == 0 else number_diff(mon_a, mon_b)
+        ds = -1.0 if day_a == 0 or day_b == 0 else number_diff(day_a, day_b)
+        return ms, ds
+
+    year_score = -1.0 if y1 == 0 or y2 == 0 else number_diff(y1, y2)
+    month_score, day_score = dm(d1, d2, m1, m2)
+    month_rev, day_rev = dm(d1, m2, m1, d2)  # side-2 day/month swapped
+    if month_score + day_score <= month_rev + day_rev:
+        month_score, day_score = month_rev, day_rev
+
+    score = 100.0
+    for s in (year_score, month_score, day_score):
+        if s >= 0:
+            score -= 100.0 - s
+    return max(0.0, score)
+
+
+def _not_empty(field) -> bool:
+    if field is None:
+        return False
+    if isinstance(field, float):
+        import math
+
+        if math.isnan(field):
+            return False
+    s = str(field)
+    return len(s) > 0 and s not in ("", "00000000", "-1.0", "-1")
+
+
+def simple_date_matcher(src_date: str, target_date: str) -> float:
+    """Count of shared non-zero date parts / 3 × 100
+    (similarity_measures.py:79-89)."""
+    if not (_not_empty(src_date) and _not_empty(target_date)):
+        return -1.0
+    src_parts = re.findall(r"[1-9]\d*", str(src_date))
+    trg_parts = re.findall(r"[1-9]\d*", str(target_date))
+    hits = min(3, sum(1 for p in src_parts if p in trg_parts))
     return hits / 3.0 * 100.0
+
+
+def name_matcher(a: str, b: str) -> float:
+    """fuzz.ratio with default_process; -1 when either side empty."""
+    if not (_not_empty(a) and _not_empty(b)):
+        return -1.0
+    return ratio(str(a), str(b))
+
+
+def name_set_matcher(a: str, b: str) -> float:
+    """token_set_ratio; -1 when either side empty."""
+    if not (_not_empty(a) and _not_empty(b)):
+        return -1.0
+    return token_set_ratio(str(a), str(b))
 
 
 def person_similarity(
@@ -180,41 +233,64 @@ def person_similarity(
     lname_b: str,
     gname_a: str,
     gname_b: str,
-    prisoner_a: str = "",
-    prisoner_b: str = "",
-    date_a: tuple[int, int, int] | None = None,
-    date_b: tuple[int, int, int] | None = None,
-    pob_a: str = "",
-    pob_b: str = "",
+    prisoner_a: str | None = None,
+    prisoner_b: str | None = None,
+    date_a: str | None = None,
+    date_b: str | None = None,
+    pob_a: str | None = None,
+    pob_b: str | None = None,
     name_only: bool = False,
-    non_names_optional: bool = True,
+    non_names_optional: bool = False,
+    date_matcher=date_similarity,
+    use_prisoner: bool = True,
+    use_date: bool = True,
+    use_pob: bool = True,
 ) -> float:
-    """The engine's core person-ranking blend (similarity_measures.py:113-164):
+    """The engine's core person-ranking blend — exact port of
+    similarity_measures.py:113-164:
 
-    primary  = mean(token_set(lname), token_set(gname))
-    secondary= mean(prisoner ratio, date similarity)   [missing → skipped]
-    other    = birthplace ratio                        [missing → skipped]
-    score    = primary, then 2/3·primary + 1/3·secondary,
-               then 3/4·that + 1/4·other.
+    primary  = (max(0,set(lname)) + max(0,set(gname))) / 2
+    secondary= mean(prisoner ratio, max(0, date score)) over present parts
+               (none present → 0 unless non_names_optional)
+    other    = birthplace ratio (absent → skipped)
+    score    = primary → 2/3·score + 1/3·secondary → 3/4·score + 1/4·other.
+
+    use_* flags mirror the reference's 'column present in src row' checks.
     """
-    primary = (token_set_ratio(lname_a, lname_b) + token_set_ratio(gname_a, gname_b)) / 2.0
+    primary = (
+        max(0.0, name_set_matcher(lname_a, lname_b))
+        + max(0.0, name_set_matcher(gname_a, gname_b))
+    ) / 2.0
     if name_only:
         return primary
 
     secondary_parts: list[float] = []
-    if prisoner_a and prisoner_b:
-        secondary_parts.append(ratio(prisoner_a, prisoner_b))
-    if date_a is not None and date_b is not None and any(date_a) and any(date_b):
-        secondary_parts.append(date_similarity(*date_a, *date_b))
+    if use_prisoner:
+        s = name_matcher("" if prisoner_a is None else prisoner_a,
+                         "" if prisoner_b is None else prisoner_b)
+        if s >= 0:
+            secondary_parts.append(s)
+    if use_date:
+        s = max(0.0, date_matcher("" if date_a is None else date_a,
+                                  "" if date_b is None else date_b))
+        secondary_parts.append(s)
 
-    score = primary
     if secondary_parts:
         secondary = sum(secondary_parts) / len(secondary_parts)
-        score = 2.0 / 3.0 * primary + 1.0 / 3.0 * secondary
-    elif not non_names_optional:
-        return -1.0
+    elif non_names_optional:
+        secondary = -1.0
+    else:
+        secondary = 0.0
 
-    if pob_a and pob_b:
-        other = ratio(pob_a, pob_b)
+    other = -1.0
+    if use_pob:
+        s = name_matcher("" if pob_a is None else pob_a, "" if pob_b is None else pob_b)
+        if s >= 0:
+            other = s
+
+    score = primary
+    if secondary >= 0:
+        score = 2.0 / 3.0 * score + 1.0 / 3.0 * secondary
+    if other >= 0:
         score = 3.0 / 4.0 * score + 1.0 / 4.0 * other
     return score
