@@ -1,0 +1,313 @@
+"""Person entity clustering (SURVEY §2 EP2, J7, M8; reference
+person_matching/person_clustering.py + scripts/clustering-container).
+
+Spark architecture — the reference's sequential greedy sweep
+(person_clustering.py:224-276) is order-dependent and single-threaded;
+the scale path here is:
+
+1. Candidate pairs: explode ``(prefix, len-band)`` block keys for
+   first+last name, self-join, fname-bucket ∩ lname-bucket — same
+   blocking as cross-dataset matching (person_clustering.py:157-166).
+2. Score pairs with ``person_similarity`` (Arrow pandas_udf); keep
+   edges with score ≥ cutoff.
+3. Pre-cluster edges: rows sharing an identical non-empty prisoner
+   number are linked unconditionally (run_clustering.py:105-110) —
+   built as star edges to the group minimum (linear, not quadratic).
+4. Connected components via iterative min-label propagation with
+   localCheckpoint per round (lineage cut). Components in name-blocked
+   person graphs are small, so convergence is fast; ``max_iter`` caps
+   the worst case (SURVEY §7 risk 10).
+5. ``Person_Entity_ID`` = dense rank of the component root — stable,
+   deterministic (SURVEY §7 risk 3: no nondeterministic UUIDs).
+
+Documented divergence (SURVEY §7 risk 2): connected components =
+single linkage. The reference's ``linkage='max'`` greedy sweep can
+split chains that CC merges; ``greedy_block_clustering`` below runs
+the reference-faithful greedy algorithm *inside each connected
+component* via applyInPandas for callers that need max/average
+linkage semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from aroa_etl_spark.functions.simkernels import person_similarity
+from aroa_etl_spark.functions.vocab import has_value
+from aroa_etl_spark.operators.matching import _score_udf, candidate_pairs
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, component)
+    where component is the minimum node id in the component.
+
+    Min-label propagation: each round every node takes the minimum label
+    among itself and its neighbors. Rounds are shuffle joins on the node
+    id; ``localCheckpoint`` cuts lineage so plans don't grow round over
+    round. Converges in O(diameter) rounds — blocked person graphs have
+    tiny diameters; for adversarial graphs raise ``max_iter`` (each
+    round is one join + one aggregation, fully distributed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _star_edges(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Linear-size edges linking every member of a key group to the group
+    minimum id (CC-equivalent to the quadratic clique)."""
+    rep = df.groupBy(key_col).agg(F.min(id_col).alias("dst"))
+    return (
+        df.join(rep, key_col)
+        .select(F.col(id_col).alias("src"), "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def similarity_edges(
+    df: DataFrame,
+    *,
+    id_col: str = "person_id",
+    gname_col: str = "strGName_processed",
+    lname_col: str = "strLName_processed",
+    date_col: str | None = "strDoB_processed",
+    prisoner_col: str | None = "prisoner_number",
+    pob_col: str | None = "strPoB_processed",
+    cutoff: float = 85.0,
+    n_chars: int = 4,
+    len_band: int = 2,
+    date_matcher: str = "full",
+) -> DataFrame:
+    """(src, dst, score) edges between persons whose blocked similarity
+    ≥ cutoff. Self-join via the matching blocking; pair direction
+    canonicalized to src < dst so each pair scores once."""
+    right = df
+    for c in df.columns:
+        right = right.withColumnRenamed(c, f"__r_{c}")
+    rid = f"__r_{id_col}"
+
+    pairs = candidate_pairs(
+        df, right, id_col, rid,
+        gname_col, lname_col, f"__r_{gname_col}", f"__r_{lname_col}",
+        n_chars=n_chars, len_band=len_band,
+    ).filter(F.col(id_col) < F.col(rid))
+
+    field_map = [(gname_col, "g"), (lname_col, "l"), (date_col, "d"),
+                 (prisoner_col, "p"), (pob_col, "b")]
+
+    def pick(side_df: DataFrame, idc: str, prefix: str, suffix: str) -> DataFrame:
+        cols = [F.col(idc)]
+        for c, alias in field_map:
+            name = f"{prefix}{c}" if c else None
+            col = F.col(name) if name and name in side_df.columns else F.lit(None).cast("string")
+            cols.append(col.alias(f"{alias}{suffix}"))
+        return side_df.select(*cols)
+
+    use_date = bool(date_col and date_col in df.columns)
+    use_prisoner = bool(prisoner_col and prisoner_col in df.columns)
+    use_pob = bool(pob_col and pob_col in df.columns)
+    score = _score_udf(False, use_prisoner, use_date, use_pob, date_matcher)
+
+    return (
+        pairs.join(pick(df, id_col, "", "s"), id_col)
+        .join(pick(right, rid, "__r_", "t"), rid)
+        .withColumn(
+            "score",
+            score(
+                F.col("ls"), F.col("lt"), F.col("gs"), F.col("gt"),
+                F.col("ps"), F.col("pt"), F.col("ds"), F.col("dt"),
+                F.col("bs"), F.col("bt"),
+            ),
+        )
+        .filter(F.col("score") >= cutoff)
+        .select(F.col(id_col).alias("src"), F.col(rid).alias("dst"), "score")
+    )
+
+
+def person_clustering(
+    df: DataFrame,
+    *,
+    id_col: str = "person_id",
+    gname_col: str = "strGName_processed",
+    lname_col: str = "strLName_processed",
+    date_col: str | None = "strDoB_processed",
+    prisoner_col: str | None = "prisoner_number",
+    pob_col: str | None = "strPoB_processed",
+    cutoff: float = 85.0,
+    n_chars: int = 4,
+    len_band: int = 2,
+    date_matcher: str = "full",
+    max_iter: int = 25,
+    entity_col: str = "Person_Entity_ID",
+    dense_ids: bool = False,
+) -> DataFrame:
+    """Cluster person mentions into entities → input rows + ``entity_col``.
+
+    Union of similarity edges (≥ cutoff) and prisoner-number
+    pre-cluster edges → connected components; singletons get their own
+    entity. Mirrors scripts/clustering-container/run_clustering.py
+    (cutoff=85, prefix=4, len unit=2 defaults) with the single-linkage
+    divergence documented in the module docstring.
+
+    Entity ids default to the minimum member id per component —
+    deterministic and computed fully distributed. ``dense_ids=True``
+    renumbers entities 1..N like the reference's export
+    (person_clustering.py:280-288) via a global window; that sorts all
+    DISTINCT roots on one partition, fine up to ~10M entities, not at
+    100 TB — hence opt-in.
+    """
+    edges = similarity_edges(
+        df, id_col=id_col, gname_col=gname_col, lname_col=lname_col,
+        date_col=date_col, prisoner_col=prisoner_col, pob_col=pob_col,
+        cutoff=cutoff, n_chars=n_chars, len_band=len_band,
+        date_matcher=date_matcher,
+    ).select("src", "dst")
+
+    if prisoner_col and prisoner_col in df.columns:
+        known = _star_edges(df.filter(has_value(prisoner_col)), id_col, prisoner_col)
+        edges = edges.unionByName(known).distinct()
+
+    comp = connected_components(edges, max_iter=max_iter)
+
+    with_comp = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("__root", F.coalesce("component", F.col(id_col)))
+
+    if dense_ids:
+        roots = (
+            with_comp.select("__root")
+            .distinct()
+            .withColumn(entity_col, F.row_number().over(W.orderBy("__root")))
+        )
+        return with_comp.join(roots, "__root").drop("__root", "component")
+    return with_comp.withColumn(entity_col, F.col("__root")).drop("__root", "component")
+
+
+def greedy_block_clustering(
+    df: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "person_id",
+    gname_col: str = "strGName_processed",
+    lname_col: str = "strLName_processed",
+    date_col: str | None = "strDoB_processed",
+    prisoner_col: str | None = "prisoner_number",
+    pob_col: str | None = "strPoB_processed",
+    cutoff: float = 85.0,
+    linkage: str = "max",
+    entity_col: str = "Person_Entity_ID",
+) -> DataFrame:
+    """Reference-faithful greedy agglomerative clustering *within* each
+    connected component (person_clustering.py:171-276 semantics), run
+    distributed via applyInPandas — a component is the parallel unit, so
+    the order-dependent sweep only ever sees one component's rows (rows
+    in different components can never clear the cutoff anyway).
+
+    linkage: 'max' → a candidate must clear cutoff against EVERY cluster
+    member (min pairwise); 'average' → mean pairwise; 'single' → any.
+    """
+    joined = (
+        df.join(components.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("__comp", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+
+    id_type = next(f.dataType for f in joined.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type, True), T.StructField("__sub", T.IntegerType(), True)]
+    )
+
+    have = {
+        "d": bool(date_col and date_col in df.columns),
+        "p": bool(prisoner_col and prisoner_col in df.columns),
+        "b": bool(pob_col and pob_col in df.columns),
+    }
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+
+        def val(row: int, col: str | None) -> str:
+            return str(pdf.at[row, col] or "") if col and col in pdf.columns else ""
+
+        def sim(i: int, j: int) -> float:
+            return person_similarity(
+                val(i, lname_col), val(j, lname_col),
+                val(i, gname_col), val(j, gname_col),
+                val(i, prisoner_col), val(j, prisoner_col),
+                val(i, date_col), val(j, date_col),
+                val(i, pob_col), val(j, pob_col),
+                use_prisoner=have["p"], use_date=have["d"], use_pob=have["b"],
+            )
+
+        n = len(pdf)
+        assigned = [-1] * n
+        next_cluster = 0
+        for i in range(n):
+            if assigned[i] >= 0:
+                continue
+            cluster = [i]
+            assigned[i] = next_cluster
+            for j in range(n):
+                if assigned[j] >= 0:
+                    continue
+                scores = [sim(j, m) for m in cluster]
+                if linkage == "max":
+                    ok = min(scores) >= cutoff
+                elif linkage == "average":
+                    ok = sum(scores) / len(scores) >= cutoff
+                else:
+                    ok = max(scores) >= cutoff
+                if ok:
+                    cluster.append(j)
+                    assigned[j] = next_cluster
+            next_cluster += 1
+        return pd.DataFrame({id_col: pdf[id_col], "__sub": assigned})
+
+    subs = joined.groupBy("__comp").applyInPandas(run, out_schema)
+    labeled = joined.join(subs, id_col)
+    # entity id = min member id per sub-cluster: deterministic, distributed
+    ent = labeled.groupBy("__comp", "__sub").agg(F.min(id_col).alias(entity_col))
+    return labeled.join(ent, ["__comp", "__sub"]).drop("__comp", "__sub")

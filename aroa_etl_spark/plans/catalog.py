@@ -633,6 +633,87 @@ def js_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Entity resolution / graph (SURVEY §2 EP2, J6/J7; operators/)
+# ==========================================================================
+
+@query(
+    "cc_connected_components",
+    oracle="""
+    SELECT o_orderkey AS node,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    """,
+)
+def cc_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (the clustering operator's core) on a graph
+    engineered to have KNOWN components: within each customer's orders,
+    chain edges (order → next order) + star edges (order → group min).
+    Components are exactly the per-customer order sets, so the oracle is
+    a plain group-min — while the Spark side runs the real iterative
+    min-label-propagation operator."""
+    from aroa_etl_spark.operators.clustering import connected_components
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = o.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    star = o.select(
+        F.col("o_orderkey").alias("src"),
+        F.first("o_orderkey").over(w).alias("dst"),  # running min = group min
+    ).filter(F.col("src") != F.col("dst"))
+    comp = connected_components(chain.unionByName(star), max_iter=6)
+    return o.join(comp, o["o_orderkey"] == comp["node"], "left").select(
+        F.col("o_orderkey").alias("node"),
+        F.coalesce("component", "o_orderkey").alias("component"),
+    )
+
+
+@query("er_cluster_entities")  # fuzzy scoring — no SQL oracle; rows-only check
+def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names treated as person
+    names (gname=adjective, lname=noun): blocked similarity self-join →
+    threshold edges → connected components → entity ids. Exercises the
+    full person_clustering operator (reference EP2)."""
+    from aroa_etl_spark.operators.clustering import person_clustering
+
+    t = load_tables(spark, sf_dir, ("part",))
+    persons = t["part"].select(
+        F.col("p_partkey").alias("person_id"),
+        F.split("p_name", " ")[0].alias("strGName_processed"),
+        F.coalesce(F.split("p_name", " ")[1], F.lit("")).alias("strLName_processed"),
+    )
+    out = person_clustering(
+        persons, date_col=None, prisoner_col=None, pob_col=None, cutoff=85.0
+    )
+    return out.select("person_id", F.col("Person_Entity_ID").alias("entity_id"))
+
+
+@query("er_person_matching")  # fuzzy scoring — no SQL oracle; rows-only check
+def er_person_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy person matching (reference J6/EP3): odd partkeys
+    matched against even partkeys on part-name 'persons'; top-1 with
+    threshold, unmatched sources keep the -1 sentinel row."""
+    from aroa_etl_spark.operators.matching import person_matching
+
+    t = load_tables(spark, sf_dir, ("part",))
+    persons = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        F.split("p_name", " ")[0].alias("strGName_processed"),
+        F.coalesce(F.split("p_name", " ")[1], F.lit("")).alias("strLName_processed"),
+    )
+    src = persons.filter(F.col("pid") % 2 == 1).withColumnRenamed("pid", "srcID")
+    trg = persons.filter(F.col("pid") % 2 == 0).withColumnRenamed("pid", "trgID")
+    return person_matching(
+        src, trg, src_id="srcID", target_id="trgID",
+        src_date_col=None, src_prisoner_number=None, src_birthplace=None,
+        top_n_matches=1, min_match_score=80.0,
+    )
+
+
 @query(
     "d_date_parts_agg",
     oracle="""

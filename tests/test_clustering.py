@@ -1,0 +1,97 @@
+"""Entity clustering: connected components + blocked similarity edges +
+greedy in-component refinement (SURVEY §2 EP2/J7/M8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _components_map(rows):
+    """rows of (node, component) → {frozenset of nodes per component}."""
+    comps: dict = {}
+    for r in rows:
+        comps.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(v) for v in comps.values()}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from aroa_etl_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = _components_map(connected_components(edges).collect())
+    # self-loop (20,20) is dropped; 20 never appears as a node
+    assert got == {frozenset({1, 2, 3, 4}), frozenset({10, 11})}
+
+
+def test_connected_components_merges_across_edge_order(spark):
+    from aroa_etl_spark.operators.clustering import connected_components
+
+    # two chains that meet in the middle: {5,6,7} ∪ {7,8,9}
+    edges = spark.createDataFrame([(9, 8), (5, 6), (7, 8), (6, 7)], ["src", "dst"])
+    got = _components_map(connected_components(edges).collect())
+    assert got == {frozenset({5, 6, 7, 8, 9})}
+
+
+# NOTE blocking fidelity: the reference's clustering buckets use a
+# 4-char prefix + len//2 band (run_clustering.py:24-25), so near-dups
+# must share those to ever be compared — schmidt/schmitt do,
+# meier/maier (differ at char 2) deliberately would NOT.
+PEOPLE = [
+    # (person_id, gname, lname, dob, prisoner, pob)
+    (1, "anna", "schmidt", "19300201", "", "berlin"),
+    (2, "anna", "schmitt", "19300201", "", "berlin"),   # near-dup of 1
+    (3, "anna", "schmidt", "19300201", "", "berlin"),   # exact dup of 1
+    (4, "hans", "wagner", "19251130", "555", "hamburg"),
+    (5, "peter", "huber", "19400101", "555", "prag"),   # prisoner-links to 4
+    (6, "maria", "kovacs", "19200101", "", "budapest"),  # singleton
+]
+COLS = ["person_id", "strGName_processed", "strLName_processed",
+        "strDoB_processed", "prisoner_number", "strPoB_processed"]
+
+
+def test_person_clustering_end_to_end(spark):
+    from aroa_etl_spark.operators.clustering import person_clustering
+
+    df = spark.createDataFrame(PEOPLE, COLS)
+    out = person_clustering(df, cutoff=85.0).collect()
+    ent = {r["person_id"]: r["Person_Entity_ID"] for r in out}
+
+    assert len(out) == len(PEOPLE)  # every row labeled exactly once
+    # near/exact duplicates of anna meier cluster together
+    assert ent[1] == ent[2] == ent[3]
+    # prisoner number links dissimilar persons 4 and 5
+    assert ent[4] == ent[5]
+    # distinct entities stay apart
+    assert len({ent[1], ent[4], ent[6]}) == 3
+
+
+def test_similarity_edges_respect_cutoff(spark):
+    from aroa_etl_spark.operators.clustering import similarity_edges
+
+    df = spark.createDataFrame(PEOPLE, COLS)
+    edges = similarity_edges(df, cutoff=85.0).collect()
+    pairs = {(r["src"], r["dst"]) for r in edges}
+    assert (1, 3) in pairs  # exact dup
+    assert (1, 2) in pairs and (2, 3) in pairs  # near dup, same block
+    assert all(s < d for s, d in pairs)  # canonical direction
+    assert all(r["score"] >= 85.0 for r in edges)
+    # kovacs matches nobody
+    assert not any(6 in p for p in pairs)
+
+
+def test_greedy_block_clustering_max_linkage(spark):
+    from aroa_etl_spark.operators.clustering import (
+        connected_components,
+        greedy_block_clustering,
+        similarity_edges,
+    )
+
+    df = spark.createDataFrame(PEOPLE, COLS)
+    comp = connected_components(similarity_edges(df, cutoff=85.0).select("src", "dst"))
+    out = greedy_block_clustering(df, comp, cutoff=85.0, linkage="max").collect()
+    ent = {r["person_id"]: r["Person_Entity_ID"] for r in out}
+    assert len(out) == len(PEOPLE)
+    assert ent[1] == ent[3]  # exact dups always together
+    assert len({ent[1], ent[4], ent[6]}) == 3
