@@ -1,0 +1,197 @@
+"""Text-analysis column functions for training-data pipelines:
+tokenization, shingling, language ID, quality scoring, fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage-codegen'd) — no Python in the hot path. Each has an exact
+DuckDB-SQL equivalent used by the catalog oracles, so semantics are
+pinned cross-engine:
+
+- tokens:       whitespace split of lower(trim(text)), empties dropped
+- shingles:     sliding word n-grams joined with a single space
+- minhash:      per permutation j, min over shingles of
+                md5(j || '|' || shingle) — md5 is available and
+                byte-identical in Spark and DuckDB, so signatures are
+                deterministic across engines (no library dependency)
+- simhash32:    32-bit SimHash over tokens; token hash = first 8 hex
+                chars of md5 as uint32, bit-majority vote
+- fingerprint:  md5 of the sorted distinct token set (the
+                "normalized-bag" document fingerprint)
+- language ID:  stopword-hit-ratio heuristic over small per-language
+                broadcast vocabularies
+- quality:      length / punctuation-ratio / stopword-ratio /
+                mean-token-length features + a composite score
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword vocabularies (public common function words).
+# Deliberately small: the heuristic is "which vocabulary hits most
+# tokens", not a trained model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "que"),
+}
+
+_PUNCT_RE = r"[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lower(trim(text)), empty strings removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Sliding word n-grams: [t0..tn-1, t1..tn, ...]; empty array when
+    the document has fewer than n tokens."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signature(col: Column | str, num_perm: int = 8, n: int = 3) -> Column:
+    """Array of ``num_perm`` minhash values over word n-gram shingles.
+
+    Permutation j is the keyed hash md5(j || '|' || shingle); the
+    signature element is the lexicographic minimum hex digest. Identical
+    SQL exists in DuckDB (md5 + list_min), making LSH oracle-checkable
+    — see operators/dedup.py. Empty shingle sets yield NULL elements.
+    """
+    sh = shingles(col, n)
+
+    def perm(j: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))))
+
+    return F.array(*[perm(j).alias(f"mh{j}") for j in range(num_perm)])
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` bucket keys: band index || md5 of the band's
+    concatenated signature slice. Docs sharing ANY key are LSH
+    candidates."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[signature[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    Token hash = first 8 md5 hex chars as uint32 (conv base 16). Each of
+    the 32 bit positions votes +1/-1 per token; the simhash bit is the
+    majority sign (strictly positive sum → 1). Expressible identically
+    in DuckDB SQL, so exact-oracle-checkable. Empty docs → 0.
+    """
+    toks = tokens(col)
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    def vote(b: int) -> Column:
+        acc = F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(acc > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    total = vote(0)
+    for b in range(1, 32):
+        total = total + vote(b)
+    return total
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    robust to word order and duplication (the 'normalized bag'
+    fingerprint; reference-free extension for training-data dedup)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(vocab, t)))
+
+
+def detect_language(col: Column | str) -> Column:
+    """Language with the highest stopword-hit count; 'und' (undetermined)
+    when no vocabulary hits. Ties break by language-code order (en < de
+    < fr < es inspection order, first max wins via strict >)."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:
+        hits = stopword_hits(col, lang)
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(col, lang).cast("double") / n.cast("double")
+    )
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
+
+
+def quality_features(col: Column | str, lang: str = "en") -> list[Column]:
+    """The standard quality-signal columns for a documents table."""
+    return [
+        F.length(F.col(col) if isinstance(col, str) else col).alias("q_n_chars"),
+        token_count(col).alias("q_n_tokens"),
+        punct_ratio(col).alias("q_punct_ratio"),
+        stopword_ratio(col, lang).alias("q_stopword_ratio"),
+        mean_token_length(col).alias("q_mean_token_len"),
+    ]
+
+
+def quality_score(col: Column | str, lang: str = "en") -> Column:
+    """Composite 0-100 heuristic: starts at 100, penalizes very short
+    docs, extreme punctuation, and missing stopwords. Deterministic
+    integer arithmetic (oracle-friendly)."""
+    n_tok = token_count(col)
+    score = (
+        F.lit(100)
+        - F.when(n_tok < 5, 40).when(n_tok < 20, 15).otherwise(0)
+        - F.when(punct_ratio(col) > 0.2, 25).otherwise(0)
+        - F.when(stopword_ratio(col, lang) < 0.01, 20).otherwise(0)
+    )
+    return F.greatest(score, F.lit(0)).alias("quality_score")

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(exact baseline) and sign-bucket LSH top-k (scale path).
+
+The embeddings table is (vec_id, embedding array<float>, label).
+
+Architecture:
+- ``brute_force_topk``: query set × corpus cross-score. The query side
+  is expected to be small (it is broadcast); the corpus streams through
+  executors — a full scan per query batch, the exact-recall baseline.
+  Dot products run JVM-side via zip_with/aggregate in double precision
+  (deterministic fold order → oracle-reproducible), ranked by a
+  per-query window.
+- ``lsh_topk``: both sides bucketed by leading-dimension sign bits
+  (fixed axis-aligned hyperplanes — deterministic). Probing multiplies
+  recall: each query probes its own bucket plus all buckets within
+  ``probe_hamming`` sign flips (the multi-probe LSH trick), then exact
+  cosine ranks within candidates. Misses only vectors differing in >
+  probe_hamming leading signs — the documented recall trade.
+- The IVF-style variant at 100 TB: replace sign buckets with k-means
+  centroid assignment (pyspark.ml KMeans fit on a sample, assign =
+  broadcast-join nearest centroid, probe nprobe nearest centroids).
+  Same join shape; the bucketing function is the only change.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(_dot(x, x))
+
+
+def cosine(x: Column, y: Column) -> Column:
+    """Double-precision cosine similarity between two float arrays."""
+    return _dot(x, y) / (_norm(x) * _norm(y))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id).
+
+    Broadcast the (small) query set against the corpus scan; rank with
+    a per-query window. Ties break by neighbor id ascending so results
+    are total-ordered and reproducible."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _sign_key(vec: str, sign_dims: int) -> Column:
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(sign_dims)
+        ],
+    )
+
+
+def _probe_keys(vec: str, sign_dims: int, probe_hamming: int) -> Column:
+    """Array of bucket keys: the vector's own sign key plus every key
+    within ``probe_hamming`` bit flips (multi-probe)."""
+    bits = [
+        F.when(F.element_at(F.col(vec), i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(sign_dims)
+    ]
+
+    def key_with_flips(flip: set[int]) -> Column:
+        parts = [
+            (F.lit(1) - bits[i] if i in flip else bits[i]).cast("string")
+            for i in range(sign_dims)
+        ]
+        return F.concat_ws("", *parts)
+
+    keys = [key_with_flips(set())]
+    for r in range(1, probe_hamming + 1):
+        for combo in combinations(range(sign_dims), r):
+            keys.append(key_with_flips(set(combo)))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    sign_dims: int = 8,
+    probe_hamming: int = 1,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-bucket LSH with multi-probe.
+
+    Corpus is bucketed once (its own key); queries explode to
+    1 + C(sign_dims,1..probe_hamming) probe keys and equi-join buckets
+    — a shuffle join on short string keys instead of a cross product.
+    Exact cosine + window rank within candidates. Output schema matches
+    brute_force_topk for recall evaluation."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _sign_key(corpus_vec, sign_dims).alias("__k"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(_probe_keys(query_vec, sign_dims, probe_hamming)).alias("__k"),
+    )
+    scored = (
+        q.join(c, "__k")
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

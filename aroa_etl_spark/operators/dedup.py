@@ -1,0 +1,286 @@
+"""Document deduplication operators for training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup.
+
+Every operator is expressed with native Spark column functions (no
+Python UDFs anywhere in this module) and designed so an exact DuckDB
+oracle exists — both engines share byte-identical md5, so hash-based
+candidate generation is deterministic cross-engine.
+
+Scale notes (100 TB posture):
+- Exact/fingerprint dedup: one shuffle on the hash key; map-side
+  partial aggregation applies.
+- MinHash LSH: per-doc signature is a projection (no shuffle); the
+  candidate join shuffles on band-bucket keys. Bucket sizes are bounded
+  by band width; hot buckets (boilerplate docs) are the skew risk —
+  AQE skew-join handles moderate skew, and ``max_bucket_size`` drops
+  degenerate buckets (standard practice: a bucket with thousands of
+  docs is boilerplate you dedup by exact hash instead).
+- Pair verification (exact Jaccard) runs only on candidate pairs, not
+  n² — the whole point of LSH.
+- SimHash: banding on bit-slices; same join shape.
+- Embedding near-dup: sign-bucket LSH (first k dimension signs) —
+  approximate (documented recall loss near decision boundaries);
+  brute-force cosine lives in operators/ann.py as the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.functions.text import (
+    fingerprint,
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+    simhash32,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups via hash-groupBy on the raw text.
+
+    Returns (id, group_rep, group_size, is_duplicate): group_rep is the
+    minimum id of the identical-text group; rows with id != group_rep
+    are duplicates. One shuffle on md5(text)."""
+    keyed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    groups = keyed.groupBy("__h").agg(
+        F.min(id_col).alias("group_rep"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        keyed.join(groups, "__h")
+        .select(
+            id_col,
+            "group_rep",
+            "group_size",
+            (F.col(id_col) != F.col("group_rep")).alias("is_duplicate"),
+        )
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-exact dedup on the sorted-distinct-token fingerprint —
+    catches word-order shuffles and repetition, same shape as
+    exact_dedup."""
+    keyed = df.select(F.col(id_col), fingerprint(text_col).alias("__h"))
+    groups = keyed.groupBy("__h").agg(
+        F.min(id_col).alias("group_rep"), F.count(F.lit(1)).alias("group_size")
+    )
+    return keyed.join(groups, "__h").select(
+        id_col,
+        "group_rep",
+        "group_size",
+        (F.col(id_col) != F.col("group_rep")).alias("is_duplicate"),
+    )
+
+
+def _jaccard_filter(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-set Jaccard verification of candidate pairs →
+    (id_a, id_b, n_intersect, n_union) for pairs ≥ threshold.
+
+    Sizes are integers (hash-stable); the threshold compare happens on
+    the exact rational i/u in double — identical in any IEEE engine."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, n)).alias("__sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_intersect"),
+            F.size(F.array_union("__sa", "__sb")).alias("n_union"),
+        )
+        .filter(
+            (F.col("n_union") > 0)
+            & (F.col("n_intersect").cast("double") / F.col("n_union").cast("double")
+               >= F.lit(threshold))
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
+
+    shingle → md5-keyed minhash signature → band buckets → bucket
+    equi-join for candidates (id_a < id_b) → exact Jaccard ≥ threshold.
+    Returns (id_a, id_b, n_intersect, n_union).
+
+    ``max_bucket_size`` drops pathological buckets (boilerplate): a
+    bucket of size s contributes s² candidate pairs, so unbounded hot
+    buckets are the LSH skew failure mode at scale.
+    """
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_perm=num_perm, n=shingle_n).alias("__sig"),
+    ).filter(F.col("__sig")[0].isNotNull())  # docs with < n tokens have no shingles
+    keys = sig.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__bucket"),
+    )
+
+    if max_bucket_size is not None:
+        sizes = keys.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
+        keys = keys.join(
+            sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket"), "__bucket"
+        )
+
+    left = keys.select(F.col(id_col).alias("id_a"), "__bucket")
+    right = keys.select(F.col(id_col).alias("id_b"), "__bucket")
+    pairs = (
+        left.join(right, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_filter(pairs, df, id_col, text_col, shingle_n, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join within blocks.
+
+    With ``block_col`` (e.g. lang or source) pairs are generated inside
+    each block only — a bounded cross product per block via equi-join;
+    without it, the first shingle is used as the block key (docs sharing
+    their opening n-gram), keeping generation linear-ish. Returns
+    (id_a, id_b, n_intersect, n_union) for Jaccard ≥ threshold.
+    """
+    if block_col is not None:
+        k = df.select(F.col(id_col), F.col(block_col).alias("__k"))
+    else:
+        k = df.select(
+            F.col(id_col),
+            F.element_at(shingles(text_col, n), 1).alias("__k"),
+        ).filter(F.col("__k").isNotNull())
+    pairs = (
+        k.select(F.col(id_col).alias("id_a"), "__k")
+        .join(k.select(F.col(id_col).alias("id_b"), "__k"), "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_filter(pairs, df, id_col, text_col, n, threshold)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 32-bit simhash, banded into four
+    8-bit slices (two docs within hamming distance 3 of each other must
+    agree on ≥1 slice — pigeonhole), candidates verified by exact
+    bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col), simhash32(text_col).alias("__sh"))
+    banded = sh.select(
+        F.col(id_col),
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftright(F.col("__sh"), b * 8).bitwiseAND(F.lit(0xFF)).cast("string"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__band"),
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ha"), "__band")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__hb"), "__band")
+    return (
+        left.join(right, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    sign_dims: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicates via sign-bucket LSH + exact cosine.
+
+    Bucket key = concatenated signs of the first ``sign_dims``
+    dimensions (a fixed axis-aligned hyperplane family — deterministic,
+    no random state). Near-identical vectors share all leading signs;
+    vectors with leading dims near 0 may land across the boundary —
+    documented recall loss; use ann.brute_force_topk as the exact
+    baseline. Candidates are verified with exact double-precision
+    cosine ≥ threshold. Returns (id_a, id_b) pairs.
+    """
+    key = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(sign_dims)
+        ],
+    )
+    k = df.select(F.col(id_col), F.col(vec_col), key.alias("__k"))
+    a = k.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__k")
+    b = k.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__k")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.sqrt(dot(F.col("__va"), F.col("__va")))
+               * F.sqrt(dot(F.col("__vb"), F.col("__vb")))),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -737,3 +737,8 @@ def d_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum2(d2("value"), "total_value"),
         )
     )
+
+
+# Training-data pipeline queries (dedup / ANN / text analysis) register
+# themselves into the same registry on import.
+from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,467 @@
+"""Training-data pipeline catalog: deduplication, similarity search,
+text analysis — each a (Spark builder, DuckDB oracle) pair over the
+``documents`` / ``embeddings`` tables.
+
+The synthetic corpus has no natural near-duplicates, so dedup queries
+PLANT them deterministically inside the query itself, with the exact
+same construction in the DuckDB oracle:
+
+- text:      for doc_id % 5 == 0 add a copy (id + 1_000_000) with the
+             first token dropped — a known-high-Jaccard near-dup
+- embedding: for vec_id % 5 == 0 add a copy with the last dimension
+             zeroed — cosine ≈ 0.99, same leading-sign bucket
+
+Both engines share byte-identical md5, string_split on ``\\s+``, and
+IEEE double arithmetic with left-to-right fold order, which is what
+makes MinHash/SimHash/cosine results hash-comparable cross-engine
+(validated empirically; see tests/test_catalog_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aroa_etl_spark.functions import text as X
+from aroa_etl_spark.plans.catalog import query
+from aroa_etl_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# ---------------------------------------------------------------------------
+
+_TOK = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
+_SHINGLE3 = (
+    "list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])"
+)
+
+# planted near-dup document set (text: drop first token)
+_DOCS_PLANTED = """
+    base AS (SELECT doc_id, text, lang, source FROM documents),
+    planted AS (SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(text, '^[^ ]+ ', '') AS text, lang, source
+                FROM base WHERE doc_id % 5 = 0),
+    docs AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+"""
+
+# planted near-dup embedding set (zero the last dimension)
+_VECS_PLANTED = """
+    vbase AS (SELECT vec_id, embedding FROM embeddings),
+    vplanted AS (SELECT vec_id + 1000000 AS vec_id,
+                        embedding[1:63] || [CAST(0 AS REAL)] AS embedding
+                 FROM vbase WHERE vec_id % 5 = 0),
+    vecs AS (SELECT * FROM vbase UNION ALL SELECT * FROM vplanted)
+"""
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    planted = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+        "lang",
+        "source",
+    )
+    return base.unionByName(planted)
+
+
+def _vecs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.slice("embedding", 1, 63), F.array(F.lit(0.0).cast("float"))).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(planted)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    WITH {_DOCS_PLANTED.replace("regexp_replace(text, '^[^ ]+ ', '')", "text")}
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY text) AS group_rep,
+           COUNT(*) OVER (PARTITION BY text) AS group_size,
+           doc_id != MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM docs
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (planted copies here keep the FULL
+    text, so they are true exact duplicates). One shuffle on md5(text);
+    at 100 TB this is the cheapest dedup pass and always runs first."""
+    from aroa_etl_spark.operators.dedup import exact_dedup
+
+    base = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    planted = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    )
+    return exact_dedup(base.unionByName(planted))
+
+
+@query(
+    "dedup_fingerprint_groups",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    shuffled AS (SELECT doc_id + 1000000 AS doc_id,
+                        array_to_string(list_reverse({_TOK}), ' ') AS text
+                 FROM base WHERE doc_id % 5 = 0),
+    docs AS (SELECT * FROM base UNION ALL SELECT * FROM shuffled),
+    fp AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct({_TOK})), ' ')) AS h
+           FROM docs)
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY h) AS group_rep,
+           COUNT(*) OVER (PARTITION BY h) AS group_size,
+           doc_id != MIN(doc_id) OVER (PARTITION BY h) AS is_duplicate
+    FROM fp
+    """,
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup (md5 of sorted distinct token set) — catches
+    token-order shuffles that exact dedup misses; planted copies here
+    are full token-reversals of every 5th doc."""
+    from aroa_etl_spark.operators.dedup import fingerprint_dedup
+
+    base = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "text")
+    shuffled = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.reverse(X.tokens("text")), " ").alias("text"),
+    )
+    return fingerprint_dedup(base.unionByName(shuffled))
+
+
+_MINHASH_SQL_SIG = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}|'||s)))" for j in range(8)
+)
+_MINHASH_SQL_BANDS = ", ".join(
+    f"'{b}:'||md5(sig[{2 * b + 1}]||','||sig[{2 * b + 2}])" for b in range(4)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
+           FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_SQL_SIG}] AS sig
+            FROM sh WHERE len(sh) > 0),
+    keys AS (SELECT doc_id, sh, unnest([{_MINHASH_SQL_BANDS}]) AS bucket FROM sig),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sh AS sha, b.sh AS shb
+              FROM keys a JOIN keys b USING (bucket)
+              WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           len(list_intersect(sha, shb)) AS n_intersect,
+           len(list_distinct(sha || shb)) AS n_union
+    FROM pairs
+    WHERE len(list_distinct(sha || shb)) > 0
+      AND len(list_intersect(sha, shb))::DOUBLE / len(list_distinct(sha || shb)) >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (8 perms, 4 bands of 2, 3-gram
+    shingles, Jaccard ≥ 0.7), exact-verified. The planted drop-first-
+    token copies are the expected positives. md5-keyed minhash makes
+    the signatures — and therefore the LSH buckets — byte-identical in
+    the DuckDB oracle: the whole approximate pipeline is exact-checked,
+    not just sampled."""
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _docs_with_planted(spark, sf_dir),
+        num_perm=8, bands=4, shingle_n=3, threshold=0.7,
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    sh AS (SELECT doc_id, source, list_distinct({_SHINGLE3}) AS sh
+           FROM (SELECT doc_id, source, {_TOK} AS toks FROM docs))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) AS n_intersect,
+           len(list_distinct(a.sh || b.sh)) AS n_union
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_distinct(a.sh || b.sh)) > 0
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join blocked by source (bounded
+    per-block cross product → equi-join; Jaccard ≥ 0.5)."""
+    from aroa_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_planted(spark, sf_dir), n=3, threshold=0.5, block_col="source"
+    )
+
+
+_SIMHASH_SQL_BITS = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {2**b} ELSE 0 END)"
+    for b in range(32)
+)
+_SIMHASH_SQL_BANDS = ", ".join(f"'{b}:'||((sh >> {b * 8}) & 255)::VARCHAR" for b in range(4))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    h AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::UBIGINT::BIGINT AS h
+          FROM (SELECT doc_id, unnest({_TOK}) AS t FROM docs)),
+    hsh AS (SELECT doc_id, {_SIMHASH_SQL_BITS} AS sh FROM h GROUP BY doc_id),
+    banded AS (SELECT doc_id, sh, unnest([{_SIMHASH_SQL_BANDS}]) AS band FROM hsh)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM banded a JOIN banded b USING (band)
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit simhash, 4×8-bit band blocking,
+    hamming ≤ 8 verification. Dropping one token flips only the bit
+    positions whose ±1 vote sum sat at the decision boundary, so the
+    planted copies land within a few bits of their originals."""
+    from aroa_etl_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_docs_with_planted(spark, sf_dir), max_hamming=8)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_VECS_PLANTED},
+    keyed AS (SELECT vec_id, embedding,
+              {" || ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS k
+              FROM vecs)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: leading-sign-bucket LSH + exact double
+    cosine ≥ 0.95. Planted zero-last-dim copies keep their sign bucket
+    and score ≈ 0.99."""
+    from aroa_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _vecs_with_planted(spark, sf_dir), sign_dims=8, threshold=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.embedding", "c.embedding")} AS cos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (exact-recall ANN baseline): 20 query
+    vectors broadcast against the corpus scan, double-precision
+    zip_with/aggregate dot products, per-query ranking window."""
+    from aroa_etl_spark.operators.ann import brute_force_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+def _sql_sign_key(vec: str, dims: int, flip: int | None = None) -> str:
+    parts = []
+    for i in range(dims):
+        cond = f"{vec}[{i + 1}] >= 0"
+        if flip == i:
+            parts.append(f"(CASE WHEN {cond} THEN '0' ELSE '1' END)")
+        else:
+            parts.append(f"(CASE WHEN {cond} THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding,
+                      {_sql_sign_key("embedding", 6)} AS k
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding,
+                 unnest([{", ".join(_sql_sign_key("embedding", 6, flip=fl) for fl in [None, 0, 1, 2, 3, 4, 5])}]) AS k
+          FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_sql_cosine("q.embedding", "c.embedding")} AS cos
+      FROM q JOIN c USING (k)
+      WHERE q.query_id != c.neighbor_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH top-5 with multi-probe (6 sign dims, probe all
+    1-bit flips): the scale path — a shuffle join on short keys instead
+    of a cross product. Oracle replicates bucketing exactly, so recall
+    loss vs brute force is a property of the algorithm, not the engine."""
+    from aroa_etl_spark.operators.ann import lsh_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, sign_dims=6, probe_hamming=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _sql_hits(lang: str) -> str:
+    vocab = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{vocab}], t)))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_TOK} AS toks FROM documents),
+    hits AS (SELECT lang, {_sql_hits("en")} AS he, {_sql_hits("de")} AS hd,
+                    {_sql_hits("fr")} AS hf, {_sql_hits("es")} AS hs
+             FROM t)
+    SELECT lang, detected, COUNT(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+                  WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                  WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+                  WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                  ELSE 'es' END AS detected
+      FROM hits)
+    GROUP BY lang, detected
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vocabulary language-ID heuristic, evaluated as a
+    confusion table against the corpus's labeled lang column."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select("lang", X.detect_language("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (SELECT source, length(text) AS n_chars, {_TOK} AS toks,
+                      length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+               FROM documents),
+    q AS (SELECT source, len(toks) AS n_tokens,
+                 greatest(100
+                   - (CASE WHEN len(toks) < 5 THEN 40
+                           WHEN len(toks) < 20 THEN 15 ELSE 0 END)
+                   - (CASE WHEN n_chars > 0 AND n_punct::DOUBLE / n_chars > 0.2
+                           THEN 25 ELSE 0 END)
+                   - (CASE WHEN len(toks) = 0 OR
+                           {_sql_hits("en")}::DOUBLE / len(toks) < 0.01
+                           THEN 20 ELSE 0 END), 0) AS score
+          FROM t)
+    SELECT source, COUNT(*) AS n_docs, SUM(score) AS total_score,
+           MIN(score) AS min_score, MAX(score) AS max_score,
+           SUM(n_tokens) AS total_tokens
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution per source: integer composite score
+    (length / punctuation / stopword penalties) aggregated exactly."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            "source",
+            X.quality_score("text").alias("score"),
+            X.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").alias("total_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           SUM(len(toks)) AS total_tokens,
+           SUM(len(list_distinct(toks))) AS total_distinct_tokens,
+           SUM(len(list_distinct({_SHINGLE3}))) AS total_distinct_shingles
+    FROM (SELECT lang, {_TOK} AS toks FROM documents)
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token / distinct-token / distinct-shingle counts per language —
+    the cheap volume statistics a corpus pipeline reports."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = X.tokens("text")
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("nt"),
+            F.size(F.array_distinct(toks)).alias("ndt"),
+            F.size(F.array_distinct(X.shingles("text", 3))).alias("nds"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").alias("total_tokens"),
+            F.sum("ndt").alias("total_distinct_tokens"),
+            F.sum("nds").alias("total_distinct_shingles"),
+        )
+    )
