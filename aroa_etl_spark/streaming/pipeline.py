@@ -1,0 +1,171 @@
+"""Structured Streaming extension (SURVEY §2.9, build plan M8).
+
+The reference is batch-only (GCS file handoffs between notebook
+stages); this module runs the same capability pillars continuously:
+
+- **Stateless stages stream unchanged.** Unpacking (from_json selects)
+  and attribute processing / text analysis are pure column maps, so the
+  exact same expressions run under ``readStream`` — ``with_text_analysis``
+  below is used verbatim in batch tests and streaming tests.
+- **Consensus dedup becomes stateful**: ``streaming_consensus`` keys
+  state by document id via ``applyInPandasWithState`` and re-votes the
+  consensus every time new transcriptions for that document arrive —
+  the streaming analogue of ENCDeduplicater (late transcriptions
+  refine the consensus instead of requiring a batch re-run).
+- **Event analytics** get watermarked sliding windows
+  (``windowed_event_counts``) — bounded state, late data dropped after
+  the watermark.
+
+Scale notes: state lives in the state store partitioned by group key
+(documents shard across executors); per-document state is bounded
+(≤ ~20 transcriptions per document in the reference workload). A
+production deploy sets a watermark/timeout to expire document state
+once transcription windows close.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from aroa_etl_spark.functions import text as X
+from aroa_etl_spark.operators.consensus import ColMatcher, _is_empty_value, _success
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory. Schema must be
+    explicit (streaming sources don't infer)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless text-analysis stage — identical plan in batch and
+    streaming (the point: stateless stages stream for free)."""
+    return df.select(
+        "*",
+        X.token_count(text_col).alias("n_tokens"),
+        X.detect_language(text_col).alias("detected_lang"),
+        X.quality_score(text_col).alias("quality_score"),
+        X.fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked (sliding) window counts — works on a stream (bounded
+    state, late rows beyond the watermark dropped) and on a batch frame
+    (watermark is a no-op there, enabling direct batch parity tests)."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def streaming_consensus(
+    stream: DataFrame,
+    id_col: str,
+    matchers: dict[str, ColMatcher],
+    *,
+    no_values_is_a_match: bool = True,
+) -> DataFrame:
+    """Stateful consensus: per-document transcription state accumulates
+    across micro-batches; every batch containing a document re-votes and
+    emits that document's current consensus row (output mode 'update').
+
+    State schema: one JSON-serialized row list (bounded by the ~20
+    transcriptions/document workload). The per-column voting reuses the
+    exact batch ColMatcher pipeline, so batch and streaming consensus
+    are the same semantics by construction.
+    """
+    cols = list(matchers.keys())
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.StringType())]
+        + [T.StructField(c, T.StringType()) for c in cols]
+        + [
+            T.StructField("is_ambiguous", T.BooleanType()),
+            T.StructField("n_transcriptions", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("rows_json", T.StringType())])
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored: list[dict[str, Any]] = json.loads(state.get[0])
+        else:
+            stored = []
+        for pdf in pdfs:
+            stored.extend(
+                {c: (None if pd.isna(v) else str(v)) for c, v in zip(cols, row)}
+                for row in pdf[cols].itertuples(index=False, name=None)
+            )
+        state.update((json.dumps(stored),))
+
+        row: dict[str, Any] = {id_col: key[0], "n_transcriptions": len(stored)}
+        ambiguous = []
+        for c in cols:
+            vals = [r.get(c) for r in stored]
+            n_entries = sum(1 for v in vals if not _is_empty_value(v))
+            matched = matchers[c](vals)
+            if isinstance(matched, list):
+                matched = None
+            row[c] = matched
+            if not _success(matched, n_entries, no_values_is_a_match):
+                ambiguous.append(c)
+        for c in ambiguous:
+            row[c] = "?"
+        row["is_ambiguous"] = bool(ambiguous)
+        yield pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return (
+        stream.groupBy(id_col)
+        .applyInPandasWithState(
+            kernel, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "update"
+) -> None:
+    """Drain a stream into an in-memory sink table (availableNow) and
+    block until done — the test/demo harness."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,132 @@
+"""Structured Streaming: stateless stages stream unchanged, stateful
+consensus accumulates across micro-batches, windowed aggs match batch.
+
+All tests use file sources with availableNow triggers and memory sinks
+— no long-running queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+TRANS_SCHEMA = T.StructType(
+    [
+        T.StructField("document_id", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+    ]
+)
+
+
+def test_stateless_text_analysis_streams_unchanged(spark, tmp_path):
+    from aroa_etl_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_parquet,
+        with_text_analysis,
+    )
+
+    src = str(tmp_path / "docs")
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50)
+    batch.write.parquet(src)
+
+    expected = {
+        r["doc_id"]: (r["n_tokens"], r["detected_lang"], r["quality_score"], r["fingerprint"])
+        for r in with_text_analysis(spark.read.parquet(src)).collect()
+    }
+
+    stream = with_text_analysis(stream_parquet(spark, src, DOC_SCHEMA))
+    assert stream.isStreaming
+    run_to_memory(stream, "t_text", output_mode="append")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["detected_lang"], r["quality_score"], r["fingerprint"])
+        for r in spark.sql("SELECT * FROM t_text").collect()
+    }
+    assert got == expected  # identical plan → identical results
+
+
+def test_streaming_consensus_accumulates_across_batches(spark, tmp_path):
+    from aroa_etl_spark.operators.consensus import default_col_matcher
+    from aroa_etl_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_parquet,
+        streaming_consensus,
+    )
+
+    src = tmp_path / "trans"
+    # micro-batch 1: two transcriptions of doc A (agreeing), one of doc B
+    spark.createDataFrame(
+        [("A", "Müller", "Anna"), ("A", "Müller", "Anna"), ("B", "Schmidt", "Hans")],
+        TRANS_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # micro-batch 2: a late third transcription of doc A + doc B support
+    spark.createDataFrame(
+        [("A", "Müller", "Anna"), ("B", "Schmidt", "Hans")], TRANS_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = stream_parquet(
+        spark, f"{src}/*", TRANS_SCHEMA, max_files_per_trigger=1
+    )
+    out = streaming_consensus(
+        stream,
+        "document_id",
+        {"last_name": default_col_matcher(), "first_name": default_col_matcher()},
+    )
+    run_to_memory(out, "t_consensus", output_mode="update")
+
+    rows = spark.sql("SELECT * FROM t_consensus").collect()
+    # the LAST emission per document carries the full accumulated state
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["document_id"])
+        if prev is None or r["n_transcriptions"] > prev["n_transcriptions"]:
+            latest[r["document_id"]] = r
+
+    assert latest["A"]["last_name"] == "Müller"
+    assert latest["A"]["first_name"] == "Anna"
+    assert latest["A"]["n_transcriptions"] == 3  # state crossed batches
+    assert latest["B"]["last_name"] == "Schmidt"
+    assert latest["B"]["n_transcriptions"] == 2
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    from aroa_etl_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_parquet,
+        windowed_event_counts,
+    )
+
+    from aroa_etl_spark.session import load_tables
+
+    src = str(tmp_path / "events")
+    # load_tables converts the raw nanos-as-long ts to a real timestamp
+    batch = (
+        load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+        .select("ts", "event_type")
+        .limit(500)
+    )
+    batch.write.parquet(src)
+    ev_schema = spark.read.parquet(src).schema
+
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(spark.read.parquet(src)).collect()
+    }
+    assert expected  # sanity: windows exist
+
+    stream = windowed_event_counts(stream_parquet(spark, src, ev_schema))
+    run_to_memory(stream, "t_windows", output_mode="update")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_windows").collect()
+    }
+    assert got == expected
