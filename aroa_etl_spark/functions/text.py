@@ -50,16 +50,47 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Sliding word n-grams: [t0..tn-1, t1..tn, ...]; empty array when
-    the document has fewer than n tokens."""
-    toks = tokens(col)
+def shingles_from(toks: Column | str, n: int = 3) -> Column:
+    """Sliding word n-grams over an ALREADY-COMPUTED token array column.
+
+    The token array MUST be a materialized column (its own projection),
+    not an inline expression: ``slice`` runs once per shingle inside the
+    transform lambda, and lambda bodies are re-evaluated per element
+    with no common-subexpression elimination — an inline tokenizer
+    would re-split the text O(doc_len) times (measured 5× slowdown)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Sliding word n-grams: [t0..tn-1, t1..tn, ...]; empty array when
+    the document has fewer than n tokens. Convenience form — hot paths
+    must materialize ``tokens`` first and use ``shingles_from`` (see
+    the warning there)."""
+    return shingles_from(tokens(col), n)
+
+
+def minhash_from(sh: Column | str, num_perm: int = 8) -> Column:
+    """Minhash signature over an ALREADY-COMPUTED shingle array column.
+
+    Callers should materialize the shingle array in its own projection
+    (``df.select(..., shingles(c).alias("sh")).select(..., minhash_from("sh"))``)
+    — referencing it ``num_perm`` times here is then a per-row array
+    reuse, not ``num_perm`` recomputations of the tokenize+slice+join
+    pipeline (Catalyst's CollapseProject keeps non-cheap duplicated
+    aliases in their own project, which is exactly what we want).
+    """
+    sh = F.col(sh) if isinstance(sh, str) else sh
+
+    def perm(j: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))))
+
+    return F.array(*[perm(j).alias(f"mh{j}") for j in range(num_perm)])
 
 
 def minhash_signature(col: Column | str, num_perm: int = 8, n: int = 3) -> Column:
@@ -69,13 +100,12 @@ def minhash_signature(col: Column | str, num_perm: int = 8, n: int = 3) -> Colum
     signature element is the lexicographic minimum hex digest. Identical
     SQL exists in DuckDB (md5 + list_min), making LSH oracle-checkable
     — see operators/dedup.py. Empty shingle sets yield NULL elements.
+
+    NOTE: inlines the shingle pipeline once per permutation — fine for
+    one-off expressions; hot paths should materialize shingles and use
+    ``minhash_from`` (see operators/dedup.py).
     """
-    sh = shingles(col, n)
-
-    def perm(j: int) -> Column:
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))))
-
-    return F.array(*[perm(j).alias(f"mh{j}") for j in range(num_perm)])
+    return minhash_from(shingles(col, n), num_perm)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -97,16 +127,21 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens.
+def token_hashes(col: Column | str) -> Column:
+    """Per-token 32-bit hashes (first 8 md5 hex chars as uint32) — the
+    input of simhash voting. Materialize this once; md5 is the expensive
+    part."""
+    return F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
 
-    Token hash = first 8 md5 hex chars as uint32 (conv base 16). Each of
-    the 32 bit positions votes +1/-1 per token; the simhash bit is the
-    majority sign (strictly positive sum → 1). Expressible identically
-    in DuckDB SQL, so exact-oracle-checkable. Empty docs → 0.
-    """
-    toks = tokens(col)
-    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+def simhash32_from(h: Column | str) -> Column:
+    """32-bit SimHash from an ALREADY-COMPUTED token-hash array (see
+    ``token_hashes``): each bit position votes +1/-1 per token, majority
+    sign wins. 32 integer array folds over a materialized array — no
+    hash recomputation."""
+    h = F.col(h) if isinstance(h, str) else h
 
     def vote(b: int) -> Column:
         acc = F.aggregate(
@@ -121,6 +156,21 @@ def simhash32(col: Column | str) -> Column:
     for b in range(1, 32):
         total = total + vote(b)
     return total
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    Token hash = first 8 md5 hex chars as uint32 (conv base 16). Each of
+    the 32 bit positions votes +1/-1 per token; the simhash bit is the
+    majority sign (strictly positive sum → 1). Expressible identically
+    in DuckDB SQL, so exact-oracle-checkable. Empty docs → 0.
+
+    NOTE: inlines the md5 token-hash pipeline into every bit vote — hot
+    paths should materialize ``token_hashes`` first and use
+    ``simhash32_from`` (see operators/dedup.py).
+    """
+    return simhash32_from(token_hashes(col))
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -138,16 +188,18 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
 
 def detect_language(col: Column | str) -> Column:
     """Language with the highest stopword-hit count; 'und' (undetermined)
-    when no vocabulary hits. Ties break by language-code order (en < de
-    < fr < es inspection order, first max wins via strict >)."""
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in STOPWORDS:
-        hits = stopword_hits(col, lang)
-        is_better = hits > best_hits
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return best_lang
+    when no vocabulary hits. Ties break by language order (en, de, fr,
+    es — first max wins, matching array_position's first-occurrence).
+
+    Implemented as an array argmax rather than a when-fold: a fold
+    nests each hit count into every later branch, duplicating the
+    tokenize+filter subtree exponentially in the number of languages."""
+    hits = F.array(*[stopword_hits(col, lang) for lang in STOPWORDS])
+    langs = F.array(*[F.lit(lang) for lang in STOPWORDS])
+    m = F.array_max(hits)
+    return F.when(m <= 0, F.lit("und")).otherwise(
+        F.element_at(langs, F.array_position(hits, m).cast("int"))
+    )
 
 
 def punct_ratio(col: Column | str) -> Column:

@@ -31,9 +31,11 @@ from pyspark.sql import functions as F
 from aroa_etl_spark.functions.text import (
     fingerprint,
     lsh_band_keys,
-    minhash_signature,
-    shingles,
-    simhash32,
+    minhash_from,
+    shingles_from,
+    simhash32_from,
+    token_hashes,
+    tokens,
 )
 
 
@@ -78,21 +80,17 @@ def fingerprint_dedup(
 
 def _jaccard_filter(
     pairs: DataFrame,
-    df: DataFrame,
+    sh: DataFrame,
     id_col: str,
-    text_col: str,
-    n: int,
     threshold: float,
 ) -> DataFrame:
     """Exact shingle-set Jaccard verification of candidate pairs →
-    (id_a, id_b, n_intersect, n_union) for pairs ≥ threshold.
+    (id_a, id_b, n_intersect, n_union) for pairs ≥ threshold. ``sh`` is
+    the materialized (id, __sh distinct-shingle-array) frame — shared
+    with candidate generation so shingling runs once.
 
     Sizes are integers (hash-stable); the threshold compare happens on
     the exact rational i/u in double — identical in any IEEE engine."""
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, n)).alias("__sh"),
-    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
     return (
@@ -134,14 +132,30 @@ def minhash_lsh_dedup(
     buckets are the LSH skew failure mode at scale.
     """
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(text_col, num_perm=num_perm, n=shingle_n).alias("__sig"),
-    ).filter(F.col("__sig")[0].isNotNull())  # docs with < n tokens have no shingles
+    # Materialize tokens, then distinct shingles, as separate projections
+    # (see shingles_from) and persist: the shingle frame feeds signature
+    # computation AND both sides of the Jaccard verification join; the
+    # key frame feeds both sides of the candidate self-join. Persisting
+    # the per-doc signature table is the standard production shape (it
+    # is tiny relative to the corpus — id + num_perm hashes).
+    # NOTE the filter comes AFTER persist: a filter below the projection
+    # would be pushed through the alias, substituting the whole shingle
+    # pipeline into an interpreted per-row predicate (measured 7× cost).
+    # The persisted frame is an optimizer barrier; the filter then reads
+    # the stored arrays.
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh"))
+        .persist()
+        .filter(F.size("__sh") > 0)
+    )
+    sig = sh.select(
+        F.col(id_col), "__sh", minhash_from("__sh", num_perm).alias("__sig")
+    )
     keys = sig.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__bucket"),
-    )
+    ).persist()
 
     if max_bucket_size is not None:
         sizes = keys.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
@@ -157,7 +171,7 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_filter(pairs, df, id_col, text_col, shingle_n, threshold)
+    return _jaccard_filter(pairs, sh, id_col, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -177,12 +191,24 @@ def ngram_jaccard_pairs(
     their opening n-gram), keeping generation linear-ish. Returns
     (id_a, id_b, n_intersect, n_union) for Jaccard ≥ threshold.
     """
-    if block_col is not None:
-        k = df.select(F.col(id_col), F.col(block_col).alias("__k"))
-    else:
-        k = df.select(
+    sh = (
+        df.select(
             F.col(id_col),
-            F.element_at(shingles(text_col, n), 1).alias("__k"),
+            *([F.col(block_col)] if block_col is not None else []),
+            tokens(text_col).alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col is not None else []),
+            F.array_distinct(shingles_from("__t", n)).alias("__sh"),
+        )
+        .persist()
+    )
+    if block_col is not None:
+        k = sh.select(F.col(id_col), F.col(block_col).alias("__k"))
+    else:
+        k = sh.select(
+            F.col(id_col), F.element_at(F.col("__sh"), 1).alias("__k")
         ).filter(F.col("__k").isNotNull())
     pairs = (
         k.select(F.col(id_col).alias("id_a"), "__k")
@@ -191,7 +217,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _jaccard_filter(pairs, df, id_col, text_col, n, threshold)
+    return _jaccard_filter(pairs, sh.select(id_col, "__sh"), id_col, threshold)
 
 
 def simhash_dedup(
@@ -205,7 +231,31 @@ def simhash_dedup(
     8-bit slices (two docs within hamming distance 3 of each other must
     agree on ≥1 slice — pigeonhole), candidates verified by exact
     bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col), simhash32(text_col).alias("__sh"))
+    # SimHash via explode + grouped bit-votes rather than 32 nested array
+    # folds: flat codegen-friendly expressions, map-side partial
+    # aggregation, one shuffle on the doc id — the shape that scales.
+    # explode_outer keeps empty docs (null token → null votes → all bits
+    # 0, matching simhash32's empty→0 contract).
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok"))
+    h = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long").alias("__h"),
+    )
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(32)
+        ]
+    )
+    simhash_col = None
+    for b in range(32):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash_col = bit if simhash_col is None else simhash_col + bit
+    sh = votes.select(F.col(id_col), simhash_col.alias("__sh")).persist()
     banded = sh.select(
         F.col(id_col),
         "__sh",

@@ -742,3 +742,14 @@ def d_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline queries (dedup / ANN / text analysis) register
 # themselves into the same registry on import.
 from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)
+
+# Extra bench headliners: the training-data-pipeline kernels (JVM-native
+# dedup/text/ANN paths; person-matching/clustering are excluded — their
+# Python scoring UDF belongs in operator benchmarks, not the headline).
+BENCH_EXTRA = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_stats",
+    "ann_cosine_topk",
+    "cc_connected_components",
+]

@@ -43,6 +43,10 @@ def main() -> None:
     # extra registered headline benchmarks (e.g. dedup/text ops) opt in
     names += [n for n in getattr(catalog, "BENCH_EXTRA", []) if n in qmap and n not in names]
 
+    # Neutral warmup: JIT/codegen + parquet reader init on a 1-row scan,
+    # so the first timed query doesn't absorb one-time JVM startup cost.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
+
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
