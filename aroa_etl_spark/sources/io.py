@@ -1,0 +1,147 @@
+"""Readers and writers (SURVEY §2.1 S1-S6).
+
+The reference stages everything through files (CSV with ``,`` or ``|``
+separators, Excel dictionaries, pickles between containers) and pulls
+from MSSQL with manual 1M-row fetch batching. Spark disposition:
+
+- CSV: ``read_csv`` below — all-string by default (the pipeline is
+  stringly-typed by design, SURVEY §1.2), explicit separator, header.
+- Pickle handoffs (S3): dropped — Parquet is the interchange format
+  (``write_parquet``/``read_parquet``); columnar, splittable, typed.
+- MSSQL (S4): ``read_jdbc`` — partitioned JDBC reads replace the
+  manual fetchmany loop; predicates push down through Catalyst.
+- Cloud storage (S5): ``spark.read``/``write`` already accept
+  ``gs://``/``s3a://`` URIs when the connector jars are deployed — no
+  manual blob code; every function here passes paths through verbatim.
+- Excel (S2): not a Spark-native format and the connector jar is not
+  shipped here; ``read_excel_via_pandas`` converts small dimension
+  sheets driver-side when pandas+openpyxl exist (standardization
+  dictionaries are dimension-table sized by definition), else raises
+  with guidance.
+
+Scale notes: CSV reads are splittable when uncompressed (multiline off);
+``read_csv`` keeps multiline off. Writers default to snappy parquet;
+``partition_by`` exposes hive partitioning for downstream pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def all_string_schema(columns: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = ",",
+    header: bool = True,
+    schema: T.StructType | list[str] | None = None,
+    all_string: bool = True,
+) -> DataFrame:
+    """CSV scan (S1): ``,`` and ``|`` separated stage files.
+
+    ``all_string=True`` (default) disables inference — every column
+    arrives as StringType exactly as the reference's ``dtype=str``
+    readers do. Pass a schema (or column list) to skip the header
+    sampling job entirely."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("multiLine", False)
+    )
+    if isinstance(schema, list):
+        schema = all_string_schema(schema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not all_string:
+        reader = reader.option("inferSchema", True)
+    # all_string with no schema: header-only sampling, strings throughout
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, *, sep: str = ",", mode: str = "overwrite") -> None:
+    """CSV sink (S6)."""
+    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink — replaces the reference's pickle handoffs (S3).
+    ``partition_by`` enables partition pruning for downstream readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query_or_table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC scan (S4) — replaces the reference's manual
+    ``cursor.fetchmany(1_000_000)`` batch loop (update-persdata.py:24-35):
+    with a numeric ``partition_column`` + bounds, Spark issues
+    ``num_partitions`` parallel range queries; Catalyst pushes WHERE
+    predicates and column pruning into the remote SQL.
+
+    ``query_or_table``: a table name, or a SELECT which is wrapped as a
+    derived table. Requires the JDBC driver jar on the classpath (not
+    shipped in this container — the function builds the plan; executing
+    it without a driver raises the standard Spark error)."""
+    reader = spark.read.format("jdbc").option("url", url)
+    if query_or_table.strip().lower().startswith("select"):
+        reader = reader.option("query", query_or_table)
+    else:
+        reader = reader.option("dbtable", query_or_table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC reads need lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_excel_via_pandas(
+    spark: SparkSession, path: str, *, sheet_name: int | str = 0
+) -> DataFrame:
+    """Excel scan (S2) for dimension-sized sheets (standardization
+    dictionaries, partner lists — column_processing.py:1231-1232):
+    driver-side pandas read, broadcast-sized by assumption. For big
+    Excel data, convert to CSV/Parquet upstream instead."""
+    try:
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "reading Excel needs pandas+openpyxl on the driver; "
+            "convert the sheet to CSV/Parquet instead"
+        ) from e
+    return spark.createDataFrame(pdf.fillna(""))

@@ -1,0 +1,67 @@
+"""IO layer (SURVEY §2.1): CSV both separators, all-string typing,
+parquet round-trip with partitioning, JDBC plan construction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+
+def test_csv_roundtrip_comma_and_pipe(spark, tmp_path):
+    from aroa_etl_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [("1", "Müller", "a;b"), ("2", "Schmidt", "")],
+        ["id", "name", "vals"],
+    )
+    for sep in (",", "|"):
+        p = str(tmp_path / f"csv_{ord(sep)}")
+        write_csv(df, p, sep=sep)
+        back = read_csv(spark, p, sep=sep)
+        assert [f.dataType for f in back.schema.fields] == [T.StringType()] * 3
+        got = {r["id"]: (r["name"], r["vals"]) for r in back.collect()}
+        assert got["1"] == ("Müller", "a;b")
+        # empty string round-trips as null in Spark CSV — the NA-vocab
+        # is_empty predicate treats both identically (SURVEY §1.2)
+        assert got["2"][0] == "Schmidt"
+
+
+def test_csv_explicit_schema_skips_sampling(spark, tmp_path):
+    from aroa_etl_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame([("1", "x")], ["a", "b"])
+    p = str(tmp_path / "csv_schema")
+    write_csv(df, p)
+    back = read_csv(spark, p, schema=["a", "b"])
+    assert back.columns == ["a", "b"]
+    assert back.count() == 1
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    from aroa_etl_spark.sources.io import read_parquet, write_parquet
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS bucket")
+    p = str(tmp_path / "pq")
+    write_parquet(df, p, partition_by=["bucket"])
+    back = read_parquet(spark, p).filter("bucket = 2")
+    assert back.count() == 25
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_jdbc_reader_builds_partitioned_plan(spark):
+    from aroa_etl_spark.sources.io import read_jdbc
+
+    # no driver jar in the container: constructing the reader must work,
+    # executing it must fail with the standard missing-driver error
+    with pytest.raises(Exception):
+        read_jdbc(
+            spark,
+            "jdbc:sqlserver://example:1433;database=d",
+            "SELECT 1 AS x",
+        ).collect()
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(
+            spark, "jdbc:sqlserver://example:1433", "tbl", partition_column="id"
+        )
