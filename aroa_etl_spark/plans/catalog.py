@@ -739,6 +739,139 @@ def d_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a3_distinct_string_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, ';' ORDER BY o_orderpriority) AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a3_distinct_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-preserving string-concat dedup of grouped values
+    (reference A3: deduplication_template.py:16-37)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ";"
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "a9_score_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM orders GROUP BY bucket
+    """,
+)
+def a9_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram / score distribution (reference A9: match-score hist,
+    postprocessing.ipynb) as a bucketed count — one shuffle on the
+    bucket key."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "p6_distinct_rows",
+    oracle="SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority FROM orders",
+)
+def p6_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-row removal (reference P6: drop_duplicates) — projected
+    distinct, deterministic by construction (a subset-keyed
+    dropDuplicates keeps an arbitrary row; the engine's contract is:
+    project the key columns, then distinct)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].select("o_custkey", "o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "l_filter_na_recombine",
+    oracle=r"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t != '' AND NOT list_contains(
+                           ['-1','-1.0','None','NULL','unbekannt','unbekant','-','0','0.0','NA','00','0000'], t)),
+             ' ') AS cleaned,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS n_distinct
+    FROM documents
+    """,
+)
+def l_filter_na_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline (reference L2 filter_na + L6 recombine_col_split):
+    split → drop NA-vocabulary items → rejoin, all higher-order
+    functions, zero Python."""
+    from aroa_etl_spark.functions.vocab import NA_VALUES
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    na = F.array(*[F.lit(v) for v in NA_VALUES if v != ""])
+    return t["documents"].select(
+        "doc_id",
+        F.array_join(
+            F.filter(toks, lambda x: (x != "") & ~F.array_contains(na, x)), " "
+        ).alias("cleaned"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT n_name AS nation, c_mktsegment AS segment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (grouping-sets family — absent in
+    the reference, free in Spark/DuckDB; SURVEY §2.4 'not present')."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            sum2(d2("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("enc_consensus_dedup")  # Python voting kernel — rows-only check
+def enc_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 consensus reduce (the reference's core dedup) on synthetic
+    transcription groups: documents grouped by (source, lang) stand in
+    for N transcriptions of one archival document; the single-pass
+    applyInPandas kernel votes a consensus 'text' per group
+    (enc/matching.py:549-574 semantics, one pass for all columns)."""
+    from aroa_etl_spark.operators.consensus import EncMatcher, default_col_matcher
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        F.concat_ws("|", "source", "lang").alias("group_id"),
+        F.substring("text", 1, 40).alias("text_head"),
+    )
+    m = EncMatcher(docs, "group_id").with_col_matcher("text_head", default_col_matcher())
+    return m.match().select("group_id", "text_head", "is_ambiguous")
+
+
 # Training-data pipeline queries (dedup / ANN / text analysis) register
 # themselves into the same registry on import.
 from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)
