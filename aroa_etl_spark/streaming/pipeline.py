@@ -156,6 +156,29 @@ def streaming_consensus(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: md5-key the text and drop
+    duplicates across micro-batches.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` — state for
+    a key expires once the watermark passes it (bounded state, the only
+    sane contract on an unbounded corpus). Without a timestamp the
+    dedup state grows forever — acceptable for bounded backfills only.
+    """
+    keyed = stream.withColumn("__h", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__h"]
+        ).drop("__h")
+    return keyed.dropDuplicates(["__h"]).drop("__h")
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "update"
 ) -> None:
