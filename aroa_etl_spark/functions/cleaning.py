@@ -302,3 +302,30 @@ def separate_prisoner_number_chars(col: Column | str) -> Column:
     """Insert ';' between a block letter (A/B/R/Z) and the following digits
     (regex_conditions.py find_prisoner_number_character_separator_regex)."""
     return F.regexp_replace(_c(col), PRISONER_NUMBER_CHAR_SEP, ";")
+
+
+# ---------------------------------------------------------------------------
+# F24/F25: geo-identifier parsing (column_processing.py:1338-1422)
+# ---------------------------------------------------------------------------
+
+def clean_wikidata_id(col: Column | str) -> tuple[Column, Column]:
+    """(cleaned, qa) for a wikidata-id column: 'Q123'/'q123' pass as-is,
+    bare digits gain the Q prefix, everything else empties. QA fires on
+    unclear markers or when cleaning changed the value."""
+    c = F.trim(_c(col).cast("string"))
+    cleaned = (
+        F.when(c.rlike(r"^[qQ]\d+$"), c)
+        .when(c.rlike(r"^\d+$"), F.concat(F.lit("Q"), c))
+        .otherwise(F.lit(""))
+    )
+    qa = create_qa_col(c, UNCLEAR_REGEX) | (cleaned != F.coalesce(c, F.lit("")))
+    return cleaned, F.coalesce(qa, F.lit(True))
+
+
+def clean_geoname_id(col: Column | str) -> tuple[Column, Column]:
+    """(cleaned, qa) for a geonames-id column: digit runs pass, all else
+    empties; QA mirrors clean_wikidata_id (column_processing.py:1382-1422)."""
+    c = F.trim(_c(col).cast("string"))
+    cleaned = F.when(c.rlike(r"^\d+$"), c).otherwise(F.lit(""))
+    qa = create_qa_col(c, UNCLEAR_REGEX) | (cleaned != F.coalesce(c, F.lit("")))
+    return cleaned, F.coalesce(qa, F.lit(True))

@@ -1,0 +1,126 @@
+"""Parity-gap modules: OCR repair (F20), paren-aware sub (F22),
+geo-id cleaners (F24/F25), dictionary standardizer (F26), Zooniverse
+annotation parsing (JS2/JS3)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+# --- F20 / F22 scalar kernels (pure Python, no session needed) -------------
+
+def test_fix_visual_decoding_scalar():
+    from aroa_etl_spark.functions.ocr import fix_visual_decoding_py
+
+    assert fix_visual_decoding_py("Müller") == "Müller"
+    # Cyrillic М homoglyph repaired (≤30% foreign)
+    assert fix_visual_decoding_py("Мeier") == "Meier"
+    # accent folding é→e
+    assert fix_visual_decoding_py("Méier") == "Meier"
+    # >30% confusable density → rejected, same as the reference's ratio
+    assert fix_visual_decoding_py("Мüllеr") == ""
+    # digit confusables: 0→O, 1→l
+    assert fix_visual_decoding_py("B10ck") == "BlOck"
+    # > 30% foreign → rejected entirely
+    assert fix_visual_decoding_py("日本語のテキスト") == ""
+    # dropped symbols vanish, keep '-', ' ', '.'
+    assert fix_visual_decoding_py("a;b,c-d. e") == "abc-d. e"
+
+
+def test_re_sub_exclude_parenthesis_scalar():
+    from aroa_etl_spark.functions.ocr import re_sub_exclude_parenthesis_py
+
+    f = re_sub_exclude_parenthesis_py
+    assert f("a b (a b) c", r"\s", ";") == "a;b;(a b);c"
+    # nesting: everything inside stays verbatim
+    assert f("x (a (b c) d) y", r"\s", "_") == "x_(a (b c) d)_y"
+    assert f("[keep me] drop me", r"\s", "") == "[keep me]dropme"
+
+
+def test_geo_id_cleaners(spark):
+    from aroa_etl_spark.functions.cleaning import clean_geoname_id, clean_wikidata_id
+
+    df = spark.createDataFrame(
+        [("Q42",), ("q7",), ("1234",), ("junk",), ("unklar",), (None,)], ["wid"]
+    )
+    wc, wqa = clean_wikidata_id("wid")
+    rows = df.select(F.col("wid"), wc.alias("c"), wqa.alias("qa")).collect()
+    got = {r["wid"]: (r["c"], r["qa"]) for r in rows}
+    assert got["Q42"] == ("Q42", False)
+    assert got["q7"] == ("q7", False)
+    assert got["1234"] == ("Q1234", True)  # changed value → QA
+    assert got["junk"] == ("", True)
+    assert got["unklar"] == ("", True)
+
+    gc, gqa = clean_geoname_id("wid")
+    rows = df.select(F.col("wid"), gc.alias("c"), gqa.alias("qa")).collect()
+    got = {r["wid"]: (r["c"], r["qa"]) for r in rows}
+    assert got["1234"] == ("1234", False)
+    assert got["Q42"] == ("", True)
+
+
+def test_standardize_column(spark):
+    from aroa_etl_spark.operators.standardize import standardize_column
+
+    mapping = {
+        "polen": "Polish",
+        "poln": "Polish",          # substring of nothing, shorter variant
+        "deutsch": "German",
+        "deutschland": "German",   # longer key must win over 'deutsch'
+    }
+    unclear = {"staatenlos?": "?"}
+    df = spark.createDataFrame(
+        [("polen",), ("aus deutschland",), ("deutsch polen",),
+         ("staatenlos?",), ("mars",), ("",)],
+        ["nat"],
+    )
+    out = standardize_column(df, "nat", mapping, unclear)
+    got = {r["nat"]: (r["nat_std"], r["nat_qa"]) for r in out.collect()}
+    assert got["polen"] == ("Polish", False)
+    # longest key wins: 'deutschland' not 'deutsch'+'land'
+    assert got["aus deutschland"] == ("aus;German", False)
+    assert got["deutsch polen"] == ("German;Polish", False)
+    assert got["staatenlos?"] == ("?", True)
+    assert got["mars"] == ("mars", True)   # no match → raw + QA
+    assert got[""] == ("", False)
+
+
+def test_zooniverse_annotation_walker(spark):
+    from aroa_etl_spark.sources.zooniverse import (
+        map_to_columns,
+        parse_annotations,
+        parse_subject_data,
+    )
+
+    simple = {"task": "T0", "task_label": "Last name", "value": "Meier"}
+    nested = {
+        "task": "T1",
+        "task_label": None,
+        "value": [
+            {"task": "T1.1", "task_label": "First name", "value": "Anna"},
+            {"task": "T1.2", "value": [{"select_label": "Year", "label": "Year"}]},
+            {"task": "T1.2", "value": "1930"},
+        ],
+    }
+    payload = json.dumps([simple, nested])
+    df = spark.createDataFrame([(payload,)], ["annotations"])
+    out = df.select(parse_annotations("annotations").alias("m")).collect()[0]["m"]
+    assert out["Last name"] == "Meier"
+    assert out["T1: First name"] == "Anna"
+    assert out["T1: Year"] == "1930"
+
+    subj = json.dumps({"12345": {"filename": "card_001.jpg", "page": "2"}})
+    sd = spark.createDataFrame([(subj,)], ["subject"])
+    row = sd.select(parse_subject_data("subject").alias("s")).collect()[0]["s"]
+    assert row["subject_id"] == "12345"
+    assert row["subject_data"]["filename"] == "card_001.jpg"
+
+    # map → columns materialization
+    wide = map_to_columns(
+        df.select(parse_annotations("annotations").alias("m")), "m",
+        ["Last name", "T1: First name"],
+    ).collect()[0]
+    assert wide["Last name"] == "Meier"
+    assert wide["T1: First name"] == "Anna"
