@@ -20,6 +20,20 @@ Architecture:
   centroid assignment (pyspark.ml KMeans fit on a sample, assign =
   broadcast-join nearest centroid, probe nprobe nearest centroids).
   Same join shape; the bucketing function is the only change.
+
+Parameterization (measured on the sf0.01 synthetic embeddings — 500
+UNSTRUCTURED random vectors, the worst case for any LSH):
+
+    sign_dims=8: probe 0 → recall@10 0.02; probe 1 → 0.12; probe 2 → 0.33
+
+For a neighbor at cosine ρ the per-hyperplane sign-agreement
+probability is 1 − arccos(ρ)/π, so recall ≈ p^sign_dims before
+probing: choose sign_dims ≈ log2(corpus_size / desired_bucket_size)
+and spend probes to buy recall back. Real embedding corpora are
+clustered (ρ within a near-dup group ≫ random), where the same
+parameters recall near-dups reliably — the dedup use case this serves.
+For high-recall search over unstructured data, use brute_force_topk or
+the IVF variant.
 """
 
 from __future__ import annotations
