@@ -51,11 +51,15 @@ def connected_components(
     where component is the minimum node id in the component.
 
     Min-label propagation: each round every node takes the minimum label
-    among itself and its neighbors. Rounds are shuffle joins on the node
-    id; ``localCheckpoint`` cuts lineage so plans don't grow round over
-    round. Converges in O(diameter) rounds — blocked person graphs have
-    tiny diameters; for adversarial graphs raise ``max_iter`` (each
-    round is one join + one aggregation, fully distributed).
+    among itself and its neighbors — ONE join + union + aggregation per
+    round (the self-label rides the union, so no second join to merge it
+    back). ``localCheckpoint`` cuts lineage so plans don't grow round
+    over round. Convergence detection is free-riding on monotonicity:
+    labels only ever decrease, so the label SUM strictly decreases until
+    the fixpoint — equality of consecutive sums terminates (computed as
+    decimal so planet-scale id sums can't overflow a long). Converges in
+    O(diameter) rounds — blocked person graphs have tiny diameters; for
+    adversarial graphs raise ``max_iter``.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -69,30 +73,27 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
+        neighbor_labels = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-                (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias(
-                    "changed"
-                ),
-            )
+            neighbor_labels.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select("node", F.col("label").alias("component"))
 
 
