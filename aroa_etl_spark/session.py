@@ -79,15 +79,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # The caller may hand us a session we did not build (e.g. the
+    # correctness driver's plain SparkSession). events.ts is parquet
+    # INT64 TIMESTAMP(NANOS), which the vectorized reader rejects unless
+    # this runtime-settable conf is on — set it here, not only in
+    # get_spark, so any session can read the tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
             if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-                # nanosAsLong read: convert epoch-nanos to a real timestamp,
-                # truncating to micros exactly like DuckDB's ns->us cast.
-                df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+                # nanosAsLong read: convert epoch-nanos to a real timestamp.
+                # `div` truncates toward zero, matching DuckDB's ns->us cast
+                # even for pre-1970 (negative) nanos; floor() would differ.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
