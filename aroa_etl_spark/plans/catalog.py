@@ -6,6 +6,14 @@ Determinism rules (so Spark and DuckDB hash-match exactly):
   Spark/DuckDB sum in different orders. All money/quantity sums go through
   DECIMAL (exact, order-independent); any derived ratio is computed from the
   already-identical decimal/count inputs with identical scalar arithmetic.
+- Output boundary is DOUBLE/BIGINT, not DECIMAL/HUGEINT: the driver hashes
+  materialized values, and DuckDB DECIMAL/HUGEINT surface as float64 while
+  Spark surfaces Decimal('420129.40') / int64 — numerically equal, repr
+  different. So every decimal metric gets a final .cast("double") in Spark
+  and CAST(... AS DOUBLE) in the oracle, and every DuckDB integer SUM gets
+  CAST(... AS BIGINT). The internal aggregation stays exact decimal.
+  (j1_inner_equi_join / o2_global_topk are kept in raw-decimal style as
+  canaries: they pass only while every value has a non-zero cents digit.)
 - Ties in top-k / mode are broken by a total order (explicit tiebreak keys).
 - Timestamps are compared in UTC (session TZ pinned); dates via CAST AS DATE.
 - Every computed column is aliased identically in Spark and oracle SQL.
@@ -72,6 +80,14 @@ def sum2(c: Column, alias: str, scale: int = 2) -> Column:
     return F.sum(c).cast(f"decimal(38,{scale})").alias(alias)
 
 
+def dsum(c: Column, alias: str) -> Column:
+    """Exact decimal sum surfaced as DOUBLE — the hash-safe output
+    boundary (see module docstring). The sum itself is exact decimal;
+    only the single final rounding to nearest double happens, which both
+    engines perform identically on equal decimals."""
+    return F.sum(c).cast("double").alias(alias)
+
+
 def disc_price() -> Column:
     """l_extendedprice * (1 - l_discount) in exact decimal, scale 4."""
     return (d2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d2("l_discount"))).cast(
@@ -104,10 +120,10 @@ _SQL_CHARGE = (
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM({_SQL_DISC}) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM({_SQL_CHARGE}) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_DISC}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -127,10 +143,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum2(d2("l_quantity"), "sum_qty"),
-            sum2(d2("l_extendedprice"), "sum_base_price"),
-            sum2(disc_price(), "sum_disc_price", 4),
-            sum2(charge(), "sum_charge", 6),
+            dsum(d2("l_quantity"), "sum_qty"),
+            dsum(d2("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price(), "sum_disc_price"),
+            dsum(charge(), "sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -140,7 +156,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_best_score_per_target",
     oracle="""
     SELECT o_custkey,
-           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS best_price
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best_price
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -151,7 +167,7 @@ def a4_best_score_per_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(F.max(d2("o_totalprice")).cast("decimal(38,2)").alias("best_price"))
+        .agg(F.max(d2("o_totalprice")).cast("double").alias("best_price"))
     )
 
 
@@ -229,8 +245,8 @@ def a7_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
            COUNT(DISTINCT l_orderkey) AS n_orders
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -285,7 +301,7 @@ def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_left_join_counts",
     oracle="""
     SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS spend
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
     """,
@@ -300,7 +316,7 @@ def j2_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(d2("o_totalprice")), F.lit(0)).cast("decimal(38,2)").alias("spend"),
+            F.coalesce(F.sum(d2("o_totalprice")), F.lit(0)).cast("double").alias("spend"),
         )
     )
 
@@ -308,7 +324,8 @@ def j2_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j4_top1_per_target_window",
     oracle="""
-    SELECT o_custkey, o_orderkey AS best_order, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_custkey, o_orderkey AS best_order,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM (
       SELECT *, row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -329,7 +346,7 @@ def j4_top1_per_target_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("best_order"),
-            d2("o_totalprice").alias("price"),
+            d2("o_totalprice").cast("double").alias("price"),
         )
     )
 
@@ -338,7 +355,7 @@ def j4_top1_per_target_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_multiway_revenue_by_nation",
     oracle=f"""
     SELECT n.n_name AS nation,
-           CAST(SUM({_SQL_DISC}) AS DECIMAL(38,4)) AS revenue,
+           CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -361,7 +378,7 @@ def j5_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            sum2(disc_price(), "revenue", 4),
+            dsum(disc_price(), "revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -488,7 +505,8 @@ def w1_row_number_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w2_topk_per_group",
     oracle="""
-    SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM (
       SELECT *, row_number() OVER (PARTITION BY l_orderkey
                                    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
@@ -505,7 +523,7 @@ def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("l_orderkey", "l_linenumber", d2("l_extendedprice").alias("price"))
+        .select("l_orderkey", "l_linenumber", d2("l_extendedprice").cast("double").alias("price"))
     )
 
 
@@ -589,7 +607,7 @@ def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p3_na_vocab_filter",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE NOT (text IS NULL OR trim(text) IN
       ('-1','-1.0','None','','NULL','unbekannt','unbekant','-','0','0.0','NA','00','0000'))
@@ -614,7 +632,7 @@ def p3_na_vocab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "js_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -719,7 +737,7 @@ def er_person_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY y, m
     """,
 )
@@ -734,7 +752,7 @@ def d_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            sum2(d2("value"), "total_value"),
+            dsum(d2("value"), "total_value"),
         )
     )
 
@@ -831,7 +849,7 @@ def l_filter_na_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_revenue",
     oracle="""
     SELECT n_name AS nation, c_mktsegment AS segment,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -849,7 +867,7 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(
-            sum2(d2("o_totalprice"), "revenue"),
+            dsum(d2("o_totalprice"), "revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -408,9 +408,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                            {_sql_hits("en")}::DOUBLE / len(toks) < 0.01
                            THEN 20 ELSE 0 END), 0) AS score
           FROM t)
-    SELECT source, COUNT(*) AS n_docs, SUM(score) AS total_score,
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(score) AS BIGINT) AS total_score,
            MIN(score) AS min_score, MAX(score) AS max_score,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM q GROUP BY source
     """,
 )
@@ -439,9 +439,9 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     oracle=f"""
     SELECT lang,
-           SUM(len(toks)) AS total_tokens,
-           SUM(len(list_distinct(toks))) AS total_distinct_tokens,
-           SUM(len(list_distinct({_SHINGLE3}))) AS total_distinct_shingles
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_distinct_tokens,
+           CAST(SUM(len(list_distinct({_SHINGLE3}))) AS BIGINT) AS total_distinct_shingles
     FROM (SELECT lang, {_TOK} AS toks FROM documents)
     GROUP BY lang
     """,
