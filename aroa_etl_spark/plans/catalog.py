@@ -890,9 +890,10 @@ def enc_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.match().select("group_id", "text_head", "is_ambiguous")
 
 
-# Training-data pipeline queries (dedup / ANN / text analysis) register
-# themselves into the same registry on import.
+# Training-data pipeline queries (dedup / ANN / text analysis) and the
+# §2.8 expression-library queries register themselves on import.
 from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)
+from aroa_etl_spark.plans import catalog_fx  # noqa: E402,F401  (registration side effect)
 
 # Extra bench headliners: the training-data-pipeline kernels (JVM-native
 # dedup/text/ANN paths; person-matching/clustering are excluded — their

@@ -1,0 +1,409 @@
+"""Driver-checkable catalog entries for the §2.8 expression library
+(F-family cleaning/transliteration, D-family partial dates).
+
+These queries run the REAL engine expressions (functions/cleaning.py,
+functions/translit.py, functions/dates.py) over driver tables, with two
+oracle styles:
+
+- *mechanism mirror* (f_*): the DuckDB SQL replays the same regex chain.
+  Spark regexes are Java-dialect; DuckDB is RE2 (no lookaround, no
+  pattern backrefs), so only RE2-expressible chains are mirrored and the
+  few non-RE2 constructs are emulated with replacement-backref forms
+  proven equivalent on this corpus (see inline notes). The corpus is
+  ASCII with a fixed vocabulary (verified: zero non-ASCII rows, no
+  'ueue' sequences), and the non-ASCII content is PLANTED by the query
+  itself, so the emulations are exact here.
+- *arithmetic model* (d_*): inputs are date strings GENERATED from row
+  integers, so the expected (year, month, day, qa) are computable in
+  plain SQL CASE arithmetic. This checks the whole regex pipeline
+  against an independent model — stronger than a mechanism mirror.
+
+Reference parity targets: column_processing.py:489-1031 (dates),
+aux_functions.py:11-142 (clean/QA/keyword), string_utils.py:34-205
+(transliteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.functions import cleaning as C
+from aroa_etl_spark.functions import dates as D
+from aroa_etl_spark.functions import translit as T
+from aroa_etl_spark.plans.catalog import query
+from aroa_etl_spark.session import load_tables
+
+
+def _sq(pat: str) -> str:
+    """Inline a regex as a DuckDB single-quoted literal."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F9: clean_copy + QA flags  (mechanism mirror; all patterns RE2-safe)
+# ---------------------------------------------------------------------------
+
+# the planted dirty text: leading blanks, separator junk, no-entry words,
+# unclear words, '"' deletions — exercises every clean_copy vocabulary.
+_DIRTY_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit("  "),
+    F.substring("text", 1, 25),
+    F.lit(' / unknown, none "x" (illegible) '),
+    F.substring("text", 26, 12),
+    F.lit(" xxx  "),
+)
+_DIRTY_SQL = (
+    "'  ' || substr(text, 1, 25) || ' / unknown, none \"x\" (illegible) ' || "
+    "substr(text, 26, 12) || ' xxx  '"
+)
+
+def _clean_copy_sql(x: str) -> str:
+    out = f"trim({x})"
+    for pat, repl in [
+        (C.DASH_WORDS, "-"),
+        (C.DELETED_WORDS, ""),
+        (C.QUESTION_MARK_WORDS, "?"),
+        (C.SEMICOLON_WORDS, ";"),
+        (r";+", ";"),
+        (r"^\s*;\s*|\s*;\s*$|^\s+|\s+$|[\n\t]*", ""),
+        (r"-+", "-"),
+    ]:
+        out = f"regexp_replace({out}, {_sq(pat)}, '{repl}', 'g')"
+    return out
+
+
+_CLEAN_CHAIN_SQL = _clean_copy_sql("{x}")
+
+
+@query(
+    "f_clean_copy_qa",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, {_CLEAN_CHAIN_SQL.format(x=_DIRTY_SQL)} AS cleaned
+               FROM documents)
+    SELECT doc_id, cleaned,
+           COALESCE(regexp_matches(cleaned, {_sq(C.QA_REGEX)})
+                    AND NOT regexp_matches(cleaned, {_sq(C.QA_NO_ENTRY_REGEX)}),
+                    FALSE) AS qa,
+           COALESCE(len(cleaned) > 49, FALSE) AS long_qa
+    FROM c
+    """,
+)
+def f_clean_copy_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 clean_copy + F2 create_qa_col + F9 too_long_qa over planted
+    dirty text (aux_functions.py:11-91, column_processing.py:198-200).
+    The oracle replays the identical regex chain (all RE2-safe)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cleaned = C.clean_copy(_DIRTY_SPARK())
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        C.create_qa_col(cleaned).alias("qa"),
+        C.too_long_qa(cleaned).alias("long_qa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3/F4/F6 + title casing: keyword/title strip, birth-name extract
+# ---------------------------------------------------------------------------
+
+_T1_SQL = r"regexp_extract(text, '^(\S+)', 1)"
+_T2_SQL = r"regexp_extract(text, '^\S+\s+(\S+)', 1)"
+
+
+def _t1():
+    return F.regexp_extract("text", r"^(\S+)", 1)
+
+
+def _t2():
+    return F.regexp_extract("text", r"^\S+\s+(\S+)", 1)
+
+
+def _sql_initcap_words(e: str) -> str:
+    """DuckDB initcap-by-whitespace mirror of Spark's F.initcap."""
+    return (
+        f"array_to_string(list_transform(string_split({e}, ' '), "
+        "w -> upper(substr(w, 1, 1)) || lower(substr(w, 2, 100000))), ' ')"
+    )
+
+
+def _sql_title_case(e: str) -> str:
+    """Mirror of functions/cleaning.py title_case: ';' segments →
+    initcap → '-' parts → initcap again."""
+    hy = (
+        f"array_to_string(list_transform(string_split({_sql_initcap_words('seg')}, '-'), "
+        f"h -> {_sql_initcap_words('h')}), '-')"
+    )
+    return (
+        f"array_to_string(list_transform(string_split({e}, ';'), seg -> {hy}), ';')"
+    )
+
+
+_NAME_RAW_SQL = f"('Dr. frau ' || {_T1_SQL} || ' geb. ' || {_T2_SQL})"
+
+
+@query(
+    "f_name_extract",
+    oracle=f"""
+    WITH r AS (SELECT doc_id, {_NAME_RAW_SQL} AS raw FROM documents),
+    e AS (SELECT doc_id,
+                 regexp_replace(lower(raw), {_sq(C.KEY_WORDS)}, '', 'g') AS kw_removed,
+                 regexp_replace(raw, {_sq(C.ACADEMIC_TITLE)}, '', 'g') AS no_title,
+                 regexp_replace(regexp_replace(
+                     regexp_extract(lower(raw), {_sq(C.BIRTH_NAME)}),
+                     {_sq(C.BIRTH_NAME_CLEAN)}, '', 'g'),
+                     {_sq(C.BIRTH_NAME)}, '', 'g') AS birth_raw
+          FROM r)
+    SELECT doc_id, kw_removed, no_title,
+           {_sql_title_case("birth_raw")} AS birth_name
+    FROM e
+    """,
+)
+def f_name_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 keyword_removal + F4 strip_academic_titles + F6
+    extract_birth_name (incl. title_case) over planted 'Dr. frau X geb.
+    Y' names (aux_functions.py:139-142, column_processing.py:66-127)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    raw = F.concat(F.lit("Dr. frau "), _t1(), F.lit(" geb. "), _t2())
+    return docs.select(
+        "doc_id",
+        C.keyword_removal(raw).alias("kw_removed"),
+        C.strip_academic_titles(raw).alias("no_title"),
+        C.extract_birth_name(raw).alias("birth_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13-F19: transliteration pipeline  (mechanism mirror with proven-equal
+# emulations for the two non-RE2 constructs)
+# ---------------------------------------------------------------------------
+
+def _sql_preprocess_name(e: str) -> str:
+    """Mirror of translit.preprocess_name for THIS corpus: ASCII data +
+    planted ä/ö/ü/ß only, so fold_ascii reduces to the ß→ss expansion.
+
+    Non-RE2 emulations (exact on this corpus — no 'ueue' sequences, and
+    replacements cannot create them):
+    - (?<!a)ue → 'a' becomes ^ue + ([^a])ue with a replacement backref;
+    - ([a-zA-Z])\\1 dedouble becomes 26 literal lowercase replaces
+      (input is lowered first; left-to-right non-overlap semantics of
+      replace() match Java's global regex replace).
+    """
+    x = f"lower({e})"
+    x = f"replace({x}, 'ß', 'ss')"
+    for a, b in [("ä", "a"), ("ae", "a"), ("ö", "o"), ("oe", "a"), ("ü", "u")]:
+        x = f"replace({x}, '{a}', '{b}')"
+    x = f"regexp_replace({x}, '^ue', 'a')"
+    x = f"regexp_replace({x}, '([^a])ue', '\\1a', 'g')"
+    for a, b in T.PHONETIC_PAIRS:
+        x = f"replace({x}, '{a}', '{b}')"
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        x = f"replace({x}, '{ch}{ch}', '{ch}')"
+    return x
+
+
+def _sql_preprocess_last_name(e: str) -> str:
+    """Mirror of translit.preprocess_last_name: ending strips + maiden
+    strip, then preprocess_name. (?<=sk|ck)a$ is emulated with a
+    replacement backref — identical semantics, no lookbehind."""
+    x = f"lower({e})"
+    x = f"regexp_replace({x}, 'owa$|ova$', '')"
+    x = f"regexp_replace({x}, 'sohns$', 'sons')"
+    x = f"regexp_replace({x}, 'sohn$', 'son')"
+    x = f"regexp_replace({x}, '(sk|ck)a$', '\\1i')"
+    x = f"regexp_replace({x}, '\\sgeb\\.?\\s.*', '')"
+    x = f"regexp_replace({x}, '\\sgesch\\.?\\s.*', '')"
+    return _sql_preprocess_name(x)
+
+
+@query(
+    "f_translit_pipeline",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_preprocess_name("'Müßler-' || " + _T1_SQL + " || ' Wätjck'")} AS pname,
+           {_sql_preprocess_last_name(_T1_SQL + " || 'sohn geb. ' || " + _T2_SQL)} AS plast
+    FROM documents
+    """,
+)
+def f_translit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13-F19 canonical normalizers over planted German-style names:
+    accent fold, umlaut matching flavor, phonetic folding, dedouble,
+    language-ending and maiden-suffix strips (string_utils.py:34-205)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n1 = F.concat(F.lit("Müßler-"), _t1(), F.lit(" Wätjck"))
+    n2 = F.concat(_t1(), F.lit("sohn geb. "), _t2())
+    return docs.select(
+        "doc_id",
+        T.preprocess_name(n1).alias("pname"),
+        T.preprocess_last_name(n2).alias("plast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1: normalise_date against an arithmetic model
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_normalise_date",
+    oracle="""
+    WITH g AS (
+      SELECT event_id,
+             event_id % 45 AS d,
+             (event_id // 45) % 16 AS m,
+             event_id % 4 AS ysel,
+             1840 + event_id % 130 AS y0,
+             event_id % 100 AS y1
+      FROM events)
+    SELECT event_id,
+           CASE ysel
+             WHEN 0 THEN y0::VARCHAR
+             WHEN 1 THEN (CASE WHEN y1 >= 50 THEN 1800 + y1
+                               WHEN y1 >= 10 THEN 1900 + y1
+                               ELSE y1 END)::VARCHAR
+             WHEN 2 THEN '0' ELSE '' END AS year_c,
+           CASE WHEN m > 12 AND d <= 12 THEN lpad(d::VARCHAR, 2, '0')
+                ELSE lpad(m::VARCHAR, 2, '0') END AS month_c,
+           CASE WHEN m > 12 AND d <= 12 THEN lpad(m::VARCHAR, 2, '0')
+                ELSE lpad(d::VARCHAR, 2, '0') END AS day_c,
+           ((CASE WHEN m > 12 AND d <= 12 THEN m ELSE d END) > 31
+            OR (CASE WHEN m > 12 AND d <= 12 THEN d ELSE m END) > 12
+            OR (ysel = 0 AND (y0 < 1850 OR y0 > 1950))
+            OR (ysel = 1 AND y1 BETWEEN 1 AND 9)
+            OR ysel = 3) AS qa
+    FROM g
+    """,
+)
+def d_normalise_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 normalise_date (the reference's biggest function,
+    column_processing.py:489-766) on dates GENERATED from event_id:
+    days 0-44 (some invalid), months 0-15 (some swapped), years 4-digit
+    in/out of timespan, 2-digit (century rule), '0' (unknown), '-'
+    (empty → completeness QA). The oracle computes the expected family
+    arithmetically — an independent model of the regex pipeline."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = ev.select("event_id", F.expr("event_id div 45").alias("q45"))
+    d_raw = (F.col("event_id") % 45).cast("string")
+    m_raw = (F.col("q45") % 16).cast("string")
+    ysel = F.col("event_id") % 4
+    y_raw = (
+        F.when(ysel == 0, (F.lit(1840) + F.col("event_id") % 130).cast("string"))
+        .when(ysel == 1, (F.col("event_id") % 100).cast("string"))
+        .when(ysel == 2, F.lit("0"))
+        .otherwise(F.lit("-"))
+    )
+    fam = D.normalise_date(F.concat_ws(".", d_raw, m_raw, y_raw), "dob")
+    return ev.select(
+        "event_id",
+        fam["dob_year_cleaned"].alias("year_c"),
+        fam["dob_month_cleaned"].alias("month_c"),
+        fam["dob_day_cleaned"].alias("day_c"),
+        fam["dob_qa"].alias("qa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: clean_date (3-column, month names) against an arithmetic model
+# ---------------------------------------------------------------------------
+
+_MONTHS = (
+    "january february march april may june july august "
+    "september october november december"
+).split()
+
+
+@query(
+    "d_clean_date_names",
+    oracle="""
+    WITH g AS (
+      SELECT event_id,
+             event_id % 35 AS d,
+             (event_id % 12) + 1 AS m,
+             event_id % 3 AS ysel,
+             1800 + event_id % 200 AS y0,
+             event_id % 100 AS y1
+      FROM events),
+    e AS (
+      SELECT event_id, d, m, ysel, y0, y1,
+             -- a 1-digit year never reaches 4 digits → whole date blanked
+             (ysel = 1 AND y1 < 10) AS blanked
+      FROM g)
+    SELECT event_id,
+           CASE WHEN blanked THEN '' WHEN ysel = 0 THEN y0::VARCHAR
+                WHEN ysel = 1 THEN (CASE WHEN y1 >= 50 THEN 1800 + y1
+                                         ELSE 1900 + y1 END)::VARCHAR
+                ELSE '1900' END AS year_c,
+           CASE WHEN blanked THEN '' ELSE lpad(m::VARCHAR, 2, '0') END AS month_c,
+           CASE WHEN blanked THEN '' ELSE lpad(d::VARCHAR, 2, '0') END AS day_c,
+           (d > 31
+            OR (ysel = 0 AND (y0 < 1850 OR y0 > 1950))
+            OR (ysel = 1 AND y1 BETWEEN 1 AND 9)) AS qa
+    FROM e
+    """,
+)
+def d_clean_date_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 clean_date with dropdown=False — exercises the month-NAME →
+    number regex table (column_processing.py:808-1031) plus the '.0'
+    float-artifact strip, the '-'→'00'→century quirk, 4-digit-year
+    gating, and validity QA; oracle is again an arithmetic model."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select("event_id")
+    eid = F.col("event_id")
+    d_int = eid % 35
+    day_raw = F.when(eid % 5 == 0, F.concat(d_int.cast("string"), F.lit(".0"))).otherwise(
+        d_int.cast("string")
+    )
+    month_raw = F.element_at(F.array(*[F.lit(m) for m in _MONTHS]), ((eid % 12) + 1).cast("int"))
+    ysel = eid % 3
+    year_raw = (
+        F.when(ysel == 0, (F.lit(1800) + eid % 200).cast("string"))
+        .when(ysel == 1, (eid % 100).cast("string"))
+        .otherwise(F.lit("-"))
+    )
+    fam = D.clean_date(day_raw, month_raw, year_raw, "doc", dropdown=False)
+    return ev.select(
+        "event_id",
+        fam["doc_year_cleaned"].alias("year_c"),
+        fam["doc_month_cleaned"].alias("month_c"),
+        fam["doc_day_cleaned"].alias("day_c"),
+        fam["doc_qa"].alias("qa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6: date ordering check against an arithmetic model
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_timing_check",
+    oracle="""
+    WITH g AS (
+      SELECT event_id,
+             1900 + event_id % 50 AS yy1, event_id % 13 AS mm1, event_id % 29 AS dd1,
+             1900 + (event_id // 7) % 50 AS yy2, (event_id // 13) % 13 AS mm2,
+             (event_id // 29) % 29 AS dd2
+      FROM events)
+    SELECT event_id,
+           (yy1 * 10000 + mm1 * 100 + dd1) <= (yy2 * 10000 + mm2 * 100 + dd2) AS timing,
+           NOT ((yy1 * 10000 + mm1 * 100 + dd1) <= (yy2 * 10000 + mm2 * 100 + dd2)) AS timing_qa
+    FROM g
+    """,
+)
+def d_timing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 date_timing_check (aux_functions.py:337-408): is date1 ≤ date2
+    with 0 parts comparing as 0 — generated numeric parts, arithmetic
+    oracle."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.expr("event_id div 7").alias("q7"),
+        F.expr("event_id div 13").alias("q13"),
+        F.expr("event_id div 29").alias("q29"),
+    )
+    eid = F.col("event_id")
+    timing, timing_qa = D.date_timing_check(
+        (F.lit(1900) + eid % 50).cast("string"),
+        (eid % 13).cast("string"),
+        (eid % 29).cast("string"),
+        (F.lit(1900) + F.col("q7") % 50).cast("string"),
+        (F.col("q13") % 13).cast("string"),
+        (F.col("q29") % 29).cast("string"),
+    )
+    return ev.select("event_id", timing.alias("timing"), timing_qa.alias("timing_qa"))
