@@ -690,46 +690,106 @@ def cc_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("er_cluster_entities")  # fuzzy scoring — no SQL oracle; rows-only check
+# A 13-word person-name vocabulary with pairwise-DISJOINT letter sets:
+# any two distinct words have LCS 0 → similarity 0, identical words →
+# 100. Blocking prefixes (2 and 4 chars) are also pairwise distinct, so
+# candidate pairs are EXACTLY the identical-name pairs. This makes the
+# fuzzy operators' expected output computable in plain SQL (the
+# cc_connected_components planted-truth recipe applied to ER).
+_NAMES13 = [
+    "ababab", "cdcdcd", "efefef", "ghghgh", "ijijij", "klklkl", "mnmnmn",
+    "opopop", "qrqrqr", "ststst", "uvuvuv", "wxwxwx", "yzyzyz",
+]
+_NAMES13_SQL = "[" + ", ".join(f"'{w}'" for w in _NAMES13) + "]"
+
+
+def _planted_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    vocab = F.array(*[F.lit(w) for w in _NAMES13])
+    k = F.col("c_custkey")
+    return t["customer"].select(
+        k.alias("person_id"),
+        F.element_at(vocab, (k % 13 + 1).cast("int")).alias("strGName_processed"),
+        F.element_at(vocab, (F.expr("c_custkey div 13") % 13 + 1).cast("int")).alias(
+            "strLName_processed"
+        ),
+    )
+
+
+_PERSONS_SQL = f"""
+    p AS (SELECT c_custkey AS person_id,
+                 {_NAMES13_SQL}[(c_custkey % 13) + 1] AS g,
+                 {_NAMES13_SQL}[((c_custkey // 13) % 13) + 1] AS l
+          FROM customer)
+"""
+
+
+@query(
+    "er_cluster_entities",
+    oracle=f"""
+    WITH {_PERSONS_SQL}
+    SELECT person_id, MIN(person_id) OVER (PARTITION BY g, l) AS entity_id
+    FROM p
+    """,
+)
 def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution over part names treated as person
-    names (gname=adjective, lname=noun): blocked similarity self-join →
-    threshold edges → connected components → entity ids. Exercises the
-    full person_clustering operator (reference EP2)."""
+    """End-to-end entity resolution (reference EP2) on planted persons
+    with KNOWN ground truth: names from the disjoint-letter vocabulary,
+    so the true entities are exactly the identical-(gname,lname) groups
+    and the expected entity id is the group-min person_id. The Spark
+    side runs the REAL pipeline — blocked similarity self-join, pandas
+    scoring UDF, threshold edges, iterative connected components —
+    cutoff 60 sits between the identical-name score (66.7 = 2/3·100
+    with no secondary fields) and the best cross-name score (33.3)."""
     from aroa_etl_spark.operators.clustering import person_clustering
 
-    t = load_tables(spark, sf_dir, ("part",))
-    persons = t["part"].select(
-        F.col("p_partkey").alias("person_id"),
-        F.split("p_name", " ")[0].alias("strGName_processed"),
-        F.coalesce(F.split("p_name", " ")[1], F.lit("")).alias("strLName_processed"),
-    )
+    persons = _planted_persons(spark, sf_dir)
     out = person_clustering(
-        persons, date_col=None, prisoner_col=None, pob_col=None, cutoff=85.0
+        persons, date_col=None, prisoner_col=None, pob_col=None, cutoff=60.0
     )
     return out.select("person_id", F.col("Person_Entity_ID").alias("entity_id"))
 
 
-@query("er_person_matching")  # fuzzy scoring — no SQL oracle; rows-only check
+@query(
+    "er_person_matching",
+    oracle=f"""
+    WITH {_PERSONS_SQL},
+    s AS (SELECT person_id AS srcID, g, l FROM p WHERE person_id % 2 = 1),
+    t AS (SELECT person_id AS trgID, g, l FROM p WHERE person_id % 14 = 0),
+    m AS (SELECT s.srcID, MIN(t.trgID) AS trgID
+          FROM s JOIN t ON s.g = t.g AND s.l = t.l
+          GROUP BY s.srcID)
+    SELECT s.srcID,
+           CASE WHEN m.trgID IS NULL THEN -1.0 ELSE 100.0 END AS score,
+           COALESCE(m.trgID, -1) AS trgID
+    FROM s LEFT JOIN m ON s.srcID = m.srcID
+    """,
+)
 def er_person_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy person matching (reference J6/EP3): odd partkeys
-    matched against even partkeys on part-name 'persons'; top-1 with
-    threshold, unmatched sources keep the -1 sentinel row."""
+    """Blocked person matching (reference J6/EP3) with planted ground
+    truth: odd ids match against the sparse (id % 14 == 0) target set on
+    disjoint-letter names, so the expected top-1 is the min-id target
+    with identical names (score 100, name_only blend) and sources whose
+    name group has no target keep the -1/NULL sentinel row. Exercises
+    the real blocking joins, Arrow scoring UDF, ranking window and
+    anti-join re-add."""
     from aroa_etl_spark.operators.matching import person_matching
 
-    t = load_tables(spark, sf_dir, ("part",))
-    persons = t["part"].select(
-        F.col("p_partkey").alias("pid"),
-        F.split("p_name", " ")[0].alias("strGName_processed"),
-        F.coalesce(F.split("p_name", " ")[1], F.lit("")).alias("strLName_processed"),
+    persons = _planted_persons(spark, sf_dir)
+    src = persons.filter(F.col("person_id") % 2 == 1).withColumnRenamed(
+        "person_id", "srcID"
     )
-    src = persons.filter(F.col("pid") % 2 == 1).withColumnRenamed("pid", "srcID")
-    trg = persons.filter(F.col("pid") % 2 == 0).withColumnRenamed("pid", "trgID")
-    return person_matching(
+    trg = persons.filter(F.col("person_id") % 14 == 0).withColumnRenamed(
+        "person_id", "trgID"
+    )
+    out = person_matching(
         src, trg, src_id="srcID", target_id="trgID",
         src_date_col=None, src_prisoner_number=None, src_birthplace=None,
-        top_n_matches=1, min_match_score=80.0,
+        top_n_matches=1, min_match_score=80.0, name_only=True,
     )
+    # output boundary: NULL bigint materializes as NaN float64 through
+    # the oracle's pandas path — surface the sentinel as -1 on both sides
+    return out.withColumn("trgID", F.coalesce("trgID", F.lit(-1)))
 
 
 @query(
@@ -873,21 +933,48 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("enc_consensus_dedup")  # Python voting kernel — rows-only check
+@query(
+    "enc_consensus_dedup",
+    oracle=f"""
+    SELECT doc_id::VARCHAR AS group_id,
+           CASE WHEN doc_id % 5 = 0 THEN '?'
+                ELSE {_NAMES13_SQL}[(doc_id % 13) + 1] END AS val,
+           (doc_id % 5 = 0) AS is_ambiguous
+    FROM documents
+    """,
+)
 def enc_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The A1 consensus reduce (the reference's core dedup) on synthetic
-    transcription groups: documents grouped by (source, lang) stand in
-    for N transcriptions of one archival document; the single-pass
-    applyInPandas kernel votes a consensus 'text' per group
-    (enc/matching.py:549-574 semantics, one pass for all columns)."""
+    """The A1 consensus reduce (the reference's core dedup,
+    enc/matching.py:294-322 voting) on planted transcription groups with
+    KNOWN ground truth: each document spawns 3 transcriptions — a 2:1
+    majority (consensus = the majority word) or, for every 5th doc,
+    three pairwise-dissimilar words (jaro < 0.8 → the syllable unifier
+    passes through, the vote finds no twice-supported value → '?' and
+    is_ambiguous). Runs the REAL default_col_matcher pipeline inside
+    the single-pass applyInPandas kernel."""
     from aroa_etl_spark.operators.consensus import EncMatcher, default_col_matcher
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
-        F.concat_ws("|", "source", "lang").alias("group_id"),
-        F.substring("text", 1, 40).alias("text_head"),
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    vocab = F.array(*[F.lit(w) for w in _NAMES13])
+    did = F.col("doc_id")
+    w_a = F.element_at(vocab, (did % 13 + 1).cast("int"))
+    w_b = F.element_at(vocab, ((did + 1) % 13 + 1).cast("int"))
+    w_c = F.element_at(vocab, ((did + 2) % 13 + 1).cast("int"))
+    copies = docs.select(
+        did.cast("string").alias("group_id"),
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("copy"),
+    ).select(
+        "group_id",
+        F.when(
+            did % 5 == 0,
+            F.when(F.col("copy") == 1, w_a).when(F.col("copy") == 2, w_b).otherwise(w_c),
+        )
+        .otherwise(F.when(F.col("copy") == 3, w_b).otherwise(w_a))
+        .alias("val"),
     )
-    m = EncMatcher(docs, "group_id").with_col_matcher("text_head", default_col_matcher())
-    return m.match().select("group_id", "text_head", "is_ambiguous")
+    m = EncMatcher(copies, "group_id").with_col_matcher("val", default_col_matcher())
+    return m.match().select("group_id", "val", "is_ambiguous")
 
 
 # Training-data pipeline queries (dedup / ANN / text analysis) and the
