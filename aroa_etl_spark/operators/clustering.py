@@ -227,6 +227,120 @@ def person_clustering(
     return with_comp.withColumn(entity_col, F.col("__root")).drop("__root", "component")
 
 
+def jaccard_distance_cluster(cl1, cl2) -> float:
+    """Jaccard overlap of two clusters' member sets — exact port of
+    person_clustering.py:84-87 (the reference names it *distance* but
+    computes |∩|/|∪| similarity; the name is kept for API parity).
+    Driver-side helper for two small collections; for column-level use
+    over DataFrames prefer :func:`jaccard_cluster_expr`."""
+    cl1, cl2 = set(cl1), set(cl2)
+    return len(cl1 & cl2) / len(cl1 | cl2)
+
+
+def jaccard_cluster_expr(a, b):
+    """Native column expression for cluster Jaccard over two ``array``
+    columns — JVM-side (array_intersect/array_union), no UDF, for
+    comparing clusterings at scale (e.g. old vs new entity exports)."""
+    a, b = F.array_distinct(a), F.array_distinct(b)
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def cluster_integrity(
+    df: DataFrame,
+    *,
+    entity_col: str = "Person_Entity_ID",
+    gname_col: str = "strGName_processed",
+    lname_col: str = "strLName_processed",
+    date_col: str | None = "strDoB_processed",
+    prisoner_col: str | None = "prisoner_number",
+    pob_col: str | None = "strPoB_processed",
+) -> DataFrame:
+    """Per-entity cluster quality diagnostics (reference M9,
+    person_clustering.py:17-82 ``cluster_integrety``; the reference's
+    misspelling is aliased below for API parity).
+
+    For every member, its leave-one-out link scores against the rest of
+    the cluster (avg / best / weakest pairwise ``person_similarity``,
+    100 when alone), then per entity:
+
+    - ``avg_score``        = mean of members' average-link scores
+                             (reference key "average")
+    - ``min_avg_link``     = weakest average-link member ("average-link")
+    - ``min_single_link``  = weakest best-link member ("single-link")
+    - ``min_max_link``     = weakest weakest-link member ("max-link")
+
+    Users tune the clustering cutoff on these: a low ``min_single_link``
+    flags a member with no good link to anyone (likely over-merge).
+
+    Scale shape: one shuffle on ``entity_col``; the O(n²) pairwise loop
+    runs inside applyInPandas per entity — entities from name-blocked
+    clustering are small (bounded by block size), so the quadratic term
+    is bounded per group, never global.
+    """
+    have = {
+        "d": bool(date_col and date_col in df.columns),
+        "p": bool(prisoner_col and prisoner_col in df.columns),
+        "b": bool(pob_col and pob_col in df.columns),
+    }
+
+    ent_type = next(f.dataType for f in df.schema.fields if f.name == entity_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, ent_type, True),
+            T.StructField("n_members", T.LongType(), True),
+            T.StructField("avg_score", T.DoubleType(), True),
+            T.StructField("min_avg_link", T.DoubleType(), True),
+            T.StructField("min_single_link", T.DoubleType(), True),
+            T.StructField("min_max_link", T.DoubleType(), True),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        def val(row: int, col: str | None) -> str:
+            v = pdf.at[row, col] if col and col in pdf.columns else None
+            return "" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
+
+        n = len(pdf)
+        pdf = pdf.reset_index(drop=True)
+        # symmetric pairwise matrix, each unordered pair scored once
+        sim = [[100.0] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = person_similarity(
+                    val(i, lname_col), val(j, lname_col),
+                    val(i, gname_col), val(j, gname_col),
+                    val(i, prisoner_col), val(j, prisoner_col),
+                    val(i, date_col), val(j, date_col),
+                    val(i, pob_col), val(j, pob_col),
+                    use_prisoner=have["p"], use_date=have["d"], use_pob=have["b"],
+                )
+                sim[i][j] = sim[j][i] = s
+        avg_links, best_links, weak_links = [], [], []
+        for i in range(n):
+            others = [sim[i][j] for j in range(n) if j != i]
+            if not others:  # singleton: leave-one-out vs empty → 100
+                others = [100.0]
+            avg_links.append(sum(others) / len(others))
+            best_links.append(max(others))
+            weak_links.append(min(others))
+        return pd.DataFrame(
+            {
+                entity_col: [pdf.at[0, entity_col]],
+                "n_members": [n],
+                "avg_score": [sum(avg_links) / len(avg_links)],
+                "min_avg_link": [min(avg_links)],
+                "min_single_link": [min(best_links)],
+                "min_max_link": [min(weak_links)],
+            }
+        )
+
+    return df.groupBy(entity_col).applyInPandas(run, out_schema)
+
+
+# reference spelling (person_clustering.py:69) kept as an alias
+cluster_integrety = cluster_integrity
+
+
 def greedy_block_clustering(
     df: DataFrame,
     components: DataFrame,

@@ -751,6 +751,45 @@ def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "er_cluster_integrity",
+    oracle=f"""
+    WITH {_PERSONS_SQL},
+    e AS (SELECT person_id, MIN(person_id) OVER (PARTITION BY g, l) AS entity_id
+          FROM p)
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CASE WHEN COUNT(*) = 1 THEN 100.00 ELSE 66.67 END AS avg_score,
+           CASE WHEN COUNT(*) = 1 THEN 100.00 ELSE 66.67 END AS min_avg_link,
+           CASE WHEN COUNT(*) = 1 THEN 100.00 ELSE 66.67 END AS min_single_link,
+           CASE WHEN COUNT(*) = 1 THEN 100.00 ELSE 66.67 END AS min_max_link
+    FROM e GROUP BY entity_id
+    """,
+)
+def er_cluster_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality diagnostics (reference M9) over the planted-truth
+    entity resolution: within an entity every member has identical
+    names, so ALL leave-one-out link scores equal the identical-name
+    blend (2/3·100 → 66.67 at 2 decimals) and singletons score 100.
+    Runs the real chain — person_clustering then per-entity
+    applyInPandas pairwise stats — with SQL-computable expectations."""
+    from aroa_etl_spark.operators.clustering import cluster_integrity, person_clustering
+
+    persons = _planted_persons(spark, sf_dir)
+    clustered = person_clustering(
+        persons, date_col=None, prisoner_col=None, pob_col=None, cutoff=60.0
+    )
+    integ = cluster_integrity(
+        clustered, date_col=None, prisoner_col=None, pob_col=None
+    )
+    return integ.select(
+        F.col("Person_Entity_ID").alias("entity_id"),
+        "n_members",
+        *[F.round(c, 2).alias(c)
+          for c in ("avg_score", "min_avg_link", "min_single_link", "min_max_link")],
+    )
+
+
+@query(
     "er_person_matching",
     oracle=f"""
     WITH {_PERSONS_SQL},

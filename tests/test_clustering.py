@@ -95,3 +95,68 @@ def test_greedy_block_clustering_max_linkage(spark):
     assert len(out) == len(PEOPLE)
     assert ent[1] == ent[3]  # exact dups always together
     assert len({ent[1], ent[4], ent[6]}) == 3
+
+
+def test_jaccard_distance_cluster_reference_port():
+    from aroa_etl_spark.operators.clustering import jaccard_distance_cluster
+
+    assert jaccard_distance_cluster([1, 2, 3], [2, 3, 4]) == 0.5
+    assert jaccard_distance_cluster([1], [1]) == 1.0
+    assert jaccard_distance_cluster([1, 1, 2], [2]) == 0.5  # set semantics
+
+
+def test_jaccard_cluster_expr_matches_python(spark):
+    from aroa_etl_spark.operators.clustering import (
+        jaccard_cluster_expr,
+        jaccard_distance_cluster,
+    )
+
+    rows = [([1, 2, 3], [2, 3, 4]), ([1], [1]), ([1, 1, 2], [2])]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = [r["j"] for r in df.select(jaccard_cluster_expr("a", "b").alias("j")).collect()]
+    want = [jaccard_distance_cluster(a, b) for a, b in rows]
+    assert got == want
+
+
+def test_cluster_integrity_stats(spark):
+    from aroa_etl_spark.functions.simkernels import person_similarity
+    from aroa_etl_spark.operators.clustering import cluster_integrity
+
+    # entity 1: twins (identical names) + one unrelated member;
+    # entity 2: a singleton → all stats 100 by the reference convention.
+    rows = [
+        (1, 1, "anna", "schmidt"),
+        (2, 1, "anna", "schmidt"),
+        (3, 1, "xyz", "qqq"),
+        (9, 2, "solo", "person"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["person_id", "Person_Entity_ID", "strGName_processed", "strLName_processed"]
+    )
+    out = {
+        r["Person_Entity_ID"]: r
+        for r in cluster_integrity(
+            df, date_col=None, prisoner_col=None, pob_col=None
+        ).collect()
+    }
+
+    solo = out[2]
+    assert solo["n_members"] == 1
+    assert solo["avg_score"] == solo["min_avg_link"] == 100.0
+    assert solo["min_single_link"] == solo["min_max_link"] == 100.0
+
+    twin = person_similarity("schmidt", "schmidt", "anna", "anna",
+                             use_prisoner=False, use_date=False, use_pob=False)
+    cross_a = person_similarity("schmidt", "qqq", "anna", "xyz",
+                                use_prisoner=False, use_date=False, use_pob=False)
+    big = out[1]
+    assert big["n_members"] == 3
+    # member 3's best link is its best cross score; twins' weakest is cross
+    assert big["min_single_link"] == cross_a
+    assert big["min_max_link"] == min(twin, cross_a)
+    # twins' avg link = mean(twin, cross); member 3's avg = cross
+    import statistics
+
+    avgs = [statistics.mean([twin, cross_a]), statistics.mean([twin, cross_a]), cross_a]
+    assert abs(big["min_avg_link"] - min(avgs)) < 1e-9
+    assert abs(big["avg_score"] - statistics.mean(avgs)) < 1e-9
