@@ -245,6 +245,8 @@ def person_similarity(
     use_prisoner: bool = True,
     use_date: bool = True,
     use_pob: bool = True,
+    _set_matcher=None,
+    _ratio_matcher=None,
 ) -> float:
     """The engine's core person-ranking blend — exact port of
     similarity_measures.py:113-164:
@@ -256,18 +258,22 @@ def person_similarity(
     score    = primary → 2/3·score + 1/3·secondary → 3/4·score + 1/4·other.
 
     use_* flags mirror the reference's 'column present in src row' checks.
+    ``_set_matcher`` / ``_ratio_matcher`` let batch callers inject
+    memoized component kernels without touching the blend semantics.
     """
+    name_set = _set_matcher or name_set_matcher
+    name_rat = _ratio_matcher or name_matcher
     primary = (
-        max(0.0, name_set_matcher(lname_a, lname_b))
-        + max(0.0, name_set_matcher(gname_a, gname_b))
+        max(0.0, name_set(lname_a, lname_b))
+        + max(0.0, name_set(gname_a, gname_b))
     ) / 2.0
     if name_only:
         return primary
 
     secondary_parts: list[float] = []
     if use_prisoner:
-        s = name_matcher("" if prisoner_a is None else prisoner_a,
-                         "" if prisoner_b is None else prisoner_b)
+        s = name_rat("" if prisoner_a is None else prisoner_a,
+                     "" if prisoner_b is None else prisoner_b)
         if s >= 0:
             secondary_parts.append(s)
     if use_date:
@@ -284,7 +290,7 @@ def person_similarity(
 
     other = -1.0
     if use_pob:
-        s = name_matcher("" if pob_a is None else pob_a, "" if pob_b is None else pob_b)
+        s = name_rat("" if pob_a is None else pob_a, "" if pob_b is None else pob_b)
         if s >= 0:
             other = s
 
@@ -294,3 +300,75 @@ def person_similarity(
     if other >= 0:
         score = 3.0 / 4.0 * score + 1.0 / 4.0 * other
     return score
+
+
+def _memo_pair(fn):
+    """Memoize a 2-ary string kernel on its (a, b) pair — blocked
+    candidate sets repeat the same name pairs constantly (one source
+    joins many targets sharing a prefix block), so the quadratic LCS
+    fallback runs once per DISTINCT pair instead of once per row."""
+    cache: dict = {}
+
+    def g(a, b):
+        key = (a, b)
+        v = cache.get(key)
+        if v is None:
+            v = cache[key] = fn(a, b)
+        return v
+
+    return g
+
+
+def person_similarity_batch(
+    lname_a, lname_b, gname_a, gname_b,
+    prisoner_a, prisoner_b, date_a, date_b, pob_a, pob_b,
+    *,
+    name_only: bool = False,
+    non_names_optional: bool = False,
+    date_matcher=date_similarity,
+    use_prisoner: bool = True,
+    use_date: bool = True,
+    use_pob: bool = True,
+):
+    """Arrow-chunk-batched ``person_similarity`` over parallel sequences
+    → float64 numpy array. Semantics are person_similarity's by
+    construction (the same blend runs per row); the speedup comes from
+    two levels of dedup within the batch: whole-row tuples hit a row
+    cache, and each component kernel (token-set name ratio, prisoner /
+    birthplace ratio, date score) is memoized on its value pair. When
+    rapidfuzz is installed the component kernels are its C versions
+    (see ``ratio``/``token_set_ratio``), so both paths benefit.
+
+    This is the hot kernel of the blocked matching/clustering operators
+    (reference similarity_measures.py:113-164 at J6/EP2/EP3 volume)."""
+    import numpy as np
+
+    set_m = _memo_pair(name_set_matcher)
+    rat_m = _memo_pair(name_matcher)
+    date_m = _memo_pair(date_matcher)
+
+    n = len(lname_a)
+    out = np.empty(n, dtype=np.float64)
+    row_cache: dict = {}
+    for i in range(n):
+        key = (
+            lname_a[i], lname_b[i], gname_a[i], gname_b[i],
+            prisoner_a[i], prisoner_b[i], date_a[i], date_b[i],
+            pob_a[i], pob_b[i],
+        )
+        v = row_cache.get(key)
+        if v is None:
+            v = row_cache[key] = person_similarity(
+                key[0] or "", key[1] or "", key[2] or "", key[3] or "",
+                key[4], key[5], key[6], key[7], key[8], key[9],
+                name_only=name_only,
+                non_names_optional=non_names_optional,
+                date_matcher=date_m,
+                use_prisoner=use_prisoner,
+                use_date=use_date,
+                use_pob=use_pob,
+                _set_matcher=set_m,
+                _ratio_matcher=rat_m,
+            )
+        out[i] = v
+    return out

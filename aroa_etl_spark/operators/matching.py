@@ -30,7 +30,7 @@ from pyspark.sql.window import Window as W
 
 from aroa_etl_spark.functions.simkernels import (
     date_similarity,
-    person_similarity,
+    person_similarity_batch,
     simple_date_matcher,
 )
 
@@ -98,23 +98,21 @@ def _score_udf(name_only: bool, use_prisoner: bool, use_date: bool, use_pob: boo
         date_a: pd.Series, date_b: pd.Series,
         pob_a: pd.Series, pob_b: pd.Series,
     ) -> pd.Series:
-        out = []
-        for la, lb, ga, gb, pa, pb, da, db, ba, bb in zip(
-            lname_a, lname_b, gname_a, gname_b, prisoner_a, prisoner_b,
-            date_a, date_b, pob_a, pob_b,
-        ):
-            out.append(
-                person_similarity(
-                    la or "", lb or "", ga or "", gb or "",
-                    pa, pb, da, db, ba, bb,
-                    name_only=name_only,
-                    date_matcher=matcher,
-                    use_prisoner=use_prisoner,
-                    use_date=use_date,
-                    use_pob=use_pob,
-                )
-            )
-        return pd.Series(out, dtype="float64")
+        # batched kernel: dedups whole rows + memoizes component pairs
+        # within the Arrow chunk (blocked joins repeat name pairs a lot)
+        vals = person_similarity_batch(
+            lname_a.to_numpy(), lname_b.to_numpy(),
+            gname_a.to_numpy(), gname_b.to_numpy(),
+            prisoner_a.to_numpy(), prisoner_b.to_numpy(),
+            date_a.to_numpy(), date_b.to_numpy(),
+            pob_a.to_numpy(), pob_b.to_numpy(),
+            name_only=name_only,
+            date_matcher=matcher,
+            use_prisoner=use_prisoner,
+            use_date=use_date,
+            use_pob=use_pob,
+        )
+        return pd.Series(vals)
 
     return score
 

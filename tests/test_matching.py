@@ -191,3 +191,38 @@ def test_person_matching_unique_targets(spark):
     losers = [r for r in got if r["trgID"] is None]
     assert len(winners) == 1 and winners[0]["srcID"] == 1  # higher score wins
     assert len(losers) == 1 and losers[0]["score"] == -1.0
+
+
+def test_person_similarity_batch_matches_scalar():
+    """The memoized batch kernel must be bit-identical to the scalar
+    blend on every row, including empty/None/sentinel fields."""
+    from aroa_etl_spark.functions.simkernels import (
+        person_similarity,
+        person_similarity_batch,
+    )
+
+    rows = [
+        ("schmidt", "schmitt", "anna", "anna", "123", "123", "19200101", "19200101", "wien", "wien"),
+        ("schmidt", "schmidt", "anna", "anne", None, None, None, None, None, None),
+        ("", "", "", "", "", "", "", "", "", ""),
+        ("meier", "maier", "hans peter", "peter hans", "-1", "00000000", "00001920", "19200000", "linz", ""),
+        ("schmidt", "schmitt", "anna", "anna", "123", "123", "19200101", "19200101", "wien", "wien"),  # dup row
+        ("yz", "yz", "ab", "ab", None, "9", "19440229", "29.02.1944", "x", "x"),
+    ]
+    cols = list(zip(*rows))
+    for name_only in (False, True):
+        for use in (True, False):
+            got = person_similarity_batch(
+                *cols, name_only=name_only,
+                use_prisoner=use, use_date=use, use_pob=use,
+            )
+            want = [
+                person_similarity(
+                    r[0] or "", r[1] or "", r[2] or "", r[3] or "",
+                    r[4], r[5], r[6], r[7], r[8], r[9],
+                    name_only=name_only,
+                    use_prisoner=use, use_date=use, use_pob=use,
+                )
+                for r in rows
+            ]
+            assert list(got) == want
