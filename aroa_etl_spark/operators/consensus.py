@@ -451,14 +451,25 @@ class EncMatcher:
     ) -> "EncMatcher":
         """Pre-join several columns into one matching field (U3
         combine_columns). join_filter is a scalar predicate; default keeps
-        values containing a letter."""
-        import re as _re
+        values containing a letter.
 
-        keep = join_filter or (lambda v: v is not None and _re.search(r"[a-zA-Z]", str(v)))
+        The default predicate runs as a native higher-order expression
+        (array → filter(rlike) → array_join), fully JVM-side; a Python
+        UDF is only built for user-supplied ``join_filter`` callables.
+        Values are stringified with Spark cast semantics on the native
+        path (e.g. booleans render 'true', not Python's 'True')."""
+        if join_filter is None:
+            arr = F.array(*[F.col(c).cast("string") for c in columns])
+            self.df = self.df.withColumn(
+                new_col_name,
+                F.array_join(F.filter(arr, lambda v: v.rlike("[a-zA-Z]")), sep),
+            )
+            self._result = None
+            return self
 
         @F.udf(T.StringType())
         def _join(*vals):  # noqa: ANN002
-            return sep.join(str(v) for v in vals if keep(v))
+            return sep.join(str(v) for v in vals if join_filter(v))
 
         self.df = self.df.withColumn(new_col_name, _join(*[F.col(c) for c in columns]))
         self._result = None

@@ -152,3 +152,35 @@ def test_dedup_deterministic_object_ids(spark, dedup_result):
     )
     ids2 = {r.document_id: r.object_id for r in again.collect() if not r.deleted}
     assert ids1 == ids2
+
+
+def test_combine_columns_default_is_native_and_matches_udf_path(spark):
+    import re as _re
+
+    from aroa_etl_spark.operators.consensus import EncMatcher
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "Wien", "Wien IX"),
+            ("d2", None, "Linz"),
+            ("d3", "123", "---"),
+            ("d4", None, None),
+        ],
+        ["doc", "city_0", "city_1"],
+    )
+
+    native = EncMatcher(df, "doc").combine_columns(["city_0", "city_1"], "full_city")
+    # the default predicate must compile to native exprs — no Python UDF
+    plan = native.df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    pred = lambda v: v is not None and _re.search(r"[a-zA-Z]", str(v))  # noqa: E731
+    udf_path = EncMatcher(df, "doc").combine_columns(
+        ["city_0", "city_1"], "full_city", join_filter=pred
+    )
+    get = lambda m: {  # noqa: E731
+        r["doc"]: r["full_city"] for r in m.df.select("doc", "full_city").collect()
+    }
+    assert get(native) == get(udf_path) == {
+        "d1": "Wien, Wien IX", "d2": "Linz", "d3": "", "d4": "",
+    }
