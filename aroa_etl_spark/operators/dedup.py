@@ -133,20 +133,23 @@ def minhash_lsh_dedup(
     """
     rows = num_perm // bands
     # Materialize tokens, then distinct shingles, as separate projections
-    # (see shingles_from) and persist: the shingle frame feeds signature
-    # computation AND both sides of the Jaccard verification join; the
-    # key frame feeds both sides of the candidate self-join. Persisting
-    # the per-doc signature table is the standard production shape (it
-    # is tiny relative to the corpus — id + num_perm hashes).
-    # NOTE the filter comes AFTER persist: a filter below the projection
-    # would be pushed through the alias, substituting the whole shingle
-    # pipeline into an interpreted per-row predicate (measured 7× cost).
-    # The persisted frame is an optimizer barrier; the filter then reads
-    # the stored arrays.
+    # (see shingles_from) and localCheckpoint (lazy): the shingle frame
+    # feeds signature computation AND both sides of the Jaccard
+    # verification join; the key frame feeds both sides of the candidate
+    # self-join. The per-doc tables are tiny relative to the corpus
+    # (id + hashes). localCheckpoint over persist(): same barrier and
+    # reuse, but the blocks are released by the ContextCleaner once the
+    # result frame is unreferenced — composed pipelines don't accumulate
+    # cached frames and repeated runs don't collide on block ids.
+    # NOTE the filter comes AFTER the checkpoint: a filter below the
+    # projection would be pushed through the alias, substituting the
+    # whole shingle pipeline into an interpreted per-row predicate
+    # (measured 7× cost). The checkpoint is an optimizer barrier; the
+    # filter then reads the stored arrays.
     sh = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(F.col(id_col), F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh"))
-        .persist()
+        .localCheckpoint(eager=False)
         .filter(F.size("__sh") > 0)
     )
     sig = sh.select(
@@ -155,7 +158,7 @@ def minhash_lsh_dedup(
     keys = sig.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__bucket"),
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     if max_bucket_size is not None:
         sizes = keys.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
@@ -202,7 +205,7 @@ def ngram_jaccard_pairs(
             *([F.col(block_col)] if block_col is not None else []),
             F.array_distinct(shingles_from("__t", n)).alias("__sh"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     if block_col is not None:
         k = sh.select(F.col(id_col), F.col(block_col).alias("__k"))
@@ -255,7 +258,7 @@ def simhash_dedup(
             F.lit(0).cast("long")
         )
         simhash_col = bit if simhash_col is None else simhash_col + bit
-    sh = votes.select(F.col(id_col), simhash_col.alias("__sh")).persist()
+    sh = votes.select(F.col(id_col), simhash_col.alias("__sh")).localCheckpoint(eager=False)
     banded = sh.select(
         F.col(id_col),
         "__sh",
