@@ -361,3 +361,82 @@ def parse_date_parts(col: Column | str) -> Column:
     return F.struct(
         y.cast("int").alias("year"), m.cast("int").alias("month"), d.cast("int").alias("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# D9: LLM-output date repair (KI-indexing pipeline)
+# ---------------------------------------------------------------------------
+
+def llm_repair_date(col: Column | str) -> Column:
+    """Part-wise repair of an LLM-transcribed 'dd.mm.yyyy' string —
+    standalone port of ``repair_date`` (indizierung.ipynb cell 18).
+
+    - any letter → '00000000'; not exactly three '.'-parts → '0000000'
+      (the reference's seven-zero quirk, kept faithfully)
+    - day: 1-2 digits and ≤ 31, else '00'
+    - month: 1-2 digits and ≤ 12, else '00'
+    - year: 3 digits → ×10 if that lands in (1855, 1954);
+      4 digits → kept if in range, else the OCR century fix tries
+      +800 then +900 (misread '1' → transcripts like '1089' for 1889);
+      anything else → '0000'
+
+    Divergence: parts with non-digit symbols ('-3') repair to '00'/'0000'
+    instead of crashing the way ``int()`` would in the reference.
+    Null input → '00000000' (str(nan) contains letters in the reference).
+    """
+    c = _s(col)
+    parts = F.split(c, r"\.")
+
+    def pp_dm(i: int, cap: int) -> Column:
+        p = F.coalesce(F.try_element_at(parts, F.lit(i)), F.lit(""))
+        ok = p.rlike(r"^[0-9]{1,2}$") & (p.try_cast("int") <= cap)
+        return F.when(ok, p).otherwise(F.lit("00"))
+
+    y = F.coalesce(F.try_element_at(parts, F.lit(3)), F.lit(""))
+    yi = y.try_cast("int")
+    y10 = yi * 10
+    in_range = lambda v: (F.lit(1855) < v) & (v < F.lit(1954))  # noqa: E731
+    year = (
+        F.when(~y.rlike(r"^[0-9]{3,4}$"), F.lit("0000"))
+        .when(F.length(y) == 3, F.when(in_range(y10), y10.cast("string")).otherwise("0000"))
+        .when(in_range(yi), y)
+        .when(in_range(yi + 800), (yi + 800).cast("string"))
+        .when(in_range(yi + 900), (yi + 900).cast("string"))
+        .otherwise(F.lit("0000"))
+    )
+
+    repaired = F.concat_ws(".", pp_dm(1, 31), pp_dm(2, 12), year)
+    # null test on the RAW column — _s coalesces null to '' and the
+    # reference distinguishes them (str(nan) has letters → 8 zeros)
+    return (
+        F.when(_c(col).isNull() | c.rlike(r"[a-zA-Z]"), F.lit("00000000"))
+        .when(F.size(parts) != 3, F.lit("0000000"))
+        .otherwise(repaired)
+    )
+
+
+def llm_convert_date_field(col: Column | str) -> Column:
+    """'dd.mm.yyyy' → packed 'yyyymmdd' — standalone port of
+    ``convert_date_field`` (indizierung.ipynb cell 18): not three parts
+    or any non-[0-9.] character → '00000000'; 2-digit year ≤ 45 → 19xx
+    else 18xx; other years outside 4 digits or [1845, 1945] → '0000';
+    day/month left-padded to 2. Null → '' → '00000000'."""
+    c = F.coalesce(_s(col), F.lit(""))
+    parts = F.split(c, r"\.")
+    bad = (F.size(parts) != 3) | c.rlike(r"[^0-9.]")
+
+    dd = F.coalesce(F.try_element_at(parts, F.lit(1)), F.lit(""))
+    mm = F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit(""))
+    yy = F.coalesce(F.try_element_at(parts, F.lit(3)), F.lit(""))
+
+    yi = yy.try_cast("int")
+    year = (
+        F.when(
+            F.length(yy) == 2,
+            F.concat(F.when(yi <= 45, F.lit("19")).otherwise(F.lit("18")), yy),
+        )
+        .when((F.length(yy) != 4) | (yi < 1845) | (yi > 1945), F.lit("0000"))
+        .otherwise(yy)
+    )
+    pad = lambda p: F.when(F.length(p) == 1, F.concat(F.lit("0"), p)).otherwise(p)  # noqa: E731
+    return F.when(bad, F.lit("00000000")).otherwise(F.concat(year, pad(mm), pad(dd)))

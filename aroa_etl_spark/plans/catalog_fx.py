@@ -407,3 +407,67 @@ def d_timing_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q29") % 29).cast("string"),
     )
     return ev.select("event_id", timing.alias("timing"), timing_qa.alias("timing_qa"))
+
+
+# ---------------------------------------------------------------------------
+# D9: LLM-output date repair against an arithmetic model
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_llm_repair",
+    oracle="""
+    WITH g AS (
+      SELECT event_id,
+             event_id % 40 AS d,
+             (event_id // 40) % 15 AS m,
+             event_id % 5 AS ysel,
+             1856 + event_id % 97 AS y0,
+             1056 + event_id % 97 AS y1,
+             956 + event_id % 97 AS y2,
+             180 + event_id % 20 AS y3
+      FROM events)
+    SELECT event_id,
+           (CASE WHEN d <= 31 THEN d::VARCHAR ELSE '00' END) || '.' ||
+           (CASE WHEN m <= 12 THEN m::VARCHAR ELSE '00' END) || '.' ||
+           CASE ysel
+             WHEN 0 THEN y0::VARCHAR
+             WHEN 1 THEN (y1 + 800)::VARCHAR
+             WHEN 2 THEN CASE WHEN y2 < 1000 THEN '0000'
+                              ELSE (y2 + 900)::VARCHAR END
+             WHEN 3 THEN CASE WHEN y3 BETWEEN 186 AND 195
+                              THEN (y3 * 10)::VARCHAR ELSE '0000' END
+             ELSE '0000' END AS repaired,
+           CASE WHEN ysel = 0 AND y0 <= 1945
+                THEN y0::VARCHAR || lpad(m::VARCHAR, 2, '0') || lpad(d::VARCHAR, 2, '0')
+                ELSE '0000' || lpad(m::VARCHAR, 2, '0') || lpad(d::VARCHAR, 2, '0')
+           END AS packed
+    FROM g
+    """,
+)
+def d_llm_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 LLM-output date repair (indizierung.ipynb cell 18): dates
+    GENERATED from event_id cover days/months in and out of range, years
+    that are valid, need the +800 or +900 OCR century fix, are 3-digit
+    (×10 rule), or garbage. Both the part-wise repair and the packed
+    conversion ([1845,1945] window, no OCR fix) are checked against an
+    arithmetic oracle."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", F.expr("event_id div 40").alias("q40")
+    )
+    eid = F.col("event_id")
+    d_raw = (eid % 40).cast("string")
+    m_raw = (F.col("q40") % 15).cast("string")
+    ysel = eid % 5
+    y_raw = (
+        F.when(ysel == 0, (F.lit(1856) + eid % 97).cast("string"))
+        .when(ysel == 1, (F.lit(1056) + eid % 97).cast("string"))
+        .when(ysel == 2, (F.lit(956) + eid % 97).cast("string"))
+        .when(ysel == 3, (F.lit(180) + eid % 20).cast("string"))
+        .otherwise(F.lit("12345"))
+    )
+    raw = F.concat_ws(".", d_raw, m_raw, y_raw)
+    return ev.select(
+        "event_id",
+        D.llm_repair_date(raw).alias("repaired"),
+        D.llm_convert_date_field(raw).alias("packed"),
+    )

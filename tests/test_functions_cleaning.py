@@ -264,3 +264,65 @@ def test_pack_and_parse(spark):
     assert (parts[0].year, parts[0].month, parts[0].day) == (1900, 4, 9)
     assert (parts[1].year, parts[1].month, parts[1].day) == (1900, 4, 9)
     assert (parts[2].year, parts[2].month, parts[2].day) == (0, 0, 0)
+
+
+def test_llm_date_repair_matches_reference_port(spark):
+    """Differential: the native exprs vs a literal Python port of
+    repair_date / convert_date_field (indizierung.ipynb cell 18)."""
+    import re
+
+    from aroa_etl_spark.functions.dates import llm_convert_date_field, llm_repair_date
+
+    def pp_year(y):
+        if len(y) == 3 and y.isdigit():
+            v = int(y) * 10
+            return str(v) if 1855 < v < 1954 else "0000"
+        if len(y) == 4 and y.isdigit():
+            v = int(y)
+            if 1855 < v < 1954:
+                return str(v)
+            if 1855 < v + 800 < 1954:
+                return str(v + 800)
+            if 1855 < v + 900 < 1954:
+                return str(v + 900)
+            return "0000"
+        return "0000"
+
+    def py_repair(date):
+        if date is None or re.search(r"[a-zA-Z]", date):
+            return "00000000"
+        parts = date.split(".")
+        if len(parts) != 3:
+            return "0000000"
+        d = parts[0] if re.match(r"^\d{1,2}$", parts[0]) and int(parts[0]) <= 31 else "00"
+        m = parts[1] if re.match(r"^\d{1,2}$", parts[1]) and int(parts[1]) <= 12 else "00"
+        return ".".join([d, m, pp_year(parts[2])])
+
+    def py_convert(date):
+        date = "" if date is None else date
+        parts = date.split(".")
+        if len(parts) != 3 or re.search(r"[^\d.]", date):
+            return "00000000"
+        dd, mm, yyyy = parts
+        if len(yyyy) == 2:
+            yyyy = ("19" if int(yyyy) <= 45 else "18") + yyyy
+        elif len(yyyy) != 4 or int(yyyy) < 1845 or int(yyyy) > 1945:
+            yyyy = "0000"
+        dd = "0" + dd if len(dd) == 1 else dd
+        mm = "0" + mm if len(mm) == 1 else mm
+        return yyyy + mm + dd
+
+    cases = [
+        "7.4.1903", "31.12.1953", "07.04.1089", "1.1.1003",   # +800 / +900 fixes
+        "12.11.190", "3.2.189", "15.06.1855", "15.06.1856",
+        "32.13.1900", "00.00.0000", "5.5.45", "9.9.99",
+        "1.2", "1.2.3.4", "", "12a.3.1900", "abc", None,
+        "-3.04.1920", "..1920", "4..1930", "15.6.2020",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["d"])
+    got = df.select(
+        llm_repair_date("d").alias("r"), llm_convert_date_field("d").alias("p")
+    ).collect()
+    for case, row in zip(cases, got):
+        assert row["r"] == py_repair(case), f"repair({case!r}): {row['r']} != {py_repair(case)}"
+        assert row["p"] == py_convert(case), f"convert({case!r}): {row['p']} != {py_convert(case)}"
