@@ -124,3 +124,26 @@ def test_zooniverse_annotation_walker(spark):
     ).collect()[0]
     assert wide["Last name"] == "Meier"
     assert wide["T1: First name"] == "Anna"
+
+
+def test_dedup_release_caches(spark):
+    """Operator-internal persisted frames are registered and released by
+    release_caches(); storage does not accumulate across invocations."""
+    from aroa_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    dedup.release_caches()  # clean slate
+    sc = spark.sparkContext
+    # delta-based: other operators' checkpoint blocks may linger in
+    # storage (released asynchronously by the ContextCleaner)
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+    dedup.minhash_lsh_dedup(df).count()
+    dedup.simhash_dedup(df).count()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) >= baseline + 3
+    released = dedup.release_caches()
+    assert released == 3  # minhash sh + keys, simhash sh
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline
+    assert dedup.release_caches() == 0
