@@ -471,3 +471,214 @@ def d_llm_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.llm_repair_date(raw).alias("repaired"),
         D.llm_convert_date_field(raw).alias("packed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F24/F25: geo-identifier parsing against a planted-selector model
+# ---------------------------------------------------------------------------
+
+@query(
+    "f_geo_ids",
+    oracle="""
+    WITH g AS (SELECT event_id, event_id % 5 AS sel FROM events)
+    SELECT event_id,
+           CASE sel WHEN 0 THEN 'Q' || event_id::VARCHAR
+                    WHEN 1 THEN 'q' || event_id::VARCHAR
+                    WHEN 2 THEN 'Q' || event_id::VARCHAR
+                    ELSE '' END AS wd,
+           sel >= 2 AS wd_qa,
+           CASE WHEN sel = 2 THEN event_id::VARCHAR ELSE '' END AS gn,
+           sel != 2 AS gn_qa
+    FROM g
+    """,
+)
+def f_geo_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24/F25 wikidata/geoname id cleaning (column_processing.py:
+    1338-1422) over ids PLANTED by selector: well-formed 'Q123'/'q123',
+    bare digits (gain the prefix, QA), 'unclear' and '?' (emptied, QA).
+    The oracle computes the expected (cleaned, qa) pairs from the
+    selector arithmetic."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select("event_id")
+    sel = F.col("event_id") % 5
+    ids = F.col("event_id").cast("string")
+    raw = (
+        F.when(sel == 0, F.concat(F.lit("Q"), ids))
+        .when(sel == 1, F.concat(F.lit("q"), ids))
+        .when(sel == 2, ids)
+        .when(sel == 3, F.lit("unclear"))
+        .otherwise(F.lit("?"))
+    )
+    wd, wd_qa = C.clean_wikidata_id(raw)
+    gn, gn_qa = C.clean_geoname_id(raw)
+    return ev.select(
+        "event_id",
+        wd.alias("wd"), wd_qa.alias("wd_qa"),
+        gn.alias("gn"), gn_qa.alias("gn_qa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F26: dictionary standardizer against a planted-selector model
+# ---------------------------------------------------------------------------
+
+@query(
+    "f_standardize",
+    oracle="""
+    WITH g AS (SELECT event_id, event_id % 6 AS sel FROM events)
+    SELECT event_id,
+           CASE sel WHEN 0 THEN 'POL' WHEN 1 THEN 'GER' WHEN 2 THEN 'dutch'
+                    WHEN 3 THEN '' WHEN 4 THEN '?' ELSE 'POL;GER' END AS std,
+           sel IN (2, 4) AS qa
+    FROM g
+    """,
+)
+def f_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 dictionary standardization (standardize.py / the reference's
+    nationality tables): planted raws cover mapped words, unmapped (QA),
+    empty, the unclear table ('?'), and multi-word substitution. Runs
+    the REAL Arrow UDF with its longest-key-first word-boundary regex;
+    the oracle is selector arithmetic."""
+    from aroa_etl_spark.operators.standardize import standardize_column
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select("event_id")
+    sel = F.col("event_id") % 6
+    raw = (
+        F.when(sel == 0, F.lit("polish"))
+        .when(sel == 1, F.lit("german"))
+        .when(sel == 2, F.lit("dutch"))
+        .when(sel == 3, F.lit(""))
+        .when(sel == 4, F.lit("unknown"))
+        .otherwise(F.lit("polish german"))
+    )
+    df = ev.withColumn("nat", raw)
+    out = standardize_column(
+        df, "nat",
+        mapping={"polish": "POL", "german": "GER"},
+        unclear={"unknown": "?"},
+    )
+    return out.select("event_id", F.col("nat_std").alias("std"), F.col("nat_qa").alias("qa"))
+
+
+# ---------------------------------------------------------------------------
+# F20/F22: OCR repair against pinned goldens
+# ---------------------------------------------------------------------------
+
+# Golden pairs for the two Python-kernel functions: inputs planted by
+# selector, expected outputs pinned literally in the oracle (computed
+# from the scalar ports, which are differentially tested in
+# test_parity_gaps.py). The catalog check proves the Arrow UDF path
+# executes those semantics inside Spark.
+_F20_CASES = [
+    ("Müller", "Müller"),            # umlauts are protected
+    ("M0ller", "MOller"),            # digit→letter confusable
+    ("café", "cafe"),                # accent fold
+    ("Иван Петров", ""),             # >30% foreign → rejected
+    ("J0hann (b0rn 1900)", "JOhann bOrn lOO"),
+    ("Ivan®", "Ivan"),               # unmappable symbol dropped
+    ("We1ß", "Welß"),
+    ("", ""),
+]
+_F22_CASES = [
+    ("ab12(cd34)ef56", "ab#(cd34)ef#"),  # bracketed text untouched
+    ("x[9]y8", "x[9]y#"),
+    ("(1)2(3)4", "(1)#(3)#"),
+    ("none", "none"),
+]
+
+
+@query(
+    "f_ocr_repair",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, doc_id % 8 AS s20, doc_id % 4 AS s22 FROM documents)
+    SELECT doc_id,
+           CASE s20 {' '.join(f"WHEN {i} THEN '{o}'" for i, (_, o) in enumerate(_F20_CASES))} END AS repaired,
+           CASE s22 {' '.join(f"WHEN {i} THEN '{o}'" for i, (_, o) in enumerate(_F22_CASES))} END AS desubbed
+    FROM g
+    """,
+)
+def f_ocr_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 fix_visual_decoding + F22 re_sub_exclude_parenthesis
+    (reference utils.py:42-57, visual-confusable tables) over planted
+    inputs: umlaut protection, digit→letter OCR confusables, accent
+    folds, the >30%-foreign rejection, and bracket-depth-aware regex
+    substitution. Oracle pins the goldens per selector."""
+    from aroa_etl_spark.functions.ocr import fix_visual_decoding, re_sub_exclude_parenthesis
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    s20, s22 = F.col("doc_id") % 8, F.col("doc_id") % 4
+    raw20 = F.lit(None).cast("string")
+    for i, (inp, _) in enumerate(_F20_CASES):
+        raw20 = F.when(s20 == i, F.lit(inp)).otherwise(raw20)
+    raw22 = F.lit(None).cast("string")
+    for i, (inp, _) in enumerate(_F22_CASES):
+        raw22 = F.when(s22 == i, F.lit(inp)).otherwise(raw22)
+    return docs.select(
+        "doc_id",
+        fix_visual_decoding(raw20).alias("repaired"),
+        re_sub_exclude_parenthesis(raw22, r"\d+", "#").alias("desubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JS2/JS3: Zooniverse annotation/metadata/subject parsing
+# ---------------------------------------------------------------------------
+
+_ZOO_ANNOT = [
+    # simple task
+    '[{"task":"T0","task_label":"Name","value":"anna"}]',
+    # nested task: labels prefixed with the parent task id
+    '[{"task":"T1","value":[{"task":"T2","task_label":"City","value":"wien"}]}]',
+    # dropdown pair inside a nested task: type object then value object
+    '[{"task":"T3","value":[{"task":"x","value":[{"select_label":"d","label":"Country"}]},'
+    '{"task":"y","value":"AT"}]}]',
+    # malformed payload → empty map, not a crash
+    "notjson",
+]
+
+
+@query(
+    "js_zooniverse_parse",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id % 4 AS s FROM documents)
+    SELECT doc_id,
+           CASE WHEN s = 0 THEN 'anna' END AS name,
+           CASE WHEN s = 1 THEN 'wien' END AS city,
+           CASE WHEN s = 2 THEN 'AT' END AS country,
+           CASE WHEN s != 3 THEN '{"c": 2}' END AS meta_b,
+           CASE WHEN s != 3 THEN '12345' ELSE '' END AS subject_id,
+           CASE WHEN s != 3 THEN 'y' END AS subject_x
+    FROM g
+    """,
+)
+def js_zooniverse_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS2 parse_annotations (all three task shapes: simple, nested with
+    parent-prefixed labels, dropdown type/value pair) + JS3
+    parse_metadata / parse_subject_data (zooniverse/unpacking.py:6-101)
+    over planted JSON; malformed payloads yield empty maps. Flat string
+    extracts make the result hash-comparable; oracle pins the goldens."""
+    from aroa_etl_spark.sources.zooniverse import (
+        parse_annotations,
+        parse_metadata,
+        parse_subject_data,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    s = F.col("doc_id") % 4
+    annot = F.lit(None).cast("string")
+    for i, payload in enumerate(_ZOO_ANNOT):
+        annot = F.when(s == i, F.lit(payload)).otherwise(annot)
+    meta = F.when(s != 3, F.lit('{"a": 1, "b": {"c": 2}}')).otherwise(F.lit("{broken"))
+    subj = F.when(s != 3, F.lit('{"12345": {"x": "y"}}')).otherwise(F.lit("[]"))
+
+    m = parse_annotations(annot)
+    md = parse_metadata(meta)
+    sd = parse_subject_data(subj)
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "Name").alias("name"),
+        F.element_at(m, "T1: City").alias("city"),
+        F.element_at(m, "T3: Country").alias("country"),
+        F.element_at(md, "b").alias("meta_b"),
+        sd["subject_id"].alias("subject_id"),
+        F.element_at(sd["subject_data"], "x").alias("subject_x"),
+    )
