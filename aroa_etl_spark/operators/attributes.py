@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aroa_etl_spark.functions import cleaning as cl
 from aroa_etl_spark.functions import dates as dt
@@ -396,3 +397,48 @@ def prune_empty_split_cols(df: DataFrame, split_limit: int = 5) -> DataFrame:
     ).collect()[0]
     drop = [c for c in candidates if (agg[c] or 0) == 0]
     return df.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# J3: explicit row identity + positional join
+# ---------------------------------------------------------------------------
+
+def with_row_key(
+    df: DataFrame, name: str = "row_key", consecutive: bool = False
+) -> DataFrame:
+    """Attach an explicit stable row key — the engine-wide answer to the
+    reference's pandas index-alignment (SURVEY §7 risk 1; its joins at
+    column_processing.py:1160 and enc/deduplication.py:266-280 align on
+    the implicit index, which Spark does not have).
+
+    Default: ``monotonically_increasing_id`` — one projection, no
+    shuffle, unique and stable for a deterministic plan (partition id in
+    the high bits, so ids are NOT consecutive). ``consecutive=True``
+    yields 0..n-1 ids via zipWithIndex — a two-pass RDD trip, only for
+    dimension-sized frames or export ordering.
+    """
+    if not consecutive:
+        return df.withColumn(name, F.monotonically_increasing_id())
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(name, T.LongType())])
+    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Horizontal concat of two equal-length frames by ROW POSITION —
+    the general fallback for the reference's index-aligned joins when
+    the two sides cannot be derived from one frame (prefer the J9
+    single-wide-select shape whenever they can: it is one projection,
+    this is two zipWithIndex passes plus an equi-join shuffle).
+
+    Row order is each frame's current partition order, matching
+    pandas' positional semantics for frames built from the same source
+    order. Raises on length mismatch — misaligned concat is silent data
+    corruption, exactly the pandas bug class the explicit key prevents.
+    """
+    lc, rc = left.count(), right.count()
+    if lc != rc:
+        raise ValueError(f"positional_join length mismatch: {lc} vs {rc}")
+    lk = with_row_key(left, "__pos", consecutive=True)
+    rk = with_row_key(right, "__pos", consecutive=True)
+    return lk.join(rk, "__pos").drop("__pos")

@@ -112,3 +112,26 @@ def test_processed_prisoner_numbers(processed):
     # normalised_enc_data.csv row 7 has trim_1 == '')
     assert rows[7].prisoner_number_trim_1 == ""
     assert rows[7].prisoner_number_qa is False
+
+
+def test_with_row_key_and_positional_join(spark):
+    """J3: explicit row identity + positional concat (SURVEY §7 risk 1)."""
+    import pytest
+
+    from aroa_etl_spark.operators.attributes import positional_join, with_row_key
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    keyed = with_row_key(df)
+    assert keyed.select("row_key").distinct().count() == 100  # unique
+
+    seq = with_row_key(df, consecutive=True)
+    keys = sorted(r["row_key"] for r in seq.collect())
+    assert keys == list(range(100))  # consecutive 0..n-1
+
+    left = spark.createDataFrame([("a",), ("b",), ("c",)], ["x"])
+    right = spark.createDataFrame([(1,), (2,), (3,)], ["y"])
+    got = positional_join(left, right).orderBy("y").collect()
+    assert [(r["x"], r["y"]) for r in got] == [("a", 1), ("b", 2), ("c", 3)]
+
+    with pytest.raises(ValueError, match="length mismatch"):
+        positional_join(left, right.limit(2))
