@@ -682,3 +682,102 @@ def js_zooniverse_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd["subject_id"].alias("subject_id"),
         F.element_at(sd["subject_data"], "x").alias("subject_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F7/F8/F10/F11/F12/F21: separator/split/name-repair family
+# ---------------------------------------------------------------------------
+
+# (input, semicolonized, female-suffix-completed part2, digit-stripped+
+# despaced+title-cased) — goldens pin actual engine behavior, including
+# the reference quirks the regexes inherit (noble 'van der' protection;
+# letterspacing collapse only on 1-char runs).
+_NAMES_CASES = [
+    ("anna maria schmidt", "anna;maria;schmidt", "maria", "Anna Maria Schmidt"),
+    ("van der berg, hans", "van der berg;hans", "hans", "Van Der Berg, Hans"),
+    ("S c h m i d t anna", "S;c;h;m;i;d t;anna", "c", "Schmidt Anna"),
+    ("Novak Ova", "Novak;Ova", "Novakova", "Novak Ova"),
+    ("he4ns 3maria9", "he4ns;3maria9", "3maria9", "Hens Maria"),
+]
+
+
+@query(
+    "f_split_names",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, doc_id % 5 AS s FROM documents)
+    SELECT doc_id,
+           CASE s {' '.join(f"WHEN {i} THEN '{c[1]}'" for i, c in enumerate(_NAMES_CASES))} END AS sem,
+           CASE s {' '.join(f"WHEN {i} THEN '{c[2]}'" for i, c in enumerate(_NAMES_CASES))} END AS fem,
+           CASE s {' '.join(f"WHEN {i} THEN '{c[3]}'" for i, c in enumerate(_NAMES_CASES))} END AS fixed
+    FROM g
+    """,
+)
+def f_split_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 noble-guarded separator transform, F8 limited split, F10 digit
+    strip, F11 letterspacing collapse, F12 female-suffix completion, F21
+    title casing (column_processing.py:136-200, aux_functions.py:195-332)
+    over planted names; oracle pins the goldens per selector."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    s = F.col("doc_id") % 5
+    raw = F.lit(None).cast("string")
+    for i, case in enumerate(_NAMES_CASES):
+        raw = F.when(s == i, F.lit(case[0])).otherwise(raw)
+    sem = C.to_semicolon_separators(raw)
+    parts = C.split_limited(sem)
+    p1 = F.coalesce(F.try_element_at(parts, F.lit(1)), F.lit(""))
+    p2 = F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit(""))
+    return docs.select(
+        "doc_id",
+        sem.alias("sem"),
+        C.extend_female_suffix(p1, p2).alias("fem"),
+        C.title_case(C.remove_name_spacing(C.strip_digits(raw))).alias("fixed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3/L2: repeat-group re-splitting (plain + paren-aware) and NA filtering
+# ---------------------------------------------------------------------------
+
+# (input array, plain re-split, paren-aware re-split, NA-filtered) —
+# '|'-joined goldens; empty parts from adjacent separators are kept by
+# both splitters (faithful to the reference's re.split), and the
+# paren-aware variant protects separators inside (...) / [...].
+_L_CASES = [
+    (["Alice, Blice", "Clice"], "Alice||Blice|Clice", "Alice||Blice|Clice",
+     "Alice, Blice|Clice"),
+    (["Schmidt (geb, Meyer)", "Braun"], "Schmidt|(geb||Meyer)|Braun",
+     "Schmidt|(geb, Meyer)|Braun", "Schmidt (geb, Meyer)|Braun"),
+    (["a;b", "c[d;e]f"], "a|b|c[d|e]f", "a|b|c[d;e]f", "a;b|c[d;e]f"),
+    (["solo"], "solo", "solo", "solo"),
+]
+
+
+@query(
+    "l_resplit_family",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, doc_id % 4 AS s FROM documents)
+    SELECT doc_id,
+           CASE s {' '.join(f"WHEN {i} THEN '{c[1]}'" for i, c in enumerate(_L_CASES))} END AS plain,
+           CASE s {' '.join(f"WHEN {i} THEN '{c[2]}'" for i, c in enumerate(_L_CASES))} END AS paren,
+           CASE s {' '.join(f"WHEN {i} THEN '{c[3]}'" for i, c in enumerate(_L_CASES))} END AS na_kept
+    FROM g
+    """,
+)
+def l_resplit_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 additional_splits (native flatten/split) + its paren-aware
+    Arrow variant (enc/unpacking.py:58-68 with utils.py:42-57
+    protection) + L2 filter_na over planted repeat groups; '|'-joined
+    goldens pinned in the oracle."""
+    from aroa_etl_spark.sources import unpacking as U
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    s = F.col("doc_id") % 4
+    vals = F.array().cast("array<string>")
+    for i, case in enumerate(_L_CASES):
+        vals = F.when(s == i, F.array(*[F.lit(v) for v in case[0]])).otherwise(vals)
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", U._additional_splits(vals, U.DEFAULT_SPLIT_RE)).alias("plain"),
+        F.concat_ws("|", U.split_paren_aware(vals)).alias("paren"),
+        F.concat_ws("|", U._filter_na(vals)).alias("na_kept"),
+    )

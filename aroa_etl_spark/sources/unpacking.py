@@ -20,6 +20,7 @@ The whole unpack is one ``select`` — no shuffle at all.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,9 +66,6 @@ def split_paren_aware(values: Column, split_re: str = DEFAULT_SPLIT_RE) -> Colum
     or [...] do not split. Stateful scan → Arrow pandas_udf."""
     import re as _re
 
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     pat = _re.compile(split_re)
 
     def _split_one(entry: str) -> list[str]:
@@ -90,10 +88,14 @@ def split_paren_aware(values: Column, split_re: str = DEFAULT_SPLIT_RE) -> Colum
         parts.append("".join(buf))
         return parts
 
-    @pandas_udf(T.ArrayType(T.StringType()))
+    @F.pandas_udf(T.ArrayType(T.StringType()))
     def _k(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda lst: [p for e in (lst or []) for p in _split_one(str(e).strip())]
+            lambda lst: [
+                p
+                for e in (lst if lst is not None else [])
+                for p in _split_one(str(e).strip())
+            ]
         )
 
     return _k(values)

@@ -135,3 +135,21 @@ def test_with_row_key_and_positional_join(spark):
 
     with pytest.raises(ValueError, match="length mismatch"):
         positional_join(left, right.limit(2))
+
+
+def test_split_paren_aware(spark):
+    """L3 paren-aware re-split: separators inside (...)/[...] protected;
+    null arrays yield empty lists (was latent-broken: unresolvable UDF
+    type hints + numpy truthiness on the Arrow path)."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.sources.unpacking import split_paren_aware
+
+    df = spark.createDataFrame(
+        [(["Schmidt (geb, Meyer)", "Braun"],), (["a;b", "c[d;e]f"],), (None,)],
+        "vals array<string>",
+    )
+    got = [r["s"] for r in df.select(split_paren_aware("vals").alias("s")).collect()]
+    assert got[0] == ["Schmidt", "(geb, Meyer)", "Braun"]
+    assert got[1] == ["a", "b", "c[d;e]f"]
+    assert got[2] == []
