@@ -16,10 +16,13 @@ Architecture:
   ``probe_hamming`` sign flips (the multi-probe LSH trick), then exact
   cosine ranks within candidates. Misses only vectors differing in >
   probe_hamming leading signs — the documented recall trade.
-- The IVF-style variant at 100 TB: replace sign buckets with k-means
-  centroid assignment (pyspark.ml KMeans fit on a sample, assign =
-  broadcast-join nearest centroid, probe nprobe nearest centroids).
-  Same join shape; the bucketing function is the only change.
+- ``ivf_topk``: the IVF variant — k-means centroid cells (pyspark.ml
+  KMeans fit, distributed; centroids inlined as literal arrays so
+  assignment is a pure column expression), queries probe their nprobe
+  nearest cells. Same join shape as LSH but the cells track the data
+  distribution, so recall at small nprobe is far higher (measured
+  0.60 vs 0.12 at comparable budgets on the random sf0.001 corpus);
+  nprobe = n_centroids degenerates to an exact full scan.
 
 Parameterization (measured on the sf0.01 synthetic embeddings — 500
 UNSTRUCTURED random vectors, the worst case for any LSH):
@@ -164,6 +167,102 @@ def lsh_topk(
     scored = (
         q.join(c, "__k")
         .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _sq_dist(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: (p.cast("double") - q.cast("double"))
+                   * (p.cast("double") - q.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    train_fraction: float = 1.0,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k — the 100 TB scale path
+    promised in the module header.
+
+    Coarse quantizer: pyspark.ml KMeans (distributed fit, fixed seed)
+    on ``train_fraction`` of the corpus; the learned centroids come back
+    to the driver (n_centroids × dim floats — tiny) and are inlined as
+    literal arrays, so cell assignment is a pure column expression
+    (argmin of squared distances) — no UDF, no broadcast variable, and
+    the corpus is bucketed in one projection. Queries probe their
+    ``nprobe`` nearest cells; candidates equi-join on the cell id and
+    exact cosine ranks them. ``nprobe=n_centroids`` degenerates to an
+    exact full scan (useful as a correctness oracle); small nprobe
+    trades recall for a corpus-fraction scan of roughly nprobe /
+    n_centroids.
+
+    Unlike sign-bucket LSH the cells track the DATA distribution, so
+    recall on clustered real-world embeddings is high at small nprobe;
+    size n_centroids ≈ sqrt(corpus) for balanced cells at scale.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed).fit(train)
+    cents = [
+        F.array(*[F.lit(float(v)) for v in c]) for c in model.clusterCenters()
+    ]
+
+    def dists(vec: str) -> Column:
+        return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
+
+    def assign(vec: str) -> Column:
+        d = dists(vec)
+        return F.array_position(d, F.array_min(d)).cast("int")
+
+    def probes(vec: str) -> Column:
+        # nprobe nearest cells: sort (dist, idx) structs, take the ids
+        d = dists(vec)
+        ranked = F.array_sort(
+            F.transform(
+                d, lambda v, i: F.struct(v.alias("d"), (i + 1).alias("c"))
+            )
+        )
+        return F.slice(F.transform(ranked, lambda s: s["c"]), 1, nprobe)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        assign(corpus_vec).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(probes(query_vec)).alias("__cell"),
+    )
+    scored = q.join(c, "__cell").withColumn(
+        "__cos", cosine(F.col("__qv"), F.col("__cv"))
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -465,3 +465,34 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nds").alias("total_distinct_shingles"),
         )
     )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.embedding", "c.embedding")} AS cos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 at nprobe = n_centroids, which degenerates to an exact
+    full scan — so the whole IVF machinery (distributed KMeans fit,
+    literal-centroid cell assignment, probe explode, cell equi-join)
+    runs under the SAME brute-force oracle. The recall/nprobe trade is
+    covered by tests/test_ann.py."""
+    from aroa_etl_spark.operators.ann import ivf_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=8, nprobe=8
+    )
