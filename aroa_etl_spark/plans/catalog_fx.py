@@ -25,6 +25,7 @@ aux_functions.py:11-142 (clean/QA/keyword), string_utils.py:34-205
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -780,4 +781,101 @@ def l_resplit_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", U._additional_splits(vals, U.DEFAULT_SPLIT_RE)).alias("plain"),
         F.concat_ws("|", U.split_paren_aware(vals)).alias("paren"),
         F.concat_ws("|", U._filter_na(vals)).alias("na_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/M2/M3: date-similarity kernels against an arithmetic model
+# ---------------------------------------------------------------------------
+
+_ND_SQL = "CASE WHEN {x} > 3 THEN 0.0 ELSE greatest(0.0, 100.0 - (power(5.0, {x}) - 1.0)) END"
+
+
+@query(
+    "m_date_kernels",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id,
+             1 + event_id % 28 AS da, (event_id // 28) % 13 AS ma, 1900 + event_id % 8 AS ya,
+             1 + (event_id // 3) % 28 AS db, (event_id // 5) % 13 AS mb, 1900 + (event_id // 8) % 8 AS yb
+      FROM events),
+    s AS (
+      SELECT event_id, da, ma, ya, db, mb, yb,
+             {_ND_SQL.format(x="abs(ya - yb)")} AS year_s,
+             CASE WHEN ma = 0 OR mb = 0 THEN -1.0 ELSE {_ND_SQL.format(x="abs(ma - mb)")} END AS ms,
+             {_ND_SQL.format(x="abs(da - db)")} AS ds,
+             CASE WHEN ma = 0 OR db = 0 THEN -1.0 ELSE {_ND_SQL.format(x="abs(ma - db)")} END AS ms_rev,
+             CASE WHEN da = 0 OR mb = 0 THEN -1.0 ELSE {_ND_SQL.format(x="abs(da - mb)")} END AS ds_rev
+      FROM g),
+    o AS (
+      SELECT event_id, da, ma, ya, db, mb, yb, year_s,
+             CASE WHEN ms + ds <= ms_rev + ds_rev THEN ms_rev ELSE ms END AS month_s,
+             CASE WHEN ms + ds <= ms_rev + ds_rev THEN ds_rev ELSE ds END AS day_s
+      FROM s)
+    SELECT event_id,
+           CAST({_ND_SQL.format(x="abs(ya - yb)")} AS DOUBLE) AS nd,
+           CAST(greatest(0.0,
+                100.0 - (CASE WHEN year_s  >= 0 THEN 100.0 - year_s  ELSE 0.0 END)
+                      - (CASE WHEN month_s >= 0 THEN 100.0 - month_s ELSE 0.0 END)
+                      - (CASE WHEN day_s   >= 0 THEN 100.0 - day_s   ELSE 0.0 END))
+             AS DOUBLE) AS ds,
+           CAST(least(3,
+                  (CASE WHEN da = db OR (mb > 0 AND da = mb) THEN 1 ELSE 0 END)
+                + (CASE WHEN ma > 0 AND (ma = db OR (mb > 0 AND ma = mb)) THEN 1 ELSE 0 END)
+                + (CASE WHEN ya = yb THEN 1 ELSE 0 END)) / 3.0 * 100.0
+             AS DOUBLE) AS sm
+    FROM o
+    """,
+)
+def m_date_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 number_diff + M2 date_similarity (0-part skips, day/month-swap
+    retry) + M3 simple_date_matcher (shared-part counting) — the REAL
+    Python kernels (similarity_measures.py:12-89 ports) run through an
+    Arrow pandas UDF over dates generated from event_id, checked against
+    an independent SQL arithmetic model of all three formulas."""
+    from pyspark.sql import types as ST
+
+    from aroa_etl_spark.functions.simkernels import (
+        date_similarity,
+        number_diff,
+        simple_date_matcher,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.expr("event_id div 28").alias("q28"),
+        F.expr("event_id div 3").alias("q3"),
+        F.expr("event_id div 5").alias("q5"),
+        F.expr("event_id div 8").alias("q8"),
+    )
+    eid = F.col("event_id")
+    da, ma, ya = 1 + eid % 28, F.col("q28") % 13, 1900 + eid % 8
+    db, mb, yb = 1 + F.col("q3") % 28, F.col("q5") % 13, 1900 + F.col("q8") % 8
+
+    def dotted(d, m, y):
+        return F.concat_ws(
+            ".",
+            F.lpad(d.cast("string"), 2, "0"),
+            F.lpad(m.cast("string"), 2, "0"),
+            y.cast("string"),
+        )
+
+    @F.pandas_udf(ST.DoubleType())
+    def _nd(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([number_diff(int(x), int(y)) for x, y in zip(a, b)])
+
+    @F.pandas_udf(ST.DoubleType())
+    def _ds(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([date_similarity(x, y) for x, y in zip(a, b)])
+
+    @F.pandas_udf(ST.DoubleType())
+    def _sm(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([simple_date_matcher(x, y) for x, y in zip(a, b)])
+
+    a_str, b_str = dotted(da, ma, ya), dotted(db, mb, yb)
+    return ev.select(
+        "event_id",
+        _nd(ya, yb).alias("nd"),
+        _ds(a_str, b_str).alias("ds"),
+        _sm(a_str, b_str).alias("sm"),
     )
