@@ -241,3 +241,73 @@ def attach_binary_from_ids(df: DataFrame, id_col: str = "media_id") -> DataFrame
             F.lit("fake").alias("format"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+def _fake_waveform(content: bytes, n_samples: int, channels: int) -> np.ndarray:
+    """Deterministic fake decode: float32 waveform in [-1, 1) derived
+    from sha256 of the bytes. NOT a real codec — stands in for
+    soundfile/torchaudio in this container."""
+    digest = hashlib.sha256(content or b"").digest()
+    seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    n = max(0, n_samples) * max(1, channels)
+    reps = (n + len(seed) - 1) // len(seed) if n else 1
+    flat = np.tile(seed, max(1, reps))[:n]
+    return (flat / 128.0 - 1.0).reshape(max(0, n_samples), max(1, channels))
+
+
+def decode_audio(content: bytes, meta: dict, *, strict: bool = False) -> np.ndarray:
+    """STUB — real implementation would dispatch on meta['format'] to
+    soundfile/ffmpeg. strict=True raises so callers can't mistake the
+    fake waveform for real samples."""
+    if strict:
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; "
+            "run with strict=False for the deterministic fake decoder"
+        )
+    return _fake_waveform(
+        content, int(meta.get("n_samples") or 1600), int(meta.get("channels") or 1)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Per-clip audio features via mapInPandas: byte size, duration from
+    metadata, RMS energy and absolute peak over the (fake-)decoded
+    waveform — the audio leg of the modality triple, same streaming
+    batch contract as image_features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"] if isinstance(row["meta"], dict) else (row["meta"] or {})
+                content = bytes(row["content"] or b"")
+                wave = decode_audio(content, dict(meta), strict=strict)
+                sr = int(meta.get("sample_rate") or 16000)
+                n = wave.shape[0]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_bytes": len(content),
+                        "duration_s": (n / sr) if sr else 0.0,
+                        "rms": float(np.sqrt(np.mean(wave**2))) if n else 0.0,
+                        "peak": float(np.abs(wave).max()) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -64,3 +64,41 @@ def test_video_frame_sampling_explodes_rows(spark):
     assert idx == [0, 30, 60]
     frames = {(r["media_id"], r["frame_index"]): r["frame"] for r in out}
     assert len(set(frames.values())) == 6  # every frame digest distinct
+
+
+def test_audio_features_schema_and_determinism(spark):
+    from aroa_etl_spark.operators.multimodal import (
+        AUDIO_META,
+        audio_features,
+        media_table_schema,
+    )
+
+    rows = [
+        (1, "a.wav", b"\x01\x02", {"sample_rate": 8000, "n_samples": 1600, "channels": 1, "format": "wav"}),
+        (2, "b.wav", None, {"sample_rate": 16000, "n_samples": 3200, "channels": 2, "format": "wav"}),
+    ]
+    df = spark.createDataFrame(rows, media_table_schema(AUDIO_META))
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[1]["duration_s"] == 1600 / 8000
+    assert got[2]["duration_s"] == 3200 / 16000
+    assert 0.0 <= got[1]["rms"] <= 1.0 and got[1]["peak"] <= 1.0
+    # deterministic fake decode → identical reruns
+    again = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_audio_features_strict_raises(spark):
+    import pytest
+
+    from aroa_etl_spark.operators.multimodal import (
+        AUDIO_META,
+        audio_features,
+        media_table_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a.wav", b"x", {"sample_rate": 8000, "n_samples": 10, "channels": 1, "format": "wav"})],
+        media_table_schema(AUDIO_META),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|audio codecs"):
+        audio_features(df, strict=True).collect()
