@@ -192,3 +192,94 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_neardup_candidates(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: the batch
+    operator's shingle → signature → band-bucket pipeline (pure column
+    exprs, stream-safe) feeding a watermarked STREAM-STREAM self-join on
+    the bucket key. Two documents pair if they share a band bucket and
+    arrive within ``watermark`` of each other — the event-time range
+    condition is what lets the state store expire old buckets, the only
+    bounded-state contract for near-dup detection on an unbounded
+    corpus. Candidates are verified by exact Jaccard ≥ threshold before
+    they are emitted.
+
+    Pairs are canonicalized (id_a < id_b). A pair sharing multiple band
+    buckets is emitted once per shared bucket — dedupe downstream per
+    micro-batch sink, or accept at-least-once candidate semantics (the
+    usual contract for streaming dedup feeds).
+    """
+    from aroa_etl_spark.functions.text import (
+        lsh_band_keys,
+        minhash_from,
+        shingles_from,
+        tokens,
+    )
+
+    rows = num_perm // bands
+    keyed = (
+        stream.select(
+            F.col(id_col), F.col(ts_col), tokens(text_col).alias("__t")
+        )
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_from("__sh", num_perm))
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            "__sh",
+            F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__bucket"),
+        )
+        .withWatermark(ts_col, watermark)
+    )
+
+    left = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(ts_col).alias("__ts_a"),
+        F.col("__sh").alias("__sa"),
+        "__bucket",
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(ts_col).alias("__ts_b"),
+        F.col("__sh").alias("__sb"),
+        "__bucket",
+    )
+    joined = left.join(
+        right,
+        (left["__bucket"] == right["__bucket"])
+        & (left["id_a"] < right["id_b"])
+        & (right["__ts_b"] >= left["__ts_a"] - F.expr(f"INTERVAL {watermark}"))
+        & (right["__ts_b"] <= left["__ts_a"] + F.expr(f"INTERVAL {watermark}")),
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_intersect"),
+            F.size(F.array_union("__sa", "__sb")).alias("n_union"),
+        )
+        .filter(
+            (F.col("n_union") > 0)
+            & (
+                F.col("n_intersect").cast("double") / F.col("n_union").cast("double")
+                >= F.lit(threshold)
+            )
+        )
+    )

@@ -153,3 +153,54 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     texts = sorted(r["text"] for r in spark.sql("SELECT * FROM t_dedup").collect())
     # 'same text' survives once even though its copy arrived a batch later
     assert texts == ["other text", "same text", "third text"]
+
+
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    """Stream = batch parity for MinHash-LSH near-dup candidates: the
+    watermarked stream-stream bucket self-join must find the same
+    verified pair SET as the batch operator (band-duplicate emissions
+    collapsed)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup, release_caches
+    from aroa_etl_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_parquet,
+        streaming_neardup_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, datetime.datetime(2024, 1, 1, 10, 0)),
+        (2, base + " extra", datetime.datetime(2024, 1, 1, 10, 10)),  # near-dup of 1
+        (3, "completely different content with no overlap at all here",
+         datetime.datetime(2024, 1, 1, 10, 20)),
+        (4, base, datetime.datetime(2024, 1, 1, 10, 30)),              # exact dup of 1
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(df, threshold=0.5).collect()
+    }
+    release_caches()
+    assert batch_pairs  # sanity: the planted near-dups are found
+
+    src = tmp_path / "neardup"
+    df.filter("doc_id <= 2").coalesce(1).write.parquet(str(src / "b1"))
+    df.filter("doc_id >= 3").coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet(spark, f"{src}/*", schema, max_files_per_trigger=1)
+    out = streaming_neardup_candidates(stream, threshold=0.5, watermark="2 hours")
+    run_to_memory(out, "t_neardup", output_mode="append")
+    stream_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM t_neardup").collect()
+    }
+    assert stream_pairs == batch_pairs
