@@ -332,12 +332,21 @@ def cluster_integrity(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from aroa_etl_spark.functions.simkernels import (
+            _memo_pair,
+            name_matcher,
+            name_set_matcher,
+        )
+
         def val(row: int, col: str | None) -> str:
             v = pdf.at[row, col] if col and col in pdf.columns else None
             return "" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
 
         n = len(pdf)
         pdf = pdf.reset_index(drop=True)
+        # memoized component kernels: members of one entity share names
+        # heavily, so each distinct pair scores once, not O(n²) times
+        set_m, rat_m = _memo_pair(name_set_matcher), _memo_pair(name_matcher)
         # symmetric pairwise matrix, each unordered pair scored once
         sim = [[100.0] * n for _ in range(n)]
         for i in range(n):
@@ -349,6 +358,7 @@ def cluster_integrity(
                     val(i, date_col), val(j, date_col),
                     val(i, pob_col), val(j, pob_col),
                     use_prisoner=have["p"], use_date=have["d"], use_pob=have["b"],
+                    _set_matcher=set_m, _ratio_matcher=rat_m,
                 )
                 sim[i][j] = sim[j][i] = s
         avg_links, best_links, weak_links = [], [], []
