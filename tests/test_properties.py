@@ -108,3 +108,75 @@ def test_paren_sub_preserves_bracketed_content(s):
     assert f"({s})" in out or "(" in s or ")" in s or "[" in s or "]" in s
     # outside segments got the substitution
     assert out.startswith("x_y_")
+
+
+_name_st = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzäöüß -", min_size=0, max_size=12
+)
+_field_st = st.one_of(st.none(), st.just(""), st.just("-1"), _name_st)
+
+
+@given(
+    st.lists(
+        st.tuples(_name_st, _name_st, _name_st, _name_st,
+                  _field_st, _field_st, _field_st, _field_st, _field_st, _field_st),
+        min_size=1, max_size=20,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_person_similarity_batch_equals_scalar(rows, name_only):
+    """Property: the memoized batch kernel is bit-identical to the
+    scalar blend on arbitrary (incl. empty/None/sentinel) inputs."""
+    from aroa_etl_spark.functions.simkernels import (
+        person_similarity,
+        person_similarity_batch,
+    )
+
+    cols = list(zip(*rows))
+    got = list(person_similarity_batch(*cols, name_only=name_only))
+    want = [
+        person_similarity(
+            r[0] or "", r[1] or "", r[2] or "", r[3] or "",
+            r[4], r[5], r[6], r[7], r[8], r[9], name_only=name_only,
+        )
+        for r in rows
+    ]
+    assert got == want
+
+
+_datey_st = st.one_of(
+    st.text(alphabet="0123456789.ab-", min_size=0, max_size=14),
+    st.builds(
+        lambda d, m, y: f"{d}.{m}.{y}",
+        st.integers(0, 99), st.integers(0, 99), st.integers(0, 99999),
+    ),
+)
+
+
+@given(_datey_st)
+@settings(max_examples=30, deadline=None)  # each example is a Spark job
+def test_llm_repair_shapes(s):
+    """Property: repaired output is always dd-capped/mm-capped/year-
+    windowed or one of the two sentinel shapes; packed output is always
+    8+ digits starting with a valid year token."""
+    import re
+
+    from aroa_etl_spark.functions.dates import llm_convert_date_field, llm_repair_date
+    from tests.conftest import SF_SMOKE  # noqa: F401  (fixture module import side effect)
+    from aroa_etl_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="aroa_etl_spark_tests", shuffle_partitions=8)
+    row = spark.createDataFrame([(s,)], ["d"]).select(
+        llm_repair_date("d").alias("r"), llm_convert_date_field("d").alias("p")
+    ).collect()[0]
+    r, p = row["r"], row["p"]
+    assert r in ("00000000", "0000000") or re.match(
+        r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$", r
+    ), (s, r)
+    if re.match(r"^\d{1,2}\.\d{1,2}\.\d{4}$", r):
+        dd, mm, yy = r.split(".")
+        assert int(dd) <= 31 and int(mm) <= 12
+        assert yy == "0000" or 1855 < int(yy) < 1954
+    assert re.match(r"^\d+$", p) and (p == "00000000" or p[:4] == "0000" or 1845 <= int(p[:4]) <= 1945), (s, p)
