@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from aroa_etl_spark.functions.text import (
     fingerprint,
     lsh_band_keys,
-    minhash_from,
+    minhash_from_hashes,
+    shingle_hashes,
     shingles_from,
     simhash32_from,
     token_hashes,
@@ -182,7 +183,9 @@ def minhash_lsh_dedup(
         .filter(F.size("__sh") > 0)
     )
     sig = sh.select(
-        F.col(id_col), "__sh", minhash_from("__sh", num_perm).alias("__sig")
+        F.col(id_col), "__sh", shingle_hashes("__sh").alias("__hh")
+    ).select(
+        F.col(id_col), "__sh", minhash_from_hashes("__hh", num_perm).alias("__sig")
     )
     keys = sig.select(
         F.col(id_col),

@@ -154,11 +154,16 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(base.unionByName(shuffled))
 
 
+# Universal-hash minhash mirror: same base hash, same affine rehash
+# constants, same prime — bit-identical BIGINT arithmetic both engines
+# (constants imported from functions/text.py so they cannot drift).
 _MINHASH_SQL_SIG = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{j}|'||s)))" for j in range(8)
+    f"list_min(list_transform(hh, v -> (v * {X.MINHASH_A[j]} + {X.MINHASH_B[j]}) % {X.MINHASH_P}))"
+    for j in range(8)
 )
 _MINHASH_SQL_BANDS = ", ".join(
-    f"'{b}:'||md5(sig[{2 * b + 1}]||','||sig[{2 * b + 2}])" for b in range(4)
+    f"'{b}:'||md5(sig[{2 * b + 1}]::VARCHAR||','||sig[{2 * b + 2}]::VARCHAR)"
+    for b in range(4)
 )
 
 
@@ -168,8 +173,10 @@ _MINHASH_SQL_BANDS = ", ".join(
     WITH {_DOCS_PLANTED},
     sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
            FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
-    sig AS (SELECT doc_id, sh, [{_MINHASH_SQL_SIG}] AS sig
-            FROM sh WHERE len(sh) > 0),
+    hh AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::UBIGINT::BIGINT) AS hh
+           FROM sh WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_SQL_SIG}] AS sig FROM hh),
     keys AS (SELECT doc_id, sh, unnest([{_MINHASH_SQL_BANDS}]) AS bucket FROM sig),
     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                      a.sh AS sha, b.sh AS shb

@@ -223,7 +223,8 @@ def streaming_neardup_candidates(
     """
     from aroa_etl_spark.functions.text import (
         lsh_band_keys,
-        minhash_from,
+        minhash_from_hashes,
+        shingle_hashes,
         shingles_from,
         tokens,
     )
@@ -239,7 +240,8 @@ def streaming_neardup_candidates(
             F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh"),
         )
         .filter(F.size("__sh") > 0)
-        .withColumn("__sig", minhash_from("__sh", num_perm))
+        .withColumn("__hh", shingle_hashes("__sh"))
+        .withColumn("__sig", minhash_from_hashes("__hh", num_perm))
         .select(
             F.col(id_col),
             F.col(ts_col),
