@@ -155,8 +155,9 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
 
-    shingle → md5-keyed minhash signature → band buckets → bucket
-    equi-join for candidates (id_a < id_b) → exact Jaccard ≥ threshold.
+    shingle → md5-based universal-hash minhash signature → band buckets
+    → bucket equi-join for candidates (id_a < id_b) → exact Jaccard ≥
+    threshold.
     Returns (id_a, id_b, n_intersect, n_union).
 
     ``max_bucket_size`` drops pathological buckets (boilerplate): a

@@ -193,7 +193,7 @@ _MINHASH_SQL_BANDS = ", ".join(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (8 perms, 4 bands of 2, 3-gram
     shingles, Jaccard ≥ 0.7), exact-verified. The planted drop-first-
-    token copies are the expected positives. md5-keyed minhash makes
+    token copies are the expected positives. The md5-based universal-hash minhash makes
     the signatures — and therefore the LSH buckets — byte-identical in
     the DuckDB oracle: the whole approximate pipeline is exact-checked,
     not just sampled."""
