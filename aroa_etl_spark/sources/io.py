@@ -145,3 +145,26 @@ def read_excel_via_pandas(
             "convert the sheet to CSV/Parquet instead"
         ) from e
     return spark.createDataFrame(pdf.fillna(""))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: co-locates rows by hash of
+    ``bucket_by`` at WRITE time, so downstream joins/aggregations on
+    those keys skip the shuffle entirely (both sides bucketed with the
+    same count → zero-Exchange sort-merge join). The 100 TB pattern for
+    fact-to-fact joins that repeat across jobs.
+
+    Bucketing requires ``saveAsTable`` (metastore-tracked layout);
+    plain ``.parquet(path)`` cannot carry bucket metadata."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
