@@ -232,9 +232,11 @@ def person_clustering(
     Entity ids default to the minimum member id per component —
     deterministic and computed fully distributed. ``dense_ids=True``
     renumbers entities 1..N like the reference's export
-    (person_clustering.py:280-288) via a global window; that sorts all
-    DISTINCT roots on one partition, fine up to ~10M entities, not at
-    100 TB — hence opt-in.
+    (person_clustering.py:280-288) via range-sort + zipWithIndex over
+    the distinct roots: global order comes from the range partitioner,
+    numbering is per-partition offset arithmetic — no single-partition
+    window, scales to any entity count. Opt-in because min-member ids
+    are already stable and renumbering adds a sort + an RDD pass.
     """
     edges = similarity_edges(
         df, id_col=id_col, gname_col=gname_col, lname_col=lname_col,
@@ -254,11 +256,13 @@ def person_clustering(
     ).withColumn("__root", F.coalesce("component", F.col(id_col)))
 
     if dense_ids:
-        roots = (
-            with_comp.select("__root")
-            .distinct()
-            .withColumn(entity_col, F.row_number().over(W.orderBy("__root")))
-        )
+        from aroa_etl_spark.operators.attributes import with_row_key
+
+        roots = with_row_key(
+            with_comp.select("__root").distinct().orderBy("__root"),
+            entity_col,
+            consecutive=True,  # zipWithIndex after the range sort → global order
+        ).withColumn(entity_col, F.col(entity_col) + 1)
         return with_comp.join(roots, "__root").drop("__root", "component")
     return with_comp.withColumn(entity_col, F.col("__root")).drop("__root", "component")
 

@@ -160,3 +160,21 @@ def test_cluster_integrity_stats(spark):
     avgs = [statistics.mean([twin, cross_a]), statistics.mean([twin, cross_a]), cross_a]
     assert abs(big["min_avg_link"] - min(avgs)) < 1e-9
     assert abs(big["avg_score"] - statistics.mean(avgs)) < 1e-9
+
+
+def test_person_clustering_dense_ids_distributed(spark):
+    """dense_ids renumbers entities 1..N via range-sort + zipWithIndex —
+    no single-partition window — in min-root order."""
+    from aroa_etl_spark.operators.clustering import person_clustering
+
+    df = spark.createDataFrame(
+        [(1, "anna", "schmidt"), (2, "anna", "schmidt"),
+         (7, "bob", "maier"), (9, "carl", "weber")],
+        ["person_id", "strGName_processed", "strLName_processed"],
+    )
+    out = person_clustering(
+        df, date_col=None, prisoner_col=None, pob_col=None,
+        cutoff=60.0, dense_ids=True,
+    )
+    rows = sorted((r["person_id"], r["Person_Entity_ID"]) for r in out.collect())
+    assert [r[1] for r in rows] == [1, 1, 2, 3]
