@@ -13,10 +13,11 @@ the scale path here is:
 3. Pre-cluster edges: rows sharing an identical non-empty prisoner
    number are linked unconditionally (run_clustering.py:105-110) —
    built as star edges to the group minimum (linear, not quadratic).
-4. Connected components via iterative min-label propagation with
-   localCheckpoint per round (lineage cut). Components in name-blocked
-   person graphs are small, so convergence is fast; ``max_iter`` caps
-   the worst case (SURVEY §7 risk 10).
+4. Connected components via iterative min-label propagation (fused
+   first round, partition-retaining persists, periodic lineage cuts —
+   see ``connected_components``). Components in name-blocked person
+   graphs are small, so convergence is fast; ``max_iter`` caps the
+   worst case (SURVEY §7 risk 10).
 5. ``Person_Entity_ID`` = dense rank of the component root — stable,
    deterministic (SURVEY §7 risk 3: no nondeterministic UUIDs).
 
@@ -34,7 +35,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window as W
 
 from aroa_etl_spark.functions.simkernels import person_similarity
 from aroa_etl_spark.functions.vocab import has_value

@@ -1016,6 +1016,47 @@ def enc_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.match().select("group_id", "val", "is_ambiguous")
 
 
+@query(
+    "j_salted_hot_key",
+    oracle="""
+    WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                           ELSE l_orderkey % 25 END AS k,
+                      l_quantity
+               FROM lineitem),
+    d AS (SELECT n_nationkey AS k, n_name FROM nation)
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM l JOIN d USING (k)
+    GROUP BY n_name
+    """,
+)
+def j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (scale toolkit, operators/skew.py): 80% of
+    lineitem rows collapse onto one synthetic key, the salted join
+    spreads them over 8 sub-partitions, and the oracle is the PLAIN
+    join — proving salting is row-identical while removing the hot
+    partition."""
+    from aroa_etl_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "nation"))
+    l = t["lineitem"].select(
+        F.when(F.col("l_orderkey") % 10 < 8, 0)
+        .otherwise(F.col("l_orderkey") % 25)
+        .alias("k"),
+        "l_quantity",
+    )
+    d = t["nation"].select(F.col("n_nationkey").alias("k"), "n_name")
+    return (
+        salted_join(l, d, "k", salt=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+    )
+
+
 # Training-data pipeline queries (dedup / ANN / text analysis) and the
 # §2.8 expression-library queries register themselves on import.
 from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)
