@@ -8,10 +8,13 @@ pinned cross-engine:
 
 - tokens:       whitespace split of lower(trim(text)), empties dropped
 - shingles:     sliding word n-grams joined with a single space
-- minhash:      per permutation j, min over shingles of
-                md5(j || '|' || shingle) — md5 is available and
-                byte-identical in Spark and DuckDB, so signatures are
-                deterministic across engines (no library dependency)
+- minhash:      universal-hash family — one md5 base hash per shingle
+                (first 8 hex chars), then (A_j·h + B_j) mod P per
+                permutation; md5 is byte-identical in Spark and DuckDB
+                and the affine arithmetic is overflow-free BIGINT, so
+                signatures are deterministic across engines
+- winnowing:    rolling-hash fingerprint set (window minima over the
+                shingle-hash sequence) for partial-overlap detection
 - simhash32:    32-bit SimHash over tokens; token hash = first 8 hex
                 chars of md5 as uint32, bit-majority vote
 - fingerprint:  md5 of the sorted distinct token set (the
@@ -277,3 +280,29 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
         - F.when(stopword_ratio(col, lang) < 0.01, 20).otherwise(0)
     )
     return F.greatest(score, F.lit(0)).alias("quality_score")
+
+
+def winnowing_fingerprints(sh: Column | str, window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme) over an ALREADY-COMPUTED shingle array: hash
+    every k-gram (``shingle_hashes``), slide a ``window`` over the hash
+    sequence, keep each window's minimum, dedupe. Two documents sharing
+    a sufficiently long run of text are GUARANTEED to share a
+    fingerprint (any shared run spanning window+k-1 tokens contains a
+    shared window minimum) — the partial-overlap detector that bag
+    fingerprints and minhash (whole-document similarity) don't give.
+
+    Pure column expressions; same md5 base hash as minhash, so the
+    fingerprint sets are DuckDB-oracle-checkable bit-for-bit. Documents
+    with fewer than ``window`` shingles fingerprint their single overall
+    minimum (non-empty contract mirrors the reference-free dedup family).
+    """
+    hh = shingle_hashes(sh)
+    n = F.size(hh)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hh, i, F.least(F.lit(window), n))),
+    )
+    return F.when(n <= 0, F.array().cast("array<long>")).otherwise(
+        F.array_sort(F.array_distinct(windows))
+    )

@@ -503,3 +503,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=8, nprobe=8
     )
+
+
+@query(
+    "text_winnowing",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) < 3 THEN [] ELSE {_SHINGLE3} END AS sh
+           FROM toks),
+    hh AS (SELECT doc_id,
+                  list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::UBIGINT::BIGINT) AS hh
+           FROM sh),
+    wins AS (SELECT doc_id,
+                    CASE WHEN len(hh) = 0 THEN []
+                         ELSE list_sort(list_distinct(list_transform(
+                              range(1, greatest(len(hh) - 4 + 1, 1) + 1),
+                              i -> list_min(hh[i : least(i + 3, len(hh))]))))
+                    END AS fp
+             FROM hh)
+    SELECT doc_id, array_to_string(fp, ',') AS fps
+    FROM wins
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (window 4 over 3-gram shingle
+    hashes) for partial-overlap detection — pure column exprs, oracle
+    replays the identical hash/window arithmetic. Fingerprint sets are
+    ','-joined for a hash-stable string column."""
+    from aroa_etl_spark.functions.text import winnowing_fingerprints
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # NOTE shingles stay in SEQUENCE order (no array_distinct before
+    # hashing) — winnowing windows are positional
+    out = docs.select(
+        "doc_id",
+        winnowing_fingerprints(X.shingles("text", 3), window=4).alias("fp"),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.col("fp"), lambda v: v.cast("string"))).alias("fps"),
+    )

@@ -147,3 +147,38 @@ def test_dedup_release_caches(spark):
     assert released == 3  # minhash sh + keys, simhash sh
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline
     assert dedup.release_caches() == 0
+
+
+def test_winnowing_guarantee_and_shapes(spark):
+    """Winnowing property: two docs sharing a run of ≥ window+k-1 tokens
+    share at least one fingerprint; disjoint docs share none."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.functions.text import (
+        shingles,
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens ≥ w+k-1=6
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} nine ten eleven twelve"),
+        (3, "completely different words entirely unrelated content here now"),
+        (4, "tiny doc"),  # fewer than k tokens → empty shingles → empty fps
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id",
+            winnowing_fingerprints(shingles("text", 3), window=4).alias("fp"),
+        ).collect()
+    }
+    assert out[1] & out[2], "shared run must share a fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    assert out[4] == set()
+    # deterministic across runs
+    again = df.select(
+        winnowing_fingerprints(shingles("text", 3), window=4).alias("fp")
+    ).collect()
+    assert {tuple(r["fp"]) for r in again} == {tuple(sorted(v)) for v in out.values()}
