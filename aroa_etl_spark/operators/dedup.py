@@ -219,13 +219,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    winnow_window: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join within blocks.
 
     With ``block_col`` (e.g. lang or source) pairs are generated inside
-    each block only — a bounded cross product per block via equi-join;
-    without it, the first shingle is used as the block key (docs sharing
-    their opening n-gram), keeping generation linear-ish. Returns
+    each block only — a bounded cross product per block via equi-join.
+    Without it, candidates come from shared WINNOWING fingerprints
+    (window minima over the shingle-hash sequence): any two docs
+    sharing a run of ``winnow_window``+n-1 tokens share a fingerprint,
+    so near-dups are caught regardless of where the overlap sits —
+    strictly better recall than the previous opening-n-gram key at the
+    same join shape. ``max_bucket_size`` drops boilerplate-fingerprint
+    hot buckets (the same skew guard as MinHash LSH). Returns
     (id_a, id_b, n_intersect, n_union) for Jaccard ≥ threshold.
     """
     sh = (
@@ -237,16 +244,30 @@ def ngram_jaccard_pairs(
         .select(
             F.col(id_col),
             *([F.col(block_col)] if block_col is not None else []),
-            F.array_distinct(shingles_from("__t", n)).alias("__sh"),
+            shingles_from("__t", n).alias("__sq"),  # sequence order (winnowing)
+        )
+        .select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col is not None else []),
+            "__sq",
+            F.array_distinct(F.col("__sq")).alias("__sh"),
         )
         .transform(_barrier)
     )
     if block_col is not None:
         k = sh.select(F.col(id_col), F.col(block_col).alias("__k"))
     else:
+        from aroa_etl_spark.functions.text import winnowing_fingerprints
+
         k = sh.select(
-            F.col(id_col), F.element_at(F.col("__sh"), 1).alias("__k")
-        ).filter(F.col("__k").isNotNull())
+            F.col(id_col),
+            F.explode(winnowing_fingerprints(F.col("__sq"), winnow_window)).alias("__k"),
+        )
+        if max_bucket_size is not None:
+            sizes = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__bs"))
+            k = k.join(
+                sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"), "__k"
+            )
     pairs = (
         k.select(F.col(id_col).alias("id_a"), "__k")
         .join(k.select(F.col(id_col).alias("id_b"), "__k"), "__k")

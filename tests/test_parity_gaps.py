@@ -182,3 +182,27 @@ def test_winnowing_guarantee_and_shapes(spark):
         winnowing_fingerprints(shingles("text", 3), window=4).alias("fp")
     ).collect()
     assert {tuple(r["fp"]) for r in again} == {tuple(sorted(v)) for v in out.values()}
+
+
+def test_ngram_unblocked_winnowing_catches_mid_document_overlap(spark):
+    """The unblocked fallback blocks on winnowing fingerprints: a pair
+    whose shared run sits mid-document (different opening n-grams) is
+    found — the old first-shingle key would have missed it."""
+    from aroa_etl_spark.operators.dedup import ngram_jaccard_pairs, release_caches
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique opening alpha {shared}"),
+            (2, f"different start beta gamma {shared}"),
+            (3, "total mismatch content nothing in common with the others at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.4).collect()
+    }
+    release_caches()
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
