@@ -97,71 +97,75 @@ def month_swap(day: Column | str, month: Column | str) -> Column:
 # D1: free-text date → (year, month, day, qa) columns
 # ---------------------------------------------------------------------------
 
-def normalise_date(
-    col: Column | str,
-    output_name: str,
-    timespan: tuple[int, int] = (1850, 1950),
-    data_source: str = "crowd_sourcing",
-) -> dict[str, Column]:
-    """One free-text date cell → ``{out}_year/_month/_day_cleaned`` strings
-    + ``{out}_qa`` + ``{out}_data_source`` (column_processing.py:489-766).
+# The pipeline (order preserved from the reference,
+# column_processing.py:489-766): clean → '?' QA → year-only completion
+# ('1943' → '0.0.1943') → 6/8-digit splitting → separator
+# canonicalization → age-string blanking → split day-first →
+# digit-strip → 2-digit-year century rule (≥50→18xx else 19xx) →
+# zero-pad → leading-zero canonicalization → day/month swap repair →
+# range validity → all-or-nothing completeness QA → int64 guard.
+#
+# Each stage is a small Column→Column function. `normalise_date_frame`
+# (the hot path, and the df-in/df-out shape the reference itself has)
+# applies them as CHAINED PROJECTIONS so every stage references the
+# previous stage's attribute: Catalyst's CollapseProject refuses to
+# inline a non-cheap alias referenced more than once, so the analyzed
+# tree stays linear in stage count. Composing the same stages as one
+# nested expression (`normalise_date`) multiplies the subtree by ~3 per
+# `when(cond(c), f(c)).otherwise(c)` stage — a ~10^5-node tree that
+# costs over a minute of driver-side analysis/codegen regardless of
+# data size (measured flat from sf0.001 to sf0.01).
 
-    Pipeline (order preserved from the reference): clean → '?' QA →
-    year-only completion ('1943' → '0.0.1943') → 6/8-digit splitting →
-    separator canonicalization → age-string blanking → split day-first →
-    digit-strip → 2-digit-year century rule (≥50→18xx else 19xx) →
-    zero-pad → leading-zero canonicalization → day/month swap repair →
-    range validity → all-or-nothing completeness QA → int64 guard.
-    """
-    c = clean_copy(_s(col))
-
-    qa_question = create_qa_col(c, r"\?", r"^-$|nan")
-
+_ND_PRE_STAGES = [
     # year-only dates: '1943' → '0.0.1943'
-    c = F.when(c.rlike(DIGIT_4_YEAR), F.concat(F.lit("0.0."), c)).otherwise(c)
-
+    lambda c: F.when(c.rlike(DIGIT_4_YEAR), F.concat(F.lit("0.0."), c)).otherwise(c),
     # separator-free 6/8-digit runs → separated. Deliberate divergence:
     # the reference fires this whenever the DIGIT COUNT is 6/8 even if
     # separators are present, mangling '9.4.1900' → '94;19;00'
     # (column_processing.py:543-553); we implement its stated intent
     # ("in case separators were not given") by requiring an all-digit cell.
-    c = F.when(
+    lambda c: F.when(
         c.rlike(r"^[0-9]{6}$|^[0-9]{8}$"), date_integer_separator(c)
-    ).otherwise(c)
-
+    ).otherwise(c),
     # separators → ';' (noble-guarded regex reused by the reference), collapse
-    c = F.regexp_replace(F.trim(c), NAME_SEMICOLON_TRANSFORMATION, ";")
-    c = F.regexp_replace(F.trim(c), r";{2,}", ";")
-
+    lambda c: F.regexp_replace(F.trim(c), NAME_SEMICOLON_TRANSFORMATION, ";"),
+    lambda c: F.regexp_replace(F.trim(c), r";{2,}", ";"),
     # '23 Jahre' / '45 yrs' is an age, not a date → blank
-    c = F.when(c.rlike(AGE_HINT), F.lit("")).otherwise(c)
+    lambda c: F.when(c.rlike(AGE_HINT), F.lit("")).otherwise(c),
+    # canonical '.' separators before the day-first split
+    lambda c: F.regexp_replace(F.trim(c), DATE_SPLIT, "."),
+]
 
-    # canonical '.' separators, then day-first split
-    c = F.regexp_replace(F.trim(c), DATE_SPLIT, ".")
-    parts = F.split(c, r"\.", 3)
 
-    def part(i: int) -> Column:
-        raw = F.coalesce(F.trim(F.try_element_at(parts, F.lit(i))), F.lit(""))
-        # '-' runs and any non-digit content are dropped (keeps digits only)
-        return F.regexp_replace(raw, r"[^0-9]", "")
+def _nd_part(parts: Column, i: int) -> Column:
+    raw = F.coalesce(F.trim(F.try_element_at(parts, F.lit(i))), F.lit(""))
+    # '-' runs and any non-digit content are dropped (keeps digits only)
+    return F.regexp_replace(raw, r"[^0-9]", "")
 
-    day, month, year = part(1), part(2), part(3)
 
+def _nd_year_century(year: Column) -> Column:
     # 2-digit year → century rule (birth-date flavor): ≥50 → 18xx, else 19xx
-    year = F.when(
+    return F.when(
         F.length(year) == 2,
         F.concat(F.when(year.try_cast("int") >= 50, F.lit("18")).otherwise(F.lit("19")), year),
     ).otherwise(year)
 
+
+def _nd_pad(x: Column) -> Column:
     # zero-pad single digits: '3' → '03'
-    day = F.when(F.length(day) == 1, F.concat(F.lit("0"), day)).otherwise(day)
-    month = F.when(F.length(month) == 1, F.concat(F.lit("0"), month)).otherwise(month)
+    return F.when(F.length(x) == 1, F.concat(F.lit("0"), x)).otherwise(x)
 
-    # canonicalize leading zeros: '003' → '03', '01943' → '1943'
-    day = F.regexp_replace(day, NO_DOUBLE_ZEROS_MD, "")
-    month = F.regexp_replace(month, NO_DOUBLE_ZEROS_MD, "")
-    year = F.regexp_replace(year, NO_DOUBLE_ZEROS_Y, "")
 
+def _nd_outputs(
+    day: Column,
+    month: Column,
+    year: Column,
+    qa_question: Column,
+    output_name: str,
+    timespan: tuple[int, int],
+    data_source: str,
+) -> dict[str, Column]:
+    """Final assembly from canonicalized (ideally materialized) parts."""
     # swap repair (both derived from the PRE-swap pair)
     day_c = day_swap(day, month)
     month_c = month_swap(day, month)
@@ -192,6 +196,65 @@ def normalise_date(
         f"{output_name}_qa": qa,
         f"{output_name}_data_source": F.lit(data_source),
     }
+
+
+def normalise_date_frame(
+    df,
+    col: Column | str,
+    output_name: str,
+    timespan: tuple[int, int] = (1850, 1950),
+    data_source: str = "crowd_sourcing",
+):
+    """One free-text date column → df plus ``{out}_year/_month/_day_cleaned``
+    + ``{out}_qa`` + ``{out}_data_source`` (column_processing.py:489-766;
+    pipeline documented above). THE production path: staged projections
+    keep Catalyst analysis linear; semantics identical to
+    `normalise_date`."""
+    t = f"__nd_{output_name}"
+    qaq, td, tm, ty = f"{t}_qaq", f"{t}_d", f"{t}_m", f"{t}_y"
+    df = df.withColumn(t, clean_copy(_s(col)))
+    df = df.withColumn(qaq, create_qa_col(F.col(t), r"\?", r"^-$|nan"))
+    for stage in _ND_PRE_STAGES:
+        df = df.withColumn(t, stage(F.col(t)))
+    parts = F.split(F.col(t), r"\.", 3)
+    df = df.withColumns(
+        {td: _nd_part(parts, 1), tm: _nd_part(parts, 2), ty: _nd_part(parts, 3)}
+    )
+    df = df.withColumns(
+        {
+            td: F.regexp_replace(_nd_pad(F.col(td)), NO_DOUBLE_ZEROS_MD, ""),
+            tm: F.regexp_replace(_nd_pad(F.col(tm)), NO_DOUBLE_ZEROS_MD, ""),
+            ty: F.regexp_replace(_nd_year_century(F.col(ty)), NO_DOUBLE_ZEROS_Y, ""),
+        }
+    )
+    out = _nd_outputs(
+        F.col(td), F.col(tm), F.col(ty), F.col(qaq),
+        output_name, timespan, data_source,
+    )
+    return df.withColumns(out).drop(t, qaq, td, tm, ty)
+
+
+def normalise_date(
+    col: Column | str,
+    output_name: str,
+    timespan: tuple[int, int] = (1850, 1950),
+    data_source: str = "crowd_sourcing",
+) -> dict[str, Column]:
+    """Single-expression form of `normalise_date_frame` (same stages,
+    same outputs) for composing over ad-hoc expressions. WARNING: the
+    nested tree costs >60 s of driver-side analysis regardless of row
+    count — every hot path must use `normalise_date_frame`."""
+    c = clean_copy(_s(col))
+    qa_question = create_qa_col(c, r"\?", r"^-$|nan")
+    for stage in _ND_PRE_STAGES:
+        c = stage(c)
+    parts = F.split(c, r"\.", 3)
+    day = F.regexp_replace(_nd_pad(_nd_part(parts, 1)), NO_DOUBLE_ZEROS_MD, "")
+    month = F.regexp_replace(_nd_pad(_nd_part(parts, 2)), NO_DOUBLE_ZEROS_MD, "")
+    year = F.regexp_replace(
+        _nd_year_century(_nd_part(parts, 3)), NO_DOUBLE_ZEROS_Y, ""
+    )
+    return _nd_outputs(day, month, year, qa_question, output_name, timespan, data_source)
 
 
 # ---------------------------------------------------------------------------

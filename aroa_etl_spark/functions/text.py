@@ -282,22 +282,17 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
     return F.greatest(score, F.lit(0)).alias("quality_score")
 
 
-def winnowing_fingerprints(sh: Column | str, window: int = 4) -> Column:
-    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
-    rolling-hash scheme) over an ALREADY-COMPUTED shingle array: hash
-    every k-gram (``shingle_hashes``), slide a ``window`` over the hash
-    sequence, keep each window's minimum, dedupe. Two documents sharing
-    a sufficiently long run of text are GUARANTEED to share a
-    fingerprint (any shared run spanning window+k-1 tokens contains a
-    shared window minimum) — the partial-overlap detector that bag
-    fingerprints and minhash (whole-document similarity) don't give.
+def winnowing_from_hashes(hh: Column | str, window: int = 4) -> Column:
+    """Window-minimum winnowing over an ALREADY-MATERIALIZED hash array.
 
-    Pure column expressions; same md5 base hash as minhash, so the
-    fingerprint sets are DuckDB-oracle-checkable bit-for-bit. Documents
-    with fewer than ``window`` shingles fingerprint their single overall
-    minimum (non-empty contract mirrors the reference-free dedup family).
+    ``hh`` must be a plain column reference (an attribute produced by a
+    previous projection), NOT a composed expression: the hash array is
+    referenced inside the per-window lambda, and Spark re-evaluates
+    non-attribute subtrees on every lambda invocation (O(n²) runtime)
+    while Catalyst duplicates them per reference (exploding analysis
+    time). `with_winnowing_fingerprints` sets the projection up right.
     """
-    hh = shingle_hashes(sh)
+    hh = F.col(hh) if isinstance(hh, str) else hh
     n = F.size(hh)
     windows = F.transform(
         F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
@@ -306,3 +301,43 @@ def winnowing_fingerprints(sh: Column | str, window: int = 4) -> Column:
     return F.when(n <= 0, F.array().cast("array<long>")).otherwise(
         F.array_sort(F.array_distinct(windows))
     )
+
+
+def with_winnowing_fingerprints(
+    df, sh: Column | str, out_col: str, window: int = 4
+):
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme) over a shingle array: hash every k-gram
+    (``shingle_hashes``), slide a ``window`` over the hash sequence,
+    keep each window's minimum, dedupe. Two documents sharing a
+    sufficiently long run of text are GUARANTEED to share a fingerprint
+    (any shared run spanning window+k-1 tokens contains a shared window
+    minimum) — the partial-overlap detector that bag fingerprints and
+    minhash (whole-document similarity) don't give.
+
+    Frame-level on purpose: the hash array is materialized as its own
+    projection before the window pass. Because the window expression
+    references that non-cheap alias several times, Catalyst's
+    CollapseProject keeps the projections separate — hashes are computed
+    once per row, and the analyzed tree stays small. (The previous
+    single-expression form re-embedded the md5 subtree inside the window
+    lambda: ~45 s of driver-side analysis/codegen per query, flat in
+    data size.)
+
+    Same md5 base hash as minhash, so the fingerprint sets are
+    DuckDB-oracle-checkable bit-for-bit. Documents with fewer than
+    ``window`` shingles fingerprint their single overall minimum
+    (non-empty contract mirrors the reference-free dedup family).
+    """
+    tmp = f"__wf_hh_{out_col}"
+    df = df.withColumn(tmp, shingle_hashes(sh))
+    return df.withColumn(out_col, winnowing_from_hashes(tmp, window)).drop(tmp)
+
+
+def winnowing_fingerprints(sh: Column | str, window: int = 4) -> Column:
+    """Single-expression winnowing (see `with_winnowing_fingerprints`
+    for semantics). ONLY for ad-hoc use on tiny data: composing the
+    hash subtree into the window lambda costs ~45 s of driver-side
+    analysis regardless of row count. Every hot path must go through
+    `with_winnowing_fingerprints`."""
+    return winnowing_from_hashes(shingle_hashes(sh), window)

@@ -363,15 +363,34 @@ def process_unpacked_data(
                 timespan=timespan, dropdown=False, data_source=data_source,
             )
         )
+    # raw (free-text) dates run through the STAGED normalise_date_frame
+    # after the main projection — the nested-expression form costs
+    # minutes of Catalyst analysis per column (see functions/dates.py).
+    # A temp passthrough carries the source; `order` records where the
+    # family's columns belong in the final layout.
+    order = list(out.keys())
     for c in roles.raw_date:
-        out.update(dt.normalise_date(s(c), c, timespan=timespan, data_source=data_source))
+        out[f"__ndsrc_{c}"] = s(c)
+        order += [
+            f"{c}_year_cleaned",
+            f"{c}_month_cleaned",
+            f"{c}_day_cleaned",
+            f"{c}_qa",
+            f"{c}_data_source",
+        ]
     for c in roles.location + roles.nationality + roles.other:
-        out.update(default_processor(s(c), c, data_source=data_source))
+        fam = default_processor(s(c), c, data_source=data_source)
+        out.update(fam)
+        order += list(fam.keys())
 
+    res = df.select(*[v.alias(k) for k, v in out.items()])
+    for c in roles.raw_date:
+        res = dt.normalise_date_frame(
+            res, f"__ndsrc_{c}", c, timespan=timespan, data_source=data_source
+        )
     if not include_data_source:
-        out = {k: v for k, v in out.items() if "data_source" not in k}
-
-    return df.select(*[v.alias(k) for k, v in out.items()])
+        order = [k for k in order if "data_source" not in k]
+    return res.select(*order)
 
 
 def prune_empty_split_cols(df: DataFrame, split_limit: int = 5) -> DataFrame:

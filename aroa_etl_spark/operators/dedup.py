@@ -257,12 +257,11 @@ def ngram_jaccard_pairs(
     if block_col is not None:
         k = sh.select(F.col(id_col), F.col(block_col).alias("__k"))
     else:
-        from aroa_etl_spark.functions.text import winnowing_fingerprints
+        from aroa_etl_spark.functions.text import with_winnowing_fingerprints
 
-        k = sh.select(
-            F.col(id_col),
-            F.explode(winnowing_fingerprints(F.col("__sq"), winnow_window)).alias("__k"),
-        )
+        k = with_winnowing_fingerprints(
+            sh.select(F.col(id_col), "__sq"), "__sq", "__wfp", window=winnow_window
+        ).select(F.col(id_col), F.explode("__wfp").alias("__k"))
         if max_bucket_size is not None:
             sizes = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__bs"))
             k = k.join(

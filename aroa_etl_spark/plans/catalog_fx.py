@@ -292,13 +292,15 @@ def d_normalise_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ysel == 2, F.lit("0"))
         .otherwise(F.lit("-"))
     )
-    fam = D.normalise_date(F.concat_ws(".", d_raw, m_raw, y_raw), "dob")
-    return ev.select(
+    gen = ev.select(
+        "event_id", F.concat_ws(".", d_raw, m_raw, y_raw).alias("__dob_raw")
+    )
+    return D.normalise_date_frame(gen, "__dob_raw", "dob").select(
         "event_id",
-        fam["dob_year_cleaned"].alias("year_c"),
-        fam["dob_month_cleaned"].alias("month_c"),
-        fam["dob_day_cleaned"].alias("day_c"),
-        fam["dob_qa"].alias("qa"),
+        F.col("dob_year_cleaned").alias("year_c"),
+        F.col("dob_month_cleaned").alias("month_c"),
+        F.col("dob_day_cleaned").alias("day_c"),
+        F.col("dob_qa").alias("qa"),
     )
 
 

@@ -531,15 +531,17 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes) for partial-overlap detection — pure column exprs, oracle
     replays the identical hash/window arithmetic. Fingerprint sets are
     ','-joined for a hash-stable string column."""
-    from aroa_etl_spark.functions.text import winnowing_fingerprints
+    from aroa_etl_spark.functions.text import with_winnowing_fingerprints
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # NOTE shingles stay in SEQUENCE order (no array_distinct before
     # hashing) — winnowing windows are positional
-    out = docs.select(
-        "doc_id",
-        winnowing_fingerprints(X.shingles("text", 3), window=4).alias("fp"),
-    )
+    out = with_winnowing_fingerprints(
+        docs.select("doc_id", X.shingles("text", 3).alias("__sh")),
+        "__sh",
+        "fp",
+        window=4,
+    ).drop("__sh")
     return out.select(
         "doc_id",
         F.concat_ws(",", F.transform(F.col("fp"), lambda v: v.cast("string"))).alias("fps"),

@@ -193,8 +193,11 @@ def test_normalise_date_full(spark):
         [("9.4.1900",), ("1943",), ("01021930",), ("23 Jahre",), ("1.13.44",), (None,)],
         ["dob"],
     )
-    cols = D.normalise_date("dob", "birthdate", timespan=(1850, 1950))
-    out = df.select(*[v.alias(k) for k, v in cols.items()]).collect()
+    out = (
+        D.normalise_date_frame(df, "dob", "birthdate", timespan=(1850, 1950))
+        .drop("dob")
+        .collect()
+    )
 
     r = out[0]  # 9.4.1900 (day-first)
     assert (r.birthdate_year_cleaned, r.birthdate_month_cleaned, r.birthdate_day_cleaned) == (

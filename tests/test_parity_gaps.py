@@ -156,7 +156,7 @@ def test_winnowing_guarantee_and_shapes(spark):
 
     from aroa_etl_spark.functions.text import (
         shingles,
-        winnowing_fingerprints,
+        with_winnowing_fingerprints,
     )
 
     shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens ≥ w+k-1=6
@@ -167,20 +167,15 @@ def test_winnowing_guarantee_and_shapes(spark):
         (4, "tiny doc"),  # fewer than k tokens → empty shingles → empty fps
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    out = {
-        r["doc_id"]: set(r["fp"])
-        for r in df.select(
-            "doc_id",
-            winnowing_fingerprints(shingles("text", 3), window=4).alias("fp"),
-        ).collect()
-    }
+    fp_df = with_winnowing_fingerprints(
+        df.select("doc_id", shingles("text", 3).alias("__sh")), "__sh", "fp", window=4
+    ).select("doc_id", "fp")
+    out = {r["doc_id"]: set(r["fp"]) for r in fp_df.collect()}
     assert out[1] & out[2], "shared run must share a fingerprint"
     assert not (out[1] & out[3]) and not (out[2] & out[3])
     assert out[4] == set()
     # deterministic across runs
-    again = df.select(
-        winnowing_fingerprints(shingles("text", 3), window=4).alias("fp")
-    ).collect()
+    again = fp_df.select("fp").collect()
     assert {tuple(r["fp"]) for r in again} == {tuple(sorted(v)) for v in out.values()}
 
 
