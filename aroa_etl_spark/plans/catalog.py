@@ -1061,6 +1061,7 @@ def j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.8 expression-library queries register themselves on import.
 from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)
 from aroa_etl_spark.plans import catalog_fx  # noqa: E402,F401  (registration side effect)
+from aroa_etl_spark.plans import catalog_st  # noqa: E402,F401  (registration side effect)
 
 # Extra bench headliners: the training-data-pipeline kernels (JVM-native
 # dedup/text/ANN paths; person-matching/clustering are excluded — their
