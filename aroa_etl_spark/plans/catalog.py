@@ -1062,6 +1062,7 @@ def j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 from aroa_etl_spark.plans import catalog_tdp  # noqa: E402,F401  (registration side effect)
 from aroa_etl_spark.plans import catalog_fx  # noqa: E402,F401  (registration side effect)
 from aroa_etl_spark.plans import catalog_st  # noqa: E402,F401  (registration side effect)
+from aroa_etl_spark.plans import catalog_mm  # noqa: E402,F401  (registration side effect)
 
 # Extra bench headliners: the training-data-pipeline kernels (JVM-native
 # dedup/text/ANN paths; person-matching/clustering are excluded — their

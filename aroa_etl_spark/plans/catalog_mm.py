@@ -1,0 +1,157 @@
+"""Driver-checkable catalog entries for the multimodal surface (S8).
+
+The codecs are declared stubs (media libraries aren't in this
+container: operators/multimodal.py), but the stub decode is a
+DETERMINISTIC function of the blob bytes — sha256-tiled pixels /
+waveform — so the real Spark-side plumbing (binary columns, typed meta
+structs, Arrow-batched mapInPandas kernels, 1-row→k-rows frame
+explosion) is oracle-checkable end to end: DuckDB replays the digest
+arithmetic with its own sha256().
+
+Media are synthesized from the documents table (media_id = doc_id,
+content = UTF-8 bytes of text, meta from doc_id arithmetic) — both
+engines derive identical blobs, no fixture files needed.
+
+Features whose repr is not SQL-reachable stay pytest-pinned instead of
+weakening the kernel: image phash (sha256 over a raw BLOB — DuckDB's
+sha256 is VARCHAR-only) and audio rms (float32 accumulation order).
+n_bytes / mean_intensity / aspect_ratio / duration_s / peak are exact
+dyadic or integer arithmetic — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.plans.catalog import query
+from aroa_etl_spark.session import load_tables
+
+# DuckDB mirror of _fake_pixels/_fake_waveform's seed: the 32 sha256
+# digest bytes of the blob (== sha256 of the UTF-8 text) as BIGINTs.
+_SQL_DIGEST = (
+    "list_transform(range(1, 33), i -> ('0x'||substr(sha256(text), 2*i-1, 2))::BIGINT)"
+)
+
+
+def _image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://img/"), F.col("doc_id")).alias("uri"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("width"),
+            (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_image_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, 3 AS c
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h,
+             octet_length(encode(text)) AS n_bytes,
+             w * h * c AS n,
+             {_SQL_DIGEST} AS d
+      FROM m)
+    SELECT media_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           (CAST((n // 32) * CAST(list_sum(d) AS BIGINT) AS BIGINT)
+            + CAST(COALESCE(CASE WHEN n % 32 = 0 THEN 0
+                                 ELSE list_sum(d[1 : n % 32]) END, 0) AS BIGINT)
+           )::DOUBLE / n AS mean_intensity,
+           w::DOUBLE / h AS aspect_ratio
+    FROM px
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 image leg: binary content + typed meta → Arrow-batched
+    mapInPandas feature kernel (operators/multimodal.py:133). The oracle
+    recomputes mean intensity from the sha256-tiled fake pixels:
+    floor-division tiling of the 32 digest bytes to width*height*channels,
+    exact integer sums, one final double division — bit-identical."""
+    from aroa_etl_spark.operators.multimodal import image_features
+
+    return image_features(_image_media(spark, sf_dir)).select(
+        "media_id", "n_bytes", "mean_intensity", "aspect_ratio"
+    )
+
+
+@query(
+    "mm_audio_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             8000 + (doc_id % 3) * 4000 AS sr,
+             1000 + doc_id % 500 AS ns
+      FROM documents)
+    SELECT media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ns::DOUBLE / sr AS duration_s,
+           list_max(list_transform({_SQL_DIGEST}, b -> abs(b / 128.0 - 1.0))) AS peak
+    FROM m
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 audio leg: same mapInPandas contract
+    (operators/multimodal.py:287). duration is integer-ratio arithmetic;
+    peak is exact because b/128 is dyadic (float32 == float64 == DuckDB
+    DOUBLE for every uint8 b), and n_samples*channels ≥ 32 guarantees
+    every digest byte appears in the tiled waveform. rms stays
+    pytest-pinned (float32 accumulation has no SQL repr)."""
+    from aroa_etl_spark.operators.multimodal import audio_features
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://aud/"), F.col("doc_id")).alias("uri"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("int").alias("sample_rate"),
+            (F.lit(1000) + F.col("doc_id") % 500).cast("long").alias("n_samples"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("channels"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    return audio_features(media).select("media_id", "n_bytes", "duration_s", "peak")
+
+
+@query(
+    "mm_video_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, 10 + doc_id % 120, 30)) AS BIGINT) AS frame_index
+    FROM documents
+    """,
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 video leg: the 1-row→k-rows frame-sampling explosion contract
+    (operators/multimodal.py:205) — every 30th frame index of an
+    n_frames = 10 + doc_id % 120 clip. Frame bytes are hash-derived
+    fakes and excluded from the projection (BLOB repr is not
+    oracle-reachable); the row-explosion shape is the contract under
+    test."""
+    from aroa_etl_spark.operators.multimodal import sample_video_frames
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://vid/"), F.col("doc_id")).alias("uri"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            F.lit(24.0).alias("fps"),
+            (F.lit(10) + F.col("doc_id") % 120).cast("long").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    return sample_video_frames(media, every_n=30).select("media_id", "frame_index")
