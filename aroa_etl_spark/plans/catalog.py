@@ -277,14 +277,19 @@ def a8_multi_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
 )
 def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join + agg (reference J1: raw rows ⋈ consensus rows,
-    enc/deduplication.py:100). Customer side is broadcast-eligible."""
+    enc/deduplication.py:100). Customer side is broadcast-eligible.
+
+    This was the round-1 "canary" kept in exact-decimal output style; at
+    sf0.1 one segment's sum landed on trailing-zero cents and the repr
+    hypothesis (VERDICT finding 2) was confirmed, so it now uses the
+    same DOUBLE output boundary as every other money metric."""
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     return (
         t["orders"]
@@ -292,7 +297,7 @@ def j1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            sum2(d2("o_totalprice"), "total_price"),
+            dsum(d2("o_totalprice"), "total_price"),
         )
     )
 
