@@ -312,10 +312,14 @@ def cluster_integrity(
     Users tune the clustering cutoff on these: a low ``min_single_link``
     flags a member with no good link to anyone (likely over-merge).
 
-    Scale shape: one shuffle on ``entity_col``; the O(n²) pairwise loop
-    runs inside applyInPandas per entity — entities from name-blocked
-    clustering are small (bounded by block size), so the quadratic term
-    is bounded per group, never global.
+    Scale shape: one shuffle on ``entity_col``; pairwise work runs
+    inside applyInPandas per entity, compressed to UNIQUE field profiles
+    first — members with identical (name, date, …) tuples are
+    interchangeable to the similarity kernel, so the matrix is u×u over
+    unique profiles with multiplicity-weighted leave-one-out stats
+    (exactly equal to the O(n²) member loop). Clustered entities are
+    name-alike by construction, so u ≪ n is the common case; the
+    quadratic term is bounded per group, never global.
     """
     have = {
         "d": bool(date_col and date_col in df.columns),
@@ -342,45 +346,73 @@ def cluster_integrity(
             name_set_matcher,
         )
 
+        n = len(pdf)
+        pdf = pdf.reset_index(drop=True)
+
         def val(row: int, col: str | None) -> str:
             v = pdf.at[row, col] if col and col in pdf.columns else None
             return "" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
 
-        n = len(pdf)
-        pdf = pdf.reset_index(drop=True)
-        # memoized component kernels: members of one entity share names
-        # heavily, so each distinct pair scores once, not O(n²) times
+        # compress to unique field profiles with multiplicities: the
+        # kernel sees only these tuples, so members sharing a profile are
+        # interchangeable and u×u work replaces n×n.
+        counts: dict[tuple[str, str, str, str, str], int] = {}
+        for i in range(n):
+            prof = (val(i, lname_col), val(i, gname_col), val(i, prisoner_col),
+                    val(i, date_col), val(i, pob_col))
+            counts[prof] = counts.get(prof, 0) + 1
+        profs = list(counts)
+        mult = [counts[p] for p in profs]
+        u = len(profs)
+
         set_m, rat_m = _memo_pair(name_set_matcher), _memo_pair(name_matcher)
-        # symmetric pairwise matrix, each unordered pair scored once
-        sim = [[100.0] * n for _ in range(n)]
-        for i in range(n):
-            for j in range(i + 1, n):
-                s = person_similarity(
-                    val(i, lname_col), val(j, lname_col),
-                    val(i, gname_col), val(j, gname_col),
-                    val(i, prisoner_col), val(j, prisoner_col),
-                    val(i, date_col), val(j, date_col),
-                    val(i, pob_col), val(j, pob_col),
-                    use_prisoner=have["p"], use_date=have["d"], use_pob=have["b"],
-                    _set_matcher=set_m, _ratio_matcher=rat_m,
-                )
-                sim[i][j] = sim[j][i] = s
-        avg_links, best_links, weak_links = [], [], []
-        for i in range(n):
-            others = [sim[i][j] for j in range(n) if j != i]
-            if not others:  # singleton: leave-one-out vs empty → 100
-                others = [100.0]
-            avg_links.append(sum(others) / len(others))
-            best_links.append(max(others))
-            weak_links.append(min(others))
+
+        def kernel(a, b) -> float:
+            return person_similarity(
+                a[0], b[0], a[1], b[1], a[2], b[2], a[3], b[3], a[4], b[4],
+                use_prisoner=have["p"], use_date=have["d"], use_pob=have["b"],
+                _set_matcher=set_m, _ratio_matcher=rat_m,
+            )
+
+        # u×u symmetric matrix INCLUDING the diagonal: sim[a][a] is the
+        # score between two distinct members with identical profiles
+        # (it is not 100 by fiat — the kernel decides).
+        sim = [[0.0] * u for _ in range(u)]
+        for i in range(u):
+            sim[i][i] = kernel(profs[i], profs[i])
+            for j in range(i + 1, u):
+                sim[i][j] = sim[j][i] = kernel(profs[i], profs[j])
+
+        # leave-one-out stats per profile, weighted by multiplicity —
+        # identical member-for-member to the expanded pairwise loop.
+        avg_sum = 0.0
+        min_avg = min_best = min_weak = float("inf")
+        for a in range(u):
+            tot, best, weak = 0.0, -float("inf"), float("inf")
+            for b in range(u):
+                m = mult[b] - (1 if b == a else 0)
+                if m <= 0:
+                    continue
+                s = sim[a][b]
+                tot += m * s
+                best = max(best, s)
+                weak = min(weak, s)
+            if n == 1:  # singleton: leave-one-out vs empty → 100
+                avg = best = weak = 100.0
+            else:
+                avg = tot / (n - 1)
+            avg_sum += mult[a] * avg
+            min_avg = min(min_avg, avg)
+            min_best = min(min_best, best)
+            min_weak = min(min_weak, weak)
         return pd.DataFrame(
             {
                 entity_col: [pdf.at[0, entity_col]],
                 "n_members": [n],
-                "avg_score": [sum(avg_links) / len(avg_links)],
-                "min_avg_link": [min(avg_links)],
-                "min_single_link": [min(best_links)],
-                "min_max_link": [min(weak_links)],
+                "avg_score": [avg_sum / n],
+                "min_avg_link": [min_avg],
+                "min_single_link": [min_best],
+                "min_max_link": [min_weak],
             }
         )
 

@@ -53,13 +53,16 @@ def _block_keys(name_col: Column, n_chars: int, len_band: int) -> Column:
     )
 
 
-def _explode_keys(
-    df: DataFrame, id_col: str, name_col: str, n_chars: int, len_band: int, out: str
-) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.explode(_block_keys(F.col(name_col), n_chars, len_band)).alias(out),
-    ).distinct()
+def _combined_keys(gname_col: Column, lname_col: Column, n_chars: int, len_band: int) -> Column:
+    """Cross product of fname block keys × lname block keys, packed into
+    one string key. A pair of rows shares ≥1 fname key AND ≥1 lname key
+    iff it shares ≥1 combined key — so ONE equi-join on this key computes
+    the fname-bucket ∩ lname-bucket intersection directly."""
+    fk = _block_keys(gname_col, n_chars, len_band)
+    lk = _block_keys(lname_col, n_chars, len_band)
+    return F.array_distinct(
+        F.flatten(F.transform(fk, lambda f: F.transform(lk, lambda l: F.concat_ws("&", f, l))))
+    )
 
 
 def candidate_pairs(
@@ -75,15 +78,28 @@ def candidate_pairs(
     len_band: int = 4,
 ) -> DataFrame:
     """(srcID, trgID) pairs sharing a first-name block AND a last-name
-    block — the reference's fname-bucket ∩ lname-bucket (matching.py:61)."""
-    sf = _explode_keys(src, src_id, src_gname, n_chars, len_band, "k")
-    tf = _explode_keys(trg, trg_id, trg_gname, n_chars, len_band, "k")
-    sl = _explode_keys(src, src_id, src_lname, n_chars, len_band, "k")
-    tl = _explode_keys(trg, trg_id, trg_lname, n_chars, len_band, "k")
+    block — the reference's fname-bucket ∩ lname-bucket (matching.py:61).
 
-    fpairs = sf.join(tf, "k").select(src_id, trg_id).distinct()
-    lpairs = sl.join(tl, "k").select(src_id, trg_id).distinct()
-    return fpairs.join(lpairs, [src_id, trg_id], "left_semi")
+    Implemented as ONE shuffle join on the combined (fname-key, lname-key)
+    product key, not two single-field joins intersected: the single-field
+    joins materialize every same-prefix pair (the fname join alone at
+    sf0.1 is ~13× the final intersection), while the combined join's
+    output IS the intersection. Per-row key fan-out is |fname tokens| ×
+    |lname tokens| (≤ ~9 for real names) — cheap against the saved
+    shuffle, and strictly fewer pairs at any scale."""
+    s = src.select(
+        F.col(src_id),
+        F.explode(
+            _combined_keys(F.col(src_gname), F.col(src_lname), n_chars, len_band)
+        ).alias("k"),
+    ).distinct()
+    t = trg.select(
+        F.col(trg_id),
+        F.explode(
+            _combined_keys(F.col(trg_gname), F.col(trg_lname), n_chars, len_band)
+        ).alias("k"),
+    ).distinct()
+    return s.join(t, "k").select(src_id, trg_id).distinct()
 
 
 def _score_udf(name_only: bool, use_prisoner: bool, use_date: bool, use_pob: bool,
