@@ -224,9 +224,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join within blocks.
 
-    With ``block_col`` (e.g. lang or source) pairs are generated inside
-    each block only — a bounded cross product per block via equi-join.
-    Without it, candidates come from shared WINNOWING fingerprints
+    With ``block_col`` (e.g. lang or source) pairs come from an
+    inverted-index join on (block, shingle) — only docs sharing a
+    shingle inside a block pair up, and the intersection size is a
+    map-side-combinable count (``threshold == 0`` falls back to the
+    bounded per-block cross product, since zero-overlap pairs must then
+    appear). Without it, candidates come from shared WINNOWING fingerprints
     (window minima over the shingle-hash sequence): any two docs
     sharing a run of ``winnow_window``+n-1 tokens share a fingerprint,
     so near-dups are caught regardless of where the overlap sits —
@@ -254,7 +257,46 @@ def ngram_jaccard_pairs(
         )
         .transform(_barrier)
     )
+    if block_col is not None and threshold > 0:
+        # Inverted-index join: explode distinct shingles and equi-join on
+        # (block, shingle); n_intersect falls out of a map-side-combinable
+        # count and n_union from precomputed set sizes. Only pairs sharing
+        # ≥1 shingle are ever materialized — output-sensitive, unlike the
+        # all-pairs-per-block shape, whose quadratic candidate list is a
+        # scale-killer on large blocks. Jaccard ≥ threshold > 0 implies a
+        # shared shingle, so the result set is identical.
+        ex = sh.select(
+            F.col(id_col), F.col(block_col).alias("__b"), F.explode("__sh").alias("__s")
+        )
+        sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+        inter = (
+            ex.select(F.col(id_col).alias("id_a"), "__b", "__s")
+            .join(
+                ex.select(F.col(id_col).alias("id_b"), "__b", "__s"),
+                ["__b", "__s"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_intersect"))
+        )
+        return (
+            inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__za")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__zb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.col("n_intersect"),
+                (F.col("__za") + F.col("__zb") - F.col("n_intersect")).alias("n_union"),
+            )
+            .filter(
+                F.col("n_intersect").cast("double") / F.col("n_union").cast("double")
+                >= F.lit(threshold)
+            )
+        )
     if block_col is not None:
+        # threshold == 0: every in-block pair with a non-empty union must
+        # appear, including zero-intersection ones — the inverted index
+        # can't see those, so fall back to the bounded block cross product.
         k = sh.select(F.col(id_col), F.col(block_col).alias("__k"))
     else:
         from aroa_etl_spark.functions.text import with_winnowing_fingerprints

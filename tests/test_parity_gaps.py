@@ -201,3 +201,40 @@ def test_ngram_unblocked_winnowing_catches_mid_document_overlap(spark):
     release_caches()
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_ngram_blocked_inverted_index_vs_brute_force(spark):
+    """The blocked path (inverted-index join) must equal a brute-force
+    per-block all-pairs Jaccard, including n_intersect/n_union values."""
+    from aroa_etl_spark.operators.dedup import ngram_jaccard_pairs, release_caches
+
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over a sleepy dog"),
+        (3, "a", "completely different words appear here only once ever"),
+        (4, "b", "the quick brown fox jumps over the lazy dog"),  # other block
+        (5, "b", "the quick brown fox jumps over the lazy dog today"),
+        (6, "b", ""),  # empty doc: no shingles, must never pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_intersect"], r["n_union"])
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.3, block_col="source"
+        ).collect()
+    }
+    release_caches()
+
+    def sh3(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i, bi, ti in rows:
+        for j, bj, tj in rows:
+            if i < j and bi == bj:
+                a, b = sh3(ti), sh3(tj)
+                u = len(a | b)
+                if u > 0 and len(a & b) / u >= 0.3:
+                    want[(i, j)] = (len(a & b), u)
+    assert got == want
