@@ -428,6 +428,25 @@ def _success(value, n_entries: int, no_values_is_a_match: bool) -> bool:
     return ok
 
 
+def _grouped_rows(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Pack each group's rows into a single ``array<struct>`` cell.
+
+    Batch layout for the consensus kernels: one output row per group
+    means ``groupBy().applyInPandas`` pays a Python call and a pandas
+    DataFrame construction PER GROUP — measured ~60% of the full
+    consensus wall time at sf0.1 with a no-op kernel. Collecting each
+    group's rows JVM-side (one shuffle with map-side partial aggregation,
+    same as applyInPandas) and feeding ``mapInPandas`` lets one Python
+    call process thousands of groups per Arrow batch. ``collect_list``
+    keeps null field values because the struct wrapper itself is
+    non-null.
+    """
+    uniq = list(dict.fromkeys(cols))
+    return df.groupBy(id_col).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in uniq])).alias("__rows")
+    )
+
+
 class EncMatcher:
     """Binds ColMatchers to columns and executes the grouped consensus.
 
@@ -493,28 +512,31 @@ class EncMatcher:
             + [T.StructField(f"n_entries_{c}", T.IntegerType()) for c in cols]
         )
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            row: dict = {id_col: pdf[id_col].iloc[0]}
-            ambiguous = []
-            for c in cols:
-                vals = pdf[c].tolist()
-                n_entries = sum(1 for v in vals if not _is_empty_value(v))
-                matched = matchers[c](vals)
-                if isinstance(matched, list):  # pipeline ended on a list
-                    matched = None
-                row[c] = matched
-                row[f"n_entries_{c}"] = n_entries
-                if not _success(matched, n_entries, no_values_is_a_match):
-                    ambiguous.append(c)
-            for c in ambiguous:
-                row[c] = "?"
-            row["is_ambiguous"] = bool(ambiguous)
-            row["ambiguous_columns"] = ", ".join(ambiguous)
-            return pd.DataFrame([row])
+        def kernel(batches):
+            for pdf in batches:
+                out = []
+                for gid, rows in zip(pdf[id_col], pdf["__rows"]):
+                    row: dict = {id_col: gid}
+                    ambiguous = []
+                    for c in cols:
+                        vals = [r[c] for r in rows]
+                        n_entries = sum(1 for v in vals if not _is_empty_value(v))
+                        matched = matchers[c](vals)
+                        if isinstance(matched, list):  # pipeline ended on a list
+                            matched = None
+                        row[c] = matched
+                        row[f"n_entries_{c}"] = n_entries
+                        if not _success(matched, n_entries, no_values_is_a_match):
+                            ambiguous.append(c)
+                    for c in ambiguous:
+                        row[c] = "?"
+                    row["is_ambiguous"] = bool(ambiguous)
+                    row["ambiguous_columns"] = ", ".join(ambiguous)
+                    out.append(row)
+                if out:
+                    yield pd.DataFrame(out)
 
-        self._result = (
-            self.df.groupBy(id_col).applyInPandas(kernel, schema)
-        )
+        self._result = _grouped_rows(self.df, id_col, cols).mapInPandas(kernel, schema)
         return self._result
 
     def stats(self) -> DataFrame:
@@ -708,51 +730,58 @@ class ENCDeduplicater:
 
         has_person = bool(self.person_cols)
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            doc_id = pdf[id_col].iloc[0]
-            row: dict = {id_col: str(doc_id)}
-            ambiguous = []
-            matched_vals: dict[str, str | None] = {}
-            for c in match_cols:
-                vals = pdf[c].tolist()
-                n_entries = sum(1 for v in vals if not _is_empty_value(v))
-                m = matchers[c](vals)
-                if isinstance(m, list):
-                    m = None
-                matched_vals[c] = m
-                if not _success(m, n_entries, True):
-                    ambiguous.append(c)
-            for c in match_cols:
-                row[c] = "?" if c in ambiguous else (matched_vals[c] or "")
-            row["is_ambiguous"] = bool(ambiguous)
-            row["ambiguous_columns"] = ", ".join(ambiguous)
+        def kernel(batches):
+            for pdf in batches:
+                out = []
+                for doc_id, rows in zip(pdf[id_col], pdf["__rows"]):
+                    row: dict = {id_col: str(doc_id)}
+                    ambiguous = []
+                    matched_vals: dict[str, str | None] = {}
+                    for c in match_cols:
+                        vals = [r[c] for r in rows]
+                        n_entries = sum(1 for v in vals if not _is_empty_value(v))
+                        m = matchers[c](vals)
+                        if isinstance(m, list):
+                            m = None
+                        matched_vals[c] = m
+                        if not _success(m, n_entries, True):
+                            ambiguous.append(c)
+                    for c in match_cols:
+                        row[c] = "?" if c in ambiguous else (matched_vals[c] or "")
+                    row["is_ambiguous"] = bool(ambiguous)
+                    row["ambiguous_columns"] = ", ".join(ambiguous)
 
-            # QA propagation: flag iff some raw row equals the consensus
-            # value AND that raw row carried the QA flag
-            for qa in qa_cols:
-                row[qa] = False
-            for c, qa in qa_map.items():
-                mv = matched_vals[c]
-                if mv is None:
-                    continue
-                hit = bool(((pdf[c] == mv) & pdf[qa].fillna(False)).any())
-                row[qa] = row[qa] or hit
-            row["has_qa"] = any(row[q] for q in qa_cols)
+                    # QA propagation: flag iff some raw row equals the
+                    # consensus value AND that raw row carried the QA flag
+                    for qa in qa_cols:
+                        row[qa] = False
+                    for c, qa in qa_map.items():
+                        mv = matched_vals[c]
+                        if mv is None:
+                            continue
+                        row[qa] = row[qa] or any(
+                            r[c] == mv and bool(r[qa]) for r in rows
+                        )
+                    row["has_qa"] = any(row[q] for q in qa_cols)
 
-            if has_person:
-                if deterministic_ids:
-                    row["object_id"] = str(
-                        uuid.uuid5(uuid.NAMESPACE_URL, f"aroa-etl-spark:{doc_id}")
-                    )
-                else:
-                    row["object_id"] = str(uuid.uuid4())
-            else:
-                row["object_id"] = None
-            for mcol in metadata:
-                row[mcol] = str(pdf[mcol].iloc[0]) if mcol in pdf.columns else None
-            return pd.DataFrame([row])
+                    if has_person:
+                        if deterministic_ids:
+                            row["object_id"] = str(
+                                uuid.uuid5(uuid.NAMESPACE_URL, f"aroa-etl-spark:{doc_id}")
+                            )
+                        else:
+                            row["object_id"] = str(uuid.uuid4())
+                    else:
+                        row["object_id"] = None
+                    for mcol in metadata:
+                        row[mcol] = str(rows[0][mcol])
+                    out.append(row)
+                if out:
+                    yield pd.DataFrame(out)
 
-        consensus = data.groupBy(id_col).applyInPandas(kernel, schema)
+        consensus = _grouped_rows(
+            data, id_col, match_cols + qa_cols + metadata
+        ).mapInPandas(kernel, schema)
         consensus = consensus.withColumn("deleted", F.lit(False))
 
         # ---- mark raw rows + copy doc-level info back (J1 join) ----
