@@ -82,9 +82,19 @@ def connected_components(
     an eager local checkpoint that owns its blocks (ContextCleaner frees
     them when the frame is unreferenced).
     """
+    # symmetrize in ONE pass over the edge input: a union of two selects
+    # evaluates the (possibly expensive) upstream edge derivation twice
+    # during materialization; explode(array(fwd, rev)) scans it once.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .filter(F.col("a") != F.col("b"))
     )
     if dedup_edges:

@@ -680,15 +680,20 @@ def cc_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"].select("o_orderkey", "o_custkey")
     w = W.partitionBy("o_custkey").orderBy("o_orderkey")
-    chain = o.select(
-        F.col("o_orderkey").alias("src"),
-        F.lead("o_orderkey").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    star = o.select(
-        F.col("o_orderkey").alias("src"),
-        F.first("o_orderkey").over(w).alias("dst"),  # running min = group min
-    ).filter(F.col("src") != F.col("dst"))
-    comp = connected_components(chain.unionByName(star), max_iter=6)
+    # chain (lead) and star (running min = group min) edges from ONE
+    # window pass — both functions share the window spec, so Catalyst
+    # runs a single WindowExec; explode replaces a union that would
+    # evaluate the scan+window twice.
+    edges = (
+        o.select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("__chain"),
+            F.first("o_orderkey").over(w).alias("__star"),
+        )
+        .select("src", F.explode(F.array("__chain", "__star")).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    comp = connected_components(edges, max_iter=6)
     return o.join(comp, o["o_orderkey"] == comp["node"], "left").select(
         F.col("o_orderkey").alias("node"),
         F.coalesce("component", "o_orderkey").alias("component"),
