@@ -61,19 +61,13 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         os.symlink(path, link)
     stream = spark.readStream.schema(raw.schema).parquet(stage)
     if name == "events":
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import LongType
 
         if isinstance(raw.schema["ts"].dataType, LongType):
             # nanosAsLong read (nanos-typed testdata): epoch-nanos -> LTZ.
+            # NTZ-typed ts (micros testdata) needs no staging here —
+            # windowed_event_counts handles the NTZ watermark cast itself.
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(raw.schema["ts"].dataType, TimestampNTZType):
-            # micros/isAdjustedToUTC=false testdata reads as TIMESTAMP_NTZ,
-            # but watermarks demand TIMESTAMP (LTZ). Pin session tz UTC for
-            # the NTZ->LTZ cast so the wall-clock value becomes the same
-            # epoch instant under ANY caller session (the driver's plain
-            # session does not set a timezone).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -124,16 +118,7 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ts_col="ts", key_col="event_type", window="1 hour", watermark="2 hours"
     )
     _drain(win, "st_windowed_counts_sink", "complete")
-    # Output boundary: the watermark forced LTZ; DuckDB's date_trunc over
-    # naive timestamps surfaces as tz-naive datetimes, so hand the bounds
-    # back as NTZ (session tz pinned UTC in _stream_table => same wall
-    # clock both sides).
-    return spark.table("st_windowed_counts_sink").select(
-        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
-        "event_type",
-        "n_events",
-    )
+    return spark.table("st_windowed_counts_sink")
 
 
 @query(

@@ -76,10 +76,23 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Watermarked (sliding) window counts — works on a stream (bounded
     state, late rows beyond the watermark dropped) and on a batch frame
-    (watermark is a no-op there, enabling direct batch parity tests)."""
+    (watermark is a no-op there, enabling direct batch parity tests).
+
+    TIMESTAMP_NTZ event time (how Spark 4 reads micros/isAdjustedToUTC=
+    false parquet): watermarks demand TIMESTAMP (LTZ), so on a stream
+    the column is cast for the watermark and the window bounds are cast
+    back — output type matches the batch path. Session tz is pinned UTC
+    for those casts: with any non-whole-hour offset the LTZ window grid
+    would land off the NTZ wall-clock hour grid the batch path uses."""
+    ntz = isinstance(events.schema[ts_col].dataType, T.TimestampNTZType)
+    src = events
+    if events.isStreaming:
+        if ntz:
+            events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+            src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
-    return (
+    out = (
         src.groupBy(win.alias("win"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -89,6 +102,14 @@ def windowed_event_counts(
             "n_events",
         )
     )
+    if events.isStreaming and ntz:
+        out = out.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    return out
 
 
 def streaming_consensus(
