@@ -1,0 +1,214 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join.
+
+Neither exists in the reference (its pipeline is batch pandas with no
+time-series joins — see SURVEY.md §2.9 note); both are table-stakes for
+event/feature pipelines at scale, so they are provided as first-class
+engine operators with the scale-safe shapes:
+
+- ``asof_join``: the classic union + running ``last(ignorenulls)``
+  window. ONE shuffle on the ``by`` keys; the window is a running
+  aggregate (UNBOUNDED PRECEDING → CURRENT ROW), so state per partition
+  is O(1) per right payload column — no full-partition buffering, no
+  per-key driver loop, no range scan. This is the plan you want at
+  100 TB: it survives arbitrary key cardinality and time skew.
+- ``range_join``: interval-bucketized equi-join. Each right row is
+  exploded into exactly TWO candidate buckets (its own and the
+  previous), which guarantees every qualifying pair is produced exactly
+  once — no ``distinct`` de-dup shuffle afterwards — and the join is a
+  plain hash equi-join on (by, bucket) that AQE can size/skew-split.
+  The exact predicate then refines candidates. Candidate blow-up is
+  bounded by interval width × event density per key, the standard
+  trade-off of bucketized range joins (Flink/Trino interval joins use
+  the same scheme).
+
+Timestamps: all arithmetic is done in tz-free epoch-from-NTZ
+microseconds (``timestampdiff`` against the NTZ epoch), never through a
+session-timezone-dependent NTZ→LTZ cast — a plain driver session with a
+DST timezone would otherwise corrupt wall times that fall in a DST gap.
+LTZ inputs work too (the diff is computed on the instant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+from pyspark.sql.window import Window as W
+
+__all__ = ["asof_join", "range_join", "epoch_us"]
+
+
+def epoch_us(c: Column | str, dtype=None) -> Column:
+    """Microseconds since epoch as BIGINT, timezone-free.
+
+    For TIMESTAMP_NTZ this diffs against the NTZ epoch literal — no
+    session-tz cast anywhere. For TIMESTAMP (LTZ) it uses unix_micros.
+    Pass ``dtype`` (the column's DataType) when known; when omitted the
+    NTZ path is used, which also accepts DATE/strings castable to NTZ.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    if dtype is not None and not isinstance(dtype, TimestampNTZType):
+        return F.unix_micros(c)
+    return F.timestamp_diff("MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    tolerance_us: int | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for every left row, the single right row with the
+    largest ``on`` ≤ left.``on`` (direction='backward', inclusive) or the
+    smallest ``on`` ≥ left.``on`` ('forward'), matching on the ``by``
+    keys. ``right_cols`` are the right payload columns to attach (NULL
+    when no right row qualifies); the matched right timestamp is always
+    attached as ``on + suffix``.
+
+    ``tolerance_us``: optional max |left.on - right.on| in microseconds;
+    matches farther away surface as NULL (pandas ``merge_asof``
+    semantics).
+
+    Determinism: if several right rows tie on (by, on), the one with the
+    greatest ``right_cols[0]`` wins (ascending tiebreak before the
+    running last()). Pre-aggregate the right side if you need a
+    different rule.
+
+    Scale shape: union → ONE hash-partition shuffle on ``by`` → sort
+    within partitions → running last(ignorenulls). No join explosion,
+    no state beyond one value per payload column.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    right_cols = list(right_cols)
+    if not right_cols:
+        raise ValueError("right_cols must name at least one right payload column")
+    for k in by + [on]:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join column {k!r} missing from one side")
+
+    on_r = on + suffix
+    payload = [c + suffix for c in right_cols]
+    left_cols = [c for c in left.columns if c not in by and c != on]
+
+    # Tag and align the two sides into one schema. Right rows carry the
+    # payload; left rows carry NULL payload and their own attributes.
+    l_tagged = left.select(
+        *by,
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_cols, payload)],
+        F.lit(None).cast(right.schema[on].dataType).alias(on_r),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        F.col(on).alias(on_r),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    # backward: right rows sort before left at equal time (inclusive ≤),
+    # running last() picks the latest right seen so far. forward is the
+    # mirror image (descending time, right still first at equal time).
+    t = F.col("__on").asc() if direction == "backward" else F.col("__on").desc()
+    win = (
+        W.partitionBy(*by)
+        .orderBy(t, F.col("__side").asc(), F.col(payload[0]).asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = u.select(
+        *by,
+        "__on",
+        "__side",
+        *left_cols,
+        *[F.last(p, ignorenulls=True).over(win).alias(p) for p in payload],
+        F.last(on_r, ignorenulls=True).over(win).alias(on_r),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_us is not None:
+        lt = left.schema[on].dataType
+        rt = right.schema[on].dataType
+        gap = epoch_us(F.col("__on"), lt) - epoch_us(F.col(on_r), rt)
+        gap = F.abs(gap)
+        keep = F.col(on_r).isNotNull() & (gap <= F.lit(tolerance_us))
+        matched = matched.select(
+            *by,
+            "__on",
+            *left_cols,
+            *[F.when(keep, F.col(p)).alias(p) for p in payload],
+            F.when(keep, F.col(on_r)).alias(on_r),
+        )
+    else:
+        matched = matched.drop("__side")
+
+    return matched.withColumnRenamed("__on", on)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: Sequence[str],
+    lower_us: int,
+    upper_us: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Bounded range join: all (left, right) pairs with
+    ``left.on + lower_us ≤ right.on ≤ left.on + upper_us`` and equal
+    ``by`` keys. Requires ``upper_us > lower_us`` (a degenerate zero
+    width interval is an equi-join — express it as one).
+
+    Returns the ``by`` keys plus every non-key column of each side under
+    ``left_prefix``/``right_prefix``.
+
+    Exactly-once candidate generation: with bucket width
+    B = upper_us - lower_us, key the left row by kl = floor(on/B) and
+    explode each right row to buckets {ks, ks-1} where
+    ks = floor((on - lower_us)/B). A qualifying pair has
+    (right.on - lower_us) - left.on ∈ [0, B], hence ks ∈ {kl, kl+1} —
+    exactly one of the two exploded buckets equals kl, so no pair is
+    emitted twice and no post-join distinct is needed.
+    """
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must be > lower_us")
+    width = upper_us - lower_us
+    by = list(by)
+
+    l_on_us = epoch_us(F.col(on), left.schema[on].dataType)
+    r_on_us = epoch_us(F.col(on), right.schema[on].dataType)
+
+    l_keyed = left.select(
+        *by,
+        F.floor(l_on_us / F.lit(width)).alias("__bucket"),
+        l_on_us.alias("__l_us"),
+        *[F.col(c).alias(left_prefix + c) for c in left.columns if c not in by],
+    )
+    r_shift = F.floor((r_on_us - F.lit(lower_us)) / F.lit(width))
+    r_keyed = right.select(
+        *by,
+        F.explode(F.array(r_shift, r_shift - F.lit(1))).alias("__bucket"),
+        r_on_us.alias("__r_us"),
+        *[F.col(c).alias(right_prefix + c) for c in right.columns if c not in by],
+    )
+
+    gap = F.col("__r_us") - F.col("__l_us")
+    return (
+        l_keyed.join(r_keyed, [*by, "__bucket"])
+        .filter((gap >= F.lit(lower_us)) & (gap <= F.lit(upper_us)))
+        .drop("__bucket", "__l_us", "__r_us")
+    )

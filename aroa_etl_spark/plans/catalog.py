@@ -428,6 +428,97 @@ def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "j_asof_purchase_view",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, MAX(event_id) AS view_event_id
+               FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(COALESCE(v.view_event_id, -1) AS BIGINT) AS view_event_id,
+           COALESCE(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS view_ts,
+           CAST(COALESCE(date_diff('microsecond', v.ts, p.ts), -1) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark built-in; operators/temporal.py): every
+    purchase event matched to the LATEST view event at-or-before it by
+    the same user. Union + running last(ignorenulls) window — one
+    shuffle on user_id, O(1) window state; the plan that survives 100 TB
+    of events. Oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics. The view side is
+    pre-aggregated per (user_id, ts) so at-equal-time ties cannot make
+    the match nondeterministic in either engine."""
+    from aroa_etl_spark.operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(purchases, views, on="ts", by=["user_id"], right_cols=["view_event_id"])
+    # NULL-free output boundary: unmatched purchases surface sentinel
+    # values — a nullable BIGINT would materialize as float64 through
+    # DuckDB→pandas (the round-1 repr lesson, applied to NULLs).
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("view_event_id_right"), F.lit(-1)).cast("bigint").alias("view_event_id"),
+        F.coalesce(
+            F.col("ts_right"), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("view_ts"),
+        F.coalesce(
+            F.timestamp_diff("MICROSECOND", F.col("ts_right"), F.col("ts")), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@query(
+    "j_range_click_error",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS error_id,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    """,
+)
+def j_range_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (no Spark built-in without a nested-loop plan;
+    operators/temporal.py): every error within 10 minutes AFTER a click
+    by the same user. Interval-bucketized equi-join on
+    (user_id, floor(ts/width)) with the right side exploded into exactly
+    two candidate buckets — every qualifying pair produced exactly once,
+    no distinct, no CartesianProduct/BNLJ anywhere in the plan. Oracle
+    is DuckDB's native inequality (IE) join — an independent execution
+    strategy for the same predicate."""
+    from aroa_etl_spark.operators.temporal import range_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    j = range_join(
+        clicks, errors, on="ts", by=["user_id"], lower_us=0, upper_us=600_000_000
+    )
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("error_id"),
+        F.timestamp_diff("MICROSECOND", F.col("l_ts"), F.col("r_ts"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@query(
     "j8_union_all",
     oracle="""
     SELECT o_orderkey, o_orderstatus, 'high' AS bucket FROM orders WHERE o_totalprice > 150000
