@@ -341,3 +341,90 @@ def winnowing_fingerprints(sh: Column | str, window: int = 4) -> Column:
     analysis regardless of row count. Every hot path must go through
     `with_winnowing_fingerprints`."""
     return winnowing_from_hashes(shingle_hashes(sh), window)
+
+
+# --------------------------------------------------------------------------
+# Repetition / boilerplate gates (Gopher/C4-style) and PII scrubbing —
+# training-data curation signals. All pure column expressions.
+# --------------------------------------------------------------------------
+
+def distinct_token_ratio(toks: Column | str) -> Column:
+    """|distinct tokens| / |tokens| (1.0 for empty docs — an empty doc
+    is not 'repetitive'). ``toks`` should be a materialized token-array
+    column on hot paths (see `with_winnowing_fingerprints` note)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
+def max_token_freq_ratio(toks: Column | str) -> Column:
+    """Frequency of the most common token / |tokens| (0.0 for empty).
+
+    ``toks`` MUST be a materialized attribute column: it is referenced
+    inside the per-distinct-token lambda, and a composed subtree would
+    be re-evaluated per element. Runtime is O(|distinct|·|tokens|) per
+    row — fine for document-scale arrays; for megatoken rows explode +
+    groupBy instead."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(top.cast("double") / n.cast("double"))
+
+
+def dup_ngram_ratio(sh: Column | str) -> Column:
+    """1 − |distinct n-grams| / |n-grams| over an ALREADY-MATERIALIZED
+    shingle array — the classic repeated-phrase signal (0.0 when the
+    doc is too short to have n-grams)."""
+    sh = F.col(sh) if isinstance(sh, str) else sh
+    n = F.size(sh)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / n.cast("double")
+    )
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) — no lookaround, no backrefs, byte-identical match sets.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def count_emails(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(EMAIL_RE))
+
+
+def count_urls(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(URL_RE))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace URLs then emails with fixed tags. URL first: an email
+    inside a URL's query string is already swallowed by the URL tag,
+    which keeps the two counters independent claims."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+
+
+def token_chunks(toks: Column | str, size: int = 32) -> Column:
+    """Fixed-size token chunks (last one ragged): the unit of chunk-level
+    dedup for LLM training corpora. Empty docs → empty array. ``toks``
+    must be a materialized attribute column (referenced per chunk)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(size))).cast("int")
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * size + 1, size), " "),
+        )
+    )

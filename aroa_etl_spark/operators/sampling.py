@@ -1,0 +1,105 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines.
+
+Spark's ``df.sample``/``randomSplit`` are partition-RNG based: the
+sample CHANGES when the partitioning, cluster size, or row order
+changes — unacceptable for reproducible train/val/test splits over a
+100 TB corpus. These operators key every decision on a content hash of
+a stable id (first 8 md5 hex chars, the same engine-wide hash family as
+the dedup/minhash stack), so:
+
+- the assignment of any given row is a pure function of (id, salt) —
+  stable under repartitioning, AQE re-plans, cluster resizes, and
+  re-runs;
+- rows are NOT shuffled: both operators are narrow projections/filters
+  that parallelize embarrassingly and push through Catalyst;
+- the exact same arithmetic is expressible in any engine with md5
+  (DuckDB oracles in the catalog verify bit-for-bit assignment parity).
+
+The reference has no sampling surface (eager pandas: ``df.sample`` with
+a seed, single-node only) — this is a scale-era extension, not parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_split", "hash_sample"]
+
+# Granularity of split/sample decisions. 10^6 buckets keeps fraction
+# resolution at 1e-6 while staying far below 2^32 (no modulo bias worth
+# caring about: 2^32 % 1e6 leaves a 0.0002% skew on the last buckets).
+BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(salt || id).
+
+    The 8-hex-char prefix → BIGINT → modulo pipeline is the engine's
+    standard cross-engine hash (functions/text.py uses the identical
+    scheme for minhash), so oracles can replay it exactly."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    *,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights,
+    deterministically by id hash. Weights must sum to ~1.0; the last
+    split absorbs rounding. Adds ``split_col``; no shuffle.
+
+    hash_split(docs, "doc_id", {"train": .8, "val": .1, "test": .1})
+    """
+    names = list(weights.keys())
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+
+    bucket = hash_bucket(id_col, salt)
+    expr: Column | None = None
+    edge = 0.0
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = bucket < int(round(edge * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | Mapping[str, float],
+    *,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic (optionally stratified) sample: keep a row iff its
+    id-hash bucket falls under the fraction. With ``strata_col`` and a
+    mapping, each stratum gets its own fraction (strata missing from the
+    mapping are dropped). A narrow filter — no shuffle, reproducible
+    regardless of partitioning."""
+    bucket = hash_bucket(id_col, salt)
+    if isinstance(fraction, Mapping):
+        if strata_col is None:
+            raise ValueError("strata fractions require strata_col")
+        expr = None
+        for value, frac in fraction.items():
+            cond = (F.col(strata_col) == value) & (bucket < int(round(frac * BUCKETS)))
+            expr = cond if expr is None else expr | cond
+        return df.filter(expr)
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(bucket < int(round(fraction * BUCKETS)))

@@ -546,3 +546,211 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(",", F.transform(F.col("fp"), lambda v: v.cast("string"))).alias("fps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: deterministic splits, PII scrubbing, repetition gates,
+# chunk-level dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "tdp_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang,
+                 ('0x'||substr(md5('v1'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT::BIGINT
+                 % 1000000 AS b
+          FROM documents)
+    """,
+)
+def tdp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by id hash
+    (operators/sampling.py). Unlike randomSplit, the assignment is a
+    pure function of (doc_id, salt): stable under repartitioning, AQE,
+    cluster resizes and re-runs — the reproducibility contract a
+    training corpus needs. Narrow projection, zero shuffle; the oracle
+    replays the identical md5-bucket arithmetic per row."""
+    from aroa_etl_spark.operators.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "lang")
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1")
+
+
+@query(
+    "tdp_scrub_pii",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com see https://example.org/d/'
+                       || CAST(doc_id AS VARCHAR) || '?u=a@b.io'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+             AS scrubbed_md5
+    FROM docs
+    """,
+)
+def tdp_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing (functions/text.py scrub_pii): URL-then-email
+    regexp_replace with patterns valid in both Java regex and RE2. The
+    synthetic corpus carries no PII, so every 7th doc gets a planted
+    email + URL (the URL's query string embeds a second email — scrubbed
+    as part of the URL, proving the two counters stay independent).
+    Output is count columns + md5 of the scrubbed text, so the oracle
+    hashes the full scrub result without shipping text through the
+    comparator."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com see https://example.org/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?u=a@b.io"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return planted.select(
+        "doc_id",
+        X.count_emails("text").cast("int").alias("n_emails"),
+        X.count_urls("text").cast("int").alias("n_urls"),
+        F.md5(X.scrub_pii("text")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "tdp_repetition_stats",
+    oracle=r"""
+    WITH toks_t AS (SELECT doc_id, source,
+                           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       t -> t != '') AS toks
+                    FROM documents),
+    sh_t AS (SELECT doc_id, source, toks,
+                    list_transform(range(1, len(toks)-1),
+                                   i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh
+             FROM toks_t),
+    m AS (SELECT source,
+                 len(toks) AS n_tok,
+                 len(list_distinct(toks)) AS n_dist,
+                 len(list_distinct(toks))::DOUBLE / len(toks) AS dr,
+                 list_max(list_transform(list_distinct(toks),
+                          t -> len(list_filter(toks, x -> x = t))))::DOUBLE
+                   / len(toks) AS mf,
+                 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) AS d3
+          FROM sh_t WHERE len(toks) > 0 AND len(sh) > 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_dist) AS BIGINT) AS sum_distinct_tokens,
+           CAST(SUM(n_dist) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS corpus_distinct_ratio,
+           CAST(SUM(CASE WHEN dr < 0.45 OR mf > 0.10 OR d3 > 0.02 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM m GROUP BY source
+    """,
+)
+def tdp_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gates per source: distinct-token
+    ratio, max-token-frequency ratio, duplicate-3-gram ratio
+    (functions/text.py), aggregated hash-safely — integer SUMs plus ONE
+    division of identical exact ints (never avg() of doubles, whose
+    fold order differs across engines). The per-doc gate compares are
+    single IEEE divisions — bit-identical both sides. Token and shingle
+    arrays are materialized as their own projections per the engine's
+    analysis-cost rule."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks_t = docs.select("doc_id", "source", X.tokens("text").alias("toks"))
+    sh_t = toks_t.select(
+        "doc_id", "source", "toks", X.shingles_from("toks", 3).alias("sh")
+    )
+    m = sh_t.filter((F.size("toks") > 0) & (F.size("sh") > 0)).select(
+        "source",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_dist"),
+        X.distinct_token_ratio("toks").alias("dr"),
+        X.max_token_freq_ratio("toks").alias("mf"),
+        X.dup_ngram_ratio("sh").alias("d3"),
+    )
+    gate = (F.col("dr") < 0.45) | (F.col("mf") > 0.10) | (F.col("d3") > 0.02)
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum("n_dist").alias("sum_distinct_tokens"),
+        (
+            F.sum("n_dist").cast("double") / F.sum("n_tok").cast("double")
+        ).alias("corpus_distinct_ratio"),
+        F.sum(F.when(gate, 1).otherwise(0)).alias("n_repetitive"),
+    )
+
+
+@query(
+    "tdp_chunk_dedup",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    copies AS (SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 5 = 0),
+    docs AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+    toks_t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t != '') AS toks
+               FROM docs),
+    chunks AS (SELECT doc_id,
+                      unnest(list_transform(range(CAST(ceil(len(toks)/16.0) AS BIGINT)),
+                             i -> md5(array_to_string(toks[i*16+1:(i+1)*16], ' ')))) AS h
+               FROM toks_t WHERE len(toks) > 0),
+    counts AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h)
+    SELECT chunks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_chunk_ratio
+    FROM chunks JOIN counts USING (h)
+    GROUP BY chunks.doc_id
+    """,
+)
+def tdp_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup (16-token chunks, functions/text.py
+    token_chunks): the within-and-across-document granularity LLM
+    training pipelines dedup at, below whole-doc minhash. Chunks hash to
+    md5; one groupBy counts corpus-wide occurrences; a hash join brings
+    counts back; per-doc aggregation yields the dup-chunk ratio (single
+    int/int division — hash-safe). Planted full copies of every 5th doc
+    give known all-duplicate documents. At 100 TB this is two shuffles
+    on 16-token hashes — the same shape as exact dedup, linear in corpus
+    size, no pairwise anything."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(planted)
+    toks_t = all_docs.select("doc_id", X.tokens("text").alias("toks"))
+    chunk_t = toks_t.filter(F.size("toks") > 0).select(
+        "doc_id", X.token_chunks("toks", 16).alias("chunks")
+    )
+    exploded = chunk_t.select(
+        "doc_id", F.explode(F.transform("chunks", F.md5)).alias("h")
+    )
+    counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        exploded.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            (
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_chunk_ratio"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Unit tests for operators/sampling.py — the reproducibility contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.operators.sampling import hash_sample, hash_split
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "doc_id").withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    )
+
+
+def test_split_stable_under_repartition(ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(17, "grp"), "doc_id", w).collect()
+    }
+    assert a == b  # assignment is a pure function of id — never of layout
+
+
+def test_split_proportions_and_totality(ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(ids, "doc_id", w).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sum(counts.values()) == 5000  # total: every row lands somewhere
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_salt_changes_assignment(ids):
+    w = {"train": 0.5, "test": 0.5}
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id", w, salt="a").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id", w, salt="b").collect()}
+    assert a != b
+    assert set(a.values()) == {"train", "test"}
+
+
+def test_split_rejects_bad_weights(ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", {"all": 1.0})
+
+
+def test_sample_fraction_and_determinism(ids):
+    s1 = hash_sample(ids, "doc_id", 0.2)
+    s2 = hash_sample(ids.repartition(7), "doc_id", 0.2)
+    got1 = sorted(r["doc_id"] for r in s1.collect())
+    got2 = sorted(r["doc_id"] for r in s2.collect())
+    assert got1 == got2
+    assert abs(len(got1) / 5000 - 0.2) < 0.03
+
+
+def test_sample_is_subset_consistent(ids):
+    """Nested fractions with one salt: the 10% sample ⊂ the 20% sample —
+    the property that lets a pipeline grow a sample without resampling."""
+    small = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2).collect()}
+    assert small <= big
+
+
+def test_stratified_sample(ids):
+    out = hash_sample(
+        ids, "doc_id", {"0": 0.5, "1": 0.1}, strata_col="grp"
+    ).groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {r["grp"]: r["n"] for r in out}
+    assert set(counts) == {"0", "1"}  # stratum "2" absent from the map → dropped
+    assert abs(counts["0"] / (5000 / 3) - 0.5) < 0.06
+    assert abs(counts["1"] / (5000 / 3) - 0.1) < 0.04
+
+
+def test_no_shuffle_in_plan(ids):
+    plan = (
+        hash_split(ids, "doc_id", {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
