@@ -1175,3 +1175,105 @@ BENCH_EXTRA = [
     "ann_cosine_topk",
     "cc_connected_components",
 ]
+
+
+# ==========================================================================
+# Sessionization, grouped quantiles, pivot (engine extensions)
+# ==========================================================================
+
+@query(
+    "w_sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session windows
+    (F.session_window: gap-merged state inside one aggregation — the
+    same operator streams with a watermark). The oracle derives
+    identical sessions by the independent gaps-and-islands method
+    (lag + running sum). Spark's session end is last-event + gap, which
+    the oracle mirrors as MAX(ts) + 30min. One shuffle on user_id."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "a_median_per_type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (continuous interpolation). Spark
+    percentile() and DuckDB quantile_cont() both sort and linearly
+    interpolate between the two straddling values — empirically
+    bit-identical on this data (single interpolation of two doubles).
+    approx_percentile is the 100 TB path (t-digest, no global sort);
+    it is deliberately NOT used here because its result is
+    engine-specific and could not be oracle-checked."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a_pivot_status_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def a_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation). The value list is
+    EXPLICIT — pivot without one needs an extra distinct-collection
+    job over the full table, a hidden scan you never want at 100 TB.
+    With the list given, this is a single groupBy with three
+    conditional counts, map-side combinable."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
