@@ -15,7 +15,10 @@ Determinism rules (so Spark and DuckDB hash-match exactly):
   (j1_inner_equi_join / o2_global_topk are kept in raw-decimal style as
   canaries: they pass only while every value has a non-zero cents digit.)
 - Ties in top-k / mode are broken by a total order (explicit tiebreak keys).
-- Timestamps are compared in UTC (session TZ pinned); dates via CAST AS DATE.
+- Timestamps are compared in UTC (session TZ pinned). DATE output columns are
+  cast to VARCHAR at the boundary: a DuckDB DATE materializes through pandas
+  as a midnight datetime64 while Spark returns datetime.date — same value,
+  different repr (the decimal lesson again, date-shaped).
 - Every computed column is aliased identically in Spark and oracle SQL.
 """
 
@@ -1277,3 +1280,86 @@ def a_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@query(
+    "a_ohlc_daily_rollup",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events)
+    SELECT event_type, day,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM keyed GROUP BY event_type, day
+    """,
+)
+def a_ohlc_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling (hypertable-rollup style): per
+    (event_type, day) the first/last/max/min of value. First/last ride
+    min_by/arg_min over a zero-padded (epoch_us ‖ event_id) string key —
+    a total order both engines compare identically, so even exact-
+    timestamp ties cannot make the result nondeterministic. One
+    map-side-combinable shuffle; value_sum goes through exact decimal.
+    This is the canonical continuous-aggregate shape: at 100 TB it runs
+    incrementally per partition-day and unions."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from aroa_etl_spark.operators.temporal import epoch_us
+
+    keyed = ev.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "value",
+        F.concat(
+            F.lpad(epoch_us("ts", ev.schema["ts"].dataType).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord"),
+    )
+    return keyed.groupBy("event_type", "day").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(d2("value"), "value_sum"),
+    )
+
+
+@query(
+    "agg_grouping_sets_revenue",
+    oracle=f"""
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           COALESCE(c.c_mktsegment, 'ALL') AS segment,
+           CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (beyond the rollup entry): two independent
+    summaries plus the grand total out of ONE scan+shuffle instead of
+    three queries. grouping() bits disambiguate the NULL-vs-'ALL'
+    levels. Expressed through spark.sql over the registered temp views —
+    the same Catalyst plan as the DataFrame API, with dims broadcast."""
+    load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql("""
+        SELECT COALESCE(n.n_name, 'ALL') AS nation,
+               COALESCE(c.c_mktsegment, 'ALL') AS segment,
+               CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """)
