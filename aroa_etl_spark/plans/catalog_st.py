@@ -189,3 +189,49 @@ def st_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "st_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STREAMING sessionization: session_window + 0-second
+    watermark, append mode, availableNow drain. The trailing no-data
+    micro-batch advances the watermark to max(event time), which
+    finalizes exactly the sessions whose end (last event + gap) is
+    at-or-before the corpus max timestamp — the HAVING clause mirrors
+    that emission rule on top of the independent gaps-and-islands
+    oracle. (The still-open tail sessions are precisely what a real
+    stream must NOT emit yet; batch-complete sessionization is the
+    w_sessionize_events entry.)"""
+    from aroa_etl_spark.streaming.pipeline import sessionized_event_counts
+
+    ev = _stream_table(spark, sf_dir, "events")
+    sess = sessionized_event_counts(
+        ev, ts_col="ts", key_col="user_id", gap="30 minutes", watermark="0 seconds"
+    )
+    _drain(sess, "st_sessionize_sink", "append")
+    return spark.table("st_sessionize_sink")

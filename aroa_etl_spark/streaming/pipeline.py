@@ -112,6 +112,48 @@ def windowed_event_counts(
     return out
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions via native session_window — one definition for
+    batch and stream. Streaming: watermarked, append mode; sessions
+    finalize once the watermark passes their close (an availableNow
+    drain's trailing no-data micro-batch advances the watermark to
+    max(event time) − delay, flushing every closed session). Same NTZ
+    handling as windowed_event_counts: LTZ only inside the stream, NTZ
+    at both output boundaries, session tz pinned UTC for the casts."""
+    ntz = isinstance(events.schema[ts_col].dataType, T.TimestampNTZType)
+    src = events
+    if events.isStreaming:
+        if ntz:
+            events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+            src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
+    out = (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    if events.isStreaming and ntz:
+        out = out.select(
+            key_col,
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    return out
+
+
 def streaming_consensus(
     stream: DataFrame,
     id_col: str,
