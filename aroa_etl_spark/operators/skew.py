@@ -52,10 +52,10 @@ def salted_join(
         raise ValueError("salted_join supports how='inner' or 'left'")
     salt_col = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))
     big = large.withColumn("__salt", salt_col)
-    rep = small.join(
-        F.broadcast(
-            big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
-        ),
-        how="cross",
+    # Replicate the small side once per salt value with explode — a
+    # narrow generator, so no join operator (the earlier broadcast cross
+    # join materialized as a BroadcastNestedLoopJoin in the plan).
+    rep = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return big.join(rep, [key, "__salt"], how).drop("__salt")

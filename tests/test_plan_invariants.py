@@ -1,0 +1,48 @@
+"""Plan-shape invariants enforced over the ENTIRE catalog.
+
+PLANS.md documents the invariants; this test makes them regression-
+proof: any future catalog entry that sneaks in a cartesian product, a
+broadcast-nested-loop join, or a row-at-a-time Python UDF fails CI
+here, not in a 100 TB run.
+
+- CartesianProduct / BroadcastNestedLoopJoin: forbidden everywhere
+  except the brute-force ANN baseline (`ann_cosine_topk`), whose
+  broadcast query-set × corpus scan is the documented exact reference
+  point for the LSH/IVF paths.
+- BatchEvalPython (row-at-a-time Python UDF): forbidden everywhere.
+  Python may appear only as ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas (Arrow-batched kernels).
+
+Streaming entries (st_*) are excluded: building them EXECUTES a
+streaming drain (their plans are asserted by their own entries), and
+`cc_connected_components` is excluded because plan construction runs
+its iterative convergence loop — its per-round plan is audited in
+PLANS.md instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aroa_etl_spark.plans import catalog
+
+_CARTESIAN_OK = {"ann_cosine_topk"}
+_SKIP_PREFIXES = ("st_",)
+_SKIP = {"cc_connected_components"}
+
+_NAMES = sorted(
+    n
+    for n in catalog.queries()
+    if not n.startswith(_SKIP_PREFIXES) and n not in _SKIP
+)
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_plan_invariants(spark, sf_dir, name):
+    df = catalog.spec(name).builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+
+    if name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
