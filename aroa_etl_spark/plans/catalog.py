@@ -1363,3 +1363,47 @@ def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
     """)
+
+
+@query(
+    "js_udtf_flatten",
+    oracle="""
+    SELECT event_id, 'user' AS path,
+           CAST(user_id AS VARCHAR) AS value, 'integer' AS json_type
+    FROM events
+    UNION ALL
+    SELECT event_id, 'evt', event_type, 'string' FROM events
+    UNION ALL
+    SELECT event_id, 'nested.k', json_extract_string(props, '$.k'), 'integer' FROM events
+    UNION ALL
+    SELECT event_id, 'nested.tags[0]', 'a', 'string' FROM events
+    UNION ALL
+    SELECT event_id, 'nested.tags[1]', 'b', 'string' FROM events
+    """,
+)
+def js_udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.10 extension; functions/udtf.py): the
+    recursive JSON flattener run as a LATERAL table function over a
+    nested document built from each event — Arrow-evaluated
+    (ArrowEvalPythonUDTF, not row-at-a-time). The oracle enumerates the
+    expected (path, value, type) rows structurally per event: the known
+    shape makes the arbitrary-JSON walker exactly checkable."""
+    from aroa_etl_spark.functions.udtf import register_engine_udtfs
+
+    register_engine_udtfs(spark)
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.select(
+        "event_id",
+        F.format_string(
+            '{"user":%d,"evt":"%s","nested":{"k":%s,"tags":["a","b"]}}',
+            F.col("user_id"),
+            F.col("event_type"),
+            F.get_json_object("props", "$.k"),
+        ).alias("j"),
+    ).createOrReplaceTempView("events_json_src")
+    return spark.sql(
+        """
+        SELECT e.event_id, f.path, f.value, f.json_type
+        FROM events_json_src e, LATERAL json_flatten(e.j) f
+        """
+    )
