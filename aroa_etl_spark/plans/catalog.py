@@ -1407,3 +1407,95 @@ def js_udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_json_src e, LATERAL json_flatten(e.j) f
         """
     )
+
+
+@query(
+    "inc_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N', 42.0
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    cur AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM cur
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def inc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (operators/incremental.py): price corrections on
+    every 10th order plus brand-new synthetic orders, merged into the
+    current snapshot as updates ∪ (current anti-join updates) — shuffles
+    only on the key, no outer join, no per-column coalescing. The
+    oracle states the same contract independently via NOT IN."""
+    from aroa_etl_spark.operators.incremental import upsert
+
+    cur = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    corrections = cur.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    fresh = cur.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+    )
+    return upsert(cur, corrections.unionByName(fresh), "o_orderkey")
+
+
+@query(
+    "inc_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N', 1.0 FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus != new.o_orderstatus
+                     OR old.o_totalprice != new.o_totalprice THEN 'changed'
+           END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+          OR old.o_orderstatus != new.o_orderstatus
+          OR old.o_totalprice != new.o_totalprice
+    """,
+)
+def inc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/incremental.py): the new snapshot
+    drops every 13th order (removed), bumps every 7th price (changed),
+    and adds synthetic orders (added). The operator hashes the compare
+    columns to one md5 per side so the full-outer join shuffles
+    (key, hash) only; the oracle diffs column-by-column — an independent
+    derivation of the same change set."""
+    from aroa_etl_spark.operators.incremental import snapshot_diff
+
+    old = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = old.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 5).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        old.filter(F.col("o_orderkey") % 50 == 0).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")
