@@ -754,3 +754,67 @@ def tdp_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_ratio"),
         )
     )
+
+
+@query(
+    "tdp_curation_pipeline",
+    oracle=r"""
+    WITH toks_t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS toks
+      FROM documents),
+    gated AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tok
+      FROM toks_t
+      WHERE len(toks) >= 20
+        AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.35),
+    deduped AS (
+      SELECT doc_id, lang, n_tok
+      FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM gated)
+      WHERE doc_id = rep),
+    split AS (
+      SELECT lang, n_tok,
+             CASE WHEN b < 800000 THEN 'train'
+                  WHEN b < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+                   ('0x'||substr(md5('v1'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT::BIGINT
+                   % 1000000 AS b
+            FROM deduped))
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM split GROUP BY lang, split
+    """,
+)
+def tdp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition story: quality
+    gate (≥20 tokens, distinct-token ratio ≥ 0.35) → exact dedup keeping
+    group representatives → deterministic train/val/test hash split →
+    per-(lang, split) corpus report. Every stage is the engine operator
+    a user would call (functions/text.py gates, operators/dedup.py
+    exact_dedup, operators/sampling.py hash_split) chained as
+    DataFrames; Catalyst fuses the narrow stages into the scan. The
+    oracle replays all four stages in one independent SQL derivation."""
+    from aroa_etl_spark.operators.dedup import exact_dedup
+    from aroa_etl_spark.operators.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "lang", "text"
+    )
+    toks_t = docs.select("doc_id", "lang", "text", X.tokens("text").alias("toks"))
+    gated = toks_t.filter(
+        (F.size("toks") >= 20) & (X.distinct_token_ratio("toks") >= 0.35)
+    ).select("doc_id", "lang", "text", F.size("toks").alias("n_tok"))
+
+    groups = exact_dedup(gated, id_col="doc_id", text_col="text").filter(
+        ~F.col("is_duplicate")
+    )
+    deduped = gated.join(groups.select("doc_id"), "doc_id", "left_semi")
+
+    split = hash_split(deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                       salt="v1")
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
