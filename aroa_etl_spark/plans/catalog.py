@@ -1499,3 +1499,71 @@ def inc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, "o_orderkey")
+
+
+@query(
+    "s_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents GROUP BY lang
+    """,
+)
+def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip (sources/io.py read_jsonl/
+    write_jsonl — the training-corpus interchange format): documents
+    are written to a repo-local scratch JSONL directory and read back
+    WITH AN EXPLICIT SCHEMA (inference would cost a second full pass at
+    scale), then aggregated; the oracle aggregates the original parquet
+    — equality proves the round-trip is lossless including unicode
+    text."""
+    import os
+
+    from aroa_etl_spark.sources.io import read_jsonl, write_jsonl
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, os.pardir,
+        ".scratch", "jsonl", sf_tag, "documents",
+    )
+    write_jsonl(docs, stage)
+    back = read_jsonl(
+        spark, stage, schema="doc_id bigint, text string, lang string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+@query(
+    "js_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def js_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4 VARIANT (parse_json +
+    variant_get) — the modern engine-native JSON path: one binary-
+    encoded parse per row, typed extraction pushed into codegen,
+    markedly faster than per-field get_json_object string re-parsing on
+    wide documents. Oracle extracts the same field through DuckDB's
+    JSON machinery."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

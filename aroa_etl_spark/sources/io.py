@@ -168,3 +168,21 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines source — the de-facto interchange format for training
+    corpora. Pass ``schema`` in production: schema inference costs a
+    full extra pass over 100 TB; with it, reading is a single streaming
+    scan with column pruning into the JSON parser."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, UTF-8)."""
+    df.write.mode(mode).json(path)
