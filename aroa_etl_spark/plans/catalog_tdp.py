@@ -818,3 +818,98 @@ def tdp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("sum_tokens"),
     )
+
+
+@query(
+    "text_nfc_normalize",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN text || ' cafe' || chr(769) || ' Mu' || chr(776) || 'ller'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           nfc_normalize(text) != text AS was_decomposed,
+           md5(nfc_normalize(text)) AS nfc_md5
+    FROM docs
+    """,
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py nfc_normalize,
+    Arrow-batched pandas UDF): every 11th doc gets planted DECOMPOSED
+    sequences (combining acute/diaeresis), which NFC must compose.
+    Python's unicodedata and DuckDB's nfc_normalize implement the same
+    UAX#15 tables — the md5-of-normalized oracle checks them
+    byte-for-byte, and was_decomposed pins exactly the planted rows."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" café Müller")),
+        ).otherwise(F.col("text")),
+    )
+    n = X.nfc_normalize("text")
+    return planted.select(
+        "doc_id",
+        (n != F.col("text")).alias("was_decomposed"),
+        F.md5(n).alias("nfc_md5"),
+    )
+
+
+@query(
+    "er_neardup_clusters",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
+           FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
+    hh AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::UBIGINT::BIGINT) AS hh
+           FROM sh WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_SQL_SIG}] AS sig FROM hh),
+    keys AS (SELECT doc_id, sh, unnest([{_MINHASH_SQL_BANDS}]) AS bucket FROM sig),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b USING (bucket)
+              WHERE a.doc_id < b.doc_id
+                AND len(list_distinct(a.sh || b.sh)) > 0
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(a.sh || b.sh)) >= 0.7),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    labels AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT node, component FROM labels
+    """,
+)
+def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition flagship: MinHash-LSH near-dup pairs fed into the
+    iterative connected-components operator — pair detection to entity
+    clusters, the dedup→ER handoff a corpus pipeline runs at scale. The
+    oracle replays the bit-exact LSH pair generation and then derives
+    components INDEPENDENTLY via a recursive-CTE transitive closure
+    (label-set saturation), where the engine runs distributed min-label
+    propagation — two different algorithms, same fixpoint."""
+    from aroa_etl_spark.operators.clustering import connected_components
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup, release_caches
+
+    pairs = minhash_lsh_dedup(
+        _docs_with_planted(spark, sf_dir),
+        num_perm=8, bands=4, shingle_n=3, threshold=0.7,
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    comp = connected_components(edges, max_iter=8)
+    release_caches()
+    return comp
