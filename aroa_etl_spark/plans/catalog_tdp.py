@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from aroa_etl_spark.functions import text as X
-from aroa_etl_spark.plans.catalog import query
+from aroa_etl_spark.plans.catalog import d2, query
 from aroa_etl_spark.session import load_tables
 
 # ---------------------------------------------------------------------------
@@ -913,3 +913,80 @@ def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, max_iter=8)
     release_caches()
     return comp
+
+
+@query(
+    "emb_centroid_per_label",
+    oracle="""
+    WITH pos AS (
+      SELECT label, i AS pos, embedding[i] AS v
+      FROM embeddings e, unnest(range(1, len(e.embedding)+1)) AS t(i))
+    SELECT label, pos,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*10000000) AS BIGINT)) AS BIGINT) AS sum_fp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*10000000) AS BIGINT)) AS DOUBLE)
+             / 10000000.0 / COUNT(*) AS centroid_v
+    FROM pos GROUP BY label, pos
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the vector-analytics reduction
+    behind IVF training and class prototypes). Summing floats across
+    rows is fold-order-dependent, so each element goes through
+    FIXED-POINT first: floor(v·1e7) as BIGINT — floor, not round or a
+    bare cast, because Spark's double→bigint cast truncates while
+    DuckDB's rounds. The integer sums are exact and order-free; the
+    centroid is then two divisions of identical operands. posexplode →
+    one map-side-combinable shuffle on (label, pos) — at 100 TB this is
+    the standard mean-vector shape (64 partial sums per row, no
+    collect)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    fp = F.floor(F.col("v").cast("double") * 10000000).cast("bigint")
+    return (
+        pos.groupBy("label", "pos")
+        .agg(F.sum(fp).alias("sum_fp"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            "sum_fp",
+            "n",
+            (F.col("sum_fp").cast("double") / F.lit(10000000.0) / F.col("n"))
+            .alias("centroid_v"),
+        )
+    )
+
+
+@query(
+    "w_ntile_price_bands",
+    oracle="""
+    WITH banded AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS band
+      FROM orders)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM banded GROUP BY band
+    """,
+)
+def w_ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning via ntile(10) under a TOTAL order (price,
+    orderkey tiebreak) — the deterministic bucketing behind
+    length-stratified sampling and balanced shard assignment. The
+    single global sort is fine at report granularity; for bucketing a
+    100 TB fact table use hash_split or approx_percentile cut points
+    instead (documented trade-off)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    banded = t["orders"].select(
+        "o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("band")
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(d2("o_totalprice")).cast("double").alias("min_price"),
+        F.max(d2("o_totalprice")).cast("double").alias("max_price"),
+    )
