@@ -1567,3 +1567,22 @@ def js_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "diag_top_keys",
+    oracle="""
+    SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY cnt DESC, key ASC LIMIT 20
+    """,
+)
+def diag_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics (operators/skew.py top_keys): the heaviest join
+    keys — the probe that decides what salted_join salts. One
+    aggregation + TakeOrderedAndProject (no global sort materialized);
+    at 100 TB run it over a .sample as documented in the operator."""
+    from aroa_etl_spark.operators.skew import top_keys
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return top_keys(li.select(F.col("l_suppkey").alias("key")), "key", n=20)

@@ -87,3 +87,47 @@ def test_no_shuffle_in_plan(ids):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---- edge semantics of the curation gate expressions (functions/text.py)
+
+
+def test_text_gate_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("a a a a",), ("a b c d",)], "text string"
+    ).select("text", X.tokens("text").alias("toks"))
+    df = df.select(
+        "text",
+        X.distinct_token_ratio("toks").alias("dr"),
+        X.max_token_freq_ratio("toks").alias("mf"),
+        X.token_chunks("toks", 2).alias("chunks"),
+    )
+    rows = {r["text"]: r for r in df.collect()}
+    assert rows[""]["dr"] == 1.0 and rows[""]["mf"] == 0.0 and rows[""]["chunks"] == []
+    assert rows["one"]["dr"] == 1.0 and rows["one"]["mf"] == 1.0
+    assert rows["a a a a"]["dr"] == 0.25 and rows["a a a a"]["mf"] == 1.0
+    assert rows["a b c d"]["dr"] == 1.0 and rows["a b c d"]["mf"] == 0.25
+    assert rows["a b c d"]["chunks"] == ["a b", "c d"]
+    assert rows["a a a a"]["chunks"] == ["a a", "a a"]
+
+
+def test_scrub_pii_counts_and_tags(spark):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [("mail a@b.io and https://x.io/p?e=c@d.io end",)], "text string"
+    ).select(
+        X.count_emails("text").alias("ne"),
+        X.count_urls("text").alias("nu"),
+        X.scrub_pii("text").alias("s"),
+    )
+    r = df.collect()[0]
+    # the email inside the URL query string belongs to the URL tag
+    assert r["ne"] == 2 and r["nu"] == 1
+    assert r["s"] == "mail <EMAIL> and <URL> end"
