@@ -77,7 +77,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "embeddings",
     )
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampType
 
     # The caller may hand us a session we did not build (e.g. the
     # correctness driver's plain SparkSession). events.ts is parquet
@@ -96,6 +96,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                 # `div` truncates toward zero, matching DuckDB's ns->us cast
                 # even for pre-1970 (negative) nanos; floor() would differ.
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif name == "events" and isinstance(df.schema["ts"].dataType, TimestampType):
+                # The driver has regenerated testdata with a different ts
+                # type each round (nanos, then micros/NTZ). If a future
+                # round ships isAdjustedToUTC=true (reads as LTZ),
+                # normalize to NTZ: DuckDB oracles see naive timestamps,
+                # and the engine's ts arithmetic is defined tz-free. Pin
+                # UTC so the cast maps instant -> identical wall clock on
+                # any caller session.
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
