@@ -12,8 +12,10 @@ Determinism rules (so Spark and DuckDB hash-match exactly):
   different. So every decimal metric gets a final .cast("double") in Spark
   and CAST(... AS DOUBLE) in the oracle, and every DuckDB integer SUM gets
   CAST(... AS BIGINT). The internal aggregation stays exact decimal.
-  (j1_inner_equi_join / o2_global_topk are kept in raw-decimal style as
-  canaries: they pass only while every value has a non-zero cents digit.)
+  (Round-1 kept j1/o2 as raw-decimal canaries; the sf0.1 j1 run confirmed
+  the repr hypothesis, so every entry now uses the DOUBLE boundary — a
+  canary that can redden the gate when regenerated data lands on
+  trailing-zero cents is risk without information.)
 - Ties in top-k / mode are broken by a total order (explicit tiebreak keys).
 - Timestamps are compared in UTC (session TZ pinned). DATE output columns are
   cast to VARCHAR at the boundary: a DuckDB DATE materializes through pandas
@@ -683,7 +685,7 @@ def o1_intracell_numeric_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o2_global_topk",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
 )
@@ -695,7 +697,7 @@ def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", d2("o_totalprice").alias("price"))
+        .select("o_orderkey", d2("o_totalprice").cast("double").alias("price"))
     )
 
 
