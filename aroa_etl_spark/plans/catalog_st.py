@@ -235,3 +235,53 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(sess, "st_sessionize_sink", "append")
     return spark.table("st_sessionize_sink")
+
+
+@query(
+    "st_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_fp
+    FROM events GROUP BY user_id
+    """,
+)
+def st_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ARBITRARY STATEFUL streaming, oracle-checked: the events
+    table is staged as FOUR parquet files and streamed with
+    maxFilesPerTrigger=1, so applyInPandasWithState genuinely
+    accumulates per-user state ACROSS multiple micro-batches (not one
+    trivial batch). Every batch emits the key's current totals; both
+    metrics are monotone (values are non-negative), so max-per-user
+    over the update stream equals the final state, which the batch
+    aggregate oracle must reproduce exactly (fixed-point value sums —
+    no float fold-order dependence)."""
+    import os
+
+    from aroa_etl_spark.streaming.pipeline import stateful_user_counters
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select("user_id", "value")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "stream_src", sf_tag, "events_split4",
+    )
+    if not os.path.isdir(os.path.join(stage)) or not any(
+        f.endswith(".parquet") for f in os.listdir(stage) if os.path.isfile(os.path.join(stage, f))
+    ):
+        ev.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    counters = stateful_user_counters(stream, key_col="user_id", value_col="value")
+    _drain(counters, "st_stateful_counts_sink", "update")
+    return (
+        spark.table("st_stateful_counts_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_fp").alias("value_fp"),
+        )
+    )

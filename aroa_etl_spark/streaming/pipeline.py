@@ -154,6 +154,57 @@ def sessionized_event_counts(
     return out
 
 
+def stateful_user_counters(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Arbitrary-stateful streaming via applyInPandasWithState: per-key
+    running (event count, fixed-point value sum) accumulated across
+    micro-batches; every batch a key appears in emits that key's
+    CURRENT totals (update semantics). The value sum is floor(v·100)
+    per row in BIGINT — exact, order-free, and replayable in SQL, so
+    the drained final state is oracle-checkable against a batch
+    aggregate (both metrics are monotone for non-negative values:
+    last update == max update).
+
+    State is two BIGINTs per key — bounded regardless of stream length;
+    the state store shuffles once on the key, the 100 TB shape for
+    running per-entity counters."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_fp", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.LongType())]
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(np.floor(pdf[value_col].astype("float64") * 100).astype("int64").sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "value_fp": [s]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_consensus(
     stream: DataFrame,
     id_col: str,

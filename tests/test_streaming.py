@@ -204,3 +204,16 @@ def test_streaming_neardup_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_neardup").collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def test_stateful_counts_accumulates_across_batches(spark):
+    """st_stateful_counts stages 4 files with maxFilesPerTrigger=1: the
+    update-mode sink must then contain MORE rows than distinct users
+    (every user appearing in k>1 batches emitted k running totals) —
+    the proof that state really crossed micro-batch boundaries."""
+    from aroa_etl_spark.plans import catalog
+
+    final = catalog.spec("st_stateful_counts").builder(spark, "/root/testdata/sf0.001")
+    n_users = final.count()
+    sink_rows = spark.table("st_stateful_counts_sink").count()
+    assert sink_rows > n_users, (sink_rows, n_users)
