@@ -46,3 +46,30 @@ def test_plan_invariants(spark, sf_dir, name):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = catalog.spec("q1_pricing_summary").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_j5_scan_is_pruned(spark, sf_dir):
+    df = catalog.spec("j5_multiway_revenue_by_nation").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # lineitem scan must read only the join key + money columns, never
+    # the full 11-column row
+    seg = [s for s in plan.split("ReadSchema: ")[1:] if "l_extendedprice" in s][0]
+    schema = seg.split("\n")[0]
+    assert "l_comment" not in schema and "l_shipdate" not in schema
+    assert "l_orderkey" in schema and "l_discount" in schema
+
+
+def test_w2_has_window_group_limit(spark, sf_dir):
+    """Top-k per group must keep the partial WindowGroupLimit (per-
+    partition top-k BEFORE the shuffle — the map-side combine of
+    ranking windows). A regression to plain Window would ship every
+    row through the Exchange."""
+    df = catalog.spec("w2_topk_per_group").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
