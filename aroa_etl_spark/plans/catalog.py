@@ -1588,3 +1588,55 @@ def diag_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return top_keys(li.select(F.col("l_suppkey").alias("key")), "key", n=20)
+
+
+@query(
+    "dq_orders_report",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS check,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                              OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk(o_custkey->c_custkey)',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/dq.py) over orders:
+    not-null, accepted-values, range, key-uniqueness, and an FK to
+    customer. All row-level + uniqueness checks compile to ONE
+    conditional-aggregation pass (stack() unpivots the wide result);
+    the FK adds one anti-join count. The gate table you run before
+    promoting a 100 TB load — here checked against per-check SQL
+    counts."""
+    from aroa_etl_spark.operators import dq
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    report = dq.dq_report(
+        t["orders"],
+        [
+            dq.not_null("o_custkey"),
+            dq.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            dq.in_range("o_totalprice", lo=0),
+            dq.unique("o_orderkey"),
+            dq.fk("o_custkey", t["customer"], "c_custkey"),
+        ],
+    )
+    return report
