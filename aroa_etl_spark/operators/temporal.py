@@ -67,11 +67,12 @@ def asof_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """Left as-of join: for every left row, the single right row with the
-    largest ``on`` ≤ left.``on`` (direction='backward', inclusive) or the
-    smallest ``on`` ≥ left.``on`` ('forward'), matching on the ``by``
-    keys. ``right_cols`` are the right payload columns to attach (NULL
-    when no right row qualifies); the matched right timestamp is always
-    attached as ``on + suffix``.
+    largest ``on`` ≤ left.``on`` (direction='backward', inclusive), the
+    smallest ``on`` ≥ left.``on`` ('forward'), or whichever of the two is
+    closer ('nearest', ties to backward — pandas merge_asof semantics),
+    matching on the ``by`` keys. ``right_cols`` are the right payload
+    columns to attach (NULL when no right row qualifies); the matched
+    right timestamp is always attached as ``on + suffix``.
 
     ``tolerance_us``: optional max |left.on - right.on| in microseconds;
     matches farther away surface as NULL (pandas ``merge_asof``
@@ -86,8 +87,10 @@ def asof_join(
     within partitions → running last(ignorenulls). No join explosion,
     no state beyond one value per payload column.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = list(by)
     right_cols = list(right_cols)
     if not right_cols:
@@ -123,20 +126,57 @@ def asof_join(
     # backward: right rows sort before left at equal time (inclusive ≤),
     # running last() picks the latest right seen so far. forward is the
     # mirror image (descending time, right still first at equal time).
-    t = F.col("__on").asc() if direction == "backward" else F.col("__on").desc()
-    win = (
-        W.partitionBy(*by)
-        .orderBy(t, F.col("__side").asc(), F.col(payload[0]).asc_nulls_first())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = u.select(
-        *by,
-        "__on",
-        "__side",
-        *left_cols,
-        *[F.last(p, ignorenulls=True).over(win).alias(p) for p in payload],
-        F.last(on_r, ignorenulls=True).over(win).alias(on_r),
-    ).filter(F.col("__side") == 1)
+    def _win(asc: bool):
+        t = F.col("__on").asc() if asc else F.col("__on").desc()
+        return (
+            W.partitionBy(*by)
+            .orderBy(t, F.col("__side").asc(), F.col(payload[0]).asc_nulls_first())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+
+    if direction in ("backward", "forward"):
+        win = _win(direction == "backward")
+        matched = u.select(
+            *by,
+            "__on",
+            "__side",
+            *left_cols,
+            *[F.last(p, ignorenulls=True).over(win).alias(p) for p in payload],
+            F.last(on_r, ignorenulls=True).over(win).alias(on_r),
+        ).filter(F.col("__side") == 1)
+    else:
+        # nearest: evaluate both directions over the SAME union (the two
+        # windows share the partitioning — one Exchange, two sorts) and
+        # pick the closer side per row, ties to backward.
+        wb, wf = _win(True), _win(False)
+        lt = left.schema[on].dataType
+        rt = right.schema[on].dataType
+        both = u.select(
+            *by,
+            "__on",
+            "__side",
+            *left_cols,
+            *[F.last(p, ignorenulls=True).over(wb).alias("__b_" + p) for p in payload],
+            F.last(on_r, ignorenulls=True).over(wb).alias("__b_on"),
+            *[F.last(p, ignorenulls=True).over(wf).alias("__f_" + p) for p in payload],
+            F.last(on_r, ignorenulls=True).over(wf).alias("__f_on"),
+        ).filter(F.col("__side") == 1)
+        gap_b = epoch_us(F.col("__on"), lt) - epoch_us(F.col("__b_on"), rt)
+        gap_f = epoch_us(F.col("__f_on"), rt) - epoch_us(F.col("__on"), lt)
+        use_b = F.col("__b_on").isNotNull() & (
+            F.col("__f_on").isNull() | (gap_b <= gap_f)
+        )
+        matched = both.select(
+            *by,
+            "__on",
+            "__side",
+            *left_cols,
+            *[
+                F.when(use_b, F.col("__b_" + p)).otherwise(F.col("__f_" + p)).alias(p)
+                for p in payload
+            ],
+            F.when(use_b, F.col("__b_on")).otherwise(F.col("__f_on")).alias(on_r),
+        )
 
     if tolerance_us is not None:
         lt = left.schema[on].dataType

@@ -170,3 +170,51 @@ def test_range_join_plan_is_hash_join_no_cartesian(rand_frames):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_nearest_matches_pandas(rand_frames):
+    left, right, ldf, rdf = rand_frames
+    lp = pd.DataFrame(left, columns=["k", "us", "lid"]).sort_values("us", kind="stable")
+    rp = (
+        pd.DataFrame(right, columns=["k", "us", "rid"])
+        .groupby(["k", "us"], as_index=False)["rid"].max()
+        .sort_values("us", kind="stable")
+    )
+    expect = pd.merge_asof(lp, rp, on="us", by="k", direction="nearest")
+    expect_map = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                  for r in expect.itertuples()}
+    rdf_dedup = rdf.groupBy("k", "ts").agg(F.max("rid").alias("rid"))
+    got = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            ldf, rdf_dedup, on="ts", by=["k"], right_cols=["rid"], direction="nearest"
+        ).collect()
+    }
+    assert got == expect_map
+
+
+def test_asof_nearest_with_tolerance(spark):
+    ldf = _mk(spark, [("a", 100 * US, 1)], "k string, us long, lid long")
+    rdf = _mk(
+        spark, [("a", 60 * US, 10), ("a", 130 * US, 20)], "k string, us long, rid long"
+    )
+    # forward row is closer (30s vs 40s)
+    out = asof_join(
+        ldf, rdf, on="ts", by=["k"], right_cols=["rid"], direction="nearest"
+    ).collect()
+    assert out[0]["rid_right"] == 20
+    # tolerance 25s: neither side within reach -> NULL
+    out = asof_join(
+        ldf, rdf, on="ts", by=["k"], right_cols=["rid"], direction="nearest",
+        tolerance_us=25 * US,
+    ).collect()
+    assert out[0]["rid_right"] is None
+
+
+def test_asof_nearest_single_exchange(rand_frames):
+    _, _, ldf, rdf = rand_frames
+    plan = (
+        asof_join(ldf, rdf, on="ts", by=["k"], right_cols=["rid"], direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1  # two sorts, one shuffle
