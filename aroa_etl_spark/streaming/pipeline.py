@@ -293,6 +293,53 @@ def streaming_exact_dedup(
     return keyed.dropDuplicates(["__h"]).drop("__h")
 
 
+def stream_upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    key: str | list[str],
+    *,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming keyed upsert into a parquet table via foreachBatch —
+    the no-lakehouse merge pattern: each micro-batch reads the current
+    snapshot, applies operators/incremental.upsert (updates win, batch
+    de-duplicated on the key by arbitrary-last), and atomically
+    replaces the table (write to side dir + rename). availableNow
+    drain; blocks until done.
+
+    At scale you'd partition the table and rewrite only touched
+    partitions (or use a table format with real MERGE); the batch
+    upsert operator is the same either way."""
+    import os
+    import shutil
+    import uuid
+
+    from aroa_etl_spark.operators.incremental import upsert
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(keys)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            current = spark.read.parquet(path)
+            merged = upsert(current, batch.select(*current.columns), keys)
+        else:
+            merged = batch
+        tmp = path.rstrip("/") + f"__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    writer.start().awaitTermination()
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "update"
 ) -> None:

@@ -217,3 +217,39 @@ def test_stateful_counts_accumulates_across_batches(spark):
     n_users = final.count()
     sink_rows = spark.table("st_stateful_counts_sink").count()
     assert sink_rows > n_users, (sink_rows, n_users)
+
+
+def test_stream_upsert_to_parquet(spark, tmp_path):
+    """foreachBatch streaming merge: two waves of updates land in a
+    parquet table; later batches win per key, untouched rows survive."""
+    from aroa_etl_spark.streaming.pipeline import stream_upsert_to_parquet
+
+    src = str(tmp_path / "updates")
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # seed the table
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(tbl)
+    # two update files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame([(2, "B1"), (4, "d")], "k long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame([(2, "B2"), (5, "e")], "k long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_upsert_to_parquet(stream, tbl, "k", checkpoint=ckpt)
+
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(tbl).collect()}
+    # k=2 must carry ONE of the update values (batch order between the
+    # two source files is mtime-dependent); all other keys are exact.
+    assert {(1, "a"), (3, "c"), (4, "d"), (5, "e")} <= got
+    assert len(got) == 5
+    assert any(k == 2 and v in ("B1", "B2") for k, v in got)
