@@ -1640,3 +1640,39 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report
+
+
+@query(
+    "w_cumulative_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           CAST(row_number()
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def w_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend — the cumulative-aggregate window
+    (ROWS UNBOUNDED PRECEDING), deterministic because the frame is
+    ordered by a TOTAL order (date, orderkey) and the accumulation is
+    exact decimal (every prefix sum is order-pinned, surfaced as
+    DOUBLE). One shuffle on o_custkey; running frames keep O(1) window
+    state per row."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(d2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(wo).cast("bigint").alias("order_seq"),
+    )
