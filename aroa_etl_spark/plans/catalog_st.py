@@ -251,11 +251,13 @@ def st_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is staged as FOUR parquet files and streamed with
     maxFilesPerTrigger=1, so applyInPandasWithState genuinely
     accumulates per-user state ACROSS multiple micro-batches (not one
-    trivial batch). Every batch emits the key's current totals; both
-    metrics are monotone (values are non-negative), so max-per-user
-    over the update stream equals the final state, which the batch
-    aggregate oracle must reproduce exactly (fixed-point value sums —
-    no float fold-order dependence)."""
+    trivial batch). Every batch emits the key's current totals; the
+    event count strictly grows per emission (a key only emits on
+    batches where it has rows), so the update row with the max count IS
+    the final state — value_fp rides along via max_by with no
+    assumption about value signs. The batch aggregate oracle must
+    reproduce it exactly (fixed-point value sums — no float fold-order
+    dependence)."""
     import os
 
     from aroa_etl_spark.streaming.pipeline import stateful_user_counters
@@ -282,6 +284,6 @@ def st_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("value_fp").alias("value_fp"),
+            F.max_by("value_fp", "n_events").alias("value_fp"),
         )
     )
