@@ -1289,7 +1289,7 @@ def a_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             lpad(CAST(epoch_us(ts) + 100000000000000000 AS VARCHAR), 20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
       FROM events)
     SELECT event_type, day,
@@ -1318,8 +1318,15 @@ def a_ohlc_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("date").cast("string").alias("day"),
         "value",
+        # +1e17 keeps the padded key positive (and hence ordered) even
+        # for pre-1970 timestamps in future regenerated data.
         F.concat(
-            F.lpad(epoch_us("ts", ev.schema["ts"].dataType).cast("string"), 20, "0"),
+            F.lpad(
+                (epoch_us("ts", ev.schema["ts"].dataType) + F.lit(100000000000000000))
+                .cast("string"),
+                20,
+                "0",
+            ),
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
         ).alias("ord"),
     )
