@@ -268,10 +268,11 @@ def st_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch", "stream_src", sf_tag, "events_split4",
     )
-    if not os.path.isdir(os.path.join(stage)) or not any(
-        f.endswith(".parquet") for f in os.listdir(stage) if os.path.isfile(os.path.join(stage, f))
-    ):
-        ev.repartition(4).write.mode("overwrite").parquet(stage)
+    # ALWAYS rewrite: this stage is a COPY (unlike _stream_table's
+    # symlinks, whose content follows the source), and the driver
+    # regenerates /root/testdata between rounds — an exists-check would
+    # silently stream last round's data against this round's oracle.
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
     stream = (
         spark.readStream.schema("user_id bigint, value double")
         .option("maxFilesPerTrigger", 1)
