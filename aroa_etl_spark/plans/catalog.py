@@ -1383,7 +1383,7 @@ def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT event_id, 'evt', event_type, 'string' FROM events
     UNION ALL
-    SELECT event_id, 'nested.k', json_extract_string(props, '$.k'), 'integer' FROM events
+    SELECT event_id, 'nested.k', CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR), 'integer' FROM events
     UNION ALL
     SELECT event_id, 'nested.tags[0]', 'a', 'string' FROM events
     UNION ALL
@@ -1407,7 +1407,9 @@ def js_udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             '{"user":%d,"evt":"%s","nested":{"k":%s,"tags":["a","b"]}}',
             F.col("user_id"),
             F.col("event_type"),
-            F.get_json_object("props", "$.k"),
+            # BIGINT-pin both sides: a future regeneration could make k a
+            # float, which would change the flattened type row.
+            F.get_json_object("props", "$.k").cast("bigint").cast("string"),
         ).alias("j"),
     ).createOrReplaceTempView("events_json_src")
     return spark.sql(
