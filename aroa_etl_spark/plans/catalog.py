@@ -1685,3 +1685,81 @@ def w_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d2("o_totalprice")).over(w).cast("double").alias("running_spend"),
         F.row_number().over(wo).cast("bigint").alias("order_seq"),
     )
+
+
+@query(
+    "a_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment)
+    SELECT c_mktsegment, 'n_f' AS metric, n_f AS value FROM wide
+    UNION ALL SELECT c_mktsegment, 'n_o', n_o FROM wide
+    UNION ALL SELECT c_mktsegment, 'n_p', n_p FROM wide
+    """,
+)
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long, the inverse of the pivot entry) via
+    Spark's native ``unpivot`` — an Expand over the wide aggregate, no
+    scan multiplication: the metric count never adds jobs. The oracle
+    states the same reshape as a UNION ALL."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    wide = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+        )
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["n_f", "n_o", "n_p"], "metric", "value"
+    )
+
+
+@query(
+    "w_date_spine_activity",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1)
+    SELECT CAST(spine.day AS VARCHAR) AS day,
+           CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def w_date_spine_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification — the reporting staple: generate every
+    calendar day in the data's range (explode(sequence(min, max)) — a
+    generator, not a table scan) and left-join daily counts so silent
+    days surface as ZERO rows instead of gaps. Day output is VARCHAR at
+    the boundary (the DATE repr rule)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
