@@ -990,3 +990,34 @@ def w_ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(d2("o_totalprice")).cast("double").alias("min_price"),
         F.max(d2("o_totalprice")).cast("double").alias("max_price"),
     )
+
+
+@query(
+    "tdp_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 ('0x'||substr(md5('s1'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT::BIGINT
+                 % 1000000 AS b
+          FROM documents)
+    WHERE (lang = 'en' AND b < 500000)
+       OR (lang = 'de' AND b < 250000)
+       OR (lang = 'fr' AND b < 100000)
+    """,
+)
+def tdp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py
+    hash_sample): per-language fractions (en 50%, de 25%, fr 10%;
+    unlisted strata dropped), each row's fate a pure function of
+    (doc_id, salt) — reproducible under any partitioning, zero shuffle.
+    The oracle replays the identical md5-bucket predicate per
+    stratum."""
+    from aroa_etl_spark.operators.sampling import hash_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "lang"
+    )
+    return hash_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.1},
+        strata_col="lang", salt="s1",
+    )
