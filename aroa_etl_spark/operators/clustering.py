@@ -48,6 +48,7 @@ def connected_components(
     max_iter: int = 25,
     dedup_edges: bool = False,
     checkpoint_every: int = 5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, component)
     where component is the minimum node id in the component.
@@ -81,7 +82,40 @@ def connected_components(
     All internal persists are released before returning; the result is
     an eager local checkpoint that owns its blocks (ContextCleaner frees
     them when the frame is unreferenced).
+
+    ``num_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    loop's lifetime (restored on exit) — the iterative analogue of the
+    streaming drain's state-store pinning. Labels are (node, label)
+    pairs, tiny next to the data they describe, so a session-wide
+    shuffle width (e.g. 200 under a plain driver session) schedules
+    mostly-empty tasks every round; size it to ~nodes×16 bytes / 64 MB,
+    floored at the cluster's default parallelism. ``None`` (default)
+    leaves the session conf alone. The edge derivation upstream of the
+    loop materializes inside it (the sym persist), so its shuffles are
+    pinned too.
     """
+    spark = edges.sparkSession
+    conf_before: str | None = None
+    if num_partitions is not None:
+        conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _connected_components_loop(
+            edges, src, dst, max_iter, dedup_edges, checkpoint_every
+        )
+    finally:
+        if conf_before is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", conf_before)
+
+
+def _connected_components_loop(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    dedup_edges: bool,
+    checkpoint_every: int,
+) -> DataFrame:
     # symmetrize in ONE pass over the edge input: a union of two selects
     # evaluates the (possibly expensive) upstream edge derivation twice
     # during materialization; explode(array(fwd, rev)) scans it once.
@@ -230,6 +264,7 @@ def person_clustering(
     max_iter: int = 25,
     entity_col: str = "Person_Entity_ID",
     dense_ids: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Cluster person mentions into entities → input rows + ``entity_col``.
 
@@ -259,7 +294,9 @@ def person_clustering(
         known = _star_edges(df.filter(has_value(prisoner_col)), id_col, prisoner_col)
         edges = edges.unionByName(known).distinct()
 
-    comp = connected_components(edges, max_iter=max_iter)
+    comp = connected_components(
+        edges, max_iter=max_iter, num_partitions=num_partitions
+    )
 
     with_comp = df.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"

@@ -51,7 +51,6 @@ def not_null(col: str) -> Check:
 
 
 def accepted_values(col: str, values: Sequence) -> Check:
-    vals = ", ".join(repr(v) for v in values)
     return Check(
         f"accepted_values({col})",
         "row",
@@ -90,6 +89,8 @@ def dq_report(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     row-level + uniqueness checks share one aggregation pass; each fk
     adds one anti-join count. Row order is one row per check; rows with
     zero violations are kept (the gate wants to see the green too)."""
+    if not checks:
+        raise ValueError("dq_report: no checks given")
     aggs = []
     for c in checks:
         if c.kind == "row":

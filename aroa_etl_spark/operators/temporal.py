@@ -128,9 +128,17 @@ def asof_join(
     # mirror image (descending time, right still first at equal time).
     def _win(asc: bool):
         t = F.col("__on").asc() if asc else F.col("__on").desc()
+        # Tiebreak over ALL payload columns: ordering by payload[0] alone
+        # leaves right rows tying on (by, on, payload[0]) in a non-total
+        # order, and each last() would then resolve independently against
+        # a nondeterministic row order (mixing values from different right
+        # rows). With every payload column in the sort the within-tie
+        # order is total unless rows are fully identical — where mixing
+        # is harmless.
+        ties = [F.col(p).asc_nulls_first() for p in payload]
         return (
             W.partitionBy(*by)
-            .orderBy(t, F.col("__side").asc(), F.col(payload[0]).asc_nulls_first())
+            .orderBy(t, F.col("__side").asc(), *ties)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
 

@@ -71,22 +71,22 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return stream
 
 
-def _drain(stream: DataFrame, sink: str, output_mode: str) -> None:
+def _drain(stream: DataFrame, sink: str, output_mode: str, partitions: int = 8) -> None:
     """Drain availableNow into a memory sink. Stateful streaming ops
     create one state-store partition per shuffle partition at QUERY
     START — under the driver's plain session that default is 200, and
-    the per-partition state-store setup dominates small-sf wall time
-    (measured 34 s → 7 s on the stream-stream join). Pin a CPU-sized
-    count for the stream's lifetime, then restore."""
-    import os
-
+    the per-partition state-store setup (checkpoint dir + delta-file
+    commits per micro-batch) dominates small-sf wall time (measured
+    34 s → 7 s on the stream-stream join at 32; 8 cuts it further).
+    The width is a per-query lifetime choice sized to STATE volume,
+    not CPU count — gate-scale state is KBs, so 8 stores saturate;
+    a production stream sizes ``partitions`` to keys×bytes/store
+    budget exactly like the batch operators size their shuffles."""
     from aroa_etl_spark.streaming.pipeline import run_to_memory
 
     spark = stream.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         run_to_memory(stream, sink, output_mode=output_mode)
     finally:

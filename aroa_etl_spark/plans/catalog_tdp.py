@@ -845,11 +845,15 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
         "doc_id", "text"
     )
+    # The planted suffix must stay DECOMPOSED (e+U+0301, u+U+0308);
+    # built from \u escapes (pure ASCII in this file) so an editor or
+    # formatter NFC-normalizing the source cannot silently compose it
+    # while the DuckDB oracle keeps building via chr(769)/chr(776).
     planted = docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") % 11 == 0,
-            F.concat(F.col("text"), F.lit(" café Müller")),
+            F.concat(F.col("text"), F.lit(" cafe\u0301 Mu\u0308ller")),
         ).otherwise(F.col("text")),
     )
     n = X.nfc_normalize("text")
@@ -910,7 +914,10 @@ def er_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    comp = connected_components(edges, max_iter=8)
+    comp = connected_components(
+        edges, max_iter=8,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     release_caches()
     return comp
 

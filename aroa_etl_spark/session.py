@@ -58,11 +58,42 @@ def get_spark(
     return spark
 
 
+def pin_utc_session_tz(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC, warning if it overrides
+    a different explicitly-configured zone.
+
+    Timestamp semantics across the engine (LTZ<->NTZ casts, window
+    grids, oracle comparisons) are defined against a UTC session; this
+    is a DOCUMENTED session-level mutation, shared by ``load_tables``
+    and the streaming window/session operators, not a hidden side
+    effect. The warning fires only when the caller had deliberately set
+    a non-UTC zone — the common case (unset = JVM default) pins
+    silently."""
+    import warnings
+
+    current = spark.conf.get("spark.sql.session.timeZone")
+    if current not in ("UTC", "Etc/UTC", "GMT", "Z"):
+        warnings.warn(
+            f"aroa_etl_spark pins spark.sql.session.timeZone=UTC for "
+            f"timestamp determinism (was {current!r}); set it back after "
+            f"engine calls if your own queries depend on it.",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables and register them as temp views.
 
     Returns {name: DataFrame}. Parquet scans get predicate pushdown and
     column pruning from Catalyst for free.
+
+    Session-level side effects (documented API contract): sets the
+    runtime confs ``spark.sql.legacy.parquet.nanosAsLong=true`` (events
+    nanos) and — only when events ships LTZ timestamps —
+    ``spark.sql.session.timeZone=UTC`` via :func:`pin_utc_session_tz`,
+    which warns rather than silently overriding a caller's explicit
+    non-UTC zone.
     """
     names = names or (
         "region",
@@ -104,7 +135,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                 # and the engine's ts arithmetic is defined tz-free. Pin
                 # UTC so the cast maps instant -> identical wall clock on
                 # any caller session.
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                pin_utc_session_tz(spark)
                 df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
             df.createOrReplaceTempView(name)
             out[name] = df

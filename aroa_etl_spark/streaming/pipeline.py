@@ -30,6 +30,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from aroa_etl_spark.session import pin_utc_session_tz
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -88,7 +89,7 @@ def windowed_event_counts(
     src = events
     if events.isStreaming:
         if ntz:
-            events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+            pin_utc_session_tz(events.sparkSession)
             src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         src = src.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
@@ -131,7 +132,7 @@ def sessionized_event_counts(
     src = events
     if events.isStreaming:
         if ntz:
-            events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+            pin_utc_session_tz(events.sparkSession)
             src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         src = src.withWatermark(ts_col, watermark)
     out = (
@@ -192,7 +193,11 @@ def stateful_user_counters(
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += int(np.floor(pdf[value_col].astype("float64") * 100).astype("int64").sum())
+            # SQL SUM null semantics: nulls count toward n_events but are
+            # skipped by the value fold (np.floor(NaN).astype(int64) is
+            # platform-dependent garbage, not a skip).
+            v = pdf[value_col].dropna().astype("float64")
+            s += int(np.floor(v * 100).astype("int64").sum())
         state.update((n, s))
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "value_fp": [s]})
 
