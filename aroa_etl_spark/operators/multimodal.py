@@ -4,15 +4,20 @@ pipelines.
 Design: media are opaque ``binary`` columns with a typed metadata
 struct, processed by Arrow-batched ``mapInPandas`` kernels. The
 Spark-side plumbing — schemas, batch iteration, partition sizing,
-output contracts — is real and tested; the actual codecs are stubbed
-because media libraries (PIL/ffmpeg/torchaudio) are not in this
-container. Each stub is either:
+output contracts — is real and tested, and so are the codecs for the
+dependency-free formats:
 
-- a clearly-marked ``NotImplementedError`` raised at decode time when
-  ``strict=True``, or
-- a deterministic fake (hash-derived pixels/waveform) so downstream
-  plumbing (feature extraction, resize bookkeeping, frame sampling)
-  can be exercised end-to-end in tests.
+- images: PNG (stdlib zlib), PPM/PGM, uncompressed 24-bit BMP decode
+  for real; anything else dispatches to PIL when importable;
+- audio: WAV PCM 8/16/24/32-bit decodes for real via stdlib ``wave``;
+  other formats dispatch to soundfile when importable;
+- video: ``rawvideo`` (concatenated uncompressed frames) slices real
+  frames; container formats need an ffmpeg not present here.
+
+``strict=True`` means "real media or raise": a format with no
+available codec raises ``NotImplementedError``. ``strict=False`` falls
+back to a deterministic fake (hash-derived pixels/waveform) so
+downstream plumbing can always be exercised end-to-end.
 
 Reference analogue: the KI-Indizierung pipeline treats GCS card scans
 as opaque blobs manifested in a DataFrame and maps an expensive
@@ -87,13 +92,15 @@ def media_table_schema(meta: T.StructType) -> T.StructType:
 
 
 # ---------------------------------------------------------------------------
-# decode stubs
+# image codecs: real decoders for PNG / PPM / PGM / BMP (no external
+# dependency), PIL for anything else when importable, deterministic fake
+# as the non-strict fallback
 # ---------------------------------------------------------------------------
 
 def _fake_pixels(content: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Deterministic fake decode: pixels derived from sha256 of the
-    bytes, tiled to shape. NOT a real codec — stands in for
-    PIL.Image.open in this container."""
+    bytes, tiled to shape. NOT a real codec — the non-strict fallback
+    for formats without a real decoder in this environment."""
     digest = hashlib.sha256(content or b"").digest()
     seed = np.frombuffer(digest, dtype=np.uint8)
     n = width * height * channels
@@ -101,13 +108,175 @@ def _fake_pixels(content: bytes, width: int, height: int, channels: int) -> np.n
     return np.tile(seed, reps)[:n].reshape(height, width, channels)
 
 
+def _decode_png(content: bytes) -> np.ndarray:
+    """Real PNG decode (pure stdlib): 8-bit depth, non-interlaced,
+    gray / gray+alpha / RGB / RGBA. Covers every PNG a training
+    pipeline writes itself; exotic PNGs fall through to PIL."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, width, height, channels, idat = 8, 0, 0, 0, []
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError("stdlib PNG path: 8-bit non-interlaced only")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color} unsupported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = line + prev
+        else:  # Sub / Average / Paeth need the running left neighbor
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def _decode_netpbm(content: bytes) -> np.ndarray:
+    """Real binary netpbm decode: P5 (PGM, gray) / P6 (PPM, RGB)."""
+    magic = content[:2]
+    channels = {b"P5": 1, b"P6": 3}.get(magic)
+    if channels is None:
+        raise ValueError("not a binary PGM/PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens (comment lines starting with '#' allowed)
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm unsupported")
+    n = width * height * channels
+    return (
+        np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
+        .copy()
+        .reshape(height, width, channels)
+    )
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Real BMP decode: uncompressed 24-bit BI_RGB (the format every
+    'save as BMP' produces). Rows are bottom-up, 4-byte padded, BGR."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack("<I", content[10:14])
+    width, height = struct.unpack("<ii", content[18:26])
+    bpp, compression = struct.unpack("<HI", content[28:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("stdlib BMP path: uncompressed 24-bit only")
+    flip = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        off = data_offset + y * row_bytes
+        row = np.frombuffer(content, dtype=np.uint8, count=width * 3, offset=off)
+        rows.append(row.reshape(width, 3)[:, ::-1])  # BGR -> RGB
+    px = np.stack(rows)
+    return px[::-1] if flip else px
+
+
+_IMAGE_DECODERS = {
+    "png": _decode_png,
+    "ppm": _decode_netpbm,
+    "pgm": _decode_netpbm,
+    "bmp": _decode_bmp,
+}
+
+
+def _pil_decode(content: bytes) -> np.ndarray:
+    from io import BytesIO
+
+    from PIL import Image  # noqa: PLC0415
+
+    px = np.asarray(Image.open(BytesIO(content)))
+    return px if px.ndim == 3 else px[:, :, None]
+
+
 def decode_image(content: bytes, meta: dict, *, strict: bool = False) -> np.ndarray:
-    """STUB — real implementation would dispatch on meta['format'] to
-    PIL/libjpeg. strict=True raises so callers can't mistake fake
-    pixels for real ones."""
-    if strict:
+    """Decode an image column value to an (H, W, C) uint8 array.
+
+    Dispatch on ``meta['format']``: PNG / PPM / PGM / BMP decode for
+    real with no external dependency; any other format tries PIL when
+    importable. ``strict=True`` = "real pixels or raise" — formats with
+    no available codec raise ``NotImplementedError`` instead of falling
+    back to the deterministic fake decoder (sha256-tiled pixels), so
+    callers can't mistake fake pixels for real ones."""
+    fmt = (meta.get("format") or "").lower().lstrip(".")
+    codec = _IMAGE_DECODERS.get(fmt)
+    if codec is not None:
+        try:
+            return codec(content)
+        except (NotImplementedError, ValueError):
+            if strict:
+                raise
+    elif fmt not in ("", "fake", "raw"):
+        try:
+            return _pil_decode(content)
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    f"no codec for image format {fmt!r} (PIL not installed); "
+                    "run with strict=False for the deterministic fake decoder"
+                ) from None
+        except Exception:
+            if strict:
+                raise
+    elif strict:
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
+            f"image format {fmt!r} has no real codec; "
             "run with strict=False for the deterministic fake decoder"
         )
     return _fake_pixels(
@@ -203,21 +372,42 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_video_frames(df: DataFrame, *, every_n: int = 30, strict: bool = False) -> DataFrame:
-    """Frame sampling plumbing (1 row in → k frame rows out): the
-    row-explosion contract of a video pipeline. Frame bytes are
-    hash-derived fakes; a real build decodes via ffmpeg in-kernel."""
+    """Frame sampling (1 row in → k frame rows out): the row-explosion
+    contract of a video pipeline.
+
+    Real path: ``meta.format == 'rawvideo'`` — content is concatenated
+    uncompressed frames of ``width*height*channels`` bytes, and every
+    n-th REAL frame is sliced out (the layout ffmpeg's ``rawvideo``
+    muxer writes). Container formats (mp4/mkv) need an in-kernel ffmpeg
+    not present here: ``strict=True`` raises for them; otherwise frame
+    bytes are hash-derived fakes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                if strict:
-                    raise NotImplementedError("video codecs not available; strict=False")
                 meta = dict(row["meta"] or {})
+                fmt = (meta.get("format") or "").lower()
                 n_frames = int(meta.get("n_frames") or 0)
                 content = bytes(row["content"] or b"")
+                frame_bytes = (
+                    int(meta.get("width") or 0)
+                    * int(meta.get("height") or 0)
+                    * int(meta.get("channels") or 3)
+                )
+                raw = fmt == "rawvideo" and frame_bytes > 0
+                if raw and n_frames == 0:
+                    n_frames = len(content) // frame_bytes
+                if strict and not raw:
+                    raise NotImplementedError(
+                        f"video format {fmt!r} has no real demuxer here; "
+                        "use format='rawvideo' or strict=False"
+                    )
                 for i in range(0, n_frames, every_n):
-                    frame = hashlib.sha256(content + i.to_bytes(8, "little")).digest()
+                    if raw:
+                        frame = content[i * frame_bytes : (i + 1) * frame_bytes]
+                    else:
+                        frame = hashlib.sha256(content + i.to_bytes(8, "little")).digest()
                     rows.append(
                         {"media_id": row["media_id"], "frame_index": i, "frame": frame}
                     )
@@ -259,13 +449,70 @@ def _fake_waveform(content: bytes, n_samples: int, channels: int) -> np.ndarray:
     return (flat / 128.0 - 1.0).reshape(max(0, n_samples), max(1, channels))
 
 
+def _decode_wav(content: bytes) -> np.ndarray:
+    """Real WAV decode (stdlib ``wave``): PCM 8/16/32-bit → float32
+    (n_samples, channels) in [-1, 1)."""
+    import wave
+    from io import BytesIO
+
+    with wave.open(BytesIO(content), "rb") as w:
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sampwidth == 1:  # unsigned 8-bit
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 3:  # packed 24-bit
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).astype(np.float32) / 8388608.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
+    return x.reshape(-1, channels)
+
+
 def decode_audio(content: bytes, meta: dict, *, strict: bool = False) -> np.ndarray:
-    """STUB — real implementation would dispatch on meta['format'] to
-    soundfile/ffmpeg. strict=True raises so callers can't mistake the
-    fake waveform for real samples."""
-    if strict:
+    """Decode an audio column value to a float32 (n_samples, channels)
+    waveform in [-1, 1).
+
+    WAV (PCM 8/16/24/32-bit) decodes for real via the stdlib ``wave``
+    module; other formats try soundfile when importable. ``strict=True``
+    = "real samples or raise" — formats with no available codec raise
+    ``NotImplementedError`` instead of falling back to the deterministic
+    fake waveform."""
+    fmt = (meta.get("format") or "").lower().lstrip(".")
+    if fmt in ("wav", "wave"):
+        try:
+            return _decode_wav(content)
+        except Exception:
+            if strict:
+                raise
+    elif fmt not in ("", "fake", "raw"):
+        try:
+            import soundfile  # noqa: PLC0415
+            from io import BytesIO
+
+            data, _sr = soundfile.read(BytesIO(content), dtype="float32")
+            return data if data.ndim == 2 else data[:, None]
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    f"no codec for audio format {fmt!r} (soundfile not "
+                    "installed); run with strict=False for the fake decoder"
+                ) from None
+        except Exception:
+            if strict:
+                raise
+    elif strict:
         raise NotImplementedError(
-            "audio codecs are not available in this environment; "
+            f"audio format {fmt!r} has no real codec; "
             "run with strict=False for the deterministic fake decoder"
         )
     return _fake_waveform(

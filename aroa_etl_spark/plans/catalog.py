@@ -96,10 +96,11 @@ GATE_PRIORITY: list[str] = [
     "st_neardup_candidates",
     "st_sessionize",
     "st_stateful_counts",
-    # multimodal plumbing
+    # multimodal plumbing + real-codec decode
     "mm_image_features",
     "mm_audio_features",
     "mm_video_frame_sample",
+    "mm_image_decode_real",
     # incremental / CDC
     "inc_upsert_orders",
     "inc_snapshot_diff",
@@ -112,7 +113,9 @@ GATE_PRIORITY: list[str] = [
     "text_nfc_normalize",
     "er_neardup_clusters",
     "emb_centroid_per_label",
-    "diag_top_keys",
+    # diag_top_keys yields its slot to mm_image_decode_real: its
+    # TakeOrderedAndProject shape is already attested via o2_global_topk
+    # (driver-green in round 2); it stays mirror-verified outside.
     "dq_orders_report",
     # windows / reshape / densification
     "w_sessionize_events",

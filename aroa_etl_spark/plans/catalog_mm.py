@@ -1,12 +1,14 @@
 """Driver-checkable catalog entries for the multimodal surface (S8).
 
-The codecs are declared stubs (media libraries aren't in this
-container: operators/multimodal.py), but the stub decode is a
-DETERMINISTIC function of the blob bytes — sha256-tiled pixels /
-waveform — so the real Spark-side plumbing (binary columns, typed meta
-structs, Arrow-batched mapInPandas kernels, 1-row→k-rows frame
-explosion) is oracle-checkable end to end: DuckDB replays the digest
-arithmetic with its own sha256().
+Three entries exercise the deterministic fake decoder (sha256-tiled
+pixels / waveform — DuckDB replays the digest arithmetic with its own
+sha256(), attesting the binary columns, typed meta structs,
+Arrow-batched mapInPandas kernels, and 1-row→k-rows frame explosion).
+``mm_image_decode_real`` additionally runs a REAL codec under
+``strict=True``: genuine binary PPM blobs assembled in-plan, decoded by
+the dependency-free netpbm decoder (operators/multimodal.py) — PNG /
+BMP / WAV / rawvideo codecs are pinned byte-exact in
+tests/test_multimodal.py.
 
 Media are synthesized from the documents table (media_id = doc_id,
 content = UTF-8 bytes of text, meta from doc_id arithmetic) — both
@@ -155,3 +157,52 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return sample_video_frames(media, every_n=30).select("media_id", "frame_index")
+
+
+@query(
+    "mm_image_decode_real",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      md5(text) || md5(text || 'x') AS hx
+               FROM documents)
+    SELECT media_id,
+           CAST(47 AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, 37),
+                                        i -> ascii(substr(hx, i, 1)))) AS BIGINT
+               )::DOUBLE / 36 AS mean_intensity,
+           CAST(4 AS DOUBLE) / 3 AS aspect_ratio
+    FROM m
+    """,
+)
+def mm_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 with a REAL codec in the gate (round 3): every document becomes
+    a genuine binary P6 PPM — an 11-byte header plus a 4×3 RGB payload
+    of md5-hex ASCII bytes, assembled with native binary concat — and
+    the feature kernel runs ``strict=True``, so the bytes go through the
+    real netpbm decoder (operators/multimodal.py:_decode_netpbm), not
+    the sha256 fake. The oracle replays the payload as ascii() codes of
+    the same md5 hex: exact integer sum / 36 — mean_intensity matches
+    bit-for-bit only if the decoder parsed the header and payload
+    correctly."""
+    from aroa_etl_spark.operators.multimodal import image_features
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hx = F.concat(F.md5(F.encode("text", "UTF-8")),
+                  F.md5(F.encode(F.concat(F.col("text"), F.lit("x")), "UTF-8")))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://ppm/"), F.col("doc_id")).alias("uri"),
+        F.concat(
+            F.encode(F.lit("P6\n4 3\n255\n"), "UTF-8"),
+            F.encode(F.substring(hx, 1, 36), "UTF-8"),
+        ).alias("content"),
+        F.struct(
+            F.lit(4).cast("int").alias("width"),
+            F.lit(3).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit("ppm").alias("format"),
+        ).alias("meta"),
+    )
+    return image_features(media, strict=True).select(
+        "media_id", "n_bytes", "mean_intensity", "aspect_ratio"
+    )

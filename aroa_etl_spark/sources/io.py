@@ -147,6 +147,40 @@ def read_excel_via_pandas(
     return spark.createDataFrame(pdf.fillna(""))
 
 
+def write_excel_via_pandas(
+    df: DataFrame,
+    path: str,
+    *,
+    sheet_name: str = "Sheet1",
+    max_rows: int = 1_048_576,
+) -> None:
+    """Excel sink (S6 twin of :func:`read_excel_via_pandas`) for
+    report-sized outputs — the reference hands matching results to
+    researchers as xlsx (run-matching.py:96-100, postprocessing
+    notebook). Driver-side by design: xlsx is a human-review format,
+    not a data-exchange format; anything near ``max_rows`` (the xlsx
+    hard limit) belongs in parquet/CSV sinks instead, and this raises
+    rather than silently truncating."""
+    try:
+        import pandas as pd  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("writing Excel needs pandas on the driver") from e
+
+    limited = df.limit(max_rows + 1).toPandas()
+    if len(limited) > max_rows:
+        raise ValueError(
+            f"refusing to write >{max_rows} rows to xlsx; "
+            "use parquet/CSV sinks for data-scale outputs"
+        )
+    try:
+        limited.to_excel(path, sheet_name=sheet_name, index=False)
+    except ImportError as e:
+        raise ImportError(
+            "writing Excel needs an engine (openpyxl or xlsxwriter) on "
+            "the driver; pip install openpyxl, or use write_csv instead"
+        ) from e
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -65,3 +65,22 @@ def test_jdbc_reader_builds_partitioned_plan(spark):
         read_jdbc(
             spark, "jdbc:sqlserver://example:1433", "tbl", partition_column="id"
         )
+
+
+def test_write_excel_guards_row_limit(spark, tmp_path):
+    from aroa_etl_spark.sources.io import write_excel_via_pandas
+
+    df = spark.range(10).selectExpr("id", "cast(id as string) AS name")
+    with pytest.raises(ValueError, match="refusing to write"):
+        write_excel_via_pandas(df, str(tmp_path / "out.xlsx"), max_rows=5)
+
+
+def test_write_excel_roundtrip(spark, tmp_path):
+    pytest.importorskip("openpyxl")  # engine absent in this container: skip
+    from aroa_etl_spark.sources.io import read_excel_via_pandas, write_excel_via_pandas
+
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
+    path = str(tmp_path / "dim.xlsx")
+    write_excel_via_pandas(df, path)
+    back = read_excel_via_pandas(spark, path)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [("a", "1"), ("b", "2")]

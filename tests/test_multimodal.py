@@ -96,9 +96,168 @@ def test_audio_features_strict_raises(spark):
         media_table_schema,
     )
 
+    # no codec available for this format → NotImplementedError
     df = spark.createDataFrame(
+        [(1, "a.opus", b"x", {"sample_rate": 8000, "n_samples": 10, "channels": 1, "format": "opus"})],
+        media_table_schema(AUDIO_META),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        audio_features(df, strict=True).collect()
+
+    # real codec exists but the bytes are garbage → decode error, not a
+    # silent fall-through to the fake waveform
+    bad = spark.createDataFrame(
         [(1, "a.wav", b"x", {"sample_rate": 8000, "n_samples": 10, "channels": 1, "format": "wav"})],
         media_table_schema(AUDIO_META),
     )
-    with pytest.raises(Exception, match="NotImplementedError|audio codecs"):
-        audio_features(df, strict=True).collect()
+    with pytest.raises(Exception):
+        audio_features(bad, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# real codecs (round-3): PNG / PPM / BMP / WAV / rawvideo decode for real,
+# no external dependency — strict=True must SUCCEED on these formats and
+# produce the exact source pixels/samples.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _png_bytes(px: "np.ndarray") -> bytes:
+    """Minimal PNG encoder (filter 0 + one Up-filtered row) for fixtures."""
+    import struct
+    import zlib
+
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)
+        if y == 1:  # exercise the Up filter decode path
+            raw.append(2)
+            raw.extend(((line.astype(np.int16) - prev) % 256).astype(np.uint8).tobytes())
+        else:
+            raw.append(0)
+            raw.extend(line.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_real_pixels():
+    from aroa_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        px = rng.integers(0, 256, size=(5, 4, c), dtype=np.uint8)
+        got = decode_image(_png_bytes(px), {"format": "png"}, strict=True)
+        assert np.array_equal(got, px)
+
+
+def test_decode_ppm_pgm_real_pixels():
+    from aroa_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    ppm = b"P6\n# comment\n5 3\n255\n" + rgb.tobytes()
+    assert np.array_equal(decode_image(ppm, {"format": "ppm"}, strict=True), rgb)
+
+    gray = rng.integers(0, 256, size=(2, 4, 1), dtype=np.uint8)
+    pgm = b"P5 4 2 255\n" + gray.tobytes()
+    assert np.array_equal(decode_image(pgm, {"format": "pgm"}, strict=True), gray)
+
+
+def test_decode_bmp_real_pixels():
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)  # h=2 w=3
+    row_bytes = (3 * 3 + 3) & ~3  # 12
+    data = bytearray()
+    for y in (1, 0):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        data.extend(row + b"\x00" * (row_bytes - len(row)))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    got = decode_image(bytes(header + data), {"format": "bmp"}, strict=True)
+    assert np.array_equal(got, px)
+
+
+def test_decode_wav_real_samples():
+    import io
+    import wave
+
+    from aroa_etl_spark.operators.multimodal import decode_audio
+
+    rng = np.random.default_rng(10)
+    samples = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    got = decode_audio(buf.getvalue(), {"format": "wav"}, strict=True)
+    assert got.shape == (50, 2)
+    assert np.allclose(got, samples.astype(np.float32) / 32768.0)
+
+
+def test_strict_unknown_format_still_raises():
+    from aroa_etl_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", {"format": "jpeg"}, strict=True)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC", {"format": "flac"}, strict=True)
+
+
+def test_image_features_strict_succeeds_on_real_png(spark):
+    from aroa_etl_spark.operators.multimodal import IMAGE_META, image_features
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    png = _png_bytes(px)
+    media = spark.createDataFrame(
+        [(1, "mem://a.png", bytearray(png), (6, 4, 3, "png"))],
+        schema="media_id long, uri string, content binary, "
+        "meta struct<width:int,height:int,channels:int,format:string>",
+    )
+    row = image_features(media, strict=True).collect()[0]
+    assert row["n_bytes"] == len(png)
+    assert abs(row["mean_intensity"] - float(px.mean())) < 1e-9
+    assert row["aspect_ratio"] == 6 / 4
+
+
+def test_rawvideo_frames_are_real_slices(spark):
+    from aroa_etl_spark.operators.multimodal import sample_video_frames
+
+    w, h, c, n = 4, 2, 3, 7
+    frames = [bytes([i]) * (w * h * c) for i in range(n)]
+    media = spark.createDataFrame(
+        [(1, "mem://v.raw", bytearray(b"".join(frames)),
+          (w, h, 2.0, n, "rawvideo"))],
+        schema="media_id long, uri string, content binary, "
+        "meta struct<width:int,height:int,fps:double,n_frames:long,format:string>",
+    )
+    out = {r["frame_index"]: bytes(r["frame"])
+           for r in sample_video_frames(media, every_n=3, strict=True).collect()}
+    assert set(out) == {0, 3, 6}
+    assert out[3] == frames[3]
