@@ -473,10 +473,14 @@ class EncMatcher:
         values containing a letter.
 
         The default predicate runs as a native higher-order expression
-        (array → filter(rlike) → array_join), fully JVM-side; a Python
-        UDF is only built for user-supplied ``join_filter`` callables.
-        Values are stringified with Spark cast semantics on the native
-        path (e.g. booleans render 'true', not Python's 'True')."""
+        (array → filter(rlike) → array_join), fully JVM-side; a
+        user-supplied ``join_filter`` callable runs inside an
+        Arrow-batched pandas UDF (ArrowEvalPython — never row-at-a-time
+        BatchEvalPython), so even custom predicates keep columnar
+        transfer. Values are stringified with Spark cast semantics on
+        the native path (e.g. booleans render 'true', not Python's
+        'True'); the custom path sees Python/numpy scalars (None for
+        SQL NULL) and stringifies with ``str``."""
         if join_filter is None:
             arr = F.array(*[F.col(c).cast("string") for c in columns])
             self.df = self.df.withColumn(
@@ -486,9 +490,17 @@ class EncMatcher:
             self._result = None
             return self
 
-        @F.udf(T.StringType())
-        def _join(*vals):  # noqa: ANN002
-            return sep.join(str(v) for v in vals if join_filter(v))
+        @F.pandas_udf(T.StringType())
+        def _join(*series: pd.Series) -> pd.Series:
+            cols_ = [s.where(pd.notna(s), None) for s in series]
+            return pd.Series(
+                [
+                    sep.join(
+                        str(s.iloc[i]) for s in cols_ if join_filter(s.iloc[i])
+                    )
+                    for i in range(len(cols_[0]))
+                ]
+            )
 
         self.df = self.df.withColumn(new_col_name, _join(*[F.col(c) for c in columns]))
         self._result = None

@@ -920,6 +920,40 @@ _PERSONS_SQL = f"""
 
 
 @query(
+    "cc_star_components",
+    oracle="""
+    SELECT o_orderkey AS node,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    """,
+)
+def cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (clustering.py connected_components_star) on CHAIN-ONLY edges —
+    per-customer order chains give the graph an unbounded diameter,
+    exactly the shape where O(diameter) min-label propagation degrades
+    and the star algorithm's O(log n) rounds win. Same oracle (and the
+    same fixpoint) as cc_connected_components. Edge labels are tiny, so
+    the loop pins a narrow shuffle width (8): star rounds are many
+    small stages and per-task overhead, not data volume, is the gate-
+    scale cost."""
+    from aroa_etl_spark.operators.clustering import connected_components_star
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    comp = connected_components_star(edges, num_partitions=8)
+    return o.join(comp, o["o_orderkey"] == comp["node"], "left").select(
+        F.col("o_orderkey").alias("node"),
+        F.coalesce("component", "o_orderkey").alias("component"),
+    )
+
+
+@query(
     "er_cluster_entities",
     oracle=f"""
     WITH {_PERSONS_SQL}

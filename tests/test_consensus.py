@@ -184,3 +184,22 @@ def test_combine_columns_default_is_native_and_matches_udf_path(spark):
     assert get(native) == get(udf_path) == {
         "d1": "Wien, Wien IX", "d2": "Linz", "d3": "", "d4": "",
     }
+
+
+def test_custom_join_filter_is_arrow_batched(spark):
+    """A user-supplied join_filter must compile to an Arrow-batched
+    pandas UDF (ArrowEvalPython), never row-at-a-time BatchEvalPython —
+    the plan invariant extends to custom-predicate pipelines."""
+    from aroa_etl_spark.operators.consensus import EncMatcher
+
+    df = spark.createDataFrame(
+        [("d1", "Wien", "X"), ("d2", None, "Linz")], ["doc", "a", "b"]
+    )
+    m = EncMatcher(df, "doc").combine_columns(
+        ["a", "b"], "j", join_filter=lambda v: v is not None and len(str(v)) > 1
+    )
+    plan = m.df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    got = {r["doc"]: r["j"] for r in m.df.select("doc", "j").collect()}
+    assert got == {"d1": "Wien", "d2": "Linz"}
