@@ -1,0 +1,150 @@
+"""Mergeable, deterministic data sketches: KMV distinct-count and
+count-min frequency estimation.
+
+At 100 TB you cannot afford ``COUNT(DISTINCT key)`` over a high-cardinality
+key for monitoring/profiling purposes — the exact answer costs a full
+shuffle of every distinct key. Sketches reduce that to a bounded-size
+mergeable summary built with map-side partial aggregation:
+
+- **KMV (k-minimum values)**: keep the k smallest distinct hash values of
+  the key; if the k-th smallest (normalized to (0,1]) is ``u_k``, then
+  ``(k-1)/u_k`` estimates the distinct count (Bar-Yossef et al. 2002,
+  "Counting distinct elements in a data stream"). Mergeable: the union of
+  two KMV sets, re-truncated to k, is the KMV of the union. Relative
+  error ~ 1/sqrt(k).
+- **Count-min sketch** (Cormode & Muthukrishnan 2005): d independent
+  hash rows of w counters; per-key estimate is the min over rows of the
+  addressed counters — an overestimate with error <= 2N/w at probability
+  1 - 2^-d. The sketch build is ONE map-side-combinable groupBy on
+  (row, bucket): at most d*w groups regardless of input size.
+
+Unlike Spark's built-in ``approx_count_distinct`` (HLL++) these are
+built from the engine-wide md5 hash family, so an external engine
+(the DuckDB oracle, a different cluster) reproduces the estimate
+BIT-IDENTICALLY — which also makes the estimates auditable and
+regression-testable, not just statistically plausible.
+
+The reference has no sketch surface (its scale ceiling made exact
+passes viable); this is part of the 100 TB extension inventory
+(SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "cms_build", "cms_estimate"]
+
+# 15 hex chars = 60 bits: fits a signed BIGINT on both engines.
+_HASH_BITS = 60
+_HASH_SPACE = float(1 << _HASH_BITS)
+
+
+def _h60(c: Column, salt: str = "") -> Column:
+    """Uniform 60-bit hash of a column via the engine-wide md5 family.
+    DuckDB twin: ``('0x'||substr(md5(salt||x),1,15))::UBIGINT::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Single-row frame ``(kmv_k, kmv_estimate)`` estimating
+    ``COUNT(DISTINCT col)`` from the k minimum distinct hash values.
+
+    Plan shape (scale posture): hash projection (narrow) -> groupBy on
+    ``hash % 4096`` with a bounded ``array_sort(collect_set)[1:k]``
+    partial per group -> one final merge of <= 4096 bounded arrays. The
+    shuffle carries at most ``4096 * k`` longs no matter how many input
+    rows — compare an exact distinct, which shuffles every distinct key.
+    NULLs are ignored (SQL COUNT DISTINCT semantics).
+
+    If fewer than k distinct hashes exist the estimate is the exact
+    distinct count (small-range regime).
+    """
+    h = df.select(_h60(F.col(col)).alias("h")).filter(F.col("h").isNotNull())
+    partial = h.groupBy((F.col("h") % 4096).alias("g")).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+    merged = partial.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
+        ).alias("mins")
+    )
+    n = F.size("mins")
+    # normalized k-th minimum in (0, 1]; +1 keeps u strictly positive
+    u_k = (F.element_at("mins", n) + F.lit(1)).cast("double") / F.lit(_HASH_SPACE)
+    return merged.select(
+        n.cast("bigint").alias("kmv_k"),
+        F.when(n < k, n.cast("double"))
+        .otherwise((n - F.lit(1)).cast("double") / u_k)
+        .alias("kmv_estimate"),
+    )
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch of ``col`` frequencies as a ``(row, bucket, cnt)``
+    frame with at most ``depth * width`` rows.
+
+    One map-side-combinable groupBy: each input row contributes
+    ``depth`` (row, bucket) increments via ``explode`` of a literal
+    row-index array, and partial aggregation collapses them to the
+    bounded counter table before the (tiny) shuffle. The sketch is
+    mergeable by unioning two sketch frames and re-summing ``cnt``.
+    """
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    keyed = df.select(F.col(col).cast("string").alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    exploded = keyed.select("k", F.explode(rows).alias("row"))
+    bucketed = exploded.select(
+        "row",
+        (
+            _h60_salted_by_row(F.col("k"), F.col("row")) % F.lit(width)
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def _h60_salted_by_row(c: Column, row: Column) -> Column:
+    """Row-salted member of the md5 hash family: md5('cms<row>:' || x).
+    DuckDB twin: ``('0x'||substr(md5('cms'||row||':'||x),1,15))::UBIGINT::BIGINT``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cms"), row.cast("string"), F.lit(":"), c)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for every row of ``probes``: returns the
+    probe frame plus ``cms_count`` (the min-over-rows counter estimate,
+    an upper bound on the true frequency; 0 if the key hashed to
+    never-touched buckets).
+
+    The probe side re-derives the ``depth`` (row, bucket) addresses and
+    equi-joins the bounded sketch — the sketch side is at most
+    ``depth*width`` rows, so Spark broadcasts it and the probe never
+    shuffles.
+    """
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    addressed = probes.select(
+        F.col(col),
+        F.col(col).cast("string").alias("__k"),
+        F.explode(rows).alias("row"),
+    ).select(
+        F.col(col),
+        "row",
+        (_h60_salted_by_row(F.col("__k"), F.col("row")) % F.lit(width)).alias("bucket"),
+    )
+    joined = addressed.join(F.broadcast(cms), ["row", "bucket"], "left").select(
+        F.col(col), F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(col).agg(F.min("cnt").cast("bigint").alias("cms_count"))

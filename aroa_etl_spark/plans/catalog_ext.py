@@ -1,0 +1,107 @@
+"""Round-3 extension catalog: sketches, search, web/corpus curation,
+layout, graph, and profiling operators — each a (Spark builder, DuckDB
+oracle) pair like every other catalog module.
+
+All estimates here are DETERMINISTIC (md5 hash family, integer or
+fixed-point arithmetic), so the oracle reproduces them bit-identically —
+the same engine-wide determinism rules documented in catalog.py apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aroa_etl_spark.plans.catalog import query
+from aroa_etl_spark.session import load_tables
+
+# 2^60 as an exact double literal (hash space of the 60-bit md5 family)
+_POW60 = "1152921504606846976"
+
+
+@query(
+    "sk_kmv_distinct",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT
+                 ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT::BIGINT AS h
+               FROM orders WHERE o_custkey IS NOT NULL),
+    mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM mins),
+    ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
+    SELECT CAST(n AS BIGINT) AS kmv_k,
+           CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                ELSE CAST(n - 1 AS DOUBLE) / (CAST(hk + 1 AS DOUBLE) / {_POW60}.0)
+           END AS kmv_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM agg, ex
+    """,
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py) on
+    orders.o_custkey with k=256, alongside the exact distinct for
+    audit. The estimate is a pure function of the 256 smallest md5
+    hashes, so DuckDB reproduces it bit-identically. Scale story: the
+    sketch shuffle carries <= 4096 bounded arrays instead of every
+    distinct key; k=256 gives ~6% relative error, k=4096 ~1.6%."""
+    from aroa_etl_spark.operators.sketches import kmv_distinct
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    sk = kmv_distinct(orders, "o_custkey", k=256)
+    exact = orders.agg(
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("exact_distinct")
+    )
+    return sk.crossJoin(exact)
+
+
+@query(
+    "sk_cms_heavy_hitters",
+    oracle="""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                   WHERE user_id IS NOT NULL),
+    rows_t AS (SELECT unnest(range(4)) AS row),
+    cms AS (SELECT row,
+                   ('0x'||substr(md5('cms'||CAST(row AS VARCHAR)||':'||k),1,15))::UBIGINT::BIGINT
+                     % 1024 AS bucket,
+                   COUNT(*) AS cnt
+            FROM keyed, rows_t GROUP BY 1, 2),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id),
+    probes AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k FROM exact),
+    addressed AS (SELECT user_id, row,
+                         ('0x'||substr(md5('cms'||CAST(row AS VARCHAR)||':'||k),1,15))::UBIGINT::BIGINT
+                           % 1024 AS bucket
+                  FROM probes, rows_t),
+    est AS (SELECT user_id, MIN(cnt) AS cms_count
+            FROM addressed JOIN cms USING (row, bucket) GROUP BY user_id)
+    SELECT user_id,
+           CAST(cms_count AS BIGINT) AS cms_count,
+           CAST(exact_count AS BIGINT) AS exact_count
+    FROM est JOIN exact USING (user_id)
+    ORDER BY exact_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024, operators/sketches.py)
+    over events.user_id, probed for the top-20 heaviest users with the
+    exact count beside the (upper-bound) estimate. The sketch build is
+    one map-side-combinable groupBy bounded at 4096 counters no matter
+    the input size; the probe join broadcasts the sketch. Deterministic
+    md5 row-hashes make the estimate oracle-reproducible."""
+    from aroa_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    cms = cms_build(events, "user_id", depth=4, width=1024)
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    est = cms_estimate(cms, exact.select("user_id"), "user_id", depth=4, width=1024)
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "cms_count", "exact_count")
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(20)
+    )
