@@ -1,0 +1,124 @@
+"""Full-text relevance search: inverted index, TF-IDF, BM25 top-k.
+
+The training-data-curation sibling of near-dup detection: given a term
+query, rank the corpus by BM25 (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond"). Built entirely
+from DataFrame ops:
+
+- ``term_frequencies`` explodes tokens once and aggregates (doc, term)
+  counts — one map-side-combinable shuffle keyed by (doc, term);
+- ``build_inverted_index`` pivots that into term -> sorted posting list
+  (the layout you'd persist bucketed BY term for interactive lookups);
+- ``bm25_topk`` joins ONLY the query's terms (a broadcast of a handful
+  of rows) against the (doc, term) frame, so the corpus-wide frame is
+  filtered to matching postings before any scoring work — at 100 TB the
+  scan prunes on the broadcast semi side and the score aggregation
+  shuffles only matching (doc) groups.
+
+Scores use natural log and double math; for cross-engine comparison the
+catalog entry rounds to 6 decimals and breaks ranking ties by doc id
+(the determinism rules in plans/catalog.py).
+
+The reference has no search surface; this is extension inventory
+(SURVEY.md §2.11) for corpus curation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.functions import text as X
+
+__all__ = ["term_frequencies", "build_inverted_index", "bm25_topk"]
+
+
+def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, doc_len): per-document term counts plus the token
+    length of each document. One explode + one (id, term) groupBy."""
+    toks = docs.select(F.col(id_col), X.tokens(text_col).alias("toks"))
+    with_len = toks.select(id_col, F.size("toks").alias("doc_len"), "toks")
+    return (
+        with_len.select(id_col, "doc_len", F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.first("doc_len").alias("doc_len"),
+        )
+    )
+
+
+def build_inverted_index(tf: DataFrame, id_col: str) -> DataFrame:
+    """term -> df (document frequency) and the posting list sorted by
+    id. Persist this bucketed BY term for point lookups; the build is
+    one shuffle on term."""
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_sort(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 for a bag-of-terms query.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (always positive)
+    score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Returns (id, score) with score rounded to 6 decimals and ties broken
+    by id ascending, so the ranking is deterministic cross-engine.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    # corpus stats over per-document lengths (NOT the (doc, term) frame,
+    # which would weight doc_len once per distinct term)
+    stats = (
+        docs.select(F.size(X.tokens(text_col)).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    qterms = [t.lower() for t in query_terms]
+    matching = tf.filter(F.col("term").isin(qterms))
+    dfreq = matching.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        matching.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * F.col("doc_len") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+        # Fixed-point per-term contribution: double addition is
+        # order-dependent, BIGINT addition is not (catalog.py determinism
+        # rules) — so each term part rounds to 1e-8 units first and the
+        # per-document sum is exact.
+        .select(F.col(id_col), F.round(F.col("part") * 1e8).cast("long").alias("fp"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("fp") / 1e8, 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -16,6 +16,8 @@ from pyspark.sql.window import Window as W
 from aroa_etl_spark.plans.catalog import query
 from aroa_etl_spark.session import load_tables
 
+_TOK = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
+
 # 2^60 as an exact double literal (hash space of the 60-bit md5 family)
 _POW60 = "1152921504606846976"
 
@@ -104,4 +106,80 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cms_count", "exact_count")
         .orderBy(F.col("exact_count").desc(), "user_id")
         .limit(20)
+    )
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM toks_t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS doc_len
+           FROM (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM toks_t)
+           GROUP BY doc_id, term),
+    m AS (SELECT * FROM tf WHERE term IN ('spark', 'join', 'window')),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY term),
+    parts AS (SELECT m.doc_id,
+                     CAST(round(
+                       ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+                       * (m.tf * (1.2 + 1.0))
+                       / (m.tf + 1.2 * ((1.0 - 0.75) + (0.75 * m.doc_len) / avgdl))
+                       * 100000000.0) AS BIGINT) AS fp
+              FROM m JOIN dfreq USING (term), stats),
+    scored AS (SELECT doc_id, round(SUM(fp) / 100000000.0, 6) AS score
+               FROM parts GROUP BY doc_id)
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the bag-of-terms query ['spark','join','window']
+    (operators/search.py). The corpus (doc,term) frame is filtered to
+    the query's terms BEFORE scoring — a broadcast-pruned join — so at
+    100 TB only matching postings are shuffled. Per-term contributions
+    round to 1e-8 fixed-point BIGINT before the per-document sum, making
+    the score order-independent and oracle-reproducible despite double
+    log arithmetic."""
+    from aroa_etl_spark.operators.search import bm25_topk
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bm25_topk(docs, "doc_id", "text", ["spark", "join", "window"], k=10)
+
+
+@query(
+    "search_inverted_index",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM toks_t)
+           GROUP BY doc_id, term),
+    idx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+            FROM tf GROUP BY term)
+    SELECT term, df, postings_md5 FROM idx
+    ORDER BY df DESC, term LIMIT 30
+    """,
+)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/search.py): term -> document
+    frequency + id-sorted posting list, reduced to md5 at the output
+    boundary (array reprs differ across engines; the hash pins content).
+    Top-30 terms by df with term tiebreak. One shuffle on term; at scale
+    this is the frame you persist bucketed BY term."""
+    from aroa_etl_spark.operators.search import build_inverted_index, term_frequencies
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tf = term_frequencies(docs, "doc_id", "text")
+    idx = build_inverted_index(tf, "doc_id")
+    return (
+        idx.select(
+            "term",
+            "df",
+            F.md5(F.concat_ws(",", F.col("postings").cast("array<string>"))).alias(
+                "postings_md5"
+            ),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(30)
     )

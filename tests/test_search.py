@@ -1,0 +1,74 @@
+"""BM25 / inverted-index operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.operators.search import (
+    bm25_topk,
+    build_inverted_index,
+    term_frequencies,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark join window spark"),
+        (2, "join the window"),
+        (3, "nothing relevant here"),
+        (4, "spark spark spark spark spark"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_term_frequencies(corpus):
+    tf = {
+        (r.doc_id, r.term): (r.tf, r.doc_len)
+        for r in term_frequencies(corpus, "doc_id", "text").collect()
+    }
+    assert tf[(1, "spark")] == (2, 4)
+    assert tf[(2, "join")] == (1, 3)
+    assert (5, "") not in tf  # empty doc contributes no terms
+
+
+def test_inverted_index_postings_sorted(corpus):
+    tf = term_frequencies(corpus, "doc_id", "text")
+    idx = {r.term: r for r in build_inverted_index(tf, "doc_id").collect()}
+    assert idx["spark"].df == 2 and idx["spark"].postings == [1, 4]
+    assert idx["join"].df == 2 and idx["join"].postings == [1, 2]
+
+
+def test_bm25_ranking_and_score(corpus):
+    out = bm25_topk(corpus, "doc_id", "text", ["spark"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    # doc 4 is pure 'spark' (high tf, short normalization penalty),
+    # doc 1 has tf=2; doc 3/5 don't match at all
+    assert set(ids) == {1, 4}
+    # hand-computed BM25 for doc 4: N=5, df=2, avgdl=15/5=3
+    idf = math.log(1 + (5 - 2 + 0.5) / (2 + 0.5))
+    tf_, dl = 5, 5
+    expected = idf * (tf_ * 2.2) / (tf_ + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    got = [r.score for r in out if r.doc_id == 4][0]
+    assert abs(got - expected) < 1e-6
+
+
+def test_bm25_no_match_empty(corpus):
+    assert bm25_topk(corpus, "doc_id", "text", ["zzzz"], k=3).count() == 0
+
+
+def test_bm25_multi_term_additive(corpus):
+    one = {
+        r.doc_id: r.score
+        for r in bm25_topk(corpus, "doc_id", "text", ["join"], k=5).collect()
+    }
+    both = {
+        r.doc_id: r.score
+        for r in bm25_topk(corpus, "doc_id", "text", ["spark", "join"], k=5).collect()
+    }
+    # doc 2 matches only 'join': identical score in both queries
+    assert abs(both[2] - one[2]) < 1e-9
+    # doc 1 matches both terms: strictly higher than its 'join'-only part
+    assert both[1] > one[1]
