@@ -432,6 +432,29 @@ def token_chunks(toks: Column | str, size: int = 32) -> Column:
     )
 
 
+def token_chunks_overlap(
+    toks: Column | str, size: int = 32, stride: int = 24
+) -> Column:
+    """Overlapping token-window chunks — the RAG/pretraining packing
+    shape: chunk i covers tokens [i*stride, i*stride + size). The chunk
+    count is ``1 + max(0, ceil((n - size)/stride))`` so every token is
+    covered and the final chunk may be ragged. ``stride == size``
+    degenerates to :func:`token_chunks`. Empty docs → empty array;
+    ``toks`` must be a materialized attribute column."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    extra = F.ceil((n - F.lit(size)).cast("double") / F.lit(float(stride))).cast("int")
+    n_chunks = F.lit(1) + F.greatest(F.lit(0), extra)
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Unicode normalization — multilingual-corpus hygiene
 # --------------------------------------------------------------------------

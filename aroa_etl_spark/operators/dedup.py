@@ -433,3 +433,61 @@ def embedding_neardup_pairs(
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeat: int = 3,
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup (the C4/GPT-3 recipe: Raffel et al.
+    2020 §2.2 removed any three-sentence span occurring more than once;
+    here the unit is the newline-delimited line): a line occurring in
+    ``min_repeat`` or more places corpus-wide — boilerplate navigation,
+    footers, license headers — is dropped from every document EXCEPT its
+    first occurrence (minimum ``(id, line_index)``, a total order, so
+    the keeper is deterministic). Documents keep their remaining lines
+    in original order; all other columns pass through.
+
+    Plan shape: posexplode lines -> ONE groupBy on md5(line) computing
+    (count, min keeper) with map-side partial agg -> hash join back on
+    the line hash -> one groupBy on id to reassemble. Linear in corpus
+    size, no pairwise work — the same two-shuffle shape as chunk-level
+    dedup one granularity up.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__idx", "__line"),
+    ).select(*other_cols, "__idx", "__line", F.md5(F.col("__line")).alias("__h"))
+    stats = lines.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__keep"),
+    )
+    kept = lines.join(stats, "__h").filter(
+        (F.col("__cnt") < min_repeat)
+        | (
+            (F.col(id_col) == F.col("__keep")[id_col])
+            & (F.col("__idx") == F.col("__keep")["__idx"])
+        )
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+        )
+    )
+    passthrough = df.select(*other_cols).dropDuplicates([id_col])
+    return passthrough.join(rebuilt, id_col, "left").select(
+        *other_cols,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+    )

@@ -183,3 +183,107 @@ def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(30)
     )
+
+
+@query(
+    "tdp_line_dedup",
+    oracle=f"""
+    WITH docs2 AS (SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 2 = 0
+                   THEN chr(10)||'shared boilerplate navigation menu' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10)||'all rights reserved footer' ELSE '' END AS text
+        FROM documents),
+    lines AS (SELECT doc_id, unnest(list_transform(range(len(ls)),
+                       i -> {{'idx': i, 'line': ls[i+1]}}), recursive := true)
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2)),
+    marked AS (SELECT doc_id, idx, line,
+                      COUNT(*) OVER (PARTITION BY md5(line)) AS cnt,
+                      ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                         ORDER BY doc_id, idx) AS rn
+               FROM lines),
+    kept AS (SELECT doc_id, idx, line FROM marked WHERE cnt < 3 OR rn = 1),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY idx) AS text,
+                       COUNT(*) AS n_lines_kept
+                FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(COALESCE(r.text, '')) AS text_md5,
+           CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def tdp_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (operators/dedup.py line_dedup):
+    planted boilerplate lines (a nav line on every even doc, a footer on
+    every third) occur hundreds of times and are dropped everywhere but
+    their first (min (doc_id, idx)) occurrence; unique lines survive.
+    Output reduces text to md5 at the boundary. Two shuffles on the line
+    hash + one reassembly groupBy — linear in corpus size; at 100 TB
+    this is the same shape as exact dedup at line granularity."""
+    from aroa_etl_spark.operators.dedup import line_dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nshared boilerplate navigation menu"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nall rights reserved footer"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = line_dedup(docs, "doc_id", "text", min_repeat=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines_kept"
+    )
+
+
+@query(
+    "tdp_chunk_overlap",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sized AS (SELECT doc_id, toks,
+                     1 + greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT))
+                       AS n_chunks
+              FROM toks_t WHERE len(toks) > 0),
+    chunks AS (SELECT doc_id,
+                      unnest(list_transform(range(n_chunks),
+                             i -> {{'chunk_id': i,
+                                    'chunk': array_to_string(toks[i*24+1:i*24+32], ' ')}}),
+                             recursive := true)
+               FROM sized)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+           md5(chunk) AS chunk_md5
+    FROM chunks
+    """,
+)
+def tdp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.py
+    token_chunks_overlap, size=32 stride=24) — the RAG / pretraining
+    packing shape where consecutive chunks share a 8-token overlap so no
+    boundary context is lost. Emits one row per (doc, chunk) with the
+    chunk's token count and md5. Pure narrow projection + explode: zero
+    shuffles, embarrassingly parallel at any scale."""
+    from aroa_etl_spark.functions.text import token_chunks_overlap, tokens
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks_t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunked = toks_t.select(
+        "doc_id",
+        F.posexplode(token_chunks_overlap("toks", 32, 24)).alias("chunk_id", "chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(F.split("chunk", " ", -1)).cast("bigint").alias("chunk_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
