@@ -84,3 +84,59 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    consecutive rows per ``key`` (ordered by ``ts_col``, then
+    ``tiebreak`` for a total order) with the SAME ``state_col`` value
+    collapse into one validity interval. Output per (key, interval):
+
+    - ``state_col``   the value during the interval
+    - ``valid_from``  first ts the state was observed
+    - ``valid_to``    next state's valid_from (NULL for the current row)
+    - ``version``     1-based interval ordinal per key
+    - ``is_current``  valid_to IS NULL
+
+    Plan: ONE shuffle on ``key`` feeds both windows and the collapse
+    aggregation (same partitioning, Exchange reuse); interval detection
+    is the classic gaps-and-islands running sum over a lag-inequality
+    flag — no self-join, no per-row Python at any scale.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = W.partitionBy(key).orderBy(*order)
+    flagged = df.select(
+        key,
+        ts_col,
+        state_col,
+        *([tiebreak] if tiebreak else []),
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__chg"),
+    ).withColumn("__grp", F.sum("__chg").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    islands = flagged.groupBy(key, "__grp").agg(
+        F.first(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+    )
+    w2 = W.partitionBy(key).orderBy("__grp")
+    return islands.select(
+        key,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("__grp").cast("int").alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -287,3 +287,171 @@ def tdp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("chunk", " ", -1)).cast("bigint").alias("chunk_tokens"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@query(
+    "web_domain_counts",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' https://WWW.Shop'||CAST(doc_id % 7 AS VARCHAR)||'.co.uk/x?y=1'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' http://cdn'||CAST(doc_id % 5 AS VARCHAR)||'.assets.net/img.png'
+                   ELSE '' END AS text
+        FROM documents),
+    urls AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+             FROM docs2),
+    hosts AS (SELECT doc_id,
+                     regexp_replace(lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)),
+                                    '^www\.', '') AS host
+              FROM urls),
+    doms AS (SELECT doc_id,
+                    CASE WHEN len(l) <= 2 THEN host
+                         WHEN l[-2]||'.'||l[-1] IN
+                              ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in',
+                               'com.br','co.nz','com.cn','co.za')
+                         THEN l[-3]||'.'||l[-2]||'.'||l[-1]
+                         ELSE l[-2]||'.'||l[-1] END AS domain
+             FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM hosts))
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM doms GROUP BY domain ORDER BY domain
+    """,
+)
+def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain URL statistics (functions/web.py): URLs are
+    planted in-plan (a co.uk shop URL with a www+mixed-case host on
+    every third doc, a bare .net CDN URL on every fourth), extracted
+    with the engine-wide URL regex, hosts normalized (lower, strip www),
+    and rolled up to eTLD+1 via the second-level-TLD heuristic. Pure
+    column expressions + one map-side-combinable groupBy on domain — the
+    crawl-curation shape (domain quotas/blocklists) at any scale."""
+    from aroa_etl_spark.functions.web import (
+        extract_urls,
+        normalize_host,
+        registered_domain,
+        url_host,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://WWW.Shop"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".co.uk/x?y=1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" http://cdn"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".assets.net/img.png"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = docs.select("doc_id", F.explode(extract_urls("text")).alias("url"))
+    doms = urls.select(
+        "doc_id", registered_domain(normalize_host(url_host("url"))).alias("domain")
+    )
+    return (
+        doms.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "inc_scd2_user_state",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grp AS (SELECT *,
+                   SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS g
+            FROM flagged),
+    islands AS (SELECT user_id, g, ANY_VALUE(event_type) AS event_type,
+                       MIN(ts) AS valid_from
+                FROM grp GROUP BY user_id, g),
+    out AS (SELECT user_id, event_type, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY g) AS valid_to,
+                   CAST(g AS INTEGER) AS version
+            FROM islands)
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           COALESCE(epoch_us(valid_to), -1) AS valid_to_us,
+           version,
+           (valid_to IS NULL) AS is_current
+    FROM out
+    """,
+)
+def inc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD built from the events change log
+    (operators/incremental.py scd2_from_changelog): consecutive
+    same-event_type runs per user collapse to validity intervals with
+    valid_from/valid_to/version/is_current — the warehouse dimension
+    shape. (ts, event_id) gives the total order. Timestamps cross the
+    boundary as epoch micros (BIGINT, NULL valid_to as -1). One key
+    shuffle feeds both windows and the collapse."""
+    from aroa_etl_spark.operators.incremental import scd2_from_changelog
+    from aroa_etl_spark.operators.temporal import epoch_us
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    scd = scd2_from_changelog(events, "user_id", "ts", "event_type", tiebreak="event_id")
+    return scd.select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("valid_from")).alias("valid_from_us"),
+        F.coalesce(epoch_us(F.col("valid_to")), F.lit(-1)).alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+    SELECT step_idx, step, n_users FROM (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+    ORDER BY step_idx
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/funnel.py): a user reaches step i at the earliest
+    step-i event at-or-after reaching step i-1. ONE shuffle on user_id
+    (sorted per-user event array + staged native array folds — no
+    Python, no join chain); the oracle derives the same reach times via
+    min-based CTE stages."""
+    from aroa_etl_spark.operators.funnel import funnel_counts
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return funnel_counts(
+        events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).orderBy("step_idx")

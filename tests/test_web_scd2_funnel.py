@@ -1,0 +1,120 @@
+"""Web URL functions, SCD2 changelog builder, and funnel operator tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.functions.web import (
+    extract_urls,
+    normalize_host,
+    registered_domain,
+    url_host,
+)
+from aroa_etl_spark.operators.funnel import funnel_counts, user_funnel_times
+from aroa_etl_spark.operators.incremental import scd2_from_changelog
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "t string")
+
+
+def test_extract_urls_and_host(spark):
+    row = (
+        _one(spark, "see https://WWW.Shop1.co.uk/x?y=1 and http://cdn2.assets.net/i.png done")
+        .select(extract_urls("t").alias("u"))
+        .collect()[0]
+    )
+    assert row.u == ["https://WWW.Shop1.co.uk/x?y=1", "http://cdn2.assets.net/i.png"]
+    hosts = (
+        spark.createDataFrame([(u,) for u in row.u], "url string")
+        .select(normalize_host(url_host("url")).alias("h"))
+        .collect()
+    )
+    assert [r.h for r in hosts] == ["shop1.co.uk", "cdn2.assets.net"]
+
+
+def test_registered_domain_heuristic(spark):
+    cases = [
+        ("a.b.shop.co.uk", "shop.co.uk"),
+        ("cdn.assets.net", "assets.net"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("x.gov.uk", "x.gov.uk"),
+    ]
+    got = (
+        spark.createDataFrame(cases, "host string, want string")
+        .select(registered_domain("host").alias("got"), "want")
+        .collect()
+    )
+    for r in got:
+        assert r.got == r.want, r
+
+
+def _ts(h):
+    return dt.datetime(2026, 1, 1, h)
+
+
+def test_scd2_islands_and_versions(spark):
+    rows = [
+        (1, _ts(1), "a", 10),
+        (1, _ts(2), "a", 11),
+        (1, _ts(3), "b", 12),
+        (1, _ts(4), "a", 13),
+        (2, _ts(1), "x", 14),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, s string, id bigint")
+    out = sorted(
+        scd2_from_changelog(df, "k", "ts", "s", tiebreak="id").collect(),
+        key=lambda r: (r.k, r.version),
+    )
+    u1 = [r for r in out if r.k == 1]
+    assert [(r.s, r.version, r.is_current) for r in u1] == [
+        ("a", 1, False),
+        ("b", 2, False),
+        ("a", 3, True),
+    ]
+    assert u1[0].valid_from == _ts(1) and u1[0].valid_to == _ts(3)
+    assert u1[1].valid_to == _ts(4) and u1[2].valid_to is None
+    assert [(r.s, r.version, r.is_current) for r in out if r.k == 2] == [("x", 1, True)]
+
+
+def test_scd2_tiebreak_same_ts(spark):
+    rows = [(1, _ts(1), "a", 2), (1, _ts(1), "b", 1)]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, s string, id bigint")
+    out = sorted(
+        scd2_from_changelog(df, "k", "ts", "s", tiebreak="id").collect(),
+        key=lambda r: r.version,
+    )
+    # id=1 ('b') sorts first -> b then a
+    assert [r.s for r in out] == ["b", "a"]
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # user 1 completes in order
+        (1, "view", _ts(1)),
+        (1, "click", _ts(2)),
+        (1, "purchase", _ts(3)),
+        # user 2 purchases BEFORE clicking: purchase must not count
+        (2, "view", _ts(1)),
+        (2, "purchase", _ts(2)),
+        (2, "click", _ts(3)),
+        # user 3 only views
+        (3, "view", _ts(5)),
+        # user 4 clicks without viewing: reaches nothing
+        (4, "click", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t string, ts timestamp")
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "u", "t", "ts", ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_progress(spark):
+    rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
+    df = spark.createDataFrame(rows, "u bigint, t string, ts timestamp")
+    times = user_funnel_times(df, "u", "t", "ts", ["view", "click"]).collect()[0]
+    assert times.t_1 == _ts(1) and times.t_2 == _ts(1)
