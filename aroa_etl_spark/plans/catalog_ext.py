@@ -455,3 +455,140 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
     ).orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# PageRank / layout / profile
+# ---------------------------------------------------------------------------
+
+_PR_ITER = """
+    c{i} AS (SELECT e.dst AS node, SUM(r.rank // e.deg) AS s
+             FROM edges_w e JOIN r{p} r ON e.src = r.node
+             GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    ((1000000000000 * 3 // 20) // n)
+                    + (COALESCE(c{i}.s, 0) * 17 // 20) AS rank
+             FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, n_t)
+"""
+
+_PR_ORACLE = (
+    """
+    WITH edges AS (SELECT DISTINCT 's'||CAST(l_suppkey AS VARCHAR) AS src,
+                                   'p'||CAST(l_partkey AS VARCHAR) AS dst
+                   FROM lineitem),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n_t AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    edges_w AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o ON e.src = o.src),
+    r0 AS (SELECT node, (1000000000000 // n) AS rank FROM nodes, n_t),
+    """
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, CAST(rank AS BIGINT) AS rank
+    FROM r3 ORDER BY rank DESC, node LIMIT 25
+    """
+)
+
+
+@query("graph_pagerank", oracle=_PR_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py), 3 iterations
+    at damping 17/20 over the supplier->part graph from lineitem (ids
+    prefixed into one node space). Exact BIGINT arithmetic makes the
+    iterative result order-independent and oracle-reproducible — no
+    float summation nondeterminism. Top-25 by rank with node tiebreak.
+    Per iteration: one src join + one map-side-combinable dst groupBy."""
+    from aroa_etl_spark.operators.graph import pagerank
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iters=3)
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank")).orderBy(
+        F.col("rank").desc(), "node"
+    ).limit(25)
+
+
+_Z_TERMS = " + ".join(
+    f"(((p_size >> {i}) & 1) << {2 * i}) + (((pk >> {i}) & 1) << {2 * i + 1})"
+    for i in range(10)
+)
+
+_Z_ORACLE = f"""
+    WITH keyed AS (SELECT p_partkey, p_size, p_partkey % 1024 AS pk FROM part)
+    SELECT p_partkey, CAST({_Z_TERMS} AS BIGINT) AS zkey
+    FROM keyed ORDER BY zkey DESC, p_partkey LIMIT 25
+"""
+
+
+@query("layout_zorder_key", oracle=_Z_ORACLE)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (operators/layout.py): 10 bits each
+    of p_size and p_partkey%1024 interleaved by pure integer bit
+    arithmetic (static codegen'd expression, no UDF). Range-partitioning
+    parquet writes on this key keeps BOTH dimensions locally clustered
+    so min/max stats prune either predicate — the Delta/Iceberg OPTIMIZE
+    ZORDER idea as plain Spark. Top-25 keys pin the bit math."""
+    from aroa_etl_spark.operators.layout import zorder_key
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    keyed = part.select(
+        "p_partkey", F.col("p_size"), (F.col("p_partkey") % 1024).alias("pk")
+    )
+    return (
+        keyed.select(
+            "p_partkey", zorder_key(["p_size", "pk"], bits=10).alias("zkey")
+        )
+        .orderBy(F.col("zkey").desc(), "p_partkey")
+        .limit(25)
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    WITH wide AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_1,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS dist_1,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS min_1, CAST(MAX(o_orderkey) AS VARCHAR) AS max_1,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_2,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dist_2,
+        CAST(MIN(o_custkey) AS VARCHAR) AS min_2, CAST(MAX(o_custkey) AS VARCHAR) AS max_2,
+        CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_3,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_3,
+        CAST(MIN(o_orderstatus) AS VARCHAR) AS min_3, CAST(MAX(o_orderstatus) AS VARCHAR) AS max_3,
+        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_4,
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS dist_4,
+        CAST(MIN(o_orderdate) AS VARCHAR) AS min_4, CAST(MAX(o_orderdate) AS VARCHAR) AS max_4,
+        CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_5,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS dist_5,
+        CAST(MIN(o_orderpriority) AS VARCHAR) AS min_5, CAST(MAX(o_orderpriority) AS VARCHAR) AS max_5
+      FROM orders)
+    SELECT t.column, wide.n_rows, t.n_nulls, t.n_distinct, t.min_str, t.max_str
+    FROM wide, LATERAL (
+      SELECT 'o_orderkey' AS column, nulls_1 AS n_nulls, dist_1 AS n_distinct,
+             min_1 AS min_str, max_1 AS max_str
+      UNION ALL SELECT 'o_custkey', nulls_2, dist_2, min_2, max_2
+      UNION ALL SELECT 'o_orderstatus', nulls_3, dist_3, min_3, max_3
+      UNION ALL SELECT 'o_orderdate', nulls_4, dist_4, min_4, max_4
+      UNION ALL SELECT 'o_orderpriority', nulls_5, dist_5, min_5, max_5) t
+    ORDER BY t.column
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/profile.py) over five orders
+    columns: nulls, exact distincts, min/max (typed order, string
+    boundary) — all folded into a single aggregation (the multiple exact
+    count_distincts compile to one Expand-based pass), then unpivoted
+    with stack. The profile you run before choosing partition/bucket
+    keys for a 100 TB load."""
+    from aroa_etl_spark.operators.profile import profile
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    ).orderBy("column")

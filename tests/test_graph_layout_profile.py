@@ -1,0 +1,100 @@
+"""PageRank, z-order layout, and column-profiler tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.operators.graph import SCALE, pagerank
+from aroa_etl_spark.operators.layout import repartition_by_zorder, zorder_key
+from aroa_etl_spark.operators.profile import profile
+
+
+def test_pagerank_star_graph(spark):
+    # everyone points at 'hub': hub must rank highest; spokes get only teleport
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert ranks["hub"] > ranks["a"]
+    assert ranks["a"] == ranks["b"] == ranks["c"]
+    # teleport-only spokes: ((1e12*3//20)//4) exactly
+    assert ranks["a"] == (SCALE * 3 // 20) // 4
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(300)]
+    edges = spark.createDataFrame(rows, "src string, dst string").distinct()
+    r1 = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    r2 = sorted(map(tuple, pagerank(edges.repartition(17), iters=3).collect()))
+    assert r1 == r2
+
+
+def test_pagerank_checkpoint_same_result(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    plain = sorted(map(tuple, pagerank(edges, iters=4).collect()))
+    ckpt = sorted(map(tuple, pagerank(edges, iters=4, checkpoint_every=2).collect()))
+    assert plain == ckpt
+
+
+def test_zorder_key_bit_math(spark):
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 3), (0, 0)], "x int, y int")
+    out = [
+        r.z
+        for r in df.select(zorder_key(["x", "y"], bits=2).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    # interleave: x bits at even positions, y at odd
+    # (1,0)->1, (0,1)->2, (3,3)->15, (0,0)->0
+    assert out == [0, 1, 2, 15]
+
+
+def test_zorder_key_out_of_range_raises(spark):
+    df = spark.createDataFrame([(5, 0)], "x int, y int")
+    with pytest.raises(Exception, match="zorder_key"):
+        df.select(zorder_key(["x", "y"], bits=2).alias("z")).collect()
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # 16x16 grid: after z-ordering into 4 partitions, each partition's
+    # bounding box in (x, y) is tight on BOTH dims; a single-column sort
+    # leaves y unconstrained (full 0..15 span in every partition).
+    df = spark.range(256).select(
+        (F.col("id") % 16).cast("int").alias("x"),
+        (F.col("id") / 16).cast("int").alias("y"),
+    )
+    z = repartition_by_zorder(df, ["x", "y"], bits=4, num_partitions=4)
+    spans = (
+        z.select(F.spark_partition_id().alias("p"), "x", "y")
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) == 4
+    for r in spans:
+        assert r.sy <= 8, r  # z-order keeps y clustered too; plain sort gives 15
+
+
+def test_profile_one_row_per_column(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k bigint, s string, v double",
+    )
+    rows = {r.column: r for r in profile(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert rows["k"].n_rows == 3 and rows["k"].n_nulls == 0 and rows["k"].n_distinct == 2
+    assert rows["s"].n_nulls == 1 and rows["s"].min_str == "a" and rows["s"].max_str == "b"
+    assert rows["v"].n_nulls == 1 and rows["v"].min_str == "5.0"
+
+
+def test_profile_empty_cols_raises(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        profile(df, [])
