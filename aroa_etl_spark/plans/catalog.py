@@ -66,11 +66,14 @@ def query(name: str, oracle: str | None = None):
 # reduce, as-of join).  Everything else follows in registration order and
 # stays verified by scripts/driver_mirror.py + tests/test_catalog_parity.py.
 GATE_PRIORITY: list[str] = [
-    # flagship representatives (re-attested each round)
+    # flagship representative (re-attested each round)
     "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "enc_consensus_dedup",
-    "j_asof_purchase_view",
+    # round-3 families never yet driver-attested (dedup_minhash_lsh /
+    # enc_consensus_dedup / j_asof_purchase_view yielded their slots:
+    # all three are r02 driver-green and stay mirror-verified)
+    "sk_kmv_distinct",
+    "tdp_line_dedup",
+    "graph_pagerank",
     # §2.8 scalar-function library (f_*/d_*/m_*)
     "f_clean_copy_qa",
     "f_name_extract",

@@ -8,7 +8,9 @@ here, not in a 100 TB run.
 - CartesianProduct / BroadcastNestedLoopJoin: forbidden everywhere
   except the brute-force ANN baseline (`ann_cosine_topk`), whose
   broadcast query-set × corpus scan is the documented exact reference
-  point for the LSH/IVF paths.
+  point for the LSH/IVF paths, and the single-row scalar-broadcast
+  entries listed in _CARTESIAN_OK (1-row build side — constant fold,
+  not a nested loop over data).
 - BatchEvalPython (row-at-a-time Python UDF): forbidden everywhere.
   Python may appear only as ArrowEvalPython / MapInPandas /
   FlatMapGroupsInPandas (Arrow-batched kernels).
@@ -26,7 +28,16 @@ import pytest
 
 from aroa_etl_spark.plans import catalog
 
-_CARTESIAN_OK = {"ann_cosine_topk"}
+_CARTESIAN_OK = {
+    "ann_cosine_topk",
+    # single-row scalar broadcasts (a 1-row aggregate joined to every
+    # row — the scalar-subquery pattern): the BNLJ's build side is
+    # exactly one row, so the "nested loop" is a constant fold at any
+    # scale. Distinct from a data×data nested loop, which stays banned.
+    "sk_kmv_distinct",  # (sketch 1-row) × (exact-distinct 1-row)
+    "search_bm25_topk",  # corpus-stats 1-row broadcast into scoring
+    "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport
+}
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {"cc_connected_components"}
 
