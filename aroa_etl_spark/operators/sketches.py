@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cms_build", "cms_estimate"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_sketch",
+    "kmv_set_estimates",
+    "cms_build",
+    "cms_estimate",
+]
 
 # 15 hex chars = 60 bits: fits a signed BIGINT on both engines.
 _HASH_BITS = 60
@@ -148,3 +154,54 @@ def cms_estimate(
         F.col(col), F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(col).agg(F.min("cnt").cast("bigint").alias("cms_count"))
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Single-row ``(mins)`` frame: the k minimum distinct hashes of
+    ``col`` — the raw mergeable KMV sketch behind :func:`kmv_distinct`
+    and :func:`kmv_set_estimates`. Same bounded two-level aggregation."""
+    h = df.select(_h60(F.col(col)).alias("h")).filter(F.col("h").isNotNull())
+    partial = h.groupBy((F.col("h") % 4096).alias("g")).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+    return partial.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
+        ).alias("mins")
+    )
+
+
+def kmv_set_estimates(
+    a: DataFrame, col_a: str, b: DataFrame, col_b: str, k: int = 1024
+) -> DataFrame:
+    """Distinct-set algebra from two KMV sketches (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations"): single-row frame with
+
+    - ``union_est``      |A ∪ B| estimate — KMV over the merged minima
+      (the k smallest of sketch(A) ∪ sketch(B) IS the KMV of A ∪ B);
+    - ``intersect_est``  |A ∩ B| ≈ (|K ∩ A ∩ B| / |K|) * union_est,
+      where K is the merged k-minimum set;
+    - ``jaccard_est``    |K ∩ A ∩ B| / |K|.
+
+    In the small regime (fewer than k distinct hashes) all three are
+    exact. Everything is integer/set arithmetic over the two bounded
+    sketches joined as single rows — no data-side work beyond the two
+    sketch builds."""
+    sa = kmv_sketch(a, col_a, k).select(F.col("mins").alias("ma"))
+    sb = kmv_sketch(b, col_b, k).select(F.col("mins").alias("mb"))
+    j = sa.crossJoin(sb)
+    merged = F.slice(F.array_sort(F.array_union("ma", "mb")), 1, k)
+    out = j.select(merged.alias("mu"), "ma", "mb")
+    n = F.size("mu")
+    u_k = (F.element_at("mu", n) + F.lit(1)).cast("double") / F.lit(_HASH_SPACE)
+    union_est = (
+        F.when(n < k, n.cast("double"))
+        .otherwise((n - F.lit(1)).cast("double") / u_k)
+    )
+    inter = F.size(F.array_intersect(F.array_intersect(F.col("mu"), F.col("ma")), F.col("mb")))
+    return out.select(
+        union_est.alias("union_est"),
+        (inter.cast("double") * union_est / n.cast("double")).alias("intersect_est"),
+        (inter.cast("double") / n.cast("double")).alias("jaccard_est"),
+    )

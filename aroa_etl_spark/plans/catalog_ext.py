@@ -592,3 +592,67 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
     ).orderBy("column")
+
+
+@query(
+    "sk_kmv_set_ops",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT
+                 ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT::BIGINT AS h
+               FROM orders WHERE o_custkey IS NOT NULL
+                 AND o_orderdate <  TIMESTAMP '1998-01-01'),
+    b AS (SELECT DISTINCT
+                 ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT::BIGINT AS h
+               FROM orders WHERE o_custkey IS NOT NULL
+                 AND o_orderdate >= TIMESTAMP '1998-01-01'),
+    am AS (SELECT h FROM a ORDER BY h LIMIT 256),
+    bm AS (SELECT h FROM b ORDER BY h LIMIT 256),
+    un AS (SELECT h FROM (SELECT h FROM am UNION SELECT h FROM bm) ORDER BY h LIMIT 256),
+    st AS (SELECT COUNT(*) AS n, MAX(h) AS hk,
+                  SUM(CASE WHEN h IN (SELECT h FROM am)
+                            AND h IN (SELECT h FROM bm) THEN 1 ELSE 0 END) AS inter
+           FROM un),
+    est AS (SELECT n, inter,
+                   CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                        ELSE CAST(n - 1 AS DOUBLE)
+                             / (CAST(hk + 1 AS DOUBLE) / {_POW60}.0) END AS union_est
+            FROM st),
+    ex AS (SELECT
+             CAST(COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                      THEN o_custkey END) AS BIGINT) AS exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                                      THEN o_custkey END) AS BIGINT) AS exact_b,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union
+           FROM orders WHERE o_custkey IS NOT NULL)
+    SELECT union_est,
+           (CAST(inter AS DOUBLE) * union_est) / CAST(n AS DOUBLE) AS intersect_est,
+           CAST(inter AS DOUBLE) / CAST(n AS DOUBLE) AS jaccard_est,
+           exact_a, exact_b, exact_union
+    FROM est, ex
+    """,
+)
+def sk_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (operators/sketches.py kmv_set_estimates,
+    Beyer et al. 2007): customers ordering before vs since 1998-01-01 as
+    sets A and B; union/intersection/Jaccard estimated purely from the
+    two bounded k=256 sketches (the merged k-minimum set is itself the
+    KMV of the union), with the exact counts beside for audit. The
+    whole estimate costs two bounded sketch builds — no key-level set
+    operation ever runs."""
+    from aroa_etl_spark.operators.sketches import kmv_set_estimates
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cut = F.lit("1998-01-01").cast("timestamp")
+    a = orders.filter(F.col("o_orderdate") < cut)
+    b = orders.filter(F.col("o_orderdate") >= cut)
+    est = kmv_set_estimates(a, "o_custkey", b, "o_custkey", k=256)
+    ex = orders.filter(F.col("o_custkey").isNotNull()).agg(
+        F.count_distinct(
+            F.when(F.col("o_orderdate") < cut, F.col("o_custkey"))
+        ).cast("bigint").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("o_orderdate") >= cut, F.col("o_custkey"))
+        ).cast("bigint").alias("exact_b"),
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("exact_union"),
+    )
+    return est.crossJoin(ex)

@@ -288,3 +288,32 @@ def st_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value_fp", "n_events").alias("value_fp"),
         )
     )
+
+
+@query(
+    "st_cms_counts",
+    oracle="""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                   WHERE user_id IS NOT NULL),
+    rows_t AS (SELECT unnest(range(4)) AS row)
+    SELECT row,
+           ('0x'||substr(md5('cms'||CAST(row AS VARCHAR)||':'||k),1,15))::UBIGINT::BIGINT
+             % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM keyed, rows_t GROUP BY 1, 2
+    """,
+)
+def st_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + sketches composition: a count-min sketch maintained BY A
+    STREAMING AGGREGATION (streaming/pipeline.py streaming_cms_counts)
+    over events.user_id, drained availableNow in complete mode. The
+    streaming state is bounded at depth*width counters no matter the
+    stream volume — the reason sketch-based frequency monitoring works
+    on unbounded streams — and the drained table equals the batch
+    count-min sketch bit-exactly (integer counters, md5 addressing)."""
+    from aroa_etl_spark.streaming.pipeline import streaming_cms_counts
+
+    ev = _stream_table(spark, sf_dir, "events")
+    cms = streaming_cms_counts(ev, "user_id", depth=4, width=1024)
+    _drain(cms, "st_cms_counts_sink", "complete")
+    return spark.table("st_cms_counts_sink")

@@ -451,3 +451,33 @@ def streaming_neardup_candidates(
             )
         )
     )
+
+
+def streaming_cms_counts(
+    stream: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch maintained OVER A STREAM: the same bounded
+    (row, bucket, cnt) counter table operators/sketches.py builds in
+    batch, kept incrementally by a streaming aggregation. State is at
+    most depth*width counters regardless of stream volume — the sketch
+    property that makes frequency monitoring viable on an unbounded
+    stream (complete mode stays cheap because the result itself is
+    bounded). Drained availableNow it equals the batch sketch exactly
+    (integer counters, deterministic md5 addressing)."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.sketches import _h60_salted_by_row
+
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    keyed = stream.select(F.col(col).cast("string").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    addressed = keyed.select(F.explode(rows).alias("row"), "__k").select(
+        "row",
+        (_h60_salted_by_row(F.col("__k"), F.col("row")) % F.lit(width)).alias(
+            "bucket"
+        ),
+    )
+    return addressed.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )

@@ -68,3 +68,51 @@ def test_cms_mergeable(spark):
     )
     whole = cms_build(half1.unionByName(half2), "k", 4, 64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_kmv_set_estimates_exact_regime(spark):
+    from aroa_etl_spark.operators.sketches import kmv_set_estimates
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 100).select(F.col("id").alias("k"))       # {0..99}
+    b = spark.range(50, 180).select(F.col("id").alias("k"))      # {50..179}
+    row = kmv_set_estimates(a, "k", b, "k", k=1024).collect()[0]
+    # fewer than k distinct hashes -> all three estimates exact
+    assert row.union_est == 180.0
+    assert row.intersect_est == 50.0
+    assert abs(row.jaccard_est - 50 / 180) < 1e-12
+
+
+def test_kmv_set_estimates_estimate_regime(spark):
+    from aroa_etl_spark.operators.sketches import kmv_set_estimates
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("k"))
+    row = kmv_set_estimates(a, "k", b, "k", k=256).collect()[0]
+    assert abs(row.union_est - 4500) / 4500 < 0.25
+    assert abs(row.intersect_est - 1500) / 1500 < 0.4
+    assert 0.15 < row.jaccard_est < 0.55  # true 1/3
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.sketches import cms_build
+    from aroa_etl_spark.streaming.pipeline import run_to_memory, streaming_cms_counts
+
+    src = os.path.join(str(tmp_path), "src")
+    df = spark.range(0, 500).select((F.col("id") % 37).alias("user_id"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    cms_stream = streaming_cms_counts(stream, "user_id", depth=4, width=64)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(cms_stream, "t_cms_stream_sink", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    got = sorted(map(tuple, spark.table("t_cms_stream_sink").collect()))
+    want = sorted(map(tuple, cms_build(df, "user_id", depth=4, width=64).collect()))
+    assert got == want
