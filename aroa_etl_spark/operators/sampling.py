@@ -103,3 +103,42 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.filter(bucket < int(round(fraction * BUCKETS)))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES scheme (IPL 2006): each row gets the key
+    ``u^(1/w)`` for a uniform u, and the n largest keys are the sample
+    — inclusion probability proportional to weight, no sequential scan,
+    no rejection loop. Rows with NULL, zero, or negative weight are
+    excluded (they can never be drawn).
+
+    Determinism: u comes from the engine-wide md5 family (salt || id),
+    and the key is compared through the monotone-equivalent
+    ``ln(u)/w`` rounded to 1e-12 fixed point with the id as tiebreak —
+    so the same rows are drawn on every engine, partitioning, and rerun
+    (the property that makes a 100 TB sample auditable). Plan: narrow
+    key projection + TakeOrderedAndProject — no full sort, no shuffle
+    beyond the top-n gather.
+    """
+    c_id = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c_id.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key_fp = F.round(F.log(u) / F.col(weight_col) * F.lit(1e12)).cast("long")
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__aes_key", key_fp)
+    # ln(u) < 0: maximizing u^(1/w) == maximizing ln(u)/w (toward 0)
+    return (
+        keyed.orderBy(F.col("__aes_key").desc(), c_id.asc())
+        .limit(n)
+        .drop("__aes_key")
+    )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
 from pyspark.sql.window import Window as W
 
-__all__ = ["asof_join", "range_join", "epoch_us"]
+__all__ = ["asof_join", "range_join", "interval_overlap_join", "epoch_us"]
 
 
 def epoch_us(c: Column | str, dtype=None) -> Column:
@@ -259,4 +259,60 @@ def range_join(
         l_keyed.join(r_keyed, [*by, "__bucket"])
         .filter((gap >= F.lit(lower_us)) & (gap <= F.lit(upper_us)))
         .drop("__bucket", "__l_us", "__r_us")
+    )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    by: Sequence[str] | str | None = None,
+    bucket: int = 1_000_000 * 60 * 30,
+) -> DataFrame:
+    """Join two INTERVAL sets on overlap (``a.start <= b.end AND
+    b.start <= a.end``, closed intervals), optionally per equality key —
+    the third temporal-join shape beside as-of (point→latest point) and
+    range_join (point→bounded offset window).
+
+    The naive formulation is an inequality join (cartesian per key).
+    Here both sides explode each interval to the fixed-width time
+    buckets it covers, the join runs as an EQUI-join on (keys, bucket),
+    and each overlapping pair survives from EXACTLY ONE bucket — the
+    bucket containing ``greatest(a.start, b.start)``, which any
+    overlapping pair shares — so no post-join dedup is needed. Choose
+    ``bucket`` (in the interval columns' own units; default 30 min of
+    epoch-µs) near the typical interval length: explode factor is
+    ``len/bucket + 1`` per row, shuffle stays linear, and a pair is
+    inspected once. Interval columns must be numeric (epoch_us() for
+    timestamps); start <= end is the caller's contract.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    dup = set(a.columns) & set(b.columns) - set(by)
+    if dup:
+        raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
+
+    def exploded(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(s) / bucket).cast("long"), (F.col(e) / bucket).cast("long")
+                )
+            ),
+        )
+
+    ea = exploded(a, a_start, a_end)
+    eb = exploded(b, b_start, b_end)
+    joined = ea.join(eb, [*by, "__bucket"])
+    first_shared = (F.greatest(F.col(a_start), F.col(b_start)) / bucket).cast("long")
+    return (
+        joined.filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("__bucket") == first_shared)
+        )
+        .drop("__bucket")
     )

@@ -656,3 +656,200 @@ def sk_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_custkey")).cast("bigint").alias("exact_union"),
     )
     return est.crossJoin(ex)
+
+
+@query(
+    "tdp_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (SELECT p_partkey, p_retailprice,
+        CAST(round(
+          (ln((('0x'||substr(md5('v1'||CAST(p_partkey AS VARCHAR)),1,15))::UBIGINT::BIGINT + 1)
+              / {_POW60}.0)
+           / p_retailprice) * 1000000000000.0) AS BIGINT) AS k
+      FROM part WHERE p_retailprice IS NOT NULL AND p_retailprice > 0)
+    SELECT p_partkey, p_retailprice FROM keyed ORDER BY k DESC, p_partkey LIMIT 50
+    """,
+)
+def tdp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample_topk — Efraimidis-Spirakis
+    A-ES keys from the md5 hash family, compared through 1e-12
+    fixed-point ln(u)/w): 50 parts drawn proportional to retail price,
+    reproducible across engines/partitionings/reruns. Plan is a narrow
+    key projection + TakeOrderedAndProject — no full sort."""
+    from aroa_etl_spark.operators.sampling import weighted_sample_topk
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return weighted_sample_topk(part, "p_partkey", "p_retailprice", n=50).select(
+        "p_partkey", "p_retailprice"
+    )
+
+
+@query(
+    "w_trailing_revenue",
+    oracle="""
+    WITH daily AS (SELECT o_custkey,
+                          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS d_rev
+                   FROM orders GROUP BY 1, 2)
+    SELECT o_custkey, day,
+           CAST(SUM(d_rev) OVER (PARTITION BY o_custkey ORDER BY day
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_7d
+    FROM daily
+    """,
+)
+def w_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: 7-day trailing revenue per customer
+    via a RANGE window over epoch-day keys (rangeBetween(-6, 0)) — the
+    time-series smoothing shape where a self-join would be quadratic.
+    Daily pre-aggregation (map-side combinable) bounds the window input
+    to one row per (customer, day); sums stay exact DECIMAL until the
+    DOUBLE boundary. One shuffle on customer feeds both the daily agg
+    and the window (same key)."""
+    from pyspark.sql.window import Window as W2
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    daily = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("p").alias("d_rev"))
+    )
+    w = W2.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "o_custkey", "day", F.sum("d_rev").over(w).cast("double").alias("trailing_7d")
+    )
+
+
+@query(
+    "j_interval_overlap",
+    oracle="""
+    WITH a AS (SELECT event_id AS a_id, user_id,
+                      epoch_us(ts) AS a_s, epoch_us(ts) + 1800000000 AS a_e
+               FROM events WHERE event_type = 'view'),
+    b AS (SELECT event_id AS b_id, user_id,
+                 epoch_us(ts) AS b_s, epoch_us(ts) + 600000000 AS b_e
+          FROM events WHERE event_type = 'error')
+    SELECT a.a_id, b.b_id
+    FROM a JOIN b ON a.user_id = b.user_id AND a.a_s <= b.b_e AND b.b_s <= a.a_e
+    ORDER BY a_id, b_id
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.py
+    interval_overlap_join): 30-minute view windows x 10-minute error
+    windows per user. Both interval sets explode to 30-minute time
+    buckets and the join is a pure EQUI-join on (user, bucket); each
+    overlapping pair survives from exactly one bucket (the one holding
+    the later start), so there is no inequality join, no cartesian per
+    key, and no post-join dedup. The oracle runs the naive inequality
+    join (DuckDB IEJoin) — different algorithm, same pairs."""
+    from aroa_etl_spark.operators.temporal import epoch_us, interval_overlap_join
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    a = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        epoch_us(F.col("ts")).alias("a_s"),
+        (epoch_us(F.col("ts")) + 1_800_000_000).alias("a_e"),
+    )
+    b = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("user_id_b"),
+        epoch_us(F.col("ts")).alias("b_s"),
+        (epoch_us(F.col("ts")) + 600_000_000).alias("b_e"),
+    ).withColumnRenamed("user_id_b", "user_id")
+    out = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", by="user_id",
+        bucket=1_000_000 * 60 * 30,
+    )
+    return out.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
+def _bf_pos_sql(key: str, j: int, m: int) -> str:
+    return (
+        f"(('0x'||substr(md5('bf{j}:'||{key}),1,15))::UBIGINT::BIGINT % {m})"
+    )
+
+
+_BF_M = 1 << 15
+_BF_MEMBER = " AND ".join(
+    f"(words[CAST({_bf_pos_sql('CAST(o_custkey AS VARCHAR)', j, _BF_M)} // 32 AS INT) + 1]"
+    f" & (1::BIGINT << CAST({_bf_pos_sql('CAST(o_custkey AS VARCHAR)', j, _BF_M)} % 32 AS INT)))"
+    f" != 0"
+    for j in range(4)
+)
+
+_BF_ORACLE = f"""
+    WITH keys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+                  WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
+    pos AS (SELECT unnest(list_value(
+              {', '.join(_bf_pos_sql('k', j, _BF_M) for j in range(4))})) AS pos
+            FROM keys),
+    wt AS (SELECT pos // 32 AS widx,
+                  bit_or((1::BIGINT << CAST(pos % 32 AS INT))) AS w
+           FROM pos GROUP BY 1),
+    dense AS (SELECT list(COALESCE(w, 0) ORDER BY i) AS words
+              FROM (SELECT unnest(range({_BF_M} // 32)) AS i) r
+              LEFT JOIN wt ON wt.widx = r.i),
+    truth AS (SELECT o_custkey IN (SELECT c_custkey FROM customer
+                                   WHERE c_mktsegment = 'BUILDING') AS is_member,
+                     ({_BF_MEMBER}) AS passes
+              FROM orders, dense
+              WHERE o_custkey IS NOT NULL)
+    SELECT CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_member,
+           CAST(SUM(CASE WHEN passes AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive
+    FROM truth
+"""
+
+
+@query("j_bloom_prune", oracle=_BF_ORACLE)
+def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py): BUILDING-
+    segment customer keys fold into a 32 Kbit / 4-hash filter (one
+    bounded bit_or aggregation); orders are pruned by broadcasting the
+    single-row word array — the probe side never shuffles. Output
+    counts the bloom-pass rows against the exact semi-join membership
+    (false positives are deterministic under the md5 hash family, so
+    the oracle reproduces them bit-exactly)."""
+    from aroa_etl_spark.operators.bloom import bloom_build, bloom_prune
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust, orders = t["customer"], t["orders"]
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(build, "c_custkey", m_bits=_BF_M, d=4)
+    probe = orders.filter(F.col("o_custkey").isNotNull())
+    passed = bloom_prune(probe, "o_custkey", bloom, m_bits=_BF_M, d=4).select(
+        F.col("o_custkey").alias("k")
+    ).withColumn("passes", F.lit(True))
+    truth = probe.select("o_custkey").join(
+        build.withColumnRenamed("c_custkey", "o_custkey").distinct()
+        .withColumn("is_member", F.lit(True)),
+        "o_custkey",
+        "left",
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom"))
+    n_true = truth.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_member")
+    )
+    # false positives: bloom-passing keys that are not members
+    fp = (
+        bloom_prune(probe, "o_custkey", bloom, m_bits=_BF_M, d=4)
+        .join(
+            build.withColumnRenamed("c_custkey", "o_custkey").distinct(),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_positive"))
+    )
+    return n_pass.crossJoin(n_true).crossJoin(fp)
