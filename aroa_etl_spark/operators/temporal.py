@@ -286,8 +286,10 @@ def interval_overlap_join(
     ``bucket`` (in the interval columns' own units; default 30 min of
     epoch-µs) near the typical interval length: explode factor is
     ``len/bucket + 1`` per row, shuffle stays linear, and a pair is
-    inspected once. Interval columns must be numeric (epoch_us() for
-    timestamps); start <= end is the caller's contract.
+    inspected once. Interval columns must be NON-NEGATIVE numerics
+    (epoch_us() for timestamps; `div` truncates toward zero, so
+    negative epochs would mis-bucket) and start <= end is the caller's
+    contract.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     dup = set(a.columns) & set(b.columns) - set(by)
@@ -295,11 +297,13 @@ def interval_overlap_join(
         raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
 
     def exploded(df: DataFrame, s: str, e: str) -> DataFrame:
+        # integer `div`, not double division: exact for any 64-bit epoch
+        # scale (double rounds above 2^53, e.g. nanosecond epochs)
         return df.withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    (F.col(s) / bucket).cast("long"), (F.col(e) / bucket).cast("long")
+                    F.expr(f"`{s}` div {bucket}"), F.expr(f"`{e}` div {bucket}")
                 )
             ),
         )
@@ -307,7 +311,7 @@ def interval_overlap_join(
     ea = exploded(a, a_start, a_end)
     eb = exploded(b, b_start, b_end)
     joined = ea.join(eb, [*by, "__bucket"])
-    first_shared = (F.greatest(F.col(a_start), F.col(b_start)) / bucket).cast("long")
+    first_shared = F.expr(f"greatest(`{a_start}`, `{b_start}`) div {bucket}")
     return (
         joined.filter(
             (F.col(a_start) <= F.col(b_end))
