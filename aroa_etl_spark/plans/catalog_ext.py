@@ -853,3 +853,81 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_positive"))
     )
     return n_pass.crossJoin(n_true).crossJoin(fp)
+
+
+@query(
+    "a_regression_price_qty",
+    oracle="""
+    WITH pair AS (SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS xi,
+                         CAST(round(l_extendedprice * 100) AS HUGEINT) AS yi
+                  FROM lineitem
+                  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    s AS (SELECT COUNT(*) AS n0, SUM(xi) AS sx0, SUM(yi) AS sy0,
+                 SUM(xi * yi) AS sxy0, SUM(xi * xi) AS sxx0, SUM(yi * yi) AS syy0
+          FROM pair),
+    d AS (SELECT CAST(n0 AS DOUBLE) AS n, CAST(sx0 AS DOUBLE) AS sx,
+                 CAST(sy0 AS DOUBLE) AS sy, CAST(sxy0 AS DOUBLE) AS sxy,
+                 CAST(sxx0 AS DOUBLE) AS sxx, CAST(syy0 AS DOUBLE) AS syy,
+                 n0 FROM s)
+    SELECT CAST(n0 AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 / 100.0, 9) AS intercept
+    FROM d
+    """,
+)
+def a_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS regression of extendedprice on
+    quantity with EXACT sufficient statistics (operators/stats.py):
+    inputs fixed-pointed to cents, the five sums accumulated as
+    DECIMAL(38,0) — order-independent, unlike Spark's double-folding
+    corr/regr_* builtins — and the final scalars derived in identical
+    double arithmetic on both engines. One map-side-combinable
+    aggregation pass."""
+    from aroa_etl_spark.operators.stats import exact_linear_stats
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return exact_linear_stats(li, "l_quantity", "l_extendedprice", scale=2)
+
+
+@query(
+    "geo_radius_join",
+    oracle="""
+    WITH pts AS (SELECT c_custkey,
+                        (c_custkey * 2654435761) % 1000000 AS x,
+                        (c_custkey * 40503) % 1000000 AS y
+                 FROM customer),
+    a AS (SELECT c_custkey AS a_id, x AS axx, y AS ayy FROM pts WHERE c_custkey % 2 = 0),
+    b AS (SELECT c_custkey AS b_id, x AS bxx, y AS byy FROM pts WHERE c_custkey % 2 = 1)
+    SELECT a_id, b_id
+    FROM a JOIN b ON (axx - bxx) * (axx - bxx) + (ayy - byy) * (ayy - byy)
+                     <= 5000 * 5000
+    ORDER BY a_id, b_id
+    """,
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (operators/geo.py grid_radius_join): planted
+    integer planar points from customer keys, even vs odd keys as the
+    two sides, radius 5000 in a 1M x 1M grid. The probe side explodes
+    to its 9-cell neighborhood and the join is a pure EQUI-join on the
+    cell id with exact BIGINT distance math — each pair found exactly
+    once, no inequality join. The oracle runs the naive quadratic
+    predicate join — different algorithm, same pairs."""
+    from aroa_etl_spark.operators.geo import grid_radius_join
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 1000000).alias("x"),
+        ((F.col("c_custkey") * 40503) % 1000000).alias("y"),
+    )
+    a = pts.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("a_id"), F.col("x").alias("axx"), F.col("y").alias("ayy")
+    )
+    b = pts.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("b_id"), F.col("x").alias("bxx"), F.col("y").alias("byy")
+    )
+    out = grid_radius_join(a, b, "axx", "ayy", "bxx", "byy", radius=5000)
+    return out.select("a_id", "b_id").orderBy("a_id", "b_id")

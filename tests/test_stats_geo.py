@@ -1,0 +1,113 @@
+"""Exact regression aggregates and grid radius join tests."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.operators.geo import grid_radius_join
+from aroa_etl_spark.operators.stats import exact_linear_stats
+
+
+def test_exact_linear_stats_known_line(spark):
+    # y = 2x + 3 exactly -> corr 1, slope 2, intercept 3
+    rows = [(float(x), 2.0 * x + 3.0) for x in range(1, 50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = exact_linear_stats(df, "x", "y").collect()[0]
+    assert r.n == 49
+    assert r.corr == 1.0
+    assert r.slope == 2.0
+    assert r.intercept == 3.0
+
+
+def test_exact_linear_stats_matches_numpy(spark):
+    rng = random.Random(11)
+    rows = [
+        (round(rng.uniform(0, 100), 2), round(rng.uniform(0, 1000), 2))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = exact_linear_stats(df, "x", "y").collect()[0]
+    xs = [a for a, _ in rows]
+    ys = [b for _, b in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in rows)
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r.corr - corr) < 1e-6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r.slope - slope) < 1e-6
+
+
+def test_exact_linear_stats_partition_invariant(spark):
+    rng = random.Random(5)
+    rows = [
+        (round(rng.uniform(0, 9), 2), round(rng.uniform(0, 9), 2)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r1 = exact_linear_stats(df, "x", "y").collect()[0]
+    r2 = exact_linear_stats(df.repartition(13), "x", "y").collect()[0]
+    assert tuple(r1) == tuple(r2)  # bit-identical, not merely close
+
+
+def test_exact_linear_stats_drops_null_pairs(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (None, 3.0), (3.0, 6.0)], "x double, y double"
+    )
+    r = exact_linear_stats(df, "x", "y").collect()[0]
+    assert r.n == 2 and r.slope == 2.0
+
+
+def _brute(pts_a, pts_b, r):
+    out = []
+    for i, (ax, ay) in pts_a:
+        for j, (bx, by) in pts_b:
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r:
+                out.append((i, j))
+    return sorted(out)
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    rng = random.Random(9)
+    pa = [(i, (rng.randrange(0, 2000), rng.randrange(0, 2000))) for i in range(80)]
+    pb = [(i, (rng.randrange(0, 2000), rng.randrange(0, 2000))) for i in range(80)]
+    a = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pa], "a_id bigint, ax bigint, ay bigint"
+    )
+    b = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pb], "b_id bigint, bx bigint, by bigint"
+    )
+    for r in (50, 300, 900):
+        got = sorted(
+            (row.a_id, row.b_id)
+            for row in grid_radius_join(a, b, "ax", "ay", "bx", "by", radius=r)
+            .select("a_id", "b_id")
+            .collect()
+        )
+        assert got == _brute(pa, pb, r), f"radius {r}"
+
+
+def test_grid_radius_join_boundary_inclusive(spark):
+    a = spark.createDataFrame([(1, 0, 0)], "a_id bigint, ax bigint, ay bigint")
+    b = spark.createDataFrame(
+        [(10, 3, 4), (11, 3, 5)], "b_id bigint, bx bigint, by bigint"
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in grid_radius_join(a, b, "ax", "ay", "bx", "by", radius=5)
+        .select("a_id", "b_id")
+        .collect()
+    )
+    assert got == [(1, 10)]  # dist 5 included, dist ~5.83 excluded
+
+
+def test_grid_radius_join_keyed(spark):
+    a = spark.createDataFrame(
+        [(1, "u", 0, 0), (2, "v", 0, 0)], "a_id bigint, k string, ax bigint, ay bigint"
+    )
+    b = spark.createDataFrame([(10, "u", 1, 1)], "b_id bigint, k string, bx bigint, by bigint")
+    got = grid_radius_join(a, b, "ax", "ay", "bx", "by", radius=5, by="k")
+    assert [(r.a_id, r.b_id) for r in got.select("a_id", "b_id").collect()] == [(1, 10)]
