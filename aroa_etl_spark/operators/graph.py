@@ -83,3 +83,60 @@ def pagerank(
         if checkpoint_every and i % checkpoint_every == 0 and i < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count (single-row ``(n_edges, n_triangles)``)
+    over an UNDIRECTED graph given as (possibly duplicated, either-
+    direction) edge pairs; self-loops dropped.
+
+    Uses the degree-ordered orientation (Chiba–Nishizeki / the
+    "forward" algorithm): orient every edge from its (degree, id)-lower
+    endpoint to the higher one — a DAG where each triangle appears as
+    EXACTLY ONE wedge (a→b, a→c) closed by the oriented edge b→c. Work
+    is O(m^1.5) instead of O(Σ deg²): hub vertices have almost no
+    out-edges after orientation, so the wedge self-join on the source
+    never explodes on skewed degree distributions — the property that
+    makes this viable on a power-law 100 TB graph. Plan: degree
+    aggregation + two hash joins, all map-side-combinable counts.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+            )
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    w1 = ranked.select(F.col("s"), F.col("t").alias("b"))
+    w2 = ranked.select(F.col("s"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))
+    # wedge (s; b, c) closes iff the oriented edge between b and c exists
+    # (either orientation — b<c is id order, orientation is degree order)
+    closing = ranked.select(
+        F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return ne.crossJoin(tri)

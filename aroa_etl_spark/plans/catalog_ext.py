@@ -931,3 +931,37 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = grid_radius_join(a, b, "axx", "ayy", "bxx", "byy", radius=5000)
     return out.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                                   greatest(a.l_partkey, b.l_partkey) AS b
+                   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey != b.l_partkey),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges, n_triangles
+    FROM tri
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_count) over the
+    part co-purchase graph (parts sharing an order). The operator uses
+    the degree-ordered 'forward' orientation — each triangle appears as
+    exactly one wedge at its lowest-(degree,id) vertex, O(m^1.5) work
+    even on power-law degree distributions; the oracle counts the same
+    triangles with the naive id-ordered 3-way join — different
+    algorithm, same count."""
+    from aroa_etl_spark.operators.graph import triangle_count
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "k").filter(F.col("u") != F.col("v")).select("u", "v")
+    return triangle_count(edges, "u", "v")

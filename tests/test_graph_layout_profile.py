@@ -98,3 +98,45 @@ def test_profile_empty_cols_raises(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         profile(df, [])
+
+
+def _tri_brute(edges):
+    import itertools
+
+    es = set()
+    for u, v in edges:
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    nodes = sorted({n for e in es for n in e})
+    count = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    return len(es), count
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    from aroa_etl_spark.operators.graph import triangle_count
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    row = triangle_count(df).collect()[0]
+    ne, nt = _tri_brute(edges)
+    assert (row.n_edges, row.n_triangles) == (ne, nt)
+
+
+def test_triangle_count_known_shapes(spark):
+    from aroa_etl_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; duplicates/reversed/self edges must not matter
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0), (1, 1)]
+    df = spark.createDataFrame(k4, "src bigint, dst bigint")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (6, 4)
+    # a path graph has none
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
+    assert triangle_count(path).collect()[0].n_triangles == 0
