@@ -1,0 +1,69 @@
+"""lint_plan / assert_scalable checks against crafted plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.plans.lint import PlanLintError, assert_scalable, lint_plan
+
+
+def _codes(findings, severity=None):
+    return {f.code for f in findings if severity is None or f.severity == severity}
+
+
+def test_clean_aggregate_passes(spark):
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("g")).count()
+    findings = assert_scalable(df)
+    assert _codes(findings, "error") == set()
+    assert "exchanges" in _codes(findings)
+
+
+def test_cartesian_flagged(spark):
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "id2")
+    df = a.crossJoin(b)
+    codes = _codes(lint_plan(df), "error")
+    assert codes & {"cartesian", "bnlj"}
+    with pytest.raises(PlanLintError):
+        assert_scalable(df)
+
+
+def test_bnlj_sanctioned_when_allowed(spark):
+    one_row = spark.range(100).agg(F.count("*").alias("n"))
+    df = spark.range(10).crossJoin(F.broadcast(one_row))
+    assert "bnlj" in _codes(lint_plan(df), "error")
+    findings = assert_scalable(df, allow_bnlj=True)  # no raise
+    assert "bnlj" in _codes(findings, "info")
+
+
+def test_python_udf_flagged(spark):
+    @F.udf("long")
+    def slow(x):
+        return x + 1
+
+    df = spark.range(10).select(slow("id").alias("y"))
+    assert "python_udf" in _codes(lint_plan(df), "error")
+
+
+def test_pandas_udf_not_flagged(spark):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fast(x: pd.Series) -> pd.Series:
+        return x + 1
+
+    df = spark.range(10).select(fast("id").alias("y"))
+    assert "python_udf" not in _codes(lint_plan(df))
+
+
+def test_global_sort_warned_but_topk_not(spark):
+    full = spark.range(100).orderBy("id")
+    assert "global_sort" in _codes(lint_plan(full), "warning")
+    topk = spark.range(100).orderBy("id").limit(5)
+    assert "global_sort" not in _codes(lint_plan(topk))
+
+
+def test_catalog_flagships_are_clean(spark, sf_dir):
+    from aroa_etl_spark.plans import catalog
+
+    for name in ("q1_pricing_summary", "j5_multiway_revenue_by_nation"):
+        assert_scalable(catalog.spec(name).builder(spark, sf_dir))
