@@ -965,3 +965,102 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
     edges = a.join(b, "k").filter(F.col("u") != F.col("v")).select("u", "v")
     return triangle_count(edges, "u", "v")
+
+
+@query(
+    "tdp_curation_pipeline_v2",
+    oracle=f"""
+    WITH docs2 AS (SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 2 = 0
+                   THEN chr(10)||'shared boilerplate navigation menu' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10)||'all rights reserved footer' ELSE '' END AS text
+        FROM documents),
+    lines AS (SELECT doc_id, unnest(list_transform(range(len(ls)),
+                       i -> {{'idx': i, 'line': ls[i+1]}}), recursive := true)
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2)),
+    marked AS (SELECT doc_id, idx, line,
+                      COUNT(*) OVER (PARTITION BY md5(line)) AS cnt,
+                      ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                         ORDER BY doc_id, idx) AS rn
+               FROM lines),
+    kept AS (SELECT doc_id, idx, line FROM marked WHERE cnt < 3 OR rn = 1),
+    rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+                FROM kept GROUP BY doc_id),
+    toks_t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> t != '') AS toks
+               FROM rebuilt),
+    gated AS (SELECT doc_id, toks, len(toks) AS n_tok FROM toks_t
+              WHERE len(toks) >= 20),
+    chunked AS (SELECT doc_id, n_tok,
+                       unnest(list_transform(range(
+                              1 + greatest(0, CAST(ceil((n_tok - 32) / 24.0) AS BIGINT))),
+                              i -> len(toks[i*24+1:i*24+32]))) AS chunk_len
+                FROM gated),
+    split AS (SELECT doc_id,
+                     CASE WHEN b < 800000 THEN 'train'
+                          WHEN b < 900000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT DISTINCT doc_id,
+                           ('0x'||substr(md5('v1'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT::BIGINT
+                             % 1000000 AS b
+                    FROM gated))
+    SELECT split,
+           CAST(COUNT(DISTINCT chunked.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS sum_chunk_tokens
+    FROM chunked JOIN split USING (doc_id)
+    GROUP BY split ORDER BY split
+    """,
+)
+def tdp_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation v2 — the round-3 composition story: planted
+    boilerplate -> corpus line dedup (line_dedup) -> token-count gate
+    (>=20) -> overlapping chunking (token_chunks_overlap 32/24) ->
+    deterministic hash split -> per-split chunk statistics. Every stage
+    is the engine operator a user would call, chained as DataFrames;
+    the oracle replays all five stages in one independent SQL
+    derivation. Shuffle inventory: line-hash count + reassembly (line
+    dedup), then narrow gate/chunk projections, one split projection,
+    one final small agg — linear end to end."""
+    from aroa_etl_spark.functions.text import token_chunks_overlap, tokens
+    from aroa_etl_spark.operators.dedup import line_dedup
+    from aroa_etl_spark.operators.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nshared boilerplate navigation menu"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nall rights reserved footer"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    deduped = line_dedup(docs, "doc_id", "text", min_repeat=3).drop("n_lines_kept")
+    toks_t = deduped.select("doc_id", tokens("text").alias("toks"))
+    gated = toks_t.filter(F.size("toks") >= 20)
+    chunked = gated.select(
+        "doc_id",
+        F.explode(token_chunks_overlap("toks", 32, 24)).alias("chunk"),
+    ).select("doc_id", F.size(F.split("chunk", " ", -1)).alias("chunk_len"))
+    split = hash_split(
+        gated.select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1",
+    ).select("doc_id", "split")
+    return (
+        chunked.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("sum_chunk_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -109,3 +109,27 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     out = [r.k for r in weighted_sample_topk(df, "k", "w", 10).collect()]
     assert out == [1]
+
+
+def test_interval_overlap_symmetric(spark):
+    import random
+
+    rng = random.Random(21)
+    rows_a = [(i, s := rng.randrange(500), s + rng.randrange(1, 60)) for i in range(40)]
+    rows_b = [(i, s := rng.randrange(500), s + rng.randrange(1, 60)) for i in range(40)]
+    a = spark.createDataFrame(rows_a, "a_id bigint, a_s bigint, a_e bigint")
+    b = spark.createDataFrame(rows_b, "b_id bigint, b_s bigint, b_e bigint")
+    ab = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bucket=40)
+        .select("a_id", "b_id").collect()
+    )
+    # swap roles: rename to avoid column collisions, same pair set mirrored
+    a2 = a.withColumnRenamed("a_id", "b_id").withColumnRenamed("a_s", "b_s").withColumnRenamed("a_e", "b_e")
+    b2 = b.withColumnRenamed("b_id", "a_id").withColumnRenamed("b_s", "a_s").withColumnRenamed("b_e", "a_e")
+    ba = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(b2, a2, "a_s", "a_e", "b_s", "b_e", bucket=40)
+        .select("b_id", "a_id").collect()
+    )
+    assert ab == sorted((x, y) for y, x in ba)

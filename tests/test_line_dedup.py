@@ -79,3 +79,16 @@ def test_chunk_overlap_empty_doc(spark):
         .c
         == []
     )
+
+
+def test_line_dedup_idempotent(spark):
+    rows = [
+        (i, "\n".join(["common header"] + [f"unique {i} line {j}" for j in range(3)]))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = line_dedup(df, min_repeat=3)
+    twice = line_dedup(once.drop("n_lines_kept"), min_repeat=3)
+    a = sorted((r.doc_id, r.text) for r in once.collect())
+    b = sorted((r.doc_id, r.text) for r in twice.collect())
+    assert a == b  # survivors occur < min_repeat times -> fixpoint
