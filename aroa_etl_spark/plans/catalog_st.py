@@ -317,3 +317,80 @@ def st_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = streaming_cms_counts(ev, "user_id", depth=4, width=1024)
     _drain(cms, "st_cms_counts_sink", "complete")
     return spark.table("st_cms_counts_sink")
+
+
+@query(
+    "st_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts_us >= s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM ev e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t2 GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase
+    """,
+)
+def st_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stateful PATTERN DETECTION across micro-batches: the events
+    table is staged as four ASCENDING TIME-RANGE slices (exact-
+    percentile cuts; equal timestamps stay in one slice) streamed with
+    maxFilesPerTrigger=1, so streaming_funnel's per-user step state
+    genuinely carries funnel progress from batch to batch — a user can
+    view in batch 1 and convert in batch 3. Reach times are set-once,
+    so emissions are monotone and max() collapses the update stream;
+    the result equals the batch min-CTE funnel the oracle runs."""
+    import os
+
+    from aroa_etl_spark.operators.temporal import epoch_us
+    from aroa_etl_spark.streaming.pipeline import streaming_funnel
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("ts_us")
+    )
+    cuts = ev.selectExpr(
+        "percentile(ts_us, array(0.25, 0.5, 0.75)) AS c"
+    ).first()["c"]
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "stream_src", sf_tag, "events_funnel_slices",
+    )
+    # sequential writes: one file per ascending time range, mtime order
+    # == time order (FileStreamSource processes older files first).
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    bounds = [None, *cuts, None]
+    for i in range(4):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts_us") >= float(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts_us") < float(hi))
+        part.coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts_us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    fun = streaming_funnel(
+        stream, user_col="user_id", type_col="event_type", ts_col="ts_us",
+        steps=("view", "click", "purchase"),
+    )
+    _drain(fun, "st_funnel_sink", "update")
+    final = (
+        spark.table("st_funnel_sink")
+        .groupBy("user_id")
+        .agg(F.max("t_1").alias("t1"), F.max("t_2").alias("t2"), F.max("t_3").alias("t3"))
+    )
+    return final.agg(
+        F.sum(F.when(F.col("t1") != -1, 1).otherwise(0)).cast("bigint").alias("n_view"),
+        F.sum(F.when(F.col("t2") != -1, 1).otherwise(0)).cast("bigint").alias("n_click"),
+        F.sum(F.when(F.col("t3") != -1, 1).otherwise(0)).cast("bigint").alias("n_purchase"),
+    )

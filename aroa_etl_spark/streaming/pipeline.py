@@ -481,3 +481,67 @@ def streaming_cms_counts(
     return addressed.groupBy("row", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel progress as ARBITRARY STATEFUL streaming
+    (applyInPandasWithState): per user, the reach time of each funnel
+    step (epoch-µs BIGINT, -1 unset), updated across micro-batches.
+
+    Semantics match the batch operator (operators/funnel.py): step i is
+    reached at the earliest step-i event at-or-after step i-1's reach
+    time. The fold processes each batch sorted by (ts, step index) and
+    every reach time is SET ONCE (first eligible event in order == the
+    minimum), so emissions are monotone — the drained update stream
+    collapses with max() per column. EXACTNESS REQUIRES IN-ORDER
+    DELIVERY: micro-batches must partition event time into ascending
+    ranges with equal timestamps kept in one batch (the catalog entry
+    stages time-sliced files; a production stream gets this from a
+    time-ordered source or a watermark+sort pre-stage). State is
+    len(steps) BIGINTs per user — bounded for any stream length.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    out_schema = T.StructType(
+        [T.StructField(user_col, T.LongType())]
+        + [T.StructField(f"t_{i + 1}", T.LongType()) for i in range(k)]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t_{i + 1}", T.LongType()) for i in range(k)]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        t = list(state.get) if state.exists else [-1] * k
+        for pdf in pdfs:
+            pdf = pdf[[ts_col, type_col]].copy()
+            pdf["__si"] = pdf[type_col].map(step_idx)
+            pdf = pdf.dropna(subset=["__si"]).sort_values([ts_col, "__si"])
+            for ts, si in zip(pdf[ts_col].astype("int64"), pdf["__si"].astype("int64")):
+                si = int(si)
+                if t[si] != -1:
+                    continue
+                if si == 0 or (t[si - 1] != -1 and ts >= t[si - 1]):
+                    t[si] = int(ts)
+        state.update(tuple(t))
+        yield pd.DataFrame(
+            {user_col: [key[0]], **{f"t_{i + 1}": [t[i]] for i in range(k)}}
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

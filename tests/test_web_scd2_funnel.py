@@ -118,3 +118,51 @@ def test_funnel_same_timestamp_progress(spark):
     df = spark.createDataFrame(rows, "u bigint, t string, ts timestamp")
     times = user_funnel_times(df, "u", "t", "ts", ["view", "click"]).collect()[0]
     assert times.t_1 == _ts(1) and times.t_2 == _ts(1)
+
+
+def test_streaming_funnel_cross_batch(spark, tmp_path):
+    """A user whose funnel steps span micro-batches must still convert:
+    state carries reach times from batch to batch, and the drained
+    result equals the batch operator on the same events."""
+    import os
+
+    from aroa_etl_spark.streaming.pipeline import run_to_memory, streaming_funnel
+
+    stage = os.path.join(str(tmp_path), "slices")
+    batches = [
+        # (user, type, ts_us) — batch files written sequentially
+        [(1, "view", 100), (2, "view", 110), (3, "click", 100)],
+        [(1, "click", 200), (2, "purchase", 150)],   # 2 purchases BEFORE click
+        [(1, "purchase", 300), (2, "click", 250)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts_us bigint"
+        ).coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts_us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    fun = streaming_funnel(stream, steps=("view", "click", "purchase"))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(fun, "t_stream_funnel_sink", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    final = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in spark.table("t_stream_funnel_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("t_1").alias("t1"), F.max("t_2").alias("t2"), F.max("t_3").alias("t3")
+        )
+        .collect()
+    }
+    # user 1 converts fully, across three separate micro-batches
+    assert final[1] == (100, 200, 300)
+    # user 2: purchase (150) precedes click (250) -> purchase not reached
+    assert final[2] == (110, 250, -1)
+    # user 3: click without view -> nothing reached
+    assert final[3] == (-1, -1, -1)
