@@ -38,6 +38,7 @@ __all__ = [
     "kmv_distinct",
     "kmv_sketch",
     "kmv_set_estimates",
+    "kmv_distinct_by",
     "cms_build",
     "cms_estimate",
 ]
@@ -204,4 +205,34 @@ def kmv_set_estimates(
         union_est.alias("union_est"),
         (inter.cast("double") * union_est / n.cast("double")).alias("intersect_est"),
         (inter.cast("double") / n.cast("double")).alias("jaccard_est"),
+    )
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_cols: list[str] | str, col: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimates: ``group_cols + (kmv_k,
+    kmv_estimate)`` — ``approx_count_distinct`` shaped, but
+    bit-reproducible (md5 hash family) like :func:`kmv_distinct`.
+
+    ONE groupBy with a bounded ``array_sort(collect_set)[1:k]`` per
+    group: the shuffle carries at most k longs per (group, partition) —
+    the grouped-profiling shape (distinct users per cohort, distinct
+    docs per domain) without shuffling every distinct key per group.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    h = df.select(*group_cols, _h60(F.col(col)).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    sk = h.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+    n = F.size("mins")
+    u_k = (F.element_at("mins", n) + F.lit(1)).cast("double") / F.lit(_HASH_SPACE)
+    return sk.select(
+        *group_cols,
+        n.cast("bigint").alias("kmv_k"),
+        F.when(n < k, n.cast("double"))
+        .otherwise((n - F.lit(1)).cast("double") / u_k)
+        .alias("kmv_estimate"),
     )

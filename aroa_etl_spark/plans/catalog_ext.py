@@ -1064,3 +1064,45 @@ def tdp_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "sk_kmv_grouped",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT o_orderpriority,
+                 ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT::BIGINT AS h
+               FROM orders WHERE o_custkey IS NOT NULL),
+    ranked AS (SELECT o_orderpriority, h,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+               FROM h),
+    mins AS (SELECT o_orderpriority, COUNT(*) AS n, MAX(h) AS hk
+             FROM ranked WHERE rn <= 128 GROUP BY o_orderpriority),
+    ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+           FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS kmv_k,
+           CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                ELSE CAST(n - 1 AS DOUBLE) / (CAST(hk + 1 AS DOUBLE) / {_POW60}.0)
+           END AS kmv_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM mins JOIN ex USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def sk_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct estimates (operators/sketches.py
+    kmv_distinct_by, k=128): distinct customers per order priority with
+    the exact count beside — the approx_count_distinct-per-group shape,
+    but bit-reproducible. One bounded groupBy; at 100 TB each group's
+    shuffle payload is capped at k longs per upstream partition instead
+    of every distinct key."""
+    from aroa_etl_spark.operators.sketches import kmv_distinct_by
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    sk = kmv_distinct_by(orders, "o_orderpriority", "o_custkey", k=128)
+    ex = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    )
+    return sk.join(ex, "o_orderpriority").orderBy("o_orderpriority")

@@ -220,3 +220,71 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSON-lines sink (one object per line, UTF-8)."""
     df.write.mode(mode).json(path)
+
+
+def align_and_union(dfs, widen: bool = True):
+    """Union frames with DRIFTED schemas — the multi-batch ingestion
+    reality (a column added in March, an int that became a bigint in
+    June): missing columns fill with NULL, and when ``widen`` is on,
+    columns whose types differ across inputs are cast to the widest
+    compatible numeric type (byte<short<int<long<float<double; any
+    numeric mixed with decimal -> double) or, as the last resort, to
+    string — loudly deterministic rather than silently failing the
+    union. Column order follows first appearance across inputs.
+
+    Narrow per-input projections + unionByName: no shuffle, no data
+    movement beyond the union itself.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("align_and_union: no inputs")
+    order: list[str] = []
+    types: dict[str, list] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = []
+            types[f.name].append(f.dataType)
+
+    _rank = {
+        T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2, T.LongType(): 3,
+        T.FloatType(): 4, T.DoubleType(): 5,
+    }
+
+    def widest(ts):
+        uniq = []
+        for t in ts:
+            if t not in uniq:
+                uniq.append(t)
+        if len(uniq) == 1:
+            return uniq[0]
+        if not widen:
+            raise ValueError(f"type drift without widen=True: {uniq}")
+        if all(t in _rank or isinstance(t, T.DecimalType) for t in uniq):
+            if any(isinstance(t, T.DecimalType) for t in uniq):
+                return T.DoubleType()
+            return max(uniq, key=lambda t: _rank[t])
+        return T.StringType()
+
+    target = {c: widest(ts) for c, ts in types.items()}
+    aligned = []
+    for df in dfs:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for c in order:
+            if c in have:
+                col = F.col(c)
+                if have[c] != target[c]:
+                    col = col.cast(target[c])
+                cols.append(col.alias(c))
+            else:
+                cols.append(F.lit(None).cast(target[c]).alias(c))
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

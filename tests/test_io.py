@@ -84,3 +84,38 @@ def test_write_excel_roundtrip(spark, tmp_path):
     write_excel_via_pandas(df, path)
     back = read_excel_via_pandas(spark, path)
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [("a", "1"), ("b", "2")]
+
+
+def test_align_and_union_schema_drift(spark):
+    from aroa_etl_spark.sources.io import align_and_union
+
+    old = spark.createDataFrame([(1, "a")], "id int, name string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id bigint, name string, score double")
+    out = align_and_union([old, new])
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score"]
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "id": "bigint", "name": "string", "score": "double"
+    }
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, "a", None), (2, "b", 9.5)]
+
+
+def test_align_and_union_incompatible_to_string(spark):
+    from aroa_etl_spark.sources.io import align_and_union
+
+    a = spark.createDataFrame([(1,)], "v int")
+    b = spark.createDataFrame([("x",)], "v string")
+    out = align_and_union([a, b])
+    assert out.schema["v"].dataType.simpleString() == "string"
+    assert sorted(r.v for r in out.collect()) == ["1", "x"]
+
+
+def test_align_and_union_strict_raises(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.sources.io import align_and_union
+
+    a = spark.createDataFrame([(1,)], "v int")
+    b = spark.createDataFrame([(1.5,)], "v double")
+    with _pytest.raises(ValueError):
+        align_and_union([a, b], widen=False)
