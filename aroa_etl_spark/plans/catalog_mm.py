@@ -206,3 +206,63 @@ def mm_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "n_bytes", "mean_intensity", "aspect_ratio"
     )
+
+
+# 44-byte canonical WAV header for: PCM, mono, 8-bit, 8000 Hz, 36 data
+# bytes (RIFF size 72 = 36 + 36). Constant because every planted clip
+# has the same shape — so it concatenates as a literal unhex.
+_WAV_HEADER_HEX = (
+    "52494646" "48000000" "57415645"          # RIFF <72> WAVE
+    "666d7420" "10000000" "0100" "0100"       # fmt <16> PCM mono
+    "401f0000" "401f0000" "0100" "0800"       # 8000 Hz, 8000 B/s, align 1, 8 bit
+    "64617461" "24000000"                      # data <36>
+)
+
+
+@query(
+    "mm_audio_decode_real",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      md5(text) || md5(text || 'x') AS hx
+               FROM documents)
+    SELECT media_id,
+           CAST(80 AS BIGINT) AS n_bytes,
+           36.0 / 8000.0 AS duration_s,
+           list_max(list_transform(range(1, 37),
+                    i -> abs((ascii(substr(hx, i, 1)) - 128.0) / 128.0))) AS peak
+    FROM m
+    """,
+)
+def mm_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 audio with a REAL codec in the gate: every document becomes a
+    genuine 80-byte WAV (constant 44-byte PCM/mono/8-bit/8 kHz RIFF
+    header via unhex + 36 md5-hex ASCII sample bytes), and the feature
+    kernel runs strict=True so the bytes go through the stdlib ``wave``
+    decoder (operators/multimodal.py:_decode_wav), not the fake
+    waveform. 8-bit samples map to exact dyadic float32 values
+    ((ascii-128)/128), so duration and peak are bit-identical to the
+    oracle's replay of the same byte arithmetic — correct only if the
+    RIFF header parsed and the PCM payload decoded for real. rms stays
+    pytest-pinned (float32 accumulation order is not SQL-reachable)."""
+    from aroa_etl_spark.operators.multimodal import audio_features
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hx = F.concat(F.md5(F.encode("text", "UTF-8")),
+                  F.md5(F.encode(F.concat(F.col("text"), F.lit("x")), "UTF-8")))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://wav/"), F.col("doc_id")).alias("uri"),
+        F.concat(
+            F.unhex(F.lit(_WAV_HEADER_HEX)),
+            F.encode(F.substring(hx, 1, 36), "UTF-8"),
+        ).alias("content"),
+        F.struct(
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit(36).cast("int").alias("n_samples"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+    return audio_features(media, strict=True).select(
+        "media_id", "n_bytes", "duration_s", "peak"
+    )
