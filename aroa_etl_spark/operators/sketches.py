@@ -56,22 +56,30 @@ def _h60(c: Column, salt: str = "") -> Column:
     ).cast("long")
 
 
-def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+def kmv_distinct(df: DataFrame, col: str, k: int = 1024, buckets: int = 4096) -> DataFrame:
     """Single-row frame ``(kmv_k, kmv_estimate)`` estimating
     ``COUNT(DISTINCT col)`` from the k minimum distinct hash values.
 
-    Plan shape (scale posture): hash projection (narrow) -> groupBy on
-    ``hash % 4096`` with a bounded ``array_sort(collect_set)[1:k]``
-    partial per group -> one final merge of <= 4096 bounded arrays. The
-    shuffle carries at most ``4096 * k`` longs no matter how many input
-    rows — compare an exact distinct, which shuffles every distinct key.
+    Plan shape (scale posture, stated honestly): hash projection
+    (narrow) -> groupBy on ``hash % buckets`` collecting per-group
+    distinct hashes -> slice to k -> one final merge of <= ``buckets``
+    k-bounded arrays. The FINAL merge is bounded at ``buckets * k``
+    longs; the BUILD shuffle still carries one 8-byte hash per distinct
+    value (collect_set partials are not k-truncatable map-side) — the
+    win over exact COUNT(DISTINCT wide_key) is payload width (8-byte
+    hash vs the full key), a mergeable/persistable result, and cheap
+    re-aggregation, not a bounded first shuffle. Where build-shuffle
+    boundedness itself matters, use Spark's built-in
+    ``approx_count_distinct`` (HLL++, bounded partials) and give up
+    cross-engine reproducibility. Raise ``buckets`` for very high
+    cardinality to cap per-group buffer size (~distinct/buckets each).
     NULLs are ignored (SQL COUNT DISTINCT semantics).
 
     If fewer than k distinct hashes exist the estimate is the exact
     distinct count (small-range regime).
     """
     h = df.select(_h60(F.col(col)).alias("h")).filter(F.col("h").isNotNull())
-    partial = h.groupBy((F.col("h") % 4096).alias("g")).agg(
+    partial = h.groupBy((F.col("h") % buckets).alias("g")).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
     )
     merged = partial.agg(
@@ -157,12 +165,13 @@ def cms_estimate(
     return joined.groupBy(col).agg(F.min("cnt").cast("bigint").alias("cms_count"))
 
 
-def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024, buckets: int = 4096) -> DataFrame:
     """Single-row ``(mins)`` frame: the k minimum distinct hashes of
     ``col`` — the raw mergeable KMV sketch behind :func:`kmv_distinct`
-    and :func:`kmv_set_estimates`. Same bounded two-level aggregation."""
+    and :func:`kmv_set_estimates`. Same two-level aggregation (and the
+    same honest shuffle posture) as :func:`kmv_distinct`."""
     h = df.select(_h60(F.col(col)).alias("h")).filter(F.col("h").isNotNull())
-    partial = h.groupBy((F.col("h") % 4096).alias("g")).agg(
+    partial = h.groupBy((F.col("h") % buckets).alias("g")).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
     )
     return partial.agg(
@@ -215,10 +224,12 @@ def kmv_distinct_by(
     kmv_estimate)`` — ``approx_count_distinct`` shaped, but
     bit-reproducible (md5 hash family) like :func:`kmv_distinct`.
 
-    ONE groupBy with a bounded ``array_sort(collect_set)[1:k]`` per
-    group: the shuffle carries at most k longs per (group, partition) —
-    the grouped-profiling shape (distinct users per cohort, distinct
-    docs per domain) without shuffling every distinct key per group.
+    ONE groupBy with ``array_sort(collect_set)[1:k]`` per group — the
+    grouped-profiling shape (distinct users per cohort, distinct docs
+    per domain). Honest posture: the k-slice bounds the RESULT, not the
+    build shuffle (collect_set partials carry each group's per-partition
+    distinct hashes); the win over exact per-group COUNT(DISTINCT) is
+    the 8-byte hash payload and a reproducible, auditable estimate.
     """
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     h = df.select(*group_cols, _h60(F.col(col)).alias("h")).filter(

@@ -43,9 +43,11 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py) on
     orders.o_custkey with k=256, alongside the exact distinct for
     audit. The estimate is a pure function of the 256 smallest md5
-    hashes, so DuckDB reproduces it bit-identically. Scale story: the
-    sketch shuffle carries <= 4096 bounded arrays instead of every
-    distinct key; k=256 gives ~6% relative error, k=4096 ~1.6%."""
+    hashes, so DuckDB reproduces it bit-identically. Scale story: an
+    8-byte-hash shuffle payload (vs the full key) and a bounded,
+    mergeable, persistable sketch — see the honest shuffle posture in
+    operators/sketches.py; k=256 gives ~6% relative error, k=4096
+    ~1.6%."""
     from aroa_etl_spark.operators.sketches import kmv_distinct
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
