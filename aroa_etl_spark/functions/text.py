@@ -443,6 +443,11 @@ def token_chunks_overlap(
     ``toks`` must be a materialized attribute column."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride {stride} > size {size} would leave token gaps "
+            "(every token must be covered); use stride <= size"
+        )
     toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     extra = F.ceil((n - F.lit(size)).cast("double") / F.lit(float(stride))).cast("int")

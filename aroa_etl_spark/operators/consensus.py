@@ -492,7 +492,10 @@ class EncMatcher:
 
         @F.pandas_udf(T.StringType())
         def _join(*series: pd.Series) -> pd.Series:
-            cols_ = [s.where(pd.notna(s), None) for s in series]
+            # astype(object) first: on float/int-with-null dtypes,
+            # .where(..., None) would coerce None straight back to NaN
+            # and the filter would see NaN instead of the documented None
+            cols_ = [s.astype(object).where(pd.notna(s), None) for s in series]
             return pd.Series(
                 [
                     sep.join(

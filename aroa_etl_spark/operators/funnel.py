@@ -90,7 +90,8 @@ def funnel_counts(
         "stack({n}, {pairs}) as (step_idx, step, n_users)".format(
             n=len(steps),
             pairs=", ".join(
-                f"{i}, '{s}', n_{i}" for i, s in enumerate(steps, start=1)
+                "{}, '{}', n_{}".format(i, s.replace("'", "''"), i)
+                for i, s in enumerate(steps, start=1)
             ),
         )
     )

@@ -120,9 +120,14 @@ def scd2_from_changelog(
         ts_col,
         state_col,
         *([tiebreak] if tiebreak else []),
+        # null-safe: a NULL state starts/continues its own island (plain
+        # != returns NULL against NULL and would silently merge it into
+        # the previous island). The explicit first-row flag is needed
+        # because lag()'s missing-row NULL is indistinguishable from a
+        # NULL state value.
         F.when(
-            F.lag(state_col).over(w).isNull()
-            | (F.lag(state_col).over(w) != F.col(state_col)),
+            (F.row_number().over(w) == 1)
+            | ~F.lag(state_col).over(w).eqNullSafe(F.col(state_col)),
             1,
         )
         .otherwise(0)

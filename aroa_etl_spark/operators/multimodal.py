@@ -259,7 +259,10 @@ def decode_image(content: bytes, meta: dict, *, strict: bool = False) -> np.ndar
     if codec is not None:
         try:
             return codec(content)
-        except (NotImplementedError, ValueError):
+        except Exception:
+            # corrupt/truncated blobs raise struct.error/zlib.error etc.;
+            # non-strict mode must degrade to the fake decoder for ANY
+            # decode failure (one bad blob must not kill a 100 TB job)
             if strict:
                 raise
     elif fmt not in ("", "fake", "raw"):

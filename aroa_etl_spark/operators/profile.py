@@ -48,7 +48,9 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         "stack({n}, {quads}) as (column, n_nulls, n_distinct, min_str, max_str)".format(
             n=len(cols),
             quads=", ".join(
-                f"'{c}', `__nulls_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`"
+                "'{0}', `__nulls_{1}`, `__dist_{1}`, `__min_{1}`, `__max_{1}`".format(
+                    c.replace("'", "''"), c.replace("`", "``")
+                )
                 for c in cols
             ),
         )

@@ -132,7 +132,22 @@ def weighted_sample_topk(
         F.substring(F.md5(F.concat(F.lit(salt), c_id.cast("string"))), 1, 15), 16, 10
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    key_fp = F.round(F.log(u) / F.col(weight_col) * F.lit(1e12)).cast("long")
+    raw = F.log(u) / F.col(weight_col) * F.lit(1e12)
+    # ln(u) ∈ [-41.6, 0): weights below ~1e-5 push the fixed-point key
+    # past long range, where a silent cast would saturate many rows to
+    # one value and destroy weight proportionality — raise instead
+    # (rescale weights, e.g. multiply by corpus size, and resample).
+    key_fp = F.when(
+        raw < F.lit(-9.0e18),
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_topk: weight too small for 1e-12 "
+                      "fixed-point keys (w="),
+                F.col(weight_col).cast("string"),
+                F.lit("); rescale weights to >= 1e-5"),
+            )
+        ).cast("long"),
+    ).otherwise(F.round(raw).cast("long"))
     keyed = df.filter(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("__aes_key", key_fp)

@@ -150,19 +150,30 @@ def cms_estimate(
     shuffles.
     """
     rows = F.array(*[F.lit(j) for j in range(depth)])
+    # internal names are __cms_-prefixed so probe columns named
+    # 'row'/'bucket' cannot collide with the sketch address columns
     addressed = probes.select(
         F.col(col),
         F.col(col).cast("string").alias("__k"),
-        F.explode(rows).alias("row"),
+        F.explode(rows).alias("__cms_row"),
     ).select(
         F.col(col),
-        "row",
-        (_h60_salted_by_row(F.col("__k"), F.col("row")) % F.lit(width)).alias("bucket"),
+        "__cms_row",
+        (_h60_salted_by_row(F.col("__k"), F.col("__cms_row")) % F.lit(width)).alias(
+            "__cms_bucket"
+        ),
     )
-    joined = addressed.join(F.broadcast(cms), ["row", "bucket"], "left").select(
-        F.col(col), F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    cms_r = cms.select(
+        F.col("row").alias("__cms_row"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("cnt").alias("__cms_cnt"),
     )
-    return joined.groupBy(col).agg(F.min("cnt").cast("bigint").alias("cms_count"))
+    joined = addressed.join(
+        F.broadcast(cms_r), ["__cms_row", "__cms_bucket"], "left"
+    ).select(F.col(col), F.coalesce(F.col("__cms_cnt"), F.lit(0)).alias("__cms_cnt"))
+    return joined.groupBy(col).agg(
+        F.min("__cms_cnt").cast("bigint").alias("cms_count")
+    )
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 1024, buckets: int = 4096) -> DataFrame:

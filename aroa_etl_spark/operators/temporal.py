@@ -134,8 +134,18 @@ def asof_join(
         # a nondeterministic row order (mixing values from different right
         # rows). With every payload column in the sort the within-tie
         # order is total unless rows are fully identical — where mixing
-        # is harmless.
-        ties = [F.col(p).asc_nulls_first() for p in payload]
+        # is harmless. Non-orderable payload types (maps) are skipped:
+        # Spark rejects them in an ORDER BY, and their presence in the
+        # tiebreak would turn a working join into an AnalysisException —
+        # rows tying on every orderable column may then mix map values.
+        from pyspark.sql.types import MapType
+
+        orderable = [
+            p
+            for c, p in zip(right_cols, payload)
+            if not isinstance(right.schema[c].dataType, MapType)
+        ]
+        ties = [F.col(p).asc_nulls_first() for p in orderable]
         return (
             W.partitionBy(*by)
             .orderBy(t, F.col("__side").asc(), *ties)

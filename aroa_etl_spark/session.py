@@ -72,7 +72,16 @@ def pin_utc_session_tz(spark: SparkSession) -> None:
     import warnings
 
     current = spark.conf.get("spark.sql.session.timeZone")
-    if current not in ("UTC", "Etc/UTC", "GMT", "Z"):
+    # conf.get returns the RESOLVED zone, so an unset conf surfaces as the
+    # JVM default — compare against it to avoid warning on every call on
+    # a non-UTC machine where the user never touched the conf. (An
+    # explicit set that happens to equal the machine default is
+    # indistinguishable and pins silently — the harmless direction.)
+    try:
+        jvm_default = spark._jvm.java.util.TimeZone.getDefault().getID()
+    except Exception:
+        jvm_default = None
+    if current not in ("UTC", "Etc/UTC", "GMT", "Z") and current != jvm_default:
         warnings.warn(
             f"aroa_etl_spark pins spark.sql.session.timeZone=UTC for "
             f"timestamp determinism (was {current!r}); set it back after "

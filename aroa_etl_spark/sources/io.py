@@ -166,8 +166,9 @@ def write_excel_via_pandas(
     except ImportError as e:  # pragma: no cover
         raise ImportError("writing Excel needs pandas on the driver") from e
 
-    limited = df.limit(max_rows + 1).toPandas()
-    if len(limited) > max_rows:
+    # the header occupies sheet row 1, so at most max_rows - 1 DATA rows fit
+    limited = df.limit(max_rows).toPandas()
+    if len(limited) > max_rows - 1:
         raise ValueError(
             f"refusing to write >{max_rows} rows to xlsx; "
             "use parquet/CSV sinks for data-scale outputs"

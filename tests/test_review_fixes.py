@@ -1,0 +1,144 @@
+"""Regression tests for the round-3 self-review findings."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(h):
+    return dt.datetime(2026, 1, 1, h)
+
+
+def test_scd2_null_state_is_its_own_island(spark):
+    from aroa_etl_spark.operators.incremental import scd2_from_changelog
+
+    rows = [(1, _ts(1), "A", 1), (1, _ts(2), None, 2), (1, _ts(3), "A", 3)]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, s string, id bigint")
+    out = sorted(
+        scd2_from_changelog(df, "k", "ts", "s", tiebreak="id").collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.s, r.version) for r in out] == [("A", 1), (None, 2), ("A", 3)]
+    assert out[0].valid_to == _ts(2) and out[1].valid_to == _ts(3)
+
+
+def test_scd2_first_row_null_state(spark):
+    from aroa_etl_spark.operators.incremental import scd2_from_changelog
+
+    rows = [(1, _ts(1), None, 1), (1, _ts(2), None, 2), (1, _ts(3), "B", 3)]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, s string, id bigint")
+    out = sorted(
+        scd2_from_changelog(df, "k", "ts", "s", tiebreak="id").collect(),
+        key=lambda r: r.version,
+    )
+    # the two leading NULLs collapse to ONE island with version 1
+    assert [(r.s, r.version) for r in out] == [(None, 1), ("B", 2)]
+
+
+def test_decode_image_corrupt_blob_falls_back_non_strict(spark):
+    from aroa_etl_spark.operators.multimodal import decode_image
+
+    truncated_png = b"\x89PNG\r\n\x1a\n\x00\x00"  # signature + garbage
+    meta = {"format": "png", "width": 2, "height": 2, "channels": 3}
+    px = decode_image(truncated_png, meta, strict=False)  # must not raise
+    assert px.shape == (2, 2, 3)
+    with pytest.raises(Exception):
+        decode_image(truncated_png, meta, strict=True)
+
+
+def test_combine_columns_numeric_null_sees_none(spark):
+    """A user join_filter written against the documented 'None for SQL
+    NULL' contract must see real None for float/int-with-null columns,
+    not NaN."""
+    from aroa_etl_spark.operators.consensus import EncMatcher
+
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, None, "y")], "id bigint, num int, s string"
+    )
+    seen = []
+
+    def keep_non_null(v):
+        seen.append(v)
+        return v is not None
+
+    out = {
+        r.id: r.joined
+        for r in EncMatcher(df, "id")
+        .combine_columns(["num", "s"], "joined", sep="|", join_filter=keep_non_null)
+        .df.collect()
+    }
+    assert "nan" not in out[2].lower()
+    assert out[2] == "y"
+    assert out[1] in ("5|x", "5.0|x")
+
+
+def test_cms_estimate_survives_row_bucket_probe_columns(spark):
+    from aroa_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "row string")
+    cms = cms_build(df, "row", depth=4, width=64)
+    probes = spark.createDataFrame([("a",), ("b",)], "row string")
+    est = {r.row: r.cms_count for r in cms_estimate(cms, probes, "row", 4, 64).collect()}
+    assert est["a"] >= 5 and est["b"] >= 2
+
+
+def test_asof_join_map_payload_not_in_tiebreak(spark):
+    from aroa_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k bigint, t bigint")
+    right = spark.createDataFrame(
+        [(1, 50, 9.0, {"a": "1"})],
+        "k bigint, t bigint, price double, attrs map<string,string>",
+    )
+    out = asof_join(
+        left, right, on="t", by=["k"], right_cols=["price", "attrs"]
+    ).collect()
+    assert out[0]["price_right"] == 9.0  # no AnalysisException, match attached
+
+
+def test_chunk_overlap_stride_gt_size_raises():
+    from aroa_etl_spark.functions.text import token_chunks_overlap
+
+    with pytest.raises(ValueError, match="gap"):
+        token_chunks_overlap(F.col("x"), size=8, stride=12)
+
+
+def test_funnel_step_name_with_quote(spark):
+    from aroa_etl_spark.operators.funnel import funnel_counts
+
+    rows = [(1, "view", _ts(1)), (1, "add's", _ts(2))]
+    df = spark.createDataFrame(rows, "u bigint, t string, ts timestamp")
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "u", "t", "ts", ["view", "add's"]).collect()
+    }
+    assert out == {"view": 1, "add's": 1}
+
+
+def test_profile_column_name_with_quote(spark):
+    from aroa_etl_spark.operators.profile import profile
+
+    df = spark.createDataFrame([(1,)], "`it's` bigint")
+    rows = profile(df).collect()
+    assert rows[0].column == "it's" and rows[0].n_rows == 1
+
+
+def test_weighted_sample_tiny_weight_raises(spark):
+    from aroa_etl_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([(1, 1e-12), (2, 1.0)], "k bigint, w double")
+    with pytest.raises(Exception, match="rescale"):
+        weighted_sample_topk(df, "k", "w", 2).collect()
+
+
+def test_excel_sink_row_cap_counts_header(tmp_path, spark):
+    from aroa_etl_spark.sources.io import write_excel_via_pandas
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        pytest.skip("openpyxl not installed")
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        write_excel_via_pandas(df, str(tmp_path / "t.xlsx"), max_rows=5)
