@@ -1108,3 +1108,185 @@ def sk_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct"))
     )
     return sk.join(ex, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@query(
+    "a_percentiles_cont",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS q25,
+           quantile_cont(l_extendedprice, 0.50) AS q50,
+           quantile_cont(l_extendedprice, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.95) AS q95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped interpolated quantiles (exact percentile(), the
+    continuous/linear-interpolation definition): Spark's percentile and
+    DuckDB's quantile_cont share the interpolation formula, verified
+    bit-exact. Exact quantiles sort within each group — the report-scale
+    tool; approx_percentile (KLL-style, partial-aggregated) is the
+    documented 100 TB path when group sizes explode (same trade-off as
+    the ntile bands entry)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q25"),
+            F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tdp_domain_quota",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0
+                   THEN ' https://WWW.Shop'||CAST(doc_id % 7 AS VARCHAR)||'.co.uk/x?y=1'
+                   ELSE ' https://misc'||CAST(doc_id % 97 AS VARCHAR)||'.example.org/p'
+                   END AS text
+        FROM documents),
+    first_url AS (SELECT doc_id, regexp_extract(text, 'https?://[^\s]+') AS url
+                  FROM docs2),
+    doms AS (SELECT doc_id,
+                    CASE WHEN len(l) <= 2 THEN host
+                         WHEN l[-2]||'.'||l[-1] IN
+                              ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in',
+                               'com.br','co.nz','com.cn','co.za')
+                         THEN l[-3]||'.'||l[-2]||'.'||l[-1]
+                         ELSE l[-2]||'.'||l[-1] END AS domain
+             FROM (SELECT doc_id, host, string_split(host, '.') AS l
+                   FROM (SELECT doc_id,
+                                regexp_replace(lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)),
+                                               '^www\.', '') AS host
+                         FROM first_url))),
+    ranked AS (SELECT doc_id, domain,
+                      ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+               FROM doms)
+    SELECT domain,
+           CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY domain ORDER BY domain
+    """,
+)
+def tdp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quotas — the crawl-curation cap that stops a
+    handful of giant domains from dominating a corpus (C4/RefinedWeb
+    recipe): docs carry a planted URL (one co.uk shop domain family on
+    every third doc, a long tail of example.org subdomains elsewhere),
+    roll up to eTLD+1, and a deterministic row_number per domain keeps
+    the first 10. One shuffle on domain; quota assignment rides the same
+    window partition."""
+    from aroa_etl_spark.functions.web import normalize_host, registered_domain, url_host
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://WWW.Shop"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".co.uk/x?y=1"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit(" https://misc"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(".example.org/p"),
+                )
+            ),
+        ).alias("text"),
+    )
+    first_url = docs.select(
+        "doc_id", F.regexp_extract("text", r"https?://[^\s]+", 0).alias("url")
+    )
+    doms = first_url.select(
+        "doc_id", registered_domain(normalize_host(url_host("url"))).alias("domain")
+    )
+    rn = F.row_number().over(W.partitionBy("domain").orderBy("doc_id"))
+    ranked = doms.select("domain", rn.alias("rn"))
+    return (
+        ranked.groupBy("domain")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "er_embedding_clusters",
+    oracle="""
+    WITH vbase AS (SELECT vec_id, embedding FROM embeddings),
+    vplanted AS (SELECT vec_id + 1000000 AS vec_id,
+                        embedding[1:63] || [CAST(0 AS REAL)] AS embedding
+                 FROM vbase WHERE vec_id % 5 = 0),
+    vecs AS (SELECT * FROM vbase UNION ALL SELECT * FROM vplanted),
+    keyed AS (SELECT vec_id, embedding,
+              (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS k
+              FROM vecs),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM keyed a JOIN keyed b ON a.k = b.k AND a.vec_id < b.vec_id
+              WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+                    >= 0.95),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    labels AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.node = e.src
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT node, component FROM labels
+    """,
+)
+def er_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup clustering — the embedding-space twin of
+    er_neardup_clusters: sign-bucket LSH + exact cosine >= 0.95 pairs
+    (planted zero-last-dim copies) fed into distributed min-label
+    connected components; the oracle derives the same components via a
+    recursive-CTE transitive closure. This is the modern semantic-dedup
+    recipe (SemDeDup-style: cluster by embedding similarity, keep one
+    representative per cluster) with every stage scale-shaped: bucketed
+    candidate join, labels-only CC shuffles."""
+    from aroa_etl_spark.operators.clustering import connected_components
+    from aroa_etl_spark.operators.dedup import embedding_neardup_pairs
+    from aroa_etl_spark.plans.catalog_tdp import _vecs_with_planted
+
+    pairs = embedding_neardup_pairs(
+        _vecs_with_planted(spark, sf_dir), sign_dims=8, threshold=0.95
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return connected_components(
+        edges, max_iter=8, num_partitions=spark.sparkContext.defaultParallelism
+    )
