@@ -157,3 +157,48 @@ def weighted_sample_topk(
         .limit(n)
         .drop("__aes_key")
     )
+
+
+def equidepth_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    exact: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Assign each row an equi-depth bucket WITHOUT a global sort: compute
+    the n-1 boundary quantiles (one aggregation), broadcast them, and
+    assign buckets by comparison — the fact-scale replacement for
+    ``ntile``, whose single ORDER BY window totally sorts the dataset.
+
+    ``exact=True`` uses ``percentile()`` (exact interpolated quantiles,
+    deterministic and cross-engine reproducible — per-group sort inside
+    ONE aggregation, fine up to report scale). ``exact=False`` switches
+    to ``approx_percentile`` (KLL-style, fully partial-aggregated, the
+    100 TB path; boundaries then depend on the sketch, so use it when
+    throughput matters more than reproducibility). Ties on a boundary
+    go to the lower bucket (value <= boundary); bucket ids are 1-based
+    like ntile. Unlike ntile, bucket populations are equal only in
+    distribution — exact-equal counts require the global sort this
+    operator exists to avoid.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    arg = "" if exact else f", {int(1 / relative_error)}"
+    bounds = df.agg(
+        F.expr(
+            f"{fn}({col}, array({', '.join(map(str, qs))}){arg})"
+        ).alias("__b")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(col) > F.element_at("__b", i + 1), 1
+        ).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("__b")
+    )

@@ -1290,3 +1290,46 @@ def er_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         edges, max_iter=8, num_partitions=spark.sparkContext.defaultParallelism
     )
+
+
+@query(
+    "w_equidepth_buckets",
+    oracle="""
+    WITH b AS (SELECT quantile_cont(p_retailprice, 0.25) AS b1,
+                      quantile_cont(p_retailprice, 0.50) AS b2,
+                      quantile_cont(p_retailprice, 0.75) AS b3
+               FROM part)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS lo,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS hi
+    FROM (SELECT p_retailprice,
+                 1 + (CASE WHEN p_retailprice > b1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN p_retailprice > b2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN p_retailprice > b3 THEN 1 ELSE 0 END) AS bucket
+          FROM part, b)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def w_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth price bands WITHOUT a global sort (operators/
+    sampling.py equidepth_buckets): boundary quantiles from ONE
+    aggregation, broadcast, buckets assigned by comparison — the
+    fact-scale replacement for the w_ntile_price_bands entry's window
+    sort (that entry's documented alternative, now a first-class
+    operator). exact=True (bit-exact percentile parity) here;
+    exact=False switches the same operator to approx_percentile for the
+    100 TB path."""
+    from aroa_etl_spark.operators.sampling import equidepth_buckets
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    out = equidepth_buckets(part.select("p_retailprice"), "p_retailprice", 4)
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min("p_retailprice").cast("double").alias("lo"),
+            F.max("p_retailprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -133,3 +133,34 @@ def test_interval_overlap_symmetric(spark):
         .select("b_id", "a_id").collect()
     )
     assert ab == sorted((x, y) for y, x in ba)
+
+
+def test_equidepth_buckets_exact(spark):
+    from aroa_etl_spark.operators.sampling import equidepth_buckets
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    out = equidepth_buckets(df, "v", 4)
+    counts = {r.bucket: r.n for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+    # boundary tie goes low: v=25.75 is the q1 boundary for 1..100
+    m = {r.v: r.bucket for r in out.collect()}
+    assert m[25.0] == 1 and m[26.0] == 2
+
+
+def test_equidepth_buckets_approx_path_runs(spark):
+    from aroa_etl_spark.operators.sampling import equidepth_buckets
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    out = equidepth_buckets(df, "v", 5, exact=False)
+    counts = [r.n for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 5 and all(150 < n < 250 for n in counts)
+
+
+def test_equidepth_no_global_sort_in_plan(spark):
+    from aroa_etl_spark.operators.sampling import equidepth_buckets
+    from aroa_etl_spark.plans.lint import lint_plan
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    out = equidepth_buckets(df, "v", 4)
+    codes = {f.code for f in lint_plan(out, allow_bnlj=True) if f.severity == "warning"}
+    assert "global_sort" not in codes

@@ -38,6 +38,7 @@ _CARTESIAN_OK = {
     "sk_kmv_set_ops",  # (sketch 1-row) × (sketch 1-row) × (exact 1-row)
     "j_bloom_prune",  # 1-row bloom word-array broadcast into the probe filter
     "graph_triangles",  # (edge-count 1-row) × (triangle-count 1-row)
+    "w_equidepth_buckets",  # 1-row quantile-boundary broadcast into bucket assignment
     "search_bm25_topk",  # corpus-stats 1-row broadcast into scoring
     "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport
 }
