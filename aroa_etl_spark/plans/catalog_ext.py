@@ -1333,3 +1333,53 @@ def w_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "s_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+           md5(CAST(SUM(CAST(o_orderkey AS BIGINT)) AS VARCHAR)) AS key_md5
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S6 in the gate: orders columns go out through the CSV sink
+    (header, '|' separator — the reference's stage-file dialect) and
+    come back through the all-string CSV scan with an explicit column
+    list (no inference pass, no header sampling job), then aggregate
+    after explicit casts. The oracle reads the original parquet — equal
+    results prove the round-trip is lossless for the projected columns.
+    Both sink and scan are fully parallel (one file per task)."""
+    import os
+
+    from aroa_etl_spark.sources.io import read_csv, write_csv
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "csv_roundtrip", sf_tag,
+    )
+    write_csv(orders, stage, sep="|")
+    back = read_csv(
+        spark, stage, sep="|", schema=["o_orderkey", "o_orderpriority"]
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("key_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "key_sum",
+            F.md5(F.col("key_sum").cast("string")).alias("key_md5"),
+        )
+        .orderBy("o_orderpriority")
+    )
