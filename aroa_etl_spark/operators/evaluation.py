@@ -1,0 +1,115 @@
+"""Record-linkage / dedup evaluation: precision, recall, F1, and
+blocking diagnostics against a labeled pair set.
+
+The reference pipeline produces matches but has no evaluation surface —
+quality was judged by eyeballing xlsx exports (SURVEY §3 EP2). At
+engine scale you need the metrics AS OPERATORS: given predicted pairs
+and ground-truth pairs (both as id-pair frames), compute exact
+TP/FP/FN via two anti-joins on canonicalized pairs, and derive
+precision/recall/F1 from the exact counts in identical double
+arithmetic — deterministic, oracle-checkable.
+
+``blocking_stats`` adds the classic blocking-quality diagnostics:
+pairs completeness (recall of the candidate set) and reduction ratio
+(1 - candidates / possible-pairs) — the two numbers that tell you
+whether an LSH/blocking scheme is keeping enough true pairs while
+pruning enough of the quadratic space.
+
+All pair frames are canonicalized to (least, greatest) before
+comparison, so direction and duplicates don't skew counts. One shuffle
+per anti-join, counts only — nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["linkage_eval", "blocking_stats"]
+
+
+def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
+    return df.select(
+        F.least(F.col(a), F.col(b)).alias("__a"),
+        F.greatest(F.col(a), F.col(b)).alias("__b"),
+    ).distinct()
+
+
+def linkage_eval(
+    pred: DataFrame, truth: DataFrame, a: str = "id_a", b: str = "id_b"
+) -> DataFrame:
+    """Single-row (tp, fp, fn, precision, recall, f1) — exact counts via
+    semi/anti-joins on canonicalized pairs; metrics rounded to 9
+    decimals from the exact integers. Empty denominators yield 0.0."""
+    p = _canon(pred, a, b)
+    t = _canon(truth, a, b)
+    tp = p.join(t, ["__a", "__b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tp")
+    )
+    fp = p.join(t, ["__a", "__b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fp")
+    )
+    fn = t.join(p, ["__a", "__b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fn")
+    )
+    j = tp.crossJoin(fp).crossJoin(fn)
+    tp_d = F.col("tp").cast("double")
+    prec = F.when(F.col("tp") + F.col("fp") > 0, tp_d / (F.col("tp") + F.col("fp"))).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(F.col("tp") + F.col("fn") > 0, tp_d / (F.col("tp") + F.col("fn"))).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(
+            F.when(
+                (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+                F.lit(2.0) * tp_d / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("f1"),
+    )
+
+
+def blocking_stats(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Single-row (n_candidates, pairs_completeness, reduction_ratio)
+    for a blocking/LSH candidate set: completeness = fraction of true
+    pairs surviving blocking; reduction = 1 - candidates / C(n,2)."""
+    if n_records < 2:
+        raise ValueError("n_records must be >= 2")
+    c = _canon(candidates, a, b)
+    t = _canon(truth, a, b)
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    hit = t.join(c, ["__a", "__b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__hit")
+    )
+    nt = t.agg(F.count(F.lit(1)).cast("bigint").alias("__nt"))
+    possible = float(n_records * (n_records - 1) // 2)
+    return (
+        nc.crossJoin(hit)
+        .crossJoin(nt)
+        .select(
+            "n_candidates",
+            F.round(
+                F.when(
+                    F.col("__nt") > 0,
+                    F.col("__hit").cast("double") / F.col("__nt").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0) - F.col("n_candidates").cast("double") / F.lit(possible), 9
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -1383,3 +1383,73 @@ def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+from aroa_etl_spark.plans.catalog_tdp import (  # noqa: E402
+    _DOCS_PLANTED,
+    _MINHASH_SQL_BANDS,
+    _MINHASH_SQL_SIG,
+    _SHINGLE3,
+)
+
+_LINKAGE_ORACLE = f"""
+    WITH {_DOCS_PLANTED},
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
+           FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
+    hh AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::UBIGINT::BIGINT) AS hh
+           FROM sh WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_SQL_SIG}] AS sig FROM hh),
+    keys AS (SELECT doc_id, sh, unnest([{_MINHASH_SQL_BANDS}]) AS bucket FROM sig),
+    pred AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+             FROM keys a JOIN keys b USING (bucket)
+             WHERE a.doc_id < b.doc_id
+               AND len(list_distinct(a.sh || b.sh)) > 0
+               AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) >= 0.7),
+    truth AS (SELECT doc_id AS pa, doc_id + 1000000 AS pb FROM documents
+              WHERE doc_id % 5 = 0),
+    c AS (SELECT
+            CAST((SELECT COUNT(*) FROM pred JOIN truth USING (pa, pb)) AS BIGINT) AS tp,
+            CAST((SELECT COUNT(*) FROM pred ANTI JOIN truth USING (pa, pb)) AS BIGINT) AS fp,
+            CAST((SELECT COUNT(*) FROM truth ANTI JOIN pred USING (pa, pb)) AS BIGINT) AS fn)
+    SELECT tp, fp, fn,
+           round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 9)
+             AS precision,
+           round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 9)
+             AS recall,
+           round(CASE WHEN 2.0 * tp + fp + fn > 0
+                 THEN 2.0 * CAST(tp AS DOUBLE) / (2.0 * tp + fp + fn) ELSE 0.0 END, 9)
+             AS f1
+    FROM c
+"""
+
+
+@query("er_linkage_eval", oracle=_LINKAGE_ORACLE)
+def er_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage quality as an operator (operators/evaluation.py): the
+    MinHash-LSH near-dup pairs evaluated against the PLANTED ground
+    truth (every doc_id % 5 == 0 has a first-token-dropped copy at
+    id + 1e6). TP/FP/FN are exact anti-join counts on canonicalized
+    pairs; precision/recall/F1 derive from them in identical double
+    arithmetic. The oracle replays the bit-exact LSH pair generation,
+    the truth construction, and the same metric arithmetic."""
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup, release_caches
+    from aroa_etl_spark.operators.evaluation import linkage_eval
+    from aroa_etl_spark.plans.catalog_tdp import _docs_with_planted
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pred = minhash_lsh_dedup(
+        docs, num_perm=8, bands=4, shingle_n=3, threshold=0.7
+    ).select("id_a", "id_b")
+    truth = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+    )
+    out = linkage_eval(pred, truth)
+    release_caches()
+    return out

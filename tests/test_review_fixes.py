@@ -142,3 +142,41 @@ def test_excel_sink_row_cap_counts_header(tmp_path, spark):
     df = spark.range(5)
     with pytest.raises(ValueError):
         write_excel_via_pandas(df, str(tmp_path / "t.xlsx"), max_rows=5)
+
+
+def test_linkage_eval_counts_and_metrics(spark):
+    from aroa_etl_spark.operators.evaluation import linkage_eval
+
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], "id_a bigint, id_b bigint"
+    )  # (1,2) duplicated in both directions -> one canonical pair
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    r = linkage_eval(pred, truth).collect()[0]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert abs(r.precision - 2 / 3) < 1e-9
+    assert abs(r.recall - 2 / 3) < 1e-9
+    assert abs(r.f1 - 2 / 3) < 1e-9
+
+
+def test_linkage_eval_empty_pred(spark):
+    from aroa_etl_spark.operators.evaluation import linkage_eval
+
+    pred = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    truth = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    r = linkage_eval(pred, truth).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1) == (0, 0, 1, 0.0, 0.0, 0.0)
+
+
+def test_blocking_stats(spark):
+    from aroa_etl_spark.operators.evaluation import blocking_stats
+
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    truth = spark.createDataFrame([(1, 2), (9, 10)], "id_a bigint, id_b bigint")
+    r = blocking_stats(cands, truth, n_records=10).collect()[0]
+    assert r.n_candidates == 4
+    assert abs(r.pairs_completeness - 0.5) < 1e-9
+    assert abs(r.reduction_ratio - (1 - 4 / 45)) < 1e-9
