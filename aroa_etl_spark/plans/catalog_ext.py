@@ -1453,3 +1453,121 @@ def er_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = linkage_eval(pred, truth)
     release_caches()
     return out
+
+
+@query(
+    "agg_cube_revenue",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+)
+def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the multi-level-aggregation trio (rollup and
+    GROUPING SETS landed in round 2): all four grouping combinations of
+    (priority, status) from ONE scan+shuffle via the Expand operator.
+    NULL grouping placeholders are coalesced to '<all>' on both sides
+    (the synthetic data has no NULL keys, so the marker is unambiguous);
+    revenue aggregates in exact decimal to the DOUBLE boundary."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@query(
+    "w_moving_avg_rows",
+    oracle="""
+    WITH daily AS (SELECT o_custkey,
+                          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS d_rev
+                   FROM orders GROUP BY 1, 2)
+    SELECT o_custkey, day,
+           CAST(CAST(SUM(d_rev) OVER w AS DOUBLE)
+                / CAST(COUNT(*) OVER w AS DOUBLE) AS DOUBLE) AS avg_4
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame sliding aggregate (the row-count twin of
+    w_trailing_revenue's RANGE frame): 4-observation moving average of
+    daily revenue per customer. The mean derives from an exact DECIMAL
+    frame sum divided by the frame count — no double accumulation
+    inside the window, so the result is order-independent. Daily
+    pre-agg keys the window on one row per (customer, day)."""
+    from pyspark.sql.window import Window as W2
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    daily = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("p").alias("d_rev"))
+    )
+    w = W2.partitionBy("o_custkey").orderBy("day").rowsBetween(-3, 0)
+    return daily.select(
+        "o_custkey",
+        "day",
+        (
+            F.sum("d_rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).cast("double").alias("avg_4"),
+    )
+
+
+@query(
+    "w_rank_functions",
+    oracle="""
+    SELECT p_partkey, p_size,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 9) AS prnk,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM part
+    WINDOW w AS (PARTITION BY p_size % 5 ORDER BY p_size, p_partkey)
+    """,
+)
+def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family beyond row_number (W1) and top-k
+    (W2): rank / dense_rank / percent_rank / cume_dist under one total
+    order — each deterministic given the (p_size, p_partkey) tiebreak;
+    the fractional ranks round at 1e-9 (exact small-integer divisions,
+    identical on both engines). One shuffle, four functions over the
+    same window sort."""
+    from pyspark.sql.window import Window as W2
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    w = W2.partitionBy(F.col("p_size") % 5).orderBy("p_size", "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
