@@ -394,3 +394,37 @@ def st_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t2") != -1, 1).otherwise(0)).cast("bigint").alias("n_click"),
         F.sum(F.when(F.col("t3") != -1, 1).otherwise(0)).cast("bigint").alias("n_purchase"),
     )
+
+
+@query(
+    "st_sliding_counts",
+    oracle="""
+    WITH ev AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+    starts AS (SELECT event_type,
+                      unnest([(t // 1800000000) * 1800000000,
+                              (t // 1800000000) * 1800000000 - 1800000000]) AS s_us
+               FROM ev)
+    SELECT TIMESTAMP '1970-01-01' + to_microseconds(s_us) AS window_start,
+           TIMESTAMP '1970-01-01' + to_microseconds(s_us + 3600000000) AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts GROUP BY 1, 2, 3
+    """,
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SLIDING windows (1 hour every 30 minutes) run as a real
+    watermarked stream: every event lands in exactly two overlapping
+    windows, state is bounded by the watermark, and the availableNow
+    drain in complete mode equals the batch derivation the oracle runs
+    (each event exploded to its two epoch-aligned window starts). The
+    tumbling entry (st_windowed_counts) is the slide == window special
+    case of the same operator."""
+    from aroa_etl_spark.streaming.pipeline import windowed_event_counts
+
+    ev = _stream_table(spark, sf_dir, "events")
+    win = windowed_event_counts(
+        ev, ts_col="ts", key_col="event_type",
+        window="1 hour", slide="30 minutes", watermark="2 hours",
+    )
+    _drain(win, "st_sliding_counts_sink", "complete")
+    return spark.table("st_sliding_counts_sink")
