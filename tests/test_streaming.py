@@ -253,3 +253,34 @@ def test_stream_upsert_to_parquet(spark, tmp_path):
     assert {(1, "a"), (3, "c"), (4, "d"), (5, "e")} <= got
     assert len(got) == 5
     assert any(k == 2 and v in ("B1", "B2") for k, v in got)
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """The watermark-bounded dedup path (dropDuplicatesWithinWatermark):
+    duplicates inside the watermark interval are dropped; a key whose
+    state has expired past the watermark may legitimately re-emit — the
+    bounded-state contract for unbounded corpora."""
+    import os
+
+    from aroa_etl_spark.streaming.pipeline import run_to_memory, streaming_exact_dedup
+
+    src = os.path.join(str(tmp_path), "src")
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0)
+    rows = [
+        ("same text", t0),
+        ("same text", t0 + dt.timedelta(minutes=5)),   # inside watermark: dropped
+        ("other", t0 + dt.timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(rows, "text string, ts timestamp").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("text string, ts timestamp").parquet(src)
+    out = streaming_exact_dedup(stream, text_col="text", ts_col="ts", watermark="1 hour")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory(out.select("text"), "t_wm_dedup_sink", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    texts = sorted(r.text for r in spark.table("t_wm_dedup_sink").collect())
+    assert texts == ["other", "same text"]
