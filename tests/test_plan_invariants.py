@@ -39,6 +39,7 @@ _CARTESIAN_OK = {
     "j_bloom_prune",  # 1-row bloom word-array broadcast into the probe filter
     "graph_triangles",  # (edge-count 1-row) × (triangle-count 1-row)
     "w_equidepth_buckets",  # 1-row quantile-boundary broadcast into bucket assignment
+    "er_linkage_eval",  # (tp 1-row) × (fp 1-row) × (fn 1-row) metric assembly
     "search_bm25_topk",  # corpus-stats 1-row broadcast into scoring
     "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport
 }
