@@ -428,3 +428,41 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(win, "st_sliding_counts_sink", "complete")
     return spark.table("st_sliding_counts_sink")
+
+
+@query(
+    "st_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def st_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-static enrichment: the orders STREAM joins the static
+    customer dimension (broadcast hash join — the stream side never
+    shuffles for the join) and aggregates revenue per segment in
+    complete mode, drained availableNow. Stream-static joins are
+    stateless (each micro-batch joins the current dim snapshot), which
+    is why this is the standard shape for dimension enrichment at any
+    scale; equality with the batch join+aggregate is exact (decimal
+    sums, DOUBLE boundary)."""
+    from pyspark.sql.functions import broadcast
+
+    dim = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _stream_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        broadcast(dim), orders["o_custkey"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    _drain(agg, "st_static_join_sink", "complete")
+    return spark.table("st_static_join_sink")
