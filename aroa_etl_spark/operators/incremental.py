@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert", "snapshot_diff"]
+__all__ = ["upsert", "snapshot_diff", "scd2_from_changelog", "refresh_aggregate"]
 
 
 def upsert(current: DataFrame, updates: DataFrame, key: Sequence[str] | str) -> DataFrame:
@@ -145,3 +145,52 @@ def scd2_from_changelog(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.col("__grp").cast("int").alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def refresh_aggregate(
+    agg: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str] | str,
+    count_col: str = "n",
+    sum_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain a COUNT/SUM aggregate table from a batch
+    of new fact rows — the materialized-view delta refresh: instead of
+    recomputing ``fact.groupBy(keys).agg(...)`` over 100 TB, aggregate
+    ONLY the delta and merge it into the existing aggregate by key.
+
+    ``agg`` holds (keys..., count_col, sum_<c> for each sum col);
+    ``delta`` holds raw fact rows. Count and sum are the classic
+    self-maintainable aggregates (merge = add); avg derives as
+    sum/count downstream; min/max are NOT self-maintainable under
+    deletes and are deliberately not offered here.
+
+    Plan: one groupBy over the (small) delta + one full-outer join on
+    the keys against the aggregate — both shuffles keyed, payload is
+    counters only. The result is the new aggregate table; write it back
+    with ``upsert``-style key replacement or full overwrite.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sum_cols = list(sum_cols or [])
+    d = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"__d_{count_col}"),
+        *[F.sum(c).alias(f"__d_sum_{c}") for c in sum_cols],
+    )
+    joined = agg.join(d, keys, "full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col(f"__d_{count_col}"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias(count_col)
+    ]
+    for c in sum_cols:
+        zero = F.lit(0).cast(agg.schema[f"sum_{c}"].dataType)
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"sum_{c}"), zero)
+                + F.coalesce(F.col(f"__d_sum_{c}"), zero)
+            ).alias(f"sum_{c}")
+        )
+    return joined.select(*keys, *out_cols)

@@ -1571,3 +1571,47 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("prnk"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@query(
+    "inc_refresh_aggregate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def inc_refresh_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta refresh (operators/incremental.py
+    refresh_aggregate): the base aggregate is built from pre-cutoff
+    orders, the post-cutoff orders arrive as a delta, and the
+    incremental merge (delta groupBy + keyed full-outer add) must equal
+    the oracle's full recompute over everything — the self-maintainable
+    COUNT/SUM contract. At 100 TB the delta path touches only new rows
+    plus the (small) aggregate table."""
+    from aroa_etl_spark.operators.incremental import refresh_aggregate
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("price").alias("sum_price"),
+        )
+    )
+    delta = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderpriority", F.col("price")
+    )
+    refreshed = refresh_aggregate(
+        base, delta, "o_orderpriority", count_col="n", sum_cols=["price"]
+    )
+    return refreshed.select(
+        "o_orderpriority", "n", F.col("sum_price").cast("double").alias("sum_price")
+    ).orderBy("o_orderpriority")
