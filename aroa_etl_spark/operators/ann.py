@@ -272,3 +272,137 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    train_fraction: float = 1.0,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search"): the vector
+    splits into ``m`` subspaces and each gets its own ``k``-centroid
+    KMeans. Returns ``codebook[sub][code] -> centroid`` (m·k·(dim/m)
+    floats — driver-sized by construction, like the IVF centroids).
+
+    Training is m distributed KMeans fits over subvector projections;
+    pass ``train_fraction`` to fit on a sample at corpus scale. dim must
+    be divisible by m."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if train_fraction < 1.0:
+        base = base.sample(fraction=train_fraction, seed=seed)
+    codebook: list[list[list[float]]] = []
+    for s in range(m):
+        train = base.select(
+            array_to_vector(F.slice("__v", s * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s).fit(train)
+        codebook.append([[float(v) for v in c] for c in model.clusterCenters()])
+    return codebook
+
+
+def _pq_sub_dists(vec_col: str, codebook, s: int, sub: int) -> Column:
+    """Array of k squared distances from subvector s to its centroids."""
+    seg = F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    seg,
+                    F.array(*[F.lit(x) for x in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in codebook[s]
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame, codebook, *, vec_col: str = "embedding", code_col: str = "pq_code"
+) -> DataFrame:
+    """Append ``code_col``: array<int> of m per-subspace nearest-centroid
+    ids (1-based). Pure column expressions (argmin over the k literal
+    centroids per subspace) — the m-byte compressed representation you
+    persist instead of the full vector: dim·4 bytes -> m codes."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    codes = []
+    for s in range(m):
+        d = _pq_sub_dists(vec_col, codebook, s, sub)
+        codes.append(F.array_position(d, F.array_min(d)).cast("int"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook,
+    *,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes its m×k
+    subspace distance table IN-PLAN (against the literal codebook), the
+    tiny query frame broadcasts, and every corpus CODE row scores with m
+    array lookups + an m-term sum — no full-vector math on the scan
+    side. (query_id, rank, neighbor_id) by ascending approximate
+    squared distance, ties by neighbor id.
+
+    This is the PQ trade at 100 TB: the corpus scan reads m small ints
+    per row instead of dim floats (~32× less I/O at m=8/dim=64), at the
+    cost of quantization error — recall is bounded by codebook quality;
+    compose with IVF cells for candidate pruning on top."""
+    from pyspark.sql.window import Window as W
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    dtab = F.array(
+        *[_pq_sub_dists(query_vec, codebook, s, sub) for s in range(m)]
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), dtab.alias("__dtab")
+    )
+    c = codes.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(code_col).alias("__code")
+    )
+    pair = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__dtab", s.cast("int") + 1),
+            F.element_at("__code", s.cast("int") + 1),
+        ),
+    )
+    ranked = pair.select(
+        "query_id", "neighbor_id", dist.alias("__d")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("__d").asc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "neighbor_id")
