@@ -406,3 +406,92 @@ def pq_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "neighbor_id")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    seed: int = 7,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF + PQ composed — the canonical billion-scale ANN index shape
+    (Jégou et al. 2011): coarse KMeans cells prune the candidate set
+    (queries probe their ``nprobe`` nearest cells), and within the
+    probed cells scoring runs on m-byte PQ codes via the asymmetric
+    distance table — so the scan side reads codes, not vectors, AND
+    touches only ~nprobe/n_centroids of the corpus. ``nprobe ==
+    n_centroids`` degenerates to exactly :func:`pq_topk` (full scan, PQ
+    error only) — the invariant the tests pin. This variant encodes raw
+    vectors; residual encoding (v - cell centroid) is the standard
+    refinement when cells are tight."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window as W
+
+    train = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed).fit(train)
+    cents = [F.array(*[F.lit(float(v)) for v in c]) for c in model.clusterCenters()]
+
+    def dists(vec: str) -> Column:
+        return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
+
+    def assign(vec: str) -> Column:
+        d = dists(vec)
+        return F.array_position(d, F.array_min(d)).cast("int")
+
+    def probes(vec: str) -> Column:
+        d = dists(vec)
+        ranked = F.array_sort(
+            F.transform(d, lambda v, i: F.struct(v.alias("d"), (i + 1).alias("c")))
+        )
+        return F.slice(F.transform(ranked, lambda s: s["c"]), 1, nprobe)
+
+    codebook = pq_train(corpus, m=m, k=pq_k, seed=seed, vec_col=corpus_vec)
+    sub = len(codebook[0][0])
+    coded = pq_encode(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            assign(corpus_vec).alias("__cell"),
+        ),
+        codebook,
+        vec_col="__cv",
+        code_col="__code",
+    ).select("neighbor_id", "__cell", "__code")
+    dtab = F.array(*[_pq_sub_dists(query_vec, codebook, s, sub) for s in range(m)])
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        dtab.alias("__dtab"),
+        F.explode(probes(query_vec)).alias("__cell"),
+    )
+    pair = q.join(coded, "__cell")
+    if exclude_self:
+        pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__dtab", s.cast("int") + 1),
+            F.element_at("__code", s.cast("int") + 1),
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
+    return (
+        pair.select("query_id", "neighbor_id", dist.alias("__d"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

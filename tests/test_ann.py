@@ -148,3 +148,37 @@ def test_pq_adc_matches_numpy_replication(spark, sf_dir):
 
     want = sorted((v for v in V if v != 0), key=lambda v: (adc(v), v))[:10]
     assert got == want
+
+
+def test_ivfpq_full_probe_equals_pq(spark, sf_dir):
+    """nprobe == n_centroids removes the pruning, leaving pure PQ error:
+    the composed index must equal pq_topk exactly."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.ann import ivfpq_topk, pq_encode, pq_topk, pq_train
+    from aroa_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = ivfpq_topk(queries, emb, k=5, n_centroids=8, nprobe=8, m=8, pq_k=16)
+    cb = pq_train(emb, m=8, k=16)
+    plain = pq_topk(queries, pq_encode(emb, cb).select("vec_id", "pq_code"), cb, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivfpq_pruned_is_subset_shaped(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.ann import ivfpq_topk
+    from aroa_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(queries, emb, k=5, n_centroids=8, nprobe=2, m=8, pq_k=16)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == set(range(5))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
