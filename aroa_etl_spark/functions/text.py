@@ -484,3 +484,58 @@ def nfc_normalize(col: Column | str) -> Column:
         )
 
     return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def unigram_logprob_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-trained unigram-LM quality score per document: train
+    p(t) = count(t) / total_tokens over the corpus itself, then score
+    each doc by the mean token log-probability — the deterministic
+    stand-in for the LM-perplexity quality filters of CCNet/Gopher
+    (swap the unigram table for a real LM's scores downstream; the
+    Spark plumbing — train pass, broadcast-free probability join,
+    per-doc fold — is identical).
+
+    Returns (id, n_tokens, logprob_mean): higher (less negative) means
+    the doc is built from common corpus vocabulary; rare-token/garbled
+    docs sink. Determinism: each token's log p rounds to 1e-9 fixed
+    point BIGINT before the per-doc sum (double addition is
+    order-dependent; BIGINT addition is not), and the mean divides
+    exact integers. Plan: one (doc, term) shuffle for term frequencies,
+    one shuffle on term to attach corpus counts, one map-side-combinable
+    per-doc sum — linear end to end, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    toks_t = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    tf = (
+        toks_t.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    counts = tf.groupBy("__t").agg(F.sum("__tf").alias("__c"))
+    total = counts.agg(F.sum("__c").cast("double").alias("__total"))
+    scored = (
+        tf.join(counts, "__t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("__tf"),
+            F.round(
+                F.log(F.col("__c").cast("double") / F.col("__total")) * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__lp_fp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            (F.sum(F.col("__tf") * F.col("__lp_fp")) / F.lit(1e9))
+            / F.sum("__tf").cast("double"),
+            6,
+        ).alias("logprob_mean"),
+    )

@@ -1615,3 +1615,35 @@ def inc_refresh_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refreshed.select(
         "o_orderpriority", "n", F.col("sum_price").cast("double").alias("sum_price")
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t) GROUP BY 1, 2),
+    counts AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
+    scored AS (SELECT doc_id, tf,
+                      CAST(round(ln(CAST(c AS DOUBLE) / total) * 1000000000.0)
+                           AS BIGINT) AS lp
+               FROM tf JOIN counts USING (term), total)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           round((SUM(tf * lp) / 1000000000.0) / CAST(SUM(tf) AS DOUBLE), 6)
+             AS logprob_mean
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (functions/text.py
+    unigram_logprob_scores): the corpus trains its own token
+    probabilities and each doc scores by mean token log-probability —
+    the deterministic stand-in for CCNet/Gopher LM-perplexity filters
+    with identical Spark plumbing. Per-token log p rounds to 1e-9 fixed
+    point before the exact per-doc sum, so the oracle reproduces scores
+    bit-for-bit despite the log arithmetic."""
+    from aroa_etl_spark.functions.text import unigram_logprob_scores
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return unigram_logprob_scores(docs)

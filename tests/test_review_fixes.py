@@ -180,3 +180,22 @@ def test_blocking_stats(spark):
     assert r.n_candidates == 4
     assert abs(r.pairs_completeness - 0.5) < 1e-9
     assert abs(r.reduction_ratio - (1 - 4 / 45)) < 1e-9
+
+
+def test_unigram_logprob_orders_quality(spark):
+    from aroa_etl_spark.functions.text import unigram_logprob_scores
+
+    rows = [
+        (1, "the the the common common words"),
+        (2, "the common words"),
+        (3, "zzyzx qwfp jxqz"),  # all-rare doc must score lowest
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    assert out[3].logprob_mean < out[2].logprob_mean
+    assert out[1].logprob_mean > out[3].logprob_mean
+    assert out[1].n_tokens == 6
+    # partition invariance (fixed-point sums)
+    again = {r.doc_id: r.logprob_mean
+             for r in unigram_logprob_scores(df.repartition(5)).collect()}
+    assert {k: v.logprob_mean for k, v in out.items()} == again
