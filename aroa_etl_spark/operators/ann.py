@@ -347,6 +347,33 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes))
 
 
+def _adc_dist(m: int) -> Column:
+    """Asymmetric PQ distance: m lookups into the per-query ``__dtab``
+    addressed by the row's ``__code``, summed. Shared by pq_topk and
+    ivfpq_topk so the full-probe == pq_topk invariant can't drift."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__dtab", s.cast("int") + 1),
+            F.element_at("__code", s.cast("int") + 1),
+        ),
+    )
+
+
+def _adc_rank_topk(pair: DataFrame, m: int, k: int) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
+    return (
+        pair.select("query_id", "neighbor_id", _adc_dist(m).alias("__d"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -370,8 +397,6 @@ def pq_topk(
     per row instead of dim floats (~32× less I/O at m=8/dim=64), at the
     cost of quantization error — recall is bounded by codebook quality;
     compose with IVF cells for candidate pruning on top."""
-    from pyspark.sql.window import Window as W
-
     m = len(codebook)
     sub = len(codebook[0][0])
     dtab = F.array(
@@ -386,26 +411,7 @@ def pq_topk(
     pair = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("__dtab", s.cast("int") + 1),
-            F.element_at("__code", s.cast("int") + 1),
-        ),
-    )
-    ranked = pair.select(
-        "query_id", "neighbor_id", dist.alias("__d")
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(
-                F.col("__d").asc(), F.col("neighbor_id").asc()
-            )
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "neighbor_id")
+    return _adc_rank_topk(pair, m, k)
 
 
 def ivfpq_topk(
@@ -436,7 +442,6 @@ def ivfpq_topk(
     refinement when cells are tight."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.window import Window as W
 
     train = corpus.select(
         array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
@@ -479,19 +484,4 @@ def ivfpq_topk(
     pair = q.join(coded, "__cell")
     if exclude_self:
         pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at("__dtab", s.cast("int") + 1),
-            F.element_at("__code", s.cast("int") + 1),
-        ),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
-    return (
-        pair.select("query_id", "neighbor_id", dist.alias("__d"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    return _adc_rank_topk(pair, m, k)

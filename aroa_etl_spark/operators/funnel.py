@@ -90,7 +90,9 @@ def funnel_counts(
         "stack({n}, {pairs}) as (step_idx, step, n_users)".format(
             n=len(steps),
             pairs=", ".join(
-                "{}, '{}', n_{}".format(i, s.replace("'", "''"), i)
+                "{}, '{}', n_{}".format(
+                    i, s.replace("\\", "\\\\").replace("'", "''"), i
+                )
                 for i, s in enumerate(steps, start=1)
             ),
         )

@@ -49,7 +49,8 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             n=len(cols),
             quads=", ".join(
                 "'{0}', `__nulls_{1}`, `__dist_{1}`, `__min_{1}`, `__max_{1}`".format(
-                    c.replace("'", "''"), c.replace("`", "``")
+                    c.replace("\\", "\\\\").replace("'", "''"),
+                    c.replace("`", "``"),
                 )
                 for c in cols
             ),

@@ -138,12 +138,22 @@ def asof_join(
         # Spark rejects them in an ORDER BY, and their presence in the
         # tiebreak would turn a working join into an AnalysisException —
         # rows tying on every orderable column may then mix map values.
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _orderable(dt) -> bool:
+            # maps anywhere in the type tree make a column unsortable
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
 
         orderable = [
             p
             for c, p in zip(right_cols, payload)
-            if not isinstance(right.schema[c].dataType, MapType)
+            if _orderable(right.schema[c].dataType)
         ]
         ties = [F.col(p).asc_nulls_first() for p in orderable]
         return (

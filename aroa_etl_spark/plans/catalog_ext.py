@@ -1439,9 +1439,14 @@ def er_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aroa_etl_spark.plans.catalog_tdp import _docs_with_planted
 
     docs = _docs_with_planted(spark, sf_dir)
+    # EAGER checkpoint before release_caches(): linkage_eval references
+    # the pair set three times (tp/fp/fn) and the metrics frame is lazy —
+    # releasing the LSH persists at plan-build time would force three
+    # full pipeline recomputes. The pair set is small; materialize it
+    # once, then the persisted intermediates can go.
     pred = minhash_lsh_dedup(
         docs, num_perm=8, bands=4, shingle_n=3, threshold=0.7
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     truth = (
         load_tables(spark, sf_dir, ("documents",))["documents"]
         .filter(F.col("doc_id") % 5 == 0)
@@ -1450,9 +1455,8 @@ def er_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("id_b"),
         )
     )
-    out = linkage_eval(pred, truth)
-    release_caches()
-    return out
+    release_caches()  # pred is checkpoint-backed now
+    return linkage_eval(pred, truth)
 
 
 @query(

@@ -59,29 +59,29 @@ def get_spark(
 
 
 def pin_utc_session_tz(spark: SparkSession) -> None:
-    """Pin ``spark.sql.session.timeZone`` to UTC, warning if it overrides
-    a different explicitly-configured zone.
+    """Pin ``spark.sql.session.timeZone`` to UTC, warning ONCE per
+    session when a non-UTC zone is being overridden.
 
     Timestamp semantics across the engine (LTZ<->NTZ casts, window
     grids, oracle comparisons) are defined against a UTC session; this
     is a DOCUMENTED session-level mutation, shared by ``load_tables``
     and the streaming window/session operators, not a hidden side
-    effect. The warning fires only when the caller had deliberately set
-    a non-UTC zone — the common case (unset = JVM default) pins
-    silently."""
+    effect. An unset conf resolves to the JVM default zone and is
+    indistinguishable from an explicit equal set, so the policy is:
+    any non-UTC zone earns one warning per session (marker conf), then
+    silence — the explicit setter gets a diagnostic, nobody gets a
+    warning per call."""
     import warnings
 
     current = spark.conf.get("spark.sql.session.timeZone")
-    # conf.get returns the RESOLVED zone, so an unset conf surfaces as the
-    # JVM default — compare against it to avoid warning on every call on
-    # a non-UTC machine where the user never touched the conf. (An
-    # explicit set that happens to equal the machine default is
-    # indistinguishable and pins silently — the harmless direction.)
-    try:
-        jvm_default = spark._jvm.java.util.TimeZone.getDefault().getID()
-    except Exception:
-        jvm_default = None
-    if current not in ("UTC", "Etc/UTC", "GMT", "Z") and current != jvm_default:
+    # conf.get returns the RESOLVED zone, so an unset conf is
+    # indistinguishable from an explicit set equal to the JVM default.
+    # Warn on ANY non-UTC zone — but only ONCE per session (marker conf):
+    # the explicit setter gets their diagnostic, and a user on a non-UTC
+    # machine who never touched the conf sees one line, not one per call.
+    already = spark.conf.get("spark.aroa_etl.tz_pin_warned", "")
+    if current not in ("UTC", "Etc/UTC", "GMT", "Z") and not already:
+        spark.conf.set("spark.aroa_etl.tz_pin_warned", "1")
         warnings.warn(
             f"aroa_etl_spark pins spark.sql.session.timeZone=UTC for "
             f"timestamp determinism (was {current!r}); set it back after "
@@ -101,8 +101,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     runtime confs ``spark.sql.legacy.parquet.nanosAsLong=true`` (events
     nanos) and — only when events ships LTZ timestamps —
     ``spark.sql.session.timeZone=UTC`` via :func:`pin_utc_session_tz`,
-    which warns rather than silently overriding a caller's explicit
-    non-UTC zone.
+    which warns once per session when a non-UTC zone is overridden.
     """
     names = names or (
         "region",

@@ -49,11 +49,8 @@ def test_refresh_aggregate_equals_full_recompute(spark):
         [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0), ("a", 3.0), ("d", 1.5)],
         "k string, v double",
     ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
-    base = fact.limit(3).groupBy("k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").alias("sum_v")
-    )
-    # deterministic split: first 3 rows vs rest isn't stable via limit —
-    # use an explicit predicate instead
+    # deterministic split via an explicit predicate (limit() order is
+    # not stable)
     base = (
         fact.filter(F.col("v") <= 5.0)
         .groupBy("k")
