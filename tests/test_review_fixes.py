@@ -199,3 +199,54 @@ def test_unigram_logprob_orders_quality(spark):
     again = {r.doc_id: r.logprob_mean
              for r in unigram_logprob_scores(df.repartition(5)).collect()}
     assert {k: v.logprob_mean for k, v in out.items()} == again
+
+
+def test_profile_and_funnel_backslash_names(spark):
+    from aroa_etl_spark.operators.funnel import funnel_counts
+    from aroa_etl_spark.operators.profile import profile
+
+    df = spark.createDataFrame([(1,)], ["a\\b"])
+    rows = profile(df).collect()
+    assert rows[0].column == "a\\b"
+
+    ev = spark.createDataFrame([(1, "add\\x", _ts(1))], "u bigint, t string, ts timestamp")
+    out = {r.step for r in funnel_counts(ev, "u", "t", "ts", ["add\\x"]).collect()}
+    assert out == {"add\\x"}
+
+
+def test_asof_nested_map_payload_not_in_tiebreak(spark):
+    from aroa_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k bigint, t bigint")
+    right = spark.createDataFrame(
+        [(1, 50, 9.0, [{"a": "1"}])],
+        "k bigint, t bigint, price double, attrs array<map<string,string>>",
+    )
+    out = asof_join(
+        left, right, on="t", by=["k"], right_cols=["price", "attrs"]
+    ).collect()
+    assert out[0]["price_right"] == 9.0
+
+
+def test_tz_pin_warns_once_per_session(spark):
+    import warnings
+
+    from aroa_etl_spark.session import pin_utc_session_tz
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.unset("spark.aroa_etl.tz_pin_warned")
+    try:
+        with warnings.catch_warnings(record=True) as w1:
+            warnings.simplefilter("always")
+            pin_utc_session_tz(spark)
+        assert any("pins spark.sql.session.timeZone" in str(x.message) for x in w1)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # second override in the same session: silent
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            pin_utc_session_tz(spark)
+        assert not w2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.unset("spark.aroa_etl.tz_pin_warned")
