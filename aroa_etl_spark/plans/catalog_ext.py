@@ -1651,3 +1651,40 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return unigram_logprob_scores(docs)
+
+
+@query(
+    "s_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip — the second columnar format beside
+    parquet (Spark-native ORC reader/writer, predicate pushdown and
+    column pruning both apply). Orders go out as ORC and come back; the
+    oracle reads the original parquet, so equality proves the
+    round-trip is lossless. Both sides fully parallel."""
+    import os
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "orc_roundtrip", sf_tag,
+    )
+    orders.write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
