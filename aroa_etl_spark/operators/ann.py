@@ -37,6 +37,20 @@ clustered (ρ within a near-dup group ≫ random), where the same
 parameters recall near-dups reliably — the dedup use case this serves.
 For high-recall search over unstructured data, use brute_force_topk or
 the IVF variant.
+
+PQ (``pq_train``/``pq_encode``/``pq_topk``) compresses vectors to
+m-byte codes scored by asymmetric distance tables; ``ivfpq_topk``
+composes cells + codes — the canonical billion-scale index shape.
+
+Deliberately absent: HNSW. Its graph construction is inherently
+sequential (each insertion navigates the graph built so far), which
+inverts Spark's bulk-parallel execution model — a faithful distributed
+HNSW degenerates into a driver-side build or fine-grained cross-worker
+chatter. IVF(+PQ) delivers the same query-cost/recall trade with
+bulk-parallel construction (one KMeans fit + one encode pass), which is
+why it, not HNSW, is the engine's scale path. Per-partition HNSW via a
+library (faiss/hnswlib in mapPartitions) remains possible downstream of
+this engine's bucketing, as an optional dependency.
 """
 
 from __future__ import annotations
