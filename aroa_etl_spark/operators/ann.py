@@ -443,6 +443,7 @@ def ivfpq_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed — the canonical billion-scale ANN index shape
     (Jégou et al. 2011): coarse KMeans cells prune the candidate set
@@ -451,9 +452,13 @@ def ivfpq_topk(
     distance table — so the scan side reads codes, not vectors, AND
     touches only ~nprobe/n_centroids of the corpus. ``nprobe ==
     n_centroids`` degenerates to exactly :func:`pq_topk` (full scan, PQ
-    error only) — the invariant the tests pin. This variant encodes raw
-    vectors; residual encoding (v - cell centroid) is the standard
-    refinement when cells are tight."""
+    error only) with ``residual=False`` — the invariant the tests pin.
+    ``residual=True`` encodes RESIDUALS (v - cell centroid), the
+    standard refinement (Jégou 2011 §IV): codes quantize the
+    within-cell offset, whose spread is much smaller than the raw
+    vectors', so the same m/pq_k budget yields finer resolution when
+    cells are tight; the query then builds one distance table per
+    probed cell from its own residual."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -477,24 +482,56 @@ def ivfpq_topk(
         )
         return F.slice(F.transform(ranked, lambda s: s["c"]), 1, nprobe)
 
-    codebook = pq_train(corpus, m=m, k=pq_k, seed=seed, vec_col=corpus_vec)
-    sub = len(codebook[0][0])
-    coded = pq_encode(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(corpus_vec).alias("__cv"),
-            assign(corpus_vec).alias("__cell"),
-        ),
-        codebook,
-        vec_col="__cv",
-        code_col="__code",
-    ).select("neighbor_id", "__cell", "__code")
-    dtab = F.array(*[_pq_sub_dists(query_vec, codebook, s, sub) for s in range(m)])
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        dtab.alias("__dtab"),
-        F.explode(probes(query_vec)).alias("__cell"),
+    assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        assign(corpus_vec).alias("__cell"),
     )
+    cents_arr = F.array(*cents)
+
+    def _residual(vec_col: str) -> Column:
+        return F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cents_arr, F.col("__cell")),
+            lambda a, b: a - b,
+        )
+
+    if residual:
+        with_res = assigned.withColumn("__rv", _residual("__cv"))
+        codebook = pq_train(with_res, m=m, k=pq_k, seed=seed, vec_col="__rv")
+        sub = len(codebook[0][0])
+        coded = pq_encode(with_res, codebook, vec_col="__rv", code_col="__code").select(
+            "neighbor_id", "__cell", "__code"
+        )
+        # per (query, probed cell): the distance table is built from the
+        # QUERY's residual against that cell — one table per exploded row
+        q = (
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+                F.explode(probes(query_vec)).alias("__cell"),
+            )
+            .withColumn("__qres", _residual("__qv"))
+            .select(
+                "query_id",
+                "__cell",
+                F.array(
+                    *[_pq_sub_dists("__qres", codebook, s, sub) for s in range(m)]
+                ).alias("__dtab"),
+            )
+        )
+    else:
+        codebook = pq_train(corpus, m=m, k=pq_k, seed=seed, vec_col=corpus_vec)
+        sub = len(codebook[0][0])
+        coded = pq_encode(
+            assigned, codebook, vec_col="__cv", code_col="__code"
+        ).select("neighbor_id", "__cell", "__code")
+        dtab = F.array(*[_pq_sub_dists(query_vec, codebook, s, sub) for s in range(m)])
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            dtab.alias("__dtab"),
+            F.explode(probes(query_vec)).alias("__cell"),
+        )
     pair = q.join(coded, "__cell")
     if exclude_self:
         pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))

@@ -182,3 +182,31 @@ def test_ivfpq_pruned_is_subset_shaped(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivfpq_residual_mode(spark, sf_dir):
+    """Residual encoding: same output contract, deterministic reruns,
+    and with full probing the candidate set is complete (ranks 1..k per
+    query) — quantization differs from raw mode by design."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.ann import ivfpq_topk
+    from aroa_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = ivfpq_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=8, m=8, pq_k=16, residual=True
+    )
+    rows = r1.collect()
+    assert {r.query_id for r in rows} == set(range(5))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    r2 = ivfpq_topk(
+        queries.repartition(3), emb, k=5, n_centroids=8, nprobe=8, m=8, pq_k=16,
+        residual=True,
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, r2.collect()))
