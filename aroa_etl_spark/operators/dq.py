@@ -33,6 +33,7 @@ __all__ = [
     "matches",
     "fk",
     "dq_report",
+    "zscore_outliers",
 ]
 
 
@@ -136,3 +137,59 @@ def dq_report(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def zscore_outliers(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] | None = None,
+    z: float = 3.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Flag numeric outliers per group by z-score: adds ``zscore``
+    (rounded to 6 decimals) and ``is_outlier`` (|z| > ``z``) to every
+    row. The anomaly-detection leg of the data-quality family —
+    dq_report counts rule violations, profile() summarizes columns,
+    this finds the rows that don't belong.
+
+    Determinism: group mean and sample standard deviation derive from
+    EXACT sufficient statistics — values fixed-pointed at 10^scale and
+    summed as DECIMAL(38,0) (the stats.py recipe), so the flags are
+    identical on any engine or partitioning, unlike stddev_samp's
+    double folding. Plan: one map-side-combinable groupBy for the
+    stats + one keyed join back (broadcast when groups are few); rows
+    with NULL values or in groups of size < 2 get NULL zscore / false.
+    """
+    by = list(by or [])
+    mult = 10 ** scale
+    xi = F.round(F.col(col) * mult).cast("decimal(38,0)")
+    stats = (
+        df.filter(F.col(col).isNotNull())
+        .select(*by, xi.alias("__xi"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum("__xi").alias("__s"),
+            F.sum(F.col("__xi") * F.col("__xi")).alias("__sq"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    sm = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    mean = sm / n
+    var = (n * sq - sm * sm) / (n * (n - F.lit(1.0)))
+    enriched = df.join(stats, by, "left") if by else df.crossJoin(F.broadcast(stats))
+    zcol = (
+        (F.round(F.col(col) * mult).cast("double") - mean)
+        / F.sqrt(var)
+    )
+    return enriched.select(
+        *df.columns,
+        F.when(
+            F.col(col).isNotNull() & (F.col("__n") >= 2) & (F.sqrt(var) > 0),
+            F.round(zcol, 6),
+        ).alias("zscore"),
+    ).withColumn(
+        "is_outlier",
+        F.coalesce(F.abs(F.col("zscore")) > F.lit(z), F.lit(False)),
+    )

@@ -1688,3 +1688,55 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "dq_outliers_orders",
+    oracle="""
+    WITH st AS (SELECT o_orderpriority,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                              * CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE) AS sq
+                FROM orders WHERE o_totalprice IS NOT NULL
+                GROUP BY o_orderpriority),
+    z AS (SELECT o.o_orderpriority,
+                 round((CAST(round(o.o_totalprice * 100) AS DOUBLE) - s / n)
+                       / sqrt((n * sq - s * s) / (n * (n - 1.0))), 6) AS zs
+          FROM orders o JOIN st USING (o_orderpriority)
+          WHERE o.o_totalprice IS NOT NULL)
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN abs(zs) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MAX(abs(zs)), 6) AS max_abs_z
+    FROM z GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def dq_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score outlier detection (operators/dq.py
+    zscore_outliers): order totals scored against their priority
+    group's mean/std derived from EXACT decimal sufficient statistics
+    (the stats.py recipe — no stddev_samp double folding), flags at
+    |z| > 3. Output is the per-group outlier census; the oracle replays
+    the identical fixed-point arithmetic."""
+    from aroa_etl_spark.operators.dq import zscore_outliers
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    flagged = zscore_outliers(
+        orders.select("o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        by=["o_orderpriority"],
+        z=3.0,
+    )
+    return (
+        flagged.filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.max(F.abs(F.col("zscore"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -58,3 +58,33 @@ def test_single_pass_for_row_checks(spark):
     )
     plan = report._jdf.queryExecution().sparkPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_zscore_outliers_flags_planted_anomaly(spark):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.dq import zscore_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 11]] + [
+        ("g", 1000.0),  # planted anomaly
+        ("h", 5.0),     # singleton group: NULL zscore, not an outlier
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_outliers(df, "v", by=["k"], z=3.0).collect()
+    flagged = [(r.k, r.v) for r in out if r.is_outlier]
+    assert flagged == [("g", 1000.0)]
+    singleton = [r for r in out if r.k == "h"][0]
+    assert singleton.zscore is None and singleton.is_outlier is False
+
+
+def test_zscore_outliers_partition_invariant(spark):
+    import random
+
+    from aroa_etl_spark.operators.dq import zscore_outliers
+
+    rng = random.Random(3)
+    rows = [("g", round(rng.uniform(0, 100), 2)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = sorted(map(tuple, zscore_outliers(df, "v", by=["k"]).collect()))
+    b = sorted(map(tuple, zscore_outliers(df.repartition(11), "v", by=["k"]).collect()))
+    assert a == b  # exact sufficient statistics -> bit-identical flags
