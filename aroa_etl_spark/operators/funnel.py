@@ -35,10 +35,15 @@ def user_funnel_times(
     type_col: str,
     ts_col: str,
     steps: Sequence[str],
+    max_gap=None,
 ) -> DataFrame:
     """(user, t_1 .. t_k): the time each user reached each step, NULL
     from the first step not reached. t_i = min ts of a step-i event with
-    ts >= t_{i-1} (same-timestamp progress allowed)."""
+    ts >= t_{i-1} (same-timestamp progress allowed). ``max_gap``
+    additionally requires ts <= t_{i-1} + max_gap (same units as the
+    timestamp column's ordering — e.g. a datetime.timedelta for
+    timestamps, an integer for epoch numerics): the conversion-window
+    contract real funnels use ("purchased within 7 days of clicking")."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     evs = (
@@ -54,11 +59,20 @@ def user_funnel_times(
     prev: str | None = None
     for i, step in enumerate(steps, start=1):
         cond_prev = F.col(prev).isNotNull() if prev else F.lit(True)
-        gate = (
-            (lambda x: (x["t"] == step) & (x["ts"] >= F.col(prev)))
-            if prev
-            else (lambda x: x["t"] == step)
-        )
+        # factory binds step/prev eagerly; the gate itself must stay
+        # UNARY — F.filter treats a 2-arg function as (element, index)
+        def _make_gate(step_, prev_):
+            def gate(x):
+                if prev_ is None:
+                    return x["t"] == step_
+                cond = (x["t"] == step_) & (x["ts"] >= F.col(prev_))
+                if max_gap is not None:
+                    cond = cond & (x["ts"] <= F.col(prev_) + F.lit(max_gap))
+                return cond
+
+            return gate
+
+        gate = _make_gate(step, prev)
         col = F.when(
             cond_prev,
             F.array_min(F.transform(F.filter("__evs", gate), lambda x: x["ts"])),
@@ -74,10 +88,12 @@ def funnel_counts(
     type_col: str,
     ts_col: str,
     steps: Sequence[str],
+    max_gap=None,
 ) -> DataFrame:
-    """(step_idx, step, n_users) — users reaching each step in order.
-    Monotone non-increasing down the funnel by construction."""
-    times = user_funnel_times(events, user_col, type_col, ts_col, steps)
+    """(step_idx, step, n_users) — users reaching each step in order
+    (optionally within ``max_gap`` of the previous step). Monotone
+    non-increasing down the funnel by construction."""
+    times = user_funnel_times(events, user_col, type_col, ts_col, steps, max_gap)
     wide = times.agg(
         *[
             F.sum(F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0))

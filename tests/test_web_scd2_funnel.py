@@ -166,3 +166,36 @@ def test_streaming_funnel_cross_batch(spark, tmp_path):
     assert final[2] == (110, 250, -1)
     # user 3: click without view -> nothing reached
     assert final[3] == (-1, -1, -1)
+
+
+def test_funnel_max_gap_window(spark):
+    import datetime as dt
+
+    rows = [
+        (1, "view", _ts(1)), (1, "click", _ts(2)),      # 1h gap: inside
+        (2, "view", _ts(1)), (2, "click", _ts(9)),      # 8h gap: outside 2h window
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t string, ts timestamp")
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            df, "u", "t", "ts", ["view", "click"], max_gap=dt.timedelta(hours=2)
+        ).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+    # without the window both convert
+    out2 = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "u", "t", "ts", ["view", "click"]).collect()
+    }
+    assert out2 == {"view": 2, "click": 2}
+
+
+def test_funnel_max_gap_numeric_ts(spark):
+    rows = [(1, "a", 100), (1, "b", 150), (2, "a", 100), (2, "b", 500)]
+    df = spark.createDataFrame(rows, "u bigint, t string, ts bigint")
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "u", "t", "ts", ["a", "b"], max_gap=100).collect()
+    }
+    assert out == {"a": 2, "b": 1}
