@@ -1740,3 +1740,43 @@ def dq_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "funnel_windowed",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 2 HOUR
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+           GROUP BY e.user_id)
+    SELECT step_idx, step, n_users FROM (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+    ORDER BY step_idx
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-window funnel: view -> click -> purchase where
+    each step must land within 2 HOURS of the previous one
+    (funnel_counts max_gap) — the contract real funnels use. Same
+    single-shuffle staged-fold plan as the unbounded entry; the oracle
+    adds the interval bound to each min-CTE stage."""
+    import datetime as dt
+
+    from aroa_etl_spark.operators.funnel import funnel_counts
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return funnel_counts(
+        events, "user_id", "event_type", "ts", ["view", "click", "purchase"],
+        max_gap=dt.timedelta(hours=2),
+    ).orderBy("step_idx")
