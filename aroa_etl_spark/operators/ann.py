@@ -497,7 +497,14 @@ def ivfpq_topk(
         )
 
     if residual:
-        with_res = assigned.withColumn("__rv", _residual("__cv"))
+        # eager checkpoint: pq_train makes m KMeans passes plus a dim
+        # probe, and pq_encode one more — without materialization each
+        # would recompute the n_centroids-way assignment + residual
+        # subtraction over the whole corpus (~m+2 redundant scans). At
+        # cluster scale persist this projection to disk instead.
+        with_res = assigned.withColumn("__rv", _residual("__cv")).localCheckpoint(
+            eager=True
+        )
         codebook = pq_train(with_res, m=m, k=pq_k, seed=seed, vec_col="__rv")
         sub = len(codebook[0][0])
         coded = pq_encode(with_res, codebook, vec_col="__rv", code_col="__code").select(

@@ -178,15 +178,31 @@ def zscore_outliers(
     sq = F.col("__sq").cast("double")
     mean = sm / n
     var = (n * sq - sm * sm) / (n * (n - F.lit(1.0)))
-    enriched = df.join(stats, by, "left") if by else df.crossJoin(F.broadcast(stats))
+    if by:
+        # eqNullSafe join: a NULL group key is still a group — a plain
+        # name join would silently leave NULL-key rows without stats
+        # (and a DQ operator must not skip exactly the dirty keys)
+        cond = None
+        stats_r = stats
+        for c in by:
+            stats_r = stats_r.withColumnRenamed(c, f"__by_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__by_{c}"))
+            cond = this if cond is None else (cond & this)
+        enriched = df.join(stats_r, cond, "left")
+    else:
+        enriched = df.crossJoin(F.broadcast(stats))
     zcol = (
         (F.round(F.col(col) * mult).cast("double") - mean)
         / F.sqrt(var)
     )
     return enriched.select(
-        *df.columns,
+        *[df[c] for c in df.columns],
         F.when(
-            F.col(col).isNotNull() & (F.col("__n") >= 2) & (F.sqrt(var) > 0),
+            # var > 0 BEFORE sqrt: catastrophic cancelation can round a
+            # constant group's variance slightly negative, and sqrt(neg)
+            # = NaN compares GREATER than 0 under Spark NaN ordering —
+            # which would flag every row of the constant group
+            F.col(col).isNotNull() & (F.col("__n") >= 2) & (var > 0),
             F.round(zcol, 6),
         ).alias("zscore"),
     ).withColumn(

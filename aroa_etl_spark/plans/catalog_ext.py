@@ -18,6 +18,20 @@ from aroa_etl_spark.session import load_tables
 
 _TOK = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
 
+
+def _scratch_stage(kind: str, sf_dir: str) -> str:
+    """Repo-local scratch dir for sink round-trip entries (testdata is
+    read-only; .scratch/ is gitignored)."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", kind, sf_tag,
+    )
+
+
+
 # 2^60 as an exact double literal (hash space of the 60-bit md5 family)
 _POW60 = "1152921504606846976"
 
@@ -1346,25 +1360,20 @@ def w_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S6 in the gate: orders columns go out through the CSV sink
+    """S1+S6 as a catalog entry (outside the 50-slot window this round;
+    mirror-verified): orders columns go out through the CSV sink
     (header, '|' separator — the reference's stage-file dialect) and
     come back through the all-string CSV scan with an explicit column
     list (no inference pass, no header sampling job), then aggregate
     after explicit casts. The oracle reads the original parquet — equal
     results prove the round-trip is lossless for the projected columns.
     Both sink and scan are fully parallel (one file per task)."""
-    import os
-
     from aroa_etl_spark.sources.io import read_csv, write_csv
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderpriority"
     )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch", "csv_roundtrip", sf_tag,
-    )
+    stage = _scratch_stage("csv_roundtrip", sf_dir)
     write_csv(orders, stage, sep="|")
     back = read_csv(
         spark, stage, sep="|", schema=["o_orderkey", "o_orderpriority"]
@@ -1668,16 +1677,10 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning both apply). Orders go out as ORC and come back; the
     oracle reads the original parquet, so equality proves the
     round-trip is lossless. Both sides fully parallel."""
-    import os
-
     orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderstatus"
     )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch", "orc_roundtrip", sf_tag,
-    )
+    stage = _scratch_stage("orc_roundtrip", sf_dir)
     orders.write.mode("overwrite").orc(stage)
     back = spark.read.orc(stage)
     return (

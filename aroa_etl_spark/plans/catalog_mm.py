@@ -234,7 +234,8 @@ _WAV_HEADER_HEX = (
     """,
 )
 def mm_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 audio with a REAL codec in the gate: every document becomes a
+    """S8 audio with a REAL codec, mirror-verified (window candidate for
+    the next rotation): every document becomes a
     genuine 80-byte WAV (constant 44-byte PCM/mono/8-bit/8 kHz RIFF
     header via unhex + 36 md5-hex ASCII sample bytes), and the feature
     kernel runs strict=True so the bytes go through the stdlib ``wave``

@@ -447,7 +447,7 @@ def st_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode, drained availableNow. Stream-static joins are
     stateless (each micro-batch joins the current dim snapshot), which
     is why this is the standard shape for dimension enrichment at any
-    scale; equality with the batch join+aggregate is exact (decimal
+    scale (mirror-verified; window candidate); equality with the batch join+aggregate is exact (decimal
     sums, DOUBLE boundary)."""
     from pyspark.sql.functions import broadcast
 

@@ -88,3 +88,27 @@ def test_zscore_outliers_partition_invariant(spark):
     a = sorted(map(tuple, zscore_outliers(df, "v", by=["k"]).collect()))
     b = sorted(map(tuple, zscore_outliers(df.repartition(11), "v", by=["k"]).collect()))
     assert a == b  # exact sufficient statistics -> bit-identical flags
+
+
+def test_zscore_outliers_constant_group_not_flagged(spark):
+    from aroa_etl_spark.operators.dq import zscore_outliers
+
+    # large-magnitude near-constant values: variance rounds to ~0 (or
+    # slightly negative under double cancelation) — nothing may flag
+    rows = [("g", 123456789.12)] * 50
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_outliers(df, "v", by=["k"]).collect()
+    assert all(not r.is_outlier for r in out)
+    assert all(r.zscore is None for r in out)
+
+
+def test_zscore_outliers_null_group_key(spark):
+    from aroa_etl_spark.operators.dq import zscore_outliers
+
+    rows = [(None, float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 11]] + [
+        (None, 1000.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_outliers(df, "v", by=["k"]).collect()
+    flagged = [(r.k, r.v) for r in out if r.is_outlier]
+    assert flagged == [(None, 1000.0)]  # NULL key is still a group
