@@ -466,3 +466,62 @@ def st_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(agg, "st_static_join_sink", "complete")
     return spark.table("st_static_join_sink")
+
+
+@query(
+    "st_mv_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def st_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance: orders staged as four
+    parquet files stream one per trigger through a foreachBatch sink
+    (streaming/pipeline.py stream_refresh_aggregate_to_parquet) that
+    delta-merges each micro-batch into the aggregate table with
+    refresh_aggregate. COUNT/SUM merges are associative+commutative, so
+    the final table equals the batch aggregate over all facts no matter
+    how rows were split into batches — which the oracle recomputes from
+    scratch. Prices fixed-pointed to cents so the incremental sums are
+    exact BIGINTs."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.streaming.pipeline import stream_refresh_aggregate_to_parquet
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "mv_refresh", sf_tag,
+    )
+    src = os.path.join(root, "facts")
+    agg_path = os.path.join(root, "agg")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("o_orderpriority string, price_cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_refresh_aggregate_to_parquet(
+        stream, agg_path, "o_orderpriority",
+        count_col="n", sum_cols=["price_cents"], checkpoint=ckpt,
+    )
+    return (
+        spark.read.parquet(agg_path)
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("sum_price_cents").cast("bigint").alias("sum_price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

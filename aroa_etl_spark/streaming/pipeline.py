@@ -545,3 +545,60 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_refresh_aggregate_to_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: str | list[str],
+    *,
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming MATERIALIZED-VIEW maintenance via foreachBatch: each
+    micro-batch of fact rows is aggregated and merged into the parquet
+    aggregate table with operators/incremental.refresh_aggregate (the
+    self-maintainable COUNT/SUM delta merge) — the no-lakehouse
+    continuous-aggregate pattern. Because count and sum merges are
+    associative and commutative, the final table equals the batch
+    aggregate over all facts REGARDLESS of how rows were split into
+    micro-batches — which is what makes the result oracle-checkable.
+    Atomic swap per batch (side dir + rename), availableNow; blocks.
+
+    At scale: partition the aggregate table and rewrite only touched
+    key ranges, or hand the merged frame to a table format with MERGE —
+    the delta-aggregation operator is the same either way."""
+    import os
+    import shutil
+    import uuid
+
+    from aroa_etl_spark.operators.incremental import refresh_aggregate
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    sums = list(sum_cols or [])
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            current = spark.read.parquet(path)
+            merged = refresh_aggregate(
+                current, batch, key_list, count_col=count_col, sum_cols=sums
+            )
+        else:
+            merged = batch.groupBy(*key_list).agg(
+                F.count(F.lit(1)).cast("bigint").alias(count_col),
+                *[F.sum(c).alias(f"sum_{c}") for c in sums],
+            )
+        tmp = path.rstrip("/") + f"__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    writer.start().awaitTermination()

@@ -284,3 +284,41 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     texts = sorted(r.text for r in spark.table("t_wm_dedup_sink").collect())
     assert texts == ["other", "same text"]
+
+
+def test_stream_mv_refresh_equals_batch(spark, tmp_path):
+    """Four micro-batches delta-merged into the aggregate table must
+    equal the one-shot batch aggregate (COUNT/SUM self-maintainability
+    across arbitrary batch splits)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.streaming.pipeline import stream_refresh_aggregate_to_parquet
+
+    src = os.path.join(str(tmp_path), "facts")
+    agg = os.path.join(str(tmp_path), "agg")
+    facts = spark.range(0, 400).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    facts.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k string, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_refresh_aggregate_to_parquet(
+        stream, agg, "k", count_col="n", sum_cols=["v"],
+        checkpoint=os.path.join(str(tmp_path), "ckpt"),
+    )
+    got = sorted(map(tuple, spark.read.parquet(agg).collect()))
+    want = sorted(
+        map(
+            tuple,
+            facts.groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").alias("sum_v"))
+            .collect(),
+        )
+    )
+    assert got == want
