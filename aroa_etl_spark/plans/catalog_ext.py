@@ -1783,3 +1783,38 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", "event_type", "ts", ["view", "click", "purchase"],
         max_gap=dt.timedelta(hours=2),
     ).orderBy("step_idx")
+
+
+@query(
+    "s_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def s_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-PRUNED scan:
+    orders written partitionBy(o_orderpriority), then read back with a
+    priority filter — the filter resolves against directory names, so
+    only one partition's files are ever opened (the layout that makes
+    selective scans cheap at 100 TB). The oracle recomputes from the
+    original table; equality proves both the round-trip and that
+    pruning lost nothing. A plan assertion in tests pins that the scan
+    carries the partition filter."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    stage = _scratch_stage("part_parquet", sf_dir)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
+    back = spark.read.parquet(stage).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

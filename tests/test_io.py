@@ -119,3 +119,14 @@ def test_align_and_union_strict_raises(spark):
     b = spark.createDataFrame([(1.5,)], "v double")
     with _pytest.raises(ValueError):
         align_and_union([a, b], widen=False)
+
+
+def test_partitioned_parquet_scan_prunes(spark, sf_dir):
+    """The catalog's partitioned-parquet entry must resolve its filter
+    as a PartitionFilter (directory pruning), not a data filter."""
+    from aroa_etl_spark.plans import catalog
+
+    df = catalog.spec("s_partitioned_parquet").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderpriority" in seg
