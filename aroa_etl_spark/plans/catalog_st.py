@@ -491,17 +491,14 @@ def st_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
     from aroa_etl_spark.streaming.pipeline import stream_refresh_aggregate_to_parquet
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
     )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch", "mv_refresh", sf_tag,
-    )
+    root = _scratch_stage("mv_refresh", sf_dir)
     src = os.path.join(root, "facts")
     agg_path = os.path.join(root, "agg")
     ckpt = os.path.join(root, "ckpt")

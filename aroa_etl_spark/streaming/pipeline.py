@@ -298,6 +298,80 @@ def streaming_exact_dedup(
     return keyed.dropDuplicates(["__h"]).drop("__h")
 
 
+def _swap_table_sink(
+    stream: DataFrame,
+    path: str,
+    merge_fn,
+    checkpoint: str | None,
+) -> None:
+    """Shared foreachBatch scaffold for the parquet table sinks: per
+    micro-batch, ``merge_fn(current_df_or_None, batch_df)`` produces the
+    new table, which replaces the old via an atomic-rename protocol
+    that is RETRY-SAFE:
+
+    - a ``_last_batch_id`` marker inside the table skips replayed
+      batches (foreachBatch is at-least-once; non-idempotent merges
+      like count/sum deltas would otherwise double-count);
+    - swap order is tmp-write -> current->__old rename -> tmp->current
+      rename -> drop __old, and recovery restores ``__old`` if a crash
+      left no current table — no window silently drops prior state;
+    - stale ``__tmp_*`` siblings from failed writes are reaped at the
+      start of every batch.
+
+    DRIVER-LOCAL paths only (os-level renames): remote URIs raise
+    up front instead of failing on the first rename.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if "://" in path:
+        raise ValueError(
+            f"swap-table sinks need a driver-local path (got {path!r}); "
+            "for object stores use a table format with real MERGE"
+        )
+    base = path.rstrip("/")
+    old_dir = base + "__old"
+    marker = "_last_batch_id"
+
+    def _read_marker(d: str) -> int:
+        try:
+            with open(os.path.join(d, marker)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        parent = os.path.dirname(base) or "."
+        for entry in os.listdir(parent) if os.path.isdir(parent) else []:
+            if entry.startswith(os.path.basename(base) + "__tmp_"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        if not os.path.isdir(base) and os.path.isdir(old_dir):
+            os.rename(old_dir, base)  # crash recovery: restore prior state
+        has_table = os.path.isdir(base) and any(
+            f.endswith(".parquet") for f in os.listdir(base)
+        )
+        if has_table and _read_marker(base) >= batch_id:
+            return  # replayed batch: already merged
+        current = spark.read.parquet(base) if has_table else None
+        merged = merge_fn(current, batch)
+        tmp = base + f"__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as f:
+            f.write(str(batch_id))
+        if os.path.isdir(base):
+            shutil.rmtree(old_dir, ignore_errors=True)
+            os.rename(base, old_dir)
+        os.rename(tmp, base)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    writer.start().awaitTermination()
+
+
 def stream_upsert_to_parquet(
     stream: DataFrame,
     path: str,
@@ -309,40 +383,23 @@ def stream_upsert_to_parquet(
     the no-lakehouse merge pattern: each micro-batch reads the current
     snapshot, applies operators/incremental.upsert (updates win, batch
     de-duplicated on the key by arbitrary-last), and atomically
-    replaces the table (write to side dir + rename). availableNow
-    drain; blocks until done.
+    replaces the table through the shared retry-safe swap protocol
+    (:func:`_swap_table_sink`). availableNow drain; blocks until done.
 
     At scale you'd partition the table and rewrite only touched
     partitions (or use a table format with real MERGE); the batch
     upsert operator is the same either way."""
-    import os
-    import shutil
-    import uuid
-
     from aroa_etl_spark.operators.incremental import upsert
 
     keys = [key] if isinstance(key, str) else list(key)
 
-    def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
+    def merge(current: DataFrame | None, batch: DataFrame) -> DataFrame:
         batch = batch.dropDuplicates(keys)
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            current = spark.read.parquet(path)
-            merged = upsert(current, batch.select(*current.columns), keys)
-        else:
-            merged = batch
-        tmp = path.rstrip("/") + f"__tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        if current is None:
+            return batch
+        return upsert(current, batch.select(*current.columns), keys)
 
-    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
-    writer.start().awaitTermination()
+    _swap_table_sink(stream, path, merge, checkpoint)
 
 
 def run_to_memory(
@@ -569,36 +626,19 @@ def stream_refresh_aggregate_to_parquet(
     At scale: partition the aggregate table and rewrite only touched
     key ranges, or hand the merged frame to a table format with MERGE —
     the delta-aggregation operator is the same either way."""
-    import os
-    import shutil
-    import uuid
-
     from aroa_etl_spark.operators.incremental import refresh_aggregate
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
     sums = list(sum_cols or [])
 
-    def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            current = spark.read.parquet(path)
-            merged = refresh_aggregate(
-                current, batch, key_list, count_col=count_col, sum_cols=sums
-            )
-        else:
-            merged = batch.groupBy(*key_list).agg(
+    def merge(current: DataFrame | None, batch: DataFrame) -> DataFrame:
+        if current is None:
+            return batch.groupBy(*key_list).agg(
                 F.count(F.lit(1)).cast("bigint").alias(count_col),
                 *[F.sum(c).alias(f"sum_{c}") for c in sums],
             )
-        tmp = path.rstrip("/") + f"__tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        return refresh_aggregate(
+            current, batch, key_list, count_col=count_col, sum_cols=sums
+        )
 
-    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
-    writer.start().awaitTermination()
+    _swap_table_sink(stream, path, merge, checkpoint)

@@ -128,5 +128,6 @@ def test_partitioned_parquet_scan_prunes(spark, sf_dir):
 
     df = catalog.spec("s_partitioned_parquet").builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan[:2000]
     seg = plan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "o_orderpriority" in seg
+    assert "o_orderpriority" in seg, seg

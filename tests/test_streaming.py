@@ -322,3 +322,55 @@ def test_stream_mv_refresh_equals_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_swap_sink_replay_and_recovery(spark, tmp_path):
+    """The shared swap sink must be retry-safe: a replayed batch_id is a
+    no-op (marker skip), and a crash that left only the __old dir is
+    recovered before merging."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.streaming.pipeline import _swap_table_sink
+
+    src = os.path.join(str(tmp_path), "facts")
+    agg = os.path.join(str(tmp_path), "agg")
+    spark.range(0, 100).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.lit(1).alias("v")
+    ).coalesce(1).write.parquet(src)
+
+    def merge(current, batch):
+        d = batch.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if current is None:
+            return d
+        return (
+            current.unionByName(d)
+            .groupBy("k")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+
+    stream = spark.readStream.schema("k string, v int").parquet(src)
+    _swap_table_sink(stream, agg, merge, os.path.join(str(tmp_path), "ck1"))
+    first = sorted(map(tuple, spark.read.parquet(agg).collect()))
+    # replay the SAME batch with a fresh checkpoint: marker must skip it
+    stream2 = spark.readStream.schema("k string, v int").parquet(src)
+    _swap_table_sink(stream2, agg, merge, os.path.join(str(tmp_path), "ck2"))
+    assert sorted(map(tuple, spark.read.parquet(agg).collect())) == first
+    # crash window: only __old exists -> recovery restores it
+    os.rename(agg, agg + "__old")
+    stream3 = spark.readStream.schema("k string, v int").parquet(src)
+    _swap_table_sink(stream3, agg, merge, os.path.join(str(tmp_path), "ck3"))
+    assert sorted(map(tuple, spark.read.parquet(agg).collect())) == first
+    assert not os.path.isdir(agg + "__old")
+
+
+def test_swap_sink_rejects_remote_uri(spark, tmp_path):
+    import pytest as _pytest
+
+    from aroa_etl_spark.streaming.pipeline import _swap_table_sink
+
+    stream = spark.readStream.schema("k string").parquet(str(tmp_path))
+    with _pytest.raises(ValueError, match="driver-local"):
+        _swap_table_sink(stream, "s3a://bucket/agg", lambda c, b: b, None)
