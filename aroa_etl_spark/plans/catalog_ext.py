@@ -1818,3 +1818,82 @@ def s_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * CAST(round(l_discount * 100) AS HUGEINT)) AS DOUBLE)
+             / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pushdown showcase: three selective
+    predicates all reach the parquet scan, the surviving rows feed one
+    map-side-combinable aggregation, no shuffle beyond the final
+    single-row gather. Revenue accumulates as exact integer products of
+    cents (price·100 × discount·100, summed in DECIMAL(38)) and divides
+    back at the DOUBLE boundary — the only way a SUM of float products
+    hash-matches an external engine."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    dc = F.round(F.col("l_discount") * 100).cast("decimal(38,0)")
+    return filtered.agg(
+        (F.sum(pc * dc).cast("double") / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150)
+    SELECT c.c_custkey, o.o_orderkey, CAST(big.total_qty AS BIGINT) AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.total_qty DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — aggregate-then-join (HAVING pushcase): the
+    lineitem aggregation runs FIRST and its small qualifying set drives
+    broadcast joins to orders and customer, so the big table never
+    joins row-by-row — the order you want at 100 TB (aggregate early,
+    join the survivors). Quantities round to exact BIGINTs; top-50 by
+    total quantity with an order-key tiebreak."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = (
+        big.join(t["orders"], big["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.select("c_custkey", "o_orderkey", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(50)
+    )
