@@ -1897,3 +1897,82 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(50)
     )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                    * (10000 - CAST(round(l.l_discount * 10000) AS HUGEINT)))
+                AS DOUBLE) / 1000000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter (BUILDING customers,
+    broadcast) -> fact joins with date predicates pushed to both scans
+    -> revenue aggregation -> top-10. Revenue = Σ price·(1-discount) in
+    exact integer units (cents × basis-points, DECIMAL(38) sums),
+    DOUBLE at the boundary; ties break on the order key."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cut = F.lit("1998-01-01").cast("timestamp")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t["orders"].filter(F.col("o_orderdate") < cut).select("o_orderkey", "o_custkey")
+    l = t["lineitem"].filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    bp = F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("decimal(38,0)")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg((F.sum(pc * bp).cast("double") / F.lit(1_000_000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_q AS (SELECT l_partkey,
+                          CAST(SUM(CAST(round(l_quantity) AS HUGEINT)) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS aq
+                   FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT)) AS DOUBLE)
+             / 100.0 / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN avg_q a ON l.l_partkey = a.l_partkey
+    WHERE CAST(round(l.l_quantity) AS DOUBLE) < 0.2 * a.aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the decorrelated per-group-average pattern:
+    the correlated subquery (each row against ITS part's average
+    quantity) becomes one per-part aggregation joined back to the fact,
+    two keyed shuffles instead of a per-row subquery. Averages derive
+    from exact integer sums divided in identical double arithmetic;
+    price sums stay exact to the DOUBLE boundary."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    qn = F.round("l_quantity").cast("decimal(38,0)")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum(qn).cast("double") / F.count(F.lit(1)).cast("double")).alias("aq")
+    )
+    joined = li.join(avg_q, "l_partkey").filter(
+        F.round("l_quantity").cast("double") < 0.2 * F.col("aq")
+    )
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    return joined.agg(
+        (F.sum(pc).cast("double") / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
