@@ -1976,3 +1976,41 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(pc).cast("double") / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                      FROM customer c LEFT JOIN orders o
+                        ON c.c_custkey = o.o_custkey
+                       AND o.o_orderpriority <> '1-URGENT'
+                      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY c_count ORDER BY n_customers DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the DOUBLE aggregation: per-customer order
+    counts (left join keeps zero-order customers, with a non-key join
+    predicate) re-aggregated into the count-of-counts distribution.
+    Two shuffles; the histogram is the classic engagement-distribution
+    report. COUNT(o_orderkey) counts matches only — NULLs from the
+    left join contribute zero, exactly as SQL defines it."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            t["customer"]["c_custkey"] == t["orders"]["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+    )
