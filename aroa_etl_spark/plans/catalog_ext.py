@@ -2014,3 +2014,76 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
     )
+
+
+@query(
+    "er_blocking_stats",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
+           FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
+    hh AS (SELECT doc_id,
+                  list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::UBIGINT::BIGINT) AS hh
+           FROM sh WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, [{_MINHASH_SQL_SIG}] AS sig FROM hh),
+    keys AS (SELECT doc_id, unnest([{_MINHASH_SQL_BANDS}]) AS bucket FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+             FROM keys a JOIN keys b USING (bucket)
+             WHERE a.doc_id < b.doc_id),
+    truth AS (SELECT doc_id AS pa, doc_id + 1000000 AS pb FROM documents
+              WHERE doc_id % 5 = 0),
+    nrec AS (SELECT COUNT(*) AS n FROM docs),
+    agg AS (SELECT
+              CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+              CAST((SELECT COUNT(*) FROM truth SEMI JOIN cand USING (pa, pb)) AS BIGINT)
+                AS hits,
+              CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS nt,
+              (SELECT n FROM nrec) AS n)
+    SELECT n_candidates,
+           round(CASE WHEN nt > 0
+                 THEN CAST(hits AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END, 9)
+             AS pairs_completeness,
+           round(1.0 - CAST(n_candidates AS DOUBLE)
+                       / CAST(n * (n - 1) // 2 AS DOUBLE), 9) AS reduction_ratio
+    FROM agg
+    """,
+)
+def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality diagnostics (operators/evaluation.py
+    blocking_stats) over the RAW MinHash-LSH candidate set (bucket join
+    only, no similarity verify): pairs completeness against the planted
+    truth — did banding keep the true near-dups? — and reduction ratio
+    against the quadratic pair space. The two numbers that justify a
+    blocking scheme before any verification cost is spent. Oracle
+    replays the bit-exact bucket join and both metrics."""
+    from aroa_etl_spark.functions import text as X
+    from aroa_etl_spark.operators.evaluation import blocking_stats
+    from aroa_etl_spark.plans.catalog_tdp import _docs_with_planted
+
+    docs = _docs_with_planted(spark, sf_dir)
+    toks = docs.select("doc_id", X.tokens("text").alias("toks"))
+    sh = toks.select(
+        "doc_id", F.array_distinct(X.shingles_from("toks", 3)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hh = sh.select("doc_id", X.shingle_hashes("sh").alias("hh"))
+    sig = hh.select("doc_id", X.minhash_from_hashes("hh", 8).alias("sig"))
+    keys = sig.select(
+        "doc_id", F.explode(X.lsh_band_keys(F.col("sig"), 4, 2)).alias("bucket")
+    )
+    a = keys.select(F.col("doc_id").alias("id_a"), "bucket")
+    b = keys.select(F.col("doc_id").alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+        )
+    )
+    n_records = docs.count()
+    return blocking_stats(cand, truth, n_records)
