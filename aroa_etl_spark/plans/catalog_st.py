@@ -522,3 +522,50 @@ def st_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "st_upsert_table",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def st_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch keyed-upsert sink end to end: orders stream in
+    four micro-batches into a parquet table via stream_upsert_to_parquet
+    (retry-safe swap protocol); keys are unique, so the final table
+    holds exactly the input rows and its aggregate equals the batch
+    oracle. The no-lakehouse merge pattern, driver-gate attested."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+    from aroa_etl_spark.streaming.pipeline import stream_upsert_to_parquet
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority"
+    )
+    root = _scratch_stage("upsert_table", sf_dir)
+    src = os.path.join(root, "facts")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("o_orderkey bigint, o_orderpriority string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_upsert_to_parquet(stream, table, "o_orderkey", checkpoint=ckpt)
+    return (
+        spark.read.parquet(table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
