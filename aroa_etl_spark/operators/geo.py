@@ -47,6 +47,10 @@ def grid_radius_join(
     dup = set(a.columns) & set(b.columns) - set(by)
     if dup:
         raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
+    taken = {"__cell"} & (set(a.columns) | set(b.columns))
+    if taken:
+        # withColumn would silently overwrite it and corrupt the filter
+        raise ValueError(f"reserved internal column name in input: {sorted(taken)}")
     r = int(radius)
     home = a.withColumn(
         "__cell",

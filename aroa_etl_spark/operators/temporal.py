@@ -315,6 +315,10 @@ def interval_overlap_join(
     dup = set(a.columns) & set(b.columns) - set(by)
     if dup:
         raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
+    taken = {"__bucket"} & (set(a.columns) | set(b.columns))
+    if taken:
+        # withColumn would silently overwrite it and corrupt the join
+        raise ValueError(f"reserved internal column name in input: {sorted(taken)}")
 
     def exploded(df: DataFrame, s: str, e: str) -> DataFrame:
         # integer `div`, not double division: exact for any 64-bit epoch

@@ -68,68 +68,77 @@ def query(name: str, oracle: str | None = None):
 GATE_PRIORITY: list[str] = [
     # flagship representative (re-attested each round)
     "q1_pricing_summary",
-    # round-3 families never yet driver-attested (dedup_minhash_lsh /
-    # enc_consensus_dedup / j_asof_purchase_view yielded their slots:
-    # all three are r02 driver-green and stay mirror-verified)
-    "sk_kmv_distinct",
-    "tdp_line_dedup",
-    "graph_pagerank",
-    # §2.8 scalar-function library (f_*/d_*/m_*)
-    "f_clean_copy_qa",
-    "f_name_extract",
-    "f_translit_pipeline",
-    "f_geo_ids",
-    "f_standardize",
-    "f_ocr_repair",
-    "f_split_names",
-    "d_normalise_date",
-    "d_clean_date_names",
-    "d_timing_check",
-    "d_llm_repair",
-    "m_date_kernels",
-    # JSON / list-family / sources
-    "js_zooniverse_parse",
-    "js_udtf_flatten",
-    "js_variant_extract",
-    "s_jsonl_roundtrip",
-    "l_resplit_family",
-    # structured streaming
-    "st_windowed_counts",
-    "st_exact_dedup",
-    "st_neardup_candidates",
-    "st_sessionize",
-    "st_stateful_counts",
-    # multimodal plumbing + real-codec decode
-    "mm_image_features",
-    "mm_audio_features",
-    "mm_video_frame_sample",
-    "mm_image_decode_real",
-    # incremental / CDC
-    "inc_upsert_orders",
-    "inc_snapshot_diff",
-    # training-data-pipeline kernels
-    "tdp_scrub_pii",
-    "tdp_repetition_stats",
-    "tdp_chunk_dedup",
-    "tdp_curation_pipeline",
-    "tdp_stratified_sample",
-    "text_nfc_normalize",
-    "er_neardup_clusters",
-    "emb_centroid_per_label",
-    # diag_top_keys yields its slot to mm_image_decode_real: its
-    # TakeOrderedAndProject shape is already attested via o2_global_topk
-    # (driver-green in round 2); it stays mirror-verified outside.
-    "dq_orders_report",
-    # windows / reshape / densification
-    "w_sessionize_events",
-    "w_cumulative_revenue",
-    "w_ntile_price_bands",
-    "w_date_spine_activity",
-    "a_median_per_type",
-    "a_pivot_status_by_segment",
-    "a_ohlc_daily_rollup",
-    "a_unpivot_metrics",
-    "agg_grouping_sets_revenue",
+    # ---- round-4 rotation: the 49 entries never driver-attested in
+    # r01-r03 (all judge-mirror green in round 3).  With this window green,
+    # union driver attestation reaches 148/148.  The r03 window's 49
+    # rotated-out entries are r03 driver-green and stay covered by
+    # scripts/driver_mirror.py + tests/test_catalog_parity.py, and the
+    # rotation-debt guard (test_gate_rotation_debt) enforces that no entry
+    # goes 3+ rounds without driver attestation again.
+    # TPC-H query shapes
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    # sketches
+    "sk_kmv_grouped",
+    "sk_kmv_set_ops",
+    "sk_cms_heavy_hitters",
+    # search / graph
+    "search_inverted_index",
+    "search_bm25_topk",
+    "graph_triangles",
+    "cc_star_components",
+    # streaming tail
+    "st_sliding_counts",
+    "st_static_join",
+    "st_funnel",
+    "st_cms_counts",
+    "st_mv_refresh",
+    "st_upsert_table",
+    # entity-resolution diagnostics / clustering
+    "er_blocking_stats",
+    "er_linkage_eval",
+    "er_embedding_clusters",
+    # incremental tail
+    "inc_scd2_user_state",
+    "inc_refresh_aggregate",
+    # window tail
+    "w_moving_avg_rows",
+    "w_rank_functions",
+    "w_equidepth_buckets",
+    "w_trailing_revenue",
+    # funnels
+    "funnel_view_click_purchase",
+    "funnel_windowed",
+    # joins tail
+    "j_bloom_prune",
+    "j_interval_overlap",
+    # sources / sinks
+    "s_csv_roundtrip",
+    "s_orc_roundtrip",
+    "s_partitioned_parquet",
+    # aggregation tail
+    "agg_cube_revenue",
+    "a_percentiles_cont",
+    "a_regression_price_qty",
+    # data-quality / profiling / layout / geo / web
+    "dq_profile_orders",
+    "dq_outliers_orders",
+    "layout_zorder_key",
+    "geo_radius_join",
+    "web_domain_counts",
+    # training-data-pipeline tail
+    "tdp_domain_quota",
+    "tdp_weighted_sample",
+    "tdp_chunk_overlap",
+    "tdp_curation_pipeline_v2",
+    "text_unigram_logprob",
+    # multimodal real-audio decode
+    "mm_audio_decode_real",
+    # diagnostics
+    "diag_top_keys",
 ]
 
 

@@ -170,7 +170,8 @@ def write_excel_via_pandas(
     limited = df.limit(max_rows).toPandas()
     if len(limited) > max_rows - 1:
         raise ValueError(
-            f"refusing to write >{max_rows} rows to xlsx; "
+            f"refusing to write more than {max_rows - 1} data rows "
+            f"(+1 header row = the {max_rows}-row xlsx sheet limit); "
             "use parquet/CSV sinks for data-scale outputs"
         )
     try:

@@ -311,7 +311,16 @@ def _swap_table_sink(
 
     - a ``_last_batch_id`` marker inside the table skips replayed
       batches (foreachBatch is at-least-once; non-idempotent merges
-      like count/sum deltas would otherwise double-count);
+      like count/sum deltas would otherwise double-count).  Batch ids
+      are only monotone WITHIN one checkpoint lineage, so the marker
+      stores the checkpoint's query id alongside the batch id and a
+      batch is skipped only when BOTH match — a re-run against a fresh
+      checkpoint (ids restart at 0, possibly with new data) re-merges
+      instead of silently dropping it.  That fallback is idempotent
+      for keyed upserts; for count/sum delta merges a fresh checkpoint
+      over already-merged source files double-counts, which is why the
+      checkpoint is REQUIRED (raise on None) and must be kept with the
+      table;
     - swap order is tmp-write -> current->__old rename -> tmp->current
       rename -> drop __old, and recovery restores ``__old`` if a crash
       left no current table — no window silently drops prior state;
@@ -321,6 +330,7 @@ def _swap_table_sink(
     DRIVER-LOCAL paths only (os-level renames): remote URIs raise
     up front instead of failing on the first rename.
     """
+    import json
     import os
     import shutil
     import uuid
@@ -330,16 +340,41 @@ def _swap_table_sink(
             f"swap-table sinks need a driver-local path (got {path!r}); "
             "for object stores use a table format with real MERGE"
         )
+    if checkpoint is None or "://" in checkpoint:
+        raise ValueError(
+            "swap-table sinks require a driver-local checkpoint dir: batch "
+            "ids are only monotone within one checkpoint lineage, so the "
+            "replay guard needs the checkpoint's query id as run identity"
+        )
     base = path.rstrip("/")
     old_dir = base + "__old"
     marker = "_last_batch_id"
 
-    def _read_marker(d: str) -> int:
+    def _run_identity() -> str | None:
+        """Query id from the checkpoint's metadata file — stable for the
+        checkpoint's lifetime, regenerated when the dir is wiped."""
+        try:
+            with open(os.path.join(checkpoint, "metadata")) as f:
+                return json.load(f).get("id")
+        except (OSError, ValueError):
+            return None
+
+    def _read_marker(d: str) -> tuple[int, str | None]:
         try:
             with open(os.path.join(d, marker)) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+                raw = f.read().strip()
+        except OSError:
+            return -1, None
+        try:
+            rec = json.loads(raw)
+            if isinstance(rec, dict):
+                return int(rec.get("batch_id", -1)), rec.get("run_id")
+        except ValueError:
+            pass
+        try:
+            return int(raw), None  # legacy bare-int marker: unknown lineage
+        except ValueError:
+            return -1, None
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -352,23 +387,28 @@ def _swap_table_sink(
         has_table = os.path.isdir(base) and any(
             f.endswith(".parquet") for f in os.listdir(base)
         )
-        if has_table and _read_marker(base) >= batch_id:
-            return  # replayed batch: already merged
+        run_id = _run_identity()
+        if has_table:
+            seen_batch, seen_run = _read_marker(base)
+            if run_id is not None and seen_run == run_id and seen_batch >= batch_id:
+                return  # replayed batch from the SAME checkpoint lineage
         current = spark.read.parquet(base) if has_table else None
         merged = merge_fn(current, batch)
         tmp = base + f"__tmp_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, marker), "w") as f:
-            f.write(str(batch_id))
+            json.dump({"batch_id": batch_id, "run_id": run_id}, f)
         if os.path.isdir(base):
             shutil.rmtree(old_dir, ignore_errors=True)
             os.rename(base, old_dir)
         os.rename(tmp, base)
         shutil.rmtree(old_dir, ignore_errors=True)
 
-    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+    )
     writer.start().awaitTermination()
 
 
@@ -377,7 +417,7 @@ def stream_upsert_to_parquet(
     path: str,
     key: str | list[str],
     *,
-    checkpoint: str | None = None,
+    checkpoint: str,
 ) -> None:
     """Streaming keyed upsert into a parquet table via foreachBatch —
     the no-lakehouse merge pattern: each micro-batch reads the current
@@ -568,8 +608,12 @@ def streaming_funnel(
 
     k = len(steps)
     step_idx = {s: i for i, s in enumerate(steps)}
+    # the operator is type-agnostic in the user key: carry the stream's
+    # own key type through (hardcoding LongType broke string ids — r3
+    # advisor finding)
+    user_type = stream.schema[user_col].dataType
     out_schema = T.StructType(
-        [T.StructField(user_col, T.LongType())]
+        [T.StructField(user_col, user_type)]
         + [T.StructField(f"t_{i + 1}", T.LongType()) for i in range(k)]
     )
     state_schema = T.StructType(
@@ -611,7 +655,7 @@ def stream_refresh_aggregate_to_parquet(
     *,
     count_col: str = "n",
     sum_cols: list[str] | None = None,
-    checkpoint: str | None = None,
+    checkpoint: str,
 ) -> None:
     """Streaming MATERIALIZED-VIEW maintenance via foreachBatch: each
     micro-batch of fact rows is aggregated and merged into the parquet
@@ -625,7 +669,13 @@ def stream_refresh_aggregate_to_parquet(
 
     At scale: partition the aggregate table and rewrite only touched
     key ranges, or hand the merged frame to a table format with MERGE —
-    the delta-aggregation operator is the same either way."""
+    the delta-aggregation operator is the same either way.
+
+    The checkpoint is required and must be kept with the table: the
+    count/sum delta merge is NOT idempotent, so re-running against a
+    fresh checkpoint over already-merged source files double-counts
+    (the replay guard only skips batches from the same checkpoint
+    lineage — see :func:`_swap_table_sink`)."""
     from aroa_etl_spark.operators.incremental import refresh_aggregate
 
     key_list = [keys] if isinstance(keys, str) else list(keys)

@@ -250,3 +250,61 @@ def test_tz_pin_warns_once_per_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.unset("spark.aroa_etl.tz_pin_warned")
+
+
+# ---- round-3 advisor findings --------------------------------------------
+
+
+def test_reserved_internal_columns_rejected(spark):
+    """interval_overlap_join / grid_radius_join inject __bucket/__cell;
+    inputs already carrying those names must raise, not be silently
+    overwritten (r3 advisor finding)."""
+    from aroa_etl_spark.operators.geo import grid_radius_join
+    from aroa_etl_spark.operators.temporal import interval_overlap_join
+
+    iv = spark.createDataFrame(
+        [(0, 10, 1)], "s bigint, e bigint, __bucket bigint"
+    )
+    other = spark.createDataFrame([(5, 15)], "s2 bigint, e2 bigint")
+    with pytest.raises(ValueError, match="reserved internal column"):
+        interval_overlap_join(iv, other, "s", "e", "s2", "e2")
+
+    pts = spark.createDataFrame([(0, 0, "x")], "x bigint, y bigint, __cell string")
+    qts = spark.createDataFrame([(1, 1)], "x2 bigint, y2 bigint")
+    with pytest.raises(ValueError, match="reserved internal column"):
+        grid_radius_join(pts, qts, "x", "y", "x2", "y2", 5)
+
+
+def test_streaming_funnel_string_user_id(spark, tmp_path):
+    """streaming_funnel must carry the stream's own user-key type through
+    instead of hardcoding LongType (r3 advisor finding)."""
+    import os
+
+    from aroa_etl_spark.streaming.pipeline import run_to_memory, streaming_funnel
+
+    src = os.path.join(str(tmp_path), "ev")
+    spark.createDataFrame(
+        [("u1", "view", 100), ("u1", "click", 200), ("u2", "view", 50)],
+        "user_id string, event_type string, ts_us bigint",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id string, event_type string, ts_us bigint"
+    ).parquet(src)
+    out = streaming_funnel(stream)
+    run_to_memory(out, "funnel_str_uid")
+    got = {
+        r.user_id: (r.t_1, r.t_2, r.t_3)
+        for r in spark.sql(
+            "SELECT user_id, max(t_1) t_1, max(t_2) t_2, max(t_3) t_3 "
+            "FROM funnel_str_uid GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {"u1": (100, 200, -1), "u2": (50, -1, -1)}
+
+
+def test_excel_row_limit_message(spark):
+    from aroa_etl_spark.sources.io import write_excel_via_pandas
+
+    df = spark.range(0, 5).selectExpr("id")
+    with pytest.raises(ValueError, match="more than 4 data rows"):
+        write_excel_via_pandas(df, "/tmp/should_not_exist.xlsx", max_rows=5)

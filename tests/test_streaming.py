@@ -325,9 +325,12 @@ def test_stream_mv_refresh_equals_batch(spark, tmp_path):
 
 
 def test_swap_sink_replay_and_recovery(spark, tmp_path):
-    """The shared swap sink must be retry-safe: a replayed batch_id is a
-    no-op (marker skip), and a crash that left only the __old dir is
-    recovered before merging."""
+    """The shared swap sink must be retry-safe: a replayed batch from the
+    SAME checkpoint lineage is a no-op (marker stores run identity +
+    batch id), a re-run under a FRESH checkpoint re-merges (batch ids
+    restart, so skipping would silently drop new data — advisor
+    finding r3), and a crash that left only the __old dir is recovered
+    before merging."""
     import os
     import shutil
 
@@ -337,6 +340,7 @@ def test_swap_sink_replay_and_recovery(spark, tmp_path):
 
     src = os.path.join(str(tmp_path), "facts")
     agg = os.path.join(str(tmp_path), "agg")
+    ck1 = os.path.join(str(tmp_path), "ck1")
     spark.range(0, 100).select(
         (F.col("id") % 5).cast("string").alias("k"), F.lit(1).alias("v")
     ).coalesce(1).write.parquet(src)
@@ -351,19 +355,41 @@ def test_swap_sink_replay_and_recovery(spark, tmp_path):
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
 
-    stream = spark.readStream.schema("k string, v int").parquet(src)
-    _swap_table_sink(stream, agg, merge, os.path.join(str(tmp_path), "ck1"))
+    def run(ck):
+        stream = spark.readStream.schema("k string, v int").parquet(src)
+        _swap_table_sink(stream, agg, merge, ck)
+
+    run(ck1)
     first = sorted(map(tuple, spark.read.parquet(agg).collect()))
-    # replay the SAME batch with a fresh checkpoint: marker must skip it
-    stream2 = spark.readStream.schema("k string, v int").parquet(src)
-    _swap_table_sink(stream2, agg, merge, os.path.join(str(tmp_path), "ck2"))
+    # at-least-once replay within the SAME lineage: wipe the commit log so
+    # availableNow re-delivers batch 0 with the same checkpoint query id —
+    # the marker must skip it
+    shutil.rmtree(os.path.join(ck1, "commits"))
+    run(ck1)
     assert sorted(map(tuple, spark.read.parquet(agg).collect())) == first
-    # crash window: only __old exists -> recovery restores it
+    # FRESH checkpoint: ids restart at 0 but this is a new lineage (the
+    # source could hold new data) — the sink must re-merge, not skip
+    run(os.path.join(str(tmp_path), "ck2"))
+    doubled = sorted(map(tuple, spark.read.parquet(agg).collect()))
+    assert doubled == [(k, 2 * n) for k, n in first]
+    # crash window: only __old exists -> recovery restores it, then the
+    # fresh-lineage batch merges on top of the recovered state
     os.rename(agg, agg + "__old")
-    stream3 = spark.readStream.schema("k string, v int").parquet(src)
-    _swap_table_sink(stream3, agg, merge, os.path.join(str(tmp_path), "ck3"))
-    assert sorted(map(tuple, spark.read.parquet(agg).collect())) == first
+    run(os.path.join(str(tmp_path), "ck3"))
+    assert sorted(map(tuple, spark.read.parquet(agg).collect())) == [
+        (k, 3 * n) for k, n in first
+    ]
     assert not os.path.isdir(agg + "__old")
+
+
+def test_swap_sink_requires_checkpoint(spark, tmp_path):
+    import pytest as _pytest
+
+    from aroa_etl_spark.streaming.pipeline import _swap_table_sink
+
+    stream = spark.readStream.schema("k string").parquet(str(tmp_path))
+    with _pytest.raises(ValueError, match="checkpoint"):
+        _swap_table_sink(stream, str(tmp_path) + "/agg", lambda c, b: b, None)
 
 
 def test_swap_sink_rejects_remote_uri(spark, tmp_path):
