@@ -152,6 +152,8 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket_size: int | None = 1000,
+    hot_bucket_mode: str = "drop",
+    hot_salt: int = 16,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
 
@@ -160,9 +162,19 @@ def minhash_lsh_dedup(
     threshold.
     Returns (id_a, id_b, n_intersect, n_union).
 
-    ``max_bucket_size`` drops pathological buckets (boilerplate): a
-    bucket of size s contributes s² candidate pairs, so unbounded hot
-    buckets are the LSH skew failure mode at scale.
+    Buckets over ``max_bucket_size`` are the LSH skew failure mode at
+    scale (a bucket of size s contributes s² candidate pairs; real
+    corpora grow boilerplate hot buckets).  ``hot_bucket_mode`` picks
+    the handling:
+
+    - ``"drop"`` (default): degenerate buckets are discarded — recall
+      trade documented, cheapest;
+    - ``"salt"``: hot buckets are PROCESSED via the two-sided salted
+      self-join (operators/skew.salted_hot_join): pair-set identical to
+      ``max_bucket_size=None``, but each hot bucket's quadratic work
+      spreads over ``hot_salt`` shuffle partitions instead of one
+      straggler task.  Use when the hot buckets carry wanted
+      duplicates (e.g. template-heavy corpora) rather than noise.
     """
     rows = num_perm // bands
     # Materialize tokens, then distinct shingles, as separate projections
@@ -194,16 +206,31 @@ def minhash_lsh_dedup(
     )
     keys = _barrier(keys)
 
+    if hot_bucket_mode not in ("drop", "salt"):
+        raise ValueError("hot_bucket_mode must be 'drop' or 'salt'")
+    hot_buckets = None
     if max_bucket_size is not None:
         sizes = keys.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
-        keys = keys.join(
-            sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket"), "__bucket"
-        )
+        if hot_bucket_mode == "drop":
+            keys = keys.join(
+                sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket"),
+                "__bucket",
+            )
+        else:
+            hot_buckets = sizes.filter(F.col("__bs") > max_bucket_size).select(
+                "__bucket"
+            )
 
     left = keys.select(F.col(id_col).alias("id_a"), "__bucket")
     right = keys.select(F.col(id_col).alias("id_b"), "__bucket")
+    if hot_buckets is not None:
+        from aroa_etl_spark.operators.skew import salted_hot_join
+
+        joined = salted_hot_join(left, right, "__bucket", hot_buckets, salt=hot_salt)
+    else:
+        joined = left.join(right, "__bucket")
     pairs = (
-        left.join(right, "__bucket")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

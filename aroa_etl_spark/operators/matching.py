@@ -76,6 +76,8 @@ def candidate_pairs(
     trg_lname: str,
     n_chars: int = 2,
     len_band: int = 4,
+    hot_block_threshold: int | None = None,
+    hot_salt: int = 16,
 ) -> DataFrame:
     """(srcID, trgID) pairs sharing a first-name block AND a last-name
     block — the reference's fname-bucket ∩ lname-bucket (matching.py:61).
@@ -86,7 +88,16 @@ def candidate_pairs(
     sf0.1 is ~13× the final intersection), while the combined join's
     output IS the intersection. Per-row key fan-out is |fname tokens| ×
     |lname tokens| (≤ ~9 for real names) — cheap against the saved
-    shuffle, and strictly fewer pairs at any scale."""
+    shuffle, and strictly fewer pairs at any scale.
+
+    ``hot_block_threshold``: the reference's production pain point is
+    hot surname blocks (person_clustering.py:160-166) — one common name
+    prefix holding a large share of both sides turns the block join
+    into a single straggler task.  When set, blocks whose key count
+    exceeds the threshold on EITHER side are processed via the
+    two-sided salted join (operators/skew.salted_hot_join), spreading
+    each hot block over ``hot_salt`` partitions.  Pair-set identical to
+    the unsalted join at any threshold."""
     s = src.select(
         F.col(src_id),
         F.explode(
@@ -99,7 +110,22 @@ def candidate_pairs(
             _combined_keys(F.col(trg_gname), F.col(trg_lname), n_chars, len_band)
         ).alias("k"),
     ).distinct()
-    return s.join(t, "k").select(src_id, trg_id).distinct()
+    if hot_block_threshold is not None:
+        from aroa_etl_spark.operators.skew import salted_hot_join
+
+        def over(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("__kc"))
+                .filter(F.col("__kc") > hot_block_threshold)
+                .select("k")
+            )
+
+        hot = over(s).unionByName(over(t)).distinct()
+        joined = salted_hot_join(s, t, "k", hot, salt=hot_salt)
+    else:
+        joined = s.join(t, "k")
+    return joined.select(src_id, trg_id).distinct()
 
 
 def _score_udf(name_only: bool, use_prisoner: bool, use_date: bool, use_pob: bool,
@@ -156,6 +182,8 @@ def person_matching(
     min_match_score: float = 0.0,
     name_only: bool = False,
     allow_duplicates: bool = True,
+    hot_block_threshold: int | None = None,
+    hot_salt: int = 16,
 ) -> DataFrame:
     """Blocked fuzzy match of src persons against target persons.
 
@@ -171,6 +199,7 @@ def person_matching(
         src_df, target_df, src_id, target_id,
         src_gname_col, src_lname_col, target_gname_col, target_lname_col,
         n_chars=n, len_band=band,
+        hot_block_threshold=hot_block_threshold, hot_salt=hot_salt,
     )
 
     def side(df: DataFrame, idc: str, gname, lname, date, prisoner, pob, suffix: str):

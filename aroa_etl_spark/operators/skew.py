@@ -11,6 +11,14 @@ can't:
   (key, salt). Row-identical to the plain inner/left join.
 - ``top_keys``: the metadata-scale probe that finds the hot keys worth
   salting (run on a sample at scale).
+- ``salted_hot_join``: two-sided salting for joins where BOTH sides can
+  be large on a few known-hot keys (hot surname blocks, degenerate LSH
+  buckets — the reference's production pain point,
+  person_clustering.py:160-166): hot-key rows of one side scatter over
+  ``salt`` sub-keys, the other side's hot-key rows replicate ``salt``
+  ways, cold keys join plainly, and the union is row-identical to the
+  plain join while the hot key's quadratic work spreads across ``salt``
+  shuffle partitions instead of one straggler task.
 
 Reference analogue: none (single-process pandas has no shuffles); this
 is part of the engine's Spark-native scale surface.
@@ -59,3 +67,43 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return big.join(rep, [key, "__salt"], how).drop("__salt")
+
+
+def salted_hot_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str | list[str],
+    hot_keys: DataFrame,
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Inner equi-join row-identical to ``a.join(b, key)`` where the keys
+    listed in ``hot_keys`` (a small frame holding just the key columns —
+    from :func:`top_keys` or a size aggregation) are processed salted:
+
+    - cold keys: plain equi-join (anti-join split against the broadcast
+      hot-key list);
+    - hot keys: ``a``'s rows scatter deterministically over ``salt``
+      sub-keys (hash of all of ``a``'s columns — stable under retries),
+      ``b``'s rows replicate once per salt value via a narrow explode,
+      and the join runs on (key, salt).
+
+    Each hot key's |a_k| x |b_k| work spreads over ``salt`` partitions;
+    replication cost is ``salt`` x |b's hot rows| only (cold rows are
+    never replicated), so put the side with fewer hot rows as ``b``.
+    The two sub-joins read disjoint key sets, so the union needs no
+    dedup beyond what the plain join would produce.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    hot = F.broadcast(hot_keys.select(*keys).distinct())
+    a_cold = a.join(hot, keys, "left_anti")
+    b_cold = b.join(hot, keys, "left_anti")
+    cold = a_cold.join(b_cold, keys)
+
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in a.columns]), F.lit(salt))
+    a_hot = a.join(hot, keys, "left_semi").withColumn("__salt", salt_col)
+    b_hot = b.join(hot, keys, "left_semi").withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    hot_joined = a_hot.join(b_hot, [*keys, "__salt"]).drop("__salt")
+    return cold.unionByName(hot_joined)

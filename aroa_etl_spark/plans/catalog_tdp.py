@@ -167,10 +167,8 @@ _MINHASH_SQL_BANDS = ", ".join(
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DOCS_PLANTED},
+_MINHASH_ORACLE = f"""
+    WITH {{docs}},
     sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
            FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
     hh AS (SELECT doc_id, sh,
@@ -188,8 +186,10 @@ _MINHASH_SQL_BANDS = ", ".join(
     FROM pairs
     WHERE len(list_distinct(sha || shb)) > 0
       AND len(list_intersect(sha, shb))::DOUBLE / len(list_distinct(sha || shb)) >= 0.7
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE.format(docs=_DOCS_PLANTED))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (8 perms, 4 bands of 2, 3-gram
     shingles, Jaccard ≥ 0.7), exact-verified. The planted drop-first-
@@ -202,6 +202,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs_with_planted(spark, sf_dir),
         num_perm=8, bands=4, shingle_n=3, threshold=0.7,
+    )
+
+
+@query("dedup_lsh_salted", oracle=_MINHASH_ORACLE.format(docs=_DOCS_PLANTED))
+def dedup_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with hot_bucket_mode='salt': degenerate buckets are
+    PROCESSED through the two-sided salted self-join instead of dropped
+    (operators/skew.salted_hot_join — the reference's hot-surname-block
+    pain point, person_clustering.py:160-166, applied to LSH buckets).
+    max_bucket_size=2 puts every bucket of size 3+ (the planted-copy
+    buckets) onto the salted path, and the oracle is the UNBOUNDED
+    pair-set — proving salted handling is pair-set-identical to no
+    bucket cap while spreading each hot bucket's quadratic work over
+    hot_salt shuffle partitions."""
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _docs_with_planted(spark, sf_dir),
+        num_perm=8, bands=4, shingle_n=3, threshold=0.7,
+        max_bucket_size=2, hot_bucket_mode="salt", hot_salt=8,
     )
 
 

@@ -55,7 +55,11 @@ def test_gate_rotation_debt():
     round's window (GATE_PRIORITY) leaves any entry with
     rounds-since-last-attestation >= 3, so attestation debt cannot
     silently re-accumulate (round-3 judge ask #6).  Ground truth is the
-    committed CORRECTNESS_r*.json files the driver writes each round.
+    committed CORRECTNESS_r*.json files the driver writes each round;
+    entries too young to have been attested get their 3-round clock
+    from tests/fixtures/entry_first_seen.json (a registry entry missing
+    from that file fails the test — add it with the upcoming round
+    number when registering a new entry).
     """
     import glob
     import json
@@ -84,10 +88,19 @@ def test_gate_rotation_debt():
         pytest.skip("no CORRECTNESS_r*.json present")
     upcoming = max(rounds) + 1
     window = set(catalog.GATE_PRIORITY)
+    first_seen = json.load(
+        open(os.path.join(root, "tests", "fixtures", "entry_first_seen.json"))
+    )
+    missing = sorted(n for n in catalog.queries() if n not in first_seen)
+    assert missing == [], (
+        f"add new entries to tests/fixtures/entry_first_seen.json with "
+        f"first_seen={upcoming}: {missing}"
+    )
     overdue = sorted(
         (name, hist.get(name, 0))
         for name in catalog.queries()
-        if name not in window and upcoming - hist.get(name, 0) >= 3
+        if name not in window
+        and upcoming - max(hist.get(name, 0), first_seen[name]) >= 3
     )
     assert overdue == [], (
         f"entries overdue for gate attestation (rotate into GATE_PRIORITY): {overdue}"
