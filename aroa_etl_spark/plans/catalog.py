@@ -1236,18 +1236,30 @@ def enc_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-pass applyInPandas kernel."""
     from aroa_etl_spark.operators.consensus import EncMatcher, default_col_matcher
 
+    copies = planted_transcriptions(spark, sf_dir).select("group_id", "val")
+    m = EncMatcher(copies, "group_id").with_col_matcher("val", default_col_matcher())
+    return m.match().select("group_id", "val", "is_ambiguous")
+
+
+def planted_transcriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enc_consensus_dedup planted fixture as a reusable frame:
+    (group_id, copy, val) — 3 transcriptions per document with KNOWN
+    consensus (2:1 majority, or three pairwise-dissimilar words for
+    every 5th doc → '?' + is_ambiguous).  Shared with the streaming
+    late-data twin (catalog_st.st_consensus)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
     vocab = F.array(*[F.lit(w) for w in _NAMES13])
     did = F.col("doc_id")
     w_a = F.element_at(vocab, (did % 13 + 1).cast("int"))
     w_b = F.element_at(vocab, ((did + 1) % 13 + 1).cast("int"))
     w_c = F.element_at(vocab, ((did + 2) % 13 + 1).cast("int"))
-    copies = docs.select(
+    return docs.select(
         did.cast("string").alias("group_id"),
         "doc_id",
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("copy"),
     ).select(
         "group_id",
+        "copy",
         F.when(
             did % 5 == 0,
             F.when(F.col("copy") == 1, w_a).when(F.col("copy") == 2, w_b).otherwise(w_c),
@@ -1255,8 +1267,6 @@ def enc_consensus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.when(F.col("copy") == 3, w_b).otherwise(w_a))
         .alias("val"),
     )
-    m = EncMatcher(copies, "group_id").with_col_matcher("val", default_col_matcher())
-    return m.match().select("group_id", "val", "is_ambiguous")
 
 
 @query(

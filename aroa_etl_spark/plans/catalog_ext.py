@@ -2087,3 +2087,97 @@ def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_records = docs.count()
     return blocking_stats(cand, truth, n_records)
+
+
+@query(
+    "j_eav_pivot",
+    oracle="""
+    WITH attr AS (SELECT user_id AS obj_id,
+                         CAST(event_id % 3 AS BIGINT) AS count_id,
+                         event_id AS value_id, event_type AS sub_type
+                  FROM events),
+    aval AS (SELECT event_id AS value_id, event_type AS sub_type,
+                    props AS str_value
+             FROM events),
+    click AS (SELECT obj_id, count_id, MAX(str_value) AS click_props
+              FROM attr JOIN aval USING (value_id, sub_type)
+              WHERE sub_type = 'click' AND str_value != ''
+              GROUP BY obj_id, count_id),
+    purch AS (SELECT obj_id, count_id, MAX(str_value) AS purchase_props
+              FROM attr JOIN aval USING (value_id, sub_type)
+              WHERE sub_type = 'purchase' AND str_value != ''
+              GROUP BY obj_id, count_id),
+    base AS (SELECT DISTINCT a.obj_id, a.count_id, c.c_name
+             FROM attr a
+             JOIN customer c ON c.c_custkey = a.obj_id
+             JOIN nation n ON n.n_nationkey = c.c_nationkey
+             JOIN region r ON r.r_regionkey = n.n_regionkey
+             WHERE r.r_name = 'EUROPE')
+    SELECT b.obj_id, b.count_id, b.c_name,
+           cl.click_props, p.purchase_props
+    FROM base b
+    LEFT JOIN click cl ON cl.obj_id = b.obj_id AND cl.count_id = b.count_id
+    LEFT JOIN purch p ON p.obj_id = b.obj_id AND p.count_id = b.count_id
+    """,
+)
+def j_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV-pivot: the reference's actual production query shape
+    (dbquery-container/queries.py:10-48,49-80 — PersData LEFT JOIN
+    derived-table slices of Attribute INNER JOIN AttributeValue on
+    composite (lObjId, lCountId) keys, each (attType, subType) slice
+    becoming one wide column, with an ArchiveSchema dim filter).
+    Modeled over the synthetic tables: events doubles as the Attribute
+    (entity/composite-key side) and AttributeValue (value-payload side)
+    tables, event_type is the subtype discriminator, two subtype slices
+    ('click', 'purchase') pivot to wide columns via per-composite-key
+    MAX (the reference's slices are unique per entity by schema
+    design), and the 'bestand' dim filter is customers of EUROPE
+    nations (broadcast dims).  At scale: the two slice aggregations
+    shuffle on the composite key only, the dim filter is a broadcast
+    chain, and the final left joins share the (obj_id, count_id)
+    partitioning."""
+    t = load_tables(spark, sf_dir, ("events", "customer", "nation", "region"))
+    ev = t["events"]
+    attr = ev.select(
+        F.col("user_id").alias("obj_id"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("bigint").alias("count_id"),
+        F.col("event_id").alias("value_id"),
+        F.col("event_type").alias("sub_type"),
+    )
+    aval = ev.select(
+        F.col("event_id").alias("value_id"),
+        F.col("event_type").alias("sub_type"),
+        F.col("props").alias("str_value"),
+    )
+
+    def slice_pivot(sub_type: str, out_col: str) -> DataFrame:
+        return (
+            attr.filter(F.col("sub_type") == sub_type)
+            .join(
+                aval.filter((F.col("sub_type") == sub_type) & (F.col("str_value") != "")),
+                ["value_id", "sub_type"],
+            )
+            .groupBy("obj_id", "count_id")
+            .agg(F.max("str_value").alias(out_col))
+        )
+
+    base = (
+        attr.select("obj_id", "count_id")
+        .distinct()
+        .join(t["customer"], F.col("c_custkey") == F.col("obj_id"))
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("obj_id", "count_id", "c_name")
+    )
+    return (
+        base.join(slice_pivot("click", "click_props"), ["obj_id", "count_id"], "left")
+        .join(slice_pivot("purchase", "purchase_props"), ["obj_id", "count_id"], "left")
+        .select("obj_id", "count_id", "c_name", "click_props", "purchase_props")
+    )
