@@ -228,11 +228,34 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+def _decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG via the vendored pure-NumPy codec
+    (operators/jpegcodec.py — implemented from the public T.81 spec;
+    the sandbox has no libjpeg).  Non-baseline streams (progressive /
+    arithmetic / 12-bit) fall through to PIL when installed; without
+    PIL the NotImplementedError propagates, which is exactly the
+    strict-mode contract."""
+    from aroa_etl_spark.operators.jpegcodec import decode_baseline_jpeg
+
+    try:
+        return decode_baseline_jpeg(content)
+    except NotImplementedError:
+        try:
+            return _pil_decode(content)
+        except ImportError:
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic/12-bit) needs "
+                "PIL; the vendored codec covers baseline sequential only"
+            ) from None
+
+
 _IMAGE_DECODERS = {
     "png": _decode_png,
     "ppm": _decode_netpbm,
     "pgm": _decode_netpbm,
     "bmp": _decode_bmp,
+    "jpg": _decode_jpeg,
+    "jpeg": _decode_jpeg,
 }
 
 
