@@ -352,12 +352,31 @@ def simhash_dedup(
     text_col: str = "text",
     *,
     max_hamming: int = 3,
+    hash_bits: int = 60,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: 32-bit simhash, banded into four
-    8-bit slices (two docs within hamming distance 3 of each other must
-    agree on ≥1 slice — pigeonhole), candidates verified by exact
-    bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming)."""
-    # SimHash via explode + grouped bit-votes rather than 32 nested array
+    """SimHash near-duplicate pairs: ``hash_bits``-bit simhash, banded
+    into ``n_bands`` equal slices (two docs within hamming distance
+    n_bands - 1 must agree on ≥1 slice — pigeonhole; larger
+    ``max_hamming`` keeps the verify exact but makes banding a recall
+    trade), candidates verified by exact bit_count(xor) ≤ max_hamming.
+    Returns (id_a, id_b, hamming).
+
+    Band width is THE scale lever: per-band bucket occupancy is
+    ~corpus / 2^(hash_bits/n_bands) and candidate pairs grow with its
+    square.  The 60-bit default (15-bit bands) keeps buckets sparse
+    into the billions of docs; the r4 sf1 stress run measured the old
+    32-bit/8-bit config going quadratic at 50k docs (41 s; 256-value
+    band space → ~200 docs per bucket).  60 = 15 hex chars of md5 —
+    the engine's BIGINT-safe cross-engine hash family.
+    """
+    if hash_bits % 4 or hash_bits % n_bands or not (0 < hash_bits <= 60):
+        raise ValueError(
+            "hash_bits must be ≤60 (BIGINT-safe), a multiple of 4 (hex "
+            "chars), and divisible by n_bands (equal band widths)"
+        )
+    band_bits = hash_bits // n_bands
+    # SimHash via explode + grouped bit-votes rather than nested array
     # folds: flat codegen-friendly expressions, map-side partial
     # aggregation, one shuffle on the doc id — the shape that scales.
     # explode_outer keeps empty docs (null token → null votes → all bits
@@ -365,23 +384,26 @@ def simhash_dedup(
     tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok"))
     h = tok.select(
         F.col(id_col),
-        F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long").alias("__h"),
+        F.conv(F.substring(F.md5("__tok"), 1, hash_bits // 4), 16, 10)
+        .cast("long")
+        .alias("__h"),
     )
     votes = h.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"__v{b}")
-            for b in range(32)
+            for b in range(hash_bits)
         ]
     )
     simhash_col = None
-    for b in range(32):
+    for b in range(hash_bits):
         bit = F.when(F.col(f"__v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         simhash_col = bit if simhash_col is None else simhash_col + bit
     sh = _barrier(votes.select(F.col(id_col), simhash_col.alias("__sh")))
+    mask = (1 << band_bits) - 1
     banded = sh.select(
         F.col(id_col),
         "__sh",
@@ -390,9 +412,11 @@ def simhash_dedup(
                 *[
                     F.concat(
                         F.lit(f"{b}:"),
-                        F.shiftright(F.col("__sh"), b * 8).bitwiseAND(F.lit(0xFF)).cast("string"),
+                        F.shiftright(F.col("__sh"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("__band"),

@@ -7,8 +7,10 @@ Spark-side plumbing — schemas, batch iteration, partition sizing,
 output contracts — is real and tested, and so are the codecs for the
 dependency-free formats:
 
-- images: PNG (stdlib zlib), PPM/PGM, uncompressed 24-bit BMP decode
-  for real; anything else dispatches to PIL when importable;
+- images: PNG (stdlib zlib), PPM/PGM, uncompressed 24-bit BMP, and
+  baseline-sequential JPEG (vendored pure-NumPy T.81 codec,
+  operators/jpegcodec.py) decode for real; anything else — and
+  non-baseline JPEG variants — dispatches to PIL when importable;
 - audio: WAV PCM 8/16/24/32-bit decodes for real via stdlib ``wave``;
   other formats dispatch to soundfile when importable;
 - video: ``rawvideo`` (concatenated uncompressed frames) slices real

@@ -249,19 +249,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-bit simhash (15 hex chars of md5 — the BIGINT-safe hash family);
+# 4 bands of 15 bits keep per-band bucket occupancy ~corpus/32768 (the
+# r4 sf1 stress run caught the old 32-bit/8-bit config going quadratic)
 _SIMHASH_SQL_BITS = " + ".join(
     f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
     f"THEN {2**b} ELSE 0 END)"
-    for b in range(32)
+    for b in range(60)
 )
-_SIMHASH_SQL_BANDS = ", ".join(f"'{b}:'||((sh >> {b * 8}) & 255)::VARCHAR" for b in range(4))
+_SIMHASH_SQL_BANDS = ", ".join(
+    f"'{b}:'||((sh >> {b * 15}) & 32767)::VARCHAR" for b in range(4)
+)
 
 
 @query(
     "dedup_simhash",
     oracle=f"""
     WITH {_DOCS_PLANTED},
-    h AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::UBIGINT::BIGINT AS h
+    h AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::UBIGINT::BIGINT AS h
           FROM (SELECT doc_id, unnest({_TOK}) AS t FROM docs)),
     hsh AS (SELECT doc_id, {_SIMHASH_SQL_BITS} AS sh FROM h GROUP BY doc_id),
     banded AS (SELECT doc_id, sh, unnest([{_SIMHASH_SQL_BANDS}]) AS band FROM hsh)
@@ -272,10 +277,13 @@ _SIMHASH_SQL_BANDS = ", ".join(f"'{b}:'||((sh >> {b * 8}) & 255)::VARCHAR" for b
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit simhash, 4×8-bit band blocking,
+    """SimHash near-dup pairs: 60-bit simhash, 4×15-bit band blocking,
     hamming ≤ 8 verification. Dropping one token flips only the bit
     positions whose ±1 vote sum sat at the decision boundary, so the
-    planted copies land within a few bits of their originals."""
+    planted copies land within a few bits of their originals.  Was
+    32-bit/8-bit through round 3; the sf1 stress run measured that
+    band space going quadratic (≈200 docs per bucket at 50k docs), so
+    the width moved to the md5 family's full BIGINT-safe 60 bits."""
     from aroa_etl_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(_docs_with_planted(spark, sf_dir), max_hamming=8)

@@ -308,3 +308,26 @@ def test_excel_row_limit_message(spark):
     df = spark.range(0, 5).selectExpr("id")
     with pytest.raises(ValueError, match="more than 4 data rows"):
         write_excel_via_pandas(df, "/tmp/should_not_exist.xlsx", max_rows=5)
+
+
+def test_simhash_width_parameterized(spark):
+    """60-bit default (sf1 stress fix) and the legacy 32-bit config both
+    find a planted near-dup pair; invalid widths raise."""
+    import pandas as pd
+
+    from aroa_etl_spark.operators.dedup import release_caches, simhash_dedup
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark shuffles and joins")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for kw in (dict(), dict(hash_bits=32, n_bands=4), dict(hash_bits=48, n_bands=4)):
+        pairs = {(r.id_a, r.id_b) for r in simhash_dedup(df, max_hamming=12, **kw).collect()}
+        release_caches()
+        assert (0, 1) in pairs, kw
+        assert not any(2 in p for p in pairs), kw
+
+    with pytest.raises(ValueError, match="hash_bits"):
+        simhash_dedup(df, hash_bits=64)          # > 60: not BIGINT-safe
+    with pytest.raises(ValueError, match="hash_bits"):
+        simhash_dedup(df, hash_bits=60, n_bands=7)  # unequal bands
