@@ -441,27 +441,74 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
-    sign_dims: int = 8,
+    sign_dims: int | None = None,
+    n_bands: int = 1,
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding near-duplicates via sign-bucket LSH + exact cosine.
 
-    Bucket key = concatenated signs of the first ``sign_dims``
-    dimensions (a fixed axis-aligned hyperplane family — deterministic,
-    no random state). Near-identical vectors share all leading signs;
-    vectors with leading dims near 0 may land across the boundary —
-    documented recall loss; use ann.brute_force_topk as the exact
-    baseline. Candidates are verified with exact double-precision
-    cosine ≥ threshold. Returns (id_a, id_b) pairs.
+    Band b's bucket key = concatenated signs of dimensions
+    [b*sign_dims, (b+1)*sign_dims) — a fixed axis-aligned hyperplane
+    family, deterministic, no random state.  Candidates are pairs
+    agreeing on ≥1 band (minhash-style OR-of-ANDs); each candidate is
+    verified with exact double-precision cosine ≥ threshold.  Returns
+    (id_a, id_b) pairs.
+
+    Scale and recall levers (the r4 sf1 stress run measured the old
+    single fixed 8-dim key going 17x at 10x data — 256 buckets
+    saturate):
+
+    - ``sign_dims`` (band width): per-band bucket occupancy is
+      ~corpus / 2^sign_dims and candidate pairs grow with its square —
+      widen as the corpus grows.
+    - ``n_bands``: each extra band is another independent chance for a
+      near-dup pair to collide (a pair is missed only if EVERY band
+      has a flipped sign), recovering the recall a wider band costs,
+      at explode-factor n_bands shuffle cost.
+    - Defaults: ``sign_dims=None`` auto-sizes the band width from a
+      1-row count probe — ceil(log2(n / 4)) clamped to [8, 20], ~4
+      vectors per band bucket at any corpus size; ``n_bands=1``
+      preserves the leading-signs semantics of the oracle-attested
+      entries (pass 4 for the banded high-recall mode).
+
+    Vectors whose banded dims sit near 0 can still flip across the
+    boundary — the residual documented recall loss; use
+    ann.brute_force_topk as the exact baseline.
     """
-    key = F.concat_ws(
-        "",
-        *[
-            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(sign_dims)
-        ],
+    if sign_dims is None:
+        import math
+
+        n = df.count()  # metadata-scale probe, same pattern as split probes
+        sign_dims = min(20, max(8, math.ceil(math.log2(max(n, 1) / 4 or 1))))
+    if n_bands > 1:
+        # bands past the vector length would read NULL dims -> constant
+        # "0" bits -> one degenerate all-pairs bucket; probe and refuse
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first is not None else 0
+        if n_bands * sign_dims > dim:
+            raise ValueError(
+                f"n_bands*sign_dims = {n_bands * sign_dims} exceeds the "
+                f"embedding dimensionality {dim}; lower one of them"
+            )
+
+    def band_key(b: int):
+        return F.concat_ws(
+            "",
+            F.lit(f"{b}:"),
+            *[
+                F.when(
+                    F.element_at(F.col(vec_col), b * sign_dims + i + 1) >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for i in range(sign_dims)
+            ],
+        )
+
+    k = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(*[band_key(b) for b in range(n_bands)])).alias("__k"),
     )
-    k = df.select(F.col(id_col), F.col(vec_col), key.alias("__k"))
     a = k.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__k")
     b = k.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__k")
 
@@ -472,10 +519,13 @@ def embedding_neardup_pairs(
             lambda acc, v: acc + v,
         )
 
+    pairs = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b"))
+    if n_bands > 1:
+        # a pair can collide in several bands: dedup BEFORE the cosine
+        # verify so each candidate is scored once
+        pairs = pairs.select("id_a", "id_b", "__va", "__vb").distinct()
     return (
-        a.join(b, "__k")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        pairs.withColumn(
             "__cos",
             dot(F.col("__va"), F.col("__vb"))
             / (F.sqrt(dot(F.col("__va"), F.col("__va")))

@@ -331,3 +331,33 @@ def test_simhash_width_parameterized(spark):
         simhash_dedup(df, hash_bits=64)          # > 60: not BIGINT-safe
     with pytest.raises(ValueError, match="hash_bits"):
         simhash_dedup(df, hash_bits=60, n_bands=7)  # unequal bands
+
+
+def test_embedding_neardup_banded_modes(spark):
+    """Banded sign-LSH (r4 sf1 stress fix): bands recover recall a wider
+    band costs; auto width sizes from the corpus; over-length bands
+    raise instead of degenerating to an all-pairs bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from aroa_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 64)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    # planted near-dups: tiny perturbation of vec 0..4 -> ids 100..104
+    rows += [(100 + i, (base[i] + 0.001).tolist()) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    planted = {(i, 100 + i) for i in range(5)}
+    single = {(r.id_a, r.id_b) for r in
+              embedding_neardup_pairs(df, sign_dims=8, threshold=0.99).collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              embedding_neardup_pairs(df, sign_dims=16, n_bands=4, threshold=0.99).collect()}
+    auto = {(r.id_a, r.id_b) for r in
+            embedding_neardup_pairs(df, threshold=0.99).collect()}
+    assert planted <= single and planted <= banded and planted <= auto
+
+    with pytest.raises(ValueError, match="dimensionality"):
+        embedding_neardup_pairs(df, sign_dims=20, n_bands=4)  # 80 > 64
