@@ -243,6 +243,10 @@ def decode_baseline_jpeg(content: bytes) -> np.ndarray:
         if content[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+        # marker: skip to the last 0xFF of the run
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         if pos + 1 >= len(content):
             raise ValueError("truncated JPEG stream")
         marker = content[pos + 1]

@@ -111,7 +111,16 @@ def candidate_pairs(
         ).alias("k"),
     ).distinct()
     if hot_block_threshold is not None:
+        from aroa_etl_spark.operators.dedup import _barrier
         from aroa_etl_spark.operators.skew import salted_hot_join
+
+        # the salted path reads each keyed frame ~3x (hot-count agg,
+        # anti split, semi split): persist so the explode + distinct
+        # isn't recomputed per consumer (same reason minhash barriers
+        # its keys frame — measured 7x there). Caller releases via
+        # dedup.release_caches().
+        s = _barrier(s)
+        t = _barrier(t)
 
         def over(df: DataFrame) -> DataFrame:
             return (

@@ -58,6 +58,8 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
+    if salt < 1:
+        raise ValueError("salt must be >= 1 (pmod by 0 is NULL — every row lost)")
     salt_col = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))
     big = large.withColumn("__salt", salt_col)
     # Replicate the small side once per salt value with explode — a
@@ -94,6 +96,8 @@ def salted_hot_join(
     The two sub-joins read disjoint key sets, so the union needs no
     dedup beyond what the plain join would produce.
     """
+    if salt < 1:
+        raise ValueError("salt must be >= 1 (pmod by 0 is NULL — every hot pair lost)")
     keys = [key] if isinstance(key, str) else list(key)
     hot = F.broadcast(hot_keys.select(*keys).distinct())
     a_cold = a.join(hot, keys, "left_anti")

@@ -70,7 +70,10 @@ GATE_PRIORITY: list[str] = [
     "q1_pricing_summary",
     # ---- round-4 rotation: the 49 entries never driver-attested in
     # r01-r03 (all judge-mirror green in round 3).  With this window green,
-    # union driver attestation reaches 148/148.  The r03 window's 49
+    # union driver attestation covers every entry that existed at rotation
+    # time (the r01-r03 registry, 148); entries REGISTERED THIS ROUND sit
+    # outside the window with first_seen=4 in the rotation-debt fixture
+    # and rotate in by round 6 at the latest.  The r03 window's 49
     # rotated-out entries are r03 driver-green and stay covered by
     # scripts/driver_mirror.py + tests/test_catalog_parity.py, and the
     # rotation-debt guard (test_gate_rotation_debt) enforces that no entry

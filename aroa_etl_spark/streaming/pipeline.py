@@ -388,9 +388,18 @@ def _swap_table_sink(
             f.endswith(".parquet") for f in os.listdir(base)
         )
         run_id = _run_identity()
+        if run_id is None:
+            # the checkpoint is REQUIRED and its metadata file is written
+            # at query start, so an unreadable identity means the replay
+            # guard cannot work — raise rather than risk a silent
+            # double-merge of a replayed batch (r4 review finding)
+            raise ValueError(
+                f"cannot read query id from checkpoint {checkpoint!r}/metadata; "
+                "replay protection needs the checkpoint lineage identity"
+            )
         if has_table:
             seen_batch, seen_run = _read_marker(base)
-            if run_id is not None and seen_run == run_id and seen_batch >= batch_id:
+            if seen_run == run_id and seen_batch >= batch_id:
                 return  # replayed batch from the SAME checkpoint lineage
         current = spark.read.parquet(base) if has_table else None
         merged = merge_fn(current, batch)

@@ -38,7 +38,9 @@ KEYED = {
     "customer": {"c_custkey": "customer"},
     "part": {"p_partkey": "part"},
     "supplier": {"s_suppkey": "supplier"},
-    "events": {"event_id": "events", "user_id": "users"},
+    # user_id references c_custkey (j_eav_pivot), so it must tile by the
+    # CUSTOMER step: tile-t users must map to tile-t customers
+    "events": {"event_id": "events", "user_id": "customer"},
     "documents": {"doc_id": "documents"},
     "embeddings": {"vec_id": "embeddings"},
 }
@@ -68,7 +70,6 @@ def main() -> None:
         "part": src["part"].agg(F.max("p_partkey")).collect()[0][0] + 1,
         "supplier": src["supplier"].agg(F.max("s_suppkey")).collect()[0][0] + 1,
         "events": src["events"].agg(F.max("event_id")).collect()[0][0] + 1,
-        "users": src["events"].agg(F.max("user_id")).collect()[0][0] + 1,
         "documents": src["documents"].agg(F.max("doc_id")).collect()[0][0] + 1,
         "embeddings": src["embeddings"].agg(F.max("vec_id")).collect()[0][0] + 1,
     }

@@ -361,3 +361,66 @@ def test_embedding_neardup_banded_modes(spark):
 
     with pytest.raises(ValueError, match="dimensionality"):
         embedding_neardup_pairs(df, sign_dims=20, n_bands=4)  # 80 > 64
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 allows 0xFF fill bytes before any marker; the parser must
+    skip them (r4 review finding)."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    data = encode_baseline_jpeg(img, quality=90)
+    # inject two fill bytes before the DQT marker (FF DB)
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    out = decode_baseline_jpeg(padded)
+    assert out.shape == (8, 8, 1)
+
+
+def test_salt_zero_rejected(spark):
+    from aroa_etl_spark.operators.skew import salted_hot_join, salted_join
+
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(a, a.select("k"), "k", salt=0)
+    with pytest.raises(ValueError, match="salt"):
+        salted_hot_join(a, a.selectExpr("k", "v as w"), "k", a.select("k"), salt=0)
+
+
+def test_swap_sink_unreadable_identity_raises(spark, tmp_path):
+    """A checkpoint whose metadata file is unreadable must fail loudly
+    instead of silently re-merging replayed batches (r4 review
+    finding)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.streaming.pipeline import _swap_table_sink
+
+    src = os.path.join(str(tmp_path), "facts")
+    agg = os.path.join(str(tmp_path), "agg")
+    ck = os.path.join(str(tmp_path), "ck")
+    spark.range(0, 10).select(F.lit("a").alias("k")).coalesce(1).write.parquet(src)
+
+    def merge(current, batch):
+        d = batch.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        return d if current is None else current.unionByName(d).groupBy("k").agg(
+            F.sum("n").cast("bigint").alias("n"))
+
+    # pre-create the checkpoint dir with a corrupt metadata file. Spark
+    # itself rejects it at query start (JsonParseException) — and if a
+    # future Spark tolerated it, _run_identity()'s None-check raises
+    # before any merge. Either way: LOUD failure, never a silent
+    # re-merge with replay protection disabled.
+    os.makedirs(ck)
+    with open(os.path.join(ck, "metadata"), "w") as f:
+        f.write("not json")
+    stream = spark.readStream.schema("k string").parquet(src)
+    with pytest.raises(Exception, match="query id|metadata|Json"):
+        _swap_table_sink(stream, agg, merge, ck)
+    assert not os.path.isdir(agg)  # nothing was merged
