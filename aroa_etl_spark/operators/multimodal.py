@@ -230,6 +230,106 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return px[::-1] if flip else px
 
 
+def _decode_tiff(content: bytes) -> np.ndarray:
+    """Real baseline TIFF decode (TIFF 6.0 spec): uncompressed strips,
+    8 bits/sample, grayscale (PhotometricInterpretation 0/1) or RGB,
+    both byte orders. Compressed / tiled / multi-IFD variants raise
+    NotImplementedError (PIL fallback when installed). The reference's
+    scanned-card corpus is JPEG/TIFF (S8), so together with the
+    vendored JPEG codec both production formats decode for real."""
+    import struct
+
+    bo = {b"II": "<", b"MM": ">"}.get(content[:2])
+    if bo is None or len(content) < 8 or struct.unpack(bo + "H", content[2:4])[0] != 42:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(bo + "I", content[4:8])
+    (n_entries,) = struct.unpack(bo + "H", content[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", content[e:e + 8])
+        if typ not in type_size:
+            continue  # rationals etc. (resolution tags) — not needed
+        total = type_size[typ] * count
+        if total <= 4:
+            raw = content[e + 8:e + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", content[e + 8:e + 12])
+            raw = content[off:off + total]
+        tags[tag] = list(struct.unpack(bo + str(count) + type_fmt[typ], raw))
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags.get(258, [8])
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    if compression != 1:
+        raise NotImplementedError("stdlib TIFF path: uncompressed (type 1) only")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("stdlib TIFF path: 8 bits/sample only")
+    if photometric not in (0, 1, 2) or spp not in (1, 3):
+        raise NotImplementedError("stdlib TIFF path: gray or RGB only")
+    offsets = tags[273]
+    counts = tags.get(279, [width * height * spp])
+    data = b"".join(content[o:o + c] for o, c in zip(offsets, counts))
+    n = width * height * spp
+    px = np.frombuffer(data, dtype=np.uint8, count=n).copy().reshape(height, width, spp)
+    if photometric == 0:  # WhiteIsZero: invert
+        px = 255 - px
+    return px
+
+
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """Minimal little-endian uncompressed TIFF encoder (8-bit gray/RGB,
+    one strip) — fixture generation for the decoder tests and the
+    mm_tiff_decode_real oracle's constant-header construction."""
+    import struct
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    if c not in (1, 3) or pixels.dtype != np.uint8:
+        raise ValueError("need uint8 (H, W, 1|3)")
+    payload = pixels.tobytes()
+    entries = [
+        (256, 3, 1, w),           # ImageWidth
+        (257, 3, 1, h),           # ImageLength
+        (259, 3, 1, 1),           # Compression: none
+        (262, 3, 1, 2 if c == 3 else 1),  # Photometric: RGB / BlackIsZero
+        (277, 3, 1, c),           # SamplesPerPixel
+        (278, 3, 1, h),           # RowsPerStrip: one strip
+        (279, 4, 1, len(payload)),  # StripByteCounts
+    ]
+    if c == 3:
+        # BitsPerSample for RGB needs 3 SHORTs -> stored out-of-line
+        entries.append((258, 3, 3, None))  # placeholder, offset patched
+    else:
+        entries.append((258, 3, 1, 8))
+    # layout: header(8) | IFD | [bits array] | strip data
+    n = len(entries) + 1  # + StripOffsets
+    ifd_size = 2 + 12 * (n) + 4
+    bits_off = 8 + ifd_size
+    data_off = bits_off + (6 if c == 3 else 0)
+    entries.append((273, 4, 1, data_off))  # StripOffsets
+    entries.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, val in entries:
+        if tag == 258 and c == 3:
+            out += struct.pack("<HHII", tag, typ, count, bits_off)
+        elif typ == 3:
+            out += struct.pack("<HHIHH", tag, typ, count, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)  # next IFD: none
+    if c == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    out += payload
+    return bytes(out)
+
+
 def _decode_jpeg(content: bytes) -> np.ndarray:
     """Baseline-sequential JPEG via the vendored pure-NumPy codec
     (operators/jpegcodec.py — implemented from the public T.81 spec;
@@ -258,7 +358,24 @@ _IMAGE_DECODERS = {
     "bmp": _decode_bmp,
     "jpg": _decode_jpeg,
     "jpeg": _decode_jpeg,
+    "tif": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
+    "tiff": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
 }
+
+
+def _with_pil_fallback(codec, content: bytes, what: str) -> np.ndarray:
+    """Run a stdlib codec; variants it doesn't cover fall through to PIL
+    when installed, else the NotImplementedError propagates (the honest
+    strict-mode contract)."""
+    try:
+        return codec(content)
+    except NotImplementedError:
+        try:
+            return _pil_decode(content)
+        except ImportError:
+            raise NotImplementedError(
+                f"{what} needs PIL; the stdlib codec covers the baseline only"
+            ) from None
 
 
 def _pil_decode(content: bytes) -> np.ndarray:

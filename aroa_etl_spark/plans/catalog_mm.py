@@ -319,3 +319,56 @@ def mm_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )
+
+
+@query(
+    "mm_tiff_decode_real",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      md5(text) || md5(text || 'x') AS hx
+               FROM documents)
+    SELECT media_id,
+           CAST(list_sum(list_transform(range(1, 37),
+                                        i -> ascii(substr(hx, i, 1)))) AS BIGINT
+               )::DOUBLE / 36 AS mean_intensity,
+           CAST(4 AS DOUBLE) / 3 AS aspect_ratio
+    FROM m
+    """,
+)
+def mm_tiff_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's second production scan format decoded for REAL under
+    strict=True (reference cards are JPEG/TIFF; JPEG landed as
+    mm_jpeg_decode_real): every document becomes a genuine little-endian
+    uncompressed TIFF — the constant 4x3 RGB header (built once by
+    encode_tiff, IFD + strip offsets) concatenated with a 36-byte
+    payload of md5-hex ASCII bytes via native binary concat.  The
+    feature kernel runs the stdlib TIFF decoder
+    (operators/multimodal.py:_decode_tiff); the oracle replays the
+    payload as ascii() codes — mean_intensity matches bit-for-bit only
+    if the IFD walk, strip offsets, and sample layout were parsed
+    correctly."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import encode_tiff, image_features
+
+    header = encode_tiff(np.zeros((3, 4, 3), dtype=np.uint8))[:-36]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hx = F.concat(F.md5(F.encode("text", "UTF-8")),
+                  F.md5(F.encode(F.concat(F.col("text"), F.lit("x")), "UTF-8")))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://tiff/"), F.col("doc_id")).alias("uri"),
+        F.concat(
+            F.lit(bytearray(header)),
+            F.encode(F.substring(hx, 1, 36), "UTF-8"),
+        ).alias("content"),
+        F.struct(
+            F.lit(4).cast("int").alias("width"),
+            F.lit(3).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit("tiff").alias("format"),
+        ).alias("meta"),
+    )
+    return image_features(media, strict=True).select(
+        "media_id", "mean_intensity", "aspect_ratio"
+    )

@@ -224,8 +224,8 @@ def test_strict_unknown_format_still_raises():
     from aroa_etl_spark.operators.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        # jpeg gained a vendored codec in round 4; tiff stays codec-less
-        decode_image(b"II*\x00", {"format": "tiff"}, strict=True)
+        # jpeg and tiff gained real codecs in round 4; webp stays codec-less
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP", {"format": "webp"}, strict=True)
     with pytest.raises(NotImplementedError):
         decode_audio(b"fLaC", {"format": "flac"}, strict=True)
 
@@ -344,3 +344,41 @@ def test_jpeg_strict_dispatch_and_progressive_rejected():
     # truncated stream: strict raises, non-strict degrades
     with _pytest.raises(Exception):
         decode_image(data[:20], {"format": "jpg"}, strict=True)
+
+
+def test_tiff_roundtrip_and_variants():
+    """Vendored uncompressed-TIFF codec: exact round-trip for gray and
+    RGB, strict dispatch, compressed variants raise without PIL."""
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import (
+        _decode_tiff,
+        decode_image,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in ((7, 9), (5, 11, 3)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = _decode_tiff(encode_tiff(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert out.shape == want.shape and (out == want).all()
+
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert (decode_image(encode_tiff(img), {"format": "tif"}, strict=True) == img).all()
+
+    # LZW-compressed variant: stdlib codec refuses; without PIL strict raises
+    data = bytearray(encode_tiff(img))
+    n = struct.unpack("<H", data[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", data[e:e + 2])[0] == 259:
+            data[e + 8:e + 10] = struct.pack("<H", 5)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="TIFF"):
+            decode_image(bytes(data), {"format": "tiff"}, strict=True)
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _decode_tiff(b"II*")
