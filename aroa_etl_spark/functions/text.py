@@ -539,3 +539,49 @@ def unigram_logprob_scores(
             6,
         ).alias("logprob_mean"),
     )
+
+
+def pack_sequences(
+    df,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    n_shards: int = 32,
+):
+    """GPT-style sequence packing assignment: documents are concatenated
+    in deterministic (shard, id) order and the token stream is chunked
+    every ``budget`` tokens; each document is assigned the pack (bin)
+    where it STARTS plus its offset inside that pack.  Documents may
+    straddle pack boundaries — the standard concat-then-chunk recipe
+    used to build fixed-context training batches (padding-free).
+
+    A single global ordering would funnel the corpus through one window
+    partition, so packing runs independently inside ``n_shards``
+    deterministic md5-hash shards (the engine's cross-engine hash
+    family, so a DuckDB oracle replays the assignment bit-for-bit):
+    bin key = (shard, bin).  Each shard's window is a partition-local
+    running sum — one shuffle on the shard key, no global sort.  Size
+    n_shards so a shard's rows fit one task at the target scale.
+
+    Returns df + (shard, bin, bin_offset) with ``bin`` numbered within
+    the shard.  Reference analogue: none (training-batch layout is an
+    engine extension, SURVEY §2 'beyond the reference').
+    """
+    from pyspark.sql.window import Window as _W
+
+    if budget < 1 or n_shards < 1:
+        raise ValueError("budget and n_shards must be >= 1")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    )
+    out = df.withColumn("shard", shard)
+    w = _W.partitionBy("shard").orderBy(F.col(id_col))
+    cum_excl = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return out.select(
+        "*",
+        F.floor(cum_excl / F.lit(budget)).cast("bigint").alias("bin"),
+        F.pmod(cum_excl, F.lit(budget)).cast("bigint").alias("bin_offset"),
+    )

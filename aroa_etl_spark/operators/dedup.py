@@ -142,6 +142,93 @@ def _jaccard_filter(
     )
 
 
+def _lsh_shingles_and_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle → signature → banded-bucket-key pipeline: returns
+    (sh, keys) where ``sh`` is the persisted (id, __sh) distinct-shingle
+    frame (feeds Jaccard verification) and ``keys`` the persisted
+    (id, __bucket) band-key frame (feeds candidate joins).  See the
+    barrier notes in :func:`minhash_lsh_dedup`."""
+    rows = num_perm // bands
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col), F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh")
+        )
+        .transform(_barrier)
+        .filter(F.size("__sh") > 0)
+    )
+    sig = sh.select(
+        F.col(id_col), "__sh", shingle_hashes("__sh").alias("__hh")
+    ).select(
+        F.col(id_col), "__sh", minhash_from_hashes("__hh", num_perm).alias("__sig")
+    )
+    keys = sig.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__bucket"),
+    )
+    return sh, _barrier(keys)
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: near-dup pairs INVOLVING AT LEAST
+    ONE NEW DOCUMENT, against an already-ingested corpus — the realistic
+    100 TB workflow (a new crawl batch dedups against the indexed corpus
+    without re-pairing the corpus against itself).
+
+    Candidates = (new x index bucket equi-join) ∪ (new x new
+    self-join); every pair is emitted in canonical (least, greatest) id
+    order and verified with exact Jaccard.  Because minhash signatures
+    and band keys are PER-DOCUMENT, the result equals
+    :func:`minhash_lsh_dedup` over ``index ∪ new`` restricted to pairs
+    touching a new doc — which is what the catalog oracle replays.
+
+    At scale the index side's (id, bucket) keys are a persisted table
+    maintained across batches (write keys once per ingested batch; this
+    function recomputes them from text for self-containment); the
+    index x index quadrant — the overwhelming bulk at 100 TB — is never
+    joined at all.  Ids must be disjoint between the two frames.
+    """
+    sh_new, keys_new = _lsh_shingles_and_keys(
+        new_docs, id_col, text_col, num_perm, bands, shingle_n
+    )
+    sh_idx, keys_idx = _lsh_shingles_and_keys(
+        index_docs, id_col, text_col, num_perm, bands, shingle_n
+    )
+
+    a_new = keys_new.select(F.col(id_col).alias("__ia"), "__bucket")
+    b_idx = keys_idx.select(F.col(id_col).alias("__ib"), "__bucket")
+    b_new = keys_new.select(F.col(id_col).alias("__ib"), "__bucket")
+    cross = a_new.join(b_idx, "__bucket")
+    self_new = a_new.join(b_new, "__bucket").filter(F.col("__ia") < F.col("__ib"))
+    pairs = (
+        cross.unionByName(self_new)
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_union = sh_new.unionByName(sh_idx)
+    return _jaccard_filter(pairs, sh_union, id_col, threshold)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -176,7 +263,6 @@ def minhash_lsh_dedup(
       straggler task.  Use when the hot buckets carry wanted
       duplicates (e.g. template-heavy corpora) rather than noise.
     """
-    rows = num_perm // bands
     # Materialize tokens, then distinct shingles, as separate projections
     # (see shingles_from) and persist via _barrier: the shingle frame
     # feeds signature computation AND both sides of the Jaccard
@@ -189,22 +275,9 @@ def minhash_lsh_dedup(
     # whole shingle pipeline into an interpreted per-row predicate
     # (measured 7× cost). The persisted frame is an optimizer barrier;
     # the filter then reads the stored arrays.
-    sh = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
-        .select(F.col(id_col), F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh"))
-        .transform(_barrier)
-        .filter(F.size("__sh") > 0)
+    sh, keys = _lsh_shingles_and_keys(
+        df, id_col, text_col, num_perm, bands, shingle_n
     )
-    sig = sh.select(
-        F.col(id_col), "__sh", shingle_hashes("__sh").alias("__hh")
-    ).select(
-        F.col(id_col), "__sh", minhash_from_hashes("__hh", num_perm).alias("__sig")
-    )
-    keys = sig.select(
-        F.col(id_col),
-        F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("__bucket"),
-    )
-    keys = _barrier(keys)
 
     if hot_bucket_mode not in ("drop", "salt"):
         raise ValueError("hot_bucket_mode must be 'drop' or 'salt'")

@@ -1056,3 +1056,66 @@ def tdp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.1},
         strata_col="lang", salt="s1",
     )
+
+
+@query(
+    "tdp_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,15))::UBIGINT::BIGINT % 32
+                   AS shard
+          FROM t),
+    c AS (SELECT doc_id, n_tokens, shard,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens AS cum_excl
+          FROM s)
+    SELECT doc_id, n_tokens, shard,
+           CAST(cum_excl // 512 AS BIGINT) AS bin,
+           CAST(cum_excl % 512 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def tdp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing (functions/text.pack_sequences):
+    the GPT concat-then-chunk recipe — documents concatenated in
+    deterministic (md5-shard, doc_id) order, the token stream chunked
+    every 512 tokens, each doc assigned the pack it starts in and its
+    offset.  Shard-local running sums (one shuffle, no global sort);
+    the md5 shard assignment makes the whole layout bit-reproducible in
+    the DuckDB oracle."""
+    from aroa_etl_spark.functions.text import pack_sequences, token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_shards=32)
+
+
+@query(
+    "dedup_lsh_incremental",
+    oracle=_MINHASH_ORACLE.format(docs=_DOCS_PLANTED)
+    + "      AND (id_a >= 1000000 OR id_b >= 1000000)\n",
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH (operators/dedup.minhash_lsh_incremental):
+    the planted near-dup copies arrive as a NEW batch and dedup against
+    the already-ingested base corpus — candidates are (new x index) ∪
+    (new x new) bucket joins only; the index x index quadrant (the
+    overwhelming bulk at 100 TB) is never joined.  Because signatures
+    and band keys are per-document, the result equals the full-corpus
+    LSH restricted to pairs touching a new doc — exactly what the
+    oracle replays (the shared minhash SQL plus that filter)."""
+    from aroa_etl_spark.operators.dedup import minhash_lsh_incremental
+
+    base = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    new = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+    return minhash_lsh_incremental(
+        new, base, num_perm=8, bands=4, shingle_n=3, threshold=0.7
+    )

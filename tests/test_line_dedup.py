@@ -92,3 +92,56 @@ def test_line_dedup_idempotent(spark):
     a = sorted((r.doc_id, r.text) for r in once.collect())
     b = sorted((r.doc_id, r.text) for r in twice.collect())
     assert a == b  # survivors occur < min_repeat times -> fixpoint
+
+
+def test_minhash_incremental_equals_restricted_full(spark):
+    """Incremental LSH == full-corpus LSH restricted to pairs touching a
+    new doc (signatures are per-document, so the equality is exact)."""
+    import pandas as pd
+
+    from aroa_etl_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_incremental,
+        release_caches,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}"))
+    # new batch: near-copies of docs 0..9 plus two brand-new docs
+    new_rows = [(100 + i, f"beta gamma delta epsilon zeta eta theta doc {i}")
+                for i in range(10)]
+    new_rows += [(300, "totally fresh content nothing shared here at all x y"),
+                 (301, "totally fresh content nothing shared here at all x z")]
+    idx = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+
+    kw = dict(num_perm=8, bands=4, shingle_n=3, threshold=0.5)
+    inc = {(r.id_a, r.id_b, r.n_intersect, r.n_union)
+           for r in minhash_lsh_incremental(new, idx, **kw).collect()}
+    full = {(r.id_a, r.id_b, r.n_intersect, r.n_union)
+            for r in minhash_lsh_dedup(idx.unionByName(new), **kw,
+                                       max_bucket_size=None).collect()}
+    release_caches()
+    new_ids = {r[0] for r in new_rows}
+    want = {t for t in full if t[0] in new_ids or t[1] in new_ids}
+    assert inc == want
+    assert any(t[0] in new_ids and t[1] in new_ids for t in inc)  # new x new found
+    assert inc  # non-empty
+
+
+def test_pack_sequences_assignment(spark):
+    from aroa_etl_spark.functions.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(12)], "doc_id bigint, n_tokens bigint"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=250, n_shards=1).collect()
+    got = {r.doc_id: (r.bin, r.bin_offset) for r in out}
+    # one shard, uniform 100-token docs, 250 budget: doc k starts at 100k
+    for k in range(12):
+        assert got[k] == (100 * k // 250, 100 * k % 250)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=0)
