@@ -665,3 +665,47 @@ def line_dedup(
         F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word n-gram with an evaluation corpus (the GPT-3
+    recipe — Brown et al. 2020 Appendix C removed train docs with a
+    13-gram collision against the eval sets; n is the caller's
+    contract, 13 for real corpora, smaller for short-doc tests).
+
+    Plan shape: both sides explode to distinct n-gram md5 hashes; the
+    benchmark's hash set — eval suites are MBs against a multi-TB
+    train corpus — is broadcast, so the containment check is a
+    broadcast LEFT SEMI join on the train side with NO shuffle of the
+    training corpus; flagged ids then broadcast back onto the full
+    rows.  Returns ``train`` + ``is_contaminated`` boolean.
+    """
+    def grams(df: DataFrame, cols: list):
+        return df.select(
+            *cols,
+            F.explode(
+                F.array_distinct(shingles_from(tokens(text_col), n))
+            ).alias("__g"),
+        ).select(*cols, F.md5("__g").alias("__gh")).drop("__g")
+
+    bm = F.broadcast(grams(benchmark, []).select("__gh").distinct())
+    hit_ids = (
+        grams(train, [F.col(id_col)])
+        .join(bm, "__gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train.join(F.broadcast(hit_ids), id_col, "left")
+        .withColumn("is_contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )

@@ -1119,3 +1119,46 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_incremental(
         new, base, num_perm=8, bands=4, shingle_n=3, threshold=0.7
     )
+
+
+_SHINGLE8 = (
+    "list_transform(range(1, len(toks)-6), i -> "
+    + "||' '||".join(f"toks[i+{j}]" for j in range(8))
+    + ")"
+)
+
+
+@query(
+    "tdp_decontaminate",
+    oracle=f"""
+    WITH tr AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    bm AS (SELECT array_to_string(toks[3:12], ' ') AS text
+           FROM tr WHERE doc_id % 7 = 0),
+    bmg AS (SELECT DISTINCT md5(unnest({_SHINGLE8})) AS gh
+            FROM (SELECT {_TOK} AS toks FROM bm)),
+    trg AS (SELECT doc_id, md5(unnest({_SHINGLE8})) AS gh FROM tr),
+    hits AS (SELECT DISTINCT doc_id FROM trg SEMI JOIN bmg USING (gh))
+    SELECT d.doc_id,
+           EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+             AS is_contaminated
+    FROM documents d
+    """,
+)
+def tdp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate — the
+    GPT-3 Appendix-C recipe at n=8 for this short-doc corpus): the
+    'eval set' is a 10-token middle slice of every 7th document, so
+    those documents are planted contamination; any other doc sharing
+    one of the slice's 8-grams is flagged too, and the oracle replays
+    the same n-gram/md5 arithmetic.  Plan: benchmark n-gram hashes are
+    a broadcast set; the training corpus is never shuffled — broadcast
+    semi-join for hits, broadcast flag join back onto the rows."""
+    from aroa_etl_spark.operators.dedup import decontaminate
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.array_join(F.slice(X.tokens("text"), 3, 10), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=8).select("doc_id", "is_contaminated")

@@ -145,3 +145,26 @@ def test_pack_sequences_assignment(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_decontaminate_flags_ngram_collisions(spark):
+    import pandas as pd
+
+    from aroa_etl_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(pd.DataFrame(
+        [(0, "one two three four five six seven eight nine ten"),
+         (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "totally unrelated words with no overlap at all here now")],
+        columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(pd.DataFrame(
+        [("three four five six seven eight nine ten extra tail",),
+         ("beta gamma delta epsilon zeta eta theta iota wholly new",)],
+        columns=["text"]))
+    got = {r.doc_id: r.is_contaminated
+           for r in decontaminate(train, bench, n=8).collect()}
+    assert got == {0: True, 1: True, 2: False}
+    # n larger than any shared span: nothing flagged
+    got13 = {r.doc_id: r.is_contaminated
+             for r in decontaminate(train, bench, n=13).collect()}
+    assert got13 == {0: False, 1: False, 2: False}
