@@ -585,3 +585,23 @@ def pack_sequences(
         F.floor(cum_excl / F.lit(budget)).cast("bigint").alias("bin"),
         F.pmod(cum_excl, F.lit(budget)).cast("bigint").alias("bin_offset"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# contractions, space-prefixed letter runs, digit runs, punctuation
+# runs.  No lookahead (RE2 has none) and ASCII classes (the two
+# engines' unicode-class syntaxes differ); callers with non-ASCII
+# corpora pass their own pattern.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column | str, pattern: str = BPE_TOKEN_RE) -> Column:
+    """Subword-ish token count via the GPT-2 pre-tokenizer regex — the
+    'how many BPE tokens will this roughly cost' estimator (real BPE
+    merges only split these pieces further, so this lower-bounds and
+    tracks the true count).  Pure column expression; pairs with the
+    whitespace :func:`token_count` as the two standard corpus-budget
+    counters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))

@@ -1162,3 +1162,31 @@ def tdp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(X.tokens("text"), 3, 10), " ").alias("text")
     )
     return decontaminate(docs, bench, n=8).select("doc_id", "is_contaminated")
+
+
+_BPE_RE_SQL = X.BPE_TOKEN_RE.replace("'", "''")
+
+
+@query(
+    "text_token_budget",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INTEGER)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting: the two standard counters side by side —
+    whitespace tokens (functions/text.token_count) and the GPT-2
+    pre-tokenizer-regex subword estimate (bpe_token_count; real BPE
+    merges only split these pieces further).  Pure column expressions;
+    the regex is restricted to constructs with identical Java-regex /
+    RE2 semantics, so the oracle replays it verbatim."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("ws_tokens"),
+        X.bpe_token_count("text").alias("bpe_tokens"),
+    )

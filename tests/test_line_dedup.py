@@ -168,3 +168,23 @@ def test_decontaminate_flags_ngram_collisions(spark):
     got13 = {r.doc_id: r.is_contaminated
              for r in decontaminate(train, bench, n=13).collect()}
     assert got13 == {0: False, 1: False, 2: False}
+
+
+def test_bpe_token_count_cross_engine(spark):
+    """The BPE-ish regex must count identically in Spark (Java regex)
+    and DuckDB (RE2) — the invariant the text_token_budget oracle
+    rests on."""
+    import duckdb
+    import pandas as pd
+
+    from aroa_etl_spark.functions.text import BPE_TOKEN_RE, bpe_token_count
+
+    texts = ["Don't count me out, 2nd time's the charm!",
+             "hello   world 123abc", "", "a-b_c d4e", "it'll we've I'm"]
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    sp = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    con = duckdb.connect()
+    du = [con.execute("SELECT len(regexp_extract_all(?, ?))",
+                      [t, BPE_TOKEN_RE]).fetchone()[0] for t in texts]
+    assert sp == du
+    assert sp[0] == 13  # pinned: contractions + punct clusters split out
