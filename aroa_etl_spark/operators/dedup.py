@@ -321,6 +321,8 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     winnow_window: int = 4,
     max_bucket_size: int | None = 1000,
+    hot_bucket_mode: str = "drop",
+    hot_salt: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join within blocks.
 
@@ -334,10 +336,15 @@ def ngram_jaccard_pairs(
     sharing a run of ``winnow_window``+n-1 tokens share a fingerprint,
     so near-dups are caught regardless of where the overlap sits —
     strictly better recall than the previous opening-n-gram key at the
-    same join shape. ``max_bucket_size`` drops boilerplate-fingerprint
-    hot buckets (the same skew guard as MinHash LSH). Returns
-    (id_a, id_b, n_intersect, n_union) for Jaccard ≥ threshold.
+    same join shape. ``max_bucket_size`` bounds boilerplate-fingerprint
+    hot buckets with the same two policies as MinHash LSH:
+    ``hot_bucket_mode='drop'`` (default) discards them,
+    ``'salt'`` PROCESSES them through the two-sided salted self-join
+    (pair-set identical to no cap, hot work spread ``hot_salt`` ways).
+    Returns (id_a, id_b, n_intersect, n_union) for Jaccard ≥ threshold.
     """
+    if hot_bucket_mode not in ("drop", "salt"):
+        raise ValueError("hot_bucket_mode must be 'drop' or 'salt'")
     sh = (
         df.select(
             F.col(id_col),
@@ -404,14 +411,26 @@ def ngram_jaccard_pairs(
         k = with_winnowing_fingerprints(
             sh.select(F.col(id_col), "__sq"), "__sq", "__wfp", window=winnow_window
         ).select(F.col(id_col), F.explode("__wfp").alias("__k"))
-        if max_bucket_size is not None:
-            sizes = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__bs"))
+    hot = None
+    if block_col is None and max_bucket_size is not None:
+        k = _barrier(k)  # sizing + splits + both join sides read it
+        sizes = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__bs"))
+        if hot_bucket_mode == "drop":
             k = k.join(
                 sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"), "__k"
             )
+        else:
+            hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__k")
+    left = k.select(F.col(id_col).alias("id_a"), "__k")
+    right = k.select(F.col(id_col).alias("id_b"), "__k")
+    if hot is not None:
+        from aroa_etl_spark.operators.skew import salted_hot_join
+
+        joined = salted_hot_join(left, right, "__k", hot, salt=hot_salt)
+    else:
+        joined = left.join(right, "__k")
     pairs = (
-        k.select(F.col(id_col).alias("id_a"), "__k")
-        .join(k.select(F.col(id_col).alias("id_b"), "__k"), "__k")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

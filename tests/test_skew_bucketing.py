@@ -181,3 +181,23 @@ def test_person_matching_hot_block_salted(spark):
     salted = person_matching(src, trg, **kw, hot_block_threshold=10, hot_salt=8)
     assert "__salt" in salted._jdf.queryExecution().toString()
     assert _pairs(plain) == _pairs(salted)
+
+
+def test_ngram_jaccard_salt_mode_matches_unbounded(spark):
+    """ngram_jaccard_pairs (winnowing path) gains the same hot-bucket
+    salt policy as minhash: salt == unbounded pair-set, drop loses the
+    boilerplate pairs."""
+    from aroa_etl_spark.operators.dedup import ngram_jaccard_pairs, release_caches
+
+    docs = _skewed_docs(spark)
+    kw = dict(n=3, threshold=0.5, winnow_window=4)
+    unbounded = _pairs(ngram_jaccard_pairs(docs, **kw, max_bucket_size=None))
+    salted = _pairs(ngram_jaccard_pairs(
+        docs, **kw, max_bucket_size=50, hot_bucket_mode="salt", hot_salt=8))
+    dropped = _pairs(ngram_jaccard_pairs(docs, **kw, max_bucket_size=50))
+    release_caches()
+    assert salted == unbounded
+    assert len(dropped) < len(unbounded)
+
+    with pytest.raises(ValueError, match="hot_bucket_mode"):
+        ngram_jaccard_pairs(docs, hot_bucket_mode="explode")
