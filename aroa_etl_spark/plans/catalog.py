@@ -1078,6 +1078,48 @@ def er_person_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "er_matching_salted",
+    oracle=f"""
+    WITH {_PERSONS_SQL},
+    s AS (SELECT person_id AS srcID, g, l FROM p WHERE person_id % 2 = 1),
+    t AS (SELECT person_id AS trgID, g, l FROM p WHERE person_id % 14 = 0),
+    m AS (SELECT s.srcID, MIN(t.trgID) AS trgID
+          FROM s JOIN t ON s.g = t.g AND s.l = t.l
+          GROUP BY s.srcID)
+    SELECT s.srcID,
+           CASE WHEN m.trgID IS NULL THEN -1.0 ELSE 100.0 END AS score,
+           COALESCE(m.trgID, -1) AS trgID
+    FROM s LEFT JOIN m ON s.srcID = m.srcID
+    """,
+)
+def er_matching_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er_person_matching with the hot-surname-block salted path ENGAGED
+    (hot_block_threshold=20: the planted name vocabulary concentrates
+    rows in few blocks, so most blocks route through
+    skew.salted_hot_join) — and the oracle is er_person_matching's
+    VERBATIM, proving the salted candidate join is match-table-identical
+    while spreading each hot block over hot_salt shuffle partitions
+    (reference pain point person_clustering.py:160-166)."""
+    from aroa_etl_spark.operators.dedup import release_caches
+    from aroa_etl_spark.operators.matching import person_matching
+
+    persons = _planted_persons(spark, sf_dir)
+    src = persons.filter(F.col("person_id") % 2 == 1).withColumnRenamed(
+        "person_id", "srcID"
+    )
+    trg = persons.filter(F.col("person_id") % 14 == 0).withColumnRenamed(
+        "person_id", "trgID"
+    )
+    out = person_matching(
+        src, trg, src_id="srcID", target_id="trgID",
+        src_date_col=None, src_prisoner_number=None, src_birthplace=None,
+        top_n_matches=1, min_match_score=80.0, name_only=True,
+        hot_block_threshold=20, hot_salt=8,
+    )
+    return out.withColumn("trgID", F.coalesce("trgID", F.lit(-1)))
+
+
+@query(
     "d_date_parts_agg",
     oracle="""
     SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
