@@ -590,10 +590,15 @@ def pack_sequences(
 # GPT-2-style pre-tokenizer pattern, restricted to constructs with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
 # contractions, space-prefixed letter runs, digit runs, punctuation
-# runs.  No lookahead (RE2 has none) and ASCII classes (the two
-# engines' unicode-class syntaxes differ); callers with non-ASCII
-# corpora pass their own pattern.
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# runs.  No lookahead (RE2 has none), ASCII classes (the two engines'
+# unicode-class syntaxes differ), and an EXPLICIT whitespace class —
+# Java's \s includes \x0B, RE2's does not, so \s itself diverges on
+# vertical tabs.  Callers with non-ASCII corpora pass their own
+# pattern.
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^ \t\n\x0b\f\rA-Za-z0-9]+"
+)
 
 
 def bpe_token_count(col: Column | str, pattern: str = BPE_TOKEN_RE) -> Column:

@@ -708,12 +708,17 @@ def decontaminate(
     rows.  Returns ``train`` + ``is_contaminated`` boolean.
     """
     def grams(df: DataFrame, cols: list):
-        return df.select(
-            *cols,
-            F.explode(
-                F.array_distinct(shingles_from(tokens(text_col), n))
-            ).alias("__g"),
-        ).select(*cols, F.md5("__g").alias("__gh")).drop("__g")
+        # materialize tokens in their own projection BEFORE shingling —
+        # shingles_from over an inline tokenizer re-evaluates the full
+        # split per shingle (see functions/text.py shingles_from notes)
+        return (
+            df.select(*cols, tokens(text_col).alias("__t"))
+            .select(
+                *cols,
+                F.explode(F.array_distinct(shingles_from("__t", n))).alias("__g"),
+            )
+            .select(*cols, F.md5("__g").alias("__gh"))
+        )
 
     bm = F.broadcast(grams(benchmark, []).select("__gh").distinct())
     hit_ids = (

@@ -271,6 +271,15 @@ def _decode_tiff(content: bytes) -> np.ndarray:
         raise NotImplementedError("stdlib TIFF path: 8 bits/sample only")
     if photometric not in (0, 1, 2) or spp not in (1, 3):
         raise NotImplementedError("stdlib TIFF path: gray or RGB only")
+    if 273 not in tags or 324 in tags:
+        raise NotImplementedError("stdlib TIFF path: stripped only (tiled TIFF)")
+    if tags.get(284, [1])[0] != 1:
+        # planar (plane-ordered) RGB would reshape to scrambled pixels
+        raise NotImplementedError("stdlib TIFF path: chunky (interleaved) only")
+    next_ifd_at = ifd_off + 2 + 12 * n_entries
+    (next_ifd,) = struct.unpack(bo + "I", content[next_ifd_at:next_ifd_at + 4])
+    if next_ifd != 0:
+        raise NotImplementedError("stdlib TIFF path: single-page only (multi-IFD)")
     offsets = tags[273]
     counts = tags.get(279, [width * height * spp])
     data = b"".join(content[o:o + c] for o, c in zip(offsets, counts))
