@@ -580,10 +580,17 @@ def pack_sequences(
     out = df.withColumn("shard", shard)
     w = _W.partitionBy("shard").orderBy(F.col(id_col))
     cum_excl = F.sum(F.col(token_col)).over(w) - F.col(token_col)
-    return out.select(
-        "*",
-        F.floor(cum_excl / F.lit(budget)).cast("bigint").alias("bin"),
-        F.pmod(cum_excl, F.lit(budget)).cast("bigint").alias("bin_offset"),
+    # `div` is exact BIGINT division (matches the oracle's `//`); a
+    # float divide-then-floor would round once a shard's cumulative
+    # token count passed 2^53, breaking the bit-for-bit DuckDB replay
+    # (round-4 advisor finding).
+    return (
+        out.select("*", cum_excl.alias("__cum"))
+        .select(
+            *out.columns,
+            F.expr(f"__cum div {int(budget)}").cast("bigint").alias("bin"),
+            F.pmod(F.col("__cum"), F.lit(budget)).cast("bigint").alias("bin_offset"),
+        )
     )
 
 

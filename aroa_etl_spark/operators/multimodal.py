@@ -259,6 +259,11 @@ def _decode_tiff(content: bytes) -> np.ndarray:
             (off,) = struct.unpack(bo + "I", content[e + 8:e + 12])
             raw = content[off:off + total]
         tags[tag] = list(struct.unpack(bo + str(count) + type_fmt[typ], raw))
+    if 256 not in tags or 257 not in tags:
+        # required tags absent: malformed input -> ValueError per the
+        # module's error taxonomy (a bare KeyError would bypass the
+        # strict-mode contract — round-4 advisor finding)
+        raise ValueError("malformed TIFF: missing ImageWidth/ImageLength")
     width = tags[256][0]
     height = tags[257][0]
     bits = tags.get(258, [8])

@@ -399,7 +399,15 @@ def _swap_table_sink(
             )
         if has_table:
             seen_batch, seen_run = _read_marker(base)
-            if seen_run == run_id and seen_batch >= batch_id:
+            # A legacy bare-int marker (seen_run None with a real batch
+            # id) predates lineage tracking: treat it as belonging to
+            # the CURRENT lineage, matching its pre-upgrade semantics —
+            # otherwise a replayed batch from the same checkpoint would
+            # re-merge once during the upgrade window and double-count
+            # non-idempotent merges (r4 advisor finding).  The marker is
+            # rewritten in the JSON format on the next applied batch.
+            legacy = seen_run is None and seen_batch >= 0
+            if (seen_run == run_id or legacy) and seen_batch >= batch_id:
                 return  # replayed batch from the SAME checkpoint lineage
         current = spark.read.parquet(base) if has_table else None
         merged = merge_fn(current, batch)

@@ -382,3 +382,15 @@ def test_tiff_roundtrip_and_variants():
 
     with pytest.raises(ValueError, match="not a TIFF"):
         _decode_tiff(b"II*")
+
+    # missing required ImageWidth/ImageLength tags: malformed input must
+    # raise ValueError per the error taxonomy, not a bare KeyError
+    # (r4 advisor finding) — rewrite tag 256/257 ids to a private tag
+    data = bytearray(encode_tiff(img))
+    n = struct.unpack("<H", data[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", data[e:e + 2])[0] in (256, 257):
+            data[e:e + 2] = struct.pack("<H", 65000 + i)
+    with pytest.raises(ValueError, match="ImageWidth"):
+        _decode_tiff(bytes(data))

@@ -361,6 +361,21 @@ def test_embedding_neardup_banded_modes(spark):
 
     with pytest.raises(ValueError, match="dimensionality"):
         embedding_neardup_pairs(df, sign_dims=20, n_bands=4)  # 80 > 64
+    # r5 advisor fix: the dimensionality probe runs for n_bands == 1 too
+    # (oversized single-band keys read NULL dims -> constant '0' bits ->
+    # degraded selectivity); explicit oversize raises, auto clamps
+    with pytest.raises(ValueError, match="dimensionality"):
+        embedding_neardup_pairs(df, sign_dims=80, n_bands=1)
+    short_rows = [(i, base[i, :6].tolist()) for i in range(50)]
+    short_rows += [(100 + i, (base[i, :6] + 0.0001).tolist()) for i in range(5)]
+    short = spark.createDataFrame(
+        pd.DataFrame(short_rows, columns=["vec_id", "embedding"])
+    )
+    # auto width would pick >= 8 from the corpus size; it must clamp to
+    # the 6-dim vectors instead of silently reading past them
+    clamped = {(r.id_a, r.id_b) for r in
+               embedding_neardup_pairs(short, threshold=0.999).collect()}
+    assert planted <= clamped
 
 
 def test_jpeg_fill_bytes_before_marker():

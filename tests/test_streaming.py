@@ -382,6 +382,52 @@ def test_swap_sink_replay_and_recovery(spark, tmp_path):
     assert not os.path.isdir(agg + "__old")
 
 
+def test_swap_sink_legacy_marker_upgrade(spark, tmp_path):
+    """A pre-lineage bare-int marker must be treated as CURRENT-lineage
+    during the upgrade window: a replayed batch from the same checkpoint
+    skips (its pre-upgrade semantics) instead of re-merging and
+    double-counting (r4 advisor finding); the next applied batch
+    rewrites the marker in the JSON format."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.streaming.pipeline import _swap_table_sink
+
+    src = os.path.join(str(tmp_path), "facts")
+    agg = os.path.join(str(tmp_path), "agg")
+    ck = os.path.join(str(tmp_path), "ck")
+    spark.range(0, 50).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.lit(1).alias("v")
+    ).coalesce(1).write.parquet(src)
+
+    def merge(current, batch):
+        d = batch.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if current is None:
+            return d
+        return (
+            current.unionByName(d).groupBy("k").agg(F.sum("n").cast("bigint").alias("n"))
+        )
+
+    def run():
+        stream = spark.readStream.schema("k string, v int").parquet(src)
+        _swap_table_sink(stream, agg, merge, ck)
+
+    run()
+    first = sorted(map(tuple, spark.read.parquet(agg).collect()))
+    # downgrade the marker to the legacy bare-int format, then replay
+    # batch 0 from the SAME checkpoint (wipe the commit log)
+    mpath = os.path.join(agg, "_last_batch_id")
+    batch_id = json.load(open(mpath))["batch_id"]
+    with open(mpath, "w") as f:
+        f.write(str(batch_id))
+    shutil.rmtree(os.path.join(ck, "commits"))
+    run()
+    assert sorted(map(tuple, spark.read.parquet(agg).collect())) == first
+
+
 def test_swap_sink_requires_checkpoint(spark, tmp_path):
     import pytest as _pytest
 
