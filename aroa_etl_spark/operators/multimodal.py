@@ -345,12 +345,12 @@ def encode_tiff(pixels: np.ndarray) -> bytes:
 
 
 def _decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG via the vendored pure-NumPy codec
-    (operators/jpegcodec.py — implemented from the public T.81 spec;
-    the sandbox has no libjpeg).  Non-baseline streams (progressive /
-    arithmetic / 12-bit) fall through to PIL when installed; without
-    PIL the NotImplementedError propagates, which is exactly the
-    strict-mode contract."""
+    """Baseline-sequential AND progressive (SOF2) JPEG via the vendored
+    pure-NumPy codec (operators/jpegcodec.py — implemented from the
+    public T.81 spec; the sandbox has no libjpeg).  The remaining exotic
+    modes (arithmetic coding / lossless / hierarchical / 12-bit) fall
+    through to PIL when installed; without PIL the NotImplementedError
+    propagates, which is exactly the strict-mode contract."""
     from aroa_etl_spark.operators.jpegcodec import decode_baseline_jpeg
 
     try:
@@ -360,8 +360,9 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
             return _pil_decode(content)
         except ImportError:
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/12-bit) needs "
-                "PIL; the vendored codec covers baseline sequential only"
+                "exotic JPEG (arithmetic/lossless/hierarchical/12-bit) "
+                "needs PIL; the vendored codec covers baseline sequential "
+                "and progressive"
             ) from None
 
 

@@ -314,7 +314,7 @@ def test_jpeg_flat_gray_is_exact():
         assert out.shape == (8, 16, 1) and (out == v).all(), v
 
 
-def test_jpeg_strict_dispatch_and_progressive_rejected():
+def test_jpeg_strict_dispatch_and_exotic_rejected():
     import numpy as np
     import pytest as _pytest
 
@@ -326,8 +326,10 @@ def test_jpeg_strict_dispatch_and_progressive_rejected():
     px = decode_image(data, {"format": "jpg"}, strict=True)
     assert px.shape == (8, 16, 1)
 
-    # flip SOF0 -> SOF2 (progressive): without PIL, strict must raise
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # flip SOF0 -> SOF9 (arithmetic-coded): without PIL, strict must
+    # raise (progressive SOF2 decodes for real since round 5, so the
+    # exotic-mode guard now tests the arithmetic marker)
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
     try:
         import PIL  # noqa: F401
 
@@ -335,15 +337,74 @@ def test_jpeg_strict_dispatch_and_progressive_rejected():
     except ImportError:
         has_pil = False
     if not has_pil:
-        with _pytest.raises(NotImplementedError, match="baseline"):
-            decode_image(prog, {"format": "jpeg"}, strict=True)
+        with _pytest.raises(NotImplementedError, match="arithmetic"):
+            decode_image(arith, {"format": "jpeg"}, strict=True)
         # non-strict: degrade to the fake decoder, never raise
-        fake = decode_image(prog, {"format": "jpeg", "width": 4, "height": 3}, strict=False)
+        fake = decode_image(arith, {"format": "jpeg", "width": 4, "height": 3}, strict=False)
         assert fake.shape == (3, 4, 3)
 
     # truncated stream: strict raises, non-strict degrades
     with _pytest.raises(Exception):
         decode_image(data[:20], {"format": "jpg"}, strict=True)
+
+
+def test_jpeg_progressive_matches_baseline():
+    """The progressive (SOF2) decode path must reproduce the baseline
+    decode BIT-EXACTLY for the same quantized coefficients: both
+    encoders transmit identical coefficient arrays, so any divergence
+    is a bug in scan sequencing, successive-approximation refinement,
+    or EOB-run accounting (T.81 Annex G)."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ((24, 33), "444"),      # gray, non-multiple-of-8 dims
+        ((40, 56, 3), "444"),   # RGB no subsampling
+        ((41, 55, 3), "420"),   # RGB 4:2:0, odd dims (padded MCU grid)
+        ((8, 8), "444"),        # single block
+    ]
+    for shape, sub in cases:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        prog = decode_baseline_jpeg(
+            encode_progressive_jpeg(img, quality=90, subsampling=sub)
+        )
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, quality=90, subsampling=sub)
+        )
+        assert prog.shape == base.shape
+        assert (prog == base).all(), (shape, sub)
+    # smooth image: long EOB runs across blocks in every AC band scan
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = ((xx + yy) * 255 // (48 + 64)).astype(np.uint8)
+    prog = decode_baseline_jpeg(encode_progressive_jpeg(smooth, quality=75))
+    base = decode_baseline_jpeg(encode_baseline_jpeg(smooth, quality=75))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_flat_is_exact():
+    """Flat v == 128 (mod 5) at quality 85 decodes bit-exact through
+    the six-scan progressive script — the mm_jpeg_progressive_real
+    oracle invariant (DC point transform + refinement reassemble the
+    exact DC coefficient; all AC bands are pure EOB runs)."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    for k in range(0, 40, 7):
+        v = 128 + 5 * (k - 20)
+        out = decode_baseline_jpeg(
+            encode_progressive_jpeg(np.full((16, 32), v, dtype=np.uint8), quality=85)
+        )
+        assert out.shape == (16, 32, 1) and (out == v).all(), v
 
 
 def test_tiff_roundtrip_and_variants():
