@@ -1338,6 +1338,7 @@ from aroa_etl_spark.plans import catalog_fx  # noqa: E402,F401  (registration si
 from aroa_etl_spark.plans import catalog_st  # noqa: E402,F401  (registration side effect)
 from aroa_etl_spark.plans import catalog_mm  # noqa: E402,F401  (registration side effect)
 from aroa_etl_spark.plans import catalog_ext  # noqa: E402,F401  (registration side effect)
+from aroa_etl_spark.plans import catalog_tpch  # noqa: E402,F401  (registration side effect)
 
 # Extra bench headliners: the training-data-pipeline kernels (JVM-native
 # dedup/text/ANN paths; person-matching/clustering are excluded — their

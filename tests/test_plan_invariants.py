@@ -44,6 +44,8 @@ _CARTESIAN_OK = {
     "er_blocking_stats",  # (n_cand 1-row) × (hits 1-row) × (n_truth 1-row) metrics
     "search_bm25_topk",  # corpus-stats 1-row broadcast into scoring
     "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport
+    "q11_important_parts",  # 1-row grand-total broadcast into the threshold gate
+    "q22_idle_customers",  # 1-row (sum, count) broadcast into the balance gate
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {"cc_connected_components"}
