@@ -387,17 +387,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey,
            CAST(value_units AS DOUBLE) / 100.0 AS part_value
     FROM pv
-    WHERE value_units * 1000 > (SELECT SUM(value_units) FROM pv)
+    WHERE value_units * (SELECT COUNT(*) FROM pv)
+            > 2 * (SELECT SUM(value_units) FROM pv)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — the scalar-subquery threshold: parts whose
-    NATION_5-supplied inventory value exceeds 0.1% of the nation's
-    total.  No partsupp in the synthetic schema, so value =
-    Σ price·quantity over lineitem (same two-level aggregate +
-    global-scalar-compare plan).  The threshold compares in EXACT
-    integer units (value·1000 > total) — never via a divided double —
-    and the 1-row total broadcasts to the per-part frame."""
+    NATION_5-supplied inventory value exceeds TWICE the average part
+    value.  (Real Q11 uses fraction 0.0001/SF — deliberately
+    scale-dependent; the 2x-average form keeps the same two-level
+    aggregate + global-scalar-compare plan while selecting a
+    non-degenerate set at every SF.)  No partsupp in the synthetic
+    schema, so value = Σ price·quantity over lineitem.  The threshold
+    compares in EXACT integer units (value·count > 2·total) — never via
+    a divided double — and the 1-row (total, count) aggregate
+    broadcasts to the per-part frame."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     s5 = (
         t["supplier"]
@@ -415,10 +419,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(units).alias("__value"))
     )
-    total = pv.agg(F.sum("__value").alias("__total"))
+    total = pv.agg(
+        F.sum("__value").alias("__total"), F.count(F.lit(1)).alias("__nparts")
+    )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("__value") * 1000 > F.col("__total"))
+        .filter(F.col("__value") * F.col("__nparts") > F.col("__total") * 2)
         .select(
             "l_partkey",
             (F.col("__value").cast("double") / F.lit(100.0)).alias("part_value"),
