@@ -210,6 +210,44 @@ def stateful_user_counters(
     )
 
 
+def _rows_from_pdf(pdf: "pd.DataFrame", cols: list[str]) -> list[dict[str, Any]]:
+    """Vote rows (col -> str|None) from an arriving pandas batch."""
+    return [
+        {c: (None if pd.isna(v) else str(v)) for c, v in zip(cols, row)}
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+
+
+def _consensus_pdf(
+    stored: list[dict[str, Any]],
+    key_val: Any,
+    id_col: str,
+    cols: list[str],
+    matchers: dict[str, "ColMatcher"],
+    no_values_is_a_match: bool,
+    out_schema: "T.StructType",
+) -> "pd.DataFrame":
+    """One consensus output row for a group's accumulated votes — the
+    exact batch ColMatcher voting, shared by both stateful kernels
+    (applyInPandasWithState and transformWithStateInPandas) so the two
+    APIs cannot drift semantically."""
+    row: dict[str, Any] = {id_col: key_val, "n_transcriptions": len(stored)}
+    ambiguous = []
+    for c in cols:
+        vals = [r.get(c) for r in stored]
+        n_entries = sum(1 for v in vals if not _is_empty_value(v))
+        matched = matchers[c](vals)
+        if isinstance(matched, list):
+            matched = None
+        row[c] = matched
+        if not _success(matched, n_entries, no_values_is_a_match):
+            ambiguous.append(c)
+    for c in ambiguous:
+        row[c] = "?"
+    row["is_ambiguous"] = bool(ambiguous)
+    return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+
 def streaming_consensus(
     stream: DataFrame,
     id_col: str,
@@ -245,33 +283,96 @@ def streaming_consensus(
         else:
             stored = []
         for pdf in pdfs:
-            stored.extend(
-                {c: (None if pd.isna(v) else str(v)) for c, v in zip(cols, row)}
-                for row in pdf[cols].itertuples(index=False, name=None)
-            )
+            stored.extend(_rows_from_pdf(pdf, cols))
         state.update((json.dumps(stored),))
-
-        row: dict[str, Any] = {id_col: key[0], "n_transcriptions": len(stored)}
-        ambiguous = []
-        for c in cols:
-            vals = [r.get(c) for r in stored]
-            n_entries = sum(1 for v in vals if not _is_empty_value(v))
-            matched = matchers[c](vals)
-            if isinstance(matched, list):
-                matched = None
-            row[c] = matched
-            if not _success(matched, n_entries, no_values_is_a_match):
-                ambiguous.append(c)
-        for c in ambiguous:
-            row[c] = "?"
-        row["is_ambiguous"] = bool(ambiguous)
-        yield pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+        yield _consensus_pdf(
+            stored, key[0], id_col, cols, matchers, no_values_is_a_match, out_schema
+        )
 
     return (
         stream.groupBy(id_col)
         .applyInPandasWithState(
             kernel, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def streaming_consensus_tws(
+    stream: DataFrame,
+    id_col: str,
+    matchers: dict[str, ColMatcher],
+    *,
+    no_values_is_a_match: bool = True,
+    initial_state: DataFrame | None = None,
+) -> DataFrame:
+    """Stateful consensus on the MODERN arbitrary-state API
+    (``transformWithStateInPandas``, Spark 4) with INITIAL-STATE
+    SEEDING: ``initial_state`` is a batch DataFrame of already-ingested
+    votes (same columns as the stream), delivered per key via
+    ``handleInitialState`` on the first batch — the restart/migration
+    workflow where a streaming job takes over from a batch-computed
+    table without replaying history.
+
+    Semantics are identical to :func:`streaming_consensus` by
+    construction (both kernels call the shared ``_consensus_pdf``
+    voting); the state layout is the same JSON rows blob, held in a
+    ``ValueState``.  Requires the RocksDB state store provider (a
+    transformWithState constraint — pass ``rocksdb=True`` to the
+    drain or set ``spark.sql.streaming.stateStore.providerClass``)
+    AND the ``protobuf`` package (the transformWithState state-server
+    protocol; not installed in this sandbox, so execution is proven by
+    the env-gated test in tests/test_streaming.py and the
+    applyInPandasWithState twin remains the attested default).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = list(matchers.keys())
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.StringType())]
+        + [T.StructField(c, T.StringType()) for c in cols]
+        + [
+            T.StructField("is_ambiguous", T.BooleanType()),
+            T.StructField("n_transcriptions", T.IntegerType()),
+        ]
+    )
+
+    class _ConsensusProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("rows_json", "rows_json string")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            stored = _rows_from_pdf(initialState, cols)
+            if self._state.exists():
+                stored = json.loads(self._state.get()[0]) + stored
+            self._state.update((json.dumps(stored),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                stored = json.loads(self._state.get()[0])
+            else:
+                stored = []
+            for pdf in rows:
+                stored.extend(_rows_from_pdf(pdf, cols))
+            self._state.update((json.dumps(stored),))
+            yield _consensus_pdf(
+                stored, key[0], id_col, cols, matchers,
+                no_values_is_a_match, out_schema,
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(id_col).transformWithStateInPandas(
+        _ConsensusProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+        initialState=(
+            initial_state.groupBy(id_col) if initial_state is not None else None
+        ),
     )
 
 

@@ -446,3 +446,80 @@ def test_swap_sink_rejects_remote_uri(spark, tmp_path):
     stream = spark.readStream.schema("k string").parquet(str(tmp_path))
     with _pytest.raises(ValueError, match="driver-local"):
         _swap_table_sink(stream, "s3a://bucket/agg", lambda c, b: b, None)
+
+
+def test_streaming_consensus_tws_plan_construction(spark):
+    """transformWithStateInPandas twin (modern Spark 4 stateful API with
+    initial-state seeding): the sandbox lacks protobuf (the
+    transformWithState state-server protocol), so execution is gated in
+    the test below — this one asserts the plan CONSTRUCTION: the
+    operator lands in the logical plan with the initial-state relation
+    wired per key."""
+    from aroa_etl_spark.operators.consensus import default_col_matcher
+    from aroa_etl_spark.streaming.pipeline import streaming_consensus_tws
+
+    early = spark.createDataFrame(
+        [("g0", "alpha"), ("g1", "beta")], "group_id string, val string"
+    )
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr("CAST(value AS STRING) AS group_id", "'x' AS val")
+    )
+    out = streaming_consensus_tws(
+        stream, "group_id", {"val": default_col_matcher()}, initial_state=early
+    )
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan
+    assert "transformWithStateWithInitStateUDF" in plan
+    assert out.schema.fieldNames() == [
+        "group_id", "val", "is_ambiguous", "n_transcriptions"
+    ]
+
+
+def test_streaming_consensus_tws_executes_with_protobuf(spark, tmp_path):
+    """Execution proof for the transformWithState consensus twin —
+    runs wherever protobuf is installed (deployments), skips in this
+    sandbox. Seeded early votes + a late streamed vote must reproduce
+    the batch consensus exactly (same _consensus_pdf voting)."""
+    import os
+
+    pytest.importorskip("google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.consensus import default_col_matcher
+    from aroa_etl_spark.streaming.pipeline import (
+        run_to_memory,
+        streaming_consensus_tws,
+    )
+
+    src = os.path.join(str(tmp_path), "votes")
+    early = spark.createDataFrame(
+        [(f"g{i}", "alpha") for i in range(5)] * 2, "group_id string, val string"
+    )
+    late = spark.createDataFrame(
+        [(f"g{i}", "alpha" if i % 2 == 0 else "beta") for i in range(5)],
+        "group_id string, val string",
+    )
+    late.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("group_id string, val string").parquet(src)
+    out = streaming_consensus_tws(
+        stream, "group_id", {"val": default_col_matcher()}, initial_state=early
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(out, "tws_exec_sink", output_mode="update")
+        rows = {
+            r["group_id"]: (r["val"], r["is_ambiguous"], r["n_transcriptions"])
+            for r in spark.sql("SELECT * FROM tws_exec_sink").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # 2 seeded alphas + 1 streamed vote: majority alpha everywhere
+    assert rows == {f"g{i}": ("alpha", False, 3) for i in range(5)}
