@@ -88,3 +88,58 @@ def registered_domain(host: Column | str) -> Column:
     return F.when(n <= 2, host).otherwise(
         F.when(last2.isin(*SECOND_LEVEL_TLDS), last3).otherwise(last2)
     )
+
+
+# query parameters that never change page content — the standard crawl
+# tracking vocabulary; anchored, so 'utm_source=x' drops but 'myref=x'
+# survives.  Identical RE2/Java-regex semantics (no lookaround).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref|msclkid|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a URL for crawl-level dedup — pure column
+    expressions (no UDF), deterministic, DuckDB-replayable:
+
+    - scheme and host lowercased, one leading ``www.`` stripped
+    - fragment dropped
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+      non-default ports kept
+    - tracking query parameters removed (``TRACKING_PARAM_RE``),
+      remaining parameters kept in original order; empty query dropped
+    - one trailing slash stripped from the path (so ``/a/`` == ``/a``
+      and a bare host ends without ``/``)
+
+    Two URLs that differ only in case/www/fragment/tracking-noise map
+    to the same string — the exact-dedup key for crawl frontiers and
+    the join key for URL-level corpus dedup at 100 TB (hash-groupBy on
+    the canonical form, one shuffle)."""
+    u = _c(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, r"^([^/?#:]+)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(rest, r"^[^/?#:]+:([0-9]+)", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?#]*)", 1), r"/$", "")
+    query = F.regexp_extract(pathq, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda x: (x != "") & (~x.rlike(TRACKING_PARAM_RE)),
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(
+            (port != "") & ~default_port, F.concat(F.lit(":"), port)
+        ).otherwise(F.lit("")),
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )

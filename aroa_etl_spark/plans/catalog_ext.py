@@ -389,6 +389,100 @@ def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "web_url_canonical_dedup",
+    oracle=r"""
+    WITH base AS (SELECT doc_id FROM documents),
+    urls AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Shop'||CAST(doc_id % 7 AS VARCHAR)||'.COM:443/Item/'
+               ||CAST(doc_id % 13 AS VARCHAR)||'/?utm_source=feed&id='
+               ||CAST(doc_id AS VARCHAR)||'&fbclid=xyz#top' AS url
+      FROM base
+      UNION ALL
+      SELECT doc_id,
+             'https://shop'||CAST(doc_id % 7 AS VARCHAR)||'.com/Item/'
+               ||CAST(doc_id % 13 AS VARCHAR)||'?id='||CAST(doc_id AS VARCHAR) AS url
+      FROM base),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM urls),
+    fields AS (
+      SELECT doc_id, scheme,
+             regexp_replace(lower(regexp_extract(rest, '^([^/?#:]+)', 1)),
+                            '^www\.', '') AS host,
+             regexp_extract(rest, '^[^/?#:]+:([0-9]+)', 1) AS port,
+             regexp_replace(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                                           '^([^?#]*)', 1), '/$', '') AS path,
+             regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                            '\?([^#]*)', 1) AS query
+      FROM parts),
+    can AS (
+      SELECT doc_id,
+             scheme||'://'||host
+             || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                           OR (scheme = 'https' AND port = '443'))
+                     THEN ':'||port ELSE '' END
+             || path
+             || CASE WHEN kept <> '' THEN '?'||kept ELSE '' END AS canonical_url
+      FROM (SELECT *,
+              array_to_string(list_filter(string_split(query, '&'),
+                x -> x <> '' AND NOT regexp_matches(x,
+                  '^(utm_[^=]*|gclid|fbclid|ref|msclkid|mc_cid|mc_eid)=')),
+                '&') AS kept
+            FROM fields))
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM can GROUP BY 1
+    """,
+)
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl-level dedup
+    (functions/web.canonicalize_url — pure column expressions): every
+    document plants TWO variants of the same logical URL — a messy one
+    (uppercase scheme/host, www, explicit :443, trailing slash,
+    utm/fbclid tracking params, fragment) and a clean one — and the
+    canonical groupBy must collapse each pair to ONE key with
+    n_variants = 2.  The oracle replays the full canonicalization
+    (scheme/host lowering, www strip, default-port drop, tracking-param
+    filter preserving order, trailing-slash strip, fragment drop) in
+    DuckDB SQL, so every rule is value-checked, not just shape-checked.
+    At 100 TB this is the crawl-frontier dedup key: one hash-groupBy
+    shuffle on the canonical string."""
+    from aroa_etl_spark.functions.web import canonicalize_url
+
+    base = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    messy = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Shop"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/Item/"), (F.col("doc_id") % 13).cast("string"),
+            F.lit("/?utm_source=feed&id="), F.col("doc_id").cast("string"),
+            F.lit("&fbclid=xyz#top"),
+        ).alias("url"),
+    )
+    clean = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://shop"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/Item/"), (F.col("doc_id") % 13).cast("string"),
+            F.lit("?id="), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return (
+        messy.unionAll(clean)
+        .select("doc_id", canonicalize_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
     "inc_scd2_user_state",
     oracle="""
     WITH flagged AS (

@@ -180,3 +180,70 @@ def test_llm_repair_shapes(s):
         assert int(dd) <= 31 and int(mm) <= 12
         assert yy == "0000" or 1855 < int(yy) < 1954
     assert re.match(r"^\d+$", p) and (p == "00000000" or p[:4] == "0000" or 1845 <= int(p[:4]) <= 1945), (s, p)
+
+
+# ---- JPEG codec properties (pure NumPy, no Spark session) ----------------
+
+import numpy as np  # noqa: E402
+
+_rgb_shapes = st.tuples(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+)
+
+
+@given(
+    shape=_rgb_shapes,
+    quality=st.integers(min_value=50, max_value=98),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_decode_equals_baseline_decode(shape, quality, sub, seed):
+    """For ANY image/quality/subsampling, the progressive (SOF2) stream
+    must decode bit-identically to the baseline stream of the same
+    quantized coefficients — the strongest cross-check of the Annex G
+    scan machinery (spectral bands, successive approximation, EOB
+    runs) against the attested sequential path."""
+    from aroa_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    h, w, c = shape
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if c == 1:
+        img = img[:, :, 0]
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(img, quality=quality, subsampling=sub)
+    )
+    base = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quality=quality, subsampling=sub)
+    )
+    assert prog.shape == base.shape
+    assert (prog == base).all()
+
+
+@given(
+    hw=st.tuples(st.integers(min_value=1, max_value=32),
+                 st.integers(min_value=1, max_value=32)),
+    quality=st.integers(min_value=70, max_value=98),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_baseline_roundtrip_error_bounded(hw, quality, seed):
+    """Gray 4:4:4 round-trip error stays within the quantization bound
+    at any size (including single-pixel and non-multiple-of-8 edges)."""
+    from aroa_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    h, w = hw
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=quality))
+    assert out.shape == (h, w, 1)
+    # worst-case DCT quantization error at q>=70 stays far under 64
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() < 64

@@ -199,3 +199,29 @@ def test_funnel_max_gap_numeric_ts(spark):
         for r in funnel_counts(df, "u", "t", "ts", ["a", "b"], max_gap=100).collect()
     }
     assert out == {"a": 2, "b": 1}
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule individually: case, www, default vs
+    non-default ports, fragments, tracking params (anchored — 'myref='
+    survives), trailing slash, param order preserved."""
+    from aroa_etl_spark.functions.web import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/A/?utm_source=x&id=7&fbclid=z#f":
+            "https://ex.com/A?id=7",
+        "https://ex.com/A?id=7": "https://ex.com/A?id=7",
+        "http://Site.org:8080/a/b/?ref=tw&q=1": "http://site.org:8080/a/b?q=1",
+        "http://host.com:80/x?utm_campaign=1": "http://host.com/x",
+        "https://plain.net/": "https://plain.net",
+        "https://plain.net": "https://plain.net",
+        # anchored tracking filter: a param merely CONTAINING 'ref' stays
+        "https://a.io/p?myref=1&b=2&utm_x=3": "https://a.io/p?myref=1&b=2",
+        # order of surviving params is preserved
+        "https://a.io/p?z=1&gclid=9&a=2": "https://a.io/p?z=1&a=2",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert got == cases
