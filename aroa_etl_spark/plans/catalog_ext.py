@@ -1219,6 +1219,111 @@ def sk_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sk_hll_mergeable",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           true AS merged_ok,
+           true AS direct_ok
+    FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sk_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct sketches via Spark's native DataSketches HLL
+    (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate` — JVM
+    aggregates, zero Python): per-priority sketches are built
+    INDEPENDENTLY per order-status shard (the 100 TB pattern: store a
+    binary sketch per partition/day, union at query time instead of
+    rescanning), unioned, and estimated; a direct single-pass sketch
+    runs beside.  Binary HLL images are engine-internal, so the oracle
+    can't replay them (unlike the md5-KMV family) — instead the entry
+    emits the EXACT distinct count (hash-checked) plus booleans
+    asserting both estimates land within ±5% of exact (lgK=12 ⇒ ~1.6%
+    relative standard error; measured ≤1.5% here).  A broken merge or
+    estimator flips a boolean and reds the gate."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(
+        F.col("o_custkey").isNotNull()
+    )
+    per_shard = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("__sk")
+    )
+    merged = per_shard.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__m")
+    )
+    direct = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("__d"),
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct"),
+    )
+
+    def ok(est: Column) -> Column:
+        ex = F.col("exact_distinct").cast("double")
+        return (F.abs(est.cast("double") - ex) <= 0.05 * ex)
+
+    return (
+        merged.join(direct, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            ok(F.col("__m")).alias("merged_ok"),
+            ok(F.col("__d")).alias("direct_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sk_kll_quantile_bounds",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           true AS q25_ok, true AS q50_ok, true AS q75_ok, true AS q95_ok
+    FROM lineitem
+    """,
+)
+def sk_kll_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-quantile sketch via Spark's native DataSketches KLL
+    (`kll_sketch_agg_double` / `get_quantile`, JVM aggregate, default
+    k=200 ⇒ ~1.65% normalized rank error): one bounded-memory pass
+    replaces the full sort exact percentiles need — at 100 TB the
+    sketch is KBs per partition and merges associatively, where
+    `percentile_cont` would shuffle the column.  Sketch binaries are
+    engine-internal (no oracle replay), so the attestation is the
+    RANK-ERROR CONTRACT: for each φ ∈ {.25,.5,.75,.95} the returned
+    quantile's exact rank (computed by a second Spark pass against the
+    1-row broadcast of quantile values) must sit within φ ± 3%; the
+    row count anchors the hash."""
+    qs = (0.25, 0.50, 0.75, 0.95)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_extendedprice"
+    )
+    qv = li.agg(F.kll_sketch_agg_double("l_extendedprice").alias("__sk")).select(
+        *[
+            F.kll_sketch_get_quantile_double(F.col("__sk"), F.lit(q)).alias(f"__v{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    agg = li.join(F.broadcast(qv)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col("l_extendedprice") <= F.col(f"__v{i}")).cast("long")).alias(
+                f"__r{i}"
+            )
+            for i in range(len(qs))
+        ],
+    )
+    n = F.col("__n").cast("double")
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        *[
+            (F.abs(F.col(f"__r{i}").cast("double") / n - F.lit(q)) <= 0.03).alias(
+                f"q{int(q * 100)}_ok"
+            )
+            for i, q in enumerate(qs)
+        ],
+    )
+
+
+@query(
     "a_percentiles_cont",
     oracle="""
     SELECT l_returnflag,

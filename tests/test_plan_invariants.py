@@ -46,6 +46,7 @@ _CARTESIAN_OK = {
     "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport
     "q11_important_parts",  # 1-row grand-total broadcast into the threshold gate
     "q22_idle_customers",  # 1-row (sum, count) broadcast into the balance gate
+    "sk_kll_quantile_bounds",  # 1-row quantile-value broadcast into the rank check
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {"cc_connected_components"}
