@@ -39,6 +39,11 @@ DEFAULT_NAMES = [
     "graph_triangles",
     "search_inverted_index",
     "search_bm25_topk",
+    # round-5 additions: the heaviest new fact-side shapes
+    "q4_late_order_priority",
+    "q21_waiting_suppliers",
+    "dedup_embedding_auto",
+    "web_url_canonical_dedup",
 ]
 
 
