@@ -579,7 +579,13 @@ def pack_sequences(
     )
     out = df.withColumn("shard", shard)
     w = _W.partitionBy("shard").orderBy(F.col(id_col))
-    cum_excl = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    # token counts are integral by contract; the explicit BIGINT cast
+    # (a) keeps `div` analyzable when the column arrives as
+    # DOUBLE/FLOAT from parquet (Spark's `div` rejects non-integral
+    # operands — r5 review finding) and (b) truncates any fractional
+    # count deterministically in BOTH engines before summation.
+    tok = F.col(token_col).cast("bigint")
+    cum_excl = F.sum(tok).over(w) - tok
     # `div` is exact BIGINT division (matches the oracle's `//`); a
     # float divide-then-floor would round once a shard's cumulative
     # token count passed 2^53, breaking the bit-for-bit DuckDB replay

@@ -100,6 +100,9 @@ def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of a URL for crawl-level dedup — pure column
     expressions (no UDF), deterministic, DuckDB-replayable:
 
+    - userinfo (``user[:pass]@``) stripped before the host parse — a
+      URL's identity is its resource, and credentials must never leak
+      into (or collapse) dedup keys
     - scheme and host lowercased, one leading ``www.`` stripped
     - fragment dropped
     - default ports dropped (``:80`` for http, ``:443`` for https);
@@ -116,6 +119,12 @@ def canonicalize_url(url: Column | str) -> Column:
     u = _c(url)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    # strip userinfo: without this, everything before ':'/'@' parses as
+    # the host, so distinct 'alice@site-a.com' / 'alice@site-b.com'
+    # URLs would collapse to one key and passwords would land in the
+    # port slot (r5 review finding).  The class excludes /?# so an '@'
+    # later in the path or query never matches.
+    rest = F.regexp_replace(rest, r"^[^/?#@]*@", "")
     host = F.regexp_replace(
         F.lower(F.regexp_extract(rest, r"^([^/?#:]+)", 1)), r"^www\.", ""
     )

@@ -253,7 +253,11 @@ def minhash_lsh_incremental(
     if hot_buckets is not None:
         from aroa_etl_spark.operators.skew import salted_hot_join
 
-        cross = salted_hot_join(a_new, b_idx, "__bucket", hot_buckets, salt=hot_salt)
+        # side order matters: salted_hot_join replicates b's hot rows
+        # ``salt`` times, so the NEW batch (small in the incremental
+        # workflow) is b and the index (where hot boilerplate buckets
+        # mostly live) only scatters — r5 review finding
+        cross = salted_hot_join(b_idx, a_new, "__bucket", hot_buckets, salt=hot_salt)
         self_new = salted_hot_join(
             a_new, b_new, "__bucket", hot_buckets, salt=hot_salt
         ).filter(F.col("__ia") < F.col("__ib"))
@@ -365,7 +369,13 @@ def minhash_lsh_dedup(
             # measured ~11% on the bench minhash entry when the hot set
             # is empty — take the plain join in that common case (the
             # pair-set is identical by construction either way).
-            if hot_buckets.isEmpty():
+            # SKIPPED when an Observation is attached: the probe's
+            # take(1) would short-circuit the observed aggregation and
+            # permanently capture PARTIAL metrics (an Observation keeps
+            # its first action's values — r5 review finding); metric
+            # correctness outranks the fast path, and the empty-hot
+            # salted join the caller then pays is the cheap case anyway.
+            if observation is None and hot_buckets.isEmpty():
                 hot_buckets = None
 
     left = keys.select(F.col(id_col).alias("id_a"), "__bucket")
@@ -494,13 +504,27 @@ def ngram_jaccard_pairs(
     if block_col is None and max_bucket_size is not None:
         k = _barrier(k)  # sizing + splits + both join sides read it
         sizes = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__bs"))
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
+                    "hot_buckets"
+                ),
+                F.sum(
+                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("hot_bucket_rows"),
+            )
         if hot_bucket_mode == "drop":
             k = k.join(
                 sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"), "__k"
             )
         else:
             hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__k")
-            if hot.isEmpty():  # cached-frame probe; see minhash_lsh_dedup
+            # cached-frame probe; skipped under an Observation for the
+            # same partial-capture reason as minhash_lsh_dedup
+            if observation is None and hot.isEmpty():
                 hot = None
     left = k.select(F.col(id_col).alias("id_a"), "__k")
     right = k.select(F.col(id_col).alias("id_b"), "__k")

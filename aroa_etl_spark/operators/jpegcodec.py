@@ -377,8 +377,13 @@ def _decode_scan(content, pos, frame, scan, qtables, htables, ri):
                 pred = [0] * len(comps)
             nmcu += 1
             for ci, c in enumerate(comps):
-                dc_t = htables[(0, scan[c["id"]][0])]
-                ac_t = htables[(1, scan[c["id"]][1])]
+                dc_t = htables.get((0, scan[c["id"]][0]))
+                ac_t = htables.get((1, scan[c["id"]][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError(
+                        "malformed JPEG: scan references an undeclared "
+                        "Huffman table"
+                    )
                 q = qtables[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -484,11 +489,29 @@ def _decode_progressive_scan(
             raise ValueError("progressive AC scans are single-component")
         ci = idx[order[0]]
         table = htables.get((1, scan[order[0]][1]))
+        if table is None:
+            # module contract: malformed data raises ValueError, never a
+            # bare KeyError/AttributeError (same class as the r4 TIFF
+            # missing-tag finding)
+            raise ValueError(
+                f"malformed JPEG: AC scan references undeclared Huffman "
+                f"table {scan[order[0]][1]}"
+            )
         if ah == 0:
             _scan_ac_first(r, frame, comps[ci], coefs[ci], table, ss, se, al, ri)
         else:
             _scan_ac_refine(r, frame, comps[ci], coefs[ci], table, ss, se, al, ri)
     return _next_marker_pos(content, r.pos)
+
+
+def _require_dc_table(htables, scan, cid):
+    t = htables.get((0, scan[cid][0]))
+    if t is None:
+        raise ValueError(
+            f"malformed JPEG: DC scan references undeclared Huffman "
+            f"table {scan[cid][0]}"
+        )
+    return t
 
 
 def _scan_dc(r, frame, order, scan, htables, coefs, ah, al, ri):
@@ -508,7 +531,7 @@ def _scan_dc(r, frame, order, scan, htables, coefs, ah, al, ri):
                     pred = 0
                 n += 1
                 if ah == 0:
-                    t = htables[(0, scan[c["id"]][0])]
+                    t = _require_dc_table(htables, scan, c["id"])
                     s = _huff_decode(r, t)
                     pred += _extend(r.bits(s), s)
                     coefs[ci][by, bx, 0] = pred << al
@@ -537,7 +560,7 @@ def _scan_dc(r, frame, order, scan, htables, coefs, ah, al, ri):
                         yy = my * c["v"] + by
                         xx = mx * c["h"] + bx
                         if ah == 0:
-                            t = htables[(0, scan[cid][0])]
+                            t = _require_dc_table(htables, scan, cid)
                             s = _huff_decode(r, t)
                             pred[ci] += _extend(r.bits(s), s)
                             coefs[ci][yy, xx, 0] = pred[ci] << al
@@ -669,12 +692,13 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255)
 
 
-def _encode_block(
-    w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
-    dc_codes, ac_codes,
+def _emit_quantized_block(
+    w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes
 ) -> int:
-    coef = _D @ (block - 128.0) @ _D.T
-    zz = np.round(coef.reshape(64)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+    """Baseline-sequential entropy emission of one already-quantized
+    zigzag block (the back half of the forward pipeline; coefficients
+    come from :func:`_forward_coefs` so the sequential and progressive
+    encoders share ONE forward path — r5 review finding)."""
     diff = int(zz[0]) - pred
     s = _category(diff)
     code, ln = dc_codes[s]
@@ -714,48 +738,10 @@ def encode_baseline_jpeg(
     input always encodes as single-component.  ``restart_interval`` in
     MCUs (0 = none) — exists mainly so tests can exercise the
     decoder's restart path."""
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    H, W, C = pixels.shape
-    if C not in (1, 3):
-        raise ValueError("need 1 or 3 channels")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    gray = C == 1
-    qy = _quality_scale(QT_LUMA, quality)
-    qc = _quality_scale(QT_CHROMA, quality)
-
-    px = pixels.astype(np.float64)
-    if gray:
-        comps = [px[:, :, 0]]
-    else:
-        rr, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
-        y = 0.299 * rr + 0.587 * g + 0.114 * b
-        cb = -0.168736 * rr - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * rr - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y, cb, cr]
-
-    sub = 2 if (subsampling == "420" and not gray) else 1
-    if sub == 2 and not gray:
-        # average-pool chroma 2x2 (pad to even first)
-        def pool(p):
-            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
-            return (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
-
-        comps = [comps[0], pool(comps[1]), pool(comps[2])]
-
-    samp = [(sub, sub)] + [(1, 1), (1, 1)] if not gray else [(1, 1)]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = -(-W // (8 * hmax))
-    mcuy = -(-H // (8 * vmax))
-    padded = []
-    for ci, p in enumerate(comps):
-        ph = mcuy * samp[ci][1] * 8
-        pw = mcux * samp[ci][0] * 8
-        padded.append(
-            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
-        )
+    coef_arrays, samp, qy, qc, H, W, mcux, mcuy, gray = _forward_coefs(
+        pixels, quality, subsampling
+    )
+    ncomps = len(coef_arrays)
 
     dc_l = _canonical_codes(*HUFF_DC_LUMA)
     ac_l = _canonical_codes(*HUFF_AC_LUMA)
@@ -763,7 +749,7 @@ def encode_baseline_jpeg(
     ac_c = _canonical_codes(*HUFF_AC_CHROMA)
 
     w = _BitWriter()
-    pred = [0] * len(comps)
+    pred = [0] * ncomps
     nmcu = 0
     restarts: list[int] = []  # byte offsets where RST markers go
     for my in range(mcuy):
@@ -771,19 +757,18 @@ def encode_baseline_jpeg(
             if restart_interval and nmcu and nmcu % restart_interval == 0:
                 w.flush()
                 restarts.append(len(w.out))
-                pred = [0] * len(comps)
+                pred = [0] * ncomps
             nmcu += 1
-            for ci in range(len(comps)):
-                q = qy if ci == 0 else qc
+            for ci in range(ncomps):
                 dc_codes = dc_l if ci == 0 else dc_c
                 ac_codes = ac_l if ci == 0 else ac_c
                 hh, vv = samp[ci]
                 for by in range(vv):
                     for bx in range(hh):
-                        y0 = (my * vv + by) * 8
-                        x0 = (mx * hh + bx) * 8
-                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
-                        pred[ci] = _encode_block(w, block, q, pred[ci], dc_codes, ac_codes)
+                        zz = coef_arrays[ci][my * vv + by, mx * hh + bx]
+                        pred[ci] = _emit_quantized_block(
+                            w, zz, pred[ci], dc_codes, ac_codes
+                        )
     w.flush()
     scan = bytes(w.out)
     # splice restart markers in (recorded at byte-aligned offsets)

@@ -406,7 +406,8 @@ def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts AS (
       SELECT doc_id, url,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+             regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                            '^[^/?#@]*@', '') AS rest
       FROM urls),
     fields AS (
       SELECT doc_id, scheme,

@@ -455,3 +455,47 @@ def test_tiff_roundtrip_and_variants():
             data[e:e + 2] = struct.pack("<H", 65000 + i)
     with pytest.raises(ValueError, match="ImageWidth"):
         _decode_tiff(bytes(data))
+
+
+def test_jpeg_undeclared_huffman_table_is_valueerror():
+    """A scan referencing a Huffman table no DHT declared must raise the
+    module-contract ValueError, not a bare KeyError/AttributeError
+    (r5 review finding — same class as the r4 TIFF missing-tag fix).
+    Exercised by stripping every DHT segment from valid baseline and
+    progressive streams."""
+    import struct
+
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    def strip_dht(data: bytes) -> bytes:
+        out = bytearray(data[:2])
+        pos = 2
+        while pos + 1 < len(data):
+            if data[pos] != 0xFF:
+                out += data[pos:]
+                break
+            marker = data[pos + 1]
+            if marker == 0xD9:
+                out += data[pos:pos + 2]
+                break
+            if marker == 0xDA:
+                out += data[pos:]  # SOS header + entropy to EOI
+                break
+            (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            seg = data[pos:pos + 2 + ln]
+            if marker != 0xC4:
+                out += seg
+            pos += 2 + ln
+        return bytes(out)
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    for enc in (encode_baseline_jpeg, encode_progressive_jpeg):
+        data = strip_dht(enc(img, quality=85))
+        with pytest.raises(ValueError, match="Huffman"):
+            decode_baseline_jpeg(data)

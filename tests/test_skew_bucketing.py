@@ -265,6 +265,20 @@ def test_minhash_hot_bucket_observation_metric(spark):
     assert m["hot_buckets"] >= 4
     assert m["hot_bucket_rows"] >= 4 * 120
 
+    # SALT mode must report the FULL metric too: the empty-hot fast
+    # path's take(1) probe is disabled under an Observation, otherwise
+    # the probe's short-circuited first action would freeze partial
+    # values (r5 review finding — Observation keeps first-action values)
+    obs_salt = Observation("hot_salt")
+    minhash_lsh_dedup(
+        docs, **kw, max_bucket_size=50, hot_bucket_mode="salt", hot_salt=8,
+        observation=obs_salt,
+    ).count()
+    m2 = obs_salt.get
+    release_caches()
+    assert m2["hot_buckets"] >= 4
+    assert m2["hot_bucket_rows"] >= 4 * 120
+
     # no hot buckets -> zeros, not NULLs
     small = _skewed_docs(spark).filter(F.col("doc_id") >= 120)
     obs2 = Observation("cold")
@@ -273,3 +287,15 @@ def test_minhash_hot_bucket_observation_metric(spark):
     ).count()
     release_caches()
     assert obs2.get["hot_buckets"] == 0
+
+    # ngram winnowing path: observation is wired there too (r5 review
+    # found the parameter accepted but never attached)
+    obs3 = Observation("ngram_hot")
+    from aroa_etl_spark.operators.dedup import ngram_jaccard_pairs
+    ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, winnow_window=4, max_bucket_size=50,
+        hot_bucket_mode="drop", observation=obs3,
+    ).count()
+    release_caches()
+    assert obs3.get["hot_buckets"] >= 1
+    assert obs3.get["hot_bucket_rows"] >= 120
