@@ -134,7 +134,11 @@ def canonicalize_url(url: Column | str) -> Column:
     )
     pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
     path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?#]*)", 1), r"/$", "")
-    query = F.regexp_extract(pathq, r"\?([^#]*)", 1)
+    # anchored: the '?' must precede any '#' — an unanchored \? would
+    # match a question mark INSIDE the fragment ('/p#frag?x=1',
+    # SPA hash-routes '/#/search?q=..') and leak fragment bytes into
+    # the dedup key (r5 review finding)
+    query = F.regexp_extract(pathq, r"^[^?#]*\?([^#]*)", 1)
     kept = F.array_join(
         F.filter(
             F.split(query, "&", -1),

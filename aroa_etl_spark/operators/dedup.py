@@ -192,6 +192,7 @@ def minhash_lsh_incremental(
     max_bucket_size: int | None = 1000,
     hot_bucket_mode: str = "salt",
     hot_salt: int = 16,
+    observation=None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs INVOLVING AT LEAST
     ONE NEW DOCUMENT, against an already-ingested corpus — the realistic
@@ -204,7 +205,10 @@ def minhash_lsh_incremental(
     mitigated elsewhere): bucket occupancy is measured over new ∪ index
     keys, and buckets over ``max_bucket_size`` are either processed via
     the two-sided salted join (``"salt"``, default — pair-set identical
-    to no cap) or discarded from both quadrants (``"drop"``).
+    to no cap) or discarded from both quadrants (``"drop"``); an
+    optional ``observation`` reports ``hot_buckets`` /
+    ``hot_bucket_rows`` exactly like the batch operators, so drop-mode
+    recall loss is measurable on every LSH path.
 
     Candidates = (new x index bucket equi-join) ∪ (new x new
     self-join); every pair is emitted in canonical (least, greatest) id
@@ -239,7 +243,39 @@ def minhash_lsh_incremental(
             .groupBy("__bucket")
             .agg(F.count(F.lit(1)).alias("__bs"))
         )
-        if hot_bucket_mode == "drop":
+        if observation is not None:
+            # The observed subplan must execute EXACTLY once: drop mode
+            # consumes the size table from three joins, and a
+            # multi-referenced CollectMetrics corrupts the observation
+            # (reproduced: toPyRow assertion on obs.get).  So the hot
+            # set is materialized eagerly through a barrier — the
+            # count() fires the observation COMPLETELY (full scan, no
+            # take(1) short-circuit) and every downstream reference
+            # reads the cache, never re-executing the observe node.
+            observed = sizes.observe(
+                observation,
+                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
+                    "hot_buckets"
+                ),
+                F.sum(
+                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("hot_bucket_rows"),
+            )
+            hot = _barrier(
+                observed.filter(F.col("__bs") > max_bucket_size).select("__bucket")
+            )
+            n_hot = hot.count()
+            if hot_bucket_mode == "drop":
+                # anti-join against the (cached, usually tiny) hot set ==
+                # the cold semi-join partition
+                a_new = a_new.join(hot, "__bucket", "left_anti")
+                b_idx = b_idx.join(hot, "__bucket", "left_anti")
+                b_new = b_new.join(hot, "__bucket", "left_anti")
+            elif n_hot > 0:
+                hot_buckets = hot
+        elif hot_bucket_mode == "drop":
             cold = sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket")
             a_new = a_new.join(cold, "__bucket")
             b_idx = b_idx.join(cold, "__bucket")

@@ -417,7 +417,7 @@ def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
                                            '^([^?#]*)', 1), '/$', '') AS path,
              regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
-                            '\?([^#]*)', 1) AS query
+                            '^[^?#]*\?([^#]*)', 1) AS query
       FROM parts),
     can AS (
       SELECT doc_id,
@@ -1283,21 +1283,25 @@ def sk_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sk_kll_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-quantile sketch via Spark's native DataSketches KLL
-    (`kll_sketch_agg_double` / `get_quantile`, JVM aggregate, default
-    k=200 ⇒ ~1.65% normalized rank error): one bounded-memory pass
-    replaces the full sort exact percentiles need — at 100 TB the
-    sketch is KBs per partition and merges associatively, where
-    `percentile_cont` would shuffle the column.  Sketch binaries are
-    engine-internal (no oracle replay), so the attestation is the
+    (`kll_sketch_agg_double` / `get_quantile`, JVM aggregate): one
+    bounded-memory pass replaces the full sort exact percentiles need —
+    at 100 TB the sketch is KBs per partition and merges associatively,
+    where `percentile_cont` would shuffle the column.  Sketch binaries
+    are engine-internal (no oracle replay), so the attestation is the
     RANK-ERROR CONTRACT: for each φ ∈ {.25,.5,.75,.95} the returned
     quantile's exact rank (computed by a second Spark pass against the
-    1-row broadcast of quantile values) must sit within φ ± 3%; the
-    row count anchors the hash."""
+    1-row broadcast of quantile values) must sit within φ ± 5%; the
+    row count anchors the hash.  UNLIKE the HLL twin, KLL compaction is
+    RANDOMIZED per run (measured: repeated aggs over identical cached
+    data return different medians), so the margin is sized for
+    negligible flake probability rather than determinism: k=400 gives
+    ~0.9% normalized rank error at 99% confidence — the 5% gate margin
+    is ≈5.5x that bound."""
     qs = (0.25, 0.50, 0.75, 0.95)
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
         "l_extendedprice"
     )
-    qv = li.agg(F.kll_sketch_agg_double("l_extendedprice").alias("__sk")).select(
+    qv = li.agg(F.kll_sketch_agg_double("l_extendedprice", 400).alias("__sk")).select(
         *[
             F.kll_sketch_get_quantile_double(F.col("__sk"), F.lit(q)).alias(f"__v{i}")
             for i, q in enumerate(qs)
@@ -1316,7 +1320,7 @@ def sk_kll_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("__n").cast("bigint").alias("n"),
         *[
-            (F.abs(F.col(f"__r{i}").cast("double") / n - F.lit(q)) <= 0.03).alias(
+            (F.abs(F.col(f"__r{i}").cast("double") / n - F.lit(q)) <= 0.05).alias(
                 f"q{int(q * 100)}_ok"
             )
             for i, q in enumerate(qs)

@@ -243,6 +243,17 @@ def test_minhash_incremental_hot_bucket_policy(spark):
     with pytest.raises(ValueError, match="hot_bucket_mode"):
         minhash_lsh_incremental(new, idx, hot_bucket_mode="explode")
 
+    # observation wired on the incremental path too (r5 review pass 2)
+    from pyspark.sql import Observation
+    obs = Observation("inc_hot")
+    minhash_lsh_incremental(
+        new, idx, **kw, max_bucket_size=50, hot_bucket_mode="drop",
+        observation=obs,
+    ).count()
+    release_caches()
+    assert obs.get["hot_buckets"] >= 4  # one boilerplate bucket per band
+    assert obs.get["hot_bucket_rows"] >= 4 * 100
+
 
 def test_minhash_hot_bucket_observation_metric(spark):
     """The optional Observation reports hot_buckets / hot_bucket_rows
