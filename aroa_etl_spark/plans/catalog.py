@@ -1751,6 +1751,53 @@ def js_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "js_xml_parse",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS xml_id,
+           o_orderpriority AS prio,
+           o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+    """,
+)
+def js_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's NATIVE from_xml (the spark-xml
+    package upstreamed in 4.0) — archival corpora ship XML as often as
+    JSON, and the reference's JSON-column pattern (JS1) extends to it
+    one-for-one.  The entry is a value-checked ROUND-TRIP: each order
+    row renders to an XML document in-plan (attribute + three child
+    elements), from_xml parses it back with an explicit schema
+    (attributes surface with the '_' prefix), and the parsed fields
+    must equal the source columns — the oracle just reads the base
+    table, so any quoting/typing/attribute-handling defect in the
+    parse path hash-mismatches.  Money crosses as exact cents; the
+    parse is one codegen'd expression, no UDF."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    xml = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+        F.lit('"><prio>'), F.col("o_orderpriority"),
+        F.lit("</prio><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total_cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit("</total_cents></order>"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_xml(
+            xml, "`_id` BIGINT, prio STRING, status STRING, total_cents BIGINT"
+        ).alias("__x"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("__x._id").alias("xml_id"),
+        F.col("__x.prio").alias("prio"),
+        F.col("__x.status").alias("status"),
+        F.col("__x.total_cents").alias("total_cents"),
+    )
+
+
+@query(
     "diag_top_keys",
     oracle="""
     SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -94,3 +94,31 @@ def test_w2_has_window_group_limit(spark, sf_dir):
     df = catalog.spec("w2_topk_per_group").builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize(
+    "name,want",
+    [
+        # EXISTS/NOT-EXISTS must stay semi/anti joins — a regression to
+        # join+distinct would duplicate fact rows before deduping
+        ("q4_late_order_priority", ["LeftSemi"]),
+        ("q21_waiting_suppliers", ["LeftSemi", "LeftAnti"]),
+        ("q22_idle_customers", ["LeftAnti"]),
+        ("q16_part_supplier_counts", ["LeftAnti"]),
+        ("q20_part_promotion_suppliers", ["LeftSemi"]),
+        # snowflake/market-share dims must broadcast, never shuffle
+        ("q5_local_supplier_volume", ["BroadcastHashJoin"]),
+        ("q8_market_share", ["BroadcastHashJoin"]),
+        ("q9_product_profit", ["BroadcastHashJoin"]),
+        ("q10_returned_items", ["BroadcastHashJoin"]),
+    ],
+)
+def test_tpch_plan_shapes(spark, sf_dir, name, want):
+    """The TPC-H suite's load-bearing plan choices, pinned: these are
+    the shapes the entries exist to demonstrate (semi/anti
+    decorrelation, broadcast dims), so a silent planner or code
+    regression fails here instead of in a 100 TB run."""
+    df = catalog.spec(name).builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    for token in want:
+        assert token in plan, f"{name}: expected {token} in plan"
