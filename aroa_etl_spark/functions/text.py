@@ -623,3 +623,40 @@ def bpe_token_count(col: Column | str, pattern: str = BPE_TOKEN_RE) -> Column:
     counters."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def html_to_text(col: Column | str) -> Column:
+    """HTML → plain text for crawl processing — pure column expressions
+    (regexp chain, no UDF, no external parser):
+
+    1. ``<script>``/``<style>`` blocks and HTML comments drop WITH
+       their content ((?is) dotall + case-insensitive, non-greedy);
+    2. every remaining tag becomes a space (so ``a</p><p>b`` keeps a
+       word boundary);
+    3. the common entities decode (``&nbsp; &lt; &gt; &quot; &#39;``,
+       and ``&amp;`` LAST so ``&amp;lt;`` correctly yields the literal
+       ``&lt;`` instead of double-decoding to ``<``);
+    4. whitespace collapses to single spaces and trims — using the
+       explicit class ``[ \\t\\r\\n]`` because Java's ``\\s`` and RE2's
+       ``\\s`` disagree on vertical tab (the BPE_TOKEN_RE lesson), so a
+       DuckDB oracle replays the chain byte-for-byte.
+
+    Good-enough-for-corpus-work by design: a full HTML5 parser handles
+    malformed nesting better, but at 100 TB the tag-strip chain runs in
+    whole-stage codegen with zero Python, and the failure mode (stray
+    text from unclosed scripts) is bounded and visible."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last — see docstring
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))

@@ -1229,3 +1229,40 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count("text").alias("ws_tokens"),
         X.bpe_token_count("text").alias("bpe_tokens"),
     )
+
+
+@query(
+    "text_html_strip",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                               || ' tail & <end>',
+                               '[ 	
+]+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text for crawl corpora (functions/text.html_to_text —
+    regexp chain in whole-stage codegen, no parser dependency): each
+    document is wrapped IN-PLAN in a full HTML shell (head with a style
+    block, heading, paragraph tags, a script whose BODY contains a tag,
+    an entity-bearing trailer paragraph), stripped, and the result must
+    equal the plain expected string the oracle builds from the base
+    columns — so tag removal, script/style/comment CONTENT dropping,
+    entity decoding (incl. the &amp;-last ordering), and whitespace
+    collapse are all value-checked without the oracle ever replaying
+    the strip chain."""
+    from aroa_etl_spark.functions.text import html_to_text
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wrapped = F.concat(
+        F.lit('<html><head><title></title><style>p {color: red}</style></head>'
+              '<body><!-- generated --><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = "<p>not text</p>";'
+              "</script><p>tail &amp; &lt;end&gt;</p></body></html>"),
+    )
+    return docs.select("doc_id", html_to_text(wrapped).alias("clean_text"))

@@ -235,3 +235,27 @@ def test_canonicalize_url_rules(spark):
     got = {r["url"]: r["c"] for r in
            df.select("url", canonicalize_url("url").alias("c")).collect()}
     assert got == cases
+
+
+def test_html_to_text_rules(spark):
+    """Each strip rule: tag removal with word boundaries, script/style/
+    comment CONTENT dropped (including tags inside script strings),
+    entity decode with &amp; last (no double-decode), explicit-class
+    whitespace collapse."""
+    from aroa_etl_spark.functions.text import html_to_text
+
+    cases = {
+        '<p>Hello <b>world</b></p>': 'Hello world',
+        'a</p><p>b': 'a b',
+        '<script>var x="<p>hidden</p>";</script>visible': 'visible',
+        '<STYLE>p{}</STYLE>kept': 'kept',
+        '<!-- note <p>gone</p> -->kept': 'kept',
+        'x &amp; y &lt;z&gt; &quot;q&quot; &#39;a&#39;&nbsp;b': 'x & y <z> "q" \'a\' b',
+        '&amp;lt; literal entity survives': '&lt; literal entity survives',
+        'A  B\t\tC\n\nD': 'A B C D',
+        'plain': 'plain',
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["t"])
+    got = {r["t"]: r["s"] for r in
+           df.select("t", html_to_text("t").alias("s")).collect()}
+    assert got == cases
