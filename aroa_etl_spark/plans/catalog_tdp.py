@@ -1266,3 +1266,147 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
               "</script><p>tail &amp; &lt;end&gt;</p></body></html>"),
     )
     return docs.select("doc_id", html_to_text(wrapped).alias("clean_text"))
+
+
+@query(
+    "tdp_gopher_rules",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, source, text FROM documents),
+    docs AS (SELECT doc_id, source,
+        CASE WHEN doc_id % 9 = 0
+                 THEN text || chr(10) || 'more words follow...'
+                           || chr(10) || 'and the end...'
+             WHEN doc_id % 13 = 0 THEN '- ' || text
+             WHEN doc_id % 11 = 0 THEN text || ' ###### # # #'
+             ELSE text END AS text
+      FROM base),
+    t1 AS (SELECT doc_id, source, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t != '') AS toks
+           FROM docs),
+    t2 AS (SELECT source, text, toks,
+                  len(toks) AS n_tok,
+                  list_sum(list_transform(toks, t -> len(t))) AS tok_chars,
+                  len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+                  len(list_intersect(list_distinct(toks),
+                      ['the','be','to','of','and','that','have','with'])) AS n_req_stop,
+                  len(text) - len(replace(text, '#', '')) AS n_hash,
+                  (len(text) - len(replace(text, '...', ''))) // 3 AS n_ellipsis,
+                  list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+           FROM t1 WHERE len(toks) > 0),
+    t3 AS (SELECT source, n_tok, tok_chars, n_alpha, n_req_stop, n_hash, n_ellipsis,
+                  len(lines) AS n_lines,
+                  len(list_filter(lines, l -> ltrim(l) LIKE '- %'
+                                           OR ltrim(l) LIKE '* %')) AS n_bullet,
+                  len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS n_ell_lines
+           FROM t2),
+    f AS (SELECT source,
+      CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS f_wc,
+      CASE WHEN tok_chars::DOUBLE / n_tok < 3.0
+             OR tok_chars::DOUBLE / n_tok > 10.0 THEN 1 ELSE 0 END AS f_mwl,
+      CASE WHEN (n_hash + n_ellipsis)::DOUBLE / n_tok > 0.1 THEN 1 ELSE 0 END AS f_sym,
+      CASE WHEN n_bullet::DOUBLE / n_lines > 0.9 THEN 1 ELSE 0 END AS f_bullet,
+      CASE WHEN n_ell_lines::DOUBLE / n_lines > 0.3 THEN 1 ELSE 0 END AS f_ellipsis,
+      CASE WHEN n_alpha::DOUBLE / n_tok < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+      CASE WHEN n_req_stop < 2 THEN 1 ELSE 0 END AS f_stop
+      FROM t3)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_bullet + f_ellipsis
+                              + f_alpha + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(f_wc) AS BIGINT) AS n_fail_wordcount,
+           CAST(SUM(f_mwl) AS BIGINT) AS n_fail_meanlen,
+           CAST(SUM(f_sym) AS BIGINT) AS n_fail_symbol,
+           CAST(SUM(f_bullet) AS BIGINT) AS n_fail_bullet,
+           CAST(SUM(f_ellipsis) AS BIGINT) AS n_fail_ellipsis,
+           CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
+           CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopword
+    FROM f GROUP BY source
+    """,
+)
+def tdp_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    App. A1.1 — public knowledge) as pure column expressions: word
+    count 50..100k, mean word length 3..10, symbol-to-word ratio
+    ('#'/'...') <= 0.1, bullet-start lines <= 90%, ellipsis-end lines
+    <= 30%, >= 80% words with an alphabetic char, >= 2 of the 8
+    required stopwords.  The synthetic corpus is single-line, so three
+    deterministic plants exercise the line rules (doc_id%9: two
+    ellipsis-terminated extra lines), the bullet rule (doc_id%13:
+    bullet prefix), and the symbol rule (doc_id%11: hash runs) — CASE
+    order matters and is identical in the oracle.  Outputs are per-
+    source integer counts only; every gate compares a single IEEE
+    int/int division against a literal, bit-identical across engines.
+    At 100 TB this is a scan + one partial-aggregated groupBy on
+    `source` — no shuffle wider than the group-key cardinality, no
+    Python.  Extends the engine's quality_features/quality_score
+    heuristics (beyond the reference's QA-column length gates,
+    src/aroa_etl/attribute_processing/column_processing.py) to the
+    full published rule set an LLM-corpus pipeline uses."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "source", "text"
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nmore words follow...\nand the end..."),
+            ),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.lit("- "), F.col("text")))
+        .when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" ###### # # #")))
+        .otherwise(F.col("text")),
+    )
+    req = F.array(*[F.lit(w) for w in
+                    ("the", "be", "to", "of", "and", "that", "have", "with")])
+    t1 = planted.select("source", "text", X.tokens("text").alias("toks"))
+    t2 = t1.filter(F.size("toks") > 0).select(
+        "source",
+        F.size("toks").alias("n_tok"),
+        F.aggregate("toks", F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("tok_chars"),
+        F.size(F.filter("toks", lambda t: t.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(F.array_intersect(F.array_distinct("toks"), req)).alias("n_req_stop"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+         ).alias("n_hash"),
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+         ).cast("long").alias("n_ellipsis"),
+        F.filter(F.split("text", "\n"), lambda l: F.trim(l) != "").alias("lines"),
+    )
+    t3 = t2.select(
+        "source", "n_tok", "tok_chars", "n_alpha", "n_req_stop", "n_hash", "n_ellipsis",
+        F.size("lines").alias("n_lines"),
+        F.size(F.filter("lines", lambda l: F.ltrim(l).like("- %")
+                        | F.ltrim(l).like("* %"))).alias("n_bullet"),
+        F.size(F.filter("lines", lambda l: F.rtrim(l).like("%..."))).alias("n_ell_lines"),
+    )
+    d = F.col
+    flags = t3.select(
+        "source",
+        ((d("n_tok") < 50) | (d("n_tok") > 100000)).cast("int").alias("f_wc"),
+        ((d("tok_chars").cast("double") / d("n_tok") < 3.0)
+         | (d("tok_chars").cast("double") / d("n_tok") > 10.0)).cast("int").alias("f_mwl"),
+        ((d("n_hash") + d("n_ellipsis")).cast("double") / d("n_tok") > 0.1
+         ).cast("int").alias("f_sym"),
+        (d("n_bullet").cast("double") / d("n_lines") > 0.9).cast("int").alias("f_bullet"),
+        (d("n_ell_lines").cast("double") / d("n_lines") > 0.3
+         ).cast("int").alias("f_ellipsis"),
+        (d("n_alpha").cast("double") / d("n_tok") < 0.8).cast("int").alias("f_alpha"),
+        (d("n_req_stop") < 2).cast("int").alias("f_stop"),
+    )
+    total_flags = (d("f_wc") + d("f_mwl") + d("f_sym") + d("f_bullet")
+                   + d("f_ellipsis") + d("f_alpha") + d("f_stop"))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(total_flags == 0, 1).otherwise(0)).alias("n_pass"),
+        F.sum("f_wc").alias("n_fail_wordcount"),
+        F.sum("f_mwl").alias("n_fail_meanlen"),
+        F.sum("f_sym").alias("n_fail_symbol"),
+        F.sum("f_bullet").alias("n_fail_bullet"),
+        F.sum("f_ellipsis").alias("n_fail_ellipsis"),
+        F.sum("f_alpha").alias("n_fail_alpha"),
+        F.sum("f_stop").alias("n_fail_stopword"),
+    )
