@@ -484,6 +484,103 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "web_link_graph",
+    oracle=r"""
+    WITH pages AS (
+      SELECT doc_id,
+             'site'||CAST(doc_id % 20 AS VARCHAR)||'.com' AS src_host,
+             '<html><body><a href="https://Site'
+               ||CAST((doc_id*3+1) % 20 AS VARCHAR)||'.com/p/'
+               ||CAST(doc_id AS VARCHAR)||'">x</a><a href="/rel/'
+               ||CAST(doc_id AS VARCHAR)||'">y</a>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<a href="https://www.site'
+                            ||CAST((doc_id*7+2) % 20 AS VARCHAR)
+                            ||'.com/q?z=1">z</a>'
+                       ELSE '' END
+               ||'<a href="mailto:a@b.io">m</a></body></html>' AS html
+      FROM documents),
+    links AS (SELECT doc_id, src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+              FROM pages),
+    resolved AS (SELECT doc_id, src_host,
+        CASE WHEN regexp_matches(href, '^https?://')
+             THEN regexp_replace(lower(regexp_extract(href, 'https?://([^/\s?#:]+)', 1)),
+                                 '^www\.', '')
+             WHEN href LIKE '/%' THEN src_host
+             ELSE NULL END AS dst_host
+      FROM links)
+    SELECT src_host, dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+    FROM resolved WHERE dst_host IS NOT NULL
+    GROUP BY src_host, dst_host
+    ORDER BY src_host, dst_host
+    """,
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph extraction — the Common-Crawl-style step
+    between HTML ingestion and host ranking: each document becomes a
+    page on a deterministic host with three planted anchors (an
+    absolute mixed-case link, a RELATIVE link that must resolve against
+    the page's own host, and a www-prefixed absolute on even ids) plus
+    a mailto that must be dropped.  hrefs come out via one
+    regexp_extract_all pass, hosts normalize with the engine-wide rules
+    (lower, strip www), and the host->host edge list aggregates link
+    and distinct-page counts.  Relative links surface as self-edges,
+    so the resolution path is value-checked, not filtered away.  At
+    100 TB: scan -> narrow explode -> one map-side-combinable groupBy
+    on (src_host, dst_host) — the same shape as word count; the edge
+    list feeds graph_pagerank/cc downstream."""
+    from aroa_etl_spark.functions.web import normalize_host, url_host
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".com")).alias("src_host"),
+        F.concat(
+            F.lit('<html><body><a href="https://Site'),
+            ((F.col("doc_id") * 3 + 1) % 20).cast("string"),
+            F.lit('.com/p/'), F.col("doc_id").cast("string"),
+            F.lit('">x</a><a href="/rel/'), F.col("doc_id").cast("string"),
+            F.lit('">y</a>'),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit('<a href="https://www.site'),
+                    ((F.col("doc_id") * 7 + 2) % 20).cast("string"),
+                    F.lit('.com/q?z=1">z</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<a href="mailto:a@b.io">m</a></body></html>'),
+        ).alias("html"),
+    )
+    links = pages.select(
+        "doc_id", "src_host",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), F.lit(1))
+        ).alias("href"),
+    )
+    resolved = links.select(
+        "doc_id", "src_host",
+        F.when(F.col("href").rlike("^https?://"),
+               normalize_host(url_host("href")))
+        .when(F.col("href").like("/%"), F.col("src_host"))
+        .otherwise(F.lit(None))
+        .alias("dst_host"),
+    ).filter(F.col("dst_host").isNotNull())
+    return (
+        resolved.groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_pages"),
+        )
+        .orderBy("src_host", "dst_host")
+    )
+
+
+@query(
     "inc_scd2_user_state",
     oracle="""
     WITH flagged AS (
