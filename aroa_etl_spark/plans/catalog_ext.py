@@ -1964,6 +1964,79 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tdp_perplexity_buckets",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t) GROUP BY 1, 2),
+    counts AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
+    scored AS (SELECT doc_id, tf,
+                      CAST(round(ln(CAST(c AS DOUBLE) / total) * 1000000000.0)
+                           AS BIGINT) AS lp
+               FROM tf JOIN counts USING (term), total),
+    per_doc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                       round((SUM(tf * lp) / 1000000000.0)
+                             / CAST(SUM(tf) AS DOUBLE), 6) AS logprob_mean
+                FROM scored GROUP BY doc_id),
+    ranked AS (SELECT d.lang, p.n_tokens, p.logprob_mean,
+                      NTILE(3) OVER (PARTITION BY d.lang
+                                     ORDER BY p.logprob_mean DESC, p.doc_id)
+                        AS tercile
+               FROM per_doc p JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(logprob_mean) AS min_logprob,
+           MAX(logprob_mean) AS max_logprob
+    FROM ranked GROUP BY lang, tercile
+    ORDER BY lang, bucket
+    """,
+)
+def tdp_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning: per-language
+    perplexity terciles over the unigram-LM score (the deterministic
+    stand-in for a KenLM score — swap the score column, keep the
+    plumbing).  Terciles come from ntile(3) over a per-LANGUAGE window
+    with a doc_id tiebreak — sort is partition-local to each language,
+    not global, and the score itself is the fixed-point-rounded
+    logprob_mean so both engines rank identical doubles.  Output is
+    per (lang, bucket) doc/token counts plus the bucket's score range —
+    the table a data-mixture designer samples from.  At 100 TB the
+    exact per-lang sort becomes approxQuantile thresholds + a
+    broadcast-joined width_bucket (the w_equidepth_buckets pattern);
+    the oracle-checked semantics stay the same."""
+    from aroa_etl_spark.functions.text import unigram_logprob_scores
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scores = unigram_logprob_scores(docs)
+    ranked = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "n_tokens", "logprob_mean",
+        F.ntile(3).over(
+            W.partitionBy("lang").orderBy(F.desc("logprob_mean"), "doc_id")
+        ).alias("tercile"),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.select("lang", "n_tokens", "logprob_mean", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("logprob_mean").alias("min_logprob"),
+            F.max("logprob_mean").alias("max_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@query(
     "s_orc_roundtrip",
     oracle="""
     SELECT o_orderstatus,
