@@ -1410,3 +1410,95 @@ def tdp_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f_alpha").alias("n_fail_alpha"),
         F.sum("f_stop").alias("n_fail_stopword"),
     )
+
+
+@query(
+    "tdp_substring_dedup",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    toks_t AS (SELECT doc_id, {_TOK} AS toks FROM docs),
+    wins AS (SELECT doc_id, len(toks) AS n_tok,
+                    unnest(range(1, len(toks)-8)) AS pos,
+                    unnest(list_transform(range(1, len(toks)-8),
+                           i -> md5(array_to_string(toks[i:i+9], ' ')))) AS h
+             FROM toks_t WHERE len(toks) >= 10),
+    cnts AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+    dup AS (SELECT doc_id, n_tok, pos FROM wins JOIN cnts USING (h)),
+    cov AS (SELECT doc_id, n_tok, pos,
+                   LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM dup)
+    SELECT doc_id,
+           CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(LEAST(10, COALESCE(nxt - pos, 10))) AS BIGINT)
+             AS dup_covered_tokens,
+           CAST(SUM(LEAST(10, COALESCE(nxt - pos, 10))) AS DOUBLE)
+             / CAST(MAX(n_tok) AS DOUBLE) AS dup_fraction
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (the distributed shape of
+    'Deduplicating Training Data Makes Language Models Better', Lee et
+    al. 2021 — public): every OVERLAPPING 10-token window hashes to
+    md5, windows whose content occurs more than once corpus-wide mark
+    their positions, and each document reports how many of its token
+    positions are covered by the union of its duplicated windows — the
+    remove-these-spans accounting, computed without a suffix array.
+    Interval-union length per doc is a single LEAD window over sorted
+    positions (sum of min(k, gap)), not a collect-and-fold.  The
+    planted near-dup copies (doc_id%5, first token dropped) guarantee
+    known high-coverage documents.  At 100 TB: narrow explode ->
+    hash-count shuffle -> hash join back -> per-doc window — all keyed
+    on md5 or doc_id, linear end to end, no pairwise comparison and no
+    Python.  Differs from tdp_chunk_dedup (non-overlapping chunks):
+    overlapping windows + span coverage is the faithful substring-dedup
+    semantics."""
+    K = 10
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+    toks_t = docs.unionAll(planted).select(
+        "doc_id", X.tokens("text").alias("toks")
+    )
+    wins = (
+        toks_t.filter(F.size("toks") >= K)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tok"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - K + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, K))).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "n_tok", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    cnts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    dup = wins.join(cnts.select("h"), "h").select("doc_id", "n_tok", "pos")
+    cov = dup.select(
+        "doc_id", "n_tok", "pos",
+        F.lead("pos").over(W.partitionBy("doc_id").orderBy("pos")).alias("nxt"),
+    )
+    covered = F.sum(
+        F.least(F.lit(K), F.coalesce(F.col("nxt") - F.col("pos"), F.lit(K)))
+    )
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.max("n_tok").cast("bigint").alias("n_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+            covered.cast("bigint").alias("dup_covered_tokens"),
+            (covered.cast("double") / F.max("n_tok").cast("double")
+             ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
