@@ -366,6 +366,187 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
             ) from None
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (public GIF89a spec, Appendix F): LSB-first bit
+    packing, variable code width starting at min_code_size+1, clear and
+    end-of-information codes, 12-bit width cap.  The decoder widens its
+    code size when the dictionary reaches 2^width AFTER appending —
+    the standard (non-deferred-clear) convention `encode_gif` mirrors
+    one entry later."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    d = list(base)
+    code_size = min_code_size + 1
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    bitpos = 0
+    out: list[int] = []
+    prev: list[int] | None = None
+    while bitpos + code_size <= nbits:
+        code = (big >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            d = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("malformed GIF: first LZW code not a literal")
+            entry = d[code]  # type: ignore[assignment]
+        elif code < len(d):
+            entry = d[code]  # type: ignore[assignment]
+        elif code == len(d):
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("malformed GIF: LZW code beyond dictionary")
+        out.extend(entry)
+        if prev is not None:
+            d.append(prev + [entry[0]])
+            if len(d) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    raise ValueError("malformed GIF: LZW stream ended without EOI code")
+
+
+def _lzw_encode_gif(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder matching `_lzw_decode_gif`'s width
+    schedule (widen when next_code passes the current width's range —
+    one entry after the decoder, which lags the encoder's dictionary by
+    exactly one append)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = 0
+    nbuf = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbuf
+        buf |= code << nbuf
+        nbuf += code_size
+        while nbuf >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbuf -= 8
+
+    def reset() -> tuple[dict[tuple[int, ...], int], int]:
+        return {(i,): i for i in range(clear)}, end + 1
+
+    d, next_code = reset()
+    emit(clear)
+    prev: tuple[int, ...] = ()
+    for s in indices:
+        if not 0 <= s < clear:
+            raise ValueError("palette index out of range for LZW code size")
+        cur = prev + (s,)
+        if cur in d:
+            prev = cur
+            continue
+        emit(d[prev])
+        d[cur] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear)
+            code_size = min_code_size + 1
+            d, next_code = reset()
+        prev = (s,)
+    if prev:
+        emit(d[prev])
+    emit(end)
+    if nbuf:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """Real GIF decode (public GIF87a/89a spec): logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    sub-block reassembly, LZW decompression, palette lookup -> RGB.
+    First image frame only; interlaced frames raise NotImplementedError
+    (PIL fallback when installed via the dispatch wrapper)."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("malformed GIF: truncated header")
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        if len(content) < pos + 3 * n:
+            raise ValueError("malformed GIF: truncated color table")
+        gct = np.frombuffer(content[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"malformed GIF: unexpected block 0x{b:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", content[pos + 1:pos + 10])
+        pos += 10
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            lct = np.frombuffer(content[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise NotImplementedError("stdlib GIF path: non-interlaced only")
+        if lct is None:
+            raise ValueError("malformed GIF: no color table")
+        mcs = content[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode_gif(bytes(data), mcs)
+        if len(idx) < iw * ih:
+            raise ValueError("malformed GIF: short pixel data")
+        arr = np.array(idx[: iw * ih], dtype=np.int32)
+        if int(arr.max(initial=0)) >= len(lct):
+            raise ValueError("malformed GIF: palette index out of range")
+        return lct[arr].reshape(ih, iw, 3)
+    raise ValueError("malformed GIF: no image data")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder for 8-bit GRAYSCALE arrays (fixture
+    generation for the decoder tests and the mm_gif_decode_real
+    oracle): 256-entry grayscale global palette, one non-interlaced
+    full-frame image, real LZW compression, 255-byte sub-block
+    framing."""
+    import struct
+
+    if pixels.ndim != 2 or pixels.dtype != np.uint8:
+        raise ValueError("encode_gif: 2-D uint8 grayscale only")
+    h, w = pixels.shape
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode_gif(pixels.flatten().tolist(), 8)
+    sub = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255] for i in range(0, len(lzw), 255)
+    )
+    return head + palette + desc + b"\x08" + sub + b"\x00\x3B"
+
+
 _IMAGE_DECODERS = {
     "png": _decode_png,
     "ppm": _decode_netpbm,
@@ -375,6 +556,7 @@ _IMAGE_DECODERS = {
     "jpeg": _decode_jpeg,
     "tif": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
     "tiff": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
+    "gif": lambda c: _with_pil_fallback(_decode_gif, c, "interlaced GIF"),
 }
 
 

@@ -426,3 +426,54 @@ def mm_tiff_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )
+
+
+@query(
+    "mm_gif_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(range(0, 512),
+                 i -> ((doc_id % 40) * 7 + (i // 32) * 5 + (i % 32) * 3) % 256))
+                AS BIGINT)::DOUBLE / 512 AS mean_intensity,
+           CAST(2 AS DOUBLE) AS aspect_ratio
+    FROM documents
+    """,
+)
+def mm_gif_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third real compressed image format under strict=True: genuine
+    GIF89a blobs (public spec; operators/multimodal.py _decode_gif —
+    LZW sub-block reassembly, variable code width, palette lookup).
+    40 distinct 32x16 grayscale RAMP frames (pixel = (k*7 + row*5 +
+    col*3) % 256) broadcast-join to the fact table on doc_id % 40 —
+    the ramp defeats run-length-only shortcuts, so mean_intensity
+    matches the oracle's pure-arithmetic replay only if LZW decode,
+    code-width growth, and palette indexing are all correct.  GIF is
+    lossless, so the check is exact, not band-limited like JPEG.  Same
+    scale shape as mm_jpeg_decode_real: dim side is 40 tiny blobs, the
+    fact side never shuffles, decode is Arrow-batched mapInPandas."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import encode_gif, image_features
+
+    r = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(32, dtype=np.int64)[None, :]
+    blobs = [
+        (k, bytearray(encode_gif(((k * 7 + r * 5 + c * 3) % 256).astype(np.uint8))))
+        for k in range(40)
+    ]
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+        F.concat(F.lit("mem://gif/"), F.col("doc_id")).alias("uri"),
+        F.struct(
+            F.lit(32).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit("gif").alias("format"),
+        ).alias("meta"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return image_features(media, strict=True).select(
+        "media_id", "mean_intensity", "aspect_ratio"
+    )

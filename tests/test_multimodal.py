@@ -499,3 +499,58 @@ def test_jpeg_undeclared_huffman_table_is_valueerror():
         data = strip_dht(enc(img, quality=85))
         with pytest.raises(ValueError, match="Huffman"):
             decode_baseline_jpeg(data)
+
+
+def test_gif_roundtrip_and_guards():
+    """GIF89a codec (public spec): encode->decode roundtrips exactly
+    (GIF is lossless) across constant, ramp, random, and dict-reset-
+    sized (40k random px > 4095 LZW entries) frames; malformed inputs
+    raise the module-contract ValueError; interlace raises
+    NotImplementedError (strict-mode honesty)."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import _decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    frames = [
+        np.full((16, 32), 128, dtype=np.uint8),
+        (np.arange(512).reshape(16, 32) % 256).astype(np.uint8),
+        rng.randint(0, 256, size=(1, 1)).astype(np.uint8),
+        rng.randint(0, 256, size=(100, 3)).astype(np.uint8),
+        rng.randint(0, 256, size=(200, 200)).astype(np.uint8),  # LZW dict reset
+    ]
+    for px in frames:
+        back = _decode_gif(encode_gif(px))
+        assert back.shape == (px.shape[0], px.shape[1], 3)
+        assert (back == px[:, :, None]).all()
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    blob = encode_gif(frames[0])
+    with pytest.raises(ValueError, match="truncated color table"):
+        _decode_gif(blob[:20])
+    with pytest.raises(ValueError, match="no image data"):
+        _decode_gif(blob[:13 + 768] + b"\x3b")
+    # flip the interlace bit in the image descriptor's packed byte
+    desc_at = 13 + 768
+    assert blob[desc_at] == 0x2C
+    mut = bytearray(blob)
+    mut[desc_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="non-interlaced"):
+        _decode_gif(bytes(mut))
+    # extension blocks are skipped: splice a GCE before the descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = blob[:desc_at] + gce + blob[desc_at:]
+    assert (_decode_gif(spliced) == frames[0][:, :, None]).all()
+
+
+def test_gif_strict_dispatch():
+    """decode_image routes format='gif' to the real codec under
+    strict=True."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import decode_image, encode_gif
+
+    px = np.full((4, 8), 77, dtype=np.uint8)
+    out = decode_image(encode_gif(px), {"format": "gif"}, strict=True)
+    assert out.shape == (4, 8, 3) and float(out.mean()) == 77.0
