@@ -2555,3 +2555,66 @@ def j_eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(slice_pivot("purchase", "purchase_props"), ["obj_id", "count_id"], "left")
         .select("obj_id", "count_id", "c_name", "click_props", "purchase_props")
     )
+
+
+@query(
+    "s_warc_extract",
+    oracle="""
+    WITH base AS (SELECT doc_id,
+                         text || ' WARC/1.0 embedded' AS payload
+                  FROM documents)
+    SELECT doc_id AS blob_id, CAST(0 AS INT) AS rec_idx,
+           'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(len('software: aroa-etl-spark engine' || chr(10)) AS BIGINT)
+             AS content_length,
+           md5('software: aroa-etl-spark engine' || chr(10)) AS payload_md5
+    FROM base
+    UNION ALL
+    SELECT doc_id AS blob_id, CAST(1 AS INT) AS rec_idx,
+           'response' AS warc_type,
+           'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/d/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(len(payload) AS BIGINT) AS content_length,
+           md5(payload) AS payload_md5
+    FROM base
+    """,
+)
+def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container parsing (sources/warc.py — ISO 28500, the Common
+    Crawl format): every document becomes a genuine two-record WARC
+    blob (a warcinfo record + a response record whose payload embeds
+    the literal string 'WARC/1.0'), built in-plan and parsed back by
+    the Content-Length-driven mapInPandas kernel.  The embedded magic
+    is the point: a parser that scans for the next version line instead
+    of honoring Content-Length splits the payload and fails the md5.
+    The oracle never parses — it replays the construction directly, so
+    header extraction, payload slicing, and record ordering are all
+    value-checked.  The synthetic corpus is ASCII, so char length ==
+    byte length on the Content-Length boundary (the kernel itself is
+    byte-exact).  Scale shape: binaryFile scan -> mapInPandas explode,
+    zero shuffle."""
+    from aroa_etl_spark.sources.warc import parse_warc_records
+
+    info = "software: aroa-etl-spark engine\n"
+    rec1 = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        f"Content-Length: {len(info)}\r\n\r\n{info}\r\n\r\n"
+    )
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payload = F.concat(F.col("text"), F.lit(" WARC/1.0 embedded"))
+    rec2 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = docs.select(
+        F.col("doc_id").alias("blob_id"),
+        F.encode(F.concat(F.lit(rec1), rec2), "UTF-8").alias("content"),
+    )
+    return parse_warc_records(blobs)

@@ -131,3 +131,41 @@ def test_partitioned_parquet_scan_prunes(spark, sf_dir):
     assert "PartitionFilters: [" in plan, plan[:2000]
     seg = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "o_orderpriority" in seg, seg
+
+
+def test_warc_parse_blob_and_guards():
+    """sources/warc.py: Content-Length-driven record slicing survives
+    payloads containing the record magic; malformed structure raises
+    ValueError."""
+    import hashlib
+
+    import pytest
+
+    from aroa_etl_spark.sources.warc import parse_warc_blob
+
+    p1 = b"hello WARC/1.0\r\n embedded magic"
+    p2 = b"second"
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.example/x\r\n"
+        b"Content-Length: " + str(len(p1)).encode() + b"\r\n\r\n" + p1 + b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"Content-Length: " + str(len(p2)).encode() + b"\r\n\r\n" + p2 + b"\r\n\r\n"
+    )
+    recs = parse_warc_blob(blob)
+    assert [r["warc_type"] for r in recs] == ["response", "metadata"]
+    assert recs[0]["target_uri"] == "https://a.example/x"
+    assert recs[0]["content_length"] == len(p1)
+    assert recs[0]["payload_md5"] == hashlib.md5(p1).hexdigest()
+    assert recs[1]["target_uri"] is None
+
+    with pytest.raises(ValueError, match="no version line"):
+        parse_warc_blob(b"NOT A WARC")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_blob(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+    with pytest.raises(ValueError, match="past end"):
+        parse_warc_blob(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")
+    with pytest.raises(ValueError, match="not terminated"):
+        parse_warc_blob(
+            b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab??trailing"
+        )
