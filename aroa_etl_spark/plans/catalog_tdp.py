@@ -1491,14 +1491,9 @@ def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered = F.sum(
         F.least(F.lit(K), F.coalesce(F.col("nxt") - F.col("pos"), F.lit(K)))
     )
-    return (
-        cov.groupBy("doc_id")
-        .agg(
-            F.max("n_tok").cast("bigint").alias("n_tok"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
-            covered.cast("bigint").alias("dup_covered_tokens"),
-            (covered.cast("double") / F.max("n_tok").cast("double")
-             ).alias("dup_fraction"),
-        )
-        .orderBy("doc_id")
+    return cov.groupBy("doc_id").agg(
+        F.max("n_tok").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+        covered.cast("bigint").alias("dup_covered_tokens"),
+        (covered.cast("double") / F.max("n_tok").cast("double")).alias("dup_fraction"),
     )
