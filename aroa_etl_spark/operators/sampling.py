@@ -202,3 +202,65 @@ def equidepth_buckets(
         .withColumn("bucket", bucket.cast("int"))
         .drop("__b")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    target_frac: float = 0.2,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (the multilingual-corpus
+    rebalancing recipe, exponent fixed at 0.5): stratum s with n_s rows
+    gets sampling weight sqrt(n_s)/sum(sqrt(n_m)), so small strata are
+    up-weighted relative to proportional sampling; per-stratum rate =
+    min(1, target_frac * total * weight / n_s); each row keeps or drops
+    by the engine-standard md5 bucket against floor(rate * BUCKETS).
+
+    Determinism contract: the exponent is 0.5 BECAUSE sqrt is
+    correctly-rounded IEEE (pow(x, a) for general a is not guaranteed
+    identical across engines); sqrt(n_s) rounds to 1e-6 fixed-point
+    BIGINT before the cross-strata SUM (int addition is order-free);
+    the rate pipeline is a fixed left-to-right double chain an oracle
+    replays exactly.
+
+    Returns df filtered to the sample with ``sample_thresh`` attached.
+    Plan: tiny per-stratum aggregate -> 1-row total -> broadcast join
+    back -> narrow filter.  The fact table shuffles ONCE (the stats
+    groupBy reads it; at 100 TB feed pre-aggregated stratum counts in
+    instead) and the filter itself is shuffle-free."""
+    c = F.col(strata_col)
+    stats = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_s"),
+        F.round(F.sqrt(F.count(F.lit(1)).cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("__sq"),
+    )
+    tot = stats.agg(
+        F.sum("__n_s").cast("bigint").alias("__total"),
+        F.sum("__sq").cast("bigint").alias("__sum_sq"),
+    )
+    rate = (
+        F.col("__sq").cast("double")
+        / F.col("__sum_sq").cast("double")
+        * F.col("__total").cast("double")
+        * F.lit(target_frac)
+        / F.col("__n_s").cast("double")
+    )
+    th = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            c.alias("__stratum"),
+            F.floor(F.least(F.lit(1.0), rate) * F.lit(1000000.0))
+            .cast("long")
+            .alias("sample_thresh"),
+        )
+    )
+    bucket = hash_bucket(id_col, salt)
+    return (
+        df.join(F.broadcast(th), c == F.col("__stratum"))
+        .filter(bucket < F.col("sample_thresh"))
+        .drop("__stratum")
+    )

@@ -1497,3 +1497,58 @@ def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.cast("bigint").alias("dup_covered_tokens"),
         (covered.cast("double") / F.max("n_tok").cast("double")).alias("dup_fraction"),
     )
+
+
+@query(
+    "tdp_temperature_mixture",
+    oracle="""
+    WITH stats AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s,
+                          CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+                               AS BIGINT) AS sq
+                   FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total,
+                   CAST(SUM(sq) AS BIGINT) AS sum_sq FROM stats),
+    th AS (SELECT lang, n_s,
+                  CAST(floor(LEAST(1.0,
+                       CAST(sq AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+                       * CAST(total AS DOUBLE) * 0.2 / CAST(n_s AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS sample_thresh
+           FROM stats, tot),
+    kept AS (SELECT d.lang, t.sample_thresh
+             FROM documents d JOIN th t USING (lang)
+             WHERE ('0x'||substr(md5('mix'||CAST(d.doc_id AS VARCHAR)),1,8))
+                     ::UBIGINT::BIGINT % 1000000 < t.sample_thresh)
+    SELECT k.lang, s.n_s AS n_docs,
+           CAST(MAX(k.sample_thresh) AS BIGINT) AS sample_thresh,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM kept k JOIN stats s USING (lang)
+    GROUP BY k.lang, s.n_s
+    """,
+)
+def tdp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture sampling (operators/sampling.py
+    temperature_sample): per-language rates computed FROM the corpus —
+    weight sqrt(n_l)/sum(sqrt(n_m)) (the multilingual rebalancing
+    recipe at temperature 0.5, chosen because sqrt is correctly-rounded
+    IEEE where a general pow is not), rate = min(1, 0.2·total·w/n_l),
+    kept rows decided by the engine-standard md5 bucket against
+    floor(rate·1e6).  The oracle replays the whole pipeline — stats,
+    fixed-point sqrt sum, the exact double chain, the bucket predicate
+    — so the sampled set matches row-for-row, not just in expectation.
+    Scale: stats aggregate + 1-row total + broadcast threshold join +
+    narrow filter; the fact table never shuffles for the sample
+    itself."""
+    from aroa_etl_spark.operators.sampling import temperature_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "lang"
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    samp = temperature_sample(docs, "doc_id", "lang", target_frac=0.2, salt="mix")
+    agg = samp.groupBy("lang").agg(
+        F.max("sample_thresh").cast("bigint").alias("sample_thresh"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+    )
+    return counts.join(agg, "lang").select(
+        "lang", "n_docs", "sample_thresh", "n_sampled"
+    )

@@ -42,6 +42,7 @@ _CARTESIAN_OK = {
     "er_linkage_eval",  # (tp 1-row) × (fp 1-row) × (fn 1-row) metric assembly
     "text_unigram_logprob",  # 1-row corpus-total broadcast into per-token log p
     "tdp_perplexity_buckets",  # same 1-row corpus-total broadcast (reuses the unigram scorer)
+    "tdp_temperature_mixture",  # 1-row (total, sum_sqrt) broadcast into the per-stratum rate
     "er_blocking_stats",  # (n_cand 1-row) × (hits 1-row) × (n_truth 1-row) metrics
     "search_bm25_topk",  # corpus-stats 1-row broadcast into scoring
     "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport

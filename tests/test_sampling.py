@@ -131,3 +131,32 @@ def test_scrub_pii_counts_and_tags(spark):
     # the email inside the URL query string belongs to the URL tag
     assert r["ne"] == 2 and r["nu"] == 1
     assert r["s"] == "mail <EMAIL> and <URL> end"
+
+
+def test_temperature_sample_upweights_small_strata(spark):
+    """temperature_sample: sqrt-temperature rates up-weight small
+    strata relative to proportional sampling; the kept set is a pure
+    function of (id, salt) — identical under repartition."""
+    import pyspark.sql.functions as F
+
+    from aroa_etl_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    samp = temperature_sample(df, "id", "grp", target_frac=0.2, salt="t1")
+    th = {
+        r["grp"]: r["thresh"]
+        for r in samp.groupBy("grp")
+        .agg(F.max("sample_thresh").alias("thresh"))
+        .collect()
+    }
+    # proportional would give both strata thresh 200000; sqrt-temperature
+    # shifts budget toward the small stratum
+    assert th["small"] > 200_000 > th["big"], th
+    ids = sorted(r["id"] for r in samp.collect())
+    ids2 = sorted(
+        r["id"] for r in temperature_sample(
+            df.repartition(7), "id", "grp", target_frac=0.2, salt="t1"
+        ).collect()
+    )
+    assert ids == ids2 and len(ids) > 0
