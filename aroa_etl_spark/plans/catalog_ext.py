@@ -2618,3 +2618,98 @@ def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit(rec1), rec2), "UTF-8").alias("content"),
     )
     return parse_warc_records(blobs)
+
+
+@query(
+    "web_blocklist_filter",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id, source,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'https://WWW.Shop'||CAST(doc_id % 7 AS VARCHAR)||'.co.uk/x'
+                WHEN doc_id % 3 = 1
+                THEN 'https://misc'||CAST(doc_id % 97 AS VARCHAR)||'.example.org/p'
+                ELSE 'https://t'||CAST(doc_id % 5 AS VARCHAR)||'.trk'
+                     ||CAST(doc_id % 11 AS VARCHAR)||'.adnet.io/x' END AS url
+        FROM documents),
+    hosts AS (SELECT doc_id, source,
+                     regexp_replace(lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)),
+                                    '^www\.', '') AS host
+              FROM docs2),
+    doms AS (SELECT doc_id, source, host,
+                    CASE WHEN len(l) <= 2 THEN host
+                         WHEN l[-2]||'.'||l[-1] IN
+                              ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in',
+                               'com.br','co.nz','com.cn','co.za')
+                         THEN l[-3]||'.'||l[-2]||'.'||l[-1]
+                         ELSE l[-2]||'.'||l[-1] END AS domain
+             FROM (SELECT doc_id, source, host, string_split(host, '.') AS l
+                   FROM hosts)),
+    flagged AS (SELECT source,
+                       CASE WHEN domain IN ('shop1.co.uk','shop4.co.uk')
+                            THEN 1 ELSE 0 END AS f_exact,
+                       CASE WHEN domain NOT IN ('shop1.co.uk','shop4.co.uk')
+                             AND (host LIKE '%.trk7.adnet.io'
+                                  OR host LIKE '%.trk3.adnet.io')
+                            THEN 1 ELSE 0 END AS f_suffix
+                FROM doms)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_exact) AS BIGINT) AS n_blocked_exact,
+           CAST(SUM(f_suffix) AS BIGINT) AS n_blocked_suffix,
+           CAST(SUM(1 - f_exact - f_suffix) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source
+    """,
+)
+def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering — the crawl-curation gate beside the
+    quota cap (tdp_domain_quota): exact eTLD+1 blocklist hits plus
+    host-SUFFIX rules (the '*.tracker.example' form real blocklists
+    use), with per-source kept/blocked accounting.  Plants give every
+    doc one of three URL families (co.uk shops / example.org tail /
+    multi-level adtech hosts); two shop domains block exactly and two
+    tracker suffixes block by endswith — precedence (exact first) is
+    part of the checked semantics.  In-plan literal arrays stand in for
+    the blocklist; at 100 TB the exact list becomes a broadcast
+    left_anti join on domain and the suffix rules a broadcast
+    reversed-host PREFIX check (sort the reversed suffixes, one
+    range-probe per host) — both shuffle-free on the fact side, same
+    flags, same accounting."""
+    from aroa_etl_spark.functions.web import normalize_host, registered_domain, url_host
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://WWW.Shop"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".co.uk/x")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://misc"), (F.col("doc_id") % 97).cast("string"),
+                     F.lit(".example.org/p")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://t"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".trk"), (F.col("doc_id") % 11).cast("string"),
+                     F.lit(".adnet.io/x")),
+        ).alias("url"),
+    )
+    hostc = normalize_host(url_host("url"))
+    doms = docs.select(
+        "source", hostc.alias("host"), registered_domain(hostc).alias("domain")
+    )
+    exact = F.col("domain").isin("shop1.co.uk", "shop4.co.uk")
+    suffixes = F.array(F.lit(".trk7.adnet.io"), F.lit(".trk3.adnet.io"))
+    suffix_hit = F.exists(suffixes, lambda s: F.endswith(F.col("host"), s))
+    flagged = doms.select(
+        "source",
+        exact.cast("int").alias("f_exact"),
+        (~exact & suffix_hit).cast("int").alias("f_suffix"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_exact").cast("bigint").alias("n_blocked_exact"),
+        F.sum("f_suffix").cast("bigint").alias("n_blocked_suffix"),
+        F.sum(F.lit(1) - F.col("f_exact") - F.col("f_suffix"))
+        .cast("bigint").alias("n_kept"),
+    )
