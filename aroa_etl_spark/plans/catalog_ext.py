@@ -2713,3 +2713,77 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("f_exact") - F.col("f_suffix"))
         .cast("bigint").alias("n_kept"),
     )
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH t0 AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    t1 AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM t0),
+    t2 AS (SELECT vec_id, scale,
+                  list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS raw,
+                  v
+           FROM t1),
+    t3 AS (SELECT vec_id, scale, v,
+                  list_transform(raw, r -> GREATEST(-127, LEAST(127, r))) AS q,
+                  len(list_filter(raw, r -> r > 127 OR r < -127)) AS n_clipped
+           FROM t2)
+    SELECT vec_id,
+           scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           list_max(list_transform(range(1, len(v) + 1),
+                    i -> abs(v[i] - q[i] * scale))) AS max_abs_err
+    FROM t3
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the vector-store
+    compression step (4x smaller than float32, the standard serving
+    trade-off): scale = max|v|/127, q = clamp(floor(v/scale + 0.5),
+    ±127), reported as the quantized checksum, clip count, and max
+    reconstruction error per vector.  floor(x + 0.5) instead of
+    round() BECAUSE the two engines disagree on round-half semantics
+    while floor is IEEE-identical; scale is materialized as its own
+    projection before the lambdas reference it (the engine's
+    analysis-cost rule).  Pure column expressions over the array —
+    no shuffle at all, embarrassingly parallel at any scale; pairs
+    with operators/ann.py PQ for the product-quantized path."""
+    docs = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    t0 = docs.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    t1 = t0.select(
+        "vec_id", "v",
+        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    t2 = t1.select(
+        "vec_id", "scale", "v",
+        F.transform(
+            "v",
+            lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(x / F.col("scale") + F.lit(0.5)).cast("long")
+            ),
+        ).alias("raw"),
+    )
+    t3 = t2.select(
+        "vec_id", "scale", "v",
+        F.transform(
+            "raw", lambda r: F.greatest(F.lit(-127), F.least(F.lit(127), r))
+        ).alias("q"),
+        F.size(F.filter("raw", lambda r: (r > 127) | (r < -127))).alias("n_clipped"),
+    )
+    return t3.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.col("n_clipped").cast("bigint").alias("n_clipped"),
+        F.array_max(
+            F.zip_with("v", "q", lambda a, b: F.abs(a - b * F.col("scale")))
+        ).alias("max_abs_err"),
+    )
