@@ -1552,3 +1552,73 @@ def tdp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(agg, "lang").select(
         "lang", "n_docs", "sample_thresh", "n_sampled"
     )
+
+
+@query(
+    "tdp_split_leakage",
+    oracle=f"""
+    WITH thr AS ({_MINHASH_ORACLE.format(docs=_DOCS_PLANTED)}),
+    ids AS (SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id % 5 = 0),
+    sp AS (SELECT doc_id,
+                  CASE WHEN ('0x'||substr(md5('v1'||CAST(doc_id AS VARCHAR)),1,8))
+                            ::UBIGINT::BIGINT % 1000000 < 900000
+                       THEN 'train' ELSE 'test' END AS split
+           FROM ids),
+    lab AS (SELECT t.id_a, t.id_b, sa.split AS split_a, sb.split AS split_b
+            FROM thr t
+            JOIN sp sa ON t.id_a = sa.doc_id
+            JOIN sp sb ON t.id_b = sb.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN split_a != split_b
+                     THEN CASE WHEN split_a = 'test' THEN id_a ELSE id_b END
+                     END) AS BIGINT) AS n_test_docs_contaminated
+    FROM lab
+    """,
+)
+def tdp_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit — the eval-integrity check a
+    training pipeline runs BEFORE publishing a benchmark number: docs
+    (with the planted near-dup copies) are hash_split 90/10, near-dup
+    pairs come from the standard MinHash-LSH pipeline, and every pair
+    whose ends land in DIFFERENT splits is contamination — reported as
+    the cross-pair count and the number of distinct test documents with
+    a train-side near-duplicate.  The oracle replays the entire chain
+    (split assignment, signatures, buckets, Jaccard gate, labeling).
+    Scale: the LSH join IS the near-dup pipeline (banded, salted hot
+    buckets); split labels join in by id — two broadcast-sized extra
+    shuffles on pair ids, nothing quadratic."""
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup
+    from aroa_etl_spark.operators.sampling import hash_split
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, num_perm=8, bands=4, shingle_n=3, threshold=0.7)
+    sp = hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.9, "test": 0.1}, salt="v1"
+    )
+    lab = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+    )
+    cross = F.col("split_a") != F.col("split_b")
+    return lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(cross.cast("int")).cast("bigint").alias("n_cross_pairs"),
+        F.count_distinct(
+            F.when(
+                cross,
+                F.when(F.col("split_a") == "test", F.col("id_a")).otherwise(
+                    F.col("id_b")
+                ),
+            )
+        ).cast("bigint").alias("n_test_docs_contaminated"),
+    )
