@@ -2787,3 +2787,96 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("v", "q", lambda a, b: F.abs(a - b * F.col("scale")))
         ).alias("max_abs_err"),
     )
+
+
+@query(
+    "web_robots_filter",
+    oracle=r"""
+    WITH urls AS (SELECT doc_id, source,
+                         CAST(doc_id % 20 AS VARCHAR) AS hk,
+                         CASE WHEN doc_id % 4 = 0
+                              THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                              WHEN doc_id % 4 = 1
+                              THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+                              WHEN doc_id % 4 = 2 THEN '/public/z'
+                              ELSE '/t' || CAST(doc_id % 7 AS VARCHAR) || '/a' END
+                           AS path
+                  FROM documents),
+    ruled AS (SELECT doc_id, source, path,
+                     ['D:/private', 'A:/private/ok', 'D:/t' || hk] AS rules
+              FROM urls),
+    scored AS (SELECT source, path,
+                      list_max(list_transform(
+                          list_filter(rules, r -> starts_with(path, r[3:])),
+                          r -> (len(r) - 2) * 2
+                               + CASE WHEN r LIKE 'A:%' THEN 1 ELSE 0 END))
+                        AS best
+               FROM ruled),
+    dec AS (SELECT source,
+                   CASE WHEN best IS NULL OR best % 2 = 1 THEN 1 ELSE 0 END
+                     AS allowed
+            FROM scored)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(allowed) AS BIGINT) AS n_allowed,
+           CAST(SUM(1 - allowed) AS BIGINT) AS n_disallowed
+    FROM dec GROUP BY source
+    """,
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt rule evaluation — the crawl-politeness gate: per-host
+    rule sets (a shared Disallow/Allow pair plus one host-specific
+    Disallow), longest-PREFIX-match semantics with Allow winning equal-
+    length ties (the published Google REP tie-break), evaluated as pure
+    column expressions — rules encoded 'A:<path>'/'D:<path>', the
+    decision a single list_max over (2*prefix_len + is_allow) scores,
+    so 'no matching rule' (NULL best) and every tie-break are value-
+    checked.  The /t<k> family proves raw-prefix matching ('/t1'
+    matches '/t12/a').  At 100 TB: the per-host rule array broadcasts
+    with the host dimension; the URL side stays a narrow scan +
+    groupBy(source) — no Python, no explode even."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    urls = docs.select(
+        "doc_id", "source",
+        (F.col("doc_id") % 20).cast("string").alias("hk"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("/private/ok/y"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/public/z"))
+        .otherwise(F.concat(F.lit("/t"), (F.col("doc_id") % 7).cast("string"),
+                            F.lit("/a")))
+        .alias("path"),
+    )
+    ruled = urls.select(
+        "source", "path",
+        F.array(
+            F.lit("D:/private"),
+            F.lit("A:/private/ok"),
+            F.concat(F.lit("D:/t"), F.col("hk")),
+        ).alias("rules"),
+    )
+    score = lambda r: (F.length(r) - 2) * 2 + F.when(  # noqa: E731
+        r.startswith("A:"), 1
+    ).otherwise(0)
+    scored = ruled.select(
+        "source",
+        F.array_max(
+            F.transform(
+                F.filter("rules", lambda r: F.col("path").startswith(F.substring(r, 3, 100000))),
+                score,
+            )
+        ).alias("best"),
+    )
+    allowed = (
+        F.when(F.col("best").isNull() | (F.col("best") % 2 == 1), 1).otherwise(0)
+    )
+    return (
+        scored.select("source", allowed.alias("allowed"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum("allowed").cast("bigint").alias("n_allowed"),
+            F.sum(F.lit(1) - F.col("allowed")).cast("bigint").alias("n_disallowed"),
+        )
+    )
