@@ -378,14 +378,25 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
     base: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
     d = list(base)
     code_size = min_code_size + 1
-    big = int.from_bytes(data, "little")
-    nbits = len(data) * 8
-    bitpos = 0
+    # rolling bit buffer (mirrors encode's emit()): a single big-int
+    # shifted per code would copy the whole remaining stream each read,
+    # turning decode O(n^2) in blob size
+    buf = 0
+    nbuf = 0
+    byte_at = 0
+    n_bytes = len(data)
     out: list[int] = []
     prev: list[int] | None = None
-    while bitpos + code_size <= nbits:
-        code = (big >> bitpos) & ((1 << code_size) - 1)
-        bitpos += code_size
+    while True:
+        while nbuf < code_size and byte_at < n_bytes:
+            buf |= data[byte_at] << nbuf
+            nbuf += 8
+            byte_at += 1
+        if nbuf < code_size:
+            break
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbuf -= code_size
         if code == clear:
             d = list(base)
             code_size = min_code_size + 1

@@ -253,7 +253,7 @@ def temperature_sample(
         stats.crossJoin(F.broadcast(tot))
         .select(
             c.alias("__stratum"),
-            F.floor(F.least(F.lit(1.0), rate) * F.lit(1000000.0))
+            F.floor(F.least(F.lit(1.0), rate) * F.lit(float(BUCKETS)))
             .cast("long")
             .alias("sample_thresh"),
         )

@@ -2722,7 +2722,7 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings),
     t1 AS (SELECT vec_id, v,
-                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                  list_max(list_transform(v, x -> abs(x))) * 0.9 / 127.0 AS scale
            FROM t0),
     t2 AS (SELECT vec_id, scale,
                   list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
@@ -2743,10 +2743,13 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector symmetric int8 quantization — the vector-store
+    """Per-vector SATURATING int8 quantization — the vector-store
     compression step (4x smaller than float32, the standard serving
-    trade-off): scale = max|v|/127, q = clamp(floor(v/scale + 0.5),
-    ±127), reported as the quantized checksum, clip count, and max
+    trade-off): scale = 0.9·max|v|/127 (the headroom factor trades a
+    finer step for clipping the top decile of magnitudes — and makes
+    the clamp genuinely fire, so the clip accounting is discriminating
+    rather than a constant 0), q = clamp(floor(v/scale + 0.5), ±127),
+    reported as the quantized checksum, clip count, and max
     reconstruction error per vector.  floor(x + 0.5) instead of
     round() BECAUSE the two engines disagree on round-half semantics
     while floor is IEEE-identical; scale is materialized as its own
@@ -2760,7 +2763,8 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t1 = t0.select(
         "vec_id", "v",
-        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+        (F.array_max(F.transform("v", F.abs)) * F.lit(0.9) / F.lit(127.0))
+        .alias("scale"),
     )
     t2 = t1.select(
         "vec_id", "scale", "v",
@@ -2798,7 +2802,8 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN '/private/x' || CAST(doc_id AS VARCHAR)
                               WHEN doc_id % 4 = 1
                               THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
-                              WHEN doc_id % 4 = 2 THEN '/public/z'
+                              WHEN doc_id % 8 = 2 THEN '/private2/w'
+                              WHEN doc_id % 8 = 6 THEN '/public/z'
                               ELSE '/t' || CAST(doc_id % 7 AS VARCHAR) || '/a' END
                            AS path
                   FROM documents),
@@ -2831,8 +2836,11 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions — rules encoded 'A:<path>'/'D:<path>', the
     decision a single list_max over (2*prefix_len + is_allow) scores,
     so 'no matching rule' (NULL best) and every tie-break are value-
-    checked.  The /t<k> family proves raw-prefix matching ('/t1'
-    matches '/t12/a').  At 100 TB: the per-host rule array broadcasts
+    checked.  The '/private2/w' family is the raw-prefix trap: it
+    matches 'D:/private' WITHOUT a segment boundary, so a matcher that
+    (incorrectly for REP) requires path-segment alignment flips those
+    rows from disallowed to allowed and fails the oracle.  At 100 TB:
+    the per-host rule array broadcasts
     with the host dimension; the URL side stays a narrow scan +
     groupBy(source) — no Python, no explode even."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -2843,7 +2851,8 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.lit("/private/x"), F.col("doc_id").cast("string")))
         .when(F.col("doc_id") % 4 == 1,
               F.concat(F.lit("/private/ok/y"), F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 4 == 2, F.lit("/public/z"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("/private2/w"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("/public/z"))
         .otherwise(F.concat(F.lit("/t"), (F.col("doc_id") % 7).cast("string"),
                             F.lit("/a")))
         .alias("path"),

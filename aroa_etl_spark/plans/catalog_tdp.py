@@ -1455,15 +1455,9 @@ def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping windows + span coverage is the faithful substring-dedup
     semantics."""
     K = 10
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
-        "doc_id", "text"
-    )
-    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
-    )
-    toks_t = docs.unionAll(planted).select(
-        "doc_id", X.tokens("text").alias("toks")
+    toks_t = (
+        _docs_with_planted(spark, sf_dir)  # the shared _DOCS_PLANTED mirror
+        .select("doc_id", X.tokens("text").alias("toks"))
     )
     wins = (
         toks_t.filter(F.size("toks") >= K)

@@ -109,10 +109,13 @@ def parse_warc_records(
         cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                recs = parse_warc_blob(bytes(r[content_col] or b""))
-                for rec in recs:
-                    rec["blob_id"] = r[id_col]
+            # plain ndarray zip, not iterrows(): per-row Series
+            # construction would dominate the parse on record-dense blobs
+            for bid, content in zip(
+                pdf[id_col].to_numpy(), pdf[content_col].to_numpy()
+            ):
+                for rec in parse_warc_blob(bytes(content or b"")):
+                    rec["blob_id"] = bid
                     rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
