@@ -883,6 +883,70 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("vsum_fp", T.LongType()),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame, *, target_rate: int, strict: bool = False
+) -> DataFrame:
+    """Linear-interpolation resampling — the prep step that unifies a
+    mixed-rate audio corpus before training: decode (strict honors the
+    real-codec contract), place output sample k at source position
+    pos = (k * sr_in) / target_rate (that exact double formula — the
+    oracle replays it), and interpolate v = a + (b - a) * frac between
+    the bracketing samples of channel 0.
+
+    Returns (media_id, n_in, n_out, vsum_fp) where vsum_fp is the
+    fixed-point checksum sum(floor(v * 1e9 + 0.5)) — floor(x + 0.5)
+    instead of a round() builtin because numpy rounds half-to-even
+    while SQL engines differ, and exact BIGINT addition makes the sum
+    order-free.  A production variant would also emit the resampled
+    PCM payload; the checksum is what makes the arithmetic verifiable
+    cross-engine.  mapInPandas, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_RESAMPLE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for mid, content, meta in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["content"].to_numpy(),
+                pdf["meta"].to_numpy(),
+            ):
+                meta = dict(meta) if isinstance(meta, dict) else dict(meta or {})
+                wave = decode_audio(bytes(content or b""), meta, strict=strict)
+                sr = int(meta.get("sample_rate") or 16000)
+                x = wave[:, 0].astype(np.float64)
+                n_in = x.shape[0]
+                n_out = n_in * target_rate // sr
+                pos = (np.arange(n_out, dtype=np.float64) * sr) / target_rate
+                idx = np.floor(pos).astype(np.int64)
+                frac = pos - idx
+                a = x[idx]
+                b = x[np.minimum(idx + 1, n_in - 1)]
+                v = a + (b - a) * frac
+                vsum = int(np.floor(v * 1e9 + 0.5).sum()) if n_out else 0
+                out.append(
+                    {
+                        "media_id": mid,
+                        "n_in": n_in,
+                        "n_out": int(n_out),
+                        "vsum_fp": vsum,
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content", "meta").mapInPandas(
+        kernel, AUDIO_RESAMPLE_SCHEMA
+    )
+
 
 def audio_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
     """Per-clip audio features via mapInPandas: byte size, duration from

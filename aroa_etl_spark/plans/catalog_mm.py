@@ -477,3 +477,62 @@ def mm_gif_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )
+
+
+@query(
+    "mm_audio_resample",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      md5(text) || md5(text || 'x') AS hx
+               FROM documents),
+    s AS (SELECT media_id,
+                 list_transform(range(1, 37),
+                     i -> (ascii(substr(hx, i, 1)) - 128.0) / 128.0) AS smp
+          FROM m)
+    SELECT media_id,
+           CAST(36 AS BIGINT) AS n_in,
+           CAST(13 AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(range(0, 13), k ->
+                floor((smp[CAST(floor(CAST(k * 8000 AS DOUBLE) / 3000.0) AS INT) + 1]
+                       + (smp[LEAST(CAST(floor(CAST(k * 8000 AS DOUBLE) / 3000.0)
+                                         AS INT) + 2, 36)]
+                          - smp[CAST(floor(CAST(k * 8000 AS DOUBLE) / 3000.0)
+                                     AS INT) + 1])
+                         * (CAST(k * 8000 AS DOUBLE) / 3000.0
+                            - floor(CAST(k * 8000 AS DOUBLE) / 3000.0)))
+                      * 1000000000.0 + 0.5))) AS BIGINT) AS vsum_fp
+    FROM s
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling with REAL decode (operators/multimodal.py
+    resample_audio): the same 80-byte genuine WAVs as
+    mm_audio_decode_real go through the stdlib decoder under
+    strict=True, then linear-interpolation resampling 8000 -> 3000 Hz —
+    a deliberately NON-integer ratio (8/3) so all but every third
+    output sample is a genuine two-point interpolation, not an index
+    copy.  8-bit PCM maps to exact dyadic float32 values, position
+    arithmetic is the exact double formula (k*8000)/3000 on both sides,
+    and the checksum is fixed-point floor(v*1e9 + 0.5) summed in exact
+    integers — so interpolation weights, bracketing indices, and the
+    tail clamp are all bit-checked by the oracle's pure-SQL replay.
+    mapInPandas, no shuffle."""
+    from aroa_etl_spark.operators.multimodal import resample_audio
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hx = F.concat(F.md5(F.encode("text", "UTF-8")),
+                  F.md5(F.encode(F.concat(F.col("text"), F.lit("x")), "UTF-8")))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_WAV_HEADER_HEX)),
+            F.encode(F.substring(hx, 1, 36), "UTF-8"),
+        ).alias("content"),
+        F.struct(
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit(36).cast("int").alias("n_samples"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+    return resample_audio(media, target_rate=3000, strict=True)

@@ -554,3 +554,41 @@ def test_gif_strict_dispatch():
     px = np.full((4, 8), 77, dtype=np.uint8)
     out = decode_image(encode_gif(px), {"format": "gif"}, strict=True)
     assert out.shape == (4, 8, 3) and float(out.mean()) == 77.0
+
+
+def test_resample_audio_kernel(spark):
+    """resample_audio: integer-ratio downsample returns exact source
+    samples; non-integer ratio interpolates linearly; checksum matches
+    a hand computation."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import resample_audio
+
+    # 8 samples at "rate 4" -> target 2: picks samples 0,2,4,6 exactly
+    samples = np.array([0, 16, 32, 48, 64, 80, 96, 112], dtype=np.uint8)
+    import wave
+    from io import BytesIO
+
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(4)
+        w.writeframes(samples.tobytes())
+    blob = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), {"sample_rate": "4", "format": "wav"})],
+        "media_id long, content binary, meta map<string,string>",
+    )
+    row = resample_audio(df, target_rate=2, strict=True).collect()[0]
+    x = (samples.astype(np.float64) - 128.0) / 128.0
+    expected = int(np.floor(x[[0, 2, 4, 6]] * 1e9 + 0.5).sum())
+    assert (row["n_in"], row["n_out"], row["vsum_fp"]) == (8, 4, expected)
+
+    # target 3 over rate 4 -> positions 0, 4/3, 8/3, 4, 16/3, 20/3 (n_out=6)
+    row = resample_audio(df, target_rate=3, strict=True).collect()[0]
+    pos = (np.arange(6, dtype=np.float64) * 4) / 3
+    idx = np.floor(pos).astype(int)
+    frac = pos - idx
+    v = x[idx] + (x[np.minimum(idx + 1, 7)] - x[idx]) * frac
+    assert row["vsum_fp"] == int(np.floor(v * 1e9 + 0.5).sum())
