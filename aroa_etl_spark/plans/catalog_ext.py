@@ -1695,6 +1695,47 @@ def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s_fixedwidth_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+           CAST(SUM(length(o_orderpriority)) AS BIGINT) AS prio_len_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def s_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source/sink round-trip (sources/io.py
+    read_fixed_width/write_fixed_width — the mainframe stage-file
+    dialect alongside S1's CSV): orders keys+priority go out as
+    space-padded 12+16-char records and come back via offset substring
+    slicing, then aggregate after explicit casts. The oracle reads the
+    ORIGINAL parquet — equal key sums prove the numeric round-trip, and
+    prio_len_sum proves rtrim recovered the exact unpadded strings
+    (any residual pad space would inflate it). Both directions are
+    pure column expressions over splittable text — no Python, no
+    inference pass, one file per task."""
+    from aroa_etl_spark.sources.io import read_fixed_width, write_fixed_width
+
+    spec = [("o_orderkey", 12), ("o_orderpriority", 16)]
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority"
+    )
+    stage = _scratch_stage("fixedwidth_roundtrip", sf_dir)
+    write_fixed_width(orders, stage, spec)
+    back = read_fixed_width(spark, stage, spec)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("key_sum"),
+            F.sum(F.length("o_orderpriority")).cast("bigint").alias("prio_len_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 from aroa_etl_spark.plans.catalog_tdp import (  # noqa: E402
     _DOCS_PLANTED,
     _MINHASH_SQL_BANDS,

@@ -27,6 +27,7 @@ Scale notes: CSV reads are splittable when uncompressed (multiline off);
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -222,6 +223,54 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSON-lines sink (one object per line, UTF-8)."""
     df.write.mode(mode).json(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    spec: list[tuple[str, int]],
+    *,
+    trim: bool = True,
+) -> DataFrame:
+    """Fixed-width text source (mainframe/COBOL stage files — the
+    archive-export dialect next to the reference's CSV stage files).
+
+    ``spec`` is an ordered list of ``(column, width)``; each line is
+    sliced with ``substring`` at precomputed offsets — pure column
+    expressions over ``spark.read.text``, so the scan is splittable
+    (newline-delimited), fully parallel, and whole-stage-codegen'd.
+    All columns arrive as StringType (the pipeline's stringly-typed
+    convention, SURVEY §1.2); ``trim=True`` strips the pad spaces.
+    Lines shorter than an offset yield '' (substring past end), never
+    an error — malformed-row policy is the caller's filter."""
+    lines = spark.read.text(path)
+    cols = []
+    start = 1  # substring() is 1-indexed
+    for name, width in spec:
+        c = F.substring(F.col("value"), start, width)
+        cols.append((F.rtrim(c) if trim else c).alias(name))
+        start += width
+    return lines.select(*cols)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    spec: list[tuple[str, int]],
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Fixed-width text sink: each column right-padded with spaces to
+    its field width and concatenated — one ``concat`` of ``rpad`` s,
+    JVM-side, one output file per task. NULLs write as all-spaces
+    (indistinguishable from '' on read, as in the classic format), and
+    ``rpad`` truncates overlong values — classic fixed-width semantics;
+    size the widths from the domain."""
+    padded = [
+        F.rpad(F.coalesce(F.col(name).cast("string"), F.lit("")), width, " ")
+        for name, width in spec
+    ]
+    df.select(F.concat(*padded).alias("value")).write.mode(mode).text(path)
 
 
 def align_and_union(dfs, widen: bool = True):

@@ -169,3 +169,41 @@ def test_warc_parse_blob_and_guards():
         parse_warc_blob(
             b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab??trailing"
         )
+
+
+def test_fixed_width_roundtrip_and_edges(spark, tmp_path):
+    from aroa_etl_spark.sources.io import read_fixed_width, write_fixed_width
+
+    spec = [("k", 4), ("name", 8), ("city", 6)]
+    df = spark.createDataFrame(
+        [(1, "ada", "berlin"), (22, "grace hopper", None), (333, "", "rome")],
+        "k int, name string, city string",
+    )
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, spec)
+
+    # every line is exactly sum(widths) characters
+    raw = [r["value"] for r in spark.read.text(path).collect()]
+    assert all(len(line) == 18 for line in raw)
+
+    back = {r["k"]: r for r in read_fixed_width(spark, path, spec).collect()}
+    assert set(back) == {"1", "22", "333"}
+    assert back["1"]["name"] == "ada" and back["1"]["city"] == "berlin"
+    # overlong value truncates to the field width (classic semantics)
+    assert back["22"]["name"] == "grace ho"
+    # NULL writes as all-spaces and reads back as '' (rtrim), as does ''
+    assert back["22"]["city"] == "" and back["333"]["name"] == ""
+    # trim=False preserves the pad spaces verbatim
+    raw_cols = {
+        r["k"]: r for r in read_fixed_width(spark, path, spec, trim=False).collect()
+    }
+    assert raw_cols["1   "]["name"] == "ada     "
+
+
+def test_fixed_width_short_lines_yield_empty(spark, tmp_path):
+    from aroa_etl_spark.sources.io import read_fixed_width
+
+    p = tmp_path / "short.txt"
+    p.write_text("abcd\n")  # only covers the first field of a 4+4 spec
+    row = read_fixed_width(spark, str(p), [("a", 4), ("b", 4)]).first()
+    assert row["a"] == "abcd" and row["b"] == ""
