@@ -802,12 +802,64 @@ def _fake_waveform(content: bytes, n_samples: int, channels: int) -> np.ndarray:
     return (flat / 128.0 - 1.0).reshape(max(0, n_samples), max(1, channels))
 
 
+def _wav_chunks(content: bytes) -> tuple[dict, bytes]:
+    """Minimal RIFF/WAVE chunk walk: return (fmt fields, data payload).
+
+    The stdlib ``wave`` module rejects every non-PCM format tag, so the
+    G.711 path needs its own header parse.  Handles 16- and 18-byte
+    ``fmt `` chunks (the cbSize extension real encoders write for
+    compressed formats) and word-aligned chunk padding."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("malformed WAV: missing RIFF/WAVE signature")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos:pos + 4], struct.unpack("<I", content[pos + 4:pos + 8])[0]
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            tag, ch, sr, br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt = {"tag": tag, "channels": ch, "rate": sr, "bits": bits}
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return fmt, data
+
+
+def _g711_lut(law: str) -> np.ndarray:
+    """256-entry expansion table per ITU-T G.711 (public spec): encoded
+    byte → linear int32 sample in [-32124, 32124] (µ) / [-32256, 32256]
+    (A)."""
+    b = np.arange(256, dtype=np.int32)
+    if law == "ulaw":
+        u = 255 - b  # one's-complement storage
+        man, exp, neg = u & 0x0F, (u >> 4) & 0x07, (u & 0x80) != 0
+        t = ((man << 3) + 0x84) << exp
+        return np.where(neg, 0x84 - t, t - 0x84)
+    a = b ^ 0x55  # even-bit inversion
+    man, seg, pos = (a & 0x0F) << 4, (a >> 4) & 0x07, (a & 0x80) != 0
+    t = np.where(seg == 0, man + 8, (man + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(pos, t, -t)
+
+
+_G711_TAGS = {7: "ulaw", 6: "alaw"}
+
+
 def _decode_wav(content: bytes) -> np.ndarray:
-    """Real WAV decode (stdlib ``wave``): PCM 8/16/32-bit → float32
+    """Real WAV decode: PCM 8/16/24/32-bit via the stdlib ``wave``
+    module; G.711 µ-law/A-law (format tags 7/6 — telephony archives)
+    via the chunk walk + ITU expansion tables.  Returns float32
     (n_samples, channels) in [-1, 1)."""
     import wave
     from io import BytesIO
 
+    fmt, data = _wav_chunks(content)
+    if fmt["tag"] in _G711_TAGS:
+        lut = _g711_lut(_G711_TAGS[fmt["tag"]])
+        x = lut[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
+        return x.reshape(-1, max(fmt["channels"], 1))
     with wave.open(BytesIO(content), "rb") as w:
         channels = w.getnchannels()
         sampwidth = w.getsampwidth()

@@ -269,6 +269,105 @@ def mm_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 46-byte WAV headers for G.711 clips: 18-byte fmt chunk (cbSize
+# extension, as real telephony encoders write for compressed tags),
+# mono, 8-bit, 8000 Hz, 32 data bytes (RIFF size 70 = 0x46).  Only the
+# format tag differs: 7 = µ-law, 6 = A-law.
+_G711_HEADER_HEX = {
+    law: (
+        "52494646" "46000000" "57415645"            # RIFF <70> WAVE
+        "666d7420" "12000000" + tag + "0100"        # fmt <18> <tag> mono
+        "401f0000" "401f0000" "0100" "0800" "0000"  # 8 kHz, align 1, 8 bit, cb 0
+        "64617461" "20000000"                        # data <32>
+    )
+    for law, tag in (("ulaw", "0700"), ("alaw", "0600"))
+}
+
+# DuckDB replay of the ITU-T G.711 expansion (public spec arithmetic,
+# mirroring operators/multimodal.py:_g711_lut): byte c → linear sample.
+_ULAW_LIN = (
+    "CASE WHEN (255 - c) >= 128 "
+    "THEN 132 - ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8))) "
+    "ELSE ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8))) - 132 END"
+)
+_ALAW_LIN = (
+    "(CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END) * "
+    "(CASE WHEN (xor(c, 85) // 16) % 8 = 0 THEN (xor(c, 85) % 16) * 16 + 8 "
+    "ELSE ((xor(c, 85) % 16) * 16 + 264) * (1 << (((xor(c, 85) // 16) % 8) - 1)) END)"
+)
+
+
+@query(
+    "mm_audio_g711_real",
+    oracle=f"""
+    WITH m AS (SELECT doc_id AS media_id,
+                      md5(text) || md5(text || 'x') AS hx
+               FROM documents),
+    b AS (SELECT media_id,
+                 list_transform(range(1, 33),
+                   i -> ('0x' || substr(hx, 2*i - 1, 2))::UBIGINT::BIGINT) AS bytes
+          FROM m),
+    lin AS (SELECT media_id,
+                   CASE WHEN media_id % 2 = 0
+                        THEN list_transform(bytes, c -> {_ULAW_LIN})
+                        ELSE list_transform(bytes, c -> {_ALAW_LIN})
+                   END AS lin
+            FROM b)
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(32 AS BIGINT) AS n_in,
+           CAST(32 AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(lin, v ->
+                floor(CAST(v AS DOUBLE) / 32768.0 * 1000000000.0 + 0.5)))
+                AS BIGINT) AS vsum_fp
+    FROM lin
+    """,
+)
+def mm_audio_g711_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law/A-law WAV decode (format tags 7/6 — the telephony
+    and archive-dictation dialect the stdlib ``wave`` module rejects),
+    REAL under strict=True via the chunk walk + ITU expansion tables
+    (operators/multimodal.py:_wav_chunks/_g711_lut).  Every document
+    becomes a genuine 78-byte compressed WAV (46-byte header with the
+    18-byte fmt chunk + 32 raw md5 bytes — full 0-255 coverage, so all
+    256 LUT entries are exercised across the corpus); even doc_ids are
+    µ-law, odd A-law.  The checksum comes from resample_audio at the
+    identity rate (8 kHz → 8 kHz: pos = k exactly, v = decoded sample),
+    whose fixed-point sum is SIGN-sensitive — a flipped sign convention
+    or off-by-one segment shift in either law changes vsum_fp, where a
+    peak/rms check would miss the sign.  The oracle replays the ITU
+    arithmetic per byte in exact integer domain and the same double
+    rounding."""
+    from aroa_etl_spark.operators.multimodal import resample_audio
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hx = F.concat(F.md5(F.encode("text", "UTF-8")),
+                  F.md5(F.encode(F.concat(F.col("text"), F.lit("x")), "UTF-8")))
+    header = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(_G711_HEADER_HEX["ulaw"]))
+    ).otherwise(F.unhex(F.lit(_G711_HEADER_HEX["alaw"])))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://g711/"), F.col("doc_id")).alias("uri"),
+        F.concat(header, F.unhex(hx)).alias("content"),
+        F.struct(
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit(32).cast("int").alias("n_samples"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+    return resample_audio(media, target_rate=8000, strict=True).select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.lit("ulaw"))
+        .otherwise(F.lit("alaw"))
+        .alias("law"),
+        "n_in",
+        "n_out",
+        "vsum_fp",
+    )
+
+
 @query(
     "mm_jpeg_decode_real",
     oracle="""

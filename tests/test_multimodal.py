@@ -592,3 +592,41 @@ def test_resample_audio_kernel(spark):
     frac = pos - idx
     v = x[idx] + (x[np.minimum(idx + 1, 7)] - x[idx]) * frac
     assert row["vsum_fp"] == int(np.floor(v * 1e9 + 0.5).sum())
+
+
+def test_g711_wav_decode():
+    """µ-law/A-law WAVs (format tags 7/6) decode via the ITU expansion
+    tables; endpoints pinned to the public G.711 table values."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from aroa_etl_spark.operators.multimodal import (
+        _decode_wav,
+        _g711_lut,
+        _wav_chunks,
+    )
+
+    u, a = _g711_lut("ulaw"), _g711_lut("alaw")
+    assert (u[0xFF], u[0x00], u[0x80]) == (0, -32124, 32124)
+    assert (a[0x55], a[0xD5], a[0x2A], a[0xAA]) == (-8, 8, -32256, 32256)
+    # magnitudes are symmetric and monotone within the positive half
+    assert np.array_equal(np.sort(np.abs(u)), np.sort(np.abs(u[::-1])))
+
+    def wav(tag, payload, channels=1):
+        fmt = struct.pack("<HHIIHHH", tag, channels, 8000, 8000, channels, 8, 0)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    x = _decode_wav(wav(7, bytes(range(256))))
+    assert x.shape == (256, 1)
+    assert np.allclose(x[:, 0] * 32768.0, u)
+    # stereo reshapes to (n, 2)
+    assert _decode_wav(wav(6, bytes(8), channels=2)).shape == (4, 2)
+    # malformed containers raise ValueError per the module contract
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        _wav_chunks(b"NOT A WAV AT ALL")
+    with pytest.raises(ValueError, match="fmt/data"):
+        _wav_chunks(b"RIFF\x04\x00\x00\x00WAVE")
