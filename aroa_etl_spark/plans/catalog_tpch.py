@@ -833,3 +833,95 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem
+      GROUP BY 1, 2)
+    SELECT s.s_acctbal, s.s_name, n.n_name,
+           CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+           CAST(c.cost_cents AS DOUBLE) / 100.0 AS min_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size BETWEEN 10 AND 25 AND p.p_type = 'STANDARD'
+      AND r.r_name = 'EUROPE'
+      AND c.cost_cents = (
+        SELECT MIN(c2.cost_cents)
+        FROM cost c2
+        JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 — min-cost supplier: the scalar CORRELATED subquery
+    (cheapest regional supply cost per part) decorrelated the only way
+    that scales — min-per-group + join-back on (part, min) — plus an
+    explicit total-order tiebreak on the top-100.  Adapted to the
+    slimmed schema per the module method: no partsupp, so the observed
+    (part, supplier) MIN extended price in integer cents over the
+    lineitem bridge stands in for ps_supplycost (exact integer domain,
+    no divided doubles); p_brand stands in for p_mfgr.  The oracle
+    keeps the classic correlated form — DuckDB decorrelates it itself,
+    so the oracle independently cross-checks the manual decorrelation.
+    Plan: part/supplier/nation/region dims broadcast; the only
+    fact-scale shuffle is the (l_partkey, l_suppkey) cost aggregation,
+    pre-shrunk by the broadcast part semi-filter; the per-part min
+    re-aggregates the already-tiny cost table.  Ref: TPC-H spec Q2
+    (public); reference runs the same shape via its planner tests."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    eligible_nk = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(eligible_nk), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        t["part"]
+        .filter(F.col("p_size").between(10, 25) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    cost = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("__c"))
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("__c").cast("bigint")).alias("cost_cents"))
+    )
+    mincost = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost_cents").alias("__min_cents")
+    )
+    return (
+        cost.join(mincost, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("cost_cents") == F.col("__min_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"), "p_brand",
+            (F.col("cost_cents").cast("double") / F.lit(100.0)).alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -108,6 +108,9 @@ def test_w2_has_window_group_limit(spark, sf_dir):
         ("q22_idle_customers", ["LeftAnti"]),
         ("q16_part_supplier_counts", ["LeftAnti"]),
         ("q20_part_promotion_suppliers", ["LeftSemi"]),
+        # q2's decorrelation: fact pre-shrunk by broadcast SEMI filters
+        # before the (partkey, suppkey) min-cost shuffle; dims broadcast
+        ("q2_min_cost_supplier", ["LeftSemi", "BroadcastHashJoin"]),
         # snowflake/market-share dims must broadcast, never shuffle
         ("q5_local_supplier_volume", ["BroadcastHashJoin"]),
         ("q8_market_share", ["BroadcastHashJoin"]),
