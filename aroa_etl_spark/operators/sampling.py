@@ -204,6 +204,54 @@ def equidepth_buckets(
     )
 
 
+def grouped_equidepth_buckets(
+    df: DataFrame,
+    col: str,
+    by: str,
+    n_buckets: int,
+    exact: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Per-GROUP equi-depth buckets WITHOUT a per-group window sort: the
+    n-1 boundary quantiles come from ONE groupBy aggregation, join back
+    (broadcast — the boundary table is group-count sized), and each row
+    buckets by comparison.  This is the fact-scale replacement for
+    ``ntile(n) OVER (PARTITION BY group ORDER BY col)``, whose window
+    sorts every partition's rows — per-language CCNet terciles over a
+    100 TB corpus being the motivating case (see
+    ``tdp_perplexity_buckets_scalable``).
+
+    ``exact=True`` uses ``percentile()`` (exact interpolated quantiles,
+    cross-engine reproducible — the per-group sort happens inside one
+    aggregation, fine while single groups fit a partition's sort
+    budget).  ``exact=False`` switches to ``approx_percentile``
+    (KLL-style sketch, fully partial-aggregated, bounded memory per
+    group — the 100 TB default; boundaries then carry the sketch's
+    relative_error).  Ties on a boundary go to the lower bucket; bucket
+    ids are 1-based like ntile.  If the group cardinality itself is
+    fact-scale, drop the broadcast hint and let AQE pick the join."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    arg = "" if exact else f", {int(1 / relative_error)}"
+    bounds = df.groupBy(by).agg(
+        F.expr(
+            f"{fn}({col}, array({', '.join(map(str, qs))}){arg})"
+        ).alias("__b")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(col) > F.element_at("__b", i + 1), 1
+        ).otherwise(0)
+    return (
+        df.join(F.broadcast(bounds), by)
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("__b")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     id_col: str,

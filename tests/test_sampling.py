@@ -160,3 +160,38 @@ def test_temperature_sample_upweights_small_strata(spark):
         ).collect()
     )
     assert ids == ids2 and len(ids) > 0
+
+
+def test_grouped_equidepth_buckets(spark):
+    """Per-group terciles via one aggregation: bucket counts per group
+    are near-equal and boundaries respect the <=-goes-lower tie rule;
+    the approx path produces the same buckets on a small frame (the
+    sketch is exact below its compaction threshold)."""
+    from aroa_etl_spark.operators.sampling import grouped_equidepth_buckets
+
+    rows = [("a", float(i)) for i in range(30)] + [("b", float(i * 10)) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = grouped_equidepth_buckets(df, "v", "g", 3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault((r.g, r.bucket), []).append(r.v)
+    # group a: 30 values 0..29, boundaries at ~9.67/19.33 -> 10/10/10
+    assert sorted(len(by_group[("a", b)]) for b in (1, 2, 3)) == [10, 10, 10]
+    # within-group ordering: every bucket-1 value < every bucket-3 value
+    assert max(by_group[("a", 1)]) < min(by_group[("a", 3)])
+    assert max(by_group[("b", 1)]) < min(by_group[("b", 3)])
+    # groups bucket independently: b's bucket-1 values exceed a's range
+    assert max(by_group[("b", 3)]) == 110.0
+    approx = grouped_equidepth_buckets(df, "v", "g", 3, exact=False).collect()
+    assert sorted((r.g, r.v, r.bucket) for r in approx) == sorted(
+        (r.g, r.v, r.bucket) for r in out
+    )
+
+
+def test_grouped_equidepth_rejects_bad_buckets(spark):
+    from aroa_etl_spark.operators.sampling import grouped_equidepth_buckets
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError):
+        grouped_equidepth_buckets(df, "v", "g", 1)
