@@ -284,6 +284,34 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
     return F.greatest(score, F.lit(0)).alias("quality_score")
 
 
+def quality_score_from(
+    toks: Column | str, text: Column | str, lang: str = "en"
+) -> Column:
+    """``quality_score`` over an ALREADY-MATERIALIZED token array — the
+    hot-path form.  The composed ``quality_score`` tokenizes the text
+    three times (token count, stopword ratio, and typically a caller's
+    own token column); whole-stage codegen does not reliably eliminate
+    the repeated regex-split subtrees, so on a documents-table scan the
+    tokenization dominates (root-caused round 6: the bench entry's
+    +20% drift was this, not noise).  Same integer arithmetic, same
+    oracle — ``toks`` must be a plain column reference from a previous
+    projection (the shingles_from re-evaluation rule)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n_tok = F.size(toks)
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n_tok.cast("double")
+    )
+    score = (
+        F.lit(100)
+        - F.when(n_tok < 5, 40).when(n_tok < 20, 15).otherwise(0)
+        - F.when(punct_ratio(text) > 0.2, 25).otherwise(0)
+        - F.when(stop_ratio < 0.01, 20).otherwise(0)
+    )
+    return F.greatest(score, F.lit(0)).alias("quality_score")
+
+
 def winnowing_from_hashes(hh: Column | str, window: int = 4) -> Column:
     """Window-minimum winnowing over an ALREADY-MATERIALIZED hash array.
 

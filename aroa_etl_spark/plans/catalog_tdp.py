@@ -490,13 +490,19 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score distribution per source: integer composite score
-    (length / punctuation / stopword penalties) aggregated exactly."""
+    (length / punctuation / stopword penalties) aggregated exactly.
+    Tokenizes ONCE into a materialized array and scores from it
+    (quality_score_from) — the composed form re-split the text three
+    times per row, which was the round-5 bench drift."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        "source", "text", X.tokens("text").alias("__toks")
+    )
     return (
-        docs.select(
+        staged.select(
             "source",
-            X.quality_score("text").alias("score"),
-            X.token_count("text").alias("n_tokens"),
+            X.quality_score_from("__toks", "text").alias("score"),
+            F.size("__toks").alias("n_tokens"),
         )
         .groupBy("source")
         .agg(

@@ -195,3 +195,32 @@ def test_grouped_equidepth_rejects_bad_buckets(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with _pytest.raises(ValueError):
         grouped_equidepth_buckets(df, "v", "g", 1)
+
+
+def test_quality_score_from_matches_composed(spark):
+    """The materialized-token hot path must be value-identical to the
+    composed quality_score on every penalty branch (short doc, punct
+    blast, no stopwords, empty, healthy prose)."""
+    from pyspark.sql import functions as F
+    from aroa_etl_spark.functions import text as X
+
+    rows = [
+        ("the quick brown fox jumps over the lazy dog and runs far away "
+         "from the big red barn with a friendly smile on its face",),
+        ("tiny doc",),
+        ("!!!! ???? ;;;; @@@@ #### $$$$ %%%%",),
+        ("zzz qqq xxx vvv www yyy kkk jjj mmm nnn ppp rrr sss ttt uuu "
+         "bbb ccc ddd eee fff ggg",),
+        ("",),
+        ("   ",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    staged = df.select(
+        "text",
+        X.quality_score("text").alias("composed"),
+        X.tokens("text").alias("__toks"),
+    ).select(
+        "composed", X.quality_score_from("__toks", "text").alias("materialized")
+    )
+    for r in staged.collect():
+        assert r.composed == r.materialized, r
