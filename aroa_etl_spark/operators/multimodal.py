@@ -110,53 +110,39 @@ def _fake_pixels(content: bytes, width: int, height: int, channels: int) -> np.n
     return np.tile(seed, reps)[:n].reshape(height, width, channels)
 
 
-def _decode_png(content: bytes) -> np.ndarray:
-    """Real PNG decode (pure stdlib): 8-bit depth, non-interlaced,
-    gray / gray+alpha / RGB / RGBA. Covers every PNG a training
-    pipeline writes itself; exotic PNGs fall through to PIL."""
-    import struct
-    import zlib
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass —
+# PNG spec (ISO/IEC 15948) §8.2; passes with zero pixels emit no bytes.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG signature")
-    pos, width, height, channels, idat = 8, 0, 0, 0, []
-    while pos < len(content):
-        (length,) = struct.unpack(">I", content[pos : pos + 4])
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or interlace != 0:
-                raise NotImplementedError("stdlib PNG path: 8-bit non-interlaced only")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                raise NotImplementedError(f"PNG color type {color} unsupported")
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+
+def _png_unfilter(raw: bytes, offset: int, height: int, row_bytes: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Reverse PNG scanline filtering for one (sub-)image: ``height``
+    rows of [filter byte | row_bytes filtered bytes] starting at
+    ``offset``; ``bpp`` is the filter's left-neighbor distance in BYTES
+    (channels x bytes-per-sample — the spec's per-byte semantics, which
+    is why 16-bit needs no separate filter code).  Returns (rows,
+    next offset)."""
+    out = np.empty((height, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    pos = offset
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=row_bytes, offset=pos + 1).copy()
+        pos += 1 + row_bytes
         if ftype == 0:  # None
             cur = line
         elif ftype == 2:  # Up
             cur = line + prev
         else:  # Sub / Average / Paeth need the running left neighbor
             cur = line
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
+            for x in range(row_bytes):
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -170,7 +156,145 @@ def _decode_png(content: bytes) -> np.ndarray:
                 cur[x] = (int(cur[x]) + pred) & 0xFF
         out[y] = cur
         prev = cur
-    return out.reshape(height, width, channels)
+    return out, pos
+
+
+def _png_rows_to_samples(rows: np.ndarray, h: int, w: int, channels: int,
+                         depth: int) -> np.ndarray:
+    """(h, w*channels*depth/8) filtered-byte rows → (h, w, channels)
+    samples; 16-bit samples are big-endian per the spec."""
+    if depth == 8:
+        return rows.reshape(h, w, channels)
+    pairs = rows.reshape(h, w, channels, 2).astype(np.uint16)
+    return (pairs[..., 0] << 8) | pairs[..., 1]
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Real PNG decode (pure stdlib): 8-bit AND 16-bit depth, Adam7
+    interlaced or not, gray / gray+alpha / RGB / RGBA — every PNG a
+    training pipeline writes itself plus the screen-progressive form
+    crawled pages carry.  Output dtype is uint8 (depth 8) or uint16
+    (depth 16, big-endian samples decoded to native ints).  Palette /
+    sub-byte depths fall through to PIL."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, width, height, channels, idat = 8, 0, 0, 0, []
+    depth = interlace = 0
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth not in (8, 16):
+                raise NotImplementedError("stdlib PNG path: 8/16-bit depth only")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color} unsupported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, height, width * bpp, bpp)
+        return _png_rows_to_samples(rows, height, width, channels, depth)
+    img = np.zeros((height, width, channels),
+                   dtype=np.uint16 if depth == 16 else np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: no scanlines at all
+        rows, pos = _png_unfilter(raw, pos, ph, pw * bpp, bpp)
+        img[y0::dy, x0::dx] = _png_rows_to_samples(rows, ph, pw, channels, depth)
+    return img
+
+
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder for fixtures and the image sink: uint8 or
+    uint16 (H, W, C) input, optional Adam7 interlacing; scanline filter
+    type cycles 0-4 by row so a decode round-trip exercises every
+    filter's reverse path (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    if pixels.ndim != 3:
+        raise ValueError("pixels must be (H, W, C)")
+    h, w, c = pixels.shape
+    depth = 16 if pixels.dtype == np.uint16 else 8
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c * (depth // 8)
+
+    def filt(sub_px: np.ndarray) -> bytes:
+        """Filter one (ph, pw, C) sub-image, cycling filter types."""
+        ph = sub_px.shape[0]
+        if depth == 16:
+            be = sub_px.astype(">u2")
+            lines = be.reshape(ph, -1).view(np.uint8).reshape(ph, -1)
+        else:
+            lines = sub_px.reshape(ph, -1)
+        out = bytearray()
+        prev = np.zeros(lines.shape[1], dtype=np.uint8)
+        for y in range(ph):
+            line = lines[y].astype(np.int16)
+            ftype = y % 5
+            left = np.zeros_like(line)
+            left[bpp:] = line[:-bpp]
+            up = prev.astype(np.int16)
+            upleft = np.zeros_like(up)
+            upleft[bpp:] = up[:-bpp]
+            if ftype == 0:
+                pred = np.zeros_like(line)
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+            out.append(ftype)
+            out.extend(((line - pred) % 256).astype(np.uint8).tobytes())
+            prev = lines[y]
+        return bytes(out)
+
+    if interlace:
+        raw = b"".join(
+            filt(pixels[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if pixels[y0::dy, x0::dx].shape[0] and pixels[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        raw = filt(pixels)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_netpbm(content: bytes) -> np.ndarray:

@@ -630,3 +630,58 @@ def test_g711_wav_decode():
         _wav_chunks(b"NOT A WAV AT ALL")
     with pytest.raises(ValueError, match="fmt/data"):
         _wav_chunks(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_png_adam7_and_16bit_round_trip():
+    """Adam7 interlaced and 16-bit PNGs decode bit-exactly for every
+    channel count, including dimensions that leave some passes empty
+    (1x1: five of seven passes emit no scanlines) — the encoder cycles
+    all five filter types per row, so this covers each filter's reverse
+    path inside every pass geometry."""
+    from aroa_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(42)
+    for c in (1, 2, 3, 4):
+        for dtype, hi in ((np.uint8, 256), (np.uint16, 65536)):
+            for interlace in (False, True):
+                for h, w in ((5, 4), (16, 32), (1, 1), (7, 9), (3, 17)):
+                    px = rng.integers(0, hi, size=(h, w, c)).astype(dtype)
+                    got = decode_image(
+                        encode_png(px, interlace=interlace),
+                        {"format": "png"}, strict=True,
+                    )
+                    assert got.dtype == px.dtype
+                    assert np.array_equal(got, px), (c, dtype, interlace, h, w)
+
+
+def test_decode_png_interlaced_equals_sequential():
+    """The same pixels through the interlaced and sequential encoders
+    must decode identically — pins the Adam7 scatter geometry against
+    the already-trusted sequential path rather than against itself."""
+    from aroa_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    seq = decode_image(encode_png(px), {"format": "png"}, strict=True)
+    ilaced = decode_image(
+        encode_png(px, interlace=True), {"format": "png"}, strict=True
+    )
+    assert np.array_equal(seq, ilaced)
+    assert np.array_equal(seq, px)
+
+
+def test_decode_png_rejects_sub_byte_depth():
+    from aroa_etl_spark.operators.multimodal import _decode_png
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return _struct.pack(">I", len(data)) + body + _struct.pack(
+            ">I", _zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 0)  # 1-bit gray
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        _decode_png(blob)
