@@ -587,6 +587,10 @@ def simhash_dedup(
     max_hamming: int = 3,
     hash_bits: int = 60,
     n_bands: int = 4,
+    max_bucket_size: int | None = 1000,
+    hot_bucket_mode: str = "salt",
+    hot_salt: int = 16,
+    observation=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: ``hash_bits``-bit simhash, banded
     into ``n_bands`` equal slices (two docs within hamming distance
@@ -602,6 +606,16 @@ def simhash_dedup(
     32-bit/8-bit config going quadratic at 50k docs (41 s; 256-value
     band space → ~200 docs per bucket).  60 = 15 hex chars of md5 —
     the engine's BIGINT-safe cross-engine hash family.
+
+    Degenerate bands get the SAME hot-bucket policy as the minhash/
+    ngram paths (round 6 — the policy is now uniform across every
+    banded-candidate operator): a boilerplate band (e.g. thousands of
+    empty docs all simhashing to 0) would otherwise make the band
+    self-join quadratic on one task.  Buckets over ``max_bucket_size``
+    are salted through :func:`skew.salted_hot_join` (``"salt"``,
+    default — pair-set identical to no cap, so attested oracles are
+    unchanged) or discarded (``"drop"``); the optional ``observation``
+    reports ``hot_buckets`` / ``hot_bucket_rows``.
     """
     if hash_bits % 4 or hash_bits % n_bands or not (0 < hash_bits <= 60):
         raise ValueError(
@@ -654,10 +668,46 @@ def simhash_dedup(
             )
         ).alias("__band"),
     )
+    if hot_bucket_mode not in ("drop", "salt"):
+        raise ValueError("hot_bucket_mode must be 'drop' or 'salt'")
+    banded = _barrier(banded)  # feeds both join sides + the size agg
+    hot = None
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__bs"))
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
+                    "hot_buckets"
+                ),
+                F.sum(
+                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("hot_bucket_rows"),
+            )
+        if hot_bucket_mode == "drop":
+            banded = banded.join(
+                sizes.filter(F.col("__bs") <= max_bucket_size).select("__band"),
+                "__band",
+            )
+        else:
+            hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__band")
+            # empty-hot fast path, skipped under an Observation (the
+            # take(1) probe would capture partial metrics — the minhash
+            # path's r5 review finding applies verbatim)
+            if observation is None and hot.isEmpty():
+                hot = None
     left = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ha"), "__band")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__hb"), "__band")
+    if hot is not None:
+        from aroa_etl_spark.operators.skew import salted_hot_join
+
+        joined = salted_hot_join(left, right, "__band", hot, salt=hot_salt)
+    else:
+        joined = left.join(right, "__band")
     return (
-        left.join(right, "__band")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -677,6 +727,10 @@ def embedding_neardup_pairs(
     sign_dims: int | None = None,
     n_bands: int = 1,
     threshold: float = 0.95,
+    max_bucket_size: int | None = 1000,
+    hot_bucket_mode: str = "salt",
+    hot_salt: int = 16,
+    observation=None,
 ) -> DataFrame:
     """Embedding near-duplicates via sign-bucket LSH + exact cosine.
 
@@ -707,6 +761,13 @@ def embedding_neardup_pairs(
     Vectors whose banded dims sit near 0 can still flip across the
     boundary — the residual documented recall loss; use
     ann.brute_force_topk as the exact baseline.
+
+    Hot sign-buckets (a zero-vector pile, a constant-embedding batch
+    bug) get the uniform banded-path policy (round 6): over
+    ``max_bucket_size`` they are salted (``"salt"``, default —
+    pair-set identical, auto-banding's ~4-per-bucket sizing makes this
+    a pure safety net) or dropped; ``observation`` reports
+    ``hot_buckets`` / ``hot_bucket_rows``.
     """
     # dims past the vector length read NULL via element_at -> constant
     # "0" bits -> degraded selectivity toward the all-pairs blowup the
@@ -741,11 +802,42 @@ def embedding_neardup_pairs(
             ],
         )
 
+    if hot_bucket_mode not in ("drop", "salt"):
+        raise ValueError("hot_bucket_mode must be 'drop' or 'salt'")
     k = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(F.array(*[band_key(b) for b in range(n_bands)])).alias("__k"),
     )
+    hot = None
+    if max_bucket_size is not None:
+        # sizes scan the key projection only (no vectors) — a narrow
+        # recompute, deliberately NOT cached: the vector payload in k
+        # is the expensive part and never feeds the size agg
+        sizes = k.select("__k").groupBy("__k").agg(
+            F.count(F.lit(1)).alias("__bs")
+        )
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
+                    "hot_buckets"
+                ),
+                F.sum(
+                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("hot_bucket_rows"),
+            )
+        if hot_bucket_mode == "drop":
+            k = k.join(
+                sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"),
+                "__k",
+            )
+        else:
+            hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__k")
+            if observation is None and hot.isEmpty():
+                hot = None
     a = k.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__k")
     b = k.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__k")
 
@@ -756,7 +848,13 @@ def embedding_neardup_pairs(
             lambda acc, v: acc + v,
         )
 
-    pairs = a.join(b, "__k").filter(F.col("id_a") < F.col("id_b"))
+    if hot is not None:
+        from aroa_etl_spark.operators.skew import salted_hot_join
+
+        joined = salted_hot_join(a, b, "__k", hot, salt=hot_salt)
+    else:
+        joined = a.join(b, "__k")
+    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
     if n_bands > 1:
         # a pair can collide in several bands: dedup BEFORE the cosine
         # verify so each candidate is scored once

@@ -310,3 +310,91 @@ def test_minhash_hot_bucket_observation_metric(spark):
     release_caches()
     assert obs3.get["hot_buckets"] >= 1
     assert obs3.get["hot_bucket_rows"] >= 120
+
+
+def test_simhash_hot_bucket_policy(spark):
+    """The uniform hot-bucket policy on the simhash path (round 6):
+    a planted boilerplate pile (identical text -> identical simhash ->
+    one bucket per band over the cap) salts by default with a pair-set
+    identical to no cap, drops measurably in drop mode, and reports
+    the metric through an Observation."""
+    from pyspark.sql import Observation
+
+    from aroa_etl_spark.operators.dedup import release_caches, simhash_dedup
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate page") for i in range(60)]
+    uniq = [(100 + i, f"document number {i} about topic {i * 17}") for i in range(20)]
+    docs = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+
+    def pairset(df):
+        return {(r.id_a, r.id_b) for r in df.collect()}
+
+    unbounded = pairset(simhash_dedup(docs, max_bucket_size=None))
+    release_caches()
+    salted = pairset(simhash_dedup(docs, max_bucket_size=30, hot_salt=4))
+    release_caches()
+    assert salted == unbounded  # salt default is pair-set-identical
+    assert len(unbounded) >= 60 * 59 // 2  # the boilerplate clique is real
+
+    dropped = pairset(
+        simhash_dedup(docs, max_bucket_size=30, hot_bucket_mode="drop")
+    )
+    release_caches()
+    assert len(dropped) < len(unbounded)
+
+    obs = Observation("simhash_hot")
+    simhash_dedup(
+        docs, max_bucket_size=30, hot_bucket_mode="salt", hot_salt=4,
+        observation=obs,
+    ).count()
+    release_caches()
+    # 60 boilerplate rows share one bucket in each of the 4 bands
+    assert obs.get["hot_buckets"] >= 4
+    assert obs.get["hot_bucket_rows"] >= 4 * 60
+
+    with pytest.raises(ValueError, match="hot_bucket_mode"):
+        simhash_dedup(docs, hot_bucket_mode="explode")
+
+
+def test_embedding_hot_bucket_policy(spark):
+    """Same policy on the sign-LSH embedding path: a constant-embedding
+    pile (one sign bucket over the cap) salts pair-set-identically,
+    drop mode loses its pairs, and the Observation reports the size."""
+    from pyspark.sql import Observation
+
+    from aroa_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    pile = [(i, [1.0] * 8 + [float(i % 3) / 10]) for i in range(50)]
+    spread = [
+        (100 + i, [(-1.0) ** (i >> b) for b in range(8)] + [0.5])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(pile + spread, "vec_id long, embedding array<double>")
+    kw = dict(sign_dims=8, n_bands=1, threshold=0.99)
+
+    def pairset(frame):
+        return {(r.id_a, r.id_b) for r in frame.collect()}
+
+    unbounded = pairset(embedding_neardup_pairs(df, **kw, max_bucket_size=None))
+    salted = pairset(
+        embedding_neardup_pairs(df, **kw, max_bucket_size=20, hot_salt=4)
+    )
+    assert salted == unbounded
+    assert len(unbounded) >= 50 * 49 // 2  # the constant pile all matches
+
+    dropped = pairset(
+        embedding_neardup_pairs(
+            df, **kw, max_bucket_size=20, hot_bucket_mode="drop"
+        )
+    )
+    assert len(dropped) < len(unbounded)
+
+    obs = Observation("emb_hot")
+    embedding_neardup_pairs(
+        df, **kw, max_bucket_size=20, observation=obs
+    ).count()
+    assert obs.get["hot_buckets"] >= 1
+    assert obs.get["hot_bucket_rows"] >= 50
+
+    with pytest.raises(ValueError, match="hot_bucket_mode"):
+        embedding_neardup_pairs(df, **kw, hot_bucket_mode="explode")
