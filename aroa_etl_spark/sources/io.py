@@ -136,15 +136,19 @@ def read_excel_via_pandas(
     dictionaries, partner lists — column_processing.py:1231-1232):
     driver-side pandas read, broadcast-sized by assumption. For big
     Excel data, convert to CSV/Parquet upstream instead."""
-    try:
-        import pandas as pd  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
 
+    try:
         pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "reading Excel needs pandas+openpyxl on the driver; "
-            "convert the sheet to CSV/Parquet instead"
-        ) from e
+    except ImportError:
+        # no openpyxl on the driver: the vendored stdlib reader covers
+        # the single-sheet all-string contract (sources/xlsx.py)
+        from aroa_etl_spark.sources.xlsx import read_xlsx  # noqa: PLC0415
+
+        rows = read_xlsx(path)
+        if not rows:
+            raise ValueError(f"{path}: empty sheet (no header row)") from None
+        pdf = pd.DataFrame(rows[1:], columns=rows[0], dtype=str)
     return spark.createDataFrame(pdf.fillna(""))
 
 
@@ -177,11 +181,18 @@ def write_excel_via_pandas(
         )
     try:
         limited.to_excel(path, sheet_name=sheet_name, index=False)
-    except ImportError as e:
-        raise ImportError(
-            "writing Excel needs an engine (openpyxl or xlsxwriter) on "
-            "the driver; pip install openpyxl, or use write_csv instead"
-        ) from e
+    except ImportError:
+        # no xlsx engine installed: the vendored stdlib writer emits the
+        # same single-sheet all-string workbook (sources/xlsx.py)
+        from aroa_etl_spark.sources.xlsx import write_xlsx  # noqa: PLC0415
+
+        write_xlsx(
+            [list(limited.columns)]
+            + [["" if pd.isna(v) else str(v) for v in row]
+               for row in limited.itertuples(index=False)],
+            path,
+            sheet_name=sheet_name,
+        )
 
 
 def write_bucketed(
