@@ -9,6 +9,7 @@ the same engine-wide determinism rules documented in catalog.py apply.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -3010,3 +3011,75 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("allowed")).cast("bigint").alias("n_disallowed"),
         )
     )
+
+
+@query(
+    "s_warc_gzip_extract",
+    oracle="""
+    WITH base AS (SELECT doc_id,
+                         text || ' WARC/1.0 embedded' AS payload
+                  FROM documents)
+    SELECT doc_id AS blob_id, CAST(0 AS INT) AS rec_idx,
+           'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(len('software: aroa-etl-spark engine' || chr(10)) AS BIGINT)
+             AS content_length,
+           md5('software: aroa-etl-spark engine' || chr(10)) AS payload_md5
+    FROM base
+    UNION ALL
+    SELECT doc_id AS blob_id, CAST(1 AS INT) AS rec_idx,
+           'response' AS warc_type,
+           'https://site' || CAST(doc_id % 20 AS VARCHAR) || '/d/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(len(payload) AS BIGINT) AS content_length,
+           md5(payload) AS payload_md5
+    FROM base
+    """,
+)
+def s_warc_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.warc.gz`` twin of ``s_warc_extract`` — Common Crawl's
+    actual on-disk layout: each WARC record compressed as an
+    INDEPENDENT gzip member, members concatenated (ISO 28500 annex;
+    what makes byte-range record access work).  Every document becomes
+    a two-member gzip blob (warcinfo member + response member whose
+    payload embeds the literal 'WARC/1.0'), compressed in-plan by an
+    Arrow-batched pandas UDF and parsed back by the same
+    Content-Length kernel — which must walk gzip members via
+    unused_data; a single-member gzip.decompress-and-stop would drop
+    record two and fail the row count, and magic-scanning would split
+    on the embedded version line and fail the md5.  The oracle replays
+    the construction arithmetic only — the gzip layer must cancel out
+    exactly.  Scale shape unchanged: binaryFile scan -> mapInPandas
+    explode, zero shuffle."""
+    import gzip
+
+    from aroa_etl_spark.sources.warc import parse_warc_records
+
+    @F.pandas_udf("binary")
+    def gz_member(recs: pd.Series) -> pd.Series:
+        return recs.map(lambda s: gzip.compress(s.encode("utf-8"), 5))
+
+    info = "software: aroa-etl-spark engine\n"
+    rec1 = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        f"Content-Length: {len(info)}\r\n\r\n{info}\r\n\r\n"
+    )
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payload = F.concat(F.col("text"), F.lit(" WARC/1.0 embedded"))
+    rec2 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = docs.select(
+        F.col("doc_id").alias("blob_id"),
+        F.concat(
+            gz_member(F.lit(rec1)), gz_member(rec2)
+        ).alias("content"),
+    )
+    return parse_warc_records(blobs)

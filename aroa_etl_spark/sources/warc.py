@@ -50,13 +50,54 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 _MAGIC = b"WARC/1.0\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def split_gzip_members(blob: bytes) -> list[bytes]:
+    """Decompress a multi-member gzip stream into its members.
+
+    Common Crawl ships ``.warc.gz`` with each record compressed as an
+    INDEPENDENT gzip member back-to-back (ISO 28500 annex; that's what
+    makes byte-range record access possible) — ``gzip.decompress``
+    handles concatenated members but discards the boundaries, and a
+    naive single-member read silently drops everything after record
+    one.  This walks the stream member by member via
+    ``zlib.decompressobj(wbits=31)`` / ``unused_data``.  Corrupt gzip
+    framing raises ValueError (the module error taxonomy)."""
+    import zlib
+
+    out: list[bytes] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(blob[pos:]) + d.flush()
+        except zlib.error as e:
+            raise ValueError(f"malformed gzip member at byte {pos}: {e}") from None
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {pos}")
+        out.append(data)
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"gzip member at byte {pos} consumed no input")
+        pos += consumed
+    return out
 
 
 def parse_warc_blob(blob: bytes) -> list[dict]:
     """Parse one WARC blob into record dicts (header subset + payload
     md5).  Content-Length-driven slicing; malformed structure raises
     ValueError (the module error taxonomy — callers in non-strict
-    pipelines catch per blob)."""
+    pipelines catch per blob).
+
+    Accepts plain WARC and ``.warc.gz`` (gzip magic): members are
+    decompressed and re-concatenated, which is record-boundary-exact
+    for spec-compliant files (one record per member) and still correct
+    for multi-record members, since the parse below is
+    Content-Length-driven either way."""
+    if blob[:2] == _GZIP_MAGIC:
+        blob = b"".join(split_gzip_members(blob))
     out: list[dict] = []
     pos = 0
     n = len(blob)

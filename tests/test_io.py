@@ -257,3 +257,35 @@ def test_xlsx_minimal_reads_shared_strings_and_sparse_rows(tmp_path):
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     # shared-string run concatenation ("be"+"ta"), sparse B2, padded widths
     assert read_xlsx(path) == [["alpha", "", "beta"], ["", "42", ""]]
+
+
+def test_warc_gzip_members_parse_and_guards():
+    """.warc.gz blobs: per-record gzip members must ALL be walked (a
+    gzip.decompress-once parser loses every record after the first);
+    corrupt and truncated members raise ValueError."""
+    import gzip
+    import hashlib
+
+    from aroa_etl_spark.sources.warc import parse_warc_blob, split_gzip_members
+
+    p1 = b"hello WARC/1.0 embedded"
+    p2 = b"second payload"
+    r1 = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+          + str(len(p1)).encode() + b"\r\n\r\n" + p1 + b"\r\n\r\n")
+    r2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+          b"WARC-Target-URI: https://a.example/x\r\nContent-Length: "
+          + str(len(p2)).encode() + b"\r\n\r\n" + p2 + b"\r\n\r\n")
+    blob = gzip.compress(r1, 5) + gzip.compress(r2, 5)
+
+    assert split_gzip_members(blob) == [r1, r2]
+    recs = parse_warc_blob(blob)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[0]["payload_md5"] == hashlib.md5(p1).hexdigest()
+    assert recs[1]["payload_md5"] == hashlib.md5(p2).hexdigest()
+    # plain (uncompressed) parse of the same records agrees
+    assert parse_warc_blob(r1 + r2) == recs
+
+    with pytest.raises(ValueError, match="malformed gzip"):
+        parse_warc_blob(b"\x1f\x8b\x00garbage")
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_warc_blob(gzip.compress(r1)[:-5])
