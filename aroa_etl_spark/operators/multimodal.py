@@ -394,8 +394,13 @@ def _decode_tiff(content: bytes) -> np.ndarray:
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
-    if compression != 1:
-        raise NotImplementedError("stdlib TIFF path: uncompressed (type 1) only")
+    if compression not in (1, 8, 32946):
+        # 8 = Adobe DEFLATE, 32946 = the older deflate code — both are
+        # zlib streams per strip (TIFF TechNote 2); LZW/JPEG-in-TIFF
+        # stay on the PIL fallback
+        raise NotImplementedError(
+            "stdlib TIFF path: uncompressed or DEFLATE (1/8/32946) only"
+        )
     if any(b != 8 for b in bits):
         raise NotImplementedError("stdlib TIFF path: 8 bits/sample only")
     if photometric not in (0, 1, 2) or spp not in (1, 3):
@@ -409,37 +414,68 @@ def _decode_tiff(content: bytes) -> np.ndarray:
     (next_ifd,) = struct.unpack(bo + "I", content[next_ifd_at:next_ifd_at + 4])
     if next_ifd != 0:
         raise NotImplementedError("stdlib TIFF path: single-page only (multi-IFD)")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError("stdlib TIFF path: predictor 1/2 only")
     offsets = tags[273]
     counts = tags.get(279, [width * height * spp])
-    data = b"".join(content[o:o + c] for o, c in zip(offsets, counts))
+    strips = [content[o:o + c] for o, c in zip(offsets, counts)]
+    if compression in (8, 32946):
+        import zlib
+
+        strips = [zlib.decompress(s) for s in strips]
+    data = b"".join(strips)
     n = width * height * spp
     px = np.frombuffer(data, dtype=np.uint8, count=n).copy().reshape(height, width, spp)
+    if predictor == 2:
+        # horizontal differencing: first sample raw, rest are deltas —
+        # reconstruct with a per-row per-channel cumulative sum mod 256
+        px = np.cumsum(px.astype(np.uint32), axis=1, dtype=np.uint32)
+        px = (px % 256).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero: invert
         px = 255 - px
     return px
 
 
-def encode_tiff(pixels: np.ndarray) -> bytes:
-    """Minimal little-endian uncompressed TIFF encoder (8-bit gray/RGB,
-    one strip) — fixture generation for the decoder tests and the
-    mm_tiff_decode_real oracle's constant-header construction."""
+def encode_tiff(
+    pixels: np.ndarray, *, deflate: bool = False, predictor: bool = False
+) -> bytes:
+    """Minimal little-endian TIFF encoder (8-bit gray/RGB, one strip) —
+    fixture generation for the decoder tests and the
+    mm_tiff_decode_real oracle's constant-header construction.
+    ``deflate=True`` writes Compression 8 (Adobe DEFLATE, one zlib
+    stream per strip); ``predictor=True`` adds horizontal differencing
+    (Predictor 2) before compression — the pairing real writers use
+    because differencing makes smooth imagery deflate well."""
     import struct
+    import zlib
 
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
     if c not in (1, 3) or pixels.dtype != np.uint8:
         raise ValueError("need uint8 (H, W, 1|3)")
-    payload = pixels.tobytes()
+    if predictor and not deflate:
+        raise ValueError("predictor 2 here is the deflate pairing — set deflate=True")
+    staged = pixels
+    if predictor:
+        diffed = staged.astype(np.int16)
+        diffed[:, 1:] -= staged[:, :-1].astype(np.int16)
+        staged = (diffed % 256).astype(np.uint8)
+    payload = staged.tobytes()
+    if deflate:
+        payload = zlib.compress(payload, 6)
     entries = [
         (256, 3, 1, w),           # ImageWidth
         (257, 3, 1, h),           # ImageLength
-        (259, 3, 1, 1),           # Compression: none
+        (259, 3, 1, 8 if deflate else 1),  # Compression
         (262, 3, 1, 2 if c == 3 else 1),  # Photometric: RGB / BlackIsZero
         (277, 3, 1, c),           # SamplesPerPixel
         (278, 3, 1, h),           # RowsPerStrip: one strip
         (279, 4, 1, len(payload)),  # StripByteCounts
     ]
+    if predictor:
+        entries.append((317, 3, 1, 2))  # Predictor: horizontal differencing
     if c == 3:
         # BitsPerSample for RGB needs 3 SHORTs -> stored out-of-line
         entries.append((258, 3, 3, None))  # placeholder, offset patched

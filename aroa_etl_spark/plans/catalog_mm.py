@@ -699,3 +699,63 @@ def mm_png_interlaced_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )
+
+
+@query(
+    "mm_tiff_deflate_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(range(0, 512),
+                 i -> ((doc_id % 40) * 11 + (i // 32) * 3 + (i % 32) * 7) % 256))
+                AS BIGINT)::DOUBLE / 512 AS mean_intensity,
+           CAST(2 AS DOUBLE) AS aspect_ratio
+    FROM documents
+    """,
+)
+def mm_tiff_deflate_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE-compressed TIFF (Compression 8 + Predictor 2, the
+    pairing real writers emit — TIFF TechNote 2) under strict=True:
+    40 distinct 32x16 grayscale ramps (pixel = (k*11 + row*3 + col*7)
+    % 256), horizontally differenced then zlib-compressed per strip,
+    broadcast-joined to the fact table on doc_id % 40.  mean_intensity
+    matches the oracle's arithmetic replay only if the strip inflate
+    AND the per-row cumulative-sum predictor reconstruction are both
+    correct — reading the deltas as pixels fails every frame.  Same
+    scale shape as the other mm_* entries: 40 tiny blobs on the
+    broadcast dim, fact side never shuffles, decode Arrow-batched.
+    Codec: operators/multimodal.py _decode_tiff."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import encode_tiff, image_features
+
+    r = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(32, dtype=np.int64)[None, :]
+    blobs = [
+        (
+            k,
+            bytearray(
+                encode_tiff(
+                    ((k * 11 + r * 3 + c * 7) % 256).astype(np.uint8)[:, :, None],
+                    deflate=True,
+                    predictor=True,
+                )
+            ),
+        )
+        for k in range(40)
+    ]
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+        F.concat(F.lit("mem://tiffz/"), F.col("doc_id")).alias("uri"),
+        F.struct(
+            F.lit(32).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit("tiff").alias("format"),
+        ).alias("meta"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return image_features(media, strict=True).select(
+        "media_id", "mean_intensity", "aspect_ratio"
+    )

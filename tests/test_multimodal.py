@@ -685,3 +685,28 @@ def test_decode_png_rejects_sub_byte_depth():
     blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         _decode_png(blob)
+
+
+def test_decode_tiff_deflate_and_predictor():
+    """DEFLATE-compressed TIFF strips (Compression 8) decode bit-exactly
+    with and without horizontal-differencing Predictor 2 — the pairing
+    real writers emit; the predictor path must reconstruct via the
+    per-row cumulative sum, not read the deltas as pixels."""
+    from aroa_etl_spark.operators.multimodal import decode_image, encode_tiff
+
+    rng = np.random.default_rng(3)
+    for c in (1, 3):
+        for h, w in ((5, 4), (16, 32), (1, 1), (7, 9)):
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            for kw in ({"deflate": True}, {"deflate": True, "predictor": True}):
+                got = decode_image(
+                    encode_tiff(px, **kw), {"format": "tiff"}, strict=True
+                )
+                assert np.array_equal(got, px), (c, h, w, kw)
+    # the pairing exists because differencing makes gradients deflate well
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))[:, :, None]
+    assert len(encode_tiff(grad, deflate=True, predictor=True)) < len(
+        encode_tiff(grad, deflate=True)
+    )
+    with pytest.raises(ValueError, match="deflate=True"):
+        encode_tiff(grad, predictor=True)
