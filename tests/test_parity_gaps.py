@@ -143,7 +143,9 @@ def test_dedup_release_caches(spark):
     # blocks in the shared session, so assert on what the operator
     # actually registered and released, not on global storage totals.
     released = dedup.release_caches()
-    assert released == 3  # minhash sh + keys, simhash sh
+    # minhash sh + keys, simhash sh + banded (banded persisted since
+    # round 6: it feeds both join sides plus the hot-bucket size agg)
+    assert released == 4
     assert dedup.release_caches() == 0
 
 
