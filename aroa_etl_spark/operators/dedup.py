@@ -145,6 +145,45 @@ def _jaccard_filter(
     )
 
 
+def _observed_hot_set(sizes, key_col: str, max_bucket_size: int, observation):
+    """Hot-key frame from a (key, __bs) size aggregation, honoring the
+    Observation contract shared by every banded-candidate operator.
+
+    Under an Observation the observed subplan must execute EXACTLY
+    once: downstream the hot set feeds multiple joins (both sides of a
+    self-join, or the salted split's anti/semi quadrants), and a
+    multi-referenced CollectMetrics corrupts the observation — whether
+    it survives depends on exchange reuse, so it can pass in one plan
+    and throw toPyRow assertions in the next (reproduced on the
+    simhash path, round-6 review finding #1; same root cause as the
+    incremental path's round-5 guard).  So with an Observation the hot
+    set is materialized eagerly through a barrier — the count() fires
+    the observed aggregation completely (full scan, no take(1)
+    short-circuit) and every downstream reference reads the cache.
+
+    Returns (hot_df, n_hot) — n_hot is None when no Observation is
+    attached (callers then use the isEmpty() probe, which is skipped
+    under an Observation precisely because its take(1) would freeze
+    partial metrics)."""
+    if observation is not None:
+        observed = sizes.observe(
+            observation,
+            F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
+                "hot_buckets"
+            ),
+            F.sum(
+                F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("hot_bucket_rows"),
+        )
+        hot = _barrier(
+            observed.filter(F.col("__bs") > max_bucket_size).select(key_col)
+        )
+        return hot, hot.count()
+    return sizes.filter(F.col("__bs") > max_bucket_size).select(key_col), None
+
+
 def _lsh_shingles_and_keys(
     df: DataFrame,
     id_col: str,
@@ -243,49 +282,27 @@ def minhash_lsh_incremental(
             .groupBy("__bucket")
             .agg(F.count(F.lit(1)).alias("__bs"))
         )
-        if observation is not None:
-            # The observed subplan must execute EXACTLY once: drop mode
-            # consumes the size table from three joins, and a
-            # multi-referenced CollectMetrics corrupts the observation
-            # (reproduced: toPyRow assertion on obs.get).  So the hot
-            # set is materialized eagerly through a barrier — the
-            # count() fires the observation COMPLETELY (full scan, no
-            # take(1) short-circuit) and every downstream reference
-            # reads the cache, never re-executing the observe node.
-            observed = sizes.observe(
-                observation,
-                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
-                    "hot_buckets"
-                ),
-                F.sum(
-                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
-                        F.lit(0)
-                    )
-                ).alias("hot_bucket_rows"),
-            )
-            hot = _barrier(
-                observed.filter(F.col("__bs") > max_bucket_size).select("__bucket")
-            )
-            n_hot = hot.count()
-            if hot_bucket_mode == "drop":
+        hot, n_hot = _observed_hot_set(
+            sizes, "__bucket", max_bucket_size, observation
+        )
+        if hot_bucket_mode == "drop":
+            if observation is not None:
                 # anti-join against the (cached, usually tiny) hot set ==
-                # the cold semi-join partition
+                # the cold semi-join partition; re-deriving the cold set
+                # would re-reference the observed subplan from three
+                # joins (see _observed_hot_set)
                 a_new = a_new.join(hot, "__bucket", "left_anti")
                 b_idx = b_idx.join(hot, "__bucket", "left_anti")
                 b_new = b_new.join(hot, "__bucket", "left_anti")
-            elif n_hot > 0:
-                hot_buckets = hot
-        elif hot_bucket_mode == "drop":
-            cold = sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket")
-            a_new = a_new.join(cold, "__bucket")
-            b_idx = b_idx.join(cold, "__bucket")
-            b_new = b_new.join(cold, "__bucket")
-        else:
-            hot_buckets = sizes.filter(F.col("__bs") > max_bucket_size).select(
-                "__bucket"
-            )
-            if hot_buckets.isEmpty():  # probe; see minhash_lsh_dedup
-                hot_buckets = None
+            else:
+                cold = sizes.filter(F.col("__bs") <= max_bucket_size).select(
+                    "__bucket"
+                )
+                a_new = a_new.join(cold, "__bucket")
+                b_idx = b_idx.join(cold, "__bucket")
+                b_new = b_new.join(cold, "__bucket")
+        elif not (n_hot == 0 or (observation is None and hot.isEmpty())):
+            hot_buckets = hot
     if hot_buckets is not None:
         from aroa_etl_spark.operators.skew import salted_hot_join
 
@@ -378,41 +395,31 @@ def minhash_lsh_dedup(
     hot_buckets = None
     if max_bucket_size is not None:
         sizes = keys.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
-        if observation is not None:
-            sizes = sizes.observe(
-                observation,
-                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
-                    "hot_buckets"
-                ),
-                F.sum(
-                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
-                        F.lit(0)
-                    )
-                ).alias("hot_bucket_rows"),
-            )
+        hot_buckets, n_hot = _observed_hot_set(
+            sizes, "__bucket", max_bucket_size, observation
+        )
         if hot_bucket_mode == "drop":
-            keys = keys.join(
-                sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket"),
-                "__bucket",
-            )
-        else:
-            hot_buckets = sizes.filter(F.col("__bs") > max_bucket_size).select(
-                "__bucket"
-            )
-            # Existence probe over the CACHED key frame (one tiny agg
-            # job): healthy corpora usually have zero hot buckets, and
-            # the salted split's extra anti/semi/explode stages cost a
-            # measured ~11% on the bench minhash entry when the hot set
-            # is empty — take the plain join in that common case (the
-            # pair-set is identical by construction either way).
-            # SKIPPED when an Observation is attached: the probe's
-            # take(1) would short-circuit the observed aggregation and
-            # permanently capture PARTIAL metrics (an Observation keeps
-            # its first action's values — r5 review finding); metric
-            # correctness outranks the fast path, and the empty-hot
-            # salted join the caller then pays is the cheap case anyway.
-            if observation is None and hot_buckets.isEmpty():
-                hot_buckets = None
+            if observation is not None:
+                # anti-join against the eagerly-cached hot set; the cold
+                # inner join would re-reference the observed subplan
+                # from both self-join sides (see _observed_hot_set)
+                keys = keys.join(hot_buckets, "__bucket", "left_anti")
+            else:
+                keys = keys.join(
+                    sizes.filter(F.col("__bs") <= max_bucket_size).select("__bucket"),
+                    "__bucket",
+                )
+            hot_buckets = None
+        # Empty-hot fast path: healthy corpora usually have zero hot
+        # buckets, and the salted split's extra anti/semi/explode stages
+        # cost a measured ~11% on the bench minhash entry when the hot
+        # set is empty — take the plain join in that common case (the
+        # pair-set is identical by construction either way).  Under an
+        # Observation the count is already known (metrics fired by the
+        # helper's count()); without one the isEmpty() probe is safe —
+        # an observed take(1) would freeze partial metrics (r5 finding).
+        elif n_hot == 0 or (observation is None and hot_buckets.isEmpty()):
+            hot_buckets = None
 
     left = keys.select(F.col(id_col).alias("id_a"), "__bucket")
     right = keys.select(F.col(id_col).alias("id_b"), "__bucket")
@@ -540,28 +547,18 @@ def ngram_jaccard_pairs(
     if block_col is None and max_bucket_size is not None:
         k = _barrier(k)  # sizing + splits + both join sides read it
         sizes = k.groupBy("__k").agg(F.count(F.lit(1)).alias("__bs"))
-        if observation is not None:
-            sizes = sizes.observe(
-                observation,
-                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
-                    "hot_buckets"
-                ),
-                F.sum(
-                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
-                        F.lit(0)
-                    )
-                ).alias("hot_bucket_rows"),
-            )
+        hot, n_hot = _observed_hot_set(sizes, "__k", max_bucket_size, observation)
         if hot_bucket_mode == "drop":
-            k = k.join(
-                sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"), "__k"
-            )
-        else:
-            hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__k")
-            # cached-frame probe; skipped under an Observation for the
-            # same partial-capture reason as minhash_lsh_dedup
-            if observation is None and hot.isEmpty():
-                hot = None
+            if observation is not None:
+                k = k.join(hot, "__k", "left_anti")  # see _observed_hot_set
+            else:
+                k = k.join(
+                    sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"),
+                    "__k",
+                )
+            hot = None
+        elif n_hot == 0 or (observation is None and hot.isEmpty()):
+            hot = None
     left = k.select(F.col(id_col).alias("id_a"), "__k")
     right = k.select(F.col(id_col).alias("id_b"), "__k")
     if hot is not None:
@@ -674,30 +671,24 @@ def simhash_dedup(
     hot = None
     if max_bucket_size is not None:
         sizes = banded.groupBy("__band").agg(F.count(F.lit(1)).alias("__bs"))
-        if observation is not None:
-            sizes = sizes.observe(
-                observation,
-                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
-                    "hot_buckets"
-                ),
-                F.sum(
-                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
-                        F.lit(0)
-                    )
-                ).alias("hot_bucket_rows"),
-            )
+        hot, n_hot = _observed_hot_set(sizes, "__band", max_bucket_size, observation)
         if hot_bucket_mode == "drop":
-            banded = banded.join(
-                sizes.filter(F.col("__bs") <= max_bucket_size).select("__band"),
-                "__band",
-            )
-        else:
-            hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__band")
-            # empty-hot fast path, skipped under an Observation (the
-            # take(1) probe would capture partial metrics — the minhash
-            # path's r5 review finding applies verbatim)
-            if observation is None and hot.isEmpty():
-                hot = None
+            if observation is not None:
+                # anti-join against the eagerly-cached hot set (tiny);
+                # re-deriving the cold set would re-reference the
+                # observed subplan — see _observed_hot_set
+                banded = banded.join(hot, "__band", "left_anti")
+            else:
+                banded = banded.join(
+                    sizes.filter(F.col("__bs") <= max_bucket_size).select("__band"),
+                    "__band",
+                )
+            hot = None
+        elif n_hot == 0 or (observation is None and hot.isEmpty()):
+            # empty-hot fast path: under an Observation the count is
+            # already known (metrics fully fired); without one the
+            # isEmpty() probe is safe
+            hot = None
     left = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ha"), "__band")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__hb"), "__band")
     if hot is not None:
@@ -817,27 +808,18 @@ def embedding_neardup_pairs(
         sizes = k.select("__k").groupBy("__k").agg(
             F.count(F.lit(1)).alias("__bs")
         )
-        if observation is not None:
-            sizes = sizes.observe(
-                observation,
-                F.sum((F.col("__bs") > max_bucket_size).cast("long")).alias(
-                    "hot_buckets"
-                ),
-                F.sum(
-                    F.when(F.col("__bs") > max_bucket_size, F.col("__bs")).otherwise(
-                        F.lit(0)
-                    )
-                ).alias("hot_bucket_rows"),
-            )
+        hot, n_hot = _observed_hot_set(sizes, "__k", max_bucket_size, observation)
         if hot_bucket_mode == "drop":
-            k = k.join(
-                sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"),
-                "__k",
-            )
-        else:
-            hot = sizes.filter(F.col("__bs") > max_bucket_size).select("__k")
-            if observation is None and hot.isEmpty():
-                hot = None
+            if observation is not None:
+                k = k.join(hot, "__k", "left_anti")  # see _observed_hot_set
+            else:
+                k = k.join(
+                    sizes.filter(F.col("__bs") <= max_bucket_size).select("__k"),
+                    "__k",
+                )
+            hot = None
+        elif n_hot == 0 or (observation is None and hot.isEmpty()):
+            hot = None
     a = k.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__k")
     b = k.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__k")
 

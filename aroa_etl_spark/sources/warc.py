@@ -67,12 +67,16 @@ def split_gzip_members(blob: bytes) -> list[bytes]:
     import zlib
 
     out: list[bytes] = []
+    # memoryview: blob[pos:] on bytes would COPY the whole tail per
+    # member — O(members x size) memcpy on a real Common Crawl file
+    # with tens of thousands of members (round-6 review finding #5)
+    view = memoryview(blob)
     pos = 0
     n = len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            data = d.decompress(blob[pos:]) + d.flush()
+            data = d.decompress(view[pos:]) + d.flush()
         except zlib.error as e:
             raise ValueError(f"malformed gzip member at byte {pos}: {e}") from None
         if not d.eof:

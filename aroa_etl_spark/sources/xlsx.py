@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
@@ -70,8 +70,10 @@ def write_xlsx(rows: list[list[str]], path: str, *, sheet_name: str = "Sheet1") 
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
-        "</workbook>"
+        # quoteattr, not escape: escape() leaves double quotes intact,
+        # which breaks the quoted attribute (round-6 review finding #2)
+        f"<sheets><sheet name={quoteattr(sheet_name)} sheetId=\"1\" r:id=\"rId1\"/>"
+        "</sheets></workbook>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES)
@@ -100,8 +102,17 @@ def read_xlsx(path: str) -> list[list[str]]:
         if not sheet_names:
             raise ValueError(f"{path}: no worksheet part found")
         root = ET.fromstring(z.read(sheet_names[0]))
-    rows: list[list[str]] = []
+    # rows keyed by their 1-based r= attribute: real Excel saves OMIT
+    # blank rows from sheetData entirely, so positions must densify
+    # from the attribute or sparse sheets silently shift upward
+    # (round-6 review finding #3 — engine-dependent reads)
+    by_row: dict[int, list] = {}
+    seq = 0
     for row_el in root.iter(f"{_NS}row"):
+        seq += 1
+        r_attr = row_el.get("r")
+        rnum = int(r_attr) if r_attr else seq
+        seq = rnum
         cells: dict[int, str] = {}
         for c_el in row_el.iter(f"{_NS}c"):
             ref = c_el.get("r") or ""
@@ -116,7 +127,9 @@ def read_xlsx(path: str) -> list[list[str]]:
                 text = v.text if v is not None and v.text is not None else ""
                 cells[idx] = shared[int(text)] if ctype == "s" and text else text
         width = max(cells) + 1 if cells else 0
-        rows.append([cells.get(i, "") for i in range(width)])
+        by_row[rnum] = [cells.get(i, "") for i in range(width)]
+    n_rows = max(by_row, default=0)
+    rows = [by_row.get(r, []) for r in range(1, n_rows + 1)]
     width = max((len(r) for r in rows), default=0)
     return [r + [""] * (width - len(r)) for r in rows]
 

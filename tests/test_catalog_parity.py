@@ -127,9 +127,6 @@ def test_gate_window_matches_generator():
         "GATE_PRIORITY diverged from generate_window() — the import-time "
         "computation fell back or was mutated"
     )
-    assert list(catalog.GATE_PRIORITY) != list(catalog._GATE_FALLBACK) or (
-        generated == list(catalog._GATE_FALLBACK)
-    ), "import-time window fell back to the frozen list in a full checkout"
 
 
 def test_gate_window_fallback_on_empty_checkout(tmp_path):

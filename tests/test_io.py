@@ -289,3 +289,44 @@ def test_warc_gzip_members_parse_and_guards():
         parse_warc_blob(b"\x1f\x8b\x00garbage")
     with pytest.raises(ValueError, match="truncated gzip"):
         parse_warc_blob(gzip.compress(r1)[:-5])
+
+
+def test_xlsx_sheet_name_quoting_and_blank_rows(tmp_path):
+    """Round-6 review findings #2/#3: a double quote in sheet_name must
+    produce well-formed workbook XML (quoteattr, not escape), and rows
+    omitted from sheetData (how Excel saves blank rows) must densify
+    from the r= attribute instead of shifting upward."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from aroa_etl_spark.sources import xlsx as X
+    from aroa_etl_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx([["h"], ["x"]], path, sheet_name='Q3 "final" <&>')
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))  # must parse
+    sheet = wb.find(
+        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}sheets/"
+        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}sheet"
+    )
+    assert sheet.get("name") == 'Q3 "final" <&>'
+    assert read_xlsx(path) == [["h"], ["x"]]
+
+    sparse_sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        '<row r="4"><c r="A4" t="inlineStr"><is><t>x</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p2 = str(tmp_path / "sparse.xlsx")
+    with zipfile.ZipFile(p2, "w") as z:
+        z.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        z.writestr("_rels/.rels", X._ROOT_RELS)
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sparse_sheet)
+    # blank rows 2 and 3 must appear as empty rows, like openpyxl reads
+    assert read_xlsx(p2) == [["h"], [""], [""], ["x"]]

@@ -398,3 +398,64 @@ def test_embedding_hot_bucket_policy(spark):
 
     with pytest.raises(ValueError, match="hot_bucket_mode"):
         embedding_neardup_pairs(df, **kw, hot_bucket_mode="explode")
+
+
+def test_drop_mode_observation_all_banded_paths(spark):
+    """Round-6 review finding #1: drop-mode + Observation multi-
+    referenced the observed size subplan (CollectMetrics corruption —
+    obs.get threw toPyRow assertions on the simhash path, and survival
+    elsewhere depended on exchange reuse).  All four banded paths now
+    route through _observed_hot_set (eager barrier + count), so
+    drop+Observation must yield complete metrics AND the same pairs as
+    drop without one."""
+    from pyspark.sql import Observation
+
+    from aroa_etl_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+        release_caches,
+        simhash_dedup,
+    )
+
+    docs = _skewed_docs(spark)
+
+    def pairs(df):
+        return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+    for name, run in (
+        ("minhash", lambda obs: minhash_lsh_dedup(
+            docs, num_perm=8, bands=4, shingle_n=3, threshold=0.7,
+            max_bucket_size=50, hot_bucket_mode="drop", observation=obs)),
+        ("simhash", lambda obs: simhash_dedup(
+            docs, max_bucket_size=50, hot_bucket_mode="drop", observation=obs)),
+        ("ngram", lambda obs: ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, winnow_window=4,
+            max_bucket_size=50, hot_bucket_mode="drop", observation=obs)),
+    ):
+        obs = Observation(f"drop_{name}")
+        observed = pairs(run(obs))
+        m = obs.get  # must not raise, must be complete
+        release_caches()
+        plain = pairs(run(None))
+        release_caches()
+        assert observed == plain, name
+        assert m["hot_buckets"] >= 1, name
+        assert m["hot_bucket_rows"] > 50, name
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8 + [float(i % 3) / 10]) for i in range(50)]
+        + [(100 + i, [(-1.0) ** (i >> b) for b in range(8)] + [0.5])
+           for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    obs = Observation("drop_emb")
+    got = pairs(embedding_neardup_pairs(
+        emb, sign_dims=8, n_bands=1, threshold=0.99,
+        max_bucket_size=20, hot_bucket_mode="drop", observation=obs))
+    m = obs.get
+    plain = pairs(embedding_neardup_pairs(
+        emb, sign_dims=8, n_bands=1, threshold=0.99,
+        max_bucket_size=20, hot_bucket_mode="drop"))
+    assert got == plain
+    assert m["hot_buckets"] >= 1 and m["hot_bucket_rows"] >= 50
