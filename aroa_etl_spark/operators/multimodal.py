@@ -320,9 +320,16 @@ def _decode_netpbm(content: bytes) -> np.ndarray:
         tokens.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval
     width, height, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm unsupported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"netpbm maxval out of range: {maxval}")
     n = width * height * channels
+    if maxval > 255:
+        # 2-byte samples, most significant byte first (netpbm spec)
+        return (
+            np.frombuffer(content, dtype=">u2", count=n, offset=pos)
+            .astype(np.uint16)
+            .reshape(height, width, channels)
+        )
     return (
         np.frombuffer(content, dtype=np.uint8, count=n, offset=pos)
         .copy()
@@ -638,9 +645,9 @@ def _lzw_encode_gif(indices: list[int], min_code_size: int) -> bytes:
 def _decode_gif(content: bytes) -> np.ndarray:
     """Real GIF decode (public GIF87a/89a spec): logical screen
     descriptor, global/local color tables, extension-block skipping,
-    sub-block reassembly, LZW decompression, palette lookup -> RGB.
-    First image frame only; interlaced frames raise NotImplementedError
-    (PIL fallback when installed via the dispatch wrapper)."""
+    sub-block reassembly, LZW decompression, palette lookup -> RGB,
+    four-pass interlace row scatter (spec appendix E).
+    First image frame only."""
     import struct
 
     if content[:6] not in (b"GIF87a", b"GIF89a"):
@@ -675,8 +682,6 @@ def _decode_gif(content: bytes) -> np.ndarray:
             n = 2 ** ((ipacked & 0x07) + 1)
             lct = np.frombuffer(content[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
             pos += 3 * n
-        if ipacked & 0x40:
-            raise NotImplementedError("stdlib GIF path: non-interlaced only")
         if lct is None:
             raise ValueError("malformed GIF: no color table")
         mcs = content[pos]
@@ -693,15 +698,30 @@ def _decode_gif(content: bytes) -> np.ndarray:
         arr = np.array(idx[: iw * ih], dtype=np.int32)
         if int(arr.max(initial=0)) >= len(lct):
             raise ValueError("malformed GIF: palette index out of range")
-        return lct[arr].reshape(ih, iw, 3)
+        px = lct[arr].reshape(ih, iw, 3)
+        if ipacked & 0x40:
+            # interlaced: the stream carries rows in four passes
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1 — GIF89a spec appendix E); scatter the
+            # sequentially-decoded rows to their display positions
+            out = np.empty_like(px)
+            order = [
+                r
+                for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+                for r in range(start, ih, step)
+            ]
+            out[order] = px
+            px = out
+        return px
     raise ValueError("malformed GIF: no image data")
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
+def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """Minimal GIF89a encoder for 8-bit GRAYSCALE arrays (fixture
     generation for the decoder tests and the mm_gif_decode_real
-    oracle): 256-entry grayscale global palette, one non-interlaced
-    full-frame image, real LZW compression, 255-byte sub-block
+    oracle): 256-entry grayscale global palette, one full-frame image
+    (optionally interlaced — rows written in the four-pass order with
+    the descriptor bit set), real LZW compression, 255-byte sub-block
     framing."""
     import struct
 
@@ -710,8 +730,16 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     h, w = pixels.shape
     head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     palette = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
-    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    lzw = _lzw_encode_gif(pixels.flatten().tolist(), 8)
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    staged = pixels
+    if interlace:
+        order = [
+            r
+            for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+            for r in range(start, h, step)
+        ]
+        staged = pixels[order]
+    lzw = _lzw_encode_gif(staged.flatten().tolist(), 8)
     sub = b"".join(
         bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255] for i in range(0, len(lzw), 255)
     )
@@ -727,7 +755,7 @@ _IMAGE_DECODERS = {
     "jpeg": _decode_jpeg,
     "tif": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
     "tiff": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
-    "gif": lambda c: _with_pil_fallback(_decode_gif, c, "interlaced GIF"),
+    "gif": lambda c: _with_pil_fallback(_decode_gif, c, "exotic GIF"),
 }
 
 

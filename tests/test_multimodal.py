@@ -531,13 +531,18 @@ def test_gif_roundtrip_and_guards():
         _decode_gif(blob[:20])
     with pytest.raises(ValueError, match="no image data"):
         _decode_gif(blob[:13 + 768] + b"\x3b")
-    # flip the interlace bit in the image descriptor's packed byte
+    # flip the interlace bit in the image descriptor's packed byte:
+    # since round 6 this DECODES (four-pass row scatter) — the same
+    # index stream lands with rows reordered, not an error
     desc_at = 13 + 768
     assert blob[desc_at] == 0x2C
     mut = bytearray(blob)
     mut[desc_at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="non-interlaced"):
-        _decode_gif(bytes(mut))
+    scrambled = _decode_gif(bytes(mut))
+    assert scrambled.shape == (*frames[0].shape, 3)
+    assert sorted(map(tuple, scrambled[:, :, 0].tolist())) == sorted(
+        map(tuple, frames[0].tolist())
+    )  # same rows, reordered by the interlace scatter
     # extension blocks are skipped: splice a GCE before the descriptor
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = blob[:desc_at] + gce + blob[desc_at:]
@@ -710,3 +715,32 @@ def test_decode_tiff_deflate_and_predictor():
     )
     with pytest.raises(ValueError, match="deflate=True"):
         encode_tiff(grad, predictor=True)
+
+
+def test_decode_gif_interlaced_and_netpbm_16bit():
+    """Interlaced GIF rows scatter back via the four-pass order, and
+    16-bit netpbm (maxval > 255, big-endian samples) decodes to uint16
+    — both against the sequential/8-bit paths as the trusted twin."""
+    from aroa_etl_spark.operators.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 32), (13, 7), (1, 5), (9, 9)):
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        seq = decode_image(encode_gif(px), {"format": "gif"}, strict=True)
+        ilaced = decode_image(
+            encode_gif(px, interlace=True), {"format": "gif"}, strict=True
+        )
+        assert np.array_equal(seq, ilaced), (h, w)
+        assert np.array_equal(seq[:, :, 0], px)
+
+    g16 = rng.integers(0, 65536, size=(3, 5, 1), dtype=np.uint16)
+    pgm = b"P5\n5 3\n65535\n" + g16.astype(">u2").tobytes()
+    got = decode_image(pgm, {"format": "pgm"}, strict=True)
+    assert got.dtype == np.uint16 and np.array_equal(got, g16)
+    rgb16 = rng.integers(0, 65536, size=(2, 4, 3), dtype=np.uint16)
+    ppm = b"P6\n4 2\n65535\n" + rgb16.astype(">u2").tobytes()
+    got = decode_image(ppm, {"format": "ppm"}, strict=True)
+    assert got.dtype == np.uint16 and np.array_equal(got, rgb16)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P5\n2 2\n70000\n" + b"\x00" * 16,
+                     {"format": "pgm"}, strict=True)
