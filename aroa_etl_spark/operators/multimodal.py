@@ -1007,7 +1007,8 @@ def _wav_chunks(content: bytes) -> tuple[dict, bytes]:
         body = content[pos + 8:pos + 8 + size]
         if cid == b"fmt " and size >= 16:
             tag, ch, sr, br, ba, bits = struct.unpack("<HHIIHH", body[:16])
-            fmt = {"tag": tag, "channels": ch, "rate": sr, "bits": bits}
+            fmt = {"tag": tag, "channels": ch, "rate": sr, "bits": bits,
+                   "block_align": ba}
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -1034,12 +1035,137 @@ def _g711_lut(law: str) -> np.ndarray:
 
 _G711_TAGS = {7: "ulaw", 6: "alaw"}
 
+# IMA/DVI ADPCM tables (IMA Digital Audio Focus Group recommendation,
+# public; WAV format tag 0x11)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 158, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+
+
+def _ima_step_sample(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, step index) + 4-bit
+    code → next (predictor, index).  Shared verbatim by the decoder and
+    the encoder's in-loop reconstruction, which is what makes
+    decode(encode(x)) == the encoder's reconstruction bit-exact."""
+    step = int(_IMA_STEP[index])
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib])))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, channels: int) -> np.ndarray:
+    """IMA ADPCM (WAV tag 0x11) → float32 mono waveform.  Block layout:
+    4-byte header (int16 predictor, step index, reserved) then 4-bit
+    codes two-per-byte, LOW nibble first.  Sequential by nature (each
+    sample's step size depends on the whole prefix), so it stays a
+    per-blob Python loop inside the Arrow-batched kernel — fixture-
+    scale blobs, same cost profile as the PNG filter loops."""
+    if channels != 1:
+        raise NotImplementedError("IMA ADPCM path: mono only")
+    if block_align < 5:
+        raise ValueError(f"IMA ADPCM: block align {block_align} too small")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < 5:
+            break  # trailing partial header: no samples
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for shift in (0, 4):
+                pred, index = _ima_step_sample(pred, index, (byte >> shift) & 0xF)
+                out.append(pred)
+    return (np.array(out, dtype=np.float32) / 32768.0).reshape(-1, 1)
+
+
+def encode_wav_ima(
+    samples: np.ndarray, *, rate: int = 8000, block_align: int = 256
+) -> tuple[bytes, np.ndarray]:
+    """Encode int16 mono samples as an IMA ADPCM WAV (tag 0x11).
+
+    Returns ``(wav_bytes, reconstruction)`` — the reconstruction is the
+    int16 signal the DECODER must produce bit-exactly (the encoder
+    tracks its own quantized state, standard ADPCM design), so tests
+    get a non-circular exactness check plus a lossy-tracking bound
+    against the original."""
+    import struct
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav_ima: 1-D int16 mono only")
+    per_block = (block_align - 4) * 2 + 1
+    recon: list[int] = []
+    payload = bytearray()
+    pos = 0
+    n = len(samples)
+    index = 0
+    while pos < n:
+        chunk = samples[pos:pos + per_block]
+        pred = int(chunk[0])
+        payload += struct.pack("<hBB", pred, index, 0)
+        recon.append(pred)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEP[index])
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step_sample(pred, index, nib)
+            recon.append(pred)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+            pred, index = _ima_step_sample(pred, index, 0)
+            recon.append(pred)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            payload.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibbles) // 2
+        if pos + per_block < n and pad:
+            raise AssertionError("internal: non-final block underfilled")
+        pos += per_block
+    per_block_hdr = (block_align - 4) * 2 + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // per_block_hdr,
+        block_align, 4, 2, per_block_hdr,
+    )
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + bytes(payload)
+    )
+    return blob, np.array(recon, dtype=np.int16)
+
 
 def _decode_wav(content: bytes) -> np.ndarray:
     """Real WAV decode: PCM 8/16/24/32-bit via the stdlib ``wave``
     module; G.711 µ-law/A-law (format tags 7/6 — telephony archives)
-    via the chunk walk + ITU expansion tables.  Returns float32
-    (n_samples, channels) in [-1, 1)."""
+    via the chunk walk + ITU expansion tables; IMA/DVI ADPCM (tag 0x11
+    — the classic 4:1 compressed WAV) via the block state machine.
+    Returns float32 (n_samples, channels) in [-1, 1)."""
     import wave
     from io import BytesIO
 
@@ -1048,6 +1174,8 @@ def _decode_wav(content: bytes) -> np.ndarray:
         lut = _g711_lut(_G711_TAGS[fmt["tag"]])
         x = lut[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
         return x.reshape(-1, max(fmt["channels"], 1))
+    if fmt["tag"] == 0x11:  # IMA/DVI ADPCM
+        return _decode_ima_adpcm(data, fmt["block_align"], fmt["channels"])
     with wave.open(BytesIO(content), "rb") as w:
         channels = w.getnchannels()
         sampwidth = w.getsampwidth()

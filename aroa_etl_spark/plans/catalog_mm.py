@@ -759,3 +759,95 @@ def mm_tiff_deflate_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )
+
+
+def _adpcm_plant():
+    """40 planted IMA ADPCM waveforms + their exact expected features.
+
+    Each k gets a distinct 505-sample int16 sine (one full 256-byte
+    block — period varies with k so step indices sweep differently);
+    the expected rms/peak are computed HERE from the encoder's int16
+    reconstruction with the exact numpy ops audio_features uses, so the
+    oracle replays planted truth without replaying the (inherently
+    sequential, non-SQL-expressible) ADPCM state machine — the
+    sk_hll/sk_kll precedent: when the kernel isn't DuckDB-replayable,
+    the oracle pins exact planted expectations instead.  Import-time
+    cost: 40 x 505 encoder steps, ~30 ms, cached."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import encode_wav_ima
+
+    plant = []
+    t = np.arange(505)
+    for k in range(40):
+        sig = np.round(9000.0 * np.sin(2 * np.pi * t / (50 + 3 * k))).astype(np.int16)
+        blob, recon = encode_wav_ima(sig, rate=505, block_align=256)
+        wave = (recon.astype(np.float32) / 32768.0).reshape(-1, 1)
+        rms = float(np.sqrt(np.mean(wave**2)))
+        peak = float(np.abs(wave).max())
+        plant.append((k, blob, len(blob), rms, peak))
+    return plant
+
+
+_ADPCM_PLANT = _adpcm_plant()
+
+# CAST AS DOUBLE inside the literal: DuckDB parses a bare decimal
+# literal as DECIMAL and overflows the 1e9 fixed-point multiply
+_ADPCM_VALUES = ",\n      ".join(
+    f"({k}, {n}, "
+    f"CAST(floor(CAST({rms!r} AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT), "
+    f"CAST(floor(CAST({peak!r} AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    for k, _b, n, rms, peak in _ADPCM_PLANT
+)
+
+
+@query(
+    "mm_audio_adpcm_real",
+    oracle=f"""
+    WITH plant(v_key, n_bytes, rms_fp, peak_fp) AS (VALUES
+      {_ADPCM_VALUES})
+    SELECT doc_id AS media_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           rms_fp, peak_fp
+    FROM documents JOIN plant ON doc_id % 40 = v_key
+    """,
+)
+def mm_audio_adpcm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM WAV decode (format tag 0x11 — the classic 4:1
+    compressed speech/game-audio dialect) REAL under strict=True:
+    40 distinct one-block sine waveforms encoded by encode_wav_ima,
+    broadcast-joined on doc_id % 40, decoded by the block state machine
+    (operators/multimodal.py _decode_ima_adpcm) inside the Arrow-
+    batched audio_features kernel.  rms/peak are surfaced as 1e9
+    fixed-point BIGINTs and must equal the oracle's PLANTED truth — the
+    encoder's int16 reconstruction pushed through the same numpy ops —
+    bit-exactly; the decoder's contract decode(encode(x)) == encoder
+    reconstruction makes that achievable despite ADPCM being lossy
+    vs the original signal.  The ADPCM state machine is inherently
+    sequential (each step size depends on the whole prefix), so the
+    oracle pins planted expectations rather than replaying it in SQL
+    (the sketch-entry precedent).  Scale shape: 40 tiny blobs on the
+    broadcast dim, fact side never shuffles."""
+    from aroa_etl_spark.operators.multimodal import audio_features
+
+    dim = spark.createDataFrame(
+        [(k, bytearray(b)) for k, b, _n, _r, _p in _ADPCM_PLANT],
+        "v_key int, content binary",
+    )
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+        F.concat(F.lit("mem://adpcm/"), F.col("doc_id")).alias("uri"),
+        F.struct(
+            F.lit(505).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return audio_features(media, strict=True).select(
+        "media_id",
+        "n_bytes",
+        F.floor(F.col("rms") * 1e9 + F.lit(0.5)).cast("bigint").alias("rms_fp"),
+        F.floor(F.col("peak") * 1e9 + F.lit(0.5)).cast("bigint").alias("peak_fp"),
+    )

@@ -744,3 +744,39 @@ def test_decode_gif_interlaced_and_netpbm_16bit():
     with pytest.raises(ValueError, match="maxval"):
         decode_image(b"P5\n2 2\n70000\n" + b"\x00" * 16,
                      {"format": "pgm"}, strict=True)
+
+
+def test_ima_adpcm_known_vector_and_roundtrip():
+    """IMA ADPCM: a hand-computed spec vector (pred=0, index=0, byte
+    0x37 -> samples [0, 11, 25]), decoder == encoder reconstruction
+    bit-exact (the non-circular ADPCM contract: the encoder tracks its
+    own quantized state), and lossy tracking of a smooth sine within
+    the documented bound."""
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+        decode_audio,
+        encode_wav_ima,
+    )
+
+    block = struct.pack("<hBB", 0, 0, 0) + b"\x37"
+    got = (_decode_ima_adpcm(block, 5, 1) * 32768).astype(int).ravel().tolist()
+    assert got == [0, 11, 25]
+
+    t = np.arange(4000)
+    sig = (10000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    blob, recon = encode_wav_ima(sig, rate=8000, block_align=256)
+    dec = decode_audio(blob, {"format": "wav"}, strict=True)
+    dec16 = np.round(dec.ravel() * 32768).astype(np.int32)
+    assert np.array_equal(dec16, recon.astype(np.int32))
+    err = np.abs(recon[: len(sig)].astype(np.int32) - sig.astype(np.int32))
+    assert err.max() < 2000
+    assert float(np.sqrt((err.astype(float) ** 2).mean())) < 300
+
+    with pytest.raises(NotImplementedError, match="mono"):
+        _decode_ima_adpcm(block, 5, 2)
+    with pytest.raises(ValueError, match="block align"):
+        _decode_ima_adpcm(block, 4, 1)
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav_ima(sig.astype(np.int32))
