@@ -1215,7 +1215,15 @@ def decode_audio(content: bytes, meta: dict, *, strict: bool = False) -> np.ndar
         except Exception:
             if strict:
                 raise
-    elif fmt not in ("", "fake", "raw"):
+    elif fmt == "flac":
+        try:
+            from aroa_etl_spark.operators.flaccodec import decode_flac
+
+            samples, _rate, bps = decode_flac(content)
+            return samples.astype(np.float32) / float(1 << (bps - 1))
+        except Exception:
+            if strict:
+                raise
         try:
             import soundfile  # noqa: PLC0415
             from io import BytesIO

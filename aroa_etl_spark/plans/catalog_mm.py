@@ -851,3 +851,69 @@ def mm_audio_adpcm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("rms") * 1e9 + F.lit(0.5)).cast("bigint").alias("rms_fp"),
         F.floor(F.col("peak") * 1e9 + F.lit(0.5)).cast("bigint").alias("peak_fp"),
     )
+
+
+@query(
+    "mm_audio_flac_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(600 AS BIGINT) AS n_in,
+           CAST(600 AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(range(0, 600), t ->
+                floor(CAST(((t * (7 + doc_id % 40)) % 4001) - 2000 AS DOUBLE)
+                      / 32768.0 * 1000000000.0 + 0.5)))
+                AS BIGINT) AS vsum_fp
+    FROM documents
+    """,
+)
+def mm_audio_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FLAC decode under strict=True — the vendored pure-Python
+    codec (operators/flaccodec.py, FLAC spec / RFC 9639: CRC-verified
+    frames, fixed predictors, per-partition Rice).  40 distinct
+    600-sample integer sawtooths (sample = ((t*(7+k)) % 4001) - 2000 —
+    pure integer arithmetic, so the ORIGINAL waveform is exactly
+    SQL-expressible) are FLAC-encoded at plan build (3 frames each:
+    256+256+88 exercises multi-frame streams and partition orders) and
+    broadcast-joined on doc_id % 40.  FLAC is LOSSLESS, so unlike the
+    ADPCM entry no planted-reconstruction indirection is needed: the
+    identity-rate resample checksum must equal the oracle's replay of
+    the analytic signal itself, fixed-point per sample — any bit error
+    anywhere in frame parse, Rice decode, or prediction shifts the
+    BIGINT sum.  int16/32768 is exact in float32, so the kernel's
+    float path introduces no rounding.  Scale shape: 40 tiny blobs
+    broadcast, fact side never shuffles, decode Arrow-batched."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.flaccodec import encode_flac
+    from aroa_etl_spark.operators.multimodal import resample_audio
+
+    t = np.arange(600, dtype=np.int64)
+    blobs = [
+        (
+            k,
+            bytearray(
+                encode_flac(
+                    (((t * (7 + k)) % 4001) - 2000).astype(np.int16),
+                    rate=8000,
+                    block_size=256,
+                )
+            ),
+        )
+        for k in range(40)
+    ]
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+        F.concat(F.lit("mem://flac/"), F.col("doc_id")).alias("uri"),
+        F.struct(
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit(600).cast("int").alias("n_samples"),
+            F.lit("flac").alias("format"),
+        ).alias("meta"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return resample_audio(media, target_rate=8000, strict=True).select(
+        "media_id", "n_in", "n_out", "vsum_fp"
+    )
