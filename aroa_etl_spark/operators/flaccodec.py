@@ -18,8 +18,9 @@ parameters and any of the four stereo decorrelation modes, which is
 enough to generate real spec-conformant files for fixtures and the
 catalog oracle — and because FLAC is lossless, decode(encode(x)) == x
 BIT-EXACTLY, so tests and oracles are exact, not band-limited like
-JPEG.  Out-of-subset streams (variable blocking, non-4/8/12/16/20/24
-bps) raise NotImplementedError per the strict-mode contract.
+JPEG.  Out-of-subset streams (variable blocking, non-8/12/16/20/24
+bps) raise NotImplementedError per the strict-mode contract (the
+audio dispatch falls back to soundfile for those when installed).
 
 Sequential bit-level work stays per-blob Python inside the
 Arrow-batched kernels (operators/multimodal.py), the same cost profile
@@ -173,8 +174,14 @@ def _utf8_number(n: int) -> bytes:
     out = []
     bits = n.bit_length()
     nbytes = 2
-    while bits > 6 + (6 - nbytes):  # payload capacity: (7-nbytes)+6*(nbytes-1)
+    # payload capacity of an n-byte coding: (7 - nbytes) lead bits +
+    # 6 * (nbytes - 1) continuation bits = 5*nbytes + 1  (the round-6
+    # review found the old formula DECREASING in nbytes — an infinite
+    # loop from frame index 1024 on)
+    while bits > 5 * nbytes + 1:
         nbytes += 1
+    if nbytes > 7:
+        raise ValueError(f"coded number too large: {n}")
     lead = (0xFF << (8 - nbytes)) & 0xFF | (n >> (6 * (nbytes - 1)))
     out.append(lead & 0xFF)
     for i in range(nbytes - 2, -1, -1):
@@ -460,7 +467,7 @@ def _write_residual(w: _BitWriter, res: np.ndarray, order: int,
 
 def _write_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
     w.write(0, 1)
-    if len(np.unique(x)) == 1:
+    if bool((x == x[0]).all()):
         w.write(0, 6)   # CONSTANT
         w.write(0, 1)
         w.write(int(x[0]), bps)

@@ -642,6 +642,19 @@ def _lzw_encode_gif(indices: list[int], min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF89a four-pass interlace row order (spec appendix E): every
+    8th row from 0, every 8th from 4, every 4th from 2, every 2nd
+    from 1 — row i of the stream displays at position order[i].
+    Shared by the decoder scatter and the encoder gather so the two
+    can never drift apart."""
+    return [
+        r
+        for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+        for r in range(start, h, step)
+    ]
+
+
 def _decode_gif(content: bytes) -> np.ndarray:
     """Real GIF decode (public GIF87a/89a spec): logical screen
     descriptor, global/local color tables, extension-block skipping,
@@ -700,17 +713,10 @@ def _decode_gif(content: bytes) -> np.ndarray:
             raise ValueError("malformed GIF: palette index out of range")
         px = lct[arr].reshape(ih, iw, 3)
         if ipacked & 0x40:
-            # interlaced: the stream carries rows in four passes
-            # (every 8th from 0, every 8th from 4, every 4th from 2,
-            # every 2nd from 1 — GIF89a spec appendix E); scatter the
-            # sequentially-decoded rows to their display positions
+            # interlaced: scatter the sequentially-decoded rows to
+            # their four-pass display positions
             out = np.empty_like(px)
-            order = [
-                r
-                for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
-                for r in range(start, ih, step)
-            ]
-            out[order] = px
+            out[_gif_interlace_rows(ih)] = px
             px = out
         return px
     raise ValueError("malformed GIF: no image data")
@@ -731,14 +737,7 @@ def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     palette = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
     desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
-    staged = pixels
-    if interlace:
-        order = [
-            r
-            for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
-            for r in range(start, h, step)
-        ]
-        staged = pixels[order]
+    staged = pixels[_gif_interlace_rows(h)] if interlace else pixels
     lzw = _lzw_encode_gif(staged.flatten().tolist(), 8)
     sub = b"".join(
         bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255] for i in range(0, len(lzw), 255)
@@ -784,7 +783,8 @@ def _pil_decode(content: bytes) -> np.ndarray:
 
 
 def decode_image(content: bytes, meta: dict, *, strict: bool = False) -> np.ndarray:
-    """Decode an image column value to an (H, W, C) uint8 array.
+    """Decode an image column value to an (H, W, C) array — uint8 for
+    8-bit sources, uint16 for 16-bit PNG/netpbm.
 
     Dispatch on ``meta['format']``: PNG / PPM / PGM / BMP decode for
     real with no external dependency; any other format tries PIL when
@@ -1001,7 +1001,7 @@ def _wav_chunks(content: bytes) -> tuple[dict, bytes]:
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("malformed WAV: missing RIFF/WAVE signature")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(content):
         cid, size = content[pos:pos + 4], struct.unpack("<I", content[pos + 4:pos + 8])[0]
         body = content[pos + 8:pos + 8 + size]
@@ -1009,11 +1009,21 @@ def _wav_chunks(content: bytes) -> tuple[dict, bytes]:
             tag, ch, sr, br, ba, bits = struct.unpack("<HHIIHH", body[:16])
             fmt = {"tag": tag, "channels": ch, "rate": sr, "bits": bits,
                    "block_align": ba}
+            if size >= 20:
+                # cbSize extension: compressed formats carry
+                # wSamplesPerBlock here (needed to trim pad nibbles)
+                fmt["samples_per_block"] = struct.unpack("<H", body[18:20])[0]
+        elif cid == b"fact" and size >= 4:
+            # total decoded sample count — authoritative for compressed
+            # formats whose final block is zero-padded to block_align
+            fact = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
+    if fact is not None:
+        fmt["fact_samples"] = fact
     return fmt, data
 
 
@@ -1068,13 +1078,25 @@ def _ima_step_sample(pred: int, index: int, nib: int) -> tuple[int, int]:
     return pred, index
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int, channels: int) -> np.ndarray:
+def _decode_ima_adpcm(
+    data: bytes,
+    block_align: int,
+    channels: int,
+    samples_per_block: int | None = None,
+    total_samples: int | None = None,
+) -> np.ndarray:
     """IMA ADPCM (WAV tag 0x11) → float32 mono waveform.  Block layout:
     4-byte header (int16 predictor, step index, reserved) then 4-bit
-    codes two-per-byte, LOW nibble first.  Sequential by nature (each
-    sample's step size depends on the whole prefix), so it stays a
-    per-blob Python loop inside the Arrow-batched kernel — fixture-
-    scale blobs, same cost profile as the PNG filter loops."""
+    codes two-per-byte, LOW nibble first; a header-only 4-byte final
+    block carries exactly one sample (round-6 review finding).
+    ``samples_per_block`` (the fmt extension's wSamplesPerBlock) caps
+    each block and ``total_samples`` (the fact chunk) caps the stream —
+    standard encoders zero-pad the final block to block_align, and
+    without the caps those pad nibbles decode as garbage samples.
+    Sequential by nature (each sample's step size depends on the whole
+    prefix), so it stays a per-blob Python loop inside the
+    Arrow-batched kernel — fixture-scale blobs, same cost profile as
+    the PNG filter loops."""
     if channels != 1:
         raise NotImplementedError("IMA ADPCM path: mono only")
     if block_align < 5:
@@ -1082,15 +1104,20 @@ def _decode_ima_adpcm(data: bytes, block_align: int, channels: int) -> np.ndarra
     out: list[int] = []
     for off in range(0, len(data), block_align):
         block = data[off:off + block_align]
-        if len(block) < 5:
+        if len(block) < 4:
             break  # trailing partial header: no samples
         pred = int.from_bytes(block[0:2], "little", signed=True)
         index = min(max(block[2], 0), 88)
+        n_before = len(out)
         out.append(pred)
         for byte in block[4:]:
             for shift in (0, 4):
                 pred, index = _ima_step_sample(pred, index, (byte >> shift) & 0xF)
                 out.append(pred)
+        if samples_per_block is not None:
+            del out[n_before + samples_per_block:]
+    if total_samples is not None:
+        del out[total_samples:]
     return (np.array(out, dtype=np.float32) / 32768.0).reshape(-1, 1)
 
 
@@ -1146,18 +1173,23 @@ def encode_wav_ima(
         if pos + per_block < n and pad:
             raise AssertionError("internal: non-final block underfilled")
         pos += per_block
-    per_block_hdr = (block_align - 4) * 2 + 1
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // per_block_hdr,
-        block_align, 4, 2, per_block_hdr,
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // per_block,
+        block_align, 4, 2, per_block,
     )
+    fact = struct.pack("<I", n)  # authoritative decoded-sample count
     blob = (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(payload))
         + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(payload)) + bytes(payload)
     )
-    return blob, np.array(recon, dtype=np.int16)
+    # the pad-nibble transition at an odd final block is not a real
+    # sample; the decoder trims it via the fact chunk, so the returned
+    # reconstruction must match post-trim
+    return blob, np.array(recon[:n], dtype=np.int16)
 
 
 def _decode_wav(content: bytes) -> np.ndarray:
@@ -1175,7 +1207,11 @@ def _decode_wav(content: bytes) -> np.ndarray:
         x = lut[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
         return x.reshape(-1, max(fmt["channels"], 1))
     if fmt["tag"] == 0x11:  # IMA/DVI ADPCM
-        return _decode_ima_adpcm(data, fmt["block_align"], fmt["channels"])
+        return _decode_ima_adpcm(
+            data, fmt["block_align"], fmt["channels"],
+            samples_per_block=fmt.get("samples_per_block"),
+            total_samples=fmt.get("fact_samples"),
+        )
     with wave.open(BytesIO(content), "rb") as w:
         channels = w.getnchannels()
         sampwidth = w.getsampwidth()
@@ -1199,15 +1235,25 @@ def _decode_wav(content: bytes) -> np.ndarray:
     return x.reshape(-1, channels)
 
 
+def _soundfile_decode(content: bytes) -> np.ndarray:
+    import soundfile  # noqa: PLC0415
+    from io import BytesIO
+
+    data, _sr = soundfile.read(BytesIO(content), dtype="float32")
+    return data if data.ndim == 2 else data[:, None]
+
+
 def decode_audio(content: bytes, meta: dict, *, strict: bool = False) -> np.ndarray:
     """Decode an audio column value to a float32 (n_samples, channels)
     waveform in [-1, 1).
 
-    WAV (PCM 8/16/24/32-bit) decodes for real via the stdlib ``wave``
-    module; other formats try soundfile when importable. ``strict=True``
-    = "real samples or raise" — formats with no available codec raise
-    ``NotImplementedError`` instead of falling back to the deterministic
-    fake waveform."""
+    WAV (PCM 8/16/24/32-bit, G.711, IMA ADPCM) and FLAC (vendored
+    subset codec) decode for real with no external dependency;
+    out-of-subset FLAC and every other format try soundfile when
+    importable (the audio twin of the image path's PIL fallback).
+    ``strict=True`` = "real samples or raise" — formats with no
+    available codec raise ``NotImplementedError`` instead of falling
+    back to the deterministic fake waveform."""
     fmt = (meta.get("format") or "").lower().lstrip(".")
     if fmt in ("wav", "wave"):
         try:
@@ -1221,15 +1267,24 @@ def decode_audio(content: bytes, meta: dict, *, strict: bool = False) -> np.ndar
 
             samples, _rate, bps = decode_flac(content)
             return samples.astype(np.float32) / float(1 << (bps - 1))
+        except NotImplementedError:
+            # out-of-subset stream (variable blocking, exotic bps):
+            # fall back to the real library codec when installed —
+            # the image codecs' _with_pil_fallback convention
+            try:
+                return _soundfile_decode(content)
+            except ImportError:
+                if strict:
+                    raise  # the original subset NotImplementedError
+            except Exception:
+                if strict:
+                    raise
         except Exception:
             if strict:
                 raise
+    elif fmt not in ("", "fake", "raw"):
         try:
-            import soundfile  # noqa: PLC0415
-            from io import BytesIO
-
-            data, _sr = soundfile.read(BytesIO(content), dtype="float32")
-            return data if data.ndim == 2 else data[:, None]
+            return _soundfile_decode(content)
         except ImportError:
             if strict:
                 raise NotImplementedError(

@@ -909,3 +909,69 @@ def test_flac_lpc_wasted_bits_and_escape_partitions():
             b.write(v, 6)
 
     stream_with_subframe(escape, len(raw_vals), raw_vals)
+
+
+def test_flac_long_stream_frame_numbers():
+    """Round-6 review finding #1: the UTF-8 coded-number capacity
+    formula decreased with byte count, hanging encode_flac forever at
+    frame index 1024.  A >1024-frame stream must round-trip."""
+    from aroa_etl_spark.operators import flaccodec as FC
+
+    # direct known values: 1024 needs 2 bytes (11 bits), 2048 needs 3
+    for n in (0, 127, 128, 1023, 1024, 2048, 1 << 20):
+        r = FC._BitReader(FC._utf8_number(n))
+        assert FC._read_utf8_number(r) == n, n
+
+    sig = (np.arange(70000) % 997 - 498).astype(np.int16)
+    blob = FC.encode_flac(sig, 8000, block_size=64)  # 1094 frames
+    dec, _, _ = FC.decode_flac(blob)
+    assert np.array_equal(dec.ravel(), sig)
+
+
+def test_ima_adpcm_final_block_and_padding():
+    """Round-6 review findings #3/#4: a header-only final block carries
+    one sample (n % per_block == 1 previously lost it), and pad nibbles
+    in an externally zero-padded final block must be trimmed via
+    wSamplesPerBlock + the fact chunk."""
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+        decode_audio,
+        encode_wav_ima,
+    )
+
+    # 506 = per_block(256) + 1: final block is header-only
+    sig = np.arange(506, dtype=np.int16)
+    blob, recon = encode_wav_ima(sig, block_align=256)
+    dec = decode_audio(blob, {"format": "wav"}, strict=True)
+    assert dec.shape[0] == 506
+    assert np.array_equal(
+        np.round(dec.ravel() * 32768).astype(np.int32), recon.astype(np.int32)
+    )
+
+    # external-style blob: 3 real samples, block zero-padded to align
+    block = struct.pack("<hBB", 7, 0, 0) + b"\x37" + b"\x00" * 4
+    full = _decode_ima_adpcm(block, len(block), 1)
+    assert full.shape[0] == 1 + 2 * 5  # no caps: pads decode as samples
+    capped = _decode_ima_adpcm(block, len(block), 1, samples_per_block=3)
+    assert capped.shape[0] == 3
+    fact = _decode_ima_adpcm(block, len(block), 1, total_samples=2)
+    assert fact.shape[0] == 2
+
+
+def test_decode_audio_generic_formats_keep_soundfile_path():
+    """Round-6 review finding #2: adding the flac branch dropped the
+    generic soundfile fallback for every other format.  Without
+    soundfile installed (this sandbox), strict mode must say so for
+    ogg/mp3 — NOT claim 'no real codec' via the bare-format branch —
+    and non-strict mode must fall back to the fake waveform."""
+    from aroa_etl_spark.operators.multimodal import decode_audio
+
+    for fmt in ("ogg", "mp3", "aiff"):
+        with pytest.raises(NotImplementedError, match="soundfile not"):
+            decode_audio(b"\x00\x01", {"format": fmt}, strict=True)
+        fake = decode_audio(
+            b"\x00\x01", {"format": fmt, "n_samples": 32, "channels": 1}
+        )
+        assert fake.shape == (32, 1)
