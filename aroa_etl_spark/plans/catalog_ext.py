@@ -3083,3 +3083,122 @@ def s_warc_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return parse_warc_records(blobs)
+
+
+@query(
+    "sk_approx_top_k",
+    oracle="""
+    SELECT o_orderpriority AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1 ORDER BY cnt DESC, item
+    """,
+)
+def sk_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native approx heavy-hitters via Spark 4's `approx_top_k` (JVM
+    aggregate, partial-combined, zero Python).  k and maxItemsTracked
+    cover the full priority domain here, so the sketch is EXACT and
+    the oracle is the plain GROUP BY — attesting the aggregate, the
+    struct-array explode, and the count plumbing end-to-end with a
+    hash-exact check rather than a tolerance.  At 100 TB the same
+    expression with maxItemsTracked << |domain| is the bounded-memory
+    heavy-hitters path (the CMS entry's sk_cms_heavy_hitters is the
+    deterministic-replay twin); the sketch's tie order at the k
+    boundary is engine-internal, so production top-k over tying counts
+    needs the exact window entry (w2) — documented, not hidden."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.agg(F.expr("approx_top_k(o_orderpriority, 5, 10000)").alias("__tk"))
+        .select(F.explode("__tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )
+
+
+@query(
+    "sk_theta_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP '1997-01-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS exact_union,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT) AS exact_intersect,
+           true AS union_ok, true AS intersect_ok, true AS difference_ok
+    """,
+)
+def sk_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches — the mergeable-distinct family that, unlike HLL,
+    supports INTERSECTION and DIFFERENCE estimates (Spark 4 native
+    DataSketches: `theta_sketch_agg` / `theta_union` /
+    `theta_intersection` / `theta_difference` /
+    `theta_sketch_estimate`, all JVM-side).  Two yearly customer
+    cohorts are sketched independently (the 100 TB pattern: one binary
+    sketch per partition/time-slice, set algebra at query time instead
+    of a rescan-and-join), then |A∪B|, |A∩B|, |A\\B| estimates are
+    checked against exact counts.  Binary sketch images are
+    engine-internal, so the oracle is the sk_hll-style error contract:
+    exact counts hash-checked, booleans asserting each estimate lands
+    within ±5% of exact for union / within ±5% of |A∪B| for
+    intersection and difference (the theta error model scales set-op
+    error with the union size).  A broken union, intersection, or
+    estimator flips a boolean and reds the gate."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def cohort(y0: str, y1: str):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        )
+
+    a, b = cohort("1996-01-01", "1997-01-01"), cohort("1997-01-01", "1998-01-01")
+    sk = (
+        a.agg(F.expr("theta_sketch_agg(o_custkey)").alias("sa"))
+        .join(b.agg(F.expr("theta_sketch_agg(o_custkey)").alias("sb")))
+        .select(
+            F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("__eu"),
+            F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias("__ei"),
+            F.expr("theta_sketch_estimate(theta_difference(sa, sb))").alias("__ed"),
+        )
+    )
+    exact = (
+        a.select(F.col("o_custkey").alias("k")).distinct()
+        .withColumn("__in_a", F.lit(1))
+        .join(
+            b.select(F.col("o_custkey").alias("k")).distinct()
+            .withColumn("__in_b", F.lit(1)),
+            "k", "full_outer",
+        )
+        .agg(
+            F.sum(F.coalesce("__in_a", F.lit(0))).cast("bigint").alias("exact_a"),
+            F.sum(F.coalesce("__in_b", F.lit(0))).cast("bigint").alias("exact_b"),
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(
+                F.when(F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("exact_intersect"),
+        )
+    )
+
+    def ok(est: Column, exact_col: Column, scale: Column) -> Column:
+        return F.abs(est.cast("double") - exact_col.cast("double")) <= (
+            0.05 * scale.cast("double")
+        )
+
+    u = F.col("exact_union")
+    return exact.join(sk).select(
+        "exact_a", "exact_b", "exact_union", "exact_intersect",
+        ok(F.col("__eu"), u, u).alias("union_ok"),
+        ok(F.col("__ei"), F.col("exact_intersect"), u).alias("intersect_ok"),
+        ok(F.col("__ed"), F.col("exact_a") - F.col("exact_intersect"), u).alias(
+            "difference_ok"
+        ),
+    )

@@ -50,6 +50,7 @@ _CARTESIAN_OK = {
     "q11_important_parts",  # 1-row grand-total broadcast into the threshold gate
     "q22_idle_customers",  # 1-row (sum, count) broadcast into the balance gate
     "sk_kll_quantile_bounds",  # 1-row quantile-value broadcast into the rank check
+    "sk_theta_set_ops",  # (sketch 1-row) × (sketch 1-row) × (exact 1-row) set algebra
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {"cc_connected_components"}
