@@ -3202,3 +3202,69 @@ def sk_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "difference_ok"
         ),
     )
+
+
+@query(
+    "s_warc_datasource",
+    oracle="""
+    WITH recs AS (
+      SELECT k, i,
+             CASE WHEN i % 2 = 0 THEN 'response' ELSE 'metadata' END AS warc_type,
+             len('payload-' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                 || ' WARC/1.0 trap') AS clen
+      FROM (SELECT unnest(range(0, 20)) AS k), (SELECT unnest(range(0, 10)) AS i))
+    SELECT warc_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_files,
+           CAST(SUM(clen) AS BIGINT) AS total_payload_bytes
+    FROM recs GROUP BY warc_type ORDER BY warc_type
+    """,
+)
+def s_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC as a NATIVE Spark source — Spark 4's Python DataSource API
+    (`sources/warc_datasource.py`): ``spark.read.format("warc")`` with
+    one InputPartition per file, the record explosion fused into the
+    scan (no binaryFile two-step, no shuffle).  The entry stages 20
+    deterministic files — half plain ``.warc``, half ``.warc.gz``
+    per-record gzip members, every payload embedding the literal
+    'WARC/1.0' trap — reads them back through the registered source,
+    and aggregates; the oracle replays the construction arithmetic.
+    The parse is shared verbatim with parse_warc_blob, so this attests
+    the DataSource plumbing (registration, partition planning,
+    per-partition iteration, schema) on top of the already-attested
+    record kernel.  Scale shape: Common Crawl's thousands of ~1 GB
+    segment files fan out to as many independent partitions."""
+    import gzip
+    import os
+
+    from aroa_etl_spark.sources.warc_datasource import register_warc_source
+
+    stage = _scratch_stage("warc_ds", sf_dir)
+    os.makedirs(stage, exist_ok=True)
+    for k in range(20):
+        records = bytearray()
+        for i in range(10):
+            payload = f"payload-{k}-{i} WARC/1.0 trap".encode()
+            wtype = "response" if i % 2 == 0 else "metadata"
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            if k % 2:
+                records += gzip.compress(rec, 5)  # one member per record
+            else:
+                records += rec
+        name = f"seg{k:02d}.warc.gz" if k % 2 else f"seg{k:02d}.warc"
+        with open(os.path.join(stage, name), "wb") as fh:
+            fh.write(bytes(records))
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(os.path.join(stage, "*"))
+    return (
+        df.groupBy("warc_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.count_distinct("path").cast("bigint").alias("n_files"),
+            F.sum("content_length").cast("bigint").alias("total_payload_bytes"),
+        )
+        .orderBy("warc_type")
+    )

@@ -330,3 +330,46 @@ def test_xlsx_sheet_name_quoting_and_blank_rows(tmp_path):
         z.writestr("xl/worksheets/sheet1.xml", sparse_sheet)
     # blank rows 2 and 3 must appear as empty rows, like openpyxl reads
     assert read_xlsx(p2) == [["h"], [""], [""], ["x"]]
+
+
+def test_warc_python_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource for WARC: format('warc') reads plain
+    and gzip-member files with one partition per file, identical
+    records either way, stable path-hash blob ids, and clean errors on
+    empty matches."""
+    import gzip
+
+    from aroa_etl_spark.sources.warc_datasource import (
+        _path_blob_id,
+        register_warc_source,
+    )
+
+    p1 = b"hello WARC/1.0 embedded"
+    r1 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+          b"WARC-Target-URI: https://a/x\r\nContent-Length: "
+          + str(len(p1)).encode() + b"\r\n\r\n" + p1 + b"\r\n\r\n")
+    p2 = b"second"
+    r2 = (b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: "
+          + str(len(p2)).encode() + b"\r\n\r\n" + p2 + b"\r\n\r\n")
+    (tmp_path / "a.warc").write_bytes(r1 + r2)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(r1) + gzip.compress(r2))
+
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(str(tmp_path / "*"))
+    rows = df.collect()
+    assert len(rows) == 4
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.path, []).append(
+            (r.rec_idx, r.warc_type, r.target_uri, r.content_length, r.payload_md5)
+        )
+    plain, gz = sorted(by_file)  # a.warc, b.warc.gz
+    assert sorted(by_file[plain]) == sorted(by_file[gz])  # same records
+    assert {r.blob_id for r in rows} == {
+        _path_blob_id(plain), _path_blob_id(gz)
+    }
+
+    register_warc_source(spark)  # idempotent re-registration
+    with pytest.raises(Exception, match="matched no files|FileNotFound"):
+        spark.read.format("warc").load(str(tmp_path / "nope*")).collect()
