@@ -658,3 +658,72 @@ def st_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT group_id, val, is_ambiguous FROM st_consensus_sink "
         "WHERE n_transcriptions = 3"
     )
+
+
+@query(
+    "st_warc_source",
+    oracle="""
+    WITH recs AS (
+      SELECT k, i,
+             CASE WHEN i % 2 = 0 THEN 'response' ELSE 'metadata' END AS warc_type,
+             len('stream-' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+               AS clen
+      FROM (SELECT unnest(range(0, 10)) AS k), (SELECT unnest(range(0, 6)) AS i))
+    SELECT warc_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_files,
+           CAST(SUM(clen) AS BIGINT) AS total_payload_bytes
+    FROM recs GROUP BY warc_type ORDER BY warc_type
+    """,
+)
+def st_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + Python DataSource: STREAMING WARC ingestion
+    (`spark.readStream.format("warc")`, sources/warc_datasource.py
+    WarcStreamReader) — each micro-batch picks up segment files that
+    appeared since the last offset, one executor-side InputPartition
+    per new file, the crawl-tailing shape.  The entry stages 10
+    deterministic files (half ``.warc.gz`` per-record gzip members),
+    drains the stream (availableNow falls back to the documented
+    single-batch execution for Python stream sources), and aggregates
+    the landed records; the oracle replays the construction
+    arithmetic.  Incremental multi-batch pickup is pytest-pinned
+    (test_io.py) — the drained catalog check attests offset planning,
+    executor reads, and schema through the driver gate."""
+    import gzip
+    import os
+    import shutil
+
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+    from aroa_etl_spark.sources.warc_datasource import register_warc_source
+
+    stage = _scratch_stage("warc_st_src", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(10):
+        records = bytearray()
+        for i in range(6):
+            payload = f"stream-{k}-{i}".encode()
+            wtype = "response" if i % 2 == 0 else "metadata"
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            records += gzip.compress(rec, 5) if k % 2 else rec
+        name = f"seg{k}.warc.gz" if k % 2 else f"seg{k}.warc"
+        with open(os.path.join(stage, name), "wb") as fh:
+            fh.write(bytes(records))
+    register_warc_source(spark)
+    stream = spark.readStream.format("warc").load(stage).select(
+        "path", "warc_type", "content_length"
+    )
+    _drain(stream, "st_warc_source_sink", "append")
+    return (
+        spark.table("st_warc_source_sink")
+        .groupBy("warc_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.count_distinct("path").cast("bigint").alias("n_files"),
+            F.sum("content_length").cast("bigint").alias("total_payload_bytes"),
+        )
+        .orderBy("warc_type")
+    )

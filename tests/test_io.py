@@ -373,3 +373,43 @@ def test_warc_python_datasource(spark, tmp_path):
     register_warc_source(spark)  # idempotent re-registration
     with pytest.raises(Exception, match="matched no files|FileNotFound"):
         spark.read.format("warc").load(str(tmp_path / "nope*")).collect()
+
+
+def test_warc_streaming_source_incremental_pickup(spark, tmp_path):
+    """The streaming WARC reader must pick up ONLY files that appeared
+    since the last offset — two processAllAvailable rounds with a file
+    added in between land exactly the incremental records."""
+    import gzip
+
+    from aroa_etl_spark.sources.warc_datasource import register_warc_source
+
+    def rec(wtype: str, payload: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+
+    (tmp_path / "f1.warc").write_bytes(
+        rec("response", b"one") + rec("metadata", b"two")
+    )
+    register_warc_source(spark)
+    q = (
+        spark.readStream.format("warc").load(str(tmp_path))
+        .writeStream.format("memory").queryName("warc_inc")
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM warc_inc").first().c == 2
+        (tmp_path / "f2.warc.gz").write_bytes(
+            gzip.compress(rec("response", b"three WARC/1.0 trap"))
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT warc_type, count(*) n FROM warc_inc GROUP BY 1 ORDER BY 1"
+        ).collect()
+        assert [(r.warc_type, r.n) for r in rows] == [
+            ("metadata", 1), ("response", 2)
+        ]
+    finally:
+        q.stop()
