@@ -3236,11 +3236,13 @@ def s_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment files fan out to as many independent partitions."""
     import gzip
     import os
+    import shutil
 
     from aroa_etl_spark.sources.warc_datasource import register_warc_source
 
     stage = _scratch_stage("warc_ds", sf_dir)
-    os.makedirs(stage, exist_ok=True)
+    shutil.rmtree(stage, ignore_errors=True)  # stale debris reds the oracle
+    os.makedirs(stage)
     for k in range(20):
         records = bytearray()
         for i in range(10):

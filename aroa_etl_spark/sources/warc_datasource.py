@@ -39,36 +39,45 @@ from pyspark.sql import types as T
 
 from aroa_etl_spark.sources.warc import parse_warc_blob
 
+from aroa_etl_spark.sources.warc import WARC_RECORD_SCHEMA
+
+# path + the shared record schema, DERIVED so the DataSource and the
+# mapInPandas kernel cannot drift apart structurally (round-6 review)
 WARC_SOURCE_SCHEMA = T.StructType(
-    [
-        T.StructField("path", T.StringType()),
-        T.StructField("blob_id", T.LongType()),
-        T.StructField("rec_idx", T.IntegerType()),
-        T.StructField("warc_type", T.StringType()),
-        T.StructField("target_uri", T.StringType()),
-        T.StructField("content_length", T.LongType()),
-        T.StructField("payload_md5", T.StringType()),
-    ]
+    [T.StructField("path", T.StringType()), *WARC_RECORD_SCHEMA.fields]
 )
+
+# only real segment files are ingested: a manifest/checksum/.tmp file
+# in the directory must not wedge the stream or pollute a dir load
+_WARC_SUFFIXES = (".warc", ".warc.gz")
+
+
+def _is_warc_file(name: str) -> bool:
+    return name.lower().endswith(_WARC_SUFFIXES)
 
 
 def _path_blob_id(path: str) -> int:
-    """Stable 63-bit id from the file path — the same md5-prefix hash
-    family the engine uses everywhere (deterministic across runs,
-    executors, and retries)."""
+    """Stable 60-bit id from the file path (15 md5 hex chars — the
+    engine's BIGINT-safe md5-prefix hash family, the same space the
+    kmv/minhash oracles replay), deterministic across runs, executors,
+    and retries."""
     return int(hashlib.md5(path.encode("utf-8")).hexdigest()[:15], 16)
 
 
 class _WarcFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, size: int | None = None):
         self.path = path
+        self.size = size
 
 
-def _read_file_records(path: str) -> Iterator[tuple]:
+def _read_file_records(path: str, size: int | None = None) -> Iterator[tuple]:
     """One file → record tuples in WARC_SOURCE_SCHEMA order — the shared
-    executor-side kernel of the batch and streaming readers."""
+    executor-side kernel of the batch and streaming readers.  ``size``
+    caps the read at the byte length the planner observed, so a file
+    that grows between offset listing and executor read still parses
+    exactly the snapshot the offset describes."""
     with open(path, "rb") as fh:
-        blob = fh.read()
+        blob = fh.read() if size is None else fh.read(size)
     bid = _path_blob_id(path)
     for rec in parse_warc_blob(blob):
         yield (
@@ -88,12 +97,15 @@ class WarcReader(DataSourceReader):
         if not path:
             raise ValueError("warc source needs a path: .load('/dir/*.warc')")
         if os.path.isdir(path):
-            pattern = os.path.join(path, "*")
+            # directory load: only .warc/.warc.gz are segments — a
+            # manifest or in-flight .tmp must not pollute the read
+            paths = [
+                p for p in glob.glob(os.path.join(path, "*"))
+                if _is_warc_file(p)
+            ]
         else:
-            pattern = path
-        self.paths = sorted(
-            p for p in glob.glob(pattern) if os.path.isfile(p)
-        )
+            paths = glob.glob(path)  # explicit glob: the caller chose it
+        self.paths = sorted(p for p in paths if os.path.isfile(p))
         if not self.paths:
             raise FileNotFoundError(f"warc source matched no files: {path}")
 
@@ -112,40 +124,69 @@ class WarcStreamReader(DataSourceStreamReader):
     crawl-ingestion shape (a fetcher drops finished ``.warc.gz``
     segments; the pipeline tails the directory).
 
-    Offsets are the sorted list of file names already ingested (names,
-    not full paths — the offset JSON stays directory-relative).  New
-    files become one InputPartition each, read ON EXECUTORS with the
-    same shared record kernel as the batch reader — the partitioned
+    Offsets are the sorted ``[name, size]`` list of files already
+    ingested (directory-relative, JSON-serializable).  New files become
+    one InputPartition each, read ON EXECUTORS with the same shared
+    record kernel as the batch reader — the partitioned
     ``DataSourceStreamReader`` API, not the driver-side Simple variant,
-    precisely because segment files are the scale unit.  The file list
-    inside the offset grows with the directory (documented trade: a
-    100 TB deployment rotates ingestion directories per day/hour, which
-    also bounds the listing)."""
+    precisely because segment files are the scale unit.  Only
+    ``.warc``/``.warc.gz`` names are considered, so a manifest or
+    in-flight ``.tmp`` in the directory cannot wedge the query.
+
+    Placement contract (same as Spark's own FileStreamSource): files
+    must appear ATOMICALLY (write elsewhere, rename in).  The recorded
+    size makes a violation loud instead of silently lossy — executors
+    read exactly the snapshot length the offset describes, and a
+    seen file that later GREW fails the next planning round with an
+    explicit error rather than dropping the appended records (round-6
+    review finding).  The file list inside the offset grows with the
+    directory (documented trade: a 100 TB deployment rotates ingestion
+    directories per day/hour, which also bounds the listing)."""
 
     def __init__(self, options: dict):
         self.dir = options.get("path")
         if not self.dir or not os.path.isdir(self.dir):
             raise ValueError("streaming warc source needs a directory path")
 
+    def _listing(self) -> list[list]:
+        out = []
+        for n in sorted(os.listdir(self.dir)):
+            p = os.path.join(self.dir, n)
+            if _is_warc_file(n) and os.path.isfile(p):
+                out.append([n, os.path.getsize(p)])
+        return out
+
     def initialOffset(self) -> dict:
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": sorted(
-            n for n in os.listdir(self.dir)
-            if os.path.isfile(os.path.join(self.dir, n))
-        )}
+        return {"seen": self._listing()}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        seen = dict(map(tuple, start.get("seen", [])))
+        grown = [
+            (n, seen[n], size)
+            for n, size in end.get("seen", [])
+            if n in seen and size > seen[n]
+        ]
+        if grown:
+            raise ValueError(
+                "warc stream: already-ingested file(s) grew — segment "
+                "files must be placed atomically (write to a temp name, "
+                f"rename into the directory): {grown}"
+            )
+        new = [
+            (n, size) for n, size in end.get("seen", []) if n not in seen
+        ]
         return [
-            _WarcFilePartition(os.path.join(self.dir, n)) for n in new
+            _WarcFilePartition(os.path.join(self.dir, n), size)
+            for n, size in new
         ] or [_WarcFilePartition("")]  # Spark requires >= 1 partition
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
         if not partition.path:  # empty-batch placeholder
             return iter(())
-        return _read_file_records(partition.path)
+        return _read_file_records(partition.path, partition.size)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-describing; nothing external to ack

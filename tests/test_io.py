@@ -413,3 +413,51 @@ def test_warc_streaming_source_incremental_pickup(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_warc_streaming_guards_non_warc_and_growth(spark, tmp_path):
+    """Round-6 review findings on the streaming source: non-WARC files
+    in the watch directory are ignored (a manifest must not wedge the
+    query), and a seen file that grows violates the atomic-placement
+    contract LOUDLY instead of silently dropping appended records."""
+    from aroa_etl_spark.sources.warc_datasource import (
+        WarcStreamReader,
+        register_warc_source,
+    )
+
+    def rec(payload: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+
+    (tmp_path / "seg0.warc").write_bytes(rec(b"one"))
+    (tmp_path / "manifest.json").write_bytes(b"{}")
+    (tmp_path / "inflight.tmp").write_bytes(b"WARC/1.0 partial garbage")
+
+    register_warc_source(spark)
+    q = (
+        spark.readStream.format("warc").load(str(tmp_path))
+        .writeStream.format("memory").queryName("warc_guard")
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()  # must not fail on manifest/.tmp
+        assert spark.sql("SELECT count(*) c FROM warc_guard").first().c == 1
+    finally:
+        q.stop()
+
+    # growth guard, unit level: a seen file with a larger size in the
+    # newer offset must raise the atomic-placement error
+    r = WarcStreamReader({"path": str(tmp_path)})
+    start = {"seen": [["seg0.warc", 10]]}
+    end = {"seen": [["seg0.warc", 20]]}
+    with pytest.raises(ValueError, match="atomically"):
+        r.partitions(start, end)
+    # size snapshot honored: executor reads only the planned length
+    first = r.partitions({"seen": []}, {"seen": [["seg0.warc", len(rec(b"one"))]]})
+    assert first[0].size == len(rec(b"one"))
+
+    # batch directory load ignores non-warc files too
+    df = spark.read.format("warc").load(str(tmp_path))
+    assert df.count() == 1
