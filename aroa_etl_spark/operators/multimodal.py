@@ -169,20 +169,33 @@ def _png_rows_to_samples(rows: np.ndarray, h: int, w: int, channels: int,
     return (pairs[..., 0] << 8) | pairs[..., 1]
 
 
+def _png_unpack_indices(rows: np.ndarray, ph: int, pw: int, depth: int) -> np.ndarray:
+    """(ph, row_bytes) unfiltered palette scanlines → (ph, pw) indices;
+    sub-byte depths pack indices MSB-first within each byte."""
+    if depth == 8:
+        return rows[:, :pw]
+    bits = np.unpackbits(rows, axis=1)
+    grouped = bits[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)
+
+
 def _decode_png(content: bytes) -> np.ndarray:
-    """Real PNG decode (pure stdlib): 8-bit AND 16-bit depth, Adam7
-    interlaced or not, gray / gray+alpha / RGB / RGBA — every PNG a
-    training pipeline writes itself plus the screen-progressive form
-    crawled pages carry.  Output dtype is uint8 (depth 8) or uint16
-    (depth 16, big-endian samples decoded to native ints).  Palette /
-    sub-byte depths fall through to PIL."""
+    """Real PNG decode (pure stdlib): 8/16-bit gray / gray+alpha / RGB
+    / RGBA, PALETTED (color type 3) at 1/2/4/8-bit index depth with
+    optional tRNS alpha, Adam7 interlaced or not — every PNG a
+    training pipeline writes itself plus the palette and progressive
+    forms crawled pages actually carry.  Output dtype is uint8 (or
+    uint16 for 16-bit samples); paletted images decode to RGB, or RGBA
+    when a tRNS chunk is present."""
     import struct
     import zlib
 
     if content[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG signature")
     pos, width, height, channels, idat = 8, 0, 0, 0, []
-    depth = interlace = 0
+    depth = interlace = color = 0
+    plte = trns = None
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         ctype = content[pos + 4 : pos + 8]
@@ -192,33 +205,72 @@ def _decode_png(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth not in (8, 16):
-                raise NotImplementedError("stdlib PNG path: 8/16-bit depth only")
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                raise NotImplementedError(f"PNG color type {color} unsupported")
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"bad paletted PNG depth {depth}")
+                channels = 1
+            else:
+                if depth not in (8, 16):
+                    raise NotImplementedError("stdlib PNG path: 8/16-bit depth only")
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if channels is None:
+                    raise NotImplementedError(f"PNG color type {color} unsupported")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("malformed PNG: PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
     raw = zlib.decompress(b"".join(idat))
-    bpp = channels * (depth // 8)
+    paletted = color == 3
+
+    def row_bytes(pw: int) -> int:
+        if paletted:
+            return (pw * depth + 7) // 8
+        return pw * channels * (depth // 8)
+
+    bpp = 1 if paletted else channels * (depth // 8)
+
+    def to_pixels(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if paletted:
+            return _png_unpack_indices(rows, ph, pw, depth)[:, :, None]
+        return _png_rows_to_samples(rows, ph, pw, channels, depth)
+
     if interlace == 0:
-        rows, _ = _png_unfilter(raw, 0, height, width * bpp, bpp)
-        return _png_rows_to_samples(rows, height, width, channels, depth)
-    img = np.zeros((height, width, channels),
-                   dtype=np.uint16 if depth == 16 else np.uint8)
-    pos = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (width - x0 + dx - 1) // dx
-        ph = (height - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue  # empty pass: no scanlines at all
-        rows, pos = _png_unfilter(raw, pos, ph, pw * bpp, bpp)
-        img[y0::dy, x0::dx] = _png_rows_to_samples(rows, ph, pw, channels, depth)
-    return img
+        rows, _ = _png_unfilter(raw, 0, height, row_bytes(width), bpp)
+        img = to_pixels(rows, height, width)
+    else:
+        img = np.zeros(
+            (height, width, channels),
+            dtype=np.uint16 if depth == 16 and not paletted else np.uint8,
+        )
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines at all
+            rows, pos = _png_unfilter(raw, pos, ph, row_bytes(pw), bpp)
+            img[y0::dy, x0::dx] = to_pixels(rows, ph, pw)
+    if not paletted:
+        return img
+    if plte is None:
+        raise ValueError("malformed PNG: paletted image without PLTE")
+    idx = img[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("malformed PNG: palette index out of range")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return np.dstack([rgb, alpha[idx]])
 
 
 def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:

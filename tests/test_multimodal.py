@@ -975,3 +975,98 @@ def test_decode_audio_generic_formats_keep_soundfile_path():
             b"\x00\x01", {"format": fmt, "n_samples": 32, "channels": 1}
         )
         assert fake.shape == (32, 1)
+
+
+def _palette_png(idx, depth, plte, trns=None, interlace=0):
+    """Handcrafted color-type-3 PNG fixture: packed MSB-first indices,
+    optional tRNS, optional Adam7 layout."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    def pack_rows(sub):
+        out = bytearray()
+        for row in sub:
+            out.append(0)  # filter None
+            if depth == 8:
+                out.extend(bytes(row.tolist()))
+            else:
+                bits = np.zeros((len(row), depth), np.uint8)
+                for b in range(depth):
+                    bits[:, b] = (row >> (depth - 1 - b)) & 1
+                flat = bits.reshape(-1)
+                flat = np.concatenate(
+                    [flat, np.zeros((-len(flat)) % 8, np.uint8)]
+                )
+                out.extend(np.packbits(flat).tobytes())
+        return bytes(out)
+
+    h, w = idx.shape
+    if interlace:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = b"".join(
+            pack_rows(idx[y0::dy, x0::dx])
+            for x0, y0, dx, dy in passes
+            if idx[y0::dy, x0::dx].size
+        )
+    else:
+        raw = pack_rows(idx)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    out = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte.tobytes()))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_paletted_all_depths():
+    """Color type 3 — the palette form most web PNGs use: 1/2/4/8-bit
+    packed indices, interlaced or not, map through PLTE to RGB; a tRNS
+    chunk upgrades the output to RGBA with per-entry alpha; palette
+    overflow and a missing PLTE are loud errors."""
+    from aroa_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for depth in (1, 2, 4, 8):
+        ncol = min(16, 1 << depth)
+        for interlace in (0, 1):
+            for h, w in ((7, 9), (16, 32), (1, 1), (3, 5)):
+                idx = rng.integers(0, ncol, size=(h, w)).astype(np.uint8)
+                got = decode_image(
+                    _palette_png(idx, depth, plte, interlace=interlace),
+                    {"format": "png"}, strict=True,
+                )
+                assert np.array_equal(got, plte[idx]), (depth, interlace, h, w)
+
+    idx = rng.integers(0, 16, size=(5, 6)).astype(np.uint8)
+    got = decode_image(
+        _palette_png(idx, 4, plte, trns=list(range(10))),
+        {"format": "png"}, strict=True,
+    )
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:10] = np.arange(10)
+    assert got.shape == (5, 6, 4)
+    assert np.array_equal(got[:, :, :3], plte[idx])
+    assert np.array_equal(got[:, :, 3], alpha[idx])
+
+    small_plte = plte[:4]
+    bad = _palette_png(np.full((2, 2), 9, np.uint8), 8, small_plte)
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_image(bad, {"format": "png"}, strict=True)
+    import struct as _s
+    import zlib as _z
+    no_plte = _palette_png(idx, 4, plte)
+    # strip the PLTE chunk
+    at = no_plte.index(b"PLTE") - 4
+    ln = _s.unpack(">I", no_plte[at:at + 4])[0]
+    stripped = no_plte[:at] + no_plte[at + 12 + ln:]
+    with pytest.raises(ValueError, match="without PLTE"):
+        decode_image(stripped, {"format": "png"}, strict=True)
+    assert _z  # silence unused warning
