@@ -349,6 +349,70 @@ def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     )
 
 
+def encode_png_palette(
+    idx: np.ndarray,
+    plte: np.ndarray,
+    *,
+    trns: bytes | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal color-type-3 PNG encoder (fixtures + palette-image sink):
+    (H, W) uint8 indices packed MSB-first at 1/2/4/8-bit depth, a
+    (N, 3) palette, optional tRNS alpha bytes, optional Adam7 row
+    layout.  Filter type 0 per scanline (palette rows rarely benefit
+    from filtering and index arithmetic under Sub/Avg is meaningless)."""
+    import struct
+    import zlib
+
+    if idx.ndim != 2 or idx.dtype != np.uint8:
+        raise ValueError("encode_png_palette: (H, W) uint8 indices only")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    if int(idx.max(initial=0)) >= min(len(plte), 1 << depth):
+        raise ValueError("palette index exceeds palette/depth capacity")
+    h, w = idx.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        out = bytearray()
+        for row in sub:
+            out.append(0)  # filter None
+            if depth == 8:
+                out.extend(bytes(row.tolist()))
+            else:
+                bits = np.zeros((len(row), depth), np.uint8)
+                for b in range(depth):
+                    bits[:, b] = (row >> (depth - 1 - b)) & 1
+                flat = bits.reshape(-1)
+                flat = np.concatenate([flat, np.zeros((-len(flat)) % 8, np.uint8)])
+                out.extend(np.packbits(flat).tobytes())
+        return bytes(out)
+
+    if interlace:
+        raw = b"".join(
+            pack_rows(idx[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if idx[y0::dy, x0::dx].size
+        )
+    else:
+        raw = pack_rows(idx)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    out = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    )
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
 def _decode_netpbm(content: bytes) -> np.ndarray:
     """Real binary netpbm decode: P5 (PGM, gray) / P6 (PPM, RGB)."""
     magic = content[:2]

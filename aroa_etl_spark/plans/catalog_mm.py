@@ -917,3 +917,75 @@ def mm_audio_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_audio(media, target_rate=8000, strict=True).select(
         "media_id", "n_in", "n_out", "vsum_fp"
     )
+
+
+@query(
+    "mm_png_palette_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(range(0, 512), p ->
+                 (((doc_id % 40) + (p // 32) + (p % 32)) % 16) * 37 % 256
+               + (((doc_id % 40) + (p // 32) + (p % 32)) % 16) * 59 % 256
+               + (((doc_id % 40) + (p // 32) + (p % 32)) % 16) * 83 % 256
+               + CASE WHEN (((doc_id % 40) + (p // 32) + (p % 32)) % 16) < 10
+                      THEN (((doc_id % 40) + (p // 32) + (p % 32)) % 16) * 11 % 256
+                      ELSE 255 END))
+                AS BIGINT)::DOUBLE / 2048 AS mean_intensity,
+           CAST(2 AS DOUBLE) AS aspect_ratio
+    FROM documents
+    """,
+)
+def mm_png_palette_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTED PNG (color type 3 — the form most web PNGs use) under
+    strict=True: 40 distinct 32x16 frames of 4-BIT packed indices
+    (index = (k + row + col) % 16), Adam7-INTERLACED, with a tRNS
+    chunk giving entries 0-9 partial alpha — so sub-byte bit
+    unpacking, interlaced palette passes, PLTE mapping, AND the RGBA
+    alpha upgrade must all be correct for mean_intensity (over the 4
+    decoded channels) to match the oracle's pure-arithmetic replay:
+    palette entry j = (37j, 59j, 83j) mod 256, alpha 11j mod 256 below
+    10 else opaque.  Completes gate attestation of every PNG decoder
+    path (gray/RGB/RGBA via mm entries and pytest, 16-bit + interlace
+    via mm_png_interlaced_real, palette here).  Scale shape identical:
+    40 tiny broadcast blobs, fact side never shuffles."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import (
+        encode_png_palette,
+        image_features,
+    )
+
+    j = np.arange(16, dtype=np.int64)
+    plte = np.stack([(j * 37) % 256, (j * 59) % 256, (j * 83) % 256],
+                    axis=1).astype(np.uint8)
+    trns = bytes(int(v * 11 % 256) for v in range(10))
+    r = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(32, dtype=np.int64)[None, :]
+    blobs = [
+        (
+            k,
+            bytearray(
+                encode_png_palette(
+                    ((k + r + c) % 16).astype(np.uint8), plte,
+                    trns=trns, depth=4, interlace=True,
+                )
+            ),
+        )
+        for k in range(40)
+    ]
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+        F.concat(F.lit("mem://pngp/"), F.col("doc_id")).alias("uri"),
+        F.struct(
+            F.lit(32).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(4).cast("int").alias("channels"),
+            F.lit("png").alias("format"),
+        ).alias("meta"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return image_features(media, strict=True).select(
+        "media_id", "mean_intensity", "aspect_ratio"
+    )
