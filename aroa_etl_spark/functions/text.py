@@ -642,6 +642,45 @@ BPE_TOKEN_RE = (
 )
 
 
+def bpe_apply(
+    col: Column | str, merges: "list[tuple[str, str]]"
+) -> Column:
+    """Apply a FIXED BPE merge table and return the subword tokens —
+    the real tokenizer-apply step (Sennrich et al. 2016), not the
+    regex estimator below.  Reference scope: the reference has no
+    tokenizer; this is part of the training-data-pipeline extension
+    surface (token accounting with an actual vocabulary).
+
+    Algorithm, exactly the published one: each whitespace word is
+    split into characters (space-separated), then the merge rules are
+    applied IN RANK ORDER, each replacing every occurrence of its
+    pair ``"a b"`` with the merged symbol ``ab`` — later merges
+    consume earlier merges' outputs, which is why rank order is part
+    of the semantics.  ``merges`` is the rank-ordered table of symbol
+    pairs, e.g. ``[("t","a"), ("ta","b")]``.
+
+    Everything is column expressions — regexp char-split, a chain of
+    constant ``replace`` calls (non-overlapping left-to-right scans,
+    semantics identical in Spark and DuckDB so catalog oracles can
+    replay the chain verbatim), one final split — so the whole apply
+    runs in whole-stage codegen with zero Python.  At 100 TB a real
+    32k-merge vocabulary would compile to an impractically deep
+    expression tree; the scale path keeps this exact algorithm inside
+    an Arrow-batched pandas UDF with the merge table broadcast.  The
+    column form is the semantic spec and is practical for the small
+    domain-specific vocabularies data-quality audits use."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+
+    def _merge_word(w: Column) -> Column:
+        m = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in merges:
+            m = F.replace(m, F.lit(f"{a} {b}"), F.lit(a + b))
+        return F.split(m, " ")
+
+    return F.flatten(F.transform(words, _merge_word))
+
+
 def bpe_token_count(col: Column | str, pattern: str = BPE_TOKEN_RE) -> Column:
     """Subword-ish token count via the GPT-2 pre-tokenizer regex — the
     'how many BPE tokens will this roughly cost' estimator (real BPE

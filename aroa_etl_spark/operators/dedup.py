@@ -438,6 +438,67 @@ def minhash_lsh_dedup(
     return _jaccard_filter(pairs, sh, id_col, threshold)
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    block_tokens: int = 3,
+    prefix_len: int = 120,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Blocked candidate pairs verified by bounded-prefix edit distance.
+
+    The Levenshtein verify stage real dedup pipelines run after a
+    cheap blocking pass: token-level fingerprints (Jaccard/MinHash)
+    miss character-level edits — OCR noise, small insertions, mojibake
+    repairs — that edit distance catches.  Two cost bounds make it
+    scale:
+
+    - **blocking**: candidates share an md5 over the LAST
+      ``block_tokens`` whitespace tokens (a suffix fingerprint —
+      survives head edits and truncation, the common near-dup shape),
+      so the self-join is an equi-join on a high-cardinality key, never
+      a cross product;
+    - **bounded DP**: the distance runs on the first ``prefix_len``
+      characters only.  Full-document Levenshtein is O(len²) PER PAIR —
+      at 100 TB that dominates everything; the capped prefix keeps the
+      per-pair cost constant while still separating near-dups (small
+      distance) from block-key collisions (distance ≈ prefix_len).
+
+    Both `levenshtein` and the blocking expressions are JVM built-ins
+    (whole-stage codegen, no Python).  Returns ``(id_a, id_b,
+    edit_distance)`` for pairs with distance ≤ ``max_dist``.  Docs with
+    fewer than ``block_tokens`` tokens have no suffix fingerprint and
+    are excluded (exact duplicates among them belong to exact_dedup)."""
+    from aroa_etl_spark.functions.text import tokens as _tokens
+
+    toks = _tokens(text_col)
+    base = df.filter(F.size(toks) >= block_tokens).select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__prefix"),
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, -block_tokens, block_tokens))
+        ).alias("__bkey"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__prefix").alias("__pa"), "__bkey"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__prefix").alias("__pb"), "__bkey"
+    )
+    return (
+        a.join(b, "__bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__pa", "__pb").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

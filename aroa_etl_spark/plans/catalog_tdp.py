@@ -1622,3 +1622,147 @@ def tdp_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("n_test_docs_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: BPE merge-table apply, corpus vocabulary stats, edit-distance
+# verify
+# ---------------------------------------------------------------------------
+
+# Rank-ordered BPE merge table over the synthetic corpus vocabulary.
+# Deliberately CASCADING (later merges consume earlier outputs:
+# t a → ta, ta b → tab, … tabl e → table) so the catalog entry checks
+# rank-order semantics, not just independent replaces.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("o", "w"), ("r", "ow"), ("l", "ow"), ("s", "low"),
+]
+
+# DuckDB replay of functions/text.bpe_apply: char-split via
+# regexp_replace('(.)', '\1 ', 'g'), then the same replace chain in the
+# same rank order (replace() is a non-overlapping left-to-right scan in
+# both engines), then split on single spaces.
+_BPE_SQL = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+for _a, _b in _BPE_MERGES:
+    _BPE_SQL = f"replace({_BPE_SQL}, '{_a} {_b}', '{_a}{_b}')"
+
+
+@query(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH w1 AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                w -> w != '')) AS w
+      FROM documents),
+    toks AS (SELECT unnest(string_split({_BPE_SQL}, ' ')) AS token FROM w1)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 30
+    """,
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real merge-table BPE tokenizer apply (Sennrich et al. 2016) —
+    not the regex estimator: each word char-splits, then the 12-rule
+    rank-ordered merge table applies with the published cascade
+    semantics (t a → ta → tab → tabl → table), and the corpus-level
+    subword histogram comes back.  Everything JVM column expressions
+    (functions/text.bpe_apply: regexp char-split + constant replace
+    chain + split, zero Python); the oracle replays the identical
+    chain, so the merge ORDER is value-checked — swap two rules and
+    the histogram changes.  Scale: one narrow projection + one
+    token-count shuffle (map-side combined) + a top-30 under a total
+    order; a production 32k-merge vocab moves the same algorithm into
+    an Arrow-batched pandas UDF (see bpe_apply docstring)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(F.explode(X.bpe_apply(F.col("text"), _BPE_MERGES)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(30)
+    )
+
+
+@query(
+    "text_vocab_stats",
+    oracle=f"""
+    WITH docs AS (SELECT source,
+                         CASE WHEN doc_id % 7 = 0
+                              THEN text || ' uniqtok' || CAST(doc_id AS VARCHAR)
+                              ELSE text END AS text
+                  FROM documents),
+    tc AS (SELECT source, t AS token, COUNT(*) AS n
+           FROM (SELECT source, unnest({_TOK}) AS t FROM docs)
+           GROUP BY source, t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           COUNT(*)::DOUBLE / SUM(n) AS type_token_ratio
+    FROM tc GROUP BY source
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary statistics per source: vocabulary size,
+    total tokens, hapax-legomenon count, type-token ratio — the
+    Heaps/Zipf-adjacent health numbers a corpus report leads with
+    (an under-diverse source shows a flat vocab and near-zero hapax
+    rate).  Complements text_token_stats, which sums PER-DOC distincts
+    and never counts across documents.  The synthetic vocabulary is
+    ~30 words so genuine hapaxes can't occur; docs with doc_id % 7 = 0
+    plant one doc-unique token to make the hapax path non-trivial
+    (same construction in the oracle).  Shape: token explode →
+    (source, token) count (map-side combinable — the word-count
+    shuffle) → per-source rollup of the counts table; no distinct, no
+    window, both aggs partial.  TTR is a ratio of two exact integers —
+    bit-identical IEEE division in both engines, no rounding step."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" uniqtok"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    tc = (
+        docs.select("source", F.explode(X.tokens(txt)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("n") == 1).cast("int")).cast("bigint").alias("hapax_count"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n")).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "dedup_edit_verify",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    t AS (SELECT doc_id, substr(text, 1, 120) AS prefix,
+                 md5(array_to_string(toks[-3:], ' ')) AS bkey
+          FROM (SELECT doc_id, text, {_TOK} AS toks FROM docs)
+          WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+    FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 20
+    """,
+)
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage (operators/dedup.edit_distance_verify):
+    suffix-fingerprint blocking (md5 of the last 3 tokens — the planted
+    drop-FIRST-token copies keep their suffix, so every plant lands in
+    its original's block) + Levenshtein ≤ 20 on the first 120
+    characters.  Character-level verification catches what token-set
+    measures miss; the prefix cap bounds the O(len²) DP per pair and
+    the block key keeps the self-join an equi-join.  Both engines run
+    their native levenshtein on identical ASCII prefixes — the distance
+    VALUES are hash-checked, not just the pair set."""
+    from aroa_etl_spark.operators.dedup import edit_distance_verify
+
+    return edit_distance_verify(
+        _docs_with_planted(spark, sf_dir),
+        block_tokens=3, prefix_len=120, max_dist=20,
+    )

@@ -1,0 +1,73 @@
+"""Round-6 text/dedup additions: merge-table BPE apply, corpus
+vocabulary stats, edit-distance verify stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aroa_etl_spark.functions.text import bpe_apply
+from aroa_etl_spark.operators.dedup import edit_distance_verify
+
+MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("o", "w"), ("r", "ow"), ("l", "ow"), ("s", "low"),
+]
+
+
+def _apply(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(bpe_apply("text", MERGES).alias("t")).head().t
+
+
+def test_bpe_cascade_merges_full_word(spark):
+    # t a -> ta -> tab -> tabl -> table: four cascading ranks
+    assert _apply(spark, "table") == ["table"]
+
+
+def test_bpe_partial_merge(spark):
+    # "data": only "t a" fires (d a t a -> d a ta); no "ta b" follows
+    assert _apply(spark, "data") == ["d", "a", "ta"]
+
+
+def test_bpe_rank_order_matters(spark):
+    # "slow" needs o w -> ow, then l ow -> low, then s low -> slow.
+    assert _apply(spark, "slow") == ["slow"]
+    # Reversed table: "s low" can never fire before "l ow"/"o w" exist.
+    rev = list(reversed(MERGES))
+    df = spark.createDataFrame([("slow",)], "text string")
+    toks = df.select(bpe_apply("text", rev).alias("t")).head().t
+    assert toks == ["s", "l", "ow"]
+
+
+def test_bpe_multiword_and_whitespace(spark):
+    # words merge independently; runs of whitespace split cleanly
+    assert _apply(spark, "  row  table ") == ["row", "table"]
+
+
+def test_bpe_unknown_chars_stay_single(spark):
+    assert _apply(spark, "xyz") == ["x", "y", "z"]
+
+
+def test_edit_distance_verify_finds_planted_neardup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base.split(" ", 1)[1]),          # drop first token: near-dup
+        (3, "totally different words but same tail delta epsilon zeta eta theta"),
+        (4, "short"),                         # < 3 tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = edit_distance_verify(df, block_tokens=3, prefix_len=120, max_dist=10)
+    got = {(r.id_a, r.id_b): r.edit_distance for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 6  # "alpha " deleted
+    # doc 3 shares the last-3-token block with 1 and 2 but is far in
+    # edit distance -> candidate generated, verify rejects it
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_edit_distance_verify_blocking_excludes_different_suffix(spark):
+    rows = [
+        (1, "one two three four five"),
+        (2, "one two three four six"),  # different last token -> other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert edit_distance_verify(df, max_dist=100).count() == 0
