@@ -167,8 +167,9 @@ _MINHASH_SQL_BANDS = ", ".join(
 )
 
 
-_MINHASH_ORACLE = f"""
-    WITH {{docs}},
+# The LSH pipeline's CTE chain, shared by the pair entries and the
+# canonical-keep capstone (which closes the pair graph recursively).
+_MINHASH_PAIR_CTES = f"""
     sh AS (SELECT doc_id, list_distinct({_SHINGLE3}) AS sh
            FROM (SELECT doc_id, {_TOK} AS toks FROM docs)),
     hh AS (SELECT doc_id, sh,
@@ -176,16 +177,22 @@ _MINHASH_ORACLE = f"""
            FROM sh WHERE len(sh) > 0),
     sig AS (SELECT doc_id, sh, [{_MINHASH_SQL_SIG}] AS sig FROM hh),
     keys AS (SELECT doc_id, sh, unnest([{_MINHASH_SQL_BANDS}]) AS bucket FROM sig),
-    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.sh AS sha, b.sh AS shb
-              FROM keys a JOIN keys b USING (bucket)
-              WHERE a.doc_id < b.doc_id)
-    SELECT id_a, id_b,
-           len(list_intersect(sha, shb)) AS n_intersect,
-           len(list_distinct(sha || shb)) AS n_union
-    FROM pairs
-    WHERE len(list_distinct(sha || shb)) > 0
-      AND len(list_intersect(sha, shb))::DOUBLE / len(list_distinct(sha || shb)) >= 0.7
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sh AS sha, b.sh AS shb
+             FROM keys a JOIN keys b USING (bucket)
+             WHERE a.doc_id < b.doc_id),
+    verified AS (SELECT id_a, id_b,
+                        len(list_intersect(sha, shb)) AS n_intersect,
+                        len(list_distinct(sha || shb)) AS n_union
+                 FROM cand
+                 WHERE len(list_distinct(sha || shb)) > 0
+                   AND len(list_intersect(sha, shb))::DOUBLE
+                       / len(list_distinct(sha || shb)) >= 0.7)"""
+
+_MINHASH_ORACLE = f"""
+    WITH {{docs}},
+{_MINHASH_PAIR_CTES}
+    SELECT id_a, id_b, n_intersect, n_union FROM verified
     """
 
 
@@ -1141,7 +1148,7 @@ def tdp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_lsh_incremental",
     oracle=_MINHASH_ORACLE.format(docs=_DOCS_PLANTED)
-    + "      AND (id_a >= 1000000 OR id_b >= 1000000)\n",
+    + "      WHERE (id_a >= 1000000 OR id_b >= 1000000)\n",
 )
 def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH (operators/dedup.minhash_lsh_incremental):
@@ -1765,4 +1772,67 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_verify(
         _docs_with_planted(spark, sf_dir),
         block_tokens=3, prefix_len=120, max_dist=20,
+    )
+
+
+@query(
+    "dedup_canonical_keep",
+    oracle=f"""
+    WITH RECURSIVE {_DOCS_PLANTED},
+{_MINHASH_PAIR_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS canonical_id,
+           CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT) AS kept
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION stage of the dedup pipeline — the step that turns
+    near-dup PAIRS into a kept/dropped verdict per document: MinHash-LSH
+    pairs (the standard 8-perm/4-band pipeline over the planted corpus)
+    → connected components over the pair graph (min-label propagation,
+    operators/clustering.connected_components) → keep exactly the
+    minimum-id member of every duplicate cluster (singletons keep
+    themselves).  Real pipelines end here: the kept list IS the output
+    corpus.  Min-id is the deterministic keep policy; swapping in
+    best-quality-per-cluster is one argmax join on quality_score.
+
+    The oracle closes the SAME pair graph with a recursive CTE
+    (min reachable id == min label fixpoint), so the cluster structure
+    and every keep bit are value-checked, not just pair counts.  Scale:
+    the LSH join is the banded/salted path, CC shuffles only (node,
+    label) pairs — tiny next to the corpus — and converges in
+    O(cluster diameter) rounds; near-dup clusters are shallow (pairs
+    and small stars), so 8 rounds is generous."""
+    from aroa_etl_spark.operators.clustering import connected_components
+    from aroa_etl_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _docs_with_planted(spark, sf_dir)
+    pairs = minhash_lsh_dedup(
+        docs, num_perm=8, bands=4, shingle_n=3, threshold=0.7
+    )
+    # The label frames are (id, id) pairs over just the paired docs —
+    # orders of magnitude smaller than the corpus — so the loop runs at
+    # a narrow shuffle width (see connected_components' num_partitions
+    # note) instead of scheduling session-width empty tasks each round.
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=8,
+        num_partitions=8,
+    )
+    canonical = F.coalesce("component", F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            canonical.alias("canonical_id"),
+            (canonical == F.col("doc_id")).cast("int").alias("kept"),
+        )
     )

@@ -53,7 +53,12 @@ _CARTESIAN_OK = {
     "sk_theta_set_ops",  # (sketch 1-row) × (sketch 1-row) × (exact 1-row) set algebra
 }
 _SKIP_PREFIXES = ("st_",)
-_SKIP = {"cc_connected_components"}
+_SKIP = {
+    "cc_connected_components",
+    # same reason: building it executes the iterative CC convergence
+    # loop over the LSH pair graph (per-round plan audited in PLANS.md)
+    "dedup_canonical_keep",
+}
 
 _NAMES = sorted(
     n
