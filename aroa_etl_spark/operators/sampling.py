@@ -27,7 +27,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample"]
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "grouped_sample_exact_k"]
 
 # Granularity of split/sample decisions. 10^6 buckets keeps fraction
 # resolution at 1e-6 while staying far below 2^32 (no modulo bias worth
@@ -103,6 +103,62 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.filter(bucket < int(round(fraction * BUCKETS)))
+
+
+def grouped_sample_exact_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    *,
+    oversample: float = 8.0,
+    salt: str = "bal1",
+) -> DataFrame:
+    """EXACTLY k uniformly-sampled rows per group — the balanced
+    eval-set constructor (k held-out docs per language/domain/label),
+    deterministic like everything in this module.
+
+    Per-group exact-k is a window sort, and a naive window over the
+    full corpus shuffles 100 TB onto a handful of group keys (group
+    cardinality is tiny — languages, domains).  The scale shape used
+    here: each row draws the engine-standard uniform u = md5(salt||id)
+    mapped to [0,1); a one-pass group-count aggregate (broadcast back)
+    sets a per-group threshold ``min(1, oversample*k/n_g)``; rows over
+    the threshold are FILTERED OUT before the window, so row_number
+    runs on ~oversample*k survivors per group instead of n_g.  The k
+    smallest u per group are below the threshold unless fewer than k
+    survivors exist — a (oversample=8) probability below 1e-40 per
+    group by Chernoff, and the construction is replayed verbatim by
+    the catalog oracle, so the two engines agree row-for-row even in
+    that event (the sample is then short, not wrong).
+
+    Returns the sampled rows with ``sample_rank`` (1..k within group,
+    ordered by u with id tiebreak).  Groups smaller than k return all
+    their rows."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    c_id = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c_id.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    u = h.cast("double") / F.lit(float(1 << 60))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    thresh = F.least(
+        F.lit(1.0), F.lit(float(oversample * k)) / F.col("__n").cast("double")
+    )
+    surv = (
+        df.withColumn("__u", u)
+        .join(F.broadcast(counts), group_col)
+        .filter(F.col("__u") <= thresh)
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy(F.col("__u"), c_id)
+    return (
+        surv.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__u", "__n")
+    )
 
 
 def weighted_sample_topk(

@@ -1836,3 +1836,44 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (canonical == F.col("doc_id")).cast("int").alias("kept"),
         )
     )
+
+
+@query(
+    "tdp_balanced_eval_sample",
+    oracle="""
+    WITH u AS (SELECT lang, doc_id,
+                      CAST(('0x'||substr(md5('bal1'||CAST(doc_id AS VARCHAR)),
+                                         1, 15))::UBIGINT AS DOUBLE)
+                        / 1152921504606846976.0 AS u
+               FROM documents),
+    c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    surv AS (SELECT u.lang, u.doc_id, u.u
+             FROM u JOIN c USING (lang)
+             WHERE u.u <= LEAST(1.0, 160.0 / CAST(c.n AS DOUBLE))),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY u, doc_id) AS sample_rank
+          FROM surv)
+    SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 20
+    """,
+)
+def tdp_balanced_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set construction: EXACTLY 20 uniformly-drawn docs
+    per language (operators/sampling.grouped_sample_exact_k) — the
+    held-out-set builder every training pipeline runs before a split.
+    The scale trick is the oversample prefilter: per-group thresholds
+    from one broadcast count aggregate cut the window's input to
+    ~8·k rows per group, so the per-group sort never sees the corpus
+    (a naive exact-k window shuffles 100 TB onto a handful of language
+    keys).  The draw is the engine-standard md5 uniform, so the oracle
+    replays prefilter, ranking, and tiebreak verbatim — row-for-row
+    sampled-set equality, not just counts."""
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "lang", "doc_id"
+    )
+    return grouped_sample_exact_k(docs, "lang", "doc_id", k=20).select(
+        "lang", "doc_id", "sample_rank"
+    )

@@ -224,3 +224,43 @@ def test_quality_score_from_matches_composed(spark):
     )
     for r in staged.collect():
         assert r.composed == r.materialized, r
+
+
+def test_grouped_sample_exact_k_counts_and_determinism(spark):
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], "id bigint, g string"
+    )
+    out = grouped_sample_exact_k(df, "g", "id", k=5)
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append((r.sample_rank, r.id))
+    assert set(by_g) == {"g0", "g1", "g2"}
+    for g, pairs in by_g.items():
+        assert sorted(p[0] for p in pairs) == [1, 2, 3, 4, 5], g
+    # determinism under repartition: same ids, same ranks
+    out2 = grouped_sample_exact_k(df.repartition(17), "g", "id", k=5)
+    assert sorted((r.g, r.sample_rank, r.id) for r in out2.collect()) == sorted(
+        (r.g, r.sample_rank, r.id) for r in rows
+    )
+
+
+def test_grouped_sample_exact_k_small_group_returns_all(spark):
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id bigint, g string"
+    )
+    out = grouped_sample_exact_k(df, "g", "id", k=10).collect()
+    assert len(out) == 3  # groups smaller than k keep every row
+
+
+def test_grouped_sample_exact_k_rejects_bad_k(spark):
+    import pytest as _pytest
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, g string")
+    with _pytest.raises(ValueError):
+        grouped_sample_exact_k(df, "g", "id", k=0)
