@@ -659,24 +659,40 @@ def bpe_apply(
     of the semantics.  ``merges`` is the rank-ordered table of symbol
     pairs, e.g. ``[("t","a"), ("ta","b")]``.
 
-    Everything is column expressions — regexp char-split, a chain of
+    Symbols are SELF-DELIMITED — every symbol rides as ``<sym>`` and a
+    merge replaces ``<a><b>`` with ``<ab>`` — for two reasons a plain
+    space-separated form gets wrong (both found in review):
+
+    - boundary integrity: with spaces, the pattern ``l ow`` also
+      matches the TAIL of a longer symbol (``val ow`` → ``valow``),
+      fabricating out-of-vocabulary symbols; ``<l><ow>`` cannot match
+      inside ``<val><ow>``;
+    - adjacent repeats: with spaces, ``a b a b`` shares the middle
+      space between two occurrences, so a single non-overlapping scan
+      merges only the first; ``<a><b><a><b>`` has no shared boundary
+      and both merge in one pass — the greedy leftmost semantics of
+      the published apply.
+
+    Everything is column expressions — regexp char-wrap, a chain of
     constant ``replace`` calls (non-overlapping left-to-right scans,
     semantics identical in Spark and DuckDB so catalog oracles can
-    replay the chain verbatim), one final split — so the whole apply
-    runs in whole-stage codegen with zero Python.  At 100 TB a real
-    32k-merge vocabulary would compile to an impractically deep
+    replay the chain verbatim), one final unwrap+split — so the whole
+    apply runs in whole-stage codegen with zero Python.  At 100 TB a
+    real 32k-merge vocabulary would compile to an impractically deep
     expression tree; the scale path keeps this exact algorithm inside
     an Arrow-batched pandas UDF with the merge table broadcast.  The
     column form is the semantic spec and is practical for the small
-    domain-specific vocabularies data-quality audits use."""
+    domain-specific vocabularies data-quality audits use.  Symbols are
+    assumed not to contain ``<``/``>`` (word tokenizers strip them;
+    assert upstream if your corpus can carry raw angle brackets)."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
 
     def _merge_word(w: Column) -> Column:
-        m = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        m = F.regexp_replace(w, "(.)", "<$1>")
         for a, b in merges:
-            m = F.replace(m, F.lit(f"{a} {b}"), F.lit(a + b))
-        return F.split(m, " ")
+            m = F.replace(m, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        return F.split(F.regexp_replace(m, "^<|>$", ""), "><")
 
     return F.flatten(F.transform(words, _merge_word))
 

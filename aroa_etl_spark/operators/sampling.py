@@ -134,21 +134,29 @@ def grouped_sample_exact_k(
 
     Returns the sampled rows with ``sample_rank`` (1..k within group,
     ordered by u with id tiebreak).  Groups smaller than k return all
-    their rows."""
+    their rows.  A NULL group key is a group like any other (the join
+    with the counts aggregate is null-safe — a plain equi-join would
+    silently drop the whole unidentified-language stratum)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if oversample < 1.0:
+        # below 1 the threshold undercuts k/n_g and the "exact k"
+        # contract silently degrades to a short sample
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
     c_id = F.col(id_col)
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), c_id.cast("string"))), 1, 15), 16, 10
     ).cast("long")
     u = h.cast("double") / F.lit(float(1 << 60))
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).select(
+        F.col(group_col).alias("__g"), "__n"
+    )
     thresh = F.least(
         F.lit(1.0), F.lit(float(oversample * k)) / F.col("__n").cast("double")
     )
     surv = (
         df.withColumn("__u", u)
-        .join(F.broadcast(counts), group_col)
+        .join(F.broadcast(counts), F.col(group_col).eqNullSafe(F.col("__g")))
         .filter(F.col("__u") <= thresh)
     )
     from pyspark.sql.window import Window as _W
@@ -157,7 +165,7 @@ def grouped_sample_exact_k(
     return (
         surv.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
-        .drop("__u", "__n")
+        .drop("__u", "__n", "__g")
     )
 
 

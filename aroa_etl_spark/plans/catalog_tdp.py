@@ -1646,13 +1646,16 @@ _BPE_MERGES: list[tuple[str, str]] = [
     ("o", "w"), ("r", "ow"), ("l", "ow"), ("s", "low"),
 ]
 
-# DuckDB replay of functions/text.bpe_apply: char-split via
-# regexp_replace('(.)', '\1 ', 'g'), then the same replace chain in the
-# same rank order (replace() is a non-overlapping left-to-right scan in
-# both engines), then split on single spaces.
-_BPE_SQL = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+# DuckDB replay of functions/text.bpe_apply: wrap each char as a
+# SELF-DELIMITED <symbol> via regexp_replace('(.)', '<\1>', 'g'), then
+# the same replace chain in the same rank order (replace() is a
+# non-overlapping left-to-right scan in both engines; the <>-wrapping
+# makes suffix matches and shared-boundary adjacent repeats impossible
+# — see bpe_apply's docstring), then unwrap and split on '><'.
+_BPE_SQL = r"regexp_replace(w, '(.)', '<\1>', 'g')"
 for _a, _b in _BPE_MERGES:
-    _BPE_SQL = f"replace({_BPE_SQL}, '{_a} {_b}', '{_a}{_b}')"
+    _BPE_SQL = f"replace({_BPE_SQL}, '<{_a}><{_b}>', '<{_a}{_b}>')"
+_BPE_SQL = f"regexp_replace({_BPE_SQL}, '^<|>$', '', 'g')"
 
 
 @query(
@@ -1662,7 +1665,7 @@ for _a, _b in _BPE_MERGES:
       SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
                                 w -> w != '')) AS w
       FROM documents),
-    toks AS (SELECT unnest(string_split({_BPE_SQL}, ' ')) AS token FROM w1)
+    toks AS (SELECT unnest(string_split({_BPE_SQL}, '><')) AS token FROM w1)
     SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM toks GROUP BY token
     ORDER BY n_occurrences DESC, token LIMIT 30
@@ -1821,9 +1824,13 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders of magnitude smaller than the corpus — so the loop runs at
     # a narrow shuffle width (see connected_components' num_partitions
     # note) instead of scheduling session-width empty tasks each round.
+    # max_iter stays at the operator's 25-round default: convergence
+    # detection exits after ~diameter rounds anyway, so the headroom is
+    # free when clusters are shallow and protects long templated-doc
+    # CHAINS (diameter > 8) from silently keeping stale labels — the
+    # review counterexample for a hand-lowered cap.
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_iter=8,
         num_partitions=8,
     )
     canonical = F.coalesce("component", F.col("doc_id"))

@@ -47,6 +47,22 @@ def test_bpe_unknown_chars_stay_single(spark):
     assert _apply(spark, "xyz") == ["x", "y", "z"]
 
 
+def test_bpe_no_suffix_boundary_merge(spark):
+    # 'tablow': (t,a)->(ta,b)->(tab,l) build the symbol 'tabl', then
+    # (o,w) builds 'ow'.  The later rule ('l','ow') must NOT match the
+    # trailing l INSIDE the symbol 'tabl' — a space-delimited
+    # implementation did ('tabl ow' contains 'l ow'), gluing the
+    # out-of-vocabulary symbol 'tablow'.  Correct apply: [tabl, ow].
+    assert _apply(spark, "tablow") == ["tabl", "ow"]
+
+
+def test_bpe_adjacent_repeat_occurrences_all_merge(spark):
+    # 'rowrow' -> r o w r o w -> (o,w) twice ADJACENT: a space-
+    # delimited scan shares the middle boundary and merges only the
+    # first occurrence; self-delimited symbols merge both in one pass.
+    assert _apply(spark, "rowrow") == ["row", "row"]
+
+
 def test_edit_distance_verify_finds_planted_neardup(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta"
     rows = [

@@ -264,3 +264,27 @@ def test_grouped_sample_exact_k_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, g string")
     with _pytest.raises(ValueError):
         grouped_sample_exact_k(df, "g", "id", k=0)
+
+
+def test_grouped_sample_exact_k_null_group_kept(spark):
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "a") for i in range(40)], "id bigint, g string"
+    )
+    out = grouped_sample_exact_k(df, "g", "id", k=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.sample_rank)
+    # the NULL stratum samples like any other group (null-safe join)
+    assert sorted(by_g[None]) == [1, 2, 3]
+    assert sorted(by_g["a"]) == [1, 2, 3]
+
+
+def test_grouped_sample_exact_k_rejects_bad_oversample(spark):
+    import pytest as _pytest
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, g string")
+    with _pytest.raises(ValueError):
+        grouped_sample_exact_k(df, "g", "id", k=1, oversample=0.5)
