@@ -1522,3 +1522,121 @@ def audio_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
 
     return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header scan — metadata without decode
+# --------------------------------------------------------------------------
+
+# MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate index 1..14 in
+# kbit/s, sample-rate index 0..2 in Hz.  Index 0/15 (free/bad) and the
+# MPEG-2 / Layer I-II variants are out of scope — strict mode raises.
+MPEG1_L3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MPEG1_SAMPLE_RATES = (44100, 48000, 32000)
+
+MPEG_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("id3_size", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+
+def scan_mpeg_frames(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """MPEG audio (MP3) frame-header scan: frame count, bitrate,
+    sample rate, and exact duration WITHOUT decoding any audio — the
+    crawl-ingestion triage step (an MP3's duration and bitrate gate
+    quota/quality decisions long before a decoder runs).
+
+    The walk is length-driven, like the WARC parser: an ID3v2 tag is
+    skipped via its syncsafe size, then each frame header's bitrate/
+    sample-rate/padding fields give the FRAME LENGTH
+    ``144000·bitrate_kbps // sample_rate + padding`` and the scanner
+    jumps exactly that far — a payload byte that happens to look like
+    a sync word (planted by the catalog entry) must not split a frame.
+    Reported ``bitrate_kbps`` is the first frame's (CBR assumption;
+    a VBR corpus wants the per-frame histogram, same walk).
+    ``duration_us = n_frames · 1152 · 1_000_000 // sample_rate`` in
+    exact integer arithmetic (1152 samples per MPEG-1 Layer III
+    frame).  Scale shape: mapInPandas over the media table, zero
+    shuffle, O(n_frames) per blob with no payload copies.
+
+    strict=True raises on anything but clean MPEG-1 Layer III sync
+    (MPEG-2, Layers I/II, free-format bitrate, truncated tails);
+    strict=False skips garbage bytes forward to the next sync, the
+    lenient mode for real crawl data."""
+
+    def _scan(content: bytes) -> tuple[int, int, int, int, int]:
+        pos = 0
+        id3_size = 0
+        if content[:3] == b"ID3" and len(content) >= 10:
+            id3_size = (
+                ((content[6] & 0x7F) << 21)
+                | ((content[7] & 0x7F) << 14)
+                | ((content[8] & 0x7F) << 7)
+                | (content[9] & 0x7F)
+            )
+            pos = 10 + id3_size
+        n_frames = 0
+        bitrate = 0
+        rate = 0
+        while pos + 4 <= len(content):
+            b0, b1, b2 = content[pos], content[pos + 1], content[pos + 2]
+            ok_sync = b0 == 0xFF and (b1 & 0xE0) == 0xE0
+            if not ok_sync:
+                if strict:
+                    raise ValueError(f"lost MPEG sync at byte {pos}")
+                pos += 1
+                continue
+            if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+                raise NotImplementedError(
+                    "only MPEG-1 Layer III frames are supported "
+                    f"(header byte 2 = 0x{b1:02x})"
+                )
+            br_idx = (b2 >> 4) & 0x0F
+            sr_idx = (b2 >> 2) & 0x03
+            padding = (b2 >> 1) & 0x01
+            if br_idx in (0, 15) or sr_idx == 3:
+                raise NotImplementedError(
+                    "free-format/invalid bitrate or reserved sample rate"
+                )
+            br = MPEG1_L3_BITRATES[br_idx - 1]
+            sr = MPEG1_SAMPLE_RATES[sr_idx]
+            if n_frames == 0:
+                bitrate, rate = br, sr
+            frame_len = 144000 * br // sr + padding
+            if pos + frame_len > len(content):
+                if strict:
+                    raise ValueError(f"truncated final frame at byte {pos}")
+                break
+            n_frames += 1
+            pos += frame_len
+        return n_frames, bitrate, rate, id3_size, len(content)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                n_frames, br, sr, id3, total = _scan(content)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_frames": n_frames,
+                        "bitrate_kbps": br,
+                        "sample_rate": sr,
+                        "id3_size": id3,
+                        "n_bytes": total,
+                        "duration_us": (
+                            n_frames * 1152 * 1_000_000 // sr if sr else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MPEG_SCAN_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, MPEG_SCAN_SCHEMA)

@@ -989,3 +989,95 @@ def mm_png_palette_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )
+
+
+@query(
+    "mm_mp3_header_scan",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id,
+                      1 + doc_id % 14 AS bi,
+                      CAST(doc_id % 3 AS INT) AS si,
+                      CAST(doc_id % 2 AS INT) AS pad,
+                      3 + doc_id % 3 AS k
+               FROM documents),
+    v AS (SELECT media_id, k, pad,
+                 ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi] AS br,
+                 ([44100,48000,32000])[si + 1] AS sr
+          FROM p)
+    SELECT media_id,
+           CAST(k AS INT) AS n_frames,
+           CAST(br AS INT) AS bitrate_kbps,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(17 AS INT) AS id3_size,
+           CAST(27 + k * ((144000 * br) // sr + pad) AS BIGINT) AS n_bytes,
+           CAST((k * 1152 * 1000000) // sr AS BIGINT) AS duration_us
+    FROM v
+    """,
+)
+def mm_mp3_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio (MP3) frame-header scan — duration/bitrate metadata
+    with NO audio decode (operators/multimodal.scan_mpeg_frames), the
+    crawl-triage step that gates quota and quality decisions before a
+    decoder ever runs.  Every document becomes a genuine MP3 container
+    built in-plan: a 27-byte ID3v2.4 tag (10-byte header + 17-byte
+    syncsafe-sized payload) followed by 3-5 CBR MPEG-1 Layer III
+    frames whose bitrate (all 14 table indices across the corpus),
+    sample rate (all 3), and padding bit come from doc_id arithmetic.
+    Each frame PLANTS a false 0xFFFB sync word as its first payload
+    bytes — a scanner that re-syncs instead of jumping the computed
+    frame length (144000·br // sr + padding) double-counts frames and
+    fails the value check, the WARC embedded-magic trap applied to
+    MPEG.  The oracle replays the construction in exact integer
+    arithmetic (frame lengths, byte totals, 1152-sample frame
+    duration).  Scale: mapInPandas over the blob column, zero shuffle,
+    O(n_frames) per blob."""
+    from aroa_etl_spark.operators.multimodal import scan_mpeg_frames
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    br_tab = F.array(*[F.lit(x) for x in
+                       (32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                        192, 224, 256, 320)])
+    sr_tab = F.array(F.lit(44100), F.lit(48000), F.lit(32000))
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (1 + F.col("doc_id") % 14).cast("int").alias("bi"),
+        (F.col("doc_id") % 3).cast("int").alias("si"),
+        (F.col("doc_id") % 2).cast("int").alias("pad"),
+        (3 + F.col("doc_id") % 3).cast("int").alias("k"),
+    ).select(
+        "media_id", "bi", "si", "pad", "k",
+        F.element_at(br_tab, F.col("bi")).alias("br"),
+        F.element_at(sr_tab, F.col("si") + 1).alias("sr"),
+    ).select(
+        "media_id", "k",
+        # header: FF FB (sync + MPEG-1 Layer III, no CRC), then
+        # b2 = bitrate_idx<<4 | sr_idx<<2 | padding<<1, then b3 = 00
+        F.concat(
+            F.lit("FFFB"),
+            F.lpad(F.hex((F.col("bi") * 16 + F.col("si") * 4
+                          + F.col("pad") * 2).cast("int")), 2, "0"),
+            F.lit("00"),
+            # payload opens with a planted false sync word
+            F.lit("FFFB"),
+        ).alias("head_hex"),
+        ((F.lit(144000) * F.col("br")).cast("long")
+         / F.col("sr").cast("long")).cast("long").alias("flen_nopad"),
+        F.col("pad"),
+    ).select(
+        "media_id", "k",
+        F.concat(
+            F.col("head_hex"),
+            F.expr("repeat('00', CAST(flen_nopad + pad - 6 AS INT))"),
+        ).alias("frame_hex"),
+    )
+    media = staged.select(
+        "media_id",
+        F.unhex(
+            F.concat(
+                # ID3v2.4: 'ID3', version 4.0, flags 0, syncsafe size 17
+                F.lit("494433040000" + "00000011" + "00" * 17),
+                F.expr("repeat(frame_hex, k)"),
+            )
+        ).alias("content"),
+    )
+    return scan_mpeg_frames(media, strict=True)

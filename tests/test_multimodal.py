@@ -1070,3 +1070,68 @@ def test_decode_png_paletted_all_depths():
     with pytest.raises(ValueError, match="without PLTE"):
         decode_image(stripped, {"format": "png"}, strict=True)
     assert _z  # silence unused warning
+
+
+# ---------------------------------------------------------------------------
+# MPEG (MP3) frame-header scan
+# ---------------------------------------------------------------------------
+
+def _mp3_frame(br_idx: int, sr_idx: int, pad: int, fill: bytes = b"\x00") -> bytes:
+    from aroa_etl_spark.operators.multimodal import (
+        MPEG1_L3_BITRATES, MPEG1_SAMPLE_RATES,
+    )
+    b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+    flen = 144000 * MPEG1_L3_BITRATES[br_idx - 1] // MPEG1_SAMPLE_RATES[sr_idx] + pad
+    return bytes([0xFF, 0xFB, b2, 0x00]) + (fill * (flen - 4))[: flen - 4]
+
+
+def _scan_one(spark, content: bytes, strict: bool = True):
+    from aroa_etl_spark.operators.multimodal import scan_mpeg_frames
+
+    df = spark.createDataFrame([(1, bytearray(content))], "media_id bigint, content binary")
+    return scan_mpeg_frames(df, strict=strict).collect()[0]
+
+
+def test_mp3_scan_walks_by_frame_length_not_resync(spark):
+    # false sync words INSIDE payloads must not split frames
+    frames = _mp3_frame(9, 0, 0, fill=b"\xff\xfb") * 4
+    r = _scan_one(spark, frames)
+    assert r.n_frames == 4
+    assert r.bitrate_kbps == 128 and r.sample_rate == 44100
+    assert r.id3_size == 0
+    assert r.duration_us == 4 * 1152 * 1_000_000 // 44100
+
+
+def test_mp3_scan_skips_id3v2_by_syncsafe_size(spark):
+    # syncsafe 200 = 0x00 0x00 0x01 0x48
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 0x48]) + b"\xff" * 200
+    r = _scan_one(spark, id3 + _mp3_frame(1, 1, 1) * 2)
+    assert r.n_frames == 2 and r.id3_size == 200
+    assert r.bitrate_kbps == 32 and r.sample_rate == 48000
+
+
+def test_mp3_scan_strict_raises_on_garbage_and_truncation(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception, match="lost MPEG sync|Py4J"):
+        _scan_one(spark, b"\x00\x01" + _mp3_frame(5, 0, 0))
+    with _pytest.raises(Exception, match="truncated final frame|Py4J"):
+        _scan_one(spark, _mp3_frame(5, 0, 0)[:-10])
+    assert Py4JJavaError  # imported for the exception surface
+
+
+def test_mp3_scan_lenient_resyncs_over_garbage(spark):
+    r = _scan_one(spark, b"junk" + _mp3_frame(14, 2, 0) * 3, strict=False)
+    assert r.n_frames == 3
+    assert r.bitrate_kbps == 320 and r.sample_rate == 32000
+
+
+def test_mp3_scan_rejects_mpeg2_and_layer2(spark):
+    import pytest as _pytest
+
+    # version bits -> MPEG-2 (b1=0xF3); layer II (b1=0xFD)
+    for b1 in (0xF3, 0xFD):
+        bad = bytes([0xFF, b1, 0x92, 0x00]) + b"\x00" * 400
+        with _pytest.raises(Exception, match="MPEG-1 Layer III|Py4J"):
+            _scan_one(spark, bad)
