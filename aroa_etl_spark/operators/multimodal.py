@@ -1640,3 +1640,86 @@ def scan_mpeg_frames(df: DataFrame, *, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in MPEG_SCAN_SCHEMA.fields])
 
     return df.mapInPandas(kernel, MPEG_SCAN_SCHEMA)
+
+
+JPEG_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("progressive", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+# SOF markers we will NOT pretend to understand: extended sequential,
+# lossless, differential, arithmetic-coded families.
+_JPEG_SOF_UNSUPPORTED = frozenset(
+    [0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """JPEG dimensions/type triage WITHOUT decode: walk the marker
+    segments (each self-lengthed, the same length-driven discipline as
+    the WARC and MPEG scanners) up to the first SOF frame header and
+    report width, height, component count, and whether the image is
+    progressive (SOF2) — the resolution/type gate a crawl pipeline
+    applies before spending a single IDCT.  Huffman tables, quant
+    tables, and the entropy-coded stream are skipped by their marker
+    lengths, never inspected.
+
+    strict=True raises on marker desync or a SOF family outside
+    baseline/progressive (extended sequential, lossless, arithmetic —
+    honest NotImplementedError, same policy as the decoders).  Scale:
+    mapInPandas, zero shuffle, O(#segments) per blob — bytes before
+    the first SOF, not the image."""
+
+    def _scan(content: bytes) -> tuple[int, int, int, int]:
+        if content[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                if strict:
+                    raise ValueError(f"JPEG marker desync at byte {pos}")
+                pos += 1
+                continue
+            marker = content[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xC0, 0xC2):
+                height = int.from_bytes(content[pos + 5:pos + 7], "big")
+                width = int.from_bytes(content[pos + 7:pos + 9], "big")
+                ncomp = content[pos + 9]
+                return width, height, ncomp, int(marker == 0xC2)
+            if marker in _JPEG_SOF_UNSUPPORTED:
+                raise NotImplementedError(
+                    f"unsupported JPEG SOF marker 0xff{marker:02x} "
+                    "(only baseline SOF0 / progressive SOF2)"
+                )
+            seg_len = int.from_bytes(content[pos + 2:pos + 4], "big")
+            pos += 2 + seg_len
+        raise ValueError("no SOF marker before end of data")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                w, h, nc, prog = _scan(content)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_components": nc,
+                        "progressive": prog,
+                        "n_bytes": len(content),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in JPEG_SCAN_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, JPEG_SCAN_SCHEMA)

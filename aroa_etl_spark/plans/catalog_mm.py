@@ -1081,3 +1081,57 @@ def mm_mp3_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return scan_mpeg_frames(media, strict=True)
+
+
+@query(
+    "mm_jpeg_dims_scan",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents)
+    SELECT media_id,
+           CAST(8 + (k % 5) * 8 AS INT) AS width,
+           CAST(8 + (k % 7) * 8 AS INT) AS height,
+           CAST(1 AS INT) AS n_components,
+           CAST(k % 2 AS INT) AS progressive
+    FROM p
+    """,
+)
+def mm_jpeg_dims_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG resolution/type triage with NO decode
+    (operators/multimodal.scan_jpeg_markers): the marker walk skips
+    APP/DQT/DHT segments by their self-declared lengths and reads
+    width/height/components/progressive straight from the first SOF
+    header — the gate a crawl pipeline applies before spending any
+    IDCT (drop thumbnails, route progressive files, bucket by
+    resolution).  The 40-blob broadcast dim carries REAL encoder
+    output at 40 distinct geometries (widths 8-40 × heights 8-56 from
+    doc_id arithmetic; even k baseline SOF0, odd k progressive SOF2 —
+    so the flag is read from genuine marker structure, not echoed
+    metadata).  The oracle replays the geometry arithmetic; blob byte
+    sizes are encoder-dependent and stay out of the checked columns.
+    Same 100 TB shape as every codec entry: dim broadcast, fact never
+    shuffles, mapInPandas kernel."""
+    from aroa_etl_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+    from aroa_etl_spark.operators.multimodal import scan_jpeg_markers
+
+    import numpy as np
+
+    blobs = []
+    for k in range(40):
+        w = 8 + (k % 5) * 8
+        h = 8 + (k % 7) * 8
+        pix = np.full((h, w), 128, dtype=np.uint8)
+        enc = encode_progressive_jpeg if k % 2 else encode_baseline_jpeg
+        blobs.append((k, bytearray(enc(pix, quality=85))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return scan_jpeg_markers(media, strict=True).select(
+        "media_id", "width", "height", "n_components", "progressive"
+    )

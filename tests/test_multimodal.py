@@ -1135,3 +1135,49 @@ def test_mp3_scan_rejects_mpeg2_and_layer2(spark):
         bad = bytes([0xFF, b1, 0x92, 0x00]) + b"\x00" * 400
         with _pytest.raises(Exception, match="MPEG-1 Layer III|Py4J"):
             _scan_one(spark, bad)
+
+
+# ---------------------------------------------------------------------------
+# JPEG marker scan (dims without decode)
+# ---------------------------------------------------------------------------
+
+def _jpeg_scan_one(spark, content: bytes, strict: bool = True):
+    from aroa_etl_spark.operators.multimodal import scan_jpeg_markers
+
+    df = spark.createDataFrame(
+        [(1, bytearray(content))], "media_id bigint, content binary"
+    )
+    return scan_jpeg_markers(df, strict=strict).collect()[0]
+
+
+def test_jpeg_scan_reads_sof_dims_baseline_and_progressive(spark):
+    import numpy as np
+    from aroa_etl_spark.operators.jpegcodec import (
+        encode_baseline_jpeg, encode_progressive_jpeg,
+    )
+
+    pix = np.full((24, 40), 128, dtype=np.uint8)
+    r0 = _jpeg_scan_one(spark, encode_baseline_jpeg(pix, quality=85))
+    assert (r0.width, r0.height, r0.n_components, r0.progressive) == (40, 24, 1, 0)
+    r2 = _jpeg_scan_one(spark, encode_progressive_jpeg(pix, quality=85))
+    assert (r2.width, r2.height, r2.progressive) == (40, 24, 1)
+
+
+def test_jpeg_scan_rejects_non_jpeg_and_unsupported_sof(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="missing SOI|Py4J"):
+        _jpeg_scan_one(spark, b"\x89PNG\r\n\x1a\n")
+    # hand-build: SOI + lossless SOF3 segment
+    sof3 = b"\xff\xd8" + b"\xff\xc3" + (11).to_bytes(2, "big") + bytes(9)
+    with _pytest.raises(Exception, match="unsupported JPEG SOF|Py4J"):
+        _jpeg_scan_one(spark, sof3)
+
+
+def test_jpeg_scan_no_sof_raises(spark):
+    import pytest as _pytest
+
+    # SOI + one APP0 segment, then EOF without any SOF
+    app0 = b"\xff\xd8" + b"\xff\xe0" + (16).to_bytes(2, "big") + bytes(14)
+    with _pytest.raises(Exception, match="no SOF marker|Py4J"):
+        _jpeg_scan_one(spark, app0)
