@@ -569,6 +569,68 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-trained BIGRAM-LM quality score per document: train the
+    conditional p(w2|w1) = count(w1 w2) / count(w1 as bigram head)
+    over the corpus itself, then score each doc by its mean bigram
+    log-probability.  One LM order above :func:`unigram_logprob_scores`
+    — a doc of common words in garbled ORDER scores high under the
+    unigram model and sinks here, which is exactly the failure mode
+    perplexity filters exist to catch.
+
+    Head counts come from re-aggregating the bigram-count table (sum
+    over bigrams sharing a head == count of the head's continuations),
+    so probabilities normalize by construction and no second corpus
+    pass is needed.  Determinism follows the unigram scorer: each
+    bigram's log p rounds to 1e-9 fixed-point BIGINT before the exact
+    per-doc integer sum.  Plan: one (doc, bigram) shuffle, one bigram
+    shuffle for corpus counts, one tiny head re-aggregation, one
+    map-side-combinable per-doc sum — linear, no Python.  Docs with
+    fewer than 2 tokens have no bigram and are excluded."""
+    from pyspark.sql import functions as F
+
+    toks_t = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    tf = (
+        toks_t.select(
+            F.col(id_col), F.explode(shingles_from("__toks", 2)).alias("__bg")
+        )
+        .groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    c2 = tf.groupBy("__bg").agg(F.sum("__tf").alias("__c2"))
+    heads = c2.groupBy(F.split_part("__bg", F.lit(" "), F.lit(1)).alias("__head")).agg(
+        F.sum("__c2").alias("__ch")
+    )
+    scored = (
+        tf.join(c2, "__bg")
+        .join(heads, F.split_part("__bg", F.lit(" "), F.lit(1)) == F.col("__head"))
+        .select(
+            F.col(id_col),
+            F.col("__tf"),
+            F.round(
+                F.log(F.col("__c2").cast("double") / F.col("__ch").cast("double"))
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__lp_fp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__tf").cast("bigint").alias("n_bigrams"),
+        F.round(
+            (F.sum(F.col("__tf") * F.col("__lp_fp")) / F.lit(1e9))
+            / F.sum("__tf").cast("double"),
+            6,
+        ).alias("logprob_mean"),
+    )
+
+
 def pack_sequences(
     df,
     id_col: str,

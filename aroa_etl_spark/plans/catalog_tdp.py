@@ -1779,6 +1779,44 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM toks_t WHERE len(toks) >= 2),
+    tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM big GROUP BY 1, 2),
+    c2 AS (SELECT bg, SUM(tf) AS c2 FROM tf GROUP BY bg),
+    ch AS (SELECT split_part(bg, ' ', 1) AS head, SUM(c2) AS ch
+           FROM c2 GROUP BY 1),
+    scored AS (SELECT tf.doc_id, tf.tf,
+                      CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(ch.ch AS DOUBLE))
+                                 * 1000000000.0) AS BIGINT) AS lp
+               FROM tf JOIN c2 USING (bg)
+               JOIN ch ON split_part(tf.bg, ' ', 1) = ch.head)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           round((SUM(tf * lp) / 1000000000.0) / CAST(SUM(tf) AS DOUBLE), 6)
+             AS logprob_mean
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality scoring (functions/text.py
+    bigram_logprob_scores): p(w2|w1) trained on the corpus itself,
+    docs scored by mean bigram log-probability — one LM order above
+    text_unigram_logprob, catching common-words-in-garbled-ORDER docs
+    the unigram filter scores high.  Same determinism contract (per-
+    bigram log p → 1e-9 fixed point → exact integer per-doc sum) and
+    the same linear plan with one extra tiny head re-aggregation; the
+    oracle replays counts, conditioning, rounding, and fold."""
+    from aroa_etl_spark.functions.text import bigram_logprob_scores
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bigram_logprob_scores(docs)
+
+
+@query(
     "dedup_canonical_keep",
     oracle=f"""
     WITH RECURSIVE {_DOCS_PLANTED},

@@ -87,3 +87,20 @@ def test_edit_distance_verify_blocking_excludes_different_suffix(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     assert edit_distance_verify(df, max_dist=100).count() == 0
+
+
+def test_bigram_logprob_orders_by_transition_quality(spark):
+    from aroa_etl_spark.functions.text import bigram_logprob_scores
+
+    rows = [
+        (1, "x y x y x y x y x y"),   # only ever x->y / y->x transitions
+        (2, "x x y y x y y x x y"),   # mixes in rare x->x / y->y
+        (3, "x"),                      # single token: no bigram, excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 9 and got[2].n_bigrams == 9
+    # doc 1 rides the corpus's dominant transitions; doc 2 pays for the
+    # rare same-letter bigrams
+    assert got[1].logprob_mean > got[2].logprob_mean
