@@ -1779,6 +1779,62 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_mojibake_stats",
+    oracle=r"""
+    WITH docs AS (SELECT source,
+                         text
+                         || CASE WHEN doc_id % 11 = 0 THEN ' caffÃ©' ELSE '' END
+                         || CASE WHEN doc_id % 13 = 0 THEN ' donâ€™t' ELSE '' END
+                         AS text
+                  FROM documents),
+    sig AS (SELECT source,
+                   len(regexp_extract_all(text, 'Ã.|â€.')) AS hits,
+                   length(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS a,
+                   length(text) AS t
+            FROM docs)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(MIN(floor(CAST(a * 1000 AS DOUBLE) / t)) AS BIGINT)
+             AS min_ascii_milli
+    FROM sig GROUP BY source
+    """,
+)
+def text_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) detection — the charset-sanity gate
+    crawl pipelines run beside language ID: UTF-8 text that was decoded
+    as Latin-1 and re-encoded leaves fingerprints ('Ã©' for é, 'â€™'
+    for a right quote), counted here per document with an ASCII-ratio
+    floor as the broad-spectrum signal.  Docs with doc_id % 11 == 0 /
+    % 13 == 0 plant the two classic artifact families (constructions
+    replayed by the oracle).  Patterns are RE2/Java-shared (explicit
+    hex class for printable ASCII, no lookaround); everything is
+    column expressions — regexp_count + length arithmetic — one
+    groupBy(source) shuffle.  Integer counts and a floor of an exact
+    integer-ratio double keep every output hash-comparable."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    txt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" caffÃ©")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" donâ€™t")).otherwise(F.lit("")),
+    )
+    hits = F.regexp_count(txt, F.lit(r"Ã.|â€."))
+    a = F.length(F.regexp_replace(txt, r"[^\x20-\x7e]", ""))
+    t = F.length(txt)
+    sig = docs.select("source", hits.alias("hits"), a.alias("a"), t.alias("t"))
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("hits") > 0).cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.min(F.floor((F.col("a") * 1000).cast("double") / F.col("t")))
+        .cast("bigint")
+        .alias("min_ascii_milli"),
+    )
+
+
+@query(
     "text_bigram_logprob",
     oracle=f"""
     WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
