@@ -1779,6 +1779,92 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tdp_curation_pipeline_v3",
+    oracle=r"""
+    WITH docs0 AS (SELECT doc_id, lang,
+                          text || CASE WHEN doc_id % 17 = 0
+                                       THEN ' caffÃ©' ELSE '' END AS text
+                   FROM documents),
+    surv AS (SELECT doc_id, lang, text FROM docs0
+             WHERE len(regexp_extract_all(text, 'Ã.|â€.')) = 0),
+    toks_t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t != '') AS toks
+               FROM surv),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM toks_t WHERE len(toks) >= 2),
+    tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM big GROUP BY 1, 2),
+    c2 AS (SELECT bg, SUM(tf) AS c2 FROM tf GROUP BY bg),
+    ch AS (SELECT split_part(bg, ' ', 1) AS head, SUM(c2) AS ch
+           FROM c2 GROUP BY 1),
+    scored AS (SELECT tf.doc_id, tf.tf,
+                      CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(ch.ch AS DOUBLE))
+                                 * 1000000000.0) AS BIGINT) AS lp
+               FROM tf JOIN c2 USING (bg)
+               JOIN ch ON split_part(tf.bg, ' ', 1) = ch.head),
+    per AS (SELECT doc_id,
+                   round((SUM(tf * lp) / 1000000000.0)
+                         / CAST(SUM(tf) AS DOUBLE), 6) AS m
+            FROM scored GROUP BY doc_id),
+    gated AS (SELECT s.doc_id, s.lang
+              FROM surv s JOIN per USING (doc_id) WHERE per.m >= -3.42),
+    u AS (SELECT lang, doc_id,
+                 CAST(('0x'||substr(md5('bal1'||CAST(doc_id AS VARCHAR)),
+                                    1, 15))::UBIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+          FROM gated),
+    c AS (SELECT lang, COUNT(*) AS n FROM gated GROUP BY lang),
+    pre AS (SELECT u.lang, u.doc_id, u.u
+            FROM u JOIN c USING (lang)
+            WHERE u.u <= LEAST(1.0, 80.0 / CAST(c.n AS DOUBLE))),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY u, doc_id) AS sample_rank
+          FROM pre)
+    SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 10
+    """,
+)
+def tdp_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation v3 — the round-6 composition story, chaining
+    this round's operators the way a user would: planted encoding
+    artifacts -> mojibake gate (drop any doc with a double-encoded
+    fingerprint) -> bigram conditional-LM scoring TRAINED ON THE
+    SURVIVORS -> perplexity gate (mean bigram log p >= -3.42, cutting
+    the corpus's worst decile) -> exact-10-per-language balanced eval
+    sample of what remains (grouped_sample_exact_k).  The oracle
+    replays all four stages in one independent SQL derivation — gate
+    membership, LM conditioning on the post-gate corpus (retraining
+    after filtering is the order real pipelines use), fixed-point
+    rounding, sampler prefilter/rank/tiebreak.  Shuffle inventory:
+    one narrow gate filter, the bigram scorer's two token shuffles +
+    head re-agg, the sampler's broadcast count + tiny window — linear
+    end to end, no Python anywhere."""
+    from aroa_etl_spark.functions.text import bigram_logprob_scores
+    from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" caffÃ©")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    surv = planted.filter(F.regexp_count("text", F.lit(r"Ã.|â€.")) == 0)
+    scores = bigram_logprob_scores(surv)
+    gated = surv.join(
+        scores.filter(F.col("logprob_mean") >= -3.42).select("doc_id"), "doc_id"
+    ).select("doc_id", "lang")
+    return grouped_sample_exact_k(gated, "lang", "doc_id", k=10).select(
+        "lang", "doc_id", "sample_rank"
+    )
+
+
+@query(
     "text_mojibake_stats",
     oracle=r"""
     WITH docs AS (SELECT source,
