@@ -1723,3 +1723,116 @@ def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in JPEG_SCAN_SCHEMA.fields])
 
     return df.mapInPandas(kernel, JPEG_SCAN_SCHEMA)
+
+
+MP4_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_top_boxes", T.IntegerType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mdat_bytes", T.LongType()),
+    ]
+)
+
+
+def scan_mp4_boxes(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """ISO BMFF (MP4/MOV) box-structure scan: duration, timescale,
+    track count, major brand, and media-payload size WITHOUT touching
+    a codec — the container-level triage for video corpora (gate on
+    duration/track shape before any expensive frame work).  Completes
+    the scanner family (WARC records, MPEG frames, JPEG markers): the
+    walk is length-driven over ``[size:4][type:4]`` boxes, including
+    the 64-bit ``size==1`` largesize form every real >4 GiB mdat uses,
+    and descends exactly one level into ``moov`` for ``mvhd``
+    (version 0 and 1 layouts — 32- vs 64-bit times) and the ``trak``
+    count.
+
+    strict=True raises on malformed sizes (box overruns its parent,
+    size < header) and on a missing moov/mvhd; MP3-style leniency is
+    pointless here because BMFF has no resync concept.  Scale:
+    mapInPandas, zero shuffle, O(#boxes) per blob — payload bytes are
+    never copied, only skipped."""
+
+    def _u32(b: bytes, p: int) -> int:
+        return int.from_bytes(b[p:p + 4], "big")
+
+    def _walk(content: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = _u32(content, pos)
+            btype = content[pos + 4:pos + 8].decode("latin-1")
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError(f"truncated largesize header at {pos}")
+                size = int.from_bytes(content[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(
+                    f"box '{btype}' at {pos} overruns its scope "
+                    f"(size {size}, scope end {end})"
+                )
+            yield btype, pos + hdr, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError(f"trailing {end - pos} bytes after last box")
+
+    def _scan(content: bytes) -> dict:
+        n_top = 0
+        brand = ""
+        n_tracks = 0
+        timescale = 0
+        duration = 0
+        mdat = 0
+        saw_mvhd = False
+        for btype, body, bend in _walk(content, 0, len(content)):
+            n_top += 1
+            if btype == "ftyp":
+                brand = content[body:body + 4].decode("latin-1")
+            elif btype == "mdat":
+                mdat = bend - body
+            elif btype == "moov":
+                for ctype, cbody, cend in _walk(content, body, bend):
+                    if ctype == "trak":
+                        n_tracks += 1
+                    elif ctype == "mvhd":
+                        saw_mvhd = True
+                        version = content[cbody]
+                        if version == 0:
+                            timescale = _u32(content, cbody + 12)
+                            duration = _u32(content, cbody + 16)
+                        elif version == 1:
+                            timescale = _u32(content, cbody + 20)
+                            duration = int.from_bytes(
+                                content[cbody + 24:cbody + 32], "big"
+                            )
+                        else:
+                            raise NotImplementedError(
+                                f"mvhd version {version} (only 0/1)"
+                            )
+        if strict and not saw_mvhd:
+            raise ValueError("no moov/mvhd box — not a playable BMFF file")
+        return {
+            "n_top_boxes": n_top,
+            "major_brand": brand,
+            "n_tracks": n_tracks,
+            "timescale": timescale,
+            "duration_ms": duration * 1000 // timescale if timescale else 0,
+            "mdat_bytes": mdat,
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rec = _scan(bytes(row["content"] or b""))
+                rec["media_id"] = row["media_id"]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in MP4_SCAN_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, MP4_SCAN_SCHEMA)

@@ -1135,3 +1135,95 @@ def mm_jpeg_dims_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_jpeg_markers(media, strict=True).select(
         "media_id", "width", "height", "n_components", "progressive"
     )
+
+
+@query(
+    "mm_mp4_box_scan",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id,
+                      600 + (doc_id % 5) * 300 AS ts,
+                      1200 + doc_id % 1000 AS dur,
+                      CAST(1 + doc_id % 3 AS INT) AS k,
+                      16 + doc_id % 32 AS plen
+               FROM documents)
+    SELECT media_id,
+           CAST(3 AS INT) AS n_top_boxes,
+           'isom' AS major_brand,
+           k AS n_tracks,
+           CAST(ts AS BIGINT) AS timescale,
+           CAST((dur * 1000) // ts AS BIGINT) AS duration_ms,
+           CAST(plen AS BIGINT) AS mdat_bytes
+    FROM p
+    """,
+)
+def mm_mp4_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO BMFF (MP4) container triage
+    (operators/multimodal.scan_mp4_boxes): every document becomes a
+    genuine box tree built in-plan — ftyp (isom/mp41 brands), moov
+    holding a full-size mvhd (VERSION ALTERNATES 0/1 by doc parity, so
+    both the 32- and 64-bit time layouts are walked) plus 1-3 minimal
+    trak boxes, and an mdat that ALWAYS uses the 64-bit ``size==1``
+    largesize form (the shape every >4 GiB real-world mdat takes — a
+    scanner that only reads 32-bit sizes walks into the payload and
+    fails the box-bounds check).  Timescale, duration, track count,
+    and payload size all come from doc_id arithmetic the oracle
+    replays in exact integer math (duration_ms is an integer floor
+    division).  Codec-free by design: the honest MP4 capability at
+    container level, consistent with the strict-raise policy for
+    undecodable codecs.  Scale: mapInPandas, zero shuffle, O(#boxes)
+    per blob."""
+    from aroa_etl_spark.operators.multimodal import scan_mp4_boxes
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (600 + (F.col("doc_id") % 5) * 300).cast("long").alias("ts"),
+        (1200 + F.col("doc_id") % 1000).cast("long").alias("dur"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("k"),
+        (16 + F.col("doc_id") % 32).cast("long").alias("plen"),
+    ).select(
+        "media_id", "k", "plen",
+        # mvhd: v0 (108 B) for even ids, v1 (120 B) for odd
+        F.when(
+            F.col("media_id") % 2 == 0,
+            F.concat(
+                F.lit("0000006c" + "6d766864" + "00000000"
+                      + "00000000" + "00000000"),
+                F.lpad(F.hex("ts"), 8, "0"),
+                F.lpad(F.hex("dur"), 8, "0"),
+                F.lit("00" * 80),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("00000078" + "6d766864" + "01000000"
+                      + "0" * 16 + "0" * 16),
+                F.lpad(F.hex("ts"), 8, "0"),
+                F.lpad(F.hex("dur"), 16, "0"),
+                F.lit("00" * 80),
+            ),
+        ).alias("mvhd_hex"),
+        (F.when(F.col("media_id") % 2 == 0, F.lit(108)).otherwise(F.lit(120))
+         + 8 + F.col("k") * 24).cast("long").alias("moov_size"),
+        (F.col("plen") + 16).cast("long").alias("mdat_largesize"),
+    )
+    media = staged.select(
+        "media_id",
+        F.unhex(
+            F.concat(
+                # ftyp: size 24, major isom, minor 0, brands isom mp41
+                F.lit("00000018" + "66747970" + "69736f6d" + "00000000"
+                      + "69736f6d" + "6d703431"),
+                F.lpad(F.hex("moov_size"), 8, "0"),
+                F.lit("6d6f6f76"),
+                F.col("mvhd_hex"),
+                F.expr(
+                    "repeat('000000187472616b" + "00" * 16 + "', k)"
+                ),
+                # mdat with forced 64-bit largesize
+                F.lit("00000001" + "6d646174"),
+                F.lpad(F.hex("mdat_largesize"), 16, "0"),
+                F.expr("repeat('00', CAST(plen AS INT))"),
+            )
+        ).alias("content"),
+    )
+    return scan_mp4_boxes(media, strict=True)

@@ -1181,3 +1181,63 @@ def test_jpeg_scan_no_sof_raises(spark):
     app0 = b"\xff\xd8" + b"\xff\xe0" + (16).to_bytes(2, "big") + bytes(14)
     with _pytest.raises(Exception, match="no SOF marker|Py4J"):
         _jpeg_scan_one(spark, app0)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) box scan
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return (1).to_bytes(4, "big") + btype + (16 + len(payload)).to_bytes(8, "big") + payload
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _mvhd_v0(ts: int, dur: int) -> bytes:
+    return _box(b"mvhd", bytes(12) + ts.to_bytes(4, "big") + dur.to_bytes(4, "big") + bytes(80))
+
+
+def _mp4_scan_one(spark, content: bytes, strict: bool = True):
+    from aroa_etl_spark.operators.multimodal import scan_mp4_boxes
+
+    df = spark.createDataFrame(
+        [(1, bytearray(content))], "media_id bigint, content binary"
+    )
+    return scan_mp4_boxes(df, strict=strict).collect()[0]
+
+
+def test_mp4_scan_walks_boxes_and_mvhd_versions(spark):
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isom" + b"mp41")
+    moov0 = _box(b"moov", _mvhd_v0(1000, 4500) + _box(b"trak", bytes(16)) * 2)
+    mdat = _box(b"mdat", bytes(20), largesize=True)
+    r = _mp4_scan_one(spark, ftyp + moov0 + mdat)
+    assert (r.n_top_boxes, r.major_brand, r.n_tracks) == (3, "isom", 2)
+    assert (r.timescale, r.duration_ms, r.mdat_bytes) == (1000, 4500, 20)
+
+    mvhd1 = _box(
+        b"mvhd",
+        b"\x01" + bytes(3) + bytes(16) + (600).to_bytes(4, "big")
+        + (1234).to_bytes(8, "big") + bytes(80),
+    )
+    r1 = _mp4_scan_one(spark, ftyp + _box(b"moov", mvhd1))
+    assert (r1.timescale, r1.duration_ms) == (600, 1234 * 1000 // 600)
+
+
+def test_mp4_scan_size_zero_extends_to_end(spark):
+    ftyp = _box(b"ftyp", b"isom" + bytes(12))
+    moov = _box(b"moov", _mvhd_v0(100, 250))
+    tail = (0).to_bytes(4, "big") + b"mdat" + bytes(33)
+    r = _mp4_scan_one(spark, ftyp + moov + tail)
+    assert r.mdat_bytes == 33 and r.duration_ms == 2500
+
+
+def test_mp4_scan_strict_errors(spark):
+    import pytest as _pytest
+
+    # box claims more bytes than exist
+    bad = (64).to_bytes(4, "big") + b"moov" + bytes(8)
+    with _pytest.raises(Exception, match="overruns its scope|Py4J"):
+        _mp4_scan_one(spark, bad)
+    # structurally fine but no moov/mvhd anywhere
+    with _pytest.raises(Exception, match="no moov/mvhd|Py4J"):
+        _mp4_scan_one(spark, _box(b"ftyp", b"isom" + bytes(12)))
