@@ -1582,6 +1582,10 @@ def scan_mpeg_frames(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 | (content[9] & 0x7F)
             )
             pos = 10 + id3_size
+            if pos > len(content) and strict:
+                raise ValueError(
+                    f"ID3 tag (syncsafe size {id3_size}) overruns the file"
+                )
         n_frames = 0
         bitrate = 0
         rate = 0
@@ -1594,28 +1598,43 @@ def scan_mpeg_frames(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 pos += 1
                 continue
             if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
-                raise NotImplementedError(
-                    "only MPEG-1 Layer III frames are supported "
-                    f"(header byte 2 = 0x{b1:02x})"
-                )
+                # In lenient mode a false sync in garbage routinely has
+                # bad version/layer bits — that is resync fodder, not an
+                # unsupported file (review finding: raising here killed
+                # the very mode meant for crawl junk).
+                if strict:
+                    raise NotImplementedError(
+                        "only MPEG-1 Layer III frames are supported "
+                        f"(header byte 2 = 0x{b1:02x})"
+                    )
+                pos += 1
+                continue
             br_idx = (b2 >> 4) & 0x0F
             sr_idx = (b2 >> 2) & 0x03
             padding = (b2 >> 1) & 0x01
             if br_idx in (0, 15) or sr_idx == 3:
-                raise NotImplementedError(
-                    "free-format/invalid bitrate or reserved sample rate"
-                )
+                if strict:
+                    raise NotImplementedError(
+                        "free-format/invalid bitrate or reserved sample rate"
+                    )
+                pos += 1
+                continue
             br = MPEG1_L3_BITRATES[br_idx - 1]
             sr = MPEG1_SAMPLE_RATES[sr_idx]
-            if n_frames == 0:
-                bitrate, rate = br, sr
             frame_len = 144000 * br // sr + padding
             if pos + frame_len > len(content):
                 if strict:
                     raise ValueError(f"truncated final frame at byte {pos}")
                 break
+            if n_frames == 0:
+                # only a COMPLETE frame gets to define the reported
+                # CBR bitrate/rate — a truncated header must not leave
+                # a zero-frame row claiming nonzero audio parameters
+                bitrate, rate = br, sr
             n_frames += 1
             pos += frame_len
+        if strict and n_frames == 0:
+            raise ValueError("no complete MPEG frames in file")
         return n_frames, bitrate, rate, id3_size, len(content)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1691,15 +1710,25 @@ def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 pos += 1
                 continue
             if marker in (0xC0, 0xC2):
+                if pos + 10 > len(content):
+                    # promised error surface is ValueError, never a bare
+                    # IndexError from the fixed-offset reads below
+                    raise ValueError(f"truncated SOF header at byte {pos}")
                 height = int.from_bytes(content[pos + 5:pos + 7], "big")
                 width = int.from_bytes(content[pos + 7:pos + 9], "big")
                 ncomp = content[pos + 9]
                 return width, height, ncomp, int(marker == 0xC2)
             if marker in _JPEG_SOF_UNSUPPORTED:
-                raise NotImplementedError(
-                    f"unsupported JPEG SOF marker 0xff{marker:02x} "
-                    "(only baseline SOF0 / progressive SOF2)"
-                )
+                # lenient desync-skipping can land on 0xFFCx bytes inside
+                # entropy data — skip them like any other garbage; only a
+                # strict walk treats the marker as the file's true type
+                if strict:
+                    raise NotImplementedError(
+                        f"unsupported JPEG SOF marker 0xff{marker:02x} "
+                        "(only baseline SOF0 / progressive SOF2)"
+                    )
+                pos += 1
+                continue
             seg_len = int.from_bytes(content[pos + 2:pos + 4], "big")
             pos += 2 + seg_len
         raise ValueError("no SOF marker before end of data")
@@ -1802,7 +1831,20 @@ def scan_mp4_boxes(df: DataFrame, *, strict: bool = True) -> DataFrame:
                         n_tracks += 1
                     elif ctype == "mvhd":
                         saw_mvhd = True
+                        if cend - cbody < 4:
+                            raise ValueError(
+                                f"mvhd body too small ({cend - cbody} bytes)"
+                            )
                         version = content[cbody]
+                        # bound the fixed-offset reads to THIS box: an
+                        # undersized mvhd must error, not silently read
+                        # the sibling box's bytes as timescale/duration
+                        need = 20 if version == 0 else 32
+                        if cend - cbody < need:
+                            raise ValueError(
+                                f"mvhd v{version} body too small "
+                                f"({cend - cbody} < {need} bytes)"
+                            )
                         if version == 0:
                             timescale = _u32(content, cbody + 12)
                             duration = _u32(content, cbody + 16)

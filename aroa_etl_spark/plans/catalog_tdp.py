@@ -1914,7 +1914,10 @@ def text_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum((F.col("hits") > 0).cast("int")).cast("bigint").alias("n_flagged"),
         F.sum("hits").cast("bigint").alias("total_hits"),
-        F.min(F.floor((F.col("a") * 1000).cast("double") / F.col("t")))
+        # a is IntegerType from length(); widen BEFORE the ×1000 or docs
+        # past ~2.1M ASCII chars wrap negative (review finding) while
+        # the oracle's BIGINT length computes correctly
+        F.min(F.floor((F.col("a").cast("long") * 1000).cast("double") / F.col("t")))
         .cast("bigint")
         .alias("min_ascii_milli"),
     )

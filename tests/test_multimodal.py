@@ -1241,3 +1241,57 @@ def test_mp4_scan_strict_errors(spark):
     # structurally fine but no moov/mvhd anywhere
     with _pytest.raises(Exception, match="no moov/mvhd|Py4J"):
         _mp4_scan_one(spark, _box(b"ftyp", b"isom" + bytes(12)))
+
+
+def test_mp3_scan_lenient_skips_false_sync_and_bad_indices(spark):
+    # garbage containing plausible-but-invalid sync words (wrong
+    # version/layer bits, free-format bitrate nibble) must be resync
+    # fodder in lenient mode, not a crash
+    junk = b"\xff\xe2\x00\x00" + b"\xff\xfb\xf2\x00" + b"\x00junk"
+    r = _scan_one(spark, junk + _mp3_frame(5, 0, 0) * 2, strict=False)
+    assert r.n_frames == 2
+
+
+def test_mp3_scan_strict_rejects_id3_overrun_and_frameless(spark):
+    import pytest as _pytest
+
+    # syncsafe size far beyond EOF
+    bad_id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 7, 0]) + b"\x00" * 8
+    with _pytest.raises(Exception, match="overruns the file|Py4J"):
+        _scan_one(spark, bad_id3)
+    # tag-only file: zero complete frames is an error under strict
+    ok_id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + b"\x00" * 4
+    with _pytest.raises(Exception, match="no complete MPEG frames|Py4J"):
+        _scan_one(spark, ok_id3)
+
+
+def test_mp3_scan_lenient_truncated_frame_reports_zero_bitrate(spark):
+    # a lone truncated frame header must not leave nonzero bitrate on a
+    # zero-frame row
+    r = _scan_one(spark, _mp3_frame(9, 0, 0)[:-10], strict=False)
+    assert (r.n_frames, r.bitrate_kbps, r.sample_rate) == (0, 0, 0)
+
+
+def test_jpeg_scan_truncated_sof_and_lenient_sofskip(spark):
+    import numpy as np
+    import pytest as _pytest
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+
+    # truncated inside the SOF header -> the promised ValueError
+    sof_cut = b"\xff\xd8\xff\xc0\x00\x11" + bytes(2)
+    with _pytest.raises(Exception, match="truncated SOF header|Py4J"):
+        _jpeg_scan_one(spark, sof_cut)
+    # lenient: an unsupported-SOF byte pair inside garbage is skipped
+    # and the real SOF0 afterwards is still found
+    good = encode_baseline_jpeg(np.full((8, 8), 128, dtype=np.uint8), quality=85)
+    r = _jpeg_scan_one(spark, b"\xff\xd8" + b"\x00\xff\xc3\x00" + good[2:],
+                       strict=False)
+    assert (r.width, r.height, r.progressive) == (8, 8, 0)
+
+
+def test_mp4_scan_rejects_undersized_mvhd(spark):
+    import pytest as _pytest
+
+    tiny = _box(b"moov", _box(b"mvhd", bytes(8)))  # v0 needs >= 20 body bytes
+    with _pytest.raises(Exception, match="mvhd v0 body too small|Py4J"):
+        _mp4_scan_one(spark, _box(b"ftyp", b"isom" + bytes(12)) + tiny)
