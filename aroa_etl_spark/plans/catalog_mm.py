@@ -1227,3 +1227,59 @@ def mm_mp4_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return scan_mp4_boxes(media, strict=True)
+
+
+@query(
+    "s_tar_webdataset",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    m AS (SELECT media_id, k, unnest(range(0, 1 + k % 3)) AS i FROM p)
+    SELECT media_id,
+           CAST(i AS INT) AS member_idx,
+           'sample/' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+             || '.txt' AS name,
+           CAST(length('payload-' || CAST(k AS VARCHAR) || '-'
+                       || CAST(i AS VARCHAR)) AS BIGINT) AS size,
+           md5('payload-' || CAST(k AS VARCHAR) || '-'
+               || CAST(i AS VARCHAR)) AS payload_md5
+    FROM m
+    """,
+)
+def s_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard ingestion (sources/tarfmt.py): the
+    standard packaging for large multimodal training corpora — one
+    shard = one tar, one sample = adjacently-stored members.  The
+    40-blob broadcast dim carries GENUINE archives written by the
+    stdlib tarfile writer (1-3 members each, names and payloads from
+    k-arithmetic), and the hand-rolled USTAR kernel walks the 512-byte
+    header blocks — name, octal size, typeflag, the spec checksum
+    (header summed with the checksum field blanked), block padding,
+    two-zero-block terminator — exploding each archive into one row
+    per member with the payload md5 value-checked by the oracle's own
+    md5 of the replayed construction.  Scale shape: dim broadcast,
+    fact never shuffles, mapInPandas explode — Common Crawl-sized
+    shard sets read one shard per task with zero shuffle."""
+    import io
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_members
+
+    blobs = []
+    for k in range(40):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for i in range(1 + k % 3):
+                payload = f"payload-{k}-{i}".encode()
+                info = tarfile.TarInfo(name=f"sample/{k}-{i}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+        blobs.append((k, bytearray(buf.getvalue())))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return parse_tar_members(media, strict=True)

@@ -461,3 +461,73 @@ def test_warc_streaming_guards_non_warc_and_growth(spark, tmp_path):
     # batch directory load ignores non-warc files too
     df = spark.read.format("warc").load(str(tmp_path))
     assert df.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# tar (USTAR / WebDataset shard) member extraction
+# ---------------------------------------------------------------------------
+
+def _tar_bytes(members, fmt=None):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    kw = {"format": fmt} if fmt is not None else {}
+    with tarfile.open(fileobj=buf, mode="w", **kw) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def test_tar_members_roundtrip_and_md5():
+    import hashlib
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_blob
+
+    members = [("a.txt", b"alpha"), ("dir/b.bin", b"\x00\xff" * 300)]
+    got = list(parse_tar_blob(_tar_bytes(members, tarfile.USTAR_FORMAT)))
+    assert [(g[1], g[2]) for g in got] == [("a.txt", 5), ("dir/b.bin", 600)]
+    assert got[1][3] == hashlib.md5(b"\x00\xff" * 300).hexdigest()
+    assert [g[0] for g in got] == [0, 1]
+
+
+def test_tar_members_checksum_and_truncation_errors():
+    import pytest
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_blob
+
+    blob = bytearray(_tar_bytes([("a.txt", b"alpha")], tarfile.USTAR_FORMAT))
+    blob[0] ^= 0xFF  # corrupt the name -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        list(parse_tar_blob(bytes(blob)))
+
+    ok = _tar_bytes([("a.txt", b"alpha")], tarfile.USTAR_FORMAT)
+    # keep only header+data blocks: tarfile pads archives to a 10240-byte
+    # record, so a tail-slice would only shave padding, not the terminator
+    cut = ok[:1024]
+    with pytest.raises(ValueError, match="terminator"):
+        list(parse_tar_blob(cut))
+    # lenient mode tolerates the missing terminator
+    assert len(list(parse_tar_blob(cut, strict=False))) == 1
+
+
+def test_tar_members_spark_explode(spark):
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_members
+
+    blob = _tar_bytes(
+        [("x.txt", b"one"), ("y.txt", b"two"), ("z.txt", b"three")],
+        tarfile.USTAR_FORMAT,
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(blob))], "media_id bigint, content binary"
+    )
+    rows = parse_tar_members(df).collect()
+    assert [(r.member_idx, r.name, r.size) for r in rows] == [
+        (0, "x.txt", 3), (1, "y.txt", 3), (2, "z.txt", 5)
+    ]
