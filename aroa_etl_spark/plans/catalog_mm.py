@@ -1283,3 +1283,54 @@ def s_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return parse_tar_members(media, strict=True)
+
+
+@query(
+    "mm_ogg_page_scan",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    pages AS (SELECT media_id, k, unnest(range(0, 2 + k % 3)) AS pg FROM p),
+    sized AS (SELECT media_id, k, pg,
+                     20 + (k + pg) % 50 AS body_len
+              FROM pages)
+    SELECT media_id,
+           CAST(COUNT(*) AS INT) AS n_pages,
+           CAST(COUNT(*) AS INT) AS n_packets,
+           CAST(MAX(k) AS BIGINT) AS serial,
+           CAST(MAX(pg + 1) * 1000 + MAX(k) AS BIGINT) AS last_granule,
+           CAST(SUM(body_len) AS BIGINT) AS payload_bytes
+    FROM sized GROUP BY media_id
+    """,
+)
+def mm_ogg_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container triage (operators/multimodal.scan_ogg_pages, RFC
+    3533): page/packet counts, serial, final granule, payload volume —
+    codec-free, completing the container-scanner family.  The 40-blob
+    broadcast dim carries streams of 2-4 genuine pages assembled by
+    build_ogg_page with CORRECT Ogg CRC-32s (poly 0x04C11DB7,
+    unreflected — not zlib's), and the kernel re-verifies every page's
+    CRC before counting it, so a builder/scanner CRC disagreement (or
+    any single flipped bit) fails the oracle.  One single-segment
+    packet per page makes packet arithmetic exact in SQL; granules and
+    body lengths come from doc_id arithmetic the oracle replays.
+    Scale: dim broadcast, fact never shuffles, mapInPandas."""
+    from aroa_etl_spark.operators.multimodal import (
+        build_ogg_page,
+        scan_ogg_pages,
+    )
+
+    blobs = []
+    for k in range(40):
+        pages = b""
+        for pg in range(2 + k % 3):
+            body = bytes((pg + j) % 256 for j in range(20 + (k + pg) % 50))
+            pages += build_ogg_page(k, pg, (pg + 1) * 1000 + k, body)
+        blobs.append((k, bytearray(pages)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return scan_ogg_pages(media, strict=True)

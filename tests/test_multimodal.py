@@ -1295,3 +1295,53 @@ def test_mp4_scan_rejects_undersized_mvhd(spark):
     tiny = _box(b"moov", _box(b"mvhd", bytes(8)))  # v0 needs >= 20 body bytes
     with _pytest.raises(Exception, match="mvhd v0 body too small|Py4J"):
         _mp4_scan_one(spark, _box(b"ftyp", b"isom" + bytes(12)) + tiny)
+
+
+# ---------------------------------------------------------------------------
+# Ogg page scan
+# ---------------------------------------------------------------------------
+
+def _ogg_scan_one(spark, content: bytes, strict: bool = True):
+    from aroa_etl_spark.operators.multimodal import scan_ogg_pages
+
+    df = spark.createDataFrame(
+        [(1, bytearray(content))], "media_id bigint, content binary"
+    )
+    return scan_ogg_pages(df, strict=strict).collect()[0]
+
+
+def test_ogg_scan_counts_pages_packets_and_granule(spark):
+    from aroa_etl_spark.operators.multimodal import build_ogg_page
+
+    # page 2 carries a 600-byte packet -> lacing 255,255,90 = ONE packet
+    blob = (
+        build_ogg_page(42, 0, 1000, b"a" * 30)
+        + build_ogg_page(42, 1, 2000, b"b" * 600)
+    )
+    r = _ogg_scan_one(spark, blob)
+    assert (r.n_pages, r.n_packets, r.serial) == (2, 2, 42)
+    assert (r.last_granule, r.payload_bytes) == (2000, 630)
+
+
+def test_ogg_scan_crc_is_really_verified(spark):
+    import pytest as _pytest
+    from aroa_etl_spark.operators.multimodal import build_ogg_page
+
+    blob = bytearray(build_ogg_page(1, 0, 10, b"payload!"))
+    blob[-1] ^= 0x01  # flip one payload bit
+    with _pytest.raises(Exception, match="CRC mismatch|Py4J"):
+        _ogg_scan_one(spark, bytes(blob))
+    # lenient mode skips the corrupt page and finds the good one after it
+    good = build_ogg_page(1, 1, 20, b"ok")
+    r = _ogg_scan_one(spark, bytes(blob) + good, strict=False)
+    assert (r.n_pages, r.last_granule) == (1, 20)
+
+
+def test_ogg_scan_strict_errors_on_garbage_and_empty(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lost Ogg capture|Py4J"):
+        _ogg_scan_one(spark, b"not an ogg stream")
+    with _pytest.raises(Exception, match="truncated page body|Py4J"):
+        from aroa_etl_spark.operators.multimodal import build_ogg_page
+        _ogg_scan_one(spark, build_ogg_page(1, 0, 10, b"x" * 40)[:-20])
