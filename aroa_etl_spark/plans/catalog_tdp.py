@@ -1865,6 +1865,66 @@ def tdp_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tdp_quota_apportionment",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS total FROM c),
+    q AS (SELECT source, n,
+                 (1000 * n) // t.total AS base,
+                 (1000 * n) % t.total AS rem
+          FROM c, t),
+    l AS (SELECT SUM(base) AS allotted FROM q),
+    r AS (SELECT source, n, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN rk <= 1000 - l.allotted THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r, l
+    """,
+)
+def tdp_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) quota apportionment — the exact
+    integer method for splitting a sampling budget of 1000 across
+    sources proportionally to their sizes: floor quotas first, then the
+    leftover seats go to the largest remainders (source-name tiebreak).
+    Float rounding can't drift the total (quotas sum to the budget BY
+    CONSTRUCTION) and every step is integer arithmetic, so the oracle
+    is exact, not epsilon-matched.  Pairs with the temperature mixture
+    (rate-based, approximate counts) as the exact-count alternative a
+    curation plan uses when the budget is contractual.  Scale: one
+    count shuffle; the apportionment runs on the per-source dim (tiny
+    at any corpus size — the global window is over #sources rows, not
+    data)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        ((F.lit(1000) * F.col("n")) / F.col("total")).cast("long").alias("base"),
+        F.pmod(F.lit(1000) * F.col("n"), F.col("total")).alias("rem"),
+    )
+    allotted = q.agg(F.sum("base").alias("allotted"))
+    w = W.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(allotted))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rk") <= F.lit(1000) - F.col("allotted"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )
+
+
+@query(
     "text_mojibake_stats",
     oracle=r"""
     WITH docs AS (SELECT source,

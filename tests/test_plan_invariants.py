@@ -51,6 +51,7 @@ _CARTESIAN_OK = {
     "q22_idle_customers",  # 1-row (sum, count) broadcast into the balance gate
     "sk_kll_quantile_bounds",  # 1-row quantile-value broadcast into the rank check
     "sk_theta_set_ops",  # (sketch 1-row) × (sketch 1-row) × (exact 1-row) set algebra
+    "tdp_quota_apportionment",  # (total 1-row) and (allotted 1-row) broadcasts into the per-source dim
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {

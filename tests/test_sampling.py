@@ -288,3 +288,17 @@ def test_grouped_sample_exact_k_rejects_bad_oversample(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, g string")
     with _pytest.raises(ValueError):
         grouped_sample_exact_k(df, "g", "id", k=1, oversample=0.5)
+
+
+def test_quota_apportionment_sums_to_budget(spark):
+    # Hamilton apportionment is exact: quotas sum to the budget and
+    # every quota is floor or floor+1 of the proportional share
+    from aroa_etl_spark.plans.catalog import spec
+
+    df = spec("tdp_quota_apportionment").builder(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert sum(r.quota for r in rows) == 1000
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        base = 1000 * r.n_docs // total
+        assert r.quota in (base, base + 1), (r.source, r.quota, base)
