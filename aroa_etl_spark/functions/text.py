@@ -805,3 +805,40 @@ def html_to_text(col: Column | str) -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+
+
+def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
+    """DEFLATE compression ratio (compressed bytes / raw bytes) as a
+    text-quality signal — the classic cheap redundancy detector: highly
+    repetitive boilerplate compresses far below ~0.4, while natural
+    prose sits around 0.5-0.7 and random noise near 1.0.  Production
+    curation stacks use exactly this signal beside the n-gram
+    repetition gates (which catch STRUCTURED repeats; the compressor
+    catches long-range and approximate redundancy they miss).
+
+    Implemented as an Arrow-batched pandas UDF over zlib (stdlib) —
+    Python is unavoidable here, but the work is a single C call per
+    document at a fixed compression level, and the UDF is vectorized
+    per batch.  No catalog oracle exists BY DESIGN: the value depends
+    on zlib's internals, which no SQL engine replays — the semantics
+    are pinned by pytest instead (the same policy as image phash /
+    audio rms; see plans/catalog_mm.py's module docstring).  Empty
+    text maps to NULL (a 0-byte doc has no meaningful ratio)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(txt):
+            if txt is None:
+                return None
+            raw = txt.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _ratio(c)

@@ -104,3 +104,28 @@ def test_bigram_logprob_orders_by_transition_quality(spark):
     # doc 1 rides the corpus's dominant transitions; doc 2 pays for the
     # rare same-letter bigrams
     assert got[1].logprob_mean > got[2].logprob_mean
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from aroa_etl_spark.functions.text import compression_ratio
+
+    import os
+    rows = [
+        (1, "all work and no play " * 200),            # heavy redundancy
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "wanders toward a distant meadow full of strange flowers " * 4),
+        (3, os.urandom(2048).hex()),                    # hex noise
+        (4, ""),                                        # empty -> NULL
+        (5, None),                                      # NULL -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.ratio for r in
+           df.select("doc_id", compression_ratio("text").alias("ratio")).collect()}
+    assert got[1] < 0.1                 # boilerplate collapses
+    assert got[1] < got[2] < got[3]     # monotone in true redundancy
+    assert got[3] > 0.4                 # hex noise stays incompressible
+    assert got[4] is None and got[5] is None
+    # deterministic across reruns (fixed level, fixed zlib)
+    again = {r.doc_id: r.ratio for r in
+             df.select("doc_id", compression_ratio("text").alias("ratio")).collect()}
+    assert got == again
