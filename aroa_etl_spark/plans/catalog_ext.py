@@ -3270,3 +3270,73 @@ def s_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("warc_type")
     )
+
+
+@query(
+    "s_tar_datasource",
+    oracle="""
+    WITH m AS (
+      SELECT k, i,
+             CAST(k % 4 AS INT) AS cohort,
+             len(repeat('member-' || CAST(k AS VARCHAR) || '-'
+                        || CAST(i AS VARCHAR), 1 + i)) AS msize,
+             md5(repeat('member-' || CAST(k AS VARCHAR) || '-'
+                        || CAST(i AS VARCHAR), 1 + i)) AS pm
+      FROM (SELECT unnest(range(0, 20)) AS k),
+           LATERAL (SELECT unnest(range(0, 2 + k % 4)) AS i))
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_shards,
+           CAST(SUM(msize) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT pm) AS BIGINT) AS n_distinct_payloads
+    FROM m GROUP BY cohort ORDER BY cohort
+    """,
+)
+def s_tar_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar shards as a NATIVE Spark source — ``spark.read.format("tar")``
+    via the Python DataSource API (`sources/tar_datasource.py`), the
+    WebDataset read path: one InputPartition per shard, member
+    explosion fused into the scan, zero shuffle, USTAR parse shared
+    verbatim with parse_tar_blob (checksums verified per header).  The
+    entry stages 20 genuine stdlib-tarfile shards with 2-5 members each
+    at arithmetic-determined sizes, reads them back through the
+    registered source, derives the shard cohort from the member NAME
+    (proving names survive the walk), and aggregates; the oracle
+    replays the construction — member counts, byte totals, and the
+    exact set of payload md5s.  Scale shape: a WebDataset corpus of
+    thousands of shards fans out to as many independent partitions."""
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+
+    stage = _scratch_stage("tar_ds", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(20):
+        with tarfile.open(
+            os.path.join(stage, f"shard{k:02d}.tar"), "w",
+            format=tarfile.USTAR_FORMAT,
+        ) as tf:
+            for i in range(2 + k % 4):
+                payload = (f"member-{k}-{i}" * (1 + i)).encode()
+                info = tarfile.TarInfo(name=f"{k}/{i}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+    register_tar_source(spark)
+    df = spark.read.format("tar").load(os.path.join(stage, "*.tar"))
+    cohort = (F.split_part(F.col("name"), F.lit("/"), F.lit(1)).cast("int") % 4)
+    return (
+        df.groupBy(cohort.cast("int").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count_distinct("path").cast("bigint").alias("n_shards"),
+            F.sum("size").cast("bigint").alias("total_bytes"),
+            F.count_distinct("payload_md5").cast("bigint")
+            .alias("n_distinct_payloads"),
+        )
+        .orderBy("cohort")
+    )

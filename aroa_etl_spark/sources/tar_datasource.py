@@ -1,0 +1,181 @@
+"""Tar shards as a first-class Spark DataSource:
+``spark.read.format("tar")`` — the WebDataset read path.
+
+WebDataset-style training corpora are directories of tar shards where
+one shard = one tar and one sample = a few adjacently-stored members.
+Spark 4's Python DataSource API lets the engine expose that layout
+natively instead of the two-step ``binaryFile`` scan +
+``parse_tar_members`` explode:
+
+    spark.dataSource.register(TarDataSource)
+    df = spark.read.format("tar").load("/corpus/shards/*.tar")
+
+Scale model mirrors the WARC source: one ``InputPartition`` per shard
+file — the natural WebDataset unit (shards are sized for exactly this
+kind of parallel consumption) — with the member explosion fused into
+the scan and zero shuffle.  Rows carry the shard path, a stable 60-bit
+path hash (the engine's md5-prefix id family), and the member fields
+of ``sources/tarfmt.py``'s schema, parsed by the SAME hand-rolled
+USTAR walk as the mapInPandas kernel so the two paths can never
+disagree about member boundaries or checksums.
+
+``spark.readStream.format("tar")`` tails a shard directory: each
+micro-batch ingests shards that appeared since the last offset — the
+training-data shape where a packing job drops finished shards and the
+pipeline consumes them continuously.  Same placement contract as
+Spark's FileStreamSource and the WARC stream: shards must land
+atomically (write elsewhere, rename in); a seen shard that later grew
+fails planning loudly instead of silently dropping appended members.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from aroa_etl_spark.sources.tarfmt import TAR_MEMBERS_SCHEMA, parse_tar_blob
+
+# path + shard id + the shared member schema minus the media_id the
+# mapInPandas form uses (the path hash plays that role here)
+TAR_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("shard_id", T.LongType()),
+        *[f for f in TAR_MEMBERS_SCHEMA.fields if f.name != "media_id"],
+    ]
+)
+
+_TAR_SUFFIXES = (".tar",)
+
+
+def _is_tar_file(name: str) -> bool:
+    return name.lower().endswith(_TAR_SUFFIXES)
+
+
+def _path_shard_id(path: str) -> int:
+    return int(hashlib.md5(path.encode("utf-8")).hexdigest()[:15], 16)
+
+
+class _TarShardPartition(InputPartition):
+    def __init__(self, path: str, size: int | None = None):
+        self.path = path
+        self.size = size
+
+
+def _read_shard_members(path: str, size: int | None = None) -> Iterator[tuple]:
+    """One shard → member tuples in TAR_SOURCE_SCHEMA order.  ``size``
+    caps the read at the byte length the planner recorded so executors
+    parse exactly the snapshot the offset describes."""
+    with open(path, "rb") as fh:
+        blob = fh.read() if size is None else fh.read(size)
+    sid = _path_shard_id(path)
+    for idx, name, msize, digest in parse_tar_blob(blob):
+        yield (path, sid, idx, name, msize, digest)
+
+
+class TarReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tar source needs a path: .load('/shards/*.tar')")
+        if os.path.isdir(path):
+            paths = [
+                p for p in glob.glob(os.path.join(path, "*"))
+                if _is_tar_file(p)
+            ]
+        else:
+            paths = glob.glob(path)
+        self.paths = sorted(p for p in paths if os.path.isfile(p))
+        if not self.paths:
+            raise FileNotFoundError(f"tar source matched no files: {path}")
+
+    def partitions(self) -> list[InputPartition]:
+        return [_TarShardPartition(p) for p in self.paths]
+
+    def read(self, partition: _TarShardPartition) -> Iterator[tuple]:
+        return _read_shard_members(partition.path)
+
+
+class TarStreamReader(DataSourceStreamReader):
+    """Tail a WebDataset shard directory; offsets are the sorted
+    ``[name, size]`` list of already-ingested shards."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir or not os.path.isdir(self.dir):
+            raise ValueError("streaming tar source needs a directory path")
+
+    def _listing(self) -> list[list]:
+        out = []
+        for n in sorted(os.listdir(self.dir)):
+            p = os.path.join(self.dir, n)
+            if _is_tar_file(n) and os.path.isfile(p):
+                out.append([n, os.path.getsize(p)])
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._listing()}
+
+    def partitions(self, start: dict, end: dict):
+        seen = dict(map(tuple, start.get("seen", [])))
+        grown = [
+            (n, seen[n], size)
+            for n, size in end.get("seen", [])
+            if n in seen and size > seen[n]
+        ]
+        if grown:
+            raise ValueError(
+                "tar stream: already-ingested shard(s) grew — shards must "
+                "be placed atomically (write to a temp name, rename into "
+                f"the directory): {grown}"
+            )
+        new = [(n, size) for n, size in end.get("seen", []) if n not in seen]
+        return [
+            _TarShardPartition(os.path.join(self.dir, n), size)
+            for n, size in new
+        ] or [_TarShardPartition("")]  # Spark requires >= 1 partition
+
+    def read(self, partition: _TarShardPartition) -> Iterator[tuple]:
+        if not partition.path:
+            return iter(())
+        return _read_shard_members(partition.path, partition.size)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing
+
+
+class TarDataSource(DataSource):
+    """``spark.read.format("tar")`` / ``spark.readStream.format("tar")``
+    — register once per session via
+    ``spark.dataSource.register(TarDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tar"
+
+    def schema(self) -> T.StructType:
+        return TAR_SOURCE_SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return TarReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return TarStreamReader(self.options)
+
+
+def register_tar_source(spark) -> None:
+    """Idempotent registration helper."""
+    spark.dataSource.register(TarDataSource)

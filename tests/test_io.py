@@ -531,3 +531,80 @@ def test_tar_members_spark_explode(spark):
     assert [(r.member_idx, r.name, r.size) for r in rows] == [
         (0, "x.txt", 3), (1, "y.txt", 3), (2, "z.txt", 5)
     ]
+
+
+def test_tar_python_datasource(spark, tmp_path):
+    """format('tar') reads WebDataset-style shards with one partition
+    per shard, stable path-hash shard ids, member rows in archive
+    order, and clean errors on empty matches."""
+    import tarfile as _tarfile
+
+    from aroa_etl_spark.sources.tar_datasource import (
+        _path_shard_id,
+        register_tar_source,
+    )
+
+    for shard, members in (
+        ("s0.tar", [("0/a.txt", b"alpha"), ("0/b.txt", b"beta")]),
+        ("s1.tar", [("1/a.txt", b"gamma")]),
+    ):
+        with _tarfile.open(tmp_path / shard, "w",
+                           format=_tarfile.USTAR_FORMAT) as tf:
+            for name, payload in members:
+                info = _tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                tf.addfile(info, __import__("io").BytesIO(payload))
+
+    register_tar_source(spark)
+    df = spark.read.format("tar").load(str(tmp_path / "*.tar"))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert df.rdd.getNumPartitions() == 2
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.path, []).append((r.member_idx, r.name, r.size))
+    s0, s1 = sorted(by_shard)
+    assert by_shard[s0] == [(0, "0/a.txt", 5), (1, "0/b.txt", 4)]
+    assert by_shard[s1] == [(0, "1/a.txt", 5)]
+    assert {r.shard_id for r in rows} == {_path_shard_id(s0), _path_shard_id(s1)}
+    with pytest.raises(Exception, match="matched no files|FileNotFound"):
+        spark.read.format("tar").load(str(tmp_path / "nope*")).collect()
+
+
+def test_tar_streaming_source_incremental_pickup(spark, tmp_path):
+    """The streaming tar reader tails the shard directory: a second
+    processAllAvailable round after a new shard lands ingests exactly
+    the incremental members; non-tar files are ignored."""
+    import io as _io
+    import tarfile as _tarfile
+
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+
+    def shard(path, members):
+        with _tarfile.open(path, "w", format=_tarfile.USTAR_FORMAT) as tf:
+            for name, payload in members:
+                info = _tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                tf.addfile(info, _io.BytesIO(payload))
+
+    shard(tmp_path / "w0.tar", [("x.txt", b"one"), ("y.txt", b"two")])
+    (tmp_path / "manifest.json").write_bytes(b"{}")
+    register_tar_source(spark)
+    q = (
+        spark.readStream.format("tar").load(str(tmp_path))
+        .writeStream.format("memory").queryName("tar_inc")
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM tar_inc").first().c == 2
+        shard(tmp_path / "w1.tar", [("z.txt", b"three")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT name, size FROM tar_inc ORDER BY name"
+        ).collect()
+        assert [(r.name, r.size) for r in rows] == [
+            ("x.txt", 3), ("y.txt", 3), ("z.txt", 5)
+        ]
+    finally:
+        q.stop()
