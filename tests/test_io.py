@@ -608,3 +608,47 @@ def test_tar_streaming_source_incremental_pickup(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_webdataset_shard_writer_roundtrip(spark, tmp_path):
+    """write_webdataset_shards -> format('tar') read-back: every input
+    row lands in exactly one shard, shard assignment is deterministic
+    under repartitioning, and the manifest accounts for all members."""
+    import hashlib
+
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+    from aroa_etl_spark.sources.tarfmt import write_webdataset_shards
+
+    rows = [
+        (i, f"sample/{i:04d}.txt", bytearray(f"doc-{i}".encode()))
+        for i in range(57)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, name string, content binary"
+    )
+    out = tmp_path / "shards"
+    out.mkdir()
+    manifest = write_webdataset_shards(
+        df, str(out), docs_per_shard=10
+    ).collect()
+    assert sum(r.n_members for r in manifest) == 57
+    assert len(manifest) == 6  # ceil(57/10) shards, all non-empty here
+
+    register_tar_source(spark)
+    back = spark.read.format("tar").load(str(out / "*.tar")).collect()
+    assert len(back) == 57
+    got = {r.name: r.payload_md5 for r in back}
+    for i in range(57):
+        assert got[f"sample/{i:04d}.txt"] == hashlib.md5(
+            f"doc-{i}".encode()
+        ).hexdigest()
+
+    # determinism: rewriting from a differently-partitioned input
+    # produces byte-identical shards
+    sizes1 = {p.name: p.stat().st_size for p in out.glob("*.tar")}
+    manifest2 = write_webdataset_shards(
+        df.repartition(13), str(out), docs_per_shard=10
+    ).collect()
+    sizes2 = {p.name: p.stat().st_size for p in out.glob("*.tar")}
+    assert sizes1 == sizes2
+    assert sum(r.n_members for r in manifest2) == 57
