@@ -1691,13 +1691,19 @@ def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
 
     strict=True raises on marker desync or a SOF family outside
     baseline/progressive (extended sequential, lossless, arithmetic —
-    honest NotImplementedError, same policy as the decoders).  Scale:
-    mapInPandas, zero shuffle, O(#segments) per blob — bytes before
-    the first SOF, not the image."""
+    honest NotImplementedError, same policy as the decoders).
+    strict=False is the dirty-data contract the MP3 scanner set: a
+    non-JPEG blob, truncated SOF, or no-SOF stream degrades to an
+    all-zero sentinel row (width=height=n_components=0) instead of
+    killing the partition.  Scale: mapInPandas, zero shuffle,
+    O(#segments) per blob — bytes before the first SOF, not the
+    image."""
 
     def _scan(content: bytes) -> tuple[int, int, int, int]:
         if content[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG (missing SOI)")
+            if strict:
+                raise ValueError("not a JPEG (missing SOI)")
+            return 0, 0, 0, 0
         pos = 2
         while pos + 4 <= len(content):
             if content[pos] != 0xFF:
@@ -1713,7 +1719,9 @@ def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 if pos + 10 > len(content):
                     # promised error surface is ValueError, never a bare
                     # IndexError from the fixed-offset reads below
-                    raise ValueError(f"truncated SOF header at byte {pos}")
+                    if strict:
+                        raise ValueError(f"truncated SOF header at byte {pos}")
+                    return 0, 0, 0, 0
                 height = int.from_bytes(content[pos + 5:pos + 7], "big")
                 width = int.from_bytes(content[pos + 7:pos + 9], "big")
                 ncomp = content[pos + 9]
@@ -1731,7 +1739,9 @@ def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 continue
             seg_len = int.from_bytes(content[pos + 2:pos + 4], "big")
             pos += 2 + seg_len
-        raise ValueError("no SOF marker before end of data")
+        if strict:
+            raise ValueError("no SOF marker before end of data")
+        return 0, 0, 0, 0
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

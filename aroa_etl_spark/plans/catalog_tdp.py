@@ -1903,7 +1903,10 @@ def tdp_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c.crossJoin(F.broadcast(t)).select(
         "source",
         "n",
-        ((F.lit(1000) * F.col("n")) / F.col("total")).cast("long").alias("base"),
+        # exact integer division (div), NOT double / then cast: at very
+        # large totals the double quotient can round up across an integer
+        # boundary and disagree with the pmod remainder it pairs with
+        F.expr("(1000 * n) div total").alias("base"),
         F.pmod(F.lit(1000) * F.col("n"), F.col("total")).alias("rem"),
     )
     allotted = q.agg(F.sum("base").alias("allotted"))

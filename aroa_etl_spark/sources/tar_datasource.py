@@ -24,8 +24,9 @@ micro-batch ingests shards that appeared since the last offset — the
 training-data shape where a packing job drops finished shards and the
 pipeline consumes them continuously.  Same placement contract as
 Spark's FileStreamSource and the WARC stream: shards must land
-atomically (write elsewhere, rename in); a seen shard that later grew
-fails planning loudly instead of silently dropping appended members.
+atomically (write elsewhere, rename in); a seen shard whose size later
+changes — grown or replaced — fails planning loudly instead of
+silently dropping appended or swapped members.
 """
 
 from __future__ import annotations
@@ -131,16 +132,21 @@ class TarStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         seen = dict(map(tuple, start.get("seen", [])))
-        grown = [
+        # Any size change on an already-ingested shard — grown OR shrunk
+        # — violates the atomic-placement contract: a replaced shard's
+        # members would otherwise be silently skipped (neither "grown"
+        # nor "new"), so every mutation fails planning loudly.
+        changed = [
             (n, seen[n], size)
             for n, size in end.get("seen", [])
-            if n in seen and size > seen[n]
+            if n in seen and size != seen[n]
         ]
-        if grown:
+        if changed:
             raise ValueError(
-                "tar stream: already-ingested shard(s) grew — shards must "
-                "be placed atomically (write to a temp name, rename into "
-                f"the directory): {grown}"
+                "tar stream: already-ingested shard(s) changed size — "
+                "shards must be placed atomically and never mutated "
+                "(write to a temp name, rename into the directory): "
+                f"{changed}"
             )
         new = [(n, size) for n, size in end.get("seen", []) if n not in seen]
         return [

@@ -11,7 +11,14 @@ zero-shuffle mapInPandas shape as the WARC/MPEG/JPEG/BMFF scanners.
 Hand-parsing (rather than the stdlib ``tarfile``) keeps the kernel
 byte-transparent for the catalog oracle and makes the failure modes
 explicit: strict mode raises on checksum mismatches, non-octal size
-fields, and archives that end without the two-zero-block terminator.
+fields, payload overruns, and archives that end without the
+two-zero-block terminator; lenient mode (``strict=False``) stops
+yielding at the first structural error instead of killing the
+partition — resyncing inside a corrupt stream-of-blocks format is
+guesswork, so truncation is the honest degradation.  USTAR long
+names are honoured: when the magic field says ``ustar`` the 155-byte
+prefix field (header bytes 345..500) is joined onto the 100-byte
+name, so paths over 100 chars round-trip through the stdlib writer.
 Fixture WRITERS should use the stdlib ``tarfile`` — guaranteed-valid
 input is the honest way to test a reader.
 """
@@ -50,10 +57,21 @@ def _octal(field: bytes, what: str) -> int:
 
 
 def parse_tar_blob(content: bytes, *, strict: bool = True):
-    """Yield (idx, name, size, payload_md5) for each REGULAR member."""
+    """Yield (idx, name, size, payload_md5) for each REGULAR member.
+
+    Structural errors (bad checksum, non-octal field, payload overrun,
+    data after a lone zero block, missing terminator) raise in strict
+    mode; with ``strict=False`` parsing stops at the first such error,
+    yielding the members read so far."""
     pos = 0
     idx = 0
     zero_blocks = 0
+
+    def fail(msg: str) -> bool:
+        if strict:
+            raise ValueError(msg)
+        return True  # lenient: caller stops yielding
+
     while pos + _BLOCK <= len(content):
         header = content[pos:pos + _BLOCK]
         if header == b"\x00" * _BLOCK:
@@ -63,22 +81,33 @@ def parse_tar_blob(content: bytes, *, strict: bool = True):
                 return
             continue
         if zero_blocks:
-            raise ValueError(
-                f"data after a single zero block at byte {pos - _BLOCK}"
-            )
-        stored = _octal(header[148:156], "checksum")
+            if fail(f"data after a single zero block at byte {pos - _BLOCK}"):
+                return
+        try:
+            stored = _octal(header[148:156], "checksum")
+            size = _octal(header[124:136], "size")
+        except ValueError as exc:
+            if fail(str(exc)):
+                return
         computed = sum(header[:148]) + 8 * 0x20 + sum(header[156:])
         if stored != computed:
-            raise ValueError(
+            if fail(
                 f"tar header checksum mismatch at byte {pos} "
                 f"(stored {stored}, computed {computed})"
-            )
+            ):
+                return
         name = header[0:100].split(b"\x00", 1)[0].decode("utf-8")
-        size = _octal(header[124:136], "size")
+        # USTAR long-path support: the stdlib writer splits paths over
+        # 100 chars into prefix (345..500) + name; rejoin them.
+        if header[257:262] == b"ustar":
+            prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
+            if prefix:
+                name = prefix + "/" + name
         typeflag = header[156:157]
         data_end = pos + _BLOCK + size
         if data_end > len(content):
-            raise ValueError(f"member '{name}' payload overruns the archive")
+            if fail(f"member '{name}' payload overruns the archive"):
+                return
         if typeflag in (b"0", b"\x00"):  # regular file (old and ustar forms)
             payload = content[pos + _BLOCK:data_end]
             yield (

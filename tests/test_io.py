@@ -652,3 +652,61 @@ def test_webdataset_shard_writer_roundtrip(spark, tmp_path):
     sizes2 = {p.name: p.stat().st_size for p in out.glob("*.tar")}
     assert sizes1 == sizes2
     assert sum(r.n_members for r in manifest2) == 57
+
+
+def test_tar_ustar_prefix_rejoins_long_paths():
+    """Paths over 100 chars are stored split as prefix+name by the
+    USTAR writer; the hand parser must rejoin them or the writer/reader
+    round-trip silently drops the directory prefix (r6 ADVICE)."""
+    import hashlib
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_blob
+
+    long_name = "deep/" * 25 + "sample-key-with-a-long-basename.0001.txt"
+    assert len(long_name) > 100
+    got = list(
+        parse_tar_blob(
+            _tar_bytes([(long_name, b"payload")], tarfile.USTAR_FORMAT)
+        )
+    )
+    assert [(g[1], g[2]) for g in got] == [(long_name, 7)]
+    assert got[0][3] == hashlib.md5(b"payload").hexdigest()
+
+
+def test_tar_lenient_stops_at_first_structural_error():
+    """strict=False truncates at the first corrupt header instead of
+    killing the partition (r6 ADVICE: the lenient contract now covers
+    checksum/non-octal/overrun, not just the missing terminator)."""
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_blob
+
+    blob = bytearray(
+        _tar_bytes([("a.txt", b"alpha"), ("b.txt", b"beta")],
+                   tarfile.USTAR_FORMAT)
+    )
+    blob[1024] ^= 0xFF  # second member's header -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        list(parse_tar_blob(bytes(blob)))
+    got = list(parse_tar_blob(bytes(blob), strict=False))
+    assert [g[1] for g in got] == ["a.txt"]
+
+
+def test_tar_stream_mutated_shard_fails_planning(tmp_path):
+    """Any size change on an already-ingested shard — grown OR shrunk/
+    replaced — violates atomic placement and must fail planning loudly
+    (r6 ADVICE: a shrunk shard was previously silently skipped)."""
+    from aroa_etl_spark.sources.tar_datasource import TarStreamReader
+
+    reader = TarStreamReader({"path": str(tmp_path)})
+    start = {"seen": [["w0.tar", 2048]]}
+    for mutated in (1024, 4096):
+        with pytest.raises(ValueError, match="changed size"):
+            reader.partitions(start, {"seen": [["w0.tar", mutated]]})
+    # unchanged + one new shard plans exactly the new shard
+    parts = reader.partitions(
+        start, {"seen": [["w0.tar", 2048], ["w1.tar", 512]]}
+    )
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["w1.tar"]
+    assert parts[0].size == 512

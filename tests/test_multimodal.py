@@ -1345,3 +1345,19 @@ def test_ogg_scan_strict_errors_on_garbage_and_empty(spark):
     with _pytest.raises(Exception, match="truncated page body|Py4J"):
         from aroa_etl_spark.operators.multimodal import build_ogg_page
         _ogg_scan_one(spark, build_ogg_page(1, 0, 10, b"x" * 40)[:-20])
+
+
+def test_jpeg_scan_lenient_sentinel_rows(spark):
+    """strict=False degrades non-JPEG / truncated / no-SOF blobs to an
+    all-zero sentinel row instead of raising — the same dirty-data
+    contract as the MP3 scanner (r6 ADVICE)."""
+    r = _jpeg_scan_one(spark, b"\x89PNG\r\n\x1a\n", strict=False)
+    assert (r.width, r.height, r.n_components, r.progressive) == (0, 0, 0, 0)
+    # SOI + APP0 then EOF without any SOF
+    app0 = b"\xff\xd8" + b"\xff\xe0" + (16).to_bytes(2, "big") + bytes(14)
+    r2 = _jpeg_scan_one(spark, app0, strict=False)
+    assert (r2.width, r2.height) == (0, 0)
+    # SOI + truncated SOF header
+    trunc = b"\xff\xd8" + b"\xff\xc0" + (11).to_bytes(2, "big") + bytes(3)
+    r3 = _jpeg_scan_one(spark, trunc, strict=False)
+    assert (r3.width, r3.height) == (0, 0)
