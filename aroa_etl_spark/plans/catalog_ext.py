@@ -3340,3 +3340,79 @@ def s_tar_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "s_tar_samples",
+    oracle="""
+    WITH g AS (SELECT k, s
+               FROM (SELECT unnest(range(0, 12)) AS k),
+                    (SELECT unnest(range(0, 8)) AS s))
+    SELECT lpad(CAST(k AS VARCHAR), 2, '0') || '/sample-'
+             || CAST(s AS VARCHAR) AS sample_key,
+           CAST((s // 2) * 5
+                + CASE WHEN s % 2 = 1 THEN 3 ELSE 0 END AS INT) AS sample_idx,
+           CAST(2 + CASE WHEN s % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_members,
+           md5(repeat('text-' || CAST(k AS VARCHAR) || '-'
+                      || CAST(s AS VARCHAR), 1 + s % 3)) AS txt,
+           md5(CAST((k + s) % 5 AS VARCHAR)) AS cls,
+           CASE WHEN s % 2 = 0
+                THEN md5('{"k":' || CAST(k AS VARCHAR) || ',"s":'
+                         || CAST(s AS VARCHAR) || '}')
+           END AS "json"
+    FROM g ORDER BY sample_key
+    """,
+)
+def s_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset SAMPLE assembly — the consumption contract that makes
+    the tar source a training-data source instead of an archive lister
+    (r6 verdict ask #1): ``format("tar")`` member rows are regrouped by
+    sample key (path up to the first dot of the basename, the
+    WebDataset convention) into ONE ROW PER SAMPLE with extension-keyed
+    columns (here txt/cls/json md5s) via
+    sources/tarfmt.assemble_webdataset_samples.  The entry stages 12
+    genuine stdlib-tarfile shards of 8 samples each — txt + cls members
+    always, a json sidecar on even samples — and the oracle replays the
+    grouping wholesale: key construction, min-member-index sample
+    ordering (proving shard-local adjacency survived), member counts,
+    and the md5 of every payload, with the absent-json column null
+    exactly on odd samples.  Scale: one shuffle on (shard, sample_key);
+    members of a sample are adjacent within one InputPartition, and the
+    map_from_entries agg is single-pass with map-side partials — no
+    pivot double-scan."""
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+    from aroa_etl_spark.sources.tarfmt import assemble_webdataset_samples
+
+    stage = _scratch_stage("tar_samples", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(12):
+        with tarfile.open(
+            os.path.join(stage, f"shard{k:02d}.tar"), "w",
+            format=tarfile.USTAR_FORMAT,
+        ) as tf:
+            def add(name: str, payload: bytes) -> None:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+
+            for s in range(8):
+                key = f"{k:02d}/sample-{s}"
+                add(f"{key}.txt", (f"text-{k}-{s}" * (1 + s % 3)).encode())
+                add(f"{key}.cls", str((k + s) % 5).encode())
+                if s % 2 == 0:
+                    add(f"{key}.json", f'{{"k":{k},"s":{s}}}'.encode())
+    register_tar_source(spark)
+    members = spark.read.format("tar").load(os.path.join(stage, "*.tar"))
+    return (
+        assemble_webdataset_samples(members, ["txt", "cls", "json"])
+        .select("sample_key", "sample_idx", "n_members", "txt", "cls", "json")
+        .orderBy("sample_key")
+    )

@@ -56,6 +56,17 @@ TAR_SOURCE_SCHEMA = T.StructType(
     ]
 )
 
+# .option("payload", "true") appends the raw member bytes — the
+# training-loader shape; the default md5-only schema keeps catalog
+# scans from materializing blobs they only need to fingerprint.
+TAR_SOURCE_PAYLOAD_SCHEMA = T.StructType(
+    [*TAR_SOURCE_SCHEMA.fields, T.StructField("payload", T.BinaryType())]
+)
+
+
+def _wants_payload(options: dict) -> bool:
+    return str(options.get("payload", "false")).lower() in ("true", "1")
+
 _TAR_SUFFIXES = (".tar",)
 
 
@@ -73,19 +84,23 @@ class _TarShardPartition(InputPartition):
         self.size = size
 
 
-def _read_shard_members(path: str, size: int | None = None) -> Iterator[tuple]:
-    """One shard → member tuples in TAR_SOURCE_SCHEMA order.  ``size``
-    caps the read at the byte length the planner recorded so executors
-    parse exactly the snapshot the offset describes."""
+def _read_shard_members(
+    path: str, size: int | None = None, with_payload: bool = False
+) -> Iterator[tuple]:
+    """One shard → member tuples in TAR_SOURCE_SCHEMA (or
+    TAR_SOURCE_PAYLOAD_SCHEMA) order.  ``size`` caps the read at the
+    byte length the planner recorded so executors parse exactly the
+    snapshot the offset describes."""
     with open(path, "rb") as fh:
         blob = fh.read() if size is None else fh.read(size)
     sid = _path_shard_id(path)
-    for idx, name, msize, digest in parse_tar_blob(blob):
-        yield (path, sid, idx, name, msize, digest)
+    for row in parse_tar_blob(blob, with_payload=with_payload):
+        yield (path, sid, *row)
 
 
 class TarReader(DataSourceReader):
     def __init__(self, options: dict):
+        self.with_payload = _wants_payload(options)
         path = options.get("path")
         if not path:
             raise ValueError("tar source needs a path: .load('/shards/*.tar')")
@@ -104,7 +119,7 @@ class TarReader(DataSourceReader):
         return [_TarShardPartition(p) for p in self.paths]
 
     def read(self, partition: _TarShardPartition) -> Iterator[tuple]:
-        return _read_shard_members(partition.path)
+        return _read_shard_members(partition.path, with_payload=self.with_payload)
 
 
 class TarStreamReader(DataSourceStreamReader):
@@ -112,6 +127,7 @@ class TarStreamReader(DataSourceStreamReader):
     ``[name, size]`` list of already-ingested shards."""
 
     def __init__(self, options: dict):
+        self.with_payload = _wants_payload(options)
         self.dir = options.get("path")
         if not self.dir or not os.path.isdir(self.dir):
             raise ValueError("streaming tar source needs a directory path")
@@ -157,7 +173,9 @@ class TarStreamReader(DataSourceStreamReader):
     def read(self, partition: _TarShardPartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
-        return _read_shard_members(partition.path, partition.size)
+        return _read_shard_members(
+            partition.path, partition.size, with_payload=self.with_payload
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-describing
@@ -173,6 +191,8 @@ class TarDataSource(DataSource):
         return "tar"
 
     def schema(self) -> T.StructType:
+        if _wants_payload(self.options):
+            return TAR_SOURCE_PAYLOAD_SCHEMA
         return TAR_SOURCE_SCHEMA
 
     def reader(self, schema: T.StructType) -> DataSourceReader:

@@ -56,8 +56,12 @@ def _octal(field: bytes, what: str) -> int:
         raise ValueError(f"non-octal {what} field {field!r}") from exc
 
 
-def parse_tar_blob(content: bytes, *, strict: bool = True):
-    """Yield (idx, name, size, payload_md5) for each REGULAR member.
+def parse_tar_blob(content: bytes, *, strict: bool = True,
+                   with_payload: bool = False):
+    """Yield (idx, name, size, payload_md5) for each REGULAR member —
+    plus the raw payload bytes as a fifth element when
+    ``with_payload=True`` (the training-loader path; md5-only is the
+    default so catalog scans never materialize blobs they don't need).
 
     Structural errors (bad checksum, non-octal field, payload overrun,
     data after a lone zero block, missing terminator) raise in strict
@@ -110,12 +114,8 @@ def parse_tar_blob(content: bytes, *, strict: bool = True):
                 return
         if typeflag in (b"0", b"\x00"):  # regular file (old and ustar forms)
             payload = content[pos + _BLOCK:data_end]
-            yield (
-                idx,
-                name,
-                size,
-                hashlib.md5(payload).hexdigest(),
-            )
+            row = (idx, name, size, hashlib.md5(payload).hexdigest())
+            yield row + (payload,) if with_payload else row
             idx += 1
         pos = data_end + (-size % _BLOCK)
     if strict:
@@ -237,4 +237,79 @@ def write_webdataset_shards(
     return (
         staged.groupBy("__shard")
         .applyInPandas(pack, WEBDATASET_MANIFEST_SCHEMA)
+    )
+
+
+def assemble_webdataset_samples(
+    df: DataFrame,
+    extensions: list[str] | tuple[str, ...],
+    *,
+    shard_col: str = "path",
+    name_col: str = "name",
+    idx_col: str = "member_idx",
+    value_col: str = "payload_md5",
+) -> DataFrame:
+    """Group tar member rows into one row per WebDataset SAMPLE — the
+    consumption contract a training loader needs: sample key = the
+    member path up to the first dot of the basename (the WebDataset
+    convention this module's header cites), one extension-keyed column
+    per requested extension carrying that member's ``value_col``.
+
+    Works on any member frame — ``format("tar")`` rows (value_col
+    ``payload_md5``, or ``payload`` when the source is loaded with
+    ``.option("payload", "true")``) and ``parse_tar_members`` output
+    alike.  Output: (shard_col, sample_key, sample_idx = min member
+    index, preserving shard-local sample order; n_members; one column
+    per extension, null when the sample lacks that member).  Members
+    whose extension is not in ``extensions`` still count toward
+    n_members but get no column; a duplicate extension within one
+    sample raises (Spark's duplicate-map-key policy) — the honest
+    contract, since WebDataset defines at most one member per
+    extension per sample.
+
+    Scale: ONE shuffle on (shard, sample_key).  On the native tar
+    source the members of a sample are adjacent within a single
+    InputPartition (one shard per partition), so the hash partitioning
+    moves each shard's rows once with no skew — sample counts per
+    shard are bounded by shard size, and the map_from_entries agg is a
+    single-pass partial aggregation, no pivot double-scan."""
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split(F.col(name_col), "/"), -1)
+    stem = F.substring_index(base, ".", 1)
+    prefix = F.expr(
+        f"substring({name_col}, 1, length({name_col}) - "
+        f"length(element_at(split({name_col}, '/'), -1)))"
+    )
+    staged = df.select(
+        F.col(shard_col),
+        F.col(idx_col),
+        F.col(value_col),
+        F.concat(prefix, stem).alias("sample_key"),
+        F.when(
+            F.instr(base, ".") > 0,
+            F.expr(
+                f"substring(element_at(split({name_col}, '/'), -1), "
+                f"instr(element_at(split({name_col}, '/'), -1), '.') + 1)"
+            ),
+        ).alias("__ext"),
+    )
+    agged = staged.groupBy(shard_col, "sample_key").agg(
+        F.min(idx_col).cast("int").alias("sample_idx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("__ext").isin(list(extensions)),
+                    F.struct(F.col("__ext"), F.col(value_col)),
+                )
+            )
+        ).alias("__m"),
+    )
+    return agged.select(
+        shard_col,
+        "sample_key",
+        "sample_idx",
+        "n_members",
+        *[F.col("__m").getItem(e).alias(e) for e in extensions],
     )

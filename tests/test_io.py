@@ -710,3 +710,52 @@ def test_tar_stream_mutated_shard_fails_planning(tmp_path):
     )
     assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["w1.tar"]
     assert parts[0].size == 512
+
+
+def test_webdataset_sample_assembly_roundtrip(spark, tmp_path):
+    """The WebDataset last mile: write multi-member samples through
+    write_webdataset_shards, read back via format('tar') with
+    .option('payload','true'), and regroup with
+    assemble_webdataset_samples — one row per sample, extension-keyed
+    payload columns, absent extensions null."""
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+    from aroa_etl_spark.sources.tarfmt import (
+        assemble_webdataset_samples,
+        write_webdataset_shards,
+    )
+
+    rows = []
+    for i in range(20):
+        key = f"dir/{i:04d}"
+        rows.append((i, f"{key}.txt", bytearray(f"T{i}".encode())))
+        rows.append((i, f"{key}.cls", bytearray(str(i % 3).encode())))
+        if i % 2 == 0:
+            rows.append((i, f"{key}.json", bytearray(b"{}")))
+    df = spark.createDataFrame(rows, "doc_id bigint, name string, content binary")
+    out = tmp_path / "wds"
+    out.mkdir()
+    manifest = write_webdataset_shards(df, str(out), docs_per_shard=10).collect()
+    assert sum(r.n_members for r in manifest) == 50
+
+    register_tar_source(spark)
+    members = (
+        spark.read.format("tar").option("payload", "true")
+        .load(str(out / "*.tar"))
+    )
+    assert "payload" in members.columns
+    samples = assemble_webdataset_samples(
+        members, ["txt", "cls", "json"], value_col="payload"
+    ).collect()
+    assert len(samples) == 20
+    by_key = {r.sample_key: r for r in samples}
+    for i in range(20):
+        r = by_key[f"dir/{i:04d}"]
+        assert bytes(r.txt) == f"T{i}".encode()
+        assert bytes(r.cls) == str(i % 3).encode()
+        if i % 2 == 0:
+            assert bytes(r.json) == b"{}" and r.n_members == 3
+        else:
+            assert r.json is None and r.n_members == 2
+    # members of one sample never split across shards (same id -> same
+    # md5 bucket), so sample_idx is a within-shard contiguous walk
+    assert all(r.sample_idx >= 0 for r in samples)
