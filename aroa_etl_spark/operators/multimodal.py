@@ -1927,6 +1927,61 @@ def ogg_page_crc(page: bytes) -> int:
     return crc
 
 
+def _iter_ogg_pages(content: bytes, strict: bool):
+    """CRC-verified Ogg page walk shared by scan_ogg_pages and
+    scan_ogg_ident: yields (header_type, granule, serial, segs, body)
+    per valid page.  strict raises on lost capture / truncation / CRC;
+    lenient resyncs past CRC failures and stops at truncation —
+    behavior identical to the walk scan_ogg_pages shipped with."""
+    pos = 0
+    while pos < len(content):
+        if content[pos:pos + 4] != b"OggS":
+            if strict:
+                raise ValueError(f"lost Ogg capture pattern at byte {pos}")
+            nxt = content.find(b"OggS", pos + 1)
+            if nxt == -1:
+                return
+            pos = nxt
+            continue
+        if pos + 27 > len(content):
+            if strict:
+                raise ValueError(f"truncated page header at byte {pos}")
+            return
+        if content[pos + 4] != 0:
+            raise NotImplementedError(
+                f"Ogg version {content[pos + 4]} (only 0 exists)"
+            )
+        nsegs = content[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > len(content):
+            if strict:
+                raise ValueError(f"truncated segment table at byte {pos}")
+            return
+        segs = content[pos + 27:seg_end]
+        body_len = sum(segs)
+        page_end = seg_end + body_len
+        if page_end > len(content):
+            if strict:
+                raise ValueError(f"truncated page body at byte {pos}")
+            return
+        page = bytearray(content[pos:page_end])
+        stored = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_page_crc(bytes(page)) != stored:
+            if strict:
+                raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+            pos += 1
+            continue
+        yield (
+            content[pos + 5],
+            int.from_bytes(content[pos + 6:pos + 14], "little", signed=True),
+            int.from_bytes(content[pos + 14:pos + 18], "little"),
+            segs,
+            content[seg_end:page_end],
+        )
+        pos = page_end
+
+
 def scan_ogg_pages(df: DataFrame, *, strict: bool = True) -> DataFrame:
     """Ogg container page walk (RFC 3533) — the last of the scanner
     family (WARC records, MPEG frames, JPEG markers, BMFF boxes, tar
@@ -1943,58 +1998,19 @@ def scan_ogg_pages(df: DataFrame, *, strict: bool = True) -> DataFrame:
     next 'OggS'.  Scale: mapInPandas, zero shuffle, O(pages) per blob."""
 
     def _scan(content: bytes) -> dict:
-        pos = 0
         n_pages = 0
         n_packets = 0
         serial = 0
         last_granule = 0
         payload_bytes = 0
-        while pos < len(content):
-            if content[pos:pos + 4] != b"OggS":
-                if strict:
-                    raise ValueError(f"lost Ogg capture pattern at byte {pos}")
-                nxt = content.find(b"OggS", pos + 1)
-                if nxt == -1:
-                    break
-                pos = nxt
-                continue
-            if pos + 27 > len(content):
-                if strict:
-                    raise ValueError(f"truncated page header at byte {pos}")
-                break
-            if content[pos + 4] != 0:
-                raise NotImplementedError(
-                    f"Ogg version {content[pos + 4]} (only 0 exists)"
-                )
-            nsegs = content[pos + 26]
-            seg_end = pos + 27 + nsegs
-            if seg_end > len(content):
-                if strict:
-                    raise ValueError(f"truncated segment table at byte {pos}")
-                break
-            segs = content[pos + 27:seg_end]
-            body_len = sum(segs)
-            page_end = seg_end + body_len
-            if page_end > len(content):
-                if strict:
-                    raise ValueError(f"truncated page body at byte {pos}")
-                break
-            page = bytearray(content[pos:page_end])
-            stored = int.from_bytes(page[22:26], "little")
-            page[22:26] = b"\x00\x00\x00\x00"
-            if ogg_page_crc(bytes(page)) != stored:
-                if strict:
-                    raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
-                pos += 1
-                continue
+        for htype, granule, pserial, segs, body in _iter_ogg_pages(
+            content, strict
+        ):
             n_pages += 1
             n_packets += sum(1 for v in segs if v < 255)
-            serial = int.from_bytes(content[pos + 14:pos + 18], "little")
-            last_granule = int.from_bytes(
-                content[pos + 6:pos + 14], "little", signed=True
-            )
-            payload_bytes += body_len
-            pos = page_end
+            serial = pserial
+            last_granule = granule
+            payload_bytes += len(body)
         if strict and n_pages == 0:
             raise ValueError("no valid Ogg pages in file")
         return {
@@ -2047,3 +2063,102 @@ def build_ogg_page(
     crc = ogg_page_crc(bytes(page))
     page[22:26] = crc.to_bytes(4, "little")
     return bytes(page)
+
+
+OGG_IDENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("pre_skip", T.IntegerType()),
+        T.StructField("last_granule", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+
+def scan_ogg_ident(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """Vorbis/Opus identification-header triage on the CRC-verified Ogg
+    page walk — channels / sample rate / duration WITHOUT decoding a
+    single audio sample, the metadata gate a crawl pipeline applies
+    before routing audio to transcription.
+
+    The first packet of the first BOS page (header_type bit 0x02) is
+    parsed per the PUBLIC specs: Vorbis I identification header
+    (spec 4.2.2: 0x01 + 'vorbis', u32 version, u8 channels, u32le
+    sample rate) or the Opus ID header (RFC 7845 5.1: 'OpusHead', u8
+    version, u8 channels, u16le pre-skip, u32le input sample rate).
+    Duration comes from the last granule position of that logical
+    stream: Vorbis granules count samples at the stream rate; Opus
+    granules are ALWAYS 48 kHz with pre-skip subtracted (RFC 7845
+    4/5.1) — integer floor division, so the oracle replays it exactly.
+    strict=False degrades an unrecognized BOS packet to codec
+    'unknown' with zero fields instead of raising.  Scale: pure
+    continuation of the existing page walk — mapInPandas, zero
+    shuffle, O(pages) per blob, no codec library."""
+
+    def _scan(content: bytes) -> dict:
+        codec, ch, rate, pre_skip = "", 0, 0, 0
+        bos_serial = None
+        last_granule = 0
+        n_pages = 0
+        for htype, granule, serial, segs, body in _iter_ogg_pages(
+            content, strict
+        ):
+            n_pages += 1
+            if bos_serial is None and htype & 0x02:
+                bos_serial = serial
+                first_len = 0
+                for v in segs:
+                    first_len += v
+                    if v < 255:
+                        break
+                pkt = body[:first_len]
+                if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                    codec = "opus"
+                    ch = pkt[9]
+                    pre_skip = int.from_bytes(pkt[10:12], "little")
+                    rate = int.from_bytes(pkt[12:16], "little")
+                elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 30:
+                    codec = "vorbis"
+                    ch = pkt[11]
+                    rate = int.from_bytes(pkt[12:16], "little")
+                elif strict:
+                    raise ValueError(
+                        "BOS packet is neither an Opus ID header nor a "
+                        "Vorbis identification header"
+                    )
+                else:
+                    codec = "unknown"
+            if bos_serial is not None and serial == bos_serial and granule >= 0:
+                last_granule = granule
+        if strict and n_pages == 0:
+            raise ValueError("no valid Ogg pages in file")
+        if codec == "opus":
+            dur = max(0, last_granule - pre_skip) * 1_000_000 // 48000
+        elif codec == "vorbis" and rate:
+            dur = last_granule * 1_000_000 // rate
+        else:
+            dur = 0
+        return {
+            "codec": codec,
+            "channels": ch,
+            "sample_rate": rate,
+            "pre_skip": pre_skip,
+            "last_granule": last_granule,
+            "duration_us": dur,
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rec = _scan(bytes(row["content"] or b""))
+                rec["media_id"] = row["media_id"]
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in OGG_IDENT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, OGG_IDENT_SCHEMA)

@@ -1436,3 +1436,88 @@ def mm_ogg_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return scan_ogg_pages(media, strict=True)
+
+
+@query(
+    "mm_ogg_ident_scan",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k,
+                 CASE WHEN k % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+                 1 + k % 2 AS channels,
+                 CASE k % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                            ELSE 48000 END AS rate,
+                 CASE WHEN k % 2 = 1 THEN 100 + k ELSE 0 END AS pre_skip,
+                 CAST((k + 1) * 9600 AS BIGINT) AS lg
+          FROM p)
+    SELECT media_id,
+           codec,
+           CAST(channels AS INT) AS channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(pre_skip AS INT) AS pre_skip,
+           CAST(lg AS BIGINT) AS last_granule,
+           CAST(CASE WHEN codec = 'opus'
+                     THEN (lg - pre_skip) * 1000000 // 48000
+                     ELSE lg * 1000000 // rate END AS BIGINT) AS duration_us
+    FROM d
+    """,
+)
+def mm_ogg_ident_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis/Opus identification-header parse on the CRC-verified Ogg
+    page walk (operators/multimodal.scan_ogg_ident; r6 verdict ask #4):
+    channels, sample rate, Opus pre-skip, and granule-derived duration
+    with ZERO codec decode.  The 40-blob broadcast dim alternates
+    genuine Vorbis identification headers (Vorbis I spec 4.2.2) and
+    Opus ID headers (RFC 7845 5.1) on the BOS page, followed by 1-3
+    data pages whose final granule comes from k-arithmetic; every page
+    carries a correct Ogg CRC (build_ogg_page).  The oracle replays
+    channels/rate/pre-skip selection and the exact integer-floor
+    duration arithmetic — Vorbis granules at stream rate, Opus at the
+    spec-fixed 48 kHz minus pre-skip.  Scale: dim broadcast, fact
+    never shuffles, mapInPandas header walk."""
+    from aroa_etl_spark.operators.multimodal import (
+        build_ogg_page,
+        scan_ogg_ident,
+    )
+
+    rates = [8000, 16000, 22050, 44100, 48000]
+    blobs = []
+    for k in range(40):
+        ch = 1 + k % 2
+        rate = rates[k % 5]
+        lg = (k + 1) * 9600
+        if k % 2 == 0:
+            ident = (
+                b"\x01vorbis"
+                + (0).to_bytes(4, "little")
+                + bytes([ch])
+                + rate.to_bytes(4, "little")
+                + (0).to_bytes(4, "little") * 3
+                + bytes([0xB8, 0x01])
+            )
+        else:
+            pre_skip = 100 + k
+            ident = (
+                b"OpusHead"
+                + bytes([1, ch])
+                + pre_skip.to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (0).to_bytes(2, "little")
+                + bytes([0])
+            )
+        pages = build_ogg_page(k, 0, 0, ident, header_type=0x02)
+        n_data = 1 + k % 3
+        for i in range(n_data):
+            granule = lg if i == n_data - 1 else (i + 1) * 1000
+            body = bytes((k + i + j) % 256 for j in range(30))
+            pages += build_ogg_page(k, i + 1, granule, body)
+        blobs.append((k, bytearray(pages)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return scan_ogg_ident(media, strict=True)

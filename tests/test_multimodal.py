@@ -1361,3 +1361,56 @@ def test_jpeg_scan_lenient_sentinel_rows(spark):
     trunc = b"\xff\xd8" + b"\xff\xc0" + (11).to_bytes(2, "big") + bytes(3)
     r3 = _jpeg_scan_one(spark, trunc, strict=False)
     assert (r3.width, r3.height) == (0, 0)
+
+
+def _ogg_ident_one(spark, content: bytes, strict: bool = True):
+    from aroa_etl_spark.operators.multimodal import scan_ogg_ident
+
+    df = spark.createDataFrame(
+        [(1, bytearray(content))], "media_id bigint, content binary"
+    )
+    return scan_ogg_ident(df, strict=strict).collect()[0]
+
+
+def _vorbis_ident(ch: int, rate: int) -> bytes:
+    return (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([ch])
+        + rate.to_bytes(4, "little") + (0).to_bytes(4, "little") * 3
+        + bytes([0xB8, 0x01])
+    )
+
+
+def _opus_ident(ch: int, rate: int, pre_skip: int) -> bytes:
+    return (
+        b"OpusHead" + bytes([1, ch]) + pre_skip.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (0).to_bytes(2, "little") + bytes([0])
+    )
+
+
+def test_ogg_ident_vorbis_and_opus_duration(spark):
+    from aroa_etl_spark.operators.multimodal import build_ogg_page
+
+    # Vorbis: granules count samples at the stream rate
+    v = build_ogg_page(7, 0, 0, _vorbis_ident(2, 44100), header_type=0x02)
+    v += build_ogg_page(7, 1, 88200, b"data" * 10)
+    r = _ogg_ident_one(spark, v)
+    assert (r.codec, r.channels, r.sample_rate, r.pre_skip) == ("vorbis", 2, 44100, 0)
+    assert r.last_granule == 88200 and r.duration_us == 2_000_000
+
+    # Opus: granules are ALWAYS 48 kHz, pre-skip subtracted (RFC 7845)
+    o = build_ogg_page(9, 0, 0, _opus_ident(1, 16000, 312), header_type=0x02)
+    o += build_ogg_page(9, 1, 48312, b"opusdata")
+    r2 = _ogg_ident_one(spark, o)
+    assert (r2.codec, r2.channels, r2.sample_rate, r2.pre_skip) == ("opus", 1, 16000, 312)
+    assert r2.duration_us == 1_000_000  # (48312 - 312) / 48000
+
+
+def test_ogg_ident_unknown_bos_strict_vs_lenient(spark):
+    import pytest as _pytest
+    from aroa_etl_spark.operators.multimodal import build_ogg_page
+
+    blob = build_ogg_page(3, 0, 0, b"FLACwhat?" + bytes(30), header_type=0x02)
+    with _pytest.raises(Exception, match="neither an Opus|Py4J"):
+        _ogg_ident_one(spark, blob)
+    r = _ogg_ident_one(spark, blob, strict=False)
+    assert (r.codec, r.channels, r.sample_rate, r.duration_us) == ("unknown", 0, 0, 0)
