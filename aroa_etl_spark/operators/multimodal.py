@@ -1679,7 +1679,9 @@ _JPEG_SOF_UNSUPPORTED = frozenset(
 )
 
 
-def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
+def scan_jpeg_markers(
+    df: DataFrame, *, strict: bool = True, keep_content: bool = False
+) -> DataFrame:
     """JPEG dimensions/type triage WITHOUT decode: walk the marker
     segments (each self-lengthed, the same length-driven discipline as
     the WARC and MPEG scanners) up to the first SOF frame header and
@@ -1743,25 +1745,35 @@ def scan_jpeg_markers(df: DataFrame, *, strict: bool = True) -> DataFrame:
             raise ValueError("no SOF marker before end of data")
         return 0, 0, 0, 0
 
+    out_schema = (
+        T.StructType([*JPEG_SCAN_SCHEMA.fields,
+                      T.StructField("content", T.BinaryType())])
+        if keep_content else JPEG_SCAN_SCHEMA
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
                 w, h, nc, prog = _scan(content)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": w,
-                        "height": h,
-                        "n_components": nc,
-                        "progressive": prog,
-                        "n_bytes": len(content),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in JPEG_SCAN_SCHEMA.fields])
+                rec = {
+                    "media_id": row["media_id"],
+                    "width": w,
+                    "height": h,
+                    "n_components": nc,
+                    "progressive": prog,
+                    "n_bytes": len(content),
+                }
+                if keep_content:
+                    # scan-gate-then-decode pipelines filter on the
+                    # triage verdict and feed survivors straight to the
+                    # decode kernel without re-reading the blob
+                    rec["content"] = content
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return df.mapInPandas(kernel, JPEG_SCAN_SCHEMA)
+    return df.mapInPandas(kernel, out_schema)
 
 
 MP4_SCAN_SCHEMA = T.StructType(

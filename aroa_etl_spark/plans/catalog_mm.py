@@ -1521,3 +1521,147 @@ def mm_ogg_ident_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return scan_ogg_ident(media, strict=True)
+
+
+@query(
+    "mm_triage_gated_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    j AS (SELECT media_id, 8 + (k % 5) * 8 AS w, 8 + (k % 7) * 8 AS h
+          FROM p WHERE k % 2 = 0),
+    m AS (SELECT media_id,
+                 ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                 )[1 + k % 14] AS br,
+                 ([44100,48000,32000])[1 + k % 3] AS sr,
+                 3 + k % 3 AS nf
+          FROM p WHERE k % 2 = 1)
+    SELECT media_id, 'jpeg' AS kind,
+           CASE WHEN w * h <= 1024 THEN 'decode' ELSE 'skip_large' END
+             AS route,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN w * h <= 1024 THEN w * h ELSE 0 END AS BIGINT)
+             AS n_pixels,
+           CAST(0 AS BIGINT) AS duration_us
+    FROM j
+    UNION ALL
+    SELECT media_id, 'mp3' AS kind, 'metadata_only' AS route,
+           CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+           CAST(0 AS BIGINT) AS n_pixels,
+           CAST((CAST(nf AS BIGINT) * 1152 * 1000000) // sr AS BIGINT)
+             AS duration_us
+    FROM m
+    """,
+)
+def mm_triage_gated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-before-decode — THE 100 TB multimodal recipe (r6 verdict
+    ask #5): route every blob by cheap triage before any expensive
+    kernel runs.  Magic bytes split the mixed corpus (jpeg vs mp3);
+    JPEGs go through the marker scanner (dims, no IDCT) and ONLY those
+    at or under 1024 pixels continue to the real JPEG decoder — the
+    plan shows MapInPandas(scan, content passthrough) → Filter(width *
+    height <= 1024) → MapInPandas(decode), the scan gate literally
+    upstream of the decode; oversized JPEGs and all MP3s keep
+    scanner metadata only (MP3 duration from the frame walk).  The
+    oracle replays the routing and every checked column: geometry
+    arithmetic, the gate predicate, decoded pixel counts (nonzero
+    EXACTLY on routed-to-decode rows, equal to the decoded array's
+    shape), and exact integer MP3 durations.  Scale: triage is
+    O(header) per blob and runs twice (once per route branch) — re-
+    scanning headers is the cheap half of the trade that avoids ever
+    decoding a skipped blob; zero shuffle, no joins, three unioned
+    scan branches."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        MPEG1_L3_BITRATES,
+        MPEG1_SAMPLE_RATES,
+        decode_image,
+        scan_jpeg_markers,
+        scan_mpeg_frames,
+    )
+
+    blobs = []
+    for k in range(40):
+        if k % 2 == 0:
+            w = 8 + (k % 5) * 8
+            h = 8 + (k % 7) * 8
+            blob = encode_baseline_jpeg(
+                np.full((h, w), 128, dtype=np.uint8), quality=85
+            )
+        else:
+            bi = 1 + k % 14
+            si = k % 3
+            nf = 3 + k % 3
+            br = MPEG1_L3_BITRATES[bi - 1]
+            sr = MPEG1_SAMPLE_RATES[si]
+            frame_len = 144000 * br // sr
+            frame = (
+                bytes([0xFF, 0xFB, (bi << 4) | (si << 2), 0x00])
+                + bytes(frame_len - 4)
+            )
+            blob = frame * nf
+        blobs.append((k, bytearray(blob)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+
+    is_jpeg = F.hex(F.substring(F.col("content"), 1, 2)) == "FFD8"
+    scanned = scan_jpeg_markers(
+        media.filter(is_jpeg), strict=True, keep_content=True
+    )
+    small = F.col("width") * F.col("height") <= 1024
+
+    import pandas as _pd
+
+    def decode_kernel(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                px = decode_image(
+                    bytes(row["content"]), {"format": "jpeg"}, strict=True
+                )
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": row["width"],
+                        "height": row["height"],
+                        "n_pixels": int(px.shape[0]) * int(px.shape[1]),
+                    }
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_pixels"]
+            )
+
+    decoded = scanned.filter(small).mapInPandas(
+        decode_kernel,
+        "media_id bigint, width int, height int, n_pixels bigint",
+    ).select(
+        "media_id",
+        F.lit("jpeg").alias("kind"),
+        F.lit("decode").alias("route"),
+        "width", "height", "n_pixels",
+        F.lit(0).cast("bigint").alias("duration_us"),
+    )
+    skipped = scanned.filter(~small).select(
+        "media_id",
+        F.lit("jpeg").alias("kind"),
+        F.lit("skip_large").alias("route"),
+        "width", "height",
+        F.lit(0).cast("bigint").alias("n_pixels"),
+        F.lit(0).cast("bigint").alias("duration_us"),
+    )
+    audio = scan_mpeg_frames(media.filter(~is_jpeg), strict=True).select(
+        "media_id",
+        F.lit("mp3").alias("kind"),
+        F.lit("metadata_only").alias("route"),
+        F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"),
+        F.lit(0).cast("bigint").alias("n_pixels"),
+        F.col("duration_us"),
+    )
+    return decoded.unionByName(skipped).unionByName(audio)

@@ -150,3 +150,20 @@ def test_perplexity_scalable_has_no_window_sort(spark, sf_dir):
     assert "percentile" in plan
     twin = catalog.spec("tdp_perplexity_buckets").builder(spark, sf_dir)
     assert "Window" in twin._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_triage_gate_upstream_of_decode(spark, sf_dir):
+    """mm_triage_gated_decode's load-bearing shape: the decode branch
+    must show MapInPandas(scan) -> Filter(area gate) -> MapInPandas
+    (decode) — the triage verdict literally upstream of the decode
+    kernel, so oversized blobs never reach it (r6 verdict ask #5)."""
+    df = catalog.spec("mm_triage_gated_decode").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("MapInPandas") >= 3  # scan x2 branches + decode
+    gate_idx = plan.find("(width")
+    assert gate_idx != -1, "area gate filter missing from plan"
+    first_map = plan.find("MapInPandas")
+    assert first_map != -1 and first_map < gate_idx, (
+        "decode MapInPandas must sit above the gate Filter in the tree "
+        "(Spark prints operators top-down: downstream first)"
+    )
