@@ -1353,6 +1353,19 @@ BENCH_EXTRA = [
     "text_quality_stats",
     "ann_cosine_topk",
     "cc_connected_components",
+    # Round-7 widening (r6 verdict ask #2): one representative per major
+    # family added in rounds 4-7, so driver BENCH tracking sees the code
+    # where the engine now spends itself — a policy-cost regression in a
+    # non-headline family previously shipped blind.
+    "tdp_substring_dedup",       # Lee-et-al exact substring dedup (text/tdp)
+    "tdp_curation_pipeline_v3",  # multi-gate curation pipeline (tdp)
+    "tdp_stratified_sample",     # sampling family
+    "q9_product_profit",         # TPC-H multiway join/agg
+    "mm_jpeg_dims_scan",         # container-scanner family (real encoder blobs)
+    "mm_image_decode_real",      # real-codec decode family
+    "mm_triage_gated_decode",    # scan-gate -> decode fusion (round 7)
+    "s_tar_webdataset",          # tar/WebDataset ingestion family
+    "st_windowed_counts",        # structured-streaming drain
 ]
 
 
