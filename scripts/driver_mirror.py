@@ -63,8 +63,55 @@ def main() -> int:
     print(json.dumps({"total": len(results), "bad": len(bad)}))
     if bad:
         print(json.dumps(bad, indent=2)[:4000])
+    _write_receipt(results, sf_dir)
     spark.stop()
     return 1 if bad else 0
+
+
+def _write_receipt(results: dict[str, dict], sf_dir: str) -> None:
+    """Persist the mirror outcome as RECEIPTS/r{N}_mirror.json (r6
+    verdict ask #7: attestation receipts must be machine-checkable, not
+    git archaeology).  N = the upcoming round (max CORRECTNESS round +
+    1).  A full run rewrites the round's receipt; a filtered run MERGES
+    its entries into it, so targeted re-attestations after a code change
+    keep the receipt fresh without a 30-minute full sweep.  Each entry
+    records status, wall seconds, and the commit it ran against."""
+    import glob
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"_r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    path = os.path.join(root, "RECEIPTS", f"r{n:02d}_mirror.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=root,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=root,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip())
+    except Exception:
+        commit, dirty = "unknown", True
+    entries: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            entries = json.load(fh).get("entries", {})
+    for name, rec in results.items():
+        entries[name] = {**rec, "commit": commit, "dirty": dirty}
+    with open(path, "w") as fh:
+        json.dump(
+            {"sf_dir": sf_dir, "round": n,
+             "entries": dict(sorted(entries.items()))},
+            fh, indent=1,
+        )
+    print(f"receipt: {path} ({len(entries)} entries)")
 
 
 if __name__ == "__main__":

@@ -759,3 +759,50 @@ def test_webdataset_sample_assembly_roundtrip(spark, tmp_path):
     # members of one sample never split across shards (same id -> same
     # md5 bucket), so sample_idx is a within-shard contiguous walk
     assert all(r.sample_idx >= 0 for r in samples)
+
+
+def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
+    """S4 against a LIVE JDBC endpoint (r6 verdict ask #6): Spark
+    bundles Apache Derby (its metastore DB), so read_jdbc gets a real
+    in-JVM round-trip — write a table through the JDBC sink, read it
+    back partitioned (4 parallel range queries) and via the
+    query-pushdown form — instead of plan-construction only."""
+    from aroa_etl_spark.sources.io import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 7 as int) as grp", "concat('name-', id) as name"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "people")
+        .option("driver", props["driver"])
+        .mode("overwrite")
+        .save()
+    )
+
+    back = read_jdbc(
+        spark, url, "people",
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=100, properties=props,
+    )
+    assert back.rdd.getNumPartitions() == 4  # real range partitioning
+    rows = back.orderBy("id").collect()
+    assert len(rows) == 100
+    low = {f.lower() for f in back.columns}
+    assert low == {"id", "grp", "name"}
+    assert [r[2] for r in rows[:3]] == ["name-0", "name-1", "name-2"]
+
+    # query form: the GROUP BY executes inside Derby, not in Spark
+    # (identifiers quoted — Spark's JDBC writer creates case-sensitive
+    # lowercase names in Derby)
+    agg = read_jdbc(
+        spark, url,
+        'SELECT "grp", COUNT(*) AS n FROM people GROUP BY "grp"',
+        properties=props,
+    ).collect()
+    assert sorted((r[0], r[1]) for r in agg) == [
+        (g, 15 if g < 2 else 14) for g in range(7)
+    ]
