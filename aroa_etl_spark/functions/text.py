@@ -842,3 +842,48 @@ def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _ratio(c)
+
+
+CHARSET_SCHEMA = "doc_id bigint, charset string, n_chars int"
+
+
+def detect_charset(df, *, id_col: str = "doc_id", raw_col: str = "raw"):
+    """Charset detection over raw crawl bytes — the decoding gate that
+    runs BEFORE any text operator, since a miss here is what produces
+    the mojibake `text_mojibake_stats` later hunts for.
+
+    Detection order (the practical crawl heuristic, not a statistical
+    model): explicit BOMs first (UTF-16LE/BE, UTF-8-sig), then a strict
+    UTF-8 decode attempt (its validity is self-certifying: random
+    Latin-1 high bytes are invalid UTF-8 sequences), ASCII reported
+    as its own class (pure 7-bit decodes identically everywhere), and
+    Latin-1 as the always-succeeds fallback.  Returns (id, charset,
+    n_chars) with n_chars counted AFTER decode, BOM excluded.
+    Scale: Arrow-batched mapInPandas, zero shuffle, O(bytes) per row;
+    misdetections surface downstream as mojibake stats, the paired
+    observability signal."""
+    from collections.abc import Iterator as _Iterator
+
+    def _detect(raw: bytes) -> tuple[str, int]:
+        if raw[:2] == b"\xff\xfe":
+            return "utf-16le", len(raw[2:].decode("utf-16-le"))
+        if raw[:2] == b"\xfe\xff":
+            return "utf-16be", len(raw[2:].decode("utf-16-be"))
+        if raw[:3] == b"\xef\xbb\xbf":
+            return "utf-8-sig", len(raw[3:].decode("utf-8"))
+        try:
+            s = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return "latin-1", len(raw.decode("latin-1"))
+        return ("ascii" if s.isascii() else "utf-8"), len(s)
+
+    def kernel(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                charset, n = _detect(bytes(row[raw_col] or b""))
+                out.append({"doc_id": row[id_col], "charset": charset,
+                            "n_chars": n})
+            yield pd.DataFrame(out, columns=["doc_id", "charset", "n_chars"])
+
+    return df.mapInPandas(kernel, CHARSET_SCHEMA)

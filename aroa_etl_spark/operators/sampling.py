@@ -27,7 +27,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "grouped_sample_exact_k"]
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "grouped_sample_exact_k", "deterministic_shuffle"]
 
 # Granularity of split/sample decisions. 10^6 buckets keeps fraction
 # resolution at 1e-6 while staying far below 2^32 (no modulo bias worth
@@ -375,4 +375,59 @@ def temperature_sample(
         df.join(F.broadcast(th), c == F.col("__stratum"))
         .filter(bucket < F.col("sample_thresh"))
         .drop("__stratum")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 64,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Reproducible global corpus shuffle WITHOUT a global sort — the
+    pre-packing permutation a training pipeline runs so batches mix
+    sources, re-derivable bit-exactly by any engine for resumption or
+    audit.
+
+    The permutation is (shard, pos_in_shard): shard = md5 bucket of
+    (salt || id); pos_in_shard = rank of the full 60-bit md5 within the
+    shard (id tiebreak); global_pos = cumulative size of earlier shards
+    + pos_in_shard.  Shard sizes are exact counts, so global positions
+    are a true permutation of [1, N] — yet the only per-row window is
+    PARTITIONED by shard (never a single global ordering partition),
+    and the cumulative offsets come from a window over the tiny
+    n_shards-row size dim, broadcast back.  Scale: one hash shuffle +
+    one broadcast join; shard count is the parallelism lever (set it
+    to O(corpus bytes / shard target), not CPU count).  Changing
+    ``salt`` yields an independent permutation — epoch reshuffles are
+    a salt bump, no state."""
+    from pyspark.sql.window import Window as W
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    staged = df.select(F.col(id_col), h.alias("__h"),
+                       (h % n_shards).cast("int").alias("shard"))
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("__h", id_col)
+    )
+    positioned = staged.select(id_col, "shard", pos.alias("pos_in_shard"))
+    sizes = positioned.groupBy("shard").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = sizes.select(
+        "shard",
+        F.coalesce(
+            F.sum("__n").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    return positioned.join(F.broadcast(offsets), "shard").select(
+        id_col,
+        "shard",
+        "pos_in_shard",
+        (F.col("__offset") + F.col("pos_in_shard")).cast("bigint")
+        .alias("global_pos"),
     )

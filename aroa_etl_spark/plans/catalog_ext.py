@@ -3416,3 +3416,45 @@ def s_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sample_key", "sample_idx", "n_members", "txt", "cls", "json")
         .orderBy("sample_key")
     )
+
+
+@query(
+    "s_parquet_compaction",
+    oracle="""
+    SELECT CAST(57 AS BIGINT) AS n_files_before,
+           CAST((COUNT(*) + 999) // 1000 AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents
+    """,
+)
+def s_parquet_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sources/io.compact_parquet_dir): the
+    documents table is deliberately fragmented into 57 parquet files,
+    compacted back to ceil(rows/1000) files, and the entry proves BOTH
+    halves — the layout change (file counts before/after, exact
+    because the target is an exact-count computation) and content
+    preservation (row count, doc_id checksum, distinct text md5s over
+    the re-read compacted copy).  The oracle replays the file
+    arithmetic and the content aggregates from the source table.
+    Scale: one round-robin shuffle — the unavoidable cost of changing
+    layout; the before/after file-listing counts are metadata-scale."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.io import compact_parquet_dir
+
+    stage = _scratch_stage("compaction", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    frag, compacted = os.path.join(stage, "frag"), os.path.join(stage, "out")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs.repartition(57).write.parquet(frag)
+    manifest = compact_parquet_dir(spark, frag, compacted, rows_per_file=1000)
+    back = spark.read.parquet(compacted)
+    checks = back.agg(
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.count_distinct(F.md5(F.encode("text", "UTF-8"))).cast("bigint")
+        .alias("n_distinct_texts"),
+    )
+    return manifest.crossJoin(F.broadcast(checks))

@@ -727,3 +727,79 @@ def st_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("warc_type")
     )
+
+
+@query(
+    "st_tar_samples",
+    oracle="""
+    WITH g AS (SELECT k, s
+               FROM (SELECT unnest(range(0, 8)) AS k),
+                    (SELECT unnest(range(0, 5)) AS s))
+    SELECT 'shard' || CAST(k AS VARCHAR) || '/s' || CAST(s AS VARCHAR)
+             AS sample_key,
+           CAST(CASE s WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 5
+                       WHEN 3 THEN 7 ELSE 10 END AS INT) AS sample_idx,
+           CAST(2 + CASE WHEN s % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_members,
+           md5('body-' || CAST(k AS VARCHAR) || '-' || CAST(s AS VARCHAR))
+             AS txt,
+           md5(CAST((k * 2 + s) % 6 AS VARCHAR)) AS cls
+    FROM g ORDER BY sample_key
+    """,
+)
+def st_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + round-7 sample assembly: the STREAMING WebDataset
+    consumption loop — ``spark.readStream.format("tar")`` tails the
+    shard directory (one executor-side partition per new shard) and
+    the drained member rows regroup into one row per training sample
+    via assemble_webdataset_samples, exactly what a continuous
+    training-data loader runs in foreachBatch as packing jobs drop
+    finished shards.  The entry stages 8 genuine stdlib-tarfile shards
+    of 5 samples (txt + cls always, a json sidecar every third
+    sample), drains, assembles, and the oracle replays the grouping:
+    key construction, cumulative member-index sample order, member
+    counts, and every payload md5.  Assembly after the drain uses the
+    same batch operator a foreachBatch consumer would call — per-batch
+    semantics are pytest-pinned on the batch twin (s_tar_samples).
+    Scale: shard pickup is incremental (offsets = ingested shard
+    list); assembly is one (shard, sample_key) shuffle per batch."""
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+    from aroa_etl_spark.sources.tarfmt import assemble_webdataset_samples
+
+    stage = _scratch_stage("tar_st_samples", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(8):
+        with tarfile.open(
+            os.path.join(stage, f"w{k}.tar"), "w",
+            format=tarfile.USTAR_FORMAT,
+        ) as tf:
+            def add(name: str, payload: bytes) -> None:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+
+            for s in range(5):
+                key = f"shard{k}/s{s}"
+                add(f"{key}.txt", f"body-{k}-{s}".encode())
+                add(f"{key}.cls", str((k * 2 + s) % 6).encode())
+                if s % 3 == 0:
+                    add(f"{key}.json", b"{}")
+    register_tar_source(spark)
+    stream = spark.readStream.format("tar").load(stage).select(
+        "path", "member_idx", "name", "payload_md5"
+    )
+    _drain(stream, "st_tar_samples_sink", "append")
+    members = spark.table("st_tar_samples_sink")
+    return (
+        assemble_webdataset_samples(members, ["txt", "cls"])
+        .select("sample_key", "sample_idx", "n_members", "txt", "cls")
+        .orderBy("sample_key")
+    )

@@ -2130,3 +2130,84 @@ def tdp_balanced_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_sample_exact_k(docs, "lang", "doc_id", k=20).select(
         "lang", "doc_id", "sample_rank"
     )
+
+
+@query(
+    "tdp_deterministic_shuffle",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      ('0x'||substr(md5('shuf'||CAST(doc_id AS VARCHAR)),1,15)
+                      )::UBIGINT::BIGINT AS h
+               FROM documents),
+    s AS (SELECT doc_id, h, CAST(h % 64 AS INT) AS shard FROM h),
+    p AS (SELECT doc_id, shard,
+                 row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                   AS pos_in_shard
+          FROM s),
+    o AS (SELECT shard,
+                 COALESCE(SUM(COUNT(*)) OVER (ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+          FROM p GROUP BY shard)
+    SELECT p.doc_id, p.shard,
+           CAST(p.pos_in_shard AS INT) AS pos_in_shard,
+           CAST(o.off + p.pos_in_shard AS BIGINT) AS global_pos
+    FROM p JOIN o USING (shard)
+    """,
+)
+def tdp_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-packing corpus shuffle with NO global sort
+    (operators/sampling.deterministic_shuffle): shard = md5 bucket,
+    pos = 60-bit-hash rank WITHIN the shard (partitioned window only),
+    global_pos = broadcast cumulative shard offsets + pos — a true
+    permutation of [1, N] any engine re-derives bit-exactly, which is
+    what makes training runs resumable and batch composition auditable.
+    Epoch reshuffle = salt bump.  The oracle replays the whole
+    construction including the offset arithmetic.  Scale: one hash
+    shuffle + one broadcast join; the only unpartitioned window runs
+    over the 64-row shard-size dim (the quota-apportionment pattern),
+    never over data."""
+    from aroa_etl_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return deterministic_shuffle(docs.select("doc_id"), "doc_id", n_shards=64)
+
+
+@query(
+    "text_charset_detect",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'ascii'
+                WHEN 1 THEN 'utf-8'
+                WHEN 2 THEN 'utf-16le'
+                ELSE 'latin-1' END AS charset,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 37 END AS INT)
+             AS n_chars
+    FROM documents
+    """,
+)
+def text_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection on raw crawl bytes (functions/text.
+    detect_charset) — the decode gate upstream of every text operator.
+    Each document plants one of four genuine encodings of a derived
+    string ('café-' + md5 hex; the é supplies the non-ASCII byte):
+    pure-ASCII (md5 only), BOM-less UTF-8, BOM'd UTF-16LE (built with
+    Spark's own encode + unhex'd BOM), and Latin-1 — whose lone 0xE9
+    byte is an INVALID UTF-8 sequence, so the strict-decode heuristic
+    is load-bearing, not echoed metadata.  The oracle replays the
+    routing and the decoded char counts (BOM excluded).  Scale:
+    Arrow-batched mapInPandas, zero shuffle."""
+    from aroa_etl_spark.functions.text import detect_charset
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = F.concat(F.lit("café-"), F.md5(F.encode("text", "UTF-8")))
+    route = (F.col("doc_id") % 4).cast("int")
+    raw = (
+        F.when(route == 0, F.encode(F.md5(F.encode("text", "UTF-8")), "UTF-8"))
+        .when(route == 1, F.encode(base, "UTF-8"))
+        .when(route == 2, F.concat(F.unhex(F.lit("FFFE")),
+                                   F.encode(base, "UTF-16LE")))
+        .otherwise(F.encode(base, "ISO-8859-1"))
+    )
+    return detect_charset(docs.select("doc_id", raw.alias("raw")))

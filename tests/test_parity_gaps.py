@@ -238,3 +238,26 @@ def test_ngram_blocked_inverted_index_vs_brute_force(spark):
                 if u > 0 and len(a & b) / u >= 0.3:
                     want[(i, j)] = (len(a & b), u)
     assert got == want
+
+
+def test_detect_charset_boms_and_heuristics(spark):
+    """BOM detection, strict-UTF-8 self-certification, ASCII class,
+    Latin-1 fallback, and the empty-bytes edge (round 7)."""
+    from aroa_etl_spark.functions.text import detect_charset
+
+    cases = [
+        (0, "ascii-only".encode("ascii"), "ascii", 10),
+        (1, "café".encode("utf-8"), "utf-8", 4),
+        (2, b"\xff\xfe" + "café".encode("utf-16-le"), "utf-16le", 4),
+        (3, b"\xfe\xff" + "café".encode("utf-16-be"), "utf-16be", 4),
+        (4, b"\xef\xbb\xbf" + "café".encode("utf-8"), "utf-8-sig", 4),
+        (5, "café".encode("latin-1"), "latin-1", 4),
+        (6, b"", "ascii", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in cases],
+        "doc_id bigint, raw binary",
+    )
+    got = {r.doc_id: (r.charset, r.n_chars) for r in detect_charset(df).collect()}
+    for i, _, charset, n in cases:
+        assert got[i] == (charset, n), (i, got[i])

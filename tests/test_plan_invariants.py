@@ -52,6 +52,7 @@ _CARTESIAN_OK = {
     "sk_kll_quantile_bounds",  # 1-row quantile-value broadcast into the rank check
     "sk_theta_set_ops",  # (sketch 1-row) × (sketch 1-row) × (exact 1-row) set algebra
     "tdp_quota_apportionment",  # (total 1-row) and (allotted 1-row) broadcasts into the per-source dim
+    "s_parquet_compaction",  # (manifest 1-row) × (content-checksum 1-row) assembly
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {

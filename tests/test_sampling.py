@@ -302,3 +302,22 @@ def test_quota_apportionment_sums_to_budget(spark):
     for r in rows:
         base = 1000 * r.n_docs // total
         assert r.quota in (base, base + 1), (r.source, r.quota, base)
+
+
+def test_deterministic_shuffle_is_true_permutation(spark):
+    from aroa_etl_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", n_shards=8)
+    rows = out.collect()
+    # global_pos is exactly the permutation 1..500
+    assert sorted(r.global_pos for r in rows) == list(range(1, 501))
+    # re-running yields the identical assignment (reproducibility)
+    again = {r.doc_id: r.global_pos for r in deterministic_shuffle(
+        df.repartition(13), "doc_id", n_shards=8).collect()}
+    assert all(again[r.doc_id] == r.global_pos for r in rows)
+    # a salt bump is an independent epoch permutation, same support
+    epoch2 = {r.doc_id: r.global_pos for r in deterministic_shuffle(
+        df, "doc_id", n_shards=8, salt="epoch2").collect()}
+    assert sorted(epoch2.values()) == list(range(1, 501))
+    assert any(epoch2[r.doc_id] != r.global_pos for r in rows)
