@@ -3458,3 +3458,84 @@ def s_parquet_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_distinct_texts"),
     )
     return manifest.crossJoin(F.broadcast(checks))
+
+
+@query(
+    "s_tar_gzip_members",
+    oracle="""
+    WITH g AS (SELECT k * 6 + s AS sid, k, s
+               FROM (SELECT unnest(range(0, 10)) AS k),
+                    (SELECT unnest(range(0, 6)) AS s)),
+    m AS (SELECT sid, k,
+                 'doc-' || CAST(k AS VARCHAR) || '-' || CAST(s AS VARCHAR)
+                   || '-' || repeat('x', s * 3) AS body
+          FROM g)
+    SELECT lpad(CAST(k AS VARCHAR), 2, '0') || '/'
+             || lpad(CAST(sid AS VARCHAR), 4, '0') AS sample_key,
+           CAST(2 AS BIGINT) AS n_members,
+           md5(body) AS txt_md5,
+           CAST(length(body) AS INT) AS txt_len,
+           CAST(sid % 5 AS INT) AS label
+    FROM m ORDER BY sample_key
+    """,
+)
+def s_tar_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed WebDataset members — the ``.txt.gz`` convention
+    (text ships gzipped beside uncompressed sidecars): payload tar scan
+    → sample assembly (the multi-dot extension 'txt.gz' keyed as-is) →
+    gunzip_column in place → content checks on the DECOMPRESSED bytes.
+    Shards carry genuine gzip members (stdlib, mtime pinned 0); the
+    cls sidecar stays uncompressed and passes through gunzip_column
+    untouched (no 1F 8B magic), proving the mixed-column safety the
+    operator promises.  The oracle replays the decompressed bodies —
+    md5 and length — so a wrong or skipped decompression cannot hash-
+    match.  Scale: one (shard, sample_key) shuffle for assembly; the
+    gunzip is one zlib C call per member, zero shuffle."""
+    import gzip
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+    from aroa_etl_spark.sources.tarfmt import (
+        assemble_webdataset_samples,
+        gunzip_column,
+    )
+
+    stage = _scratch_stage("tar_gz_members", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(10):
+        with tarfile.open(
+            os.path.join(stage, f"shard{k:02d}.tar"), "w",
+            format=tarfile.USTAR_FORMAT,
+        ) as tf:
+            def add(name: str, payload: bytes) -> None:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+
+            for s in range(6):
+                sid = k * 6 + s
+                body = f"doc-{k}-{s}-" + "x" * (s * 3)
+                add(f"{k:02d}/{sid:04d}.txt.gz",
+                    gzip.compress(body.encode(), 6, mtime=0))
+                add(f"{k:02d}/{sid:04d}.cls", str(sid % 5).encode())
+    register_tar_source(spark)
+    members = (
+        spark.read.format("tar").option("payload", "true")
+        .load(os.path.join(stage, "*.tar"))
+    )
+    samples = assemble_webdataset_samples(
+        members, ["txt.gz", "cls"], value_col="payload"
+    ).withColumnRenamed("txt.gz", "txt_gz")
+    plain = gunzip_column(gunzip_column(samples, "txt_gz"), "cls")
+    return plain.select(
+        "sample_key",
+        "n_members",
+        F.md5(F.col("txt_gz")).alias("txt_md5"),
+        F.length(F.col("txt_gz")).cast("int").alias("txt_len"),
+        F.decode(F.col("cls"), "UTF-8").cast("int").alias("label"),
+    ).orderBy("sample_key")

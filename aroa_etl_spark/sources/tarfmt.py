@@ -313,3 +313,37 @@ def assemble_webdataset_samples(
         "n_members",
         *[F.col("__m").getItem(e).alias(e) for e in extensions],
     )
+
+
+def gunzip_column(df: DataFrame, col: str, *, strict: bool = True) -> DataFrame:
+    """Decompress a binary column of gzip members in place — the
+    ``.txt.gz`` / ``.json.gz`` WebDataset member convention (samples
+    ship compressed text beside uncompressed media).  Non-gzip bytes
+    (no 1F 8B magic) pass through unchanged, so the operator composes
+    safely over a mixed extension map; corrupt gzip raises in strict
+    mode and degrades to the raw bytes with ``strict=False``.
+    Scale: Arrow-batched mapInPandas, one zlib C call per row, zero
+    shuffle — the compression_ratio signal's cost model."""
+    import gzip as _gzip
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out_schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(v):
+                if v is None:
+                    return v
+                raw = bytes(v)
+                if raw[:2] != b"\x1f\x8b":
+                    return raw
+                try:
+                    return _gzip.decompress(raw)
+                except Exception:
+                    if strict:
+                        raise
+                    return raw
+            pdf[col] = pdf[col].map(one)
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

@@ -806,3 +806,32 @@ def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
     assert sorted((r[0], r[1]) for r in agg) == [
         (g, 15 if g < 2 else 14) for g in range(7)
     ]
+
+
+def test_gunzip_column_passthrough_and_corrupt(spark):
+    """gunzip_column: gzip members decompress, non-gzip bytes pass
+    through untouched, corrupt gzip raises strict / passes lenient."""
+    import gzip
+
+    import pytest as _pytest
+
+    from aroa_etl_spark.sources.tarfmt import gunzip_column
+
+    good = gzip.compress(b"hello world", 6, mtime=0)
+    corrupt = good[:-4] + b"\x00\x00\x00\x00"  # break the CRC/ISIZE
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"plain bytes")), (3, None)],
+        "id bigint, payload binary",
+    )
+    got = {r.id: r.payload for r in gunzip_column(df, "payload").collect()}
+    assert bytes(got[1]) == b"hello world"
+    assert bytes(got[2]) == b"plain bytes"
+    assert got[3] is None
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(corrupt))], "id bigint, payload binary"
+    )
+    with _pytest.raises(Exception):
+        gunzip_column(bad, "payload").collect()
+    lenient = gunzip_column(bad, "payload", strict=False).collect()[0]
+    assert bytes(lenient.payload) == corrupt  # degraded to raw bytes
