@@ -887,3 +887,82 @@ def detect_charset(df, *, id_col: str = "doc_id", raw_col: str = "raw"):
             yield pd.DataFrame(out, columns=["doc_id", "charset", "n_chars"])
 
     return df.mapInPandas(kernel, CHARSET_SCHEMA)
+
+
+def bpe_train(
+    df,
+    col: str,
+    *,
+    n_merges: int = 3,
+    token_re: str = "^[a-z]+$",
+):
+    """LEARN a BPE merge table from a corpus (Sennrich et al. 2016,
+    Algorithm 1) — the training half of the tokenizer story
+    (:func:`bpe_apply` is the apply half): ``n_merges`` rounds of
+    "count all adjacent symbol pairs, merge the most frequent"
+    (count-desc, then lexicographic (a, b) tiebreak, so the learned
+    table is deterministic and engine-replayable).
+
+    Returns a DataFrame (rank, a, b, freq) — the rank-ordered merge
+    table ready to feed :func:`bpe_apply`.
+
+    Scale shape, exactly the published one: the corpus collapses ONCE
+    to a (word, freq) vocabulary table (one shuffle over data — BPE
+    statistics only depend on word frequencies), which is persisted;
+    every training round then runs over the VOCABULARY (millions of
+    rows at web scale, not billions) — one pair-explode + groupBy
+    shuffle plus a 1-row argmax probe (the CC-style per-round scalar
+    collect), and the merge itself is a constant replace over the
+    self-delimited word form shared with bpe_apply.  Tokens are
+    filtered to ``token_re`` (symbols must not contain ``<``/``>``,
+    the self-delimiting markers)."""
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+        lambda t: t.rlike(token_re),
+    )
+    base = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "freq")
+        .persist()
+    )
+    wf = base
+    try:
+        merges = []
+        for rank in range(n_merges):
+            pairs = wf.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with("
+                        "  slice(split(regexp_replace(w, '^<|>$', ''), '><'),"
+                        "        1, size(split(regexp_replace(w, '^<|>$', ''), '><')) - 1),"
+                        "  slice(split(regexp_replace(w, '^<|>$', ''), '><'),"
+                        "        2, size(split(regexp_replace(w, '^<|>$', ''), '><')) - 1),"
+                        "  (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p"),
+            ).select("freq", "p.a", "p.b")
+            best = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .first()
+            )
+            if best is None:
+                break
+            merges.append((rank, best["a"], best["b"], int(best["cnt"])))
+            wf = wf.withColumn(
+                "w",
+                F.replace(
+                    "w",
+                    F.lit(f"<{best['a']}><{best['b']}>"),
+                    F.lit(f"<{best['a']}{best['b']}>"),
+                ),
+            )
+        return spark.createDataFrame(
+            merges, "rank int, a string, b string, freq bigint"
+        )
+    finally:
+        base.unpersist()

@@ -2211,3 +2211,66 @@ def text_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.encode(base, "ISO-8859-1"))
     )
     return detect_charset(docs.select("doc_id", raw.alias("raw")))
+
+
+@query(
+    "text_bpe_train",
+    oracle=r"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 t -> regexp_matches(t, '^[a-z]+$'))) AS w
+        FROM documents)
+      GROUP BY w),
+    w0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS w, freq
+           FROM words),
+    p0 AS (SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+           FROM (SELECT string_split(trim(w, '<>'), '><') AS s, freq
+                 FROM w0),
+                LATERAL (SELECT unnest(range(1, len(s))) AS i)
+           GROUP BY a, b),
+    b0 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
+    w1 AS (SELECT replace(w0.w, '<'||b0.a||'><'||b0.b||'>',
+                          '<'||b0.a||b0.b||'>') AS w, freq
+           FROM w0, b0),
+    p1 AS (SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+           FROM (SELECT string_split(trim(w, '<>'), '><') AS s, freq
+                 FROM w1),
+                LATERAL (SELECT unnest(range(1, len(s))) AS i)
+           GROUP BY a, b),
+    b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS (SELECT replace(w1.w, '<'||b1.a||'><'||b1.b||'>',
+                          '<'||b1.a||b1.b||'>') AS w, freq
+           FROM w1, b1),
+    p2 AS (SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+           FROM (SELECT string_split(trim(w, '<>'), '><') AS s, freq
+                 FROM w2),
+                LATERAL (SELECT unnest(range(1, len(s))) AS i)
+           GROUP BY a, b),
+    b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1)
+    SELECT 0 AS rank, a, b, CAST(cnt AS BIGINT) AS freq FROM b0
+    UNION ALL SELECT 1, a, b, CAST(cnt AS BIGINT) FROM b1
+    UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b2
+    ORDER BY rank
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING at corpus scale (functions/text.bpe_train;
+    Sennrich et al. 2016 Algorithm 1) — the learning half the round-6
+    bpe_apply was missing: three rounds of count-all-adjacent-pairs →
+    merge-the-most-frequent over the documents corpus, count-desc /
+    lexicographic-tiebreak so the learned table is deterministic.  The
+    oracle replays ALL three training rounds unrolled in SQL — pair
+    explosion from the self-delimited word form, argmax, constant
+    replace (the same replace semantics bpe_apply pinned cross-engine)
+    — so a wrong pair count, a broken tiebreak, or a leaky merge in
+    ANY round changes every later round and fails the hash.  Scale:
+    the corpus collapses once to a persisted (word, freq) vocabulary
+    (pair statistics only depend on word frequencies); each round is
+    one vocab-sized shuffle + a 1-row argmax probe (the CC per-round
+    scalar pattern)."""
+    from aroa_etl_spark.functions.text import bpe_train
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bpe_train(docs, "text", n_merges=3).orderBy("rank")

@@ -129,3 +129,29 @@ def test_compression_ratio_orders_redundancy(spark):
     again = {r.doc_id: r.ratio for r in
              df.select("doc_id", compression_ratio("text").alias("ratio")).collect()}
     assert got == again
+
+
+def test_bpe_train_learns_known_merges_and_roundtrips(spark):
+    """Hand-computed Sennrich fixture: corpus 'low low low lower
+    newest newest' — pair counts make the first merges predictable —
+    and the learned table drives bpe_apply back over the corpus."""
+    from aroa_etl_spark.functions.text import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low lower",), ("newest newest",)], "text string"
+    )
+    merges = bpe_train(df, "text", n_merges=3).orderBy("rank").collect()
+    # round 0: pairs l-o x4, o-w x4, w-e x3, e-r x1, n-e x2, e-w x2,
+    # e-s x2, s-t x2 -> tie l-o / o-w at 4, lexicographic -> (l, o)
+    assert (merges[0].a, merges[0].b, merges[0].freq) == ("l", "o", 4)
+    # round 1: lo-w now x4 -> (lo, w)
+    assert (merges[1].a, merges[1].b, merges[1].freq) == ("lo", "w", 4)
+    # round 2: remaining pairs all tie at 2 (e-r is 1); lexicographic
+    # smallest is (e, s)
+    assert (merges[2].a, merges[2].b, merges[2].freq) == ("e", "s", 2)
+
+    # the learned table applied back: 'low' is one token after 2 merges
+    toks = spark.createDataFrame([("low lower",)], "text string").select(
+        bpe_apply("text", [(m.a, m.b) for m in merges]).alias("t")
+    ).first().t
+    assert toks == ["low", "low", "e", "r"]

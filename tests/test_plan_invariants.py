@@ -60,6 +60,9 @@ _SKIP = {
     # same reason: building it executes the iterative CC convergence
     # loop over the LSH pair graph (per-round plan audited in PLANS.md)
     "dedup_canonical_keep",
+    # building it executes the BPE training loop (per-round 1-row argmax
+    # probes, the CC pattern)
+    "text_bpe_train",
 }
 
 _NAMES = sorted(
