@@ -27,7 +27,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample", "grouped_sample_exact_k", "deterministic_shuffle"]
+__all__ = ["hash_bucket", "hash_split", "hash_sample", "grouped_sample_exact_k", "deterministic_shuffle", "epoch_repeat"]
 
 # Granularity of split/sample decisions. 10^6 buckets keeps fraction
 # resolution at 1e-6 while staying far below 2^32 (no modulo bias worth
@@ -430,4 +430,38 @@ def deterministic_shuffle(
         "pos_in_shard",
         (F.col("__offset") + F.col("pos_in_shard")).cast("bigint")
         .alias("global_pos"),
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str,
+    epochs_milli_col: Column,
+    *,
+    salt: str = "rep",
+) -> DataFrame:
+    """Dataset mixing with REPETITION — the upsampling half of corpus
+    mixing (temperature_sample is the downsampling half): emit each row
+    ``epochs`` times, where epochs is fractional — e.g. 2.3 epochs =
+    two guaranteed copies plus a third for a deterministic 30% of ids.
+    This is how low-resource sources are repeated into a training mix
+    (the Llama/GPT corpus-weights recipe) without materializing a
+    shuffle: ``explode(sequence(1, n_copies))``, map-side only.
+
+    ``epochs_milli_col``: epochs × 1000 as an integer column (exact
+    fractional arithmetic — float epochs would make the fractional
+    gate engine-dependent).  The fractional copy is granted when the
+    row's md5 bucket (mod 1000) falls below the fractional part, so
+    re-runs and other engines reproduce the exact same copy set.
+    Output adds ``copy_idx`` (1-based).  Scale: zero shuffle; output
+    row count is sum(epochs) by construction."""
+    n_int = (epochs_milli_col / 1000).cast("long")
+    frac = epochs_milli_col - n_int * 1000
+    gate = hash_bucket(F.col(id_col), salt) % 1000
+    n_copies = (n_int + (gate < frac).cast("long")).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
     )

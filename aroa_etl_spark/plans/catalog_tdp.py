@@ -2274,3 +2274,67 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return bpe_train(docs, "text", n_merges=3).orderBy("rank")
+
+
+@query(
+    "tdp_mixture_repetition",
+    oracle="""
+    WITH cfg AS (SELECT source,
+                        500 + (('0x'||substr(md5('epochs'||source),1,8)
+                               )::UBIGINT::BIGINT % 1000000) % 2500
+                          AS em
+                 FROM (SELECT DISTINCT source FROM documents)),
+    d AS (SELECT doc_id, d.source, em,
+                 em // 1000 AS n_int,
+                 (('0x'||substr(md5('rep'||CAST(doc_id AS VARCHAR)),1,8)
+                  )::UBIGINT::BIGINT % 1000000) % 1000 AS gate
+          FROM documents d JOIN cfg USING (source)),
+    n AS (SELECT doc_id, source, em,
+                 n_int + CASE WHEN gate < em - n_int * 1000
+                              THEN 1 ELSE 0 END AS n_copies
+          FROM d)
+    SELECT source,
+           CAST(SUM(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_emitted,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(MAX(em) AS BIGINT) AS epochs_milli
+    FROM n GROUP BY source ORDER BY source
+    """,
+)
+def tdp_mixture_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing with fractional REPETITION
+    (operators/sampling.epoch_repeat) — the upsampling recipe that
+    weights low-resource sources into a training mix: each source gets
+    0.5–3.0 epochs (milli-integer arithmetic, derived here from a
+    source-name hash so the entry is self-contained), every document
+    emits floor(epochs) copies plus a deterministic md5-gated extra
+    for the fractional part (sub-1.0 epochs therefore DOWNsample: docs
+    whose gate misses emit zero copies and drop out).  The oracle
+    replays the per-document copy arithmetic and the per-source
+    emitted doc/row totals exactly — a
+    float-rounding drift or a wrong gate would miss the hash.  Scale:
+    the repeat is explode(sequence(...)), map-side ZERO shuffle; only
+    the audit aggregation shuffles, and the config join is a broadcast
+    of the per-source dim."""
+    from aroa_etl_spark.operators.sampling import epoch_repeat, hash_bucket
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cfg = (
+        docs.select("source").distinct()
+        .select(
+            "source",
+            (F.lit(500) + hash_bucket(F.col("source"), "epochs") % 2500)
+            .cast("long").alias("em"),
+        )
+    )
+    staged = docs.select("doc_id", "source").join(F.broadcast(cfg), "source")
+    repeated = epoch_repeat(staged, "doc_id", F.col("em"))
+    return (
+        repeated.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs_emitted"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_out"),
+            F.max("em").cast("bigint").alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )

@@ -321,3 +321,26 @@ def test_deterministic_shuffle_is_true_permutation(spark):
         df, "doc_id", n_shards=8, salt="epoch2").collect()}
     assert sorted(epoch2.values()) == list(range(1, 501))
     assert any(epoch2[r.doc_id] != r.global_pos for r in rows)
+
+
+def test_epoch_repeat_fractional_copies(spark):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.sampling import epoch_repeat
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    # 2.3 epochs: everyone twice, ~30% a third time, deterministically
+    out = epoch_repeat(df, "doc_id", F.lit(2300))
+    per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id")
+               .agg(F.count("*").alias("n")).collect()}
+    assert len(per_doc) == 1000
+    assert set(per_doc.values()) <= {2, 3}
+    n3 = sum(1 for v in per_doc.values() if v == 3)
+    assert 230 and 200 < n3 < 400  # md5-uniform ~300
+    # deterministic across re-runs and partitioning
+    again = {r.doc_id: r.n for r in epoch_repeat(df.repartition(7), "doc_id", F.lit(2300))
+             .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert again == per_doc
+    # sub-1.0 epochs downsample: zero-copy docs drop out entirely
+    down = epoch_repeat(df, "doc_id", F.lit(400)).collect()
+    assert 0 < len(down) < 1000 and all(r.copy_idx == 1 for r in down)
