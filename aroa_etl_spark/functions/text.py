@@ -865,12 +865,24 @@ def detect_charset(df, *, id_col: str = "doc_id", raw_col: str = "raw"):
     from collections.abc import Iterator as _Iterator
 
     def _detect(raw: bytes) -> tuple[str, int]:
-        if raw[:2] == b"\xff\xfe":
-            return "utf-16le", len(raw[2:].decode("utf-16-le"))
-        if raw[:2] == b"\xfe\xff":
-            return "utf-16be", len(raw[2:].decode("utf-16-be"))
-        if raw[:3] == b"\xef\xbb\xbf":
-            return "utf-8-sig", len(raw[3:].decode("utf-8"))
+        # 4-byte UTF-32 BOMs FIRST: FF FE 00 00 is a superset of the
+        # UTF-16LE BOM, so order is load-bearing (review finding)
+        boms = (
+            (b"\xff\xfe\x00\x00", "utf-32le", "utf-32-le"),
+            (b"\x00\x00\xfe\xff", "utf-32be", "utf-32-be"),
+            (b"\xff\xfe", "utf-16le", "utf-16-le"),
+            (b"\xfe\xff", "utf-16be", "utf-16-be"),
+            (b"\xef\xbb\xbf", "utf-8-sig", "utf-8"),
+        )
+        for bom, label, codec in boms:
+            if raw[:len(bom)] == bom:
+                # a BOM is a strong hint, not a guarantee: truncated
+                # UTF-16/32 or a mojibake'd BOM over Latin-1 bytes must
+                # classify, not kill the partition (review finding)
+                try:
+                    return label, len(raw[len(bom):].decode(codec))
+                except UnicodeDecodeError:
+                    return "latin-1", len(raw.decode("latin-1"))
         try:
             s = raw.decode("utf-8")
         except UnicodeDecodeError:

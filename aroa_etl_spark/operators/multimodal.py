@@ -1960,9 +1960,15 @@ def _iter_ogg_pages(content: bytes, strict: bool):
                 raise ValueError(f"truncated page header at byte {pos}")
             return
         if content[pos + 4] != 0:
-            raise NotImplementedError(
-                f"Ogg version {content[pos + 4]} (only 0 exists)"
-            )
+            # lenient resync can land on a false 'OggS' inside body
+            # bytes whose 5th byte is arbitrary — that is resync
+            # fodder, not an unsupported file (review finding)
+            if strict:
+                raise NotImplementedError(
+                    f"Ogg version {content[pos + 4]} (only 0 exists)"
+                )
+            pos += 1
+            continue
         nsegs = content[pos + 26]
         seg_end = pos + 27 + nsegs
         if seg_end > len(content):
@@ -2147,6 +2153,16 @@ def scan_ogg_ident(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 last_granule = granule
         if strict and n_pages == 0:
             raise ValueError("no valid Ogg pages in file")
+        if strict and bos_serial is None:
+            # valid pages but no BOS (mid-stream capture): strict mode
+            # must raise, not emit an empty-codec row that downstream
+            # filters would treat as identified (review finding)
+            raise ValueError(
+                "no BOS page — mid-stream Ogg capture has no "
+                "identification header to parse"
+            )
+        if bos_serial is None:
+            codec = "unknown"
         if codec == "opus":
             dur = max(0, last_granule - pre_skip) * 1_000_000 // 48000
         elif codec == "vorbis" and rate:

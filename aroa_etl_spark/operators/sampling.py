@@ -455,13 +455,18 @@ def epoch_repeat(
     re-runs and other engines reproduce the exact same copy set.
     Output adds ``copy_idx`` (1-based).  Scale: zero shuffle; output
     row count is sum(epochs) by construction."""
-    n_int = (epochs_milli_col / 1000).cast("long")
-    frac = epochs_milli_col - n_int * 1000
+    # exact integer floor (div), NOT double division cast — the same
+    # rounding hazard the quota apportionment fix removed (review
+    # finding)
     gate = hash_bucket(F.col(id_col), salt) % 1000
-    n_copies = (n_int + (gate < frac).cast("long")).alias("__n")
     return (
-        df.withColumn("__n", n_copies)
+        df.withColumn("__em", epochs_milli_col.cast("long"))
+        .withColumn(
+            "__n",
+            F.expr("__em div 1000")
+            + (gate < F.pmod(F.col("__em"), F.lit(1000))).cast("long"),
+        )
         .filter(F.col("__n") > 0)
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
-        .drop("__n")
+        .drop("__em", "__n")
     )

@@ -375,17 +375,15 @@ def compact_parquet_dir(
     ``rows_per_file`` from the table's observed bytes/row.  Scale: one
     full-data round-robin shuffle — the unavoidable price of changing
     file layout — and nothing else; no window, no driver loop."""
-    from pyspark.sql import functions as F
-
     df = spark.read.parquet(src_dir)
-    n_before = df.select(F.input_file_name()).distinct().count()
+    # file counts from the scan's file index (metadata only) — a
+    # distinct() over input_file_name() would re-scan the data twice
+    # just to count files (review finding)
+    n_before = len(df.inputFiles())
     n_rows = df.count()
     n_out = max(1, -(-n_rows // rows_per_file))
     df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
-    n_after = (
-        spark.read.parquet(dst_dir)
-        .select(F.input_file_name()).distinct().count()
-    )
+    n_after = len(spark.read.parquet(dst_dir).inputFiles())
     return spark.createDataFrame(
         [(n_before, n_after, n_rows)],
         "n_files_before bigint, n_files_after bigint, rows bigint",

@@ -102,8 +102,11 @@ def parse_tar_blob(content: bytes, *, strict: bool = True,
                 return
         name = header[0:100].split(b"\x00", 1)[0].decode("utf-8")
         # USTAR long-path support: the stdlib writer splits paths over
-        # 100 chars into prefix (345..500) + name; rejoin them.
-        if header[257:262] == b"ustar":
+        # 100 chars into prefix (345..500) + name; rejoin them.  The
+        # magic must be the POSIX 'ustar\0' exactly — GNU format's
+        # 'ustar ' puts atime/ctime/sparse fields at 345+, which would
+        # otherwise be prepended as a junk prefix (review finding).
+        if header[257:263] == b"ustar\x00":
             prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
             if prefix:
                 name = prefix + "/" + name

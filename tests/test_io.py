@@ -835,3 +835,21 @@ def test_gunzip_column_passthrough_and_corrupt(spark):
         gunzip_column(bad, "payload").collect()
     lenient = gunzip_column(bad, "payload", strict=False).collect()[0]
     assert bytes(lenient.payload) == corrupt  # degraded to raw bytes
+
+
+def test_tar_gnu_magic_never_treated_as_prefix():
+    """Review fix: only POSIX 'ustar\\0' magic trusts the prefix field;
+    GNU 'ustar ' headers keep bytes 345+ (atime/ctime) out of names."""
+    import io
+    import tarfile
+
+    from aroa_etl_spark.sources.tarfmt import parse_tar_blob
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        info = tarfile.TarInfo(name="plain.txt")
+        info.size = 3
+        # GNU_FORMAT writes 'ustar ' magic; pax/atime fields land at 345+
+        tf.addfile(info, io.BytesIO(b"abc"))
+    got = list(parse_tar_blob(buf.getvalue()))
+    assert [g[1] for g in got] == ["plain.txt"]

@@ -1414,3 +1414,32 @@ def test_ogg_ident_unknown_bos_strict_vs_lenient(spark):
         _ogg_ident_one(spark, blob)
     r = _ogg_ident_one(spark, blob, strict=False)
     assert (r.codec, r.channels, r.sample_rate, r.duration_us) == ("unknown", 0, 0, 0)
+
+
+def test_ogg_lenient_survives_false_capture_with_bad_version(spark):
+    """Review fix: lenient resync can land on a false 'OggS' whose 5th
+    byte is nonzero - that must be resync fodder, not a raised
+    NotImplementedError."""
+    from aroa_etl_spark.operators.multimodal import build_ogg_page, scan_ogg_pages
+
+    good = build_ogg_page(5, 0, 100, b"payload")
+    # garbage containing a false capture pattern with version byte 7
+    blob = b"OggS\x07junkjunk" + good
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id bigint, content binary"
+    )
+    row = scan_ogg_pages(df, strict=False).collect()[0]
+    assert row.n_pages == 1 and row.serial == 5
+
+
+def test_ogg_ident_strict_raises_without_bos(spark):
+    """Review fix: valid pages but no BOS page (mid-stream capture)
+    must raise in strict mode, not emit an empty-codec row."""
+    import pytest as _pytest
+    from aroa_etl_spark.operators.multimodal import build_ogg_page
+
+    blob = build_ogg_page(3, 7, 100, b"data")  # header_type 0 - no BOS
+    with _pytest.raises(Exception, match="no BOS page|Py4J"):
+        _ogg_ident_one(spark, blob)
+    r = _ogg_ident_one(spark, blob, strict=False)
+    assert r.codec == "unknown"

@@ -261,3 +261,26 @@ def test_detect_charset_boms_and_heuristics(spark):
     got = {r.doc_id: (r.charset, r.n_chars) for r in detect_charset(df).collect()}
     for i, _, charset, n in cases:
         assert got[i] == (charset, n), (i, got[i])
+
+
+def test_detect_charset_dirty_boms_and_utf32(spark):
+    """Review fixes: UTF-32 BOMs beat the UTF-16 prefix; a BOM over
+    invalid payload classifies as latin-1 instead of killing the task;
+    GNU-style junk never raises."""
+    from aroa_etl_spark.functions.text import detect_charset
+
+    cases = [
+        (0, b"\xff\xfe\x00\x00" + "hi".encode("utf-32-le"), "utf-32le", 2),
+        (1, b"\x00\x00\xfe\xff" + "hi".encode("utf-32-be"), "utf-32be", 2),
+        # UTF-16LE BOM + odd byte count: invalid UTF-16 -> latin-1
+        (2, b"\xff\xfe\x41", "latin-1", 3),
+        # mojibake'd UTF-8 BOM over a latin-1 high byte -> latin-1
+        (3, b"\xef\xbb\xbf\xe9", "latin-1", 4),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in cases],
+        "doc_id bigint, raw binary",
+    )
+    got = {r.doc_id: (r.charset, r.n_chars) for r in detect_charset(df).collect()}
+    for i, _, charset, n in cases:
+        assert got[i] == (charset, n), (i, got[i])
