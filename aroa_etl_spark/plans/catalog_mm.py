@@ -1665,3 +1665,75 @@ def mm_triage_gated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_us"),
     )
     return decoded.unionByName(skipped).unionByName(audio)
+
+
+@query(
+    "mm_image_dhash_dedup",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    hh AS (SELECT k2,
+                  list_aggregate(list_transform(range(0, 64),
+                    i -> CASE WHEN (k2 * 3 + (i % 8) * 7 + (i // 8) * 11)
+                                   % 255
+                                 > (k2 * 3 + ((i % 8) + 1) * 7
+                                    + (i // 8) * 11) % 255
+                              THEN '1' ELSE '0' END),
+                    'string_agg', '') AS dhash
+           FROM (SELECT unnest(range(0, 20)) AS k2))
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_variants
+    FROM p JOIN hh ON hh.k2 = p.k % 20
+    GROUP BY dhash ORDER BY dhash
+    """,
+)
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup bucketing
+    (operators/multimodal.image_dhash): dHash — one bit per horizontal
+    neighbor pair on the 9×8 grayscale grid — is the cheap fingerprint
+    image-dedup pipelines bucket on before any pixel-wise verify.  The
+    40-blob dim carries REAL 9×8 PGM images whose pixels come from
+    k-arithmetic in [0, 254]; blobs k and k+20 are brightness-shifted
+    twins (+1 on every pixel, no clamp), so each hash bucket must
+    contain exactly the two planted variants — dHash's brightness
+    invariance proven by value, not by assertion.  The oracle replays
+    the 64 comparisons bit-for-bit (row-major, left>right) and the
+    bucket counts.  Scale: decode + 72-sample hash per image in
+    mapInPandas, one groupBy on the 64-char key — the image analogue
+    of the MinHash band join."""
+    from aroa_etl_spark.operators.multimodal import image_dhash
+
+    blobs = []
+    for k in range(40):
+        k2 = k % 20
+        shift = 1 if k >= 20 else 0
+        pix = bytes(
+            ((k2 * 3 + x * 7 + y * 11) % 255) + shift
+            for y in range(8) for x in range(9)
+        )
+        blobs.append((k, bytearray(b"P5\n9 8\n255\n" + pix)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key").withColumn(
+        "meta",
+        F.struct(
+            F.lit(9).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit("pgm").alias("format"),
+        ),
+    )
+    return (
+        image_dhash(media, strict=True)
+        .withColumn("k", (F.col("media_id") % 40).cast("int"))
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.count_distinct("k").cast("bigint").alias("n_variants"),
+        )
+        .orderBy("dhash")
+    )

@@ -1443,3 +1443,24 @@ def test_ogg_ident_strict_raises_without_bos(spark):
         _ogg_ident_one(spark, blob)
     r = _ogg_ident_one(spark, blob, strict=False)
     assert r.codec == "unknown"
+
+
+def test_image_dhash_brightness_invariant_but_gradient_sensitive(spark):
+    from aroa_etl_spark.operators.multimodal import image_dhash
+
+    def pgm(shift: int, flip: bool = False) -> bytearray:
+        pix = [((3 + x * 7 + y * 11) % 255) + shift
+               for y in range(8) for x in range(9)]
+        if flip:  # reverse one horizontal gradient
+            pix[0], pix[1] = pix[1], pix[0]
+        return bytearray(b"P5\n9 8\n255\n" + bytes(pix))
+
+    meta = {"width": 9, "height": 8, "channels": 1, "format": "pgm"}
+    df = spark.createDataFrame(
+        [(1, pgm(0), meta), (2, pgm(1), meta), (3, pgm(0, flip=True), meta)],
+        "media_id bigint, content binary, meta map<string,string>",
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(df, strict=True).collect()}
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+    assert got[1] == got[2]      # +1 brightness: same hash
+    assert got[1] != got[3]      # flipped gradient: different hash
