@@ -3539,3 +3539,78 @@ def s_tar_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("txt_gz")).cast("int").alias("txt_len"),
         F.decode(F.col("cls"), "UTF-8").cast("int").alias("label"),
     ).orderBy("sample_key")
+
+
+@query(
+    "s_tar_shard_audit",
+    oracle="""
+    WITH t AS (SELECT CAST((COUNT(*) + 99) // 100 AS BIGINT) AS n
+               FROM documents),
+    d AS (SELECT doc_id, text,
+                 ('0x'||substr(md5('shard'||CAST(doc_id AS VARCHAR)),1,15)
+                 )::UBIGINT::BIGINT % t.n AS shard
+          FROM documents, t)
+    SELECT CAST(shard AS INT) AS shard_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_manifest,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+    FROM d GROUP BY shard ORDER BY shard_idx
+    """,
+)
+def s_tar_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-set integrity audit — the trust-but-verify pass a training
+    pipeline runs after packing: write_webdataset_shards packs the
+    documents corpus (100 docs/shard, deterministic md5-bucket
+    assignment), the native tar source reads every shard back, and the
+    per-shard member counts from the READER are laid beside the
+    WRITER's manifest — a writer/reader disagreement (lost member,
+    truncated shard, double write) breaks the hash, as does any drift
+    in the deterministic shard assignment, because the oracle replays
+    the md5-bucket arithmetic from the source table.  Scale: the audit
+    is one scan of the shard set (one partition per shard) + a
+    broadcast of the manifest dim; no data-sized join."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.tar_datasource import register_tar_source
+    from aroa_etl_spark.sources.tarfmt import write_webdataset_shards
+
+    stage = _scratch_stage("tar_audit", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit("s/"), F.col("doc_id"), F.lit(".txt")).alias("name"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    # materialize the pack NOW: the manifest is the write's action, and
+    # the tar reader lists the directory at read-plan time
+    manifest_rows = write_webdataset_shards(
+        staged, stage, docs_per_shard=100
+    ).collect()
+    manifest = spark.createDataFrame(
+        manifest_rows, "shard_path string, n_members bigint, shard_bytes bigint"
+    ).select(
+        F.regexp_extract("shard_path", r"shard-(\d+)\.tar$", 1)
+        .cast("int").alias("shard_idx"),
+        F.col("n_members").alias("n_manifest"),
+    )
+    register_tar_source(spark)
+    members = spark.read.format("tar").load(os.path.join(stage, "*.tar"))
+    observed = (
+        members.groupBy(
+            F.regexp_extract("path", r"shard-(\d+)\.tar$", 1)
+            .cast("int").alias("shard_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count_distinct("payload_md5").cast("bigint")
+            .alias("n_distinct_payloads"),
+        )
+    )
+    return (
+        observed.join(F.broadcast(manifest), "shard_idx")
+        .select("shard_idx", "n_members", "n_manifest", "n_distinct_payloads")
+        .orderBy("shard_idx")
+    )
