@@ -2237,3 +2237,45 @@ def image_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in DHASH_SCHEMA.fields])
 
     return df.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.StringType()),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Waveform difference-fingerprint — the audio analogue of
+    :func:`image_dhash`: downsample the first channel to 65 points
+    (nearest-neighbor over the full clip) and emit one bit per
+    neighbor pair (earlier > later).  Identical clips, re-encodes, and
+    constant amplitude offsets fingerprint identically (clipping
+    aside), so the 64-char bit string is the bucket key an audio-dedup
+    pass groups on before any sample-exact verify — the same
+    bucket-then-verify shape as the image and MinHash paths.  Scale:
+    decode + 65 samples per clip in mapInPandas, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"] if isinstance(row["meta"], dict) else (row["meta"] or {})
+                wave = decode_audio(
+                    bytes(row["content"] or b""), dict(meta), strict=strict
+                )
+                mono = wave[:, 0].astype("float64")
+                idx = np.linspace(0, len(mono) - 1, 65).astype(int)
+                g = mono[idx]
+                bits = (g[:-1] > g[1:]).astype(int)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "afp": "".join(map(str, bits)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, AUDIO_FP_SCHEMA)

@@ -1737,3 +1737,79 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dhash")
     )
+
+
+@query(
+    "mm_audio_fingerprint_dedup",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    hh AS (SELECT k2,
+                  list_aggregate(list_transform(range(0, 64),
+                    i -> CASE WHEN (k2 * 5 + ((i * 129) // 64) * 13) % 250
+                                 > (k2 * 5 + (((i + 1) * 129) // 64) * 13)
+                                   % 250
+                              THEN '1' ELSE '0' END),
+                    'string_agg', '') AS afp
+           FROM (SELECT unnest(range(0, 20)) AS k2))
+    SELECT afp,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_variants
+    FROM p JOIN hh ON hh.k2 = p.k % 20
+    GROUP BY afp ORDER BY afp
+    """,
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup bucketing (operators/multimodal.
+    audio_fingerprint) — one bit per neighbor pair over the 65-point
+    downsampled waveform, the audio twin of mm_image_dhash_dedup.  The
+    40-blob dim carries REAL 8-bit PCM WAVs (stdlib wave writer, 130
+    samples from k-arithmetic in [0, 249]); blobs k and k+20 are
+    amplitude-shifted twins (+3 on every sample, no clipping), so each
+    fingerprint bucket must hold exactly the two planted variants —
+    offset invariance proven by value through the real decode path
+    ((x−128)/128 is strictly increasing, so comparisons survive the
+    float conversion).  The oracle replays the nearest-neighbor index
+    arithmetic ((i·129)//64 — exact in both engines) and all 64
+    comparisons.  Scale: decode + 65 samples per clip, one groupBy on
+    the bit-string key."""
+    import io
+    import wave as _wave
+
+    from aroa_etl_spark.operators.multimodal import audio_fingerprint
+
+    blobs = []
+    for k in range(40):
+        k2 = k % 20
+        shift = 3 if k >= 20 else 0
+        samples = bytes(((k2 * 5 + j * 13) % 250) + shift for j in range(130))
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(samples)
+        blobs.append((k, bytearray(buf.getvalue())))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key").withColumn(
+        "meta",
+        F.struct(
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit("wav").alias("format"),
+        ),
+    )
+    return (
+        audio_fingerprint(media, strict=True)
+        .withColumn("k", (F.col("media_id") % 40).cast("int"))
+        .groupBy("afp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.count_distinct("k").cast("bigint").alias("n_variants"),
+        )
+        .orderBy("afp")
+    )

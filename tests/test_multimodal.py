@@ -1464,3 +1464,32 @@ def test_image_dhash_brightness_invariant_but_gradient_sensitive(spark):
     assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
     assert got[1] == got[2]      # +1 brightness: same hash
     assert got[1] != got[3]      # flipped gradient: different hash
+
+
+def test_audio_fingerprint_offset_invariant_but_shape_sensitive(spark):
+    import io
+    import wave as _wave
+
+    from aroa_etl_spark.operators.multimodal import audio_fingerprint
+
+    def wav(shift: int, flip: bool = False) -> bytearray:
+        s = [((5 + j * 13) % 250) + shift for j in range(130)]
+        if flip:
+            s[0], s[2] = s[2], s[0]
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(s))
+        return bytearray(buf.getvalue())
+
+    meta = {"sample_rate": "8000", "channels": "1", "format": "wav"}
+    df = spark.createDataFrame(
+        [(1, wav(0), meta), (2, wav(3), meta), (3, wav(0, flip=True), meta)],
+        "media_id bigint, content binary, meta map<string,string>",
+    )
+    got = {r.media_id: r.afp for r in audio_fingerprint(df, strict=True).collect()}
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+    assert got[1] == got[2]   # +3 amplitude offset: same fingerprint
+    assert got[1] != got[3]   # reordered samples: different fingerprint
