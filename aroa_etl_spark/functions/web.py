@@ -156,3 +156,47 @@ def canonicalize_url(url: Column | str) -> Column:
         path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+
+
+def main_content(
+    col: Column | str,
+    *,
+    min_block_chars: int = 30,
+    max_link_density_milli: int = 300,
+) -> Column:
+    """Main-content extraction (boilerplate removal) — the
+    readability/jusText-style gate a crawl pipeline runs between HTML
+    strip and quality scoring: navigation, footers, and link farms are
+    short and link-dense, article text is long and link-sparse.
+
+    Spec (deliberately small so both engines replay it exactly):
+    blocks are ``</p>``-delimited; per block the visible text is the
+    tag-stripped trim, the anchor text is the concatenation of
+    ``<a …>…</a>`` bodies, and a block survives when trimmed text
+    length ≥ ``min_block_chars`` AND anchor/visible ratio ≤
+    ``max_link_density_milli`` per mille.  Survivors join with a
+    single space.  Everything is column expressions (split /
+    regexp_replace / regexp_extract_all / filter / array_join) —
+    whole-stage codegen, zero Python, trivially pushed past the scan.
+    A production extractor adds more block tags and scoring signals;
+    the link-density core is exactly this."""
+    c = _c(col)
+    blocks = F.split(c, "</p>")
+
+    def keep(b: Column) -> Column:
+        txt = F.trim(F.regexp_replace(b, "<[^>]*>", ""))
+        atxt = F.array_join(
+            F.regexp_extract_all(b, F.lit("<a[^>]*>([^<]*)</a>"), F.lit(1)), ""
+        )
+        return (F.length(txt) >= min_block_chars) & (
+            F.length(atxt) * 1000
+            <= F.length(txt) * max_link_density_milli
+        )
+
+    return F.array_join(
+        F.transform(
+            F.filter(blocks, keep),
+            lambda b: F.trim(F.regexp_replace(b, "<[^>]*>", "")),
+        ),
+        " ",
+    )

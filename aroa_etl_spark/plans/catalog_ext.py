@@ -3614,3 +3614,87 @@ def s_tar_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard_idx", "n_members", "n_manifest", "n_distinct_payloads")
         .orderBy("shard_idx")
     )
+
+
+@query(
+    "web_main_content_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      '<p><a href="/">Home page</a> <a href="/x">Another '
+                      || 'long nav link text here</a></p><p>'
+                      || repeat(md5(text) || ' ', 3)
+                      || '</p><p>tiny</p><p>Footer <a href="/y">y</a></p>'
+                        AS html
+               FROM documents),
+    x AS (SELECT doc_id,
+                 list_filter(string_split(html, '</p>'), b ->
+                   length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) >= 30
+                   AND length(coalesce(list_aggregate(
+                         regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+                         'string_agg', ''), '')) * 1000
+                       <= length(trim(regexp_replace(b, '<[^>]*>', '', 'g')))
+                          * 300) AS kept
+          FROM d),
+    m AS (SELECT doc_id,
+                 coalesce(list_aggregate(list_transform(kept, b ->
+                   trim(regexp_replace(b, '<[^>]*>', '', 'g'))),
+                   'string_agg', ' '), '') AS main,
+                 len(kept) AS n_kept
+          FROM x)
+    SELECT doc_id, md5(main) AS main_md5,
+           CAST(length(main) AS INT) AS main_len,
+           CAST(n_kept AS INT) AS n_blocks_kept
+    FROM m
+    """,
+)
+def web_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal / main-content extraction
+    (functions/web.main_content) — the readability-style step between
+    HTML strip and quality gates: link-dense navigation and short
+    footer blocks drop, long link-sparse article blocks survive.  Each
+    document plants a four-block page (nav with ~98% link density,
+    a 98-char content block, a too-short block, a short link footer);
+    exactly the content block must survive, and the oracle replays the
+    WHOLE algorithm — block split, tag strip, anchor-text
+    concatenation, the length and per-mille density predicates, the
+    join — with the extracted text value-checked by md5.  Scale: pure
+    column expressions in whole-stage codegen, zero Python, zero
+    shuffle."""
+    from aroa_etl_spark.functions.web import main_content
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    html = F.concat(
+        F.lit('<p><a href="/">Home page</a> <a href="/x">Another '
+              'long nav link text here</a></p><p>'),
+        F.repeat(F.concat(F.md5(F.encode("text", "UTF-8")), F.lit(" ")), 3),
+        F.lit('</p><p>tiny</p><p>Footer <a href="/y">y</a></p>'),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    blocks = F.split(F.col("html"), "</p>")
+    kept_n = F.size(
+        F.filter(
+            blocks,
+            lambda b: (
+                F.length(F.trim(F.regexp_replace(b, "<[^>]*>", ""))) >= 30
+            )
+            & (
+                F.length(
+                    F.array_join(
+                        F.regexp_extract_all(
+                            b, F.lit("<a[^>]*>([^<]*)</a>"), F.lit(1)
+                        ),
+                        "",
+                    )
+                )
+                * 1000
+                <= F.length(F.trim(F.regexp_replace(b, "<[^>]*>", ""))) * 300
+            ),
+        )
+    )
+    main = main_content("html")
+    return staged.select(
+        "doc_id",
+        F.md5(F.encode(main, "UTF-8")).alias("main_md5"),
+        F.length(main).cast("int").alias("main_len"),
+        kept_n.cast("int").alias("n_blocks_kept"),
+    )

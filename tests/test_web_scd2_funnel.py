@@ -259,3 +259,29 @@ def test_html_to_text_rules(spark):
     got = {r["t"]: r["s"] for r in
            df.select("t", html_to_text("t").alias("s")).collect()}
     assert got == cases
+
+
+def test_main_content_drops_nav_short_and_linkfarm(spark):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.functions.web import main_content
+
+    article = "This is a long enough article paragraph about something real."
+    html = (
+        '<p><a href="/">Home</a> <a href="/a">About us page link</a> '
+        '<a href="/b">Contact and more links</a></p>'
+        f"<p>{article}</p>"
+        "<p>tiny</p>"
+        '<p>Also a sufficiently long paragraph <a href="/x">with one '
+        "small link</a> inside a sea of plain prose text.</p>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(main_content("html").alias("m")).first().m
+    assert article in got
+    assert "Home" not in got and "tiny" not in got
+    assert "sea of plain prose" in got  # low-density block survives
+    # degenerate page: nothing survives -> empty string, not null
+    empty = spark.createDataFrame([("<p>x</p>",)], "html string").select(
+        main_content("html").alias("m")
+    ).first().m
+    assert empty == ""
