@@ -2338,3 +2338,69 @@ def tdp_mixture_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_script_detect",
+    oracle="""
+    WITH d AS (SELECT doc_id, source,
+                      text || CASE CAST(doc_id % 4 AS INT)
+                                   WHEN 1 THEN ' Привет мир'
+                                   WHEN 2 THEN ' 你好世界'
+                                   WHEN 3 THEN ' مرحبا'
+                                   ELSE '' END AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS INT) AS n_latin,
+           CAST(len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS INT)
+             AS n_cyrillic,
+           CAST(len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS INT)
+             AS n_cjk,
+           CAST(len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) AS INT)
+             AS n_arabic,
+           CASE WHEN len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) > 0
+                     THEN 'cyrillic'
+                WHEN len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) > 0
+                     THEN 'cjk'
+                WHEN len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) > 0
+                     THEN 'arabic'
+                ELSE 'latin' END AS script_hint
+    FROM d
+    """,
+)
+def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode writing-system detection — the script-level companion to
+    the n-gram language ID (a crawl pipeline routes by script BEFORE
+    language: tokenizers, quality gates, and dedup shingling are all
+    script-dependent).  Per-document character counts for Latin,
+    Cyrillic, CJK Unified Ideographs, and Arabic blocks via
+    regexp_count over the code-point ranges, plus a first-nonzero
+    script hint; docs plant genuine Cyrillic/CJK/Arabic suffixes by
+    doc_id arithmetic so every branch carries real non-ASCII data
+    through both engines' regex stacks (Java vs RE2 — the patterns are
+    written per-engine, the COUNTS must agree).  Scale: pure column
+    expressions, zero shuffle."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" 你好世界"))
+        .when(F.col("doc_id") % 4 == 3, F.lit(" مرحبا"))
+        .otherwise(F.lit("")),
+    )
+    n_lat = F.regexp_count(t, F.lit("[A-Za-z]"))
+    n_cyr = F.regexp_count(t, F.lit("[Ѐ-ӿ]"))
+    n_cjk = F.regexp_count(t, F.lit("[一-鿿]"))
+    n_ara = F.regexp_count(t, F.lit("[؀-ۿ]"))
+    return docs.select(
+        "doc_id",
+        n_lat.cast("int").alias("n_latin"),
+        n_cyr.cast("int").alias("n_cyrillic"),
+        n_cjk.cast("int").alias("n_cjk"),
+        n_ara.cast("int").alias("n_arabic"),
+        F.when(n_cyr > 0, F.lit("cyrillic"))
+        .when(n_cjk > 0, F.lit("cjk"))
+        .when(n_ara > 0, F.lit("arabic"))
+        .otherwise(F.lit("latin"))
+        .alias("script_hint"),
+    )
