@@ -215,6 +215,7 @@ def ivf_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k — the 100 TB scale path
     promised in the module header.
@@ -235,18 +236,16 @@ def ivf_topk(
     recall on clustered real-world embeddings is high at small nprobe;
     size n_centroids ≈ sqrt(corpus) for balanced cells at scale.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
-    )
-    if train_fraction < 1.0:
-        train = train.sample(fraction=train_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed).fit(train)
-    cents = [
-        F.array(*[F.lit(float(v)) for v in c]) for c in model.clusterCenters()
-    ]
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, corpus_vec=corpus_vec, n_centroids=n_centroids,
+            seed=seed, train_fraction=train_fraction,
+        )
+    else:
+        # a persisted index fixes the cell count; the caller's
+        # n_centroids only sizes training, never a loaded quantizer
+        n_centroids = len(centroids)
+    cents = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
 
     def dists(vec: str) -> Column:
         return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
@@ -543,3 +542,47 @@ def ivfpq_topk(
     if exclude_self:
         pair = pair.filter(F.col("neighbor_id") != F.col("query_id"))
     return _adc_rank_topk(pair, m, k)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    *,
+    corpus_vec: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    train_fraction: float = 1.0,
+) -> "list[list[float]]":
+    """Train the IVF coarse quantizer (distributed KMeans, fixed seed)
+    and return the centroids as plain float lists — the BUILD half of
+    the persisted-index lifecycle (``ivf_save_centroids`` /
+    ``ivf_load_centroids`` are the store, ``ivf_topk(centroids=...)``
+    is the search).  Splitting build from search is what makes IVF a
+    real index at 100 TB: train once on a sample, persist the tiny
+    quantizer (n_centroids × dim floats), and every later job — batch
+    or streaming — searches without refitting."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed).fit(train)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
+def ivf_save_centroids(spark, centroids: "list[list[float]]", path: str) -> None:
+    """Persist a trained quantizer as parquet (cell, vector) — engine-
+    neutral, versionable beside the corpus it indexes."""
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cell int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ivf_load_centroids(spark, path: str) -> "list[list[float]]":
+    """Load a persisted quantizer; cell order restored by the cell id,
+    so search results are identical to the training session's."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [list(r.vector) for r in rows]

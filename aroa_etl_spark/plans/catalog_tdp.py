@@ -2404,3 +2404,58 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("latin"))
         .alias("script_hint"),
     )
+
+
+@query(
+    "ann_ivf_persisted",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.embedding", "c.embedding")} AS cos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN lifecycle (operators/ann.py): TRAIN the
+    IVF coarse quantizer once (distributed KMeans, fixed seed), SAVE it
+    as engine-neutral parquet (cell, vector), LOAD it back, and SEARCH
+    with the loaded quantizer — the build/store/search split that makes
+    IVF a real index at 100 TB (train on a sample once, every later
+    batch or streaming job searches without refitting).  Probing ALL
+    cells makes the loaded-index search exactly equal to brute force,
+    so the oracle (exact cosine top-5) certifies the whole round-trip:
+    a corrupted save, a reordered load, or a cell-assignment drift
+    surfaces as a ranking mismatch.  Small-nprobe trained==loaded
+    equality is pytest-pinned (test_ann.py).  Scale: the quantizer is
+    n_centroids × dim floats — the index artifact ships with the
+    corpus, never rebuilt in the hot path."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.operators.ann import (
+        ivf_load_centroids,
+        ivf_save_centroids,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+
+    stage = _scratch_stage("ivf_index", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    path = os.path.join(stage, "centroids.parquet")
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = ivf_train_centroids(emb, n_centroids=8, seed=7)
+    ivf_save_centroids(spark, cents, path)
+    loaded = ivf_load_centroids(spark, path)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb,
+        k=5, nprobe=8, centroids=loaded,
+    )

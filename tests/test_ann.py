@@ -210,3 +210,30 @@ def test_ivfpq_residual_mode(spark, sf_dir):
         residual=True,
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, r2.collect()))
+
+
+def test_ivf_persisted_index_equals_trained(spark, tmp_path):
+    """save -> load round-trips the quantizer bit-exactly and a
+    small-nprobe search with the LOADED index returns exactly what the
+    trained-in-session index returns."""
+    from aroa_etl_spark.operators.ann import (
+        ivf_load_centroids,
+        ivf_save_centroids,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 29) - 14.0 for d in range(8)])
+         for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = ivf_train_centroids(emb, n_centroids=4, seed=7)
+    ivf_save_centroids(spark, cents, str(tmp_path / "cent"))
+    loaded = ivf_load_centroids(spark, str(tmp_path / "cent"))
+    assert loaded == cents  # bit-exact round-trip
+
+    q = emb.filter("vec_id < 5")
+    a = sorted(map(tuple, ivf_topk(q, emb, k=3, nprobe=2, centroids=cents).collect()))
+    b = sorted(map(tuple, ivf_topk(q, emb, k=3, nprobe=2, centroids=loaded).collect()))
+    assert a == b and len(a) == 15
