@@ -3698,3 +3698,58 @@ def web_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(main).cast("int").alias("main_len"),
         kept_n.cast("int").alias("n_blocks_kept"),
     )
+
+
+@query(
+    "a_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('month', MIN(ts)) AS cm
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cm,
+             date_trunc('month', e.ts) AS em
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT strftime(cm, '%Y-%m') AS cohort_month,
+           CAST((year(em) * 12 + month(em))
+                - (year(cm) * 12 + month(cm)) AS INT) AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cm, em ORDER BY cohort_month, month_offset
+    """,
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the classic product-analytics rollup:
+    users cohorted by their FIRST event month, then distinct active
+    users counted at each month offset (exact integer month arithmetic,
+    not float months_between).  Two shuffles total: the per-user
+    first-event aggregation and the (cohort, month) distinct-count —
+    the first-month dim joins back on user_id, co-partitioned with the
+    fact by the same key so AQE keeps it a single exchange at scale.
+    Oracle replays the cohorting and offset arithmetic over the same
+    NTZ timestamps."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cm")
+    )
+    act = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cm",
+            F.date_trunc("month", F.col("ts")).alias("em"),
+        )
+        .distinct()
+    )
+    off = (
+        (F.year("em") * 12 + F.month("em"))
+        - (F.year("cm") * 12 + F.month("cm"))
+    ).cast("int")
+    return (
+        act.groupBy(
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            off.alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_month", "month_offset")
+    )
