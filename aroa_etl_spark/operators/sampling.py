@@ -401,19 +401,22 @@ def deterministic_shuffle(
     one broadcast join; shard count is the parallelism lever (set it
     to O(corpus bytes / shard target), not CPU count).  Changing
     ``salt`` yields an independent permutation — epoch reshuffles are
-    a salt bump, no state."""
+    a salt bump, no state.  All input columns are carried through, so
+    downstream consumers (packing, budget cuts) need no join back."""
     from pyspark.sql.window import Window as W
 
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
         16, 10,
     ).cast("long")
-    staged = df.select(F.col(id_col), h.alias("__h"),
-                       (h % n_shards).cast("int").alias("shard"))
+    payload = [c for c in df.columns]
+    staged = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("int")
+    )
     pos = F.row_number().over(
         W.partitionBy("shard").orderBy("__h", id_col)
     )
-    positioned = staged.select(id_col, "shard", pos.alias("pos_in_shard"))
+    positioned = staged.select(*payload, "shard", pos.alias("pos_in_shard"))
     sizes = positioned.groupBy("shard").agg(F.count(F.lit(1)).alias("__n"))
     offsets = sizes.select(
         "shard",
@@ -425,7 +428,7 @@ def deterministic_shuffle(
         ).alias("__offset"),
     )
     return positioned.join(F.broadcast(offsets), "shard").select(
-        id_col,
+        *payload,
         "shard",
         "pos_in_shard",
         (F.col("__offset") + F.col("pos_in_shard")).cast("bigint")

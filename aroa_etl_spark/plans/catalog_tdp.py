@@ -2459,3 +2459,68 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 20), emb,
         k=5, nprobe=8, centroids=loaded,
     )
+
+
+@query(
+    "tdp_token_budget_cut",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+               FROM documents),
+    h AS (SELECT doc_id, n_tokens,
+                 ('0x'||substr(md5('shuf'||CAST(doc_id AS VARCHAR)),1,15)
+                 )::UBIGINT::BIGINT AS hh
+          FROM t),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY hh % 64, hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+          FROM h)
+    SELECT doc_id, n_tokens, CAST(running AS BIGINT) AS running_tokens
+    FROM c WHERE running <= 10000
+    """,
+)
+def tdp_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-budget corpus cut in permutation order — "take the
+    first 10k tokens of the shuffled corpus", the deterministic prefix
+    a scaling-law run or budgeted ablation consumes.  Composes the
+    round-7 deterministic_shuffle (payload columns carried through)
+    with the scale-safe prefix-sum decomposition: per-shard token
+    totals are a 64-row dim whose cumulative offsets broadcast back,
+    and the only per-row window is PARTITIONED by shard — the global
+    running total is offset + within-shard cumsum, never a
+    single-partition sort.  The oracle computes the same running total
+    with one flat window (fine at oracle scale) over the identical
+    (shard, hash, id) order, so the kept set and every running value
+    must agree.  Scale: one hash shuffle + one broadcast; the cut is a
+    filter."""
+    from pyspark.sql.window import Window as W2
+
+    from aroa_etl_spark.functions import text as X
+    from aroa_etl_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        "doc_id", X.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    sh = deterministic_shuffle(staged, "doc_id", n_shards=64)
+    within = F.sum("n_tokens").over(
+        W2.partitionBy("shard").orderBy("pos_in_shard")
+    )
+    totals = sh.groupBy("shard").agg(F.sum("n_tokens").alias("__t"))
+    offsets = totals.select(
+        "shard",
+        F.coalesce(
+            F.sum("__t").over(
+                W2.orderBy("shard").rowsBetween(W2.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        sh.withColumn("__within", within)
+        .join(F.broadcast(offsets), "shard")
+        .withColumn("running_tokens",
+                    (F.col("__off") + F.col("__within")).cast("bigint"))
+        .filter(F.col("running_tokens") <= 10000)
+        .select("doc_id", "n_tokens", "running_tokens")
+    )
