@@ -181,7 +181,25 @@ def main_content(
     A production extractor adds more block tags and scoring signals;
     the link-density core is exactly this."""
     c = _c(col)
-    blocks = F.split(c, "</p>")
+    keep = main_content_keep(
+        min_block_chars=min_block_chars,
+        max_link_density_milli=max_link_density_milli,
+    )
+    return F.array_join(
+        F.transform(
+            F.filter(F.split(c, "</p>"), keep),
+            lambda b: F.trim(F.regexp_replace(b, "<[^>]*>", "")),
+        ),
+        " ",
+    )
+
+
+def main_content_keep(
+    *, min_block_chars: int = 30, max_link_density_milli: int = 300
+):
+    """The block-survival predicate :func:`main_content` filters with,
+    exposed so audits can count kept blocks with the SAME gate (a
+    hand copy would silently drift if the defaults change)."""
 
     def keep(b: Column) -> Column:
         txt = F.trim(F.regexp_replace(b, "<[^>]*>", ""))
@@ -193,10 +211,4 @@ def main_content(
             <= F.length(txt) * max_link_density_milli
         )
 
-    return F.array_join(
-        F.transform(
-            F.filter(blocks, keep),
-            lambda b: F.trim(F.regexp_replace(b, "<[^>]*>", "")),
-        ),
-        " ",
-    )
+    return keep

@@ -241,10 +241,8 @@ def ivf_topk(
             corpus, corpus_vec=corpus_vec, n_centroids=n_centroids,
             seed=seed, train_fraction=train_fraction,
         )
-    else:
-        # a persisted index fixes the cell count; the caller's
-        # n_centroids only sizes training, never a loaded quantizer
-        n_centroids = len(centroids)
+    # a persisted index fixes the cell count: never probe past it
+    nprobe = min(nprobe, len(centroids))
     cents = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
 
     def dists(vec: str) -> Column:

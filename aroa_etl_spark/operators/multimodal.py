@@ -2223,6 +2223,13 @@ def image_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
                 px = decode_image(
                     bytes(row["content"] or b""), dict(meta), strict=strict
                 )
+                if px.shape[0] == 0 or px.shape[1] == 0:
+                    # a decodable zero-dimension image must degrade to a
+                    # sentinel, not IndexError the task (review finding)
+                    if strict:
+                        raise ValueError("zero-dimension image has no dhash")
+                    out.append({"media_id": row["media_id"], "dhash": ""})
+                    continue
                 gray = px.astype("float64").mean(axis=2)
                 ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
                 xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
@@ -2266,6 +2273,13 @@ def audio_fingerprint(df: DataFrame, *, strict: bool = False) -> DataFrame:
                 wave = decode_audio(
                     bytes(row["content"] or b""), dict(meta), strict=strict
                 )
+                if wave.shape[0] == 0:
+                    # a valid header with zero data frames must degrade
+                    # to a sentinel, not IndexError (review finding)
+                    if strict:
+                        raise ValueError("empty audio has no fingerprint")
+                    out.append({"media_id": row["media_id"], "afp": ""})
+                    continue
                 mono = wave[:, 0].astype("float64")
                 idx = np.linspace(0, len(mono) - 1, 65).astype(int)
                 g = mono[idx]

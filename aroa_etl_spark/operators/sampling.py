@@ -409,6 +409,13 @@ def deterministic_shuffle(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
         16, 10,
     ).cast("long")
+    reserved = {"shard", "pos_in_shard", "global_pos", "__h"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "deterministic_shuffle reserves output columns "
+            f"{sorted(reserved)}; rename input columns {sorted(clash)}"
+        )
     payload = [c for c in df.columns]
     staged = df.withColumn("__h", h).withColumn(
         "shard", (F.col("__h") % n_shards).cast("int")

@@ -3553,7 +3553,8 @@ def s_tar_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(shard AS INT) AS shard_idx,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(COUNT(*) AS BIGINT) AS n_manifest,
-           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads,
+           true AS consistent
     FROM d GROUP BY shard ORDER BY shard_idx
     """,
 )
@@ -3609,9 +3610,24 @@ def s_tar_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_distinct_payloads"),
         )
     )
+    # FULL OUTER join: a shard present on only one side (lost tar,
+    # unreadable file, phantom manifest row) must SURFACE as an
+    # inconsistent row, not vanish from the audit (review finding) —
+    # missing sides show as -1 with consistent=false
     return (
-        observed.join(F.broadcast(manifest), "shard_idx")
-        .select("shard_idx", "n_members", "n_manifest", "n_distinct_payloads")
+        observed.join(F.broadcast(manifest), "shard_idx", "full_outer")
+        .select(
+            "shard_idx",
+            F.coalesce("n_members", F.lit(-1)).alias("n_members"),
+            F.coalesce("n_manifest", F.lit(-1)).alias("n_manifest"),
+            F.coalesce("n_distinct_payloads", F.lit(-1))
+            .alias("n_distinct_payloads"),
+            (
+                F.col("n_members").isNotNull()
+                & F.col("n_manifest").isNotNull()
+                & (F.col("n_members") == F.col("n_manifest"))
+            ).alias("consistent"),
+        )
         .orderBy("shard_idx")
     )
 
@@ -3660,7 +3676,7 @@ def web_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — with the extracted text value-checked by md5.  Scale: pure
     column expressions in whole-stage codegen, zero Python, zero
     shuffle."""
-    from aroa_etl_spark.functions.web import main_content
+    from aroa_etl_spark.functions.web import main_content, main_content_keep
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     html = F.concat(
@@ -3670,26 +3686,10 @@ def web_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</p><p>tiny</p><p>Footer <a href="/y">y</a></p>'),
     )
     staged = docs.select("doc_id", html.alias("html"))
-    blocks = F.split(F.col("html"), "</p>")
+    # the SAME gate main_content filters with (review finding: a hand
+    # copy of the predicate would drift if the defaults change)
     kept_n = F.size(
-        F.filter(
-            blocks,
-            lambda b: (
-                F.length(F.trim(F.regexp_replace(b, "<[^>]*>", ""))) >= 30
-            )
-            & (
-                F.length(
-                    F.array_join(
-                        F.regexp_extract_all(
-                            b, F.lit("<a[^>]*>([^<]*)</a>"), F.lit(1)
-                        ),
-                        "",
-                    )
-                )
-                * 1000
-                <= F.length(F.trim(F.regexp_replace(b, "<[^>]*>", ""))) * 300
-            ),
-        )
+        F.filter(F.split(F.col("html"), "</p>"), main_content_keep())
     )
     main = main_content("html")
     return staged.select(

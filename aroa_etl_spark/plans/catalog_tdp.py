@@ -2431,10 +2431,12 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF a real index at 100 TB (train on a sample once, every later
     batch or streaming job searches without refitting).  Probing ALL
     cells makes the loaded-index search exactly equal to brute force,
-    so the oracle (exact cosine top-5) certifies the whole round-trip:
-    a corrupted save, a reordered load, or a cell-assignment drift
-    surfaces as a ranking mismatch.  Small-nprobe trained==loaded
-    equality is pytest-pinned (test_ann.py).  Scale: the quantizer is
+    so the oracle (exact cosine top-5) certifies the SEARCH half; the
+    PERSISTENCE half is enforced in-builder — the loaded quantizer is
+    compared bit-for-bit against the trained one and any drift raises
+    before a row is returned (a full-probe search alone would mask a
+    broken save/load, review finding).  Small-nprobe trained==loaded
+    search equality is additionally pytest-pinned (test_ann.py).  Scale: the quantizer is
     n_centroids × dim floats — the index artifact ships with the
     corpus, never rebuilt in the hot path."""
     import os
@@ -2455,6 +2457,8 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_train_centroids(emb, n_centroids=8, seed=7)
     ivf_save_centroids(spark, cents, path)
     loaded = ivf_load_centroids(spark, path)
+    if loaded != cents:
+        raise ValueError("persisted IVF quantizer round-trip drifted")
     return ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb,
         k=5, nprobe=8, centroids=loaded,
