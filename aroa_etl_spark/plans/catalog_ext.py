@@ -3753,3 +3753,67 @@ def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@query(
+    "s_schema_drift_union",
+    oracle="""
+    SELECT CAST(o_orderkey % 2 AS INT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           'o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,'
+             || 'o_orderpriority:string' AS unified_schema
+    FROM orders GROUP BY epoch ORDER BY epoch
+    """,
+)
+def s_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union under the oracle gate (sources/io.py
+    align_and_union, previously pytest-only): two parquet epochs of the
+    orders table are staged with genuinely drifted schemas — the old
+    epoch narrows o_custkey to INT and lacks o_orderpriority, the new
+    epoch carries both — and align_and_union widens and null-fills to
+    the union schema.  The UNIFIED SCHEMA STRING is an output column
+    pinned by the oracle, so the widening rules themselves (int →
+    bigint, missing column → null-filled string) are value-attested,
+    alongside per-epoch row counts, the null count the missing column
+    must produce, and a money checksum across both epochs.  Scale:
+    one union of two scans, widening is a projection."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.io import align_and_union
+
+    stage = _scratch_stage("schema_drift", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    old_path = os.path.join(stage, "old")
+    new_path = os.path.join(stage, "new")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_totalprice",
+    ).write.parquet(old_path)
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(new_path)
+    unioned = align_and_union(
+        [spark.read.parquet(old_path), spark.read.parquet(new_path)]
+    )
+    schema_str = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in unioned.schema.fields
+    )
+    return (
+        unioned.groupBy((F.col("o_orderkey") % 2).cast("int").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_orderpriority").isNull().cast("int"))
+            .cast("bigint").alias("n_null_priority"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+            F.first(F.lit(schema_str)).alias("unified_schema"),
+        )
+        .orderBy("epoch")
+    )
