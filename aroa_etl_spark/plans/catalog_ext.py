@@ -3817,3 +3817,77 @@ def s_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+@query(
+    "tdp_sentence_dedup",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id,
+           regexp_replace(
+             text || '.'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' Subscribe to our newsletter now!' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' All rights reserved worldwide.' ELSE '' END,
+             '([.!?]) +', '\1' || chr(10), 'g') AS text
+        FROM documents),
+    lines AS (SELECT doc_id, unnest(list_transform(range(len(ls)),
+                       i -> {'idx': i, 'line': ls[i+1]}), recursive := true)
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM docs2)),
+    marked AS (SELECT doc_id, idx, line,
+                      COUNT(*) OVER (PARTITION BY md5(line)) AS cnt,
+                      ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                         ORDER BY doc_id, idx) AS rn
+               FROM lines),
+    kept AS (SELECT doc_id, idx, line FROM marked WHERE cnt < 3 OR rn = 1),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY idx) AS text,
+                       COUNT(*) AS n
+                FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(COALESCE(r.text, '')) AS text_md5,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_sentences_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def tdp_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE-level corpus dedup — the C4 §2.2 unit is spans of
+    sentences, not lines, and real boilerplate ('Subscribe to our
+    newsletter now!') repeats as a sentence inside flowing prose where
+    line dedup never sees it.  A lookbehind-free splitter both regex
+    engines support ('([.!?]) +' → '$1\\n', capture-group backref)
+    turns sentence boundaries into line boundaries, then the SAME
+    two-shuffle line_dedup kernel drops every corpus-wide repeat
+    (min_repeat=3) except its first (doc, position) occurrence.
+    Planted sentences on every even / every third doc are removed
+    everywhere but once; the oracle replays the splitter and the whole
+    keep-decision.  Scale: identical to tdp_line_dedup — one md5
+    groupBy + hash join back + reassembly, linear, no pairwise work."""
+    from aroa_etl_spark.operators.dedup import line_dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(
+                F.col("text"),
+                F.lit("."),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit(" Subscribe to our newsletter now!"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit(" All rights reserved worldwide."),
+                ).otherwise(F.lit("")),
+            ),
+            r"([.!?]) +",
+            "$1\n",
+        ).alias("text"),
+    )
+    out = line_dedup(docs, "doc_id", "text", min_repeat=3)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_lines_kept").alias("n_sentences_kept"),
+    )
