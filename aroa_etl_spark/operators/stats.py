@@ -65,3 +65,64 @@ def exact_linear_stats(
             "intercept"
         ),
     )
+
+
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    rank_col: str = "global_rank",
+    n_bands: int = 32,
+) -> DataFrame:
+    """EXACT global rank (row_number over a total order) WITHOUT a
+    single-partition sort — the scale-safe replacement for
+    ``row_number() OVER (ORDER BY …)`` on a fact table.
+
+    Decomposition: approx_percentile boundaries split the value domain
+    into ``n_bands`` ranges; every row's band is a PURE FUNCTION of its
+    value (a literal-array comparison — deterministic, no sampled
+    partitioner whose boundaries could differ between plan subtrees),
+    so equal values always share a band and the (value, tiebreak)
+    total order never straddles a band except between distinct values.
+    Within-band row_number is a PARTITIONED window; band sizes are an
+    n_bands-row dim whose cumulative offsets broadcast back.
+    global_rank = offset + within-band rank, identical to the global
+    window at any partitioning.  Skew note: boundaries are
+    approximate, so a band can be fat (heavy duplicate values) — rank
+    correctness is unaffected; re-band with higher n_bands if a fat
+    band's sort dominates.  All input columns carried through."""
+    from pyspark.sql.window import Window as W
+
+    bounds = df.select(
+        F.percentile_approx(
+            value_col, [i / n_bands for i in range(1, n_bands)], 10_000
+        ).alias("b")
+    ).first()["b"]
+    # plain nested comparisons, NOT a higher-order aggregate lambda:
+    # a LambdaFunction inside a grouping key trips Catalyst attribute
+    # binding downstream of the window+join (INTERNAL_ERROR observed
+    # on Spark 4.1 with parquet-backed input)
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    staged = df.withColumn("__band", band)
+    within = F.row_number().over(
+        W.partitionBy("__band").orderBy(value_col, tiebreak_col)
+    )
+    sizes = staged.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = sizes.select(
+        "__band",
+        F.coalesce(
+            F.sum("__n").over(
+                W.orderBy("__band").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        staged.withColumn("__rn", within)
+        .join(F.broadcast(offsets), "__band")
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__band", "__rn", "__off")
+    )

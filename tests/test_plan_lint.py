@@ -67,3 +67,35 @@ def test_catalog_flagships_are_clean(spark, sf_dir):
 
     for name in ("q1_pricing_summary", "j5_multiway_revenue_by_nation"):
         assert_scalable(catalog.spec(name).builder(spark, sf_dir))
+
+
+def test_ntile_entry_has_no_global_sort(spark, sf_dir):
+    """Round 7 retired w_ntile_price_bands' perf-weak flag: exact ntile
+    via percentile-banded rank (operators/stats.exact_global_rank) —
+    the plan must carry NO unpartitioned data window / global sort."""
+    from aroa_etl_spark.plans import catalog
+    from aroa_etl_spark.plans.lint import lint_plan
+
+    df = catalog.spec("w_ntile_price_bands").builder(spark, sf_dir)
+    assert "global_sort" not in _codes(lint_plan(df), "warning")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # the only unpartitioned window is the offsets cumsum over the
+    # 32-row band-size dim (windowspec over __band ordering, fed by an
+    # aggregate); every data-sized window is partitioned by __band
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_windows = [s for s in specs if "o_totalprice" in s]
+    assert data_windows and all(s.startswith("__band") for s in data_windows)
+
+
+def test_exact_global_rank_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.stats import exact_global_rank
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "cast((id * 37) % 101 as double) as v"  # heavy ties
+    )
+    out = exact_global_rank(df, "v", "id", n_bands=8)
+    rows = out.orderBy("v", "id").collect()
+    assert [r.global_rank for r in rows] == list(range(1, 2001))
