@@ -1366,6 +1366,7 @@ BENCH_EXTRA = [
     "mm_triage_gated_decode",    # scan-gate -> decode fusion (round 7)
     "s_tar_webdataset",          # tar/WebDataset ingestion family
     "st_windowed_counts",        # structured-streaming drain
+    "w_ntile_price_bands",       # exact ntile w/o global sort (round 7 rewrite)
 ]
 
 
