@@ -2551,3 +2551,56 @@ def tdp_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("running_tokens") <= 10000)
         .select("doc_id", "n_tokens", "running_tokens")
     )
+
+
+@query(
+    "text_readability_score",
+    oracle=r"""
+    WITH c AS (SELECT doc_id,
+                      greatest(1, len(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        t -> t != ''))) AS words,
+                      greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                        AS sentences,
+                      len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS syllables
+               FROM documents)
+    SELECT doc_id,
+           CAST(words AS INT) AS words,
+           CAST(sentences AS INT) AS sentences,
+           CAST(syllables AS INT) AS syllables,
+           206.835
+             - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             - 84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch
+    FROM c
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the readability member of the
+    quality-signal family (beside length/stopword/repetition gates):
+    206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with the
+    standard vowel-group syllable approximation ('[aeiouy]+' runs).
+    Counts are exact integers and the score is ONE fixed chain of
+    double ops on them, so both engines produce bit-identical doubles
+    — no epsilon matching.  Zero-guards via greatest(1, ·) keep empty
+    or punctuation-free docs finite.  Scale: pure column expressions
+    (three regexp counts), zero shuffle."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                        lambda t: t != "")),
+    )
+    sentences = F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]")))
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("words"),
+        sentences.cast("int").alias("sentences"),
+        syllables.cast("int").alias("syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sentences)
+            - F.lit(84.6) * (syllables.cast("double") / words)
+        ).alias("flesch"),
+    )
