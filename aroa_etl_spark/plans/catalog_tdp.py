@@ -2604,3 +2604,65 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(84.6) * (syllables.cast("double") / words)
         ).alias("flesch"),
     )
+
+
+@query(
+    "tdp_length_outlier_gate",
+    oracle="""
+    WITH lens AS (SELECT doc_id, source,
+                         CAST(length(text) AS BIGINT) AS len
+                  FROM documents),
+    q AS (SELECT source,
+                 quantile_cont(len, 0.25) AS q1,
+                 quantile_cont(len, 0.75) AS q3
+          FROM lens GROUP BY source),
+    gated AS (SELECT l.source, l.len, q.q1, q.q3,
+                     CASE WHEN l.len < q.q1 - 1.5 * (q.q3 - q.q1)
+                            OR l.len > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 ELSE 0 END AS is_outlier
+              FROM lens l JOIN q USING (source))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+           q1, q3
+    FROM gated GROUP BY source, q1, q3 ORDER BY source
+    """,
+)
+def tdp_length_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier gate — the Tukey-fence (1.5×IQR) filter
+    curation pipelines prefer over z-scores, because quartiles of
+    INTEGER lengths are exact arithmetic (linear interpolation between
+    two ints — dyadic-safe doubles) while a stddev's accumulation
+    order is engine-dependent.  Per-source Q1/Q3 from ONE exact
+    percentile aggregation (the same one-groupBy shape as the scalable
+    perplexity thresholds — no Window over data), broadcast back, and
+    each document gated against its source's fences.  The oracle
+    replays quartiles, fences, and per-source outlier counts.  Scale:
+    one percentile agg over (source) + a broadcast join; the exact
+    percentile's sort is per-group inside the agg buffer — swap in
+    approx_percentile when a single source exceeds executor memory
+    (documented lever)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lens = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("len")
+    )
+    q = lens.groupBy("source").agg(
+        F.expr("percentile(len, 0.25)").alias("q1"),
+        F.expr("percentile(len, 0.75)").alias("q3"),
+    )
+    gated = lens.join(F.broadcast(q), "source").withColumn(
+        "is_outlier",
+        (
+            (F.col("len") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("len") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        ).cast("int"),
+    )
+    return (
+        gated.groupBy("source", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+        )
+        .select("source", "n_docs", "n_outliers", "q1", "q3")
+        .orderBy("source")
+    )
