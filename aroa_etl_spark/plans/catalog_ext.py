@@ -3891,3 +3891,70 @@ def tdp_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.col("n_lines_kept").alias("n_sentences_kept"),
     )
+
+
+@query(
+    "a_interval_union_length",
+    oracle="""
+    WITH iv AS (SELECT user_id, event_id,
+                       date_trunc('second', ts) AS s,
+                       date_trunc('second', ts) + INTERVAL 5 MINUTE AS e
+                FROM events),
+    sweep AS (SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pe
+              FROM iv),
+    contrib AS (SELECT user_id,
+                       greatest(0, date_diff('second',
+                         greatest(s, COALESCE(pe, s)), e)) AS sec
+                FROM sweep)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(sec) AS BIGINT) AS covered_seconds
+    FROM contrib GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length (sweep-line) — the set-measure counterpart
+    to the pairwise interval-overlap join: total covered time per user
+    when every event opens a 5-minute activity window, overlaps counted
+    once (the "actual active time" metric sessionization approximates).
+    One PARTITIONED window per user computes the running max of prior
+    interval ends; each interval contributes max(0, end − max(start,
+    prev_max_end)) seconds — exact integer arithmetic after the
+    second-granularity diff, and the classic O(n log n) sweep becomes
+    one sort inside a partitioned window, no self-join.  The oracle
+    replays the sweep with the same (start, event_id) total order.
+    Scale: one hash shuffle on user_id; no data-sized unpartitioned
+    window."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    # whole-second grain: sub-second diffs would hit the two engines'
+    # different SECOND-diff semantics (elapsed-floor vs boundary count)
+    iv = events.select(
+        "user_id", "event_id",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+        (F.date_trunc("second", F.col("ts")) + F.expr("INTERVAL 5 MINUTE"))
+        .alias("e"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sweep = iv.withColumn("pe", F.max("e").over(w)).withColumn(
+        "sec",
+        F.greatest(
+            F.lit(0),
+            F.expr("timestampdiff(SECOND, greatest(s, COALESCE(pe, s)), e)"),
+        ),
+    )
+    return (
+        sweep.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("sec").cast("bigint").alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )
