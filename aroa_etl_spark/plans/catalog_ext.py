@@ -3958,3 +3958,51 @@ def a_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "a_market_basket_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_orderkey,
+                     a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b LIMIT 20
+    """,
+)
+def a_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support — the Apriori/FP-growth candidate
+    step (association mining, a family the catalog lacked): parts
+    co-occurring in the same order, counted across the corpus, top 20
+    by support.  The within-basket self-join is the textbook shape and
+    it is scale-SAFE because baskets are bounded (TPC-H orders carry
+    ≤ 7 lines; real carts are similarly small) — the join is
+    co-partitioned on the basket key, so each task does O(k²) work on
+    k-item groups, never a corpus-wide product; the a<b predicate
+    halves the pairs and fixes a canonical orientation.  Support
+    counting is one groupBy with map-side partials; the top-20 is
+    TakeOrderedAndProject.  Oracle replays the join, dedup, and
+    ordering exactly."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
