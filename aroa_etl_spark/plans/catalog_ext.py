@@ -4006,3 +4006,78 @@ def a_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "w_rank_movers",
+    oracle="""
+    WITH rev AS (SELECT o_custkey,
+                        strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                          AS month,
+                        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+                 FROM orders GROUP BY o_custkey, month),
+    ranked AS (SELECT o_custkey, month,
+                      row_number() OVER (PARTITION BY month
+                                         ORDER BY r DESC, o_custkey) AS rk
+               FROM rev),
+    lagged AS (SELECT o_custkey, month, rk,
+                      lag(rk) OVER (PARTITION BY o_custkey
+                                    ORDER BY month) AS prev_rk
+               FROM ranked)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           CAST(SUM(CASE WHEN prev_rk IS NOT NULL AND rk < prev_rk
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_climbers,
+           CAST(SUM(CASE WHEN prev_rk IS NOT NULL
+                         THEN abs(rk - prev_rk) ELSE 0 END) AS BIGINT)
+             AS total_rank_churn
+    FROM lagged GROUP BY month ORDER BY month
+    """,
+)
+def w_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-mover analytics — month-over-month customer revenue rank
+    deltas (climbers and total rank churn), the leaderboard-drift
+    report behind retention and whale-watch dashboards.  Both windows
+    run over the AGGREGATED (customer, month, revenue) frame — one row
+    per customer-month, orders of magnitude below fact scale — which
+    is the honest idiom for intra-period ranking: aggregate first,
+    window the aggregate.  Revenue ranks use DECIMAL sums (exact tie
+    semantics, customer-key tiebreak) so rank assignment is
+    deterministic cross-engine.  Scale: one fact groupBy, then
+    windows over the per-month / per-customer partitions of the
+    rollup."""
+    from aroa_etl_spark.plans.catalog import d2
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    rev = (
+        t["orders"]
+        .groupBy(
+            "o_custkey",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month"),
+        )
+        .agg(F.sum(d2("o_totalprice")).alias("r"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("month").orderBy(F.desc("r"), "o_custkey")
+    )
+    ranked = rev.select("o_custkey", "month", rk.alias("rk"))
+    prev = F.lag("rk").over(W.partitionBy("o_custkey").orderBy("month"))
+    lagged = ranked.withColumn("prev_rk", prev)
+    return (
+        lagged.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+            F.sum(
+                (F.col("prev_rk").isNotNull()
+                 & (F.col("rk") < F.col("prev_rk"))).cast("int")
+            ).cast("bigint").alias("n_climbers"),
+            F.sum(
+                F.when(
+                    F.col("prev_rk").isNotNull(),
+                    F.abs(F.col("rk") - F.col("prev_rk")),
+                ).otherwise(0)
+            ).cast("bigint").alias("total_rank_churn"),
+        )
+        .orderBy("month")
+    )
