@@ -2666,3 +2666,52 @@ def tdp_length_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "n_outliers", "q1", "q3")
         .orderBy("source")
     )
+
+
+@query(
+    "tdp_dup_cluster_histogram",
+    oracle="""
+    WITH g AS (SELECT md5(CASE WHEN doc_id % 7 = 0
+                               THEN 'boilerplate-' || CAST(doc_id % 3 AS VARCHAR)
+                               ELSE text END) AS h,
+                      COUNT(*) AS sz
+               FROM documents GROUP BY h)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM g GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def tdp_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dataset-card statistic
+    every corpus datasheet reports (how much of the corpus sits in
+    exact-dup clusters of size 2, 3, …, and how fat the tail is).
+    Every seventh document collapses onto one of three planted
+    boilerplate texts, creating genuine large clusters beside the
+    singleton mass; two cheap aggregations (md5 groups → sizes → size
+    histogram) produce the full distribution, and sum(n_docs) equals
+    the corpus by construction — the oracle replays both levels.
+    Scale: two groupBys with map-side partials, the second over the
+    tiny size domain."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = F.md5(
+        F.encode(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("boilerplate-"),
+                         (F.col("doc_id") % 3).cast("string")),
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        )
+    )
+    sizes = docs.select(h.alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
