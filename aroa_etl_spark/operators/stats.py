@@ -74,6 +74,8 @@ def exact_global_rank(
     *,
     rank_col: str = "global_rank",
     n_bands: int = 32,
+    bounds: "list | None" = None,
+    persist: bool = False,
 ) -> DataFrame:
     """EXACT global rank (row_number over a total order) WITHOUT a
     single-partition sort — the scale-safe replacement for
@@ -88,17 +90,25 @@ def exact_global_rank(
     Within-band row_number is a PARTITIONED window; band sizes are an
     n_bands-row dim whose cumulative offsets broadcast back.
     global_rank = offset + within-band rank, identical to the global
-    window at any partitioning.  Skew note: boundaries are
+    window at any partitioning.  The sizes aggregation and the
+    windowed frame each scan the input once — pass ``persist=True``
+    when the upstream is expensive, or precomputed ``bounds`` to skip
+    the percentile probe (callers can fold it into their own scalar
+    aggregate).  Skew note: boundaries are
     approximate, so a band can be fat (heavy duplicate values) — rank
     correctness is unaffected; re-band with higher n_bands if a fat
     band's sort dominates.  All input columns carried through."""
     from pyspark.sql.window import Window as W
 
-    bounds = df.select(
-        F.percentile_approx(
-            value_col, [i / n_bands for i in range(1, n_bands)], 10_000
-        ).alias("b")
-    ).first()["b"]
+    if bounds is None:
+        bounds = df.select(
+            F.percentile_approx(
+                value_col, [i / n_bands for i in range(1, n_bands)], 10_000
+            ).alias("b")
+        ).first()["b"]
+    # empty input / all-null value column: percentile returns NULL —
+    # fall through with zero boundaries (single band, zero rows out)
+    bounds = bounds or []
     # plain nested comparisons, NOT a higher-order aggregate lambda:
     # a LambdaFunction inside a grouping key trips Catalyst attribute
     # binding downstream of the window+join (INTERNAL_ERROR observed
@@ -107,6 +117,11 @@ def exact_global_rank(
     for b in bounds:
         band = band + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
     staged = df.withColumn("__band", band)
+    if persist:
+        # the band-size aggregation and the windowed frame each scan
+        # the input once; persist when the upstream is expensive (the
+        # double-scan-vs-cache trade every offset decomposition makes)
+        staged = staged.persist()
     within = F.row_number().over(
         W.partitionBy("__band").orderBy(value_col, tiebreak_col)
     )

@@ -1076,24 +1076,37 @@ def w_ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     k = 10
     orders = t["orders"].select("o_orderkey", "o_totalprice")
+    # ONE scalar probe supplies both the band boundaries and N (review
+    # finding: a separate count() was a whole redundant scan per build)
+    n_bands = 32
+    probe = orders.agg(
+        F.percentile_approx(
+            "o_totalprice", [i / n_bands for i in range(1, n_bands)], 10_000
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n_total = probe["n"]
     ranked = exact_global_rank(
-        orders, "o_totalprice", "o_orderkey", rank_col="p",
+        orders, "o_totalprice", "o_orderkey",
+        rank_col="p", bounds=probe["b"],
     )
     # SQL ntile sizes: the first N%k buckets get N div k + 1 rows, the
-    # rest N div k.  N is a build-time count (scalar probe, same class
-    # as exact_global_rank's percentile probe) so the band is pure
-    # integer arithmetic on the rank — no self-join of the ranked frame.
-    n_total = orders.count()
-    r, floor_sz = n_total % k, max(1, n_total // k)
-    big = floor_sz + 1
-    band = F.when(
-        F.col("p") <= r * big, ((F.col("p") - 1) / big).cast("bigint")
-    ).otherwise(
-        r + ((F.col("p") - r * big - 1) / floor_sz).cast("bigint")
-    )
+    # rest N div k; with N < k every nonempty bucket holds one row
+    # (band = rank — review finding: max(1, N div k) silently broke
+    # the small-N case).
+    r, floor_sz = n_total % k, n_total // k
+    if floor_sz == 0:
+        band = F.col("p") - 1
+    else:
+        big = floor_sz + 1
+        band = F.when(
+            F.col("p") <= r * big, ((F.col("p") - 1) / big).cast("bigint")
+        ).otherwise(
+            r + ((F.col("p") - r * big - 1) / floor_sz).cast("bigint")
+        )
     banded = ranked.select(
         "o_orderkey", "o_totalprice",
-        (F.floor(band) + 1).cast("int").alias("band"),
+        (band + 1).cast("int").alias("band"),
     )
     return banded.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2558,7 +2571,8 @@ def tdp_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH c AS (SELECT doc_id,
                       greatest(1, len(list_filter(
-                        string_split_regex(lower(trim(text)), '\s+'),
+                        string_split_regex(lower(trim(text)),
+                                           '[ \t\n\r\f]+'),
                         t -> t != ''))) AS words,
                       greatest(1, len(regexp_extract_all(text, '[.!?]')))
                         AS sentences,
@@ -2586,9 +2600,11 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     or punctuation-free docs finite.  Scale: pure column expressions
     (three regexp counts), zero shuffle."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # explicit whitespace class: Java \s includes \x0B, RE2's does not
+    # (review finding) — pin both engines to the same split
     words = F.greatest(
         F.lit(1),
-        F.size(F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+        F.size(F.filter(F.split(F.lower(F.trim("text")), "[ \t\n\r\f]+"),
                         lambda t: t != "")),
     )
     sentences = F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]")))

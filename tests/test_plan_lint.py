@@ -99,3 +99,15 @@ def test_exact_global_rank_is_exact(spark):
     out = exact_global_rank(df, "v", "id", n_bands=8)
     rows = out.orderBy("v", "id").collect()
     assert [r.global_rank for r in rows] == list(range(1, 2001))
+
+
+def test_exact_global_rank_empty_and_allnull(spark):
+    """Review fix: empty input / all-null value column short-circuits
+    (percentile returns NULL) instead of TypeError at build time."""
+    from aroa_etl_spark.operators.stats import exact_global_rank
+
+    empty = spark.createDataFrame([], "id bigint, v double")
+    assert exact_global_rank(empty, "v", "id").count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id bigint, v double")
+    out = exact_global_rank(nulls, "v", "id").orderBy("id").collect()
+    assert [r.global_rank for r in out] == [1, 2]  # single band, id tiebreak
