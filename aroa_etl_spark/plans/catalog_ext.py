@@ -4081,3 +4081,46 @@ def w_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (SELECT DISTINCT CAST(doc_id % 50 AS INT) AS u,
+                               CAST((doc_id * 7 + 3) % 50 AS INT) AS v
+               FROM documents),
+    outd AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+    ind AS (SELECT v, COUNT(*) AS d FROM e GROUP BY v)
+    SELECT 'out' AS direction, CAST(d AS INT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM outd GROUP BY d
+    UNION ALL
+    SELECT 'in', CAST(d AS INT), CAST(COUNT(*) AS BIGINT)
+    FROM ind GROUP BY d
+    ORDER BY direction, degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram — the first thing anyone computes
+    on a new graph (power-law check, supernode detection, the skew
+    audit that decides whether a join on the edge key needs salting).
+    In/out degrees from one distinct edge pass, histogrammed per
+    direction; the oracle replays the doc-id edge arithmetic and both
+    aggregation levels.  Scale: distinct + two groupBys with map-side
+    partials, the histograms over the tiny degree domain — the same
+    triage the dedup hot-bucket policy automates is here made an
+    explicit, reportable artifact."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    e = docs.select(
+        (F.col("doc_id") % 50).cast("int").alias("u"),
+        ((F.col("doc_id") * 7 + 3) % 50).cast("int").alias("v"),
+    ).distinct()
+    outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ind = e.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    out_h = outd.groupBy(F.col("d").cast("int").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.lit("out").alias("direction"), "degree", "n_nodes")
+    in_h = ind.groupBy(F.col("d").cast("int").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.lit("in").alias("direction"), "degree", "n_nodes")
+    return out_h.unionByName(in_h).orderBy("direction", "degree")
