@@ -4124,3 +4124,78 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).select(F.lit("in").alias("direction"), "degree", "n_nodes")
     return out_h.unionByName(in_h).orderBy("direction", "degree")
+
+
+@query(
+    "a_revenue_concentration",
+    oracle="""
+    WITH rev AS (SELECT o_custkey,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                             AS BIGINT) AS cents
+                 FROM orders GROUP BY o_custkey),
+    ranked AS (SELECT o_custkey, cents,
+                      row_number() OVER (ORDER BY cents, o_custkey) AS rk
+               FROM rev),
+    nn AS (SELECT COUNT(*) AS n FROM ranked),
+    s AS (SELECT nn.n AS n,
+                 SUM(CAST(cents AS DECIMAL(38,0))) AS tot,
+                 SUM(CAST(rk AS DECIMAL(38,0)) * cents) AS rksum,
+                 SUM(CASE WHEN rk > nn.n - nn.n // 10
+                          THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END)
+                   AS top_cents
+          FROM ranked, nn GROUP BY nn.n)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(2.0 * CAST(rksum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9)
+             AS gini,
+           round(CAST(top_cents AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+             AS top_decile_share
+    FROM s
+    """,
+)
+def a_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration — Gini coefficient and top-decile share,
+    the inequality/whale metrics behind corpus- and customer-weighting
+    decisions, computed EXACTLY at scale: per-customer cents are exact
+    integers, the ascending rank comes from exact_global_rank (round
+    7's no-global-sort decomposition — this entry is its first
+    downstream consumer beyond ntile), and both Gini terms are
+    DECIMAL(38) sums of rank×cents — order-independent — with only the
+    final division chain in doubles (rounded at 9 dp on both engines).
+    The oracle computes the same sums under a flat window.  Scale: one
+    fact groupBy, the banded rank machinery, one scalar aggregate."""
+    from aroa_etl_spark.operators.stats import exact_global_rank
+    from aroa_etl_spark.plans.catalog import d2
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    rev = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg((F.sum(d2("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    )
+    ranked = exact_global_rank(rev, "cents", "o_custkey", rank_col="rk")
+    n_total = rev.count()
+    cutoff = n_total - n_total // 10
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("rksum"),
+        F.sum(
+            F.when(F.col("rk") > cutoff,
+                   F.col("cents").cast("decimal(38,0)")).otherwise(0)
+        ).alias("top_cents"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.col("rksum").cast("double")
+            / (n * F.col("tot").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            9,
+        ).alias("gini"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("tot").cast("double"), 9
+        ).alias("top_decile_share"),
+    )
