@@ -1813,3 +1813,63 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("afp")
     )
+
+
+@query(
+    "mm_media_type_sniff",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 8 AS INT) AS k
+               FROM documents)
+    SELECT media_id,
+           CASE k WHEN 0 THEN 'png'  WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'gif'  WHEN 3 THEN 'bmp'
+                  WHEN 4 THEN 'wav'  WHEN 5 THEN 'flac'
+                  WHEN 6 THEN 'ogg'  ELSE 'unknown' END AS media_type
+    FROM p
+    """,
+)
+def mm_media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte media-type sniffing as a standalone dispatcher — the
+    generalization of the jpeg/mp3 split mm_triage_gated_decode used:
+    crawl blobs arrive with lying or absent content types, so routing
+    runs on the FIRST BYTES (PNG signature, JPEG SOI, GIF8, BM,
+    RIFF/WAVE, fLaC, OggS), entirely in column expressions over hex
+    prefixes — zero Python, zero shuffle, the cheapest possible gate
+    in front of every scanner/decoder in the family.  Blobs are
+    genuine format headers planted by k-arithmetic (the eighth class
+    is garbage that must fall through to 'unknown'); the oracle
+    replays the routing.  At 100 TB this predicate prunes entire
+    decode branches before any kernel runs."""
+    sigs = {
+        0: bytes([0x89]) + b"PNG\r\n\x1a\n",
+        1: b"\xff\xd8\xff\xe0" + bytes(4),
+        2: b"GIF89a" + bytes(2),
+        3: b"BM" + bytes(6),
+        4: b"RIFF\x10\x00\x00\x00WAVE",
+        5: b"fLaC" + bytes(4),
+        6: b"OggS" + bytes(4),
+        7: b"\x00\x01\x02\x03garbage",
+    }
+    blobs = [(k, bytearray(v + b"tail-bytes")) for k, v in sigs.items()]
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    h4 = F.hex(F.substring("content", 1, 4))
+    h8 = F.hex(F.substring("content", 1, 8))
+    h12 = F.hex(F.substring("content", 1, 12))
+    media_type = (
+        F.when(h8 == "89504E470D0A1A0A", "png")
+        .when(F.substring(h4, 1, 6) == "FFD8FF", "jpeg")
+        .when(F.hex(F.substring("content", 1, 6)).isin(
+            "474946383961", "474946383761"), "gif")
+        .when(F.substring(h4, 1, 4) == "424D", "bmp")
+        .when((F.substring(h4, 1, 8) == "52494646")
+              & (F.substring(h12, 17, 8) == "57415645"), "wav")
+        .when(h4 == "664C6143", "flac")
+        .when(h4 == "4F676753", "ogg")
+        .otherwise("unknown")
+    )
+    return media.select("media_id", media_type.alias("media_type"))
