@@ -4199,3 +4199,92 @@ def a_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cents").cast("double") / F.col("tot").cast("double"), 9
         ).alias("top_decile_share"),
     )
+
+
+@query(
+    "a_basket_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    sup1 AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     COUNT(*) AS s_ab
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY part_a, part_b),
+    scored AS (SELECT p.part_a, p.part_b, p.s_ab, sa.s AS s_a, sb.s AS s_b,
+                      round(CAST(p.s_ab AS DOUBLE) * nb.n
+                            / (CAST(sa.s AS DOUBLE) * sb.s), 9) AS lift,
+                      round(CAST(p.s_ab AS DOUBLE) / sa.s, 9) AS conf_a_b
+               FROM pairs p
+               JOIN sup1 sa ON sa.l_partkey = p.part_a
+               JOIN sup1 sb ON sb.l_partkey = p.part_b
+               CROSS JOIN nb
+               WHERE p.s_ab >= 3)
+    SELECT part_a, part_b,
+           CAST(s_ab AS BIGINT) AS support,
+           CAST(s_a AS BIGINT) AS support_a,
+           CAST(s_b AS BIGINT) AS support_b,
+           lift, conf_a_b
+    FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association METRICS on the basket pairs — lift and confidence,
+    the actual decision values Apriori-style mining reports (support
+    alone ranks popular items, lift finds genuinely associated ones).
+    Pair and singleton supports are exact integer counts; lift =
+    s_ab·N / (s_a·s_b) and confidence = s_ab / s_a are fixed double
+    chains rounded at 9 dp, so both engines agree bit-for-bit.  A
+    minimum pair support of 3 is the standard noise floor.  Scale:
+    the bounded within-basket self-join from a_market_basket_pairs,
+    two broadcast-eligible singleton-support joins, one 1-row basket
+    count; top-20 by lift collapses to TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()
+    sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(sup1.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("s").alias("s_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(sup1.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("s").alias("s_b"))),
+            "part_b",
+        )
+    )
+    return (
+        scored.select(
+            "part_a", "part_b",
+            F.col("s_ab").cast("bigint").alias("support"),
+            F.col("s_a").cast("bigint").alias("support_a"),
+            F.col("s_b").cast("bigint").alias("support_b"),
+            F.round(
+                F.col("s_ab").cast("double") * n_baskets
+                / (F.col("s_a").cast("double") * F.col("s_b")), 9
+            ).alias("lift"),
+            F.round(F.col("s_ab").cast("double") / F.col("s_a"), 9)
+            .alias("conf_a_b"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
