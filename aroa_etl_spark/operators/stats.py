@@ -94,7 +94,11 @@ def exact_global_rank(
     windowed frame each scan the input once — pass ``persist=True``
     when the upstream is expensive, or precomputed ``bounds`` to skip
     the percentile probe (callers can fold it into their own scalar
-    aggregate).  Skew note: boundaries are
+    aggregate).  CACHE OWNERSHIP: with ``persist=True`` the staged
+    frame stays cached for the application lifetime — the caller owns
+    it and should ``spark.catalog.clearCache()`` (or keep a handle and
+    ``unpersist()``) once the result is materialized; this function
+    cannot unpersist eagerly because the returned frame is lazy.  Skew note: boundaries are
     approximate, so a band can be fat (heavy duplicate values) — rank
     correctness is unaffected; re-band with higher n_bands if a fat
     band's sort dominates.  All input columns carried through."""

@@ -1099,10 +1099,12 @@ def w_ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         band = F.col("p") - 1
     else:
         big = floor_sz + 1
+        # integer div, not double-divide-then-cast: the same rounding
+        # hazard tdp_quota_apportionment fixed (exact past 2^53)
         band = F.when(
-            F.col("p") <= r * big, ((F.col("p") - 1) / big).cast("bigint")
+            F.col("p") <= r * big, F.expr(f"(p - 1) div {big}")
         ).otherwise(
-            r + ((F.col("p") - r * big - 1) / floor_sz).cast("bigint")
+            r + F.expr(f"(p - {r * big} - 1) div {floor_sz}")
         )
     banded = ranked.select(
         "o_orderkey", "o_totalprice",

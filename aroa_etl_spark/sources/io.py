@@ -375,6 +375,18 @@ def compact_parquet_dir(
     ``rows_per_file`` from the table's observed bytes/row.  Scale: one
     full-data round-robin shuffle — the unavoidable price of changing
     file layout — and nothing else; no window, no driver loop."""
+    import os
+
+    # mode("overwrite") deletes dst BEFORE the lazy scan of src runs —
+    # a same-dir (or dst-inside-src) call would destroy the source data
+    src_real = os.path.realpath(src_dir)
+    dst_real = os.path.realpath(dst_dir)
+    if dst_real == src_real or dst_real.startswith(src_real + os.sep):
+        raise ValueError(
+            f"compact_parquet_dir: dst_dir {dst_dir!r} equals or is nested "
+            f"in src_dir {src_dir!r}; overwrite would delete the source "
+            "before it is read"
+        )
     df = spark.read.parquet(src_dir)
     # file counts from the scan's file index (metadata only) — a
     # distinct() over input_file_name() would re-scan the data twice

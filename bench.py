@@ -2,15 +2,24 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query wall times.
 
-Each query is executed once warm-up-free but after a shared session spin-up;
-the timed action is a full materialization (collect of the aggregate result
-or count for large outputs) so the whole plan — scan, shuffle, agg — is paid.
+Protocol (since round 8, r7 verdict ask #3): each query is timed
+REPS (=3) times within the shared session and the reported number is
+the MEDIAN — single-run driver variance (r07's w2_topk read 4.88 s vs
+a same-host rerun's 2.71 s on unchanged code) previously masqueraded
+as regression.  Min/max per query ship in a "variance" tail so spread
+stays visible.  The timed action is a full materialization (collect of
+the aggregate result or count for large outputs) so the whole plan —
+scan, shuffle, agg — is paid.  Rounds ≤7 timed each query once;
+cross-round comparison vs those files should expect the median to sit
+at or below the old single-shot numbers (first-run cache warmup moves
+to run 1 of 3).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,11 +42,25 @@ HEADLINE = [
 ]
 # Results with more rows than this are counted, not collected.
 COLLECT_CAP = 100_000
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="aroa_etl_spark_bench")
+    # The bounded-dim offset windows (≤64-row band/shard dims) are
+    # plan-audited and pinned by tests/test_plan_invariants.py; their
+    # `WindowExec: No Partition Defined` warnings would flood the bench
+    # tail and let a REAL data-sized unpartitioned window hide in the
+    # noise (r7 verdict ask #8) — scope the logger down for the bench
+    # only; the plan-invariant tests, not the log, are the guard.
+    jvm_log = spark._jvm.org.apache.log4j  # noqa: SLF001
+    jvm_log.Logger.getLogger(
+        "org.apache.spark.sql.execution.window.WindowExec"
+    ).setLevel(jvm_log.Level.ERROR)
+    jvm_log.Logger.getLogger(
+        "org.apache.spark.sql.catalyst.expressions"
+    ).setLevel(jvm_log.Level.ERROR)
     qmap = catalog.queries()
     names = [n for n in HEADLINE if n in qmap]
     # extra registered headline benchmarks (e.g. dedup/text ops) opt in
@@ -50,15 +73,20 @@ def main() -> None:
     from aroa_etl_spark.operators import dedup as _dedup
 
     timings: dict[str, float] = {}
+    variance: dict[str, dict[str, float]] = {}
     for name in names:
-        start = time.perf_counter()
-        df = qmap[name](spark, sf_dir)
-        rows = df.limit(COLLECT_CAP + 1).collect()
-        if len(rows) > COLLECT_CAP:
-            df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        # untimed: free operator-internal reuse caches between queries
-        _dedup.release_caches()
+        runs: list[float] = []
+        for _ in range(REPS):
+            start = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            rows = df.limit(COLLECT_CAP + 1).collect()
+            if len(rows) > COLLECT_CAP:
+                df.count()
+            runs.append(time.perf_counter() - start)
+            # untimed: free operator-internal reuse caches between runs
+            _dedup.release_caches()
+        timings[name] = round(statistics.median(runs), 3)
+        variance[name] = {"min": round(min(runs), 3), "max": round(max(runs), 3)}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,6 +102,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "reps": REPS,
+                "aggregation": "median",
+                "variance": variance,
             }
         )
     )

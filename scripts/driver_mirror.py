@@ -104,14 +104,24 @@ def _write_receipt(results: dict[str, dict], sf_dir: str) -> None:
         with open(path) as fh:
             entries = json.load(fh).get("entries", {})
     for name, rec in results.items():
-        entries[name] = {**rec, "commit": commit, "dirty": dirty}
+        entries[name] = {**rec, "commit": commit, "dirty": dirty, "round": n}
+    # freshness is machine-checked, not just recorded (r7 advice): a
+    # filtered run merges into prior entries attested against an older
+    # commit — surface that drift in the header so test_receipts and
+    # judges see it without per-entry archaeology
+    stale = sorted(
+        k for k, v in entries.items() if v.get("commit") != commit
+    )
     with open(path, "w") as fh:
         json.dump(
-            {"sf_dir": sf_dir, "round": n,
+            {"sf_dir": sf_dir, "round": n, "head_commit": commit,
+             "stale_commit_count": len(stale),
+             "stale_commit_entries": stale[:50],
              "entries": dict(sorted(entries.items()))},
             fh, indent=1,
         )
-    print(f"receipt: {path} ({len(entries)} entries)")
+    print(f"receipt: {path} ({len(entries)} entries, "
+          f"{len(stale)} attested at an older commit)")
 
 
 if __name__ == "__main__":

@@ -336,7 +336,7 @@ def test_epoch_repeat_fractional_copies(spark):
     assert len(per_doc) == 1000
     assert set(per_doc.values()) <= {2, 3}
     n3 = sum(1 for v in per_doc.values() if v == 3)
-    assert 230 and 200 < n3 < 400  # md5-uniform ~300
+    assert 200 < n3 < 400  # md5-uniform ~300
     # deterministic across re-runs and partitioning
     again = {r.doc_id: r.n for r in epoch_repeat(df.repartition(7), "doc_id", F.lit(2300))
              .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
