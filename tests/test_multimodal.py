@@ -1493,3 +1493,128 @@ def test_audio_fingerprint_offset_invariant_but_shape_sensitive(spark):
     assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
     assert got[1] == got[2]   # +3 amplitude offset: same fingerprint
     assert got[1] != got[3]   # reordered samples: different fingerprint
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container + MJPEG real video decode (r7 verdict ask #1)
+# ---------------------------------------------------------------------------
+
+def _flat_jpeg(v: int, w: int = 16, h: int = 8) -> bytes:
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+
+    return encode_baseline_jpeg(np.full((h, w), v, dtype=np.uint8), quality=85)
+
+
+def test_avi_roundtrip_scan_and_demux():
+    from aroa_etl_spark.operators.multimodal import (
+        _parse_avi, demux_avi_frames, encode_avi_mjpeg,
+    )
+
+    frames = [_flat_jpeg(v) for v in (28, 128, 223)]
+    avi = encode_avi_mjpeg(frames, width=16, height=8, rate=30000, scale=1001)
+    rec = _parse_avi(avi, strict=True)
+    assert rec == {
+        "n_streams": 1, "video_codec": "MJPG", "width": 16, "height": 8,
+        "n_frames": 3, "fps_num": 30000, "fps_den": 1001,
+        "movi_chunks": 3, "idx_entries": 3,
+        "duration_ms": 3 * 1000 * 1001 // 30000,
+    }
+    assert demux_avi_frames(avi, strict=True) == frames
+    # odd-length frame payloads take the even-padding path and come
+    # back byte-identical (the pad byte must NOT leak into the frame)
+    odd = frames[0] if len(frames[0]) % 2 else frames[0] + b"\x00"
+    assert len(odd) % 2 == 1
+    avi2 = encode_avi_mjpeg([odd], width=16, height=8)
+    assert demux_avi_frames(avi2) == [odd]
+
+
+def test_avi_strict_guards():
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import (
+        _parse_avi, demux_avi_frames, encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg([_flat_jpeg(128)], width=16, height=8)
+    with _pytest.raises(ValueError, match="RIFF"):
+        _parse_avi(b"JUNK" + avi[4:], strict=True)
+    with _pytest.raises(ValueError, match="overruns"):
+        _parse_avi(avi[: len(avi) // 2], strict=True)
+    with _pytest.raises(ValueError, match="avih"):
+        # a RIFF/AVI shell with no hdrl at all
+        import struct
+
+        shell = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+        _parse_avi(shell, strict=True)
+    with _pytest.raises(ValueError):
+        demux_avi_frames(b"\x00" * 16, strict=True)
+
+
+def test_avi_rec_list_nesting_and_db_chunks():
+    """ffmpeg-style 'rec ' grouping inside movi, and '00db'
+    (uncompressed-flagged) chunks both count as frames."""
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import (
+        _parse_avi, _riff_chunk, _riff_list, demux_avi_frames, encode_avi_mjpeg,
+    )
+
+    f1, f2, f3 = (_flat_jpeg(v) for v in (28, 128, 223))
+    base = encode_avi_mjpeg([f1], width=16, height=8)
+    # splice a rec-list holding two more frames into a rebuilt movi
+    movi_payload = (
+        _riff_chunk(b"00dc", f1)
+        + _riff_list(b"rec ", _riff_chunk(b"00dc", f2) + _riff_chunk(b"00db", f3))
+    )
+    movi = _riff_list(b"movi", movi_payload)
+    hdrl_end = base.find(b"LIST", 12)
+    # rebuild: keep hdrl from the encoder, swap in the nested movi
+    hdrl_size = struct.unpack("<I", base[hdrl_end + 4 : hdrl_end + 8])[0]
+    hdrl = base[hdrl_end : hdrl_end + 8 + hdrl_size]
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert demux_avi_frames(avi, strict=True) == [f1, f2, f3]
+    assert _parse_avi(avi, strict=True)["movi_chunks"] == 3
+
+
+def test_video_frame_features_exact_and_sampled(spark):
+    from aroa_etl_spark.operators.multimodal import (
+        encode_avi_mjpeg, video_frame_features,
+    )
+
+    vals = [28, 128, 223, 78]
+    avi = bytearray(encode_avi_mjpeg(
+        [_flat_jpeg(v) for v in vals], width=16, height=8))
+    df = spark.createDataFrame(
+        [(1, "mem://v/1", avi, None)],
+        "media_id long, uri string, content binary, meta map<string,string>",
+    )
+    out = video_frame_features(df, every_n=1, strict=True).collect()
+    assert [(r.frame_index, r.width, r.height, r.mean_intensity) for r in out] == [
+        (i, 16, 8, float(v)) for i, v in enumerate(vals)
+    ]
+    sampled = video_frame_features(df, every_n=3, strict=True).collect()
+    assert [(r.frame_index, r.mean_intensity) for r in sampled] == [
+        (0, 28.0), (3, 78.0)
+    ]
+
+
+def test_video_frame_features_strict_raises_on_non_jpeg(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import (
+        _riff_chunk, _riff_list, video_frame_features,
+    )
+    import struct
+
+    body = b"AVI " + _riff_list(
+        b"hdrl", _riff_chunk(b"avih", bytes(56))
+    ) + _riff_list(b"movi", _riff_chunk(b"00dc", b"not a jpeg"))
+    avi = bytearray(b"RIFF" + struct.pack("<I", len(body)) + body)
+    df = spark.createDataFrame(
+        [(1, "mem://v/1", avi, None)],
+        "media_id long, uri string, content binary, meta map<string,string>",
+    )
+    with _pytest.raises(Exception):
+        video_frame_features(df, strict=True).collect()
+    assert video_frame_features(df, strict=False).count() == 0
