@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_linear_stats"]
+__all__ = ["exact_linear_stats", "exact_global_rank", "exact_grouped_rank"]
 
 
 def exact_linear_stats(
@@ -144,4 +144,78 @@ def exact_global_rank(
         .join(F.broadcast(offsets), "__band")
         .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
         .drop("__band", "__rn", "__off")
+    )
+
+
+def exact_grouped_rank(
+    df: DataFrame,
+    group_cols: "list[str] | str",
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    rank_col: str = "rank",
+    n_bands: int = 32,
+    descending: bool = False,
+    persist: bool = False,
+) -> DataFrame:
+    """EXACT per-group rank (row_number over a total order WITHIN each
+    group) without any group-sized sort task — the grouped
+    generalization of :func:`exact_global_rank` (r7 verdict ask #4:
+    `row_number() OVER (PARTITION BY month ORDER BY …)` puts every
+    customer of a month in ONE window partition; at extreme scale that
+    is one fat sort task per month).
+
+    Decomposition: ONE global percentile probe on the value column
+    splits its domain into ``n_bands`` ranges shared by all groups
+    (per-group bounds would need a per-group probe for no correctness
+    gain — band boundaries only need to respect the value order, which
+    global bounds do for every group).  The within window partitions
+    by (group, band) — each task sorts ~1/n_bands of a group — and the
+    band-size dim is #groups × n_bands rows whose per-group cumulative
+    offsets broadcast back.  rank = group-local offset + within-band
+    row_number, identical to the per-group window at any partitioning.
+    ``descending=True`` ranks highest value first (tiebreak stays
+    ascending), matching the ``ORDER BY v DESC, tb`` leaderboard idiom.
+    Skew note: global bounds mean a group whose values concentrate in
+    one band degrades to the plain grouped window for that group —
+    correctness unaffected, and re-banding with higher n_bands splits
+    it.  All input columns carried through; same cache-ownership
+    contract as exact_global_rank for ``persist=True``."""
+    from pyspark.sql.window import Window as W
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    skey = -F.col(value_col) if descending else F.col(value_col)
+    staged = df.withColumn("__skey", skey)
+    bounds = staged.select(
+        F.percentile_approx(
+            "__skey", [i / n_bands for i in range(1, n_bands)], 10_000
+        ).alias("b")
+    ).first()["b"] or []
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(F.col("__skey") > F.lit(b), 1).otherwise(0)
+    staged = staged.withColumn("__band", band)
+    if persist:
+        staged = staged.persist()
+    within = F.row_number().over(
+        W.partitionBy(*groups, "__band").orderBy("__skey", tiebreak_col)
+    )
+    sizes = staged.groupBy(*groups, "__band").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = sizes.select(
+        *groups,
+        "__band",
+        F.coalesce(
+            F.sum("__n").over(
+                W.partitionBy(*groups)
+                .orderBy("__band")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        staged.withColumn("__rn", within)
+        .join(F.broadcast(offsets), [*groups, "__band"])
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__band", "__rn", "__off", "__skey")
     )

@@ -4043,9 +4043,15 @@ def w_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the honest idiom for intra-period ranking: aggregate first,
     window the aggregate.  Revenue ranks use DECIMAL sums (exact tie
     semantics, customer-key tiebreak) so rank assignment is
-    deterministic cross-engine.  Scale: one fact groupBy, then
-    windows over the per-month / per-customer partitions of the
-    rollup."""
+    deterministic cross-engine.  Scale (r7 verdict ask #4): the
+    per-month rank previously windowed over a whole month partition —
+    O(total customers) in one sort task; it now goes through
+    operators/stats.exact_grouped_rank (global percentile bands +
+    (month, band) partitioned row_number + broadcast per-month
+    offsets), so no window over the rollup is wider than a month's
+    share of one band.  The lag window stays per-customer (≤ #months
+    rows per partition)."""
+    from aroa_etl_spark.operators.stats import exact_grouped_rank
     from aroa_etl_spark.plans.catalog import d2
 
     t = load_tables(spark, sf_dir, ("orders",))
@@ -4058,10 +4064,9 @@ def w_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(d2("o_totalprice")).alias("r"))
     )
-    rk = F.row_number().over(
-        W.partitionBy("month").orderBy(F.desc("r"), "o_custkey")
-    )
-    ranked = rev.select("o_custkey", "month", rk.alias("rk"))
+    ranked = exact_grouped_rank(
+        rev, "month", "r", "o_custkey", rank_col="rk", descending=True
+    ).select("o_custkey", "month", "rk")
     prev = F.lag("rk").over(W.partitionBy("o_custkey").orderBy("month"))
     lagged = ranked.withColumn("prev_rk", prev)
     return (

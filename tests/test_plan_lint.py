@@ -111,3 +111,46 @@ def test_exact_global_rank_empty_and_allnull(spark):
     nulls = spark.createDataFrame([(1, None), (2, None)], "id bigint, v double")
     out = exact_global_rank(nulls, "v", "id").orderBy("id").collect()
     assert [r.global_rank for r in out] == [1, 2]  # single band, id tiebreak
+
+
+def test_exact_grouped_rank_is_exact_heavy_ties(spark):
+    """Grouped generalization (r7 verdict ask #4): per-group rank under
+    heavy ties must equal the plain grouped window, both directions."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.stats import exact_grouped_rank
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "cast(id % 5 as int) as g",
+        "cast((id * 37) % 101 as double) as v",  # heavy ties
+    )
+    for descending in (False, True):
+        out = exact_grouped_rank(
+            df, "g", "v", "id", rank_col="rk", n_bands=8, descending=descending
+        )
+        order = [F.col("g"), F.desc("v") if descending else F.col("v"), F.col("id")]
+        per_g = defaultdict(list)
+        for r in out.orderBy(*order).collect():
+            per_g[r.g].append(r.rk)
+        assert all(v == list(range(1, len(v) + 1)) for v in per_g.values())
+
+
+def test_rank_movers_has_no_month_wide_window(spark, sf_dir):
+    """r7 verdict ask #4 'done' condition: w_rank_movers' plan carries
+    no month-partition window over the raw rollup — every window over
+    the revenue column is (month, band)-partitioned; month-only
+    partitions are allowed only for the band-size offsets dim and the
+    per-customer lag."""
+    import re
+
+    from aroa_etl_spark.plans import catalog
+
+    df = catalog.spec("w_rank_movers").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # windows that see the revenue column must be band-partitioned
+    rev_windows = [s for s in specs if "__skey" in s or re.search(r"\br#", s)]
+    assert rev_windows, "expected banded rank windows in the plan"
+    assert all("__band" in s for s in rev_windows), rev_windows
