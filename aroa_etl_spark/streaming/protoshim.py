@@ -1,0 +1,46 @@
+"""Activate the vendored mini-protobuf runtime when the real one is
+absent (r7 verdict ask #6: close the transformWithStateInPandas
+env-gate the way round 7 closed JDBC with embedded Derby).
+
+``ensure_protobuf()`` tries ``import google.protobuf``; only on
+ImportError does it prepend ``aroa_etl_spark/_vendor`` to both
+``sys.path`` (this process) and ``os.environ['PYTHONPATH']`` (so the
+JVM-spawned Python workers that actually speak the state-server
+protocol inherit it).  Call it BEFORE building the SparkSession —
+local-mode workers take their environment from the JVM, which takes
+it from the driver process at launch.
+
+The real protobuf distribution always wins: if it is importable,
+nothing changes.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+_VENDOR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_vendor"
+)
+
+
+def ensure_protobuf() -> str:
+    """Make ``google.protobuf`` importable; returns 'real' when the
+    installed distribution is used, 'vendored' when the mini runtime
+    was activated."""
+    try:
+        importlib.import_module("google.protobuf")
+        return "real"
+    except ImportError:
+        pass
+    if _VENDOR not in sys.path:
+        sys.path.insert(0, _VENDOR)
+    prev = os.environ.get("PYTHONPATH", "")
+    parts = prev.split(os.pathsep) if prev else []
+    if _VENDOR not in parts:
+        os.environ["PYTHONPATH"] = (
+            _VENDOR + (os.pathsep + prev if prev else "")
+        )
+    importlib.import_module("google.protobuf")
+    return "vendored"

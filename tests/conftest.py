@@ -8,6 +8,13 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aroa_etl_spark.session import get_spark  # noqa: E402
+from aroa_etl_spark.streaming.protoshim import ensure_protobuf  # noqa: E402
+
+# Activate the vendored mini-protobuf runtime (when the real one is
+# absent) BEFORE any SparkSession exists: the transformWithState
+# state-server Python workers inherit PYTHONPATH from the JVM, which
+# inherits it from this process at launch.
+ensure_protobuf()
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")

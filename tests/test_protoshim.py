@@ -1,0 +1,147 @@
+"""Vendored mini-protobuf runtime (r7 verdict ask #6): wire-format
+unit tests against the real StateMessage gencode, plus semantics the
+state-server clients depend on.  The end-to-end JVM interop proof is
+test_streaming.py::test_streaming_consensus_tws_executes_with_protobuf
+— the JVM parses our bytes with real protobuf-java, so any encoding
+bug fails that test loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from aroa_etl_spark.streaming.protoshim import ensure_protobuf
+
+ensure_protobuf()
+
+from pyspark.sql.streaming.proto import StateMessage_pb2 as sm  # noqa: E402
+
+from aroa_etl_spark._vendor.google.protobuf import _minipb  # noqa: E402
+
+
+def test_varint_boundaries():
+    for v in (0, 1, 127, 128, 300, 2**31 - 1, 2**32, 2**63 - 1):
+        enc = _minipb.encode_varint(v)
+        dec, pos = _minipb.decode_varint(enc, 0)
+        assert dec == v and pos == len(enc)
+    # negatives: 64-bit two's complement, 10 bytes
+    enc = _minipb.encode_varint(-1)
+    assert len(enc) == 10
+    dec, _ = _minipb.decode_varint(enc, 0)
+    assert dec == (1 << 64) - 1
+
+
+def test_known_wire_bytes():
+    """Pin a hand-computed encoding: field 1 (varint) = 150 is the
+    protobuf docs' canonical `08 96 01` example."""
+    msg = sm.StateResponse(statusCode=150)
+    assert msg.SerializeToString() == b"\x08\x96\x01"
+    # string field: tag 0x12, length, utf-8 payload
+    msg2 = sm.StateResponse(errorMessage="hi")
+    assert msg2.SerializeToString() == b"\x12\x02hi"
+
+
+def test_proto3_implicit_presence_skips_defaults():
+    assert sm.StateResponse(statusCode=0, errorMessage="", value=b"").SerializeToString() == b""
+
+
+def test_oneof_set_clears_sibling():
+    call = sm.ValueStateCall(stateName="v", exists=sm.Exists())
+    assert call.WhichOneof("method") == "exists"
+    call.get = sm.Get()
+    assert call.WhichOneof("method") == "get"
+    assert not call.HasField("exists")
+    # serialized form carries only the winner (field 3 == get)
+    raw = call.SerializeToString()
+    parsed = sm.ValueStateCall()
+    parsed.ParseFromString(raw)
+    assert parsed.WhichOneof("method") == "get"
+
+
+def test_vivification_read_does_not_mark_presence():
+    cmd = sm.StateCallCommand(stateName="s")
+    _ = cmd.ttl.durationMs  # read-only touch
+    assert not cmd.HasField("ttl")
+    # exactly the stateName bytes — no field-4 (ttl) header at all
+    assert cmd.SerializeToString() == b"\x0a\x01s"
+    cmd.ttl.durationMs = 7
+    assert cmd.HasField("ttl")
+    parsed = sm.StateCallCommand()
+    parsed.ParseFromString(cmd.SerializeToString())
+    assert parsed.ttl.durationMs == 7
+
+
+def test_repeated_message_and_bytes_roundtrip():
+    resp = sm.StateResponseWithMapIterator(
+        statusCode=1,
+        kvPair=[
+            sm.KeyAndValuePair(key=b"a", value=b"1"),
+            sm.KeyAndValuePair(key=b"b", value=b"2"),
+        ],
+        requireNextFetch=True,
+    )
+    parsed = sm.StateResponseWithMapIterator()
+    parsed.ParseFromString(resp.SerializeToString())
+    assert [(p.key, p.value) for p in parsed.kvPair] == [(b"a", b"1"), (b"b", b"2")]
+    assert parsed.requireNextFetch is True
+    lst = sm.ListStatePut(value=[b"x", b"y", b"z"], fetchWithArrow=False)
+    out = sm.ListStatePut()
+    out.ParseFromString(lst.SerializeToString())
+    assert list(out.value) == [b"x", b"y", b"z"]
+    assert out.fetchWithArrow is False
+
+
+def test_negative_int64_and_enum_roundtrip():
+    t = sm.RegisterTimer(expiryTimestampMs=-123456789)
+    out = sm.RegisterTimer()
+    out.ParseFromString(t.SerializeToString())
+    assert out.expiryTimestampMs == -123456789
+    s = sm.SetHandleState(state=sm.CLOSED)
+    out2 = sm.SetHandleState()
+    out2.ParseFromString(s.SerializeToString())
+    assert out2.state == sm.CLOSED == 5
+
+
+def test_unknown_fields_are_skipped():
+    # field 99 varint + field 98 length-delimited, then a known field
+    raw = (
+        _minipb.encode_tag(99, 0) + _minipb.encode_varint(7)
+        + _minipb.encode_tag(98, 2) + _minipb.encode_varint(3) + b"abc"
+        + _minipb.encode_tag(1, 0) + _minipb.encode_varint(42)
+    )
+    msg = sm.StateResponse()
+    msg.ParseFromString(raw)
+    assert msg.statusCode == 42
+
+
+def test_nested_oneof_request_roundtrip_deep():
+    req = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            listStateCall=sm.ListStateCall(
+                stateName="L",
+                appendList=sm.AppendList(value=[b"p", b"q"], fetchWithArrow=False),
+            )
+        )
+    )
+    out = sm.StateRequest()
+    out.ParseFromString(req.SerializeToString())
+    assert out.WhichOneof("method") == "stateVariableRequest"
+    call = out.stateVariableRequest.listStateCall
+    assert call.stateName == "L" and list(call.appendList.value) == [b"p", b"q"]
+
+
+def test_proto3_optional_timer_key():
+    # TimerInfo.key is proto3_optional (synthetic oneof _key)
+    t = sm.TimerInfo(timestampMs=9)
+    assert not t.HasField("key")
+    t2 = sm.TimerInfo(key=b"", timestampMs=9)
+    assert t2.HasField("key")  # explicitly-set empty still present
+    out = sm.TimerInfo()
+    out.ParseFromString(t2.SerializeToString())
+    assert out.HasField("key") and out.key == b"" and out.timestampMs == 9
+
+
+def test_unsupported_shapes_raise_cleanly():
+    with pytest.raises(ValueError):
+        _minipb.decode_varint(b"\x80" * 11, 0)
+    with pytest.raises(AttributeError):
+        sm.StateResponse(nonexistent=1)

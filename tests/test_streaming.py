@@ -450,11 +450,11 @@ def test_swap_sink_rejects_remote_uri(spark, tmp_path):
 
 def test_streaming_consensus_tws_plan_construction(spark):
     """transformWithStateInPandas twin (modern Spark 4 stateful API with
-    initial-state seeding): the sandbox lacks protobuf (the
-    transformWithState state-server protocol), so execution is gated in
-    the test below — this one asserts the plan CONSTRUCTION: the
-    operator lands in the logical plan with the initial-state relation
-    wired per key."""
+    initial-state seeding): this one asserts the plan CONSTRUCTION —
+    the operator lands in the logical plan with the initial-state
+    relation wired per key; execution (the state-server protocol, via
+    the vendored mini-protobuf runtime where the real one is absent)
+    is proven in the test below."""
     from aroa_etl_spark.operators.consensus import default_col_matcher
     from aroa_etl_spark.streaming.pipeline import streaming_consensus_tws
 
@@ -478,12 +478,13 @@ def test_streaming_consensus_tws_plan_construction(spark):
 
 def test_streaming_consensus_tws_executes_with_protobuf(spark, tmp_path):
     """Execution proof for the transformWithState consensus twin —
-    runs wherever protobuf is installed (deployments), skips in this
-    sandbox. Seeded early votes + a late streamed vote must reproduce
-    the batch consensus exactly (same _consensus_pdf voting)."""
+    formerly env-gated on protobuf; the vendored mini-protobuf runtime
+    (aroa_etl_spark/_vendor, activated by conftest's ensure_protobuf)
+    now speaks the state-server protocol in this sandbox too, so this
+    runs everywhere (r7 verdict ask #6). Seeded early votes + a late
+    streamed vote must reproduce the batch consensus exactly (same
+    _consensus_pdf voting)."""
     import os
-
-    pytest.importorskip("google.protobuf")
 
     from pyspark.sql import functions as F
 
