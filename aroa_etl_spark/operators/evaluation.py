@@ -113,3 +113,69 @@ def blocking_stats(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    *,
+    n_bands: int = 32,
+) -> DataFrame:
+    """EXACT ROC-AUC as a 1-row frame — the Mann-Whitney rank form
+    with proper tie handling, in pure integer arithmetic until the
+    final division (classifier evaluation belongs next to the
+    classifier: this is the companion of
+    functions/quality_clf.train_quality_classifier).
+
+    Math: with row ranks 1..N over (score, tiebreak) — computed by
+    :func:`~aroa_etl_spark.operators.stats.exact_global_rank`, so NO
+    single-partition sort — every tie group's average rank is
+    (min_rank + max_rank)/2, hence
+    ``2U = Σ_groups n_pos_g · (min_g + max_g) − n_pos·(n_pos+1)`` and
+    ``AUC = 2U / (2·n_pos·n_neg)`` — all integers until the division,
+    so the numerator/denominator pair is bit-replayable on any engine
+    and the rounded double is deterministic.
+
+    Output columns: n, n_pos, n_neg, auc_num (=2U), auc_den
+    (=2·n_pos·n_neg), auc (double, 9 dp).  Scale: the banded rank's
+    two passes + one groupBy(score) shuffle + a scalar aggregate;
+    nothing quadratic, no data-sized window."""
+    from aroa_etl_spark.operators.stats import exact_global_rank
+
+    ranked = exact_global_rank(
+        df.select(
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("int").alias("__y"),
+            F.col(tiebreak_col).alias("__t"),
+        ),
+        "__s",
+        "__t",
+        rank_col="__rk",
+        n_bands=n_bands,
+    )
+    groups = ranked.groupBy("__s").agg(
+        F.min("__rk").alias("lo"),
+        F.max("__rk").alias("hi"),
+        F.sum("__y").alias("np_g"),
+    )
+    agg = groups.agg(
+        F.sum((F.col("lo") + F.col("hi")) * F.col("np_g"))
+        .cast("decimal(38,0)").alias("rank_term"),
+        F.sum("np_g").cast("bigint").alias("n_pos"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        (F.col("rank_term").cast("bigint")
+         - F.col("n_pos") * (F.col("n_pos") + 1)).alias("auc_num"),
+        (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))).alias("auc_den"),
+    ).select(
+        "n", "n_pos", "n_neg", "auc_num", "auc_den",
+        F.round(
+            F.col("auc_num").cast("double") / F.col("auc_den").cast("double"), 9
+        ).alias("auc"),
+    )

@@ -1032,12 +1032,14 @@ def sample_video_frames(df: DataFrame, *, every_n: int = 30, strict: bool = Fals
     """Frame sampling (1 row in → k frame rows out): the row-explosion
     contract of a video pipeline.
 
-    Real path: ``meta.format == 'rawvideo'`` — content is concatenated
+    Real paths: ``meta.format == 'rawvideo'`` — content is concatenated
     uncompressed frames of ``width*height*channels`` bytes, and every
     n-th REAL frame is sliced out (the layout ffmpeg's ``rawvideo``
-    muxer writes). Container formats (mp4/mkv) need an in-kernel ffmpeg
-    not present here: ``strict=True`` raises for them; otherwise frame
-    bytes are hash-derived fakes."""
+    muxer writes); ``meta.format == 'avi'`` (round 8) — the RIFF movi
+    walk demuxes the real frame payloads (MJPEG: each is a complete
+    JPEG; pair with :func:`video_frame_features` to also decode).
+    Other container formats (mp4/mkv): ``strict=True`` raises;
+    otherwise frame bytes are hash-derived fakes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1053,15 +1055,21 @@ def sample_video_frames(df: DataFrame, *, every_n: int = 30, strict: bool = Fals
                     * int(meta.get("channels") or 3)
                 )
                 raw = fmt == "rawvideo" and frame_bytes > 0
-                if raw and n_frames == 0:
+                avi_frames = None
+                if fmt == "avi":
+                    avi_frames = demux_avi_frames(content, strict=strict)
+                    n_frames = len(avi_frames)
+                elif raw and n_frames == 0:
                     n_frames = len(content) // frame_bytes
-                if strict and not raw:
+                if strict and not raw and avi_frames is None:
                     raise NotImplementedError(
                         f"video format {fmt!r} has no real demuxer here; "
-                        "use format='rawvideo' or strict=False"
+                        "use format='rawvideo'/'avi' or strict=False"
                     )
                 for i in range(0, n_frames, every_n):
-                    if raw:
+                    if avi_frames is not None:
+                        frame = avi_frames[i]
+                    elif raw:
                         frame = content[i * frame_bytes : (i + 1) * frame_bytes]
                     else:
                         frame = hashlib.sha256(content + i.to_bytes(8, "little")).digest()

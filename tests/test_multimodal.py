@@ -1618,3 +1618,23 @@ def test_video_frame_features_strict_raises_on_non_jpeg(spark):
     with _pytest.raises(Exception):
         video_frame_features(df, strict=True).collect()
     assert video_frame_features(df, strict=False).count() == 0
+
+
+def test_sample_video_frames_avi_real_demux(spark):
+    """format='avi' routes sample_video_frames through the RIFF demux:
+    sampled frame bytes are the REAL JPEG payloads, strict=True."""
+    from aroa_etl_spark.operators.multimodal import (
+        encode_avi_mjpeg, sample_video_frames,
+    )
+
+    frames = [_flat_jpeg(v) for v in (28, 128, 223)]
+    avi = bytearray(encode_avi_mjpeg(frames, width=16, height=8))
+    df = spark.createDataFrame(
+        [(7, "mem://v/7", avi, {"format": "avi"})],
+        "media_id long, uri string, content binary, "
+        "meta map<string,string>",
+    )
+    out = sample_video_frames(df, every_n=2, strict=True).collect()
+    assert [(r.frame_index, bytes(r.frame)) for r in out] == [
+        (0, frames[0]), (2, frames[2])
+    ]

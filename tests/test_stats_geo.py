@@ -111,3 +111,27 @@ def test_grid_radius_join_keyed(spark):
     b = spark.createDataFrame([(10, "u", 1, 1)], "b_id bigint, k string, bx bigint, by bigint")
     got = grid_radius_join(a, b, "ax", "ay", "bx", "by", radius=5, by="k")
     assert [(r.a_id, r.b_id) for r in got.select("a_id", "b_id").collect()] == [(1, 10)]
+
+
+def test_exact_auc_hand_computed_ties_and_separation(spark):
+    """Mann-Whitney AUC with ties, against hand-computed pairs:
+    pos={3,2,2}, neg={2,1} -> U = 5 (one 0.5-tie pair), AUC = 5/6;
+    perfectly separated scores give AUC = 1."""
+    from aroa_etl_spark.operators.evaluation import exact_auc
+
+    df = spark.createDataFrame(
+        [(1, 3, 1), (2, 2, 1), (3, 2, 1), (4, 2, 0), (5, 1, 0)],
+        "id long, s int, y int",
+    )
+    row = exact_auc(df, "s", "y", "id").first()
+    assert (row.n, row.n_pos, row.n_neg) == (5, 3, 2)
+    assert (row.auc_num, row.auc_den) == (10, 12)
+    assert abs(row.auc - 5 / 6) < 1e-9
+    sep = spark.createDataFrame(
+        [(i, 10 + i, 1) for i in range(5)] + [(9 + i, i, 0) for i in range(5)],
+        "id long, s int, y int",
+    )
+    assert exact_auc(sep, "s", "y", "id").first().auc == 1.0
+    # partitioning invariance (banded rank + integer sums)
+    again = exact_auc(df.repartition(7), "s", "y", "id").first()
+    assert (again.auc_num, again.auc_den) == (10, 12)
