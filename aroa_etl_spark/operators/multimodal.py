@@ -2639,3 +2639,259 @@ def video_frame_features(
             )
 
     return df.mapInPandas(kernel, VIDEO_FRAME_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM (EBML) container triage — the sibling of the MP4 box
+# walk and the round-8 RIFF/AVI walk.  EBML's variable-length integers
+# (RFC 8794: width signalled by the leading-zero count of the first
+# byte; element IDs keep the marker bit, sizes clear it) are the whole
+# parsing story; the element IDs used here (EBML header 1A45DFA3,
+# DocType 4282, Segment 18538067, Info 1549A966, TimestampScale 2AD7B1,
+# Duration 4489, Tracks 1654AE6B, TrackEntry AE, TrackType 83, CodecID
+# 86, Video E0, PixelWidth B0, PixelHeight BA, Cluster 1F43B675,
+# SimpleBlock A3) are the published Matroska registry.  Codec-free by
+# design, same strict-raise policy as the other scanners.
+# ---------------------------------------------------------------------------
+
+MKV_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration_ticks", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("n_video", T.IntegerType()),
+        T.StructField("n_audio", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_clusters", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+    ]
+)
+
+
+def _ebml_size(v: int) -> bytes:
+    """EBML size VINT: width w when v fits 7w-1 bits (all-ones is the
+    reserved 'unknown size'); marker bit 1 << (8-w) on the first byte."""
+    for w in range(1, 9):
+        if v < (1 << (7 * w)) - 1:
+            b = v.to_bytes(w, "big")
+            return bytes([b[0] | (1 << (8 - w))]) + b[1:]
+    raise ValueError("EBML size too large")
+
+
+def _ebml_elem(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+def encode_mkv_stub(
+    *,
+    doc_type: str = "matroska",
+    timescale: int = 1_000_000,
+    duration_ticks: int = 0,
+    video_tracks: "list[tuple[str, int, int]]" = (),
+    audio_tracks: "list[str]" = (),
+    cluster_blocks: "list[int]" = (),
+) -> bytes:
+    """Stdlib-only EBML/Matroska writer for container-level fixtures:
+    a real EBML header (DocType), Segment with Info (TimestampScale +
+    integer-valued float64 Duration), Tracks (video entries carry
+    CodecID + PixelWidth/PixelHeight, audio entries CodecID only), and
+    Clusters of SimpleBlock stubs (8-byte placeholder payloads — this
+    is triage-level fixture data, consistent with the codec-free scan
+    contract)."""
+    import struct
+
+    header = _ebml_elem(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_elem(b"\x42\x86", _ebml_uint(1))          # EBMLVersion
+        + _ebml_elem(b"\x42\xf7", _ebml_uint(1))        # EBMLReadVersion
+        + _ebml_elem(b"\x42\x82", doc_type.encode()),   # DocType
+    )
+    info = _ebml_elem(
+        b"\x15\x49\xa9\x66",
+        _ebml_elem(b"\x2a\xd7\xb1", _ebml_uint(timescale))
+        + _ebml_elem(b"\x44\x89", struct.pack(">d", float(duration_ticks))),
+    )
+    entries = b""
+    tno = 1
+    for codec, w, h in video_tracks:
+        entries += _ebml_elem(
+            b"\xae",
+            _ebml_elem(b"\xd7", _ebml_uint(tno))
+            + _ebml_elem(b"\x83", _ebml_uint(1))        # TrackType video
+            + _ebml_elem(b"\x86", codec.encode())
+            + _ebml_elem(
+                b"\xe0",
+                _ebml_elem(b"\xb0", _ebml_uint(w))
+                + _ebml_elem(b"\xba", _ebml_uint(h)),
+            ),
+        )
+        tno += 1
+    for codec in audio_tracks:
+        entries += _ebml_elem(
+            b"\xae",
+            _ebml_elem(b"\xd7", _ebml_uint(tno))
+            + _ebml_elem(b"\x83", _ebml_uint(2))        # TrackType audio
+            + _ebml_elem(b"\x86", codec.encode()),
+        )
+        tno += 1
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", entries)
+    clusters = b""
+    for n_blocks in cluster_blocks:
+        payload = _ebml_elem(b"\xe7", _ebml_uint(0))     # Timestamp
+        for _ in range(n_blocks):
+            payload += _ebml_elem(b"\xa3", b"\x81\x00\x00\x00" + b"\x00" * 4)
+        clusters += _ebml_elem(b"\x1f\x43\xb6\x75", payload)
+    segment = _ebml_elem(b"\x18\x53\x80\x67", info + tracks + clusters)
+    return header + segment
+
+
+def _read_vint(data: bytes, pos: int, *, keep_marker: bool) -> "tuple[int, int]":
+    if pos >= len(data):
+        raise ValueError("truncated EBML VINT")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML VINT (zero lead byte)")
+    w = 8 - first.bit_length() + 1
+    if pos + w > len(data):
+        raise ValueError("EBML VINT overruns buffer")
+    v = int.from_bytes(data[pos : pos + w], "big")
+    if not keep_marker:
+        v -= 1 << (7 * w)
+    return v, pos + w
+
+
+def _parse_mkv(content: bytes, *, strict: bool) -> dict:
+    import struct
+
+    out = {
+        "doc_type": None, "timescale": 1_000_000, "duration_ticks": 0,
+        "n_tracks": 0, "n_video": 0, "n_audio": 0, "video_codec": None,
+        "width": None, "height": None, "n_clusters": 0, "n_blocks": 0,
+    }
+    if content[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML stream (missing 1A45DFA3 header)")
+
+    def walk(pos: int, end: int, handler) -> None:
+        while pos < end:
+            eid, pos = _read_vint(content, pos, keep_marker=True)
+            size, pos = _read_vint(content, pos, keep_marker=False)
+            if pos + size > end:
+                if strict:
+                    raise ValueError(
+                        f"EBML element {eid:#x} overruns its parent"
+                    )
+                return
+            handler(eid, pos, size)
+            pos += size
+
+    def uint_at(pos, size):
+        return int.from_bytes(content[pos : pos + size], "big")
+
+    track_state: dict = {}
+
+    def on_track_child(eid, pos, size):
+        if eid == 0x83:
+            track_state["type"] = uint_at(pos, size)
+        elif eid == 0x86:
+            track_state["codec"] = content[pos : pos + size].decode(
+                "ascii", "replace")
+        elif eid == 0xE0:
+            walk(pos, pos + size, on_video_child)
+
+    def on_video_child(eid, pos, size):
+        if eid == 0xB0:
+            track_state["w"] = uint_at(pos, size)
+        elif eid == 0xBA:
+            track_state["h"] = uint_at(pos, size)
+
+    def on_tracks(eid, pos, size):
+        if eid != 0xAE:
+            return
+        track_state.clear()
+        walk(pos, pos + size, on_track_child)
+        out["n_tracks"] += 1
+        if track_state.get("type") == 1:
+            out["n_video"] += 1
+            if out["video_codec"] is None:
+                out["video_codec"] = track_state.get("codec")
+                out["width"] = track_state.get("w")
+                out["height"] = track_state.get("h")
+        elif track_state.get("type") == 2:
+            out["n_audio"] += 1
+
+    def on_cluster(eid, pos, size):
+        if eid == 0xA3:
+            out["n_blocks"] += 1
+
+    def on_info(eid, pos, size):
+        if eid == 0x2AD7B1:
+            out["timescale"] = uint_at(pos, size)
+        elif eid == 0x4489 and size == 8:
+            out["duration_ticks"] = int(
+                struct.unpack(">d", content[pos : pos + 8])[0])
+        elif eid == 0x4489 and size == 4:
+            out["duration_ticks"] = int(
+                struct.unpack(">f", content[pos : pos + 4])[0])
+
+    def on_segment(eid, pos, size):
+        if eid == 0x1549A966:
+            walk(pos, pos + size, on_info)
+        elif eid == 0x1654AE6B:
+            walk(pos, pos + size, on_tracks)
+        elif eid == 0x1F43B675:
+            out["n_clusters"] += 1
+            walk(pos, pos + size, on_cluster)
+
+    def on_header_child(eid, pos, size):
+        if eid == 0x4282:
+            out["doc_type"] = content[pos : pos + size].decode(
+                "ascii", "replace")
+
+    def on_top(eid, pos, size):
+        if eid == 0x1A45DFA3:
+            walk(pos, pos + size, on_header_child)
+        elif eid == 0x18538067:
+            walk(pos, pos + size, on_segment)
+
+    walk(0, len(content), on_top)
+    if strict and out["doc_type"] is None:
+        raise ValueError("EBML header carries no DocType")
+    return out
+
+
+def scan_mkv_headers(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """Matroska/WebM container triage (no decode): DocType, timescale,
+    integer-valued Duration, track census by type, first video track's
+    CodecID and pixel dims, cluster/SimpleBlock counts.  Completes the
+    container-walk family (JPEG markers / MP4 boxes / Ogg pages /
+    RIFF-AVI / EBML-MKV) — at 100 TB this is the routing pass that
+    tells the decode stage what it is about to pay for.  Scale:
+    mapInPandas, zero shuffle, header-bound (block payloads are
+    skipped by size arithmetic, never read)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                try:
+                    rec = _parse_mkv(content, strict=strict)
+                except (ValueError, IndexError):
+                    if strict:
+                        raise
+                    continue
+                rows.append({"media_id": row["media_id"], **rec})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MKV_SCAN_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, MKV_SCAN_SCHEMA)

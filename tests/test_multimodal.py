@@ -1638,3 +1638,43 @@ def test_sample_video_frames_avi_real_demux(spark):
     assert [(r.frame_index, bytes(r.frame)) for r in out] == [
         (0, frames[0]), (2, frames[2])
     ]
+
+
+def test_mkv_ebml_roundtrip_and_guards():
+    from aroa_etl_spark.operators.multimodal import _parse_mkv, encode_mkv_stub
+
+    m = encode_mkv_stub(
+        doc_type="webm", timescale=1_000_000, duration_ticks=4321,
+        video_tracks=[("V_VP9", 1920, 1080)],
+        audio_tracks=["A_OPUS", "A_VORBIS"],
+        cluster_blocks=[2, 3, 1],
+    )
+    rec = _parse_mkv(m, strict=True)
+    assert rec == {
+        "doc_type": "webm", "timescale": 1_000_000, "duration_ticks": 4321,
+        "n_tracks": 3, "n_video": 1, "n_audio": 2, "video_codec": "V_VP9",
+        "width": 1920, "height": 1080, "n_clusters": 3, "n_blocks": 6,
+    }
+    # EBML VINT widths: a 200-byte DocType forces 2-byte size VINTs
+    big = encode_mkv_stub(doc_type="x" * 200, duration_ticks=1)
+    assert _parse_mkv(big, strict=True)["doc_type"] == "x" * 200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EBML"):
+        _parse_mkv(b"\x00\x01\x02\x03", strict=True)
+    with _pytest.raises(ValueError, match="overruns"):
+        _parse_mkv(m[: len(m) // 2], strict=True)
+
+
+def test_scan_mkv_headers_kernel(spark):
+    from aroa_etl_spark.operators.multimodal import encode_mkv_stub, scan_mkv_headers
+
+    m = bytearray(encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 64, 48)], cluster_blocks=[1]))
+    df = spark.createDataFrame(
+        [(3, "mem://mkv/3", m, None)],
+        "media_id long, uri string, content binary, meta map<string,string>",
+    )
+    row = scan_mkv_headers(df, strict=True).first()
+    assert (row.video_codec, row.width, row.height, row.n_blocks) == (
+        "V_MJPEG", 64, 48, 1)
