@@ -2208,6 +2208,19 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _dhash_bits(px: np.ndarray) -> str:
+    """The 64-bit dHash core shared by the image and video
+    fingerprints: 9×8 nearest-neighbor grayscale grid, one bit per
+    horizontal neighbor pair (left > right), row-major '0'/'1'
+    string."""
+    gray = px.astype("float64").mean(axis=2) if px.ndim == 3 else px.astype("float64")
+    ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+    xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
+    grid = gray[np.ix_(ys, xs)]
+    bits = (grid[:, :-1] > grid[:, 1:]).astype(int).ravel()
+    return "".join(map(str, bits))
+
+
 def image_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
     """Perceptual difference-hash (dHash) — the standard cheap
     image-near-dup fingerprint: downsample to a 9×8 grayscale grid
@@ -2238,15 +2251,10 @@ def image_dhash(df: DataFrame, *, strict: bool = False) -> DataFrame:
                         raise ValueError("zero-dimension image has no dhash")
                     out.append({"media_id": row["media_id"], "dhash": ""})
                     continue
-                gray = px.astype("float64").mean(axis=2)
-                ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
-                xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
-                grid = gray[np.ix_(ys, xs)]
-                bits = (grid[:, :-1] > grid[:, 1:]).astype(int).ravel()
                 out.append(
                     {
                         "media_id": row["media_id"],
-                        "dhash": "".join(map(str, bits)),
+                        "dhash": _dhash_bits(px),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in DHASH_SCHEMA.fields])
@@ -2895,3 +2903,55 @@ def scan_mkv_headers(df: DataFrame, *, strict: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, MKV_SCAN_SCHEMA)
+
+
+VIDEO_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("vhash", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def video_dhash(df: DataFrame, *, every_n: int = 1, strict: bool = True) -> DataFrame:
+    """Temporal perceptual fingerprint for video near-dup — the video
+    analogue of :func:`image_dhash` / ``audio_fingerprint``: demux the
+    AVI, decode every n-th frame through the vendored JPEG codec, and
+    concatenate the per-frame 64-bit dHashes ('|'-separated) into one
+    bucket key.  Re-encoded and globally brightness-shifted copies of
+    a clip hash identically (dHash compares neighbors, not levels),
+    while any frame insertion/reorder/content change breaks the key —
+    bucket-join on ``vhash``, verify survivors frame-wise, exactly the
+    MinHash-band / dHash / audio-fingerprint shape.  ``every_n``
+    trades temporal resolution for decode cost on long clips.  Scale:
+    mapInPandas, zero shuffle here; one groupBy on the key
+    downstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                frames = demux_avi_frames(content, strict=strict)
+                hashes = []
+                for i in range(0, len(frames), every_n):
+                    try:
+                        px = _decode_jpeg(frames[i])
+                    except (ValueError, NotImplementedError):
+                        if strict:
+                            raise
+                        continue
+                    hashes.append(_dhash_bits(px))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "vhash": "|".join(hashes),
+                        "n_frames": len(frames),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_DHASH_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, VIDEO_DHASH_SCHEMA)

@@ -2067,3 +2067,88 @@ def mm_mkv_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return scan_mkv_headers(media, strict=True)
+
+
+@query(
+    "mm_video_dhash_dedup",
+    oracle="""
+    WITH k2s AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS k2),
+    fr AS (SELECT k2, CAST(unnest(range(0, 1 + k2 % 3)) AS INT) AS j
+           FROM k2s),
+    bits AS (SELECT k2, j,
+                    CASE WHEN ((k2 + j) % 20) > ((k2 * 3 + 7 * j) % 20)
+                         THEN '1' ELSE '0' END AS x
+             FROM fr),
+    fh AS (SELECT k2, j, repeat('0000' || x || '000', 8) AS fhash
+           FROM bits),
+    vh AS (SELECT k2,
+                  list_aggregate(list_sort(list(j || ':' || fhash)),
+                                 'string_agg', '~') AS ordered
+           FROM fh GROUP BY k2),
+    vhash AS (SELECT k2,
+                     list_aggregate(list_transform(
+                       string_split(ordered, '~'),
+                       s -> split_part(s, ':', 2)), 'string_agg', '|') AS vhash
+              FROM vh),
+    p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+          FROM documents)
+    SELECT vhash,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(DISTINCT p.k) AS BIGINT) AS n_variants
+    FROM p JOIN vhash ON vhash.k2 = p.k % 20
+    GROUP BY vhash ORDER BY vhash
+    """,
+)
+def mm_video_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal near-dup bucketing
+    (operators/multimodal.video_dhash): the per-frame dHash
+    concatenation is the bucket key a video-dedup pipeline joins on —
+    the video analogue of the image dHash and audio fingerprint
+    entries, now over REAL decode (round 8's AVI demux + vendored
+    JPEG codec).  Each blob is an MJPEG AVI of 1-3 frames; frame j is
+    a two-flat-block 16×8 image (left/right values from k-arithmetic,
+    both ≡ 128 mod 5, so the quantized DC coefficients are exact at
+    quality 85 and decode returns the planted values bit-for-bit) —
+    the dHash grid then has exactly ONE discriminating bit per row
+    (left>right at the block seam), which the oracle replays in closed
+    form per frame and per clip.  Blobs k and k+20 are
+    brightness-shifted twins (+5 on both halves — order preserved), so
+    every bucket must hold exactly the two planted variants: dHash's
+    brightness invariance AND the temporal concatenation order proven
+    by value.  Scale: demux + per-frame decode in mapInPandas over the
+    broadcast dim, one groupBy on the key."""
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import encode_avi_mjpeg, video_dhash
+
+    import numpy as np
+
+    blobs = []
+    for k in range(40):
+        k2 = k % 20
+        shift = 5 if k >= 20 else 0
+        frames = []
+        for j in range(1 + k2 % 3):
+            a = 128 + 5 * (((k2 + j) % 20) - 10) + shift
+            b = 128 + 5 * (((k2 * 3 + 7 * j) % 20) - 10) + shift
+            img = np.zeros((8, 16), dtype=np.uint8)
+            img[:, :8] = a
+            img[:, 8:] = b
+            frames.append(encode_baseline_jpeg(img, quality=85))
+        blobs.append((k, bytearray(encode_avi_mjpeg(
+            frames, width=16, height=8, rate=25, scale=1))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return (
+        video_dhash(media, every_n=1, strict=True)
+        .withColumn("k", (F.col("media_id") % 40).cast("int"))
+        .groupBy("vhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.count_distinct("k").cast("bigint").alias("n_variants"),
+        )
+        .orderBy("vhash")
+    )

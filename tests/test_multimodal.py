@@ -1678,3 +1678,33 @@ def test_scan_mkv_headers_kernel(spark):
     row = scan_mkv_headers(df, strict=True).first()
     assert (row.video_codec, row.width, row.height, row.n_blocks) == (
         "V_MJPEG", 64, 48, 1)
+
+
+def test_video_dhash_brightness_invariant_and_order_sensitive(spark):
+    from aroa_etl_spark.operators.multimodal import encode_avi_mjpeg, video_dhash
+
+    def clip(vals, shift=0):
+        frames = []
+        for a, b in vals:
+            img = np.zeros((8, 16), dtype=np.uint8)
+            img[:, :8] = a + shift
+            img[:, 8:] = b + shift
+            frames.append(__import__(
+                "aroa_etl_spark.operators.jpegcodec", fromlist=["x"]
+            ).encode_baseline_jpeg(img, quality=85))
+        return bytearray(encode_avi_mjpeg(frames, width=16, height=8))
+
+    vals = [(128, 88), (88, 128), (128, 128)]
+    df = spark.createDataFrame(
+        [(1, "a", clip(vals), None), (2, "b", clip(vals, shift=5), None),
+         (3, "c", clip(list(reversed(vals))), None)],
+        "media_id long, uri string, content binary, meta map<string,string>",
+    )
+    rows = {r.media_id: (r.vhash, r.n_frames)
+            for r in video_dhash(df, strict=True).collect()}
+    assert rows[1] == rows[2]            # brightness twin: same key
+    assert rows[1][0] != rows[3][0]      # frame order matters
+    assert rows[1][1] == 3
+    row_bit = lambda x: "0000" + x + "000"
+    assert rows[1][0] == "|".join(
+        (row_bit("1") * 8, row_bit("0") * 8, row_bit("0") * 8))
