@@ -2382,6 +2382,9 @@ def encode_avi_mjpeg(
     scale: int = 1,
     handler: bytes = b"MJPG",
     write_index: bool = True,
+    audio_chunks: "list[bytes] | None" = None,
+    audio_rate: int = 8000,
+    audio_channels: int = 1,
 ) -> bytes:
     """Stdlib-only RIFF/AVI writer for MJPEG streams — the fixture
     generator for the real video-decode path (every frame is a complete
@@ -2391,11 +2394,15 @@ def encode_avi_mjpeg(
     BITMAPINFOHEADER)), LIST movi of '00dc' chunks (odd sizes padded to
     even per the RIFF rule), and an idx1 keyframe index with offsets
     relative to the 'movi' fourcc — the convention ffmpeg both writes
-    and expects."""
+    and expects.  ``audio_chunks`` adds a second stream (strl 'auds'
+    with a PCM-s16le WAVEFORMATEX strf) whose payloads interleave as
+    '01wb' chunks after the video frames — the classic camcorder AVI
+    layout."""
     import struct
 
     usec_per_frame = 1_000_000 * scale // rate
     max_frame = max((len(f) for f in frames), default=0)
+    n_streams = 2 if audio_chunks else 1
     avih = struct.pack(
         "<10I16x",
         usec_per_frame,
@@ -2404,7 +2411,7 @@ def encode_avi_mjpeg(
         0x10,                   # AVIF_HASINDEX
         len(frames),
         0,                      # initial frames
-        1,                      # streams
+        n_streams,
         max_frame,
         width,
         height,
@@ -2427,11 +2434,36 @@ def encode_avi_mjpeg(
         "<IiiHH4sIiiII",
         40, width, height, 1, 24, handler, width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = _riff_list(
-        b"hdrl",
-        _riff_chunk(b"avih", avih)
-        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    strl_blocks = _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
     )
+    if audio_chunks:
+        block_align = 2 * audio_channels  # s16le
+        a_strh = struct.pack(
+            "<4s4sIHHIIIIIIIi4h",
+            b"auds",
+            b"\x01\x00\x00\x00",   # PCM
+            0, 0, 0, 0,
+            1,                      # scale: 1 sample
+            audio_rate,             # rate: samples/sec
+            0,
+            sum(len(c) for c in audio_chunks) // block_align,  # samples
+            max(len(c) for c in audio_chunks),
+            0xFFFFFFFF,
+            block_align,            # sampleSize: fixed-size samples
+            0, 0, 0, 0,
+        )
+        # WAVEFORMATEX: PCM s16le
+        a_strf = struct.pack(
+            "<HHIIHHH",
+            1, audio_channels, audio_rate,
+            audio_rate * block_align, block_align, 16, 0,
+        )
+        strl_blocks += _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", a_strh) + _riff_chunk(b"strf", a_strf),
+        )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl_blocks)
     movi_payload = b""
     index_entries = []
     for f in frames:
@@ -2439,6 +2471,8 @@ def encode_avi_mjpeg(
         # list-type offset 0, so the first frame chunk sits at +4)
         index_entries.append((len(movi_payload) + 4, len(f)))
         movi_payload += _riff_chunk(b"00dc", f)
+    for c in audio_chunks or ():
+        movi_payload += _riff_chunk(b"01wb", c)
     movi = _riff_list(b"movi", movi_payload)
     idx1 = b""
     if write_index:
@@ -2955,3 +2989,79 @@ def video_dhash(df: DataFrame, *, every_n: int = 1, strict: bool = True) -> Data
             )
 
     return df.mapInPandas(kernel, VIDEO_DHASH_SCHEMA)
+
+
+AVI_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_raw", T.IntegerType()),
+        T.StructField("sum_raw", T.LongType()),
+    ]
+)
+
+
+def demux_avi_audio(content: bytes, *, strict: bool = True) -> "list[bytes]":
+    """The audio half of the AVI demux: '##wb' chunk payloads in
+    stream order (rec-lists flattened) — for PCM streams the
+    concatenation IS the waveform."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file (missing 'RIFF....AVI ' preamble)")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    end = min(8 + riff_size, len(content))
+    chunks: list[bytes] = []
+
+    def walk_movi(pos: int, stop: int) -> None:
+        for cc, p, sz in _walk_riff(content, pos, stop, strict=strict):
+            if cc == b"LIST" and content[p : p + 4] == b"rec ":
+                walk_movi(p + 4, p + sz)
+            elif cc[2:4] == b"wb":
+                chunks.append(content[p : p + sz])
+
+    for cc, p, sz in _walk_riff(content, 12, end, strict=strict):
+        if cc == b"LIST" and content[p : p + 4] == b"movi":
+            walk_movi(p + 4, p + sz)
+    return chunks
+
+
+def avi_audio_features(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """REAL audio extraction from the AVI container: demux the '##wb'
+    chunks and interpret the concatenation as PCM s16le (the classic
+    interleaved camcorder layout this repo's muxer writes), emitting
+    exact integer statistics — chunk count, sample count, peak |s|,
+    and the exact sample sum — all replayable in closed form by an
+    oracle that knows the planted waveform.  Scale: mapInPandas, zero
+    shuffle; payload cost is linear in audio bytes, video frames are
+    skipped by chunk-size arithmetic."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                chunks = demux_avi_audio(content, strict=strict)
+                raw = b"".join(chunks)
+                if len(raw) % 2:
+                    if strict:
+                        raise ValueError(
+                            "PCM s16le stream has an odd byte count"
+                        )
+                    raw = raw[:-1]
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_chunks": len(chunks),
+                        "n_samples": int(samples.size),
+                        "peak_raw": int(np.abs(samples).max()) if samples.size else 0,
+                        "sum_raw": int(samples.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVI_AUDIO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, AVI_AUDIO_SCHEMA)

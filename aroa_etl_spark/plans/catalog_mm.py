@@ -2152,3 +2152,73 @@ def mm_video_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vhash")
     )
+
+
+@query(
+    "mm_avi_audio_extract",
+    oracle="""
+    WITH ks AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS k2),
+    cs AS (SELECT k2, CAST(unnest(range(0, 1 + k2 % 2)) AS INT) AS c FROM ks),
+    si AS (SELECT k2, c, CAST(unnest(range(0, 4 + k2 % 5)) AS INT) AS i
+           FROM cs),
+    v AS (SELECT k2, ((k2 * 31 + c * 17 + i * 7) % 2003) - 1001 AS s FROM si),
+    a AS (SELECT k2, COUNT(*) AS n_samples, MAX(ABS(s)) AS peak,
+                 SUM(s) AS ssum
+          FROM v GROUP BY k2),
+    p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+          FROM documents)
+    SELECT media_id,
+           CAST(1 + k % 2 AS INT) AS n_chunks,
+           CAST(a.n_samples AS BIGINT) AS n_samples,
+           CAST(a.peak AS INT) AS peak_raw,
+           CAST(a.ssum AS BIGINT) AS sum_raw
+    FROM p JOIN a ON a.k2 = p.k
+    """,
+)
+def mm_avi_audio_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI AUDIO leg (operators/multimodal.avi_audio_features): the
+    muxer now writes the classic interleaved camcorder layout — a
+    second strl ('auds', PCM-s16le WAVEFORMATEX) and '01wb' audio
+    chunks after the video frames — and the demux walks the movi list
+    pulling exactly the '##wb' payloads (video '##dc' frames skipped
+    by size arithmetic), interpreting the concatenation as s16le and
+    emitting EXACT integer statistics: chunk count, sample count,
+    peak |s|, sample sum.  Samples are planted little-endian int16
+    from k-arithmetic the oracle re-derives in pure SQL — a byte-order
+    or chunk-boundary mistake corrupts peak/sum loudly.  Completes
+    the AVI story: headers (mm_avi_header_scan), video
+    (mm_video_decode_real), temporal near-dup (mm_video_dhash_dedup),
+    audio (this).  Scale: 40-blob broadcast dim, mapInPandas, zero
+    shuffle."""
+    import struct
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        avi_audio_features, encode_avi_mjpeg,
+    )
+
+    import numpy as np
+
+    frame = encode_baseline_jpeg(
+        np.full((8, 16), 128, dtype=np.uint8), quality=85
+    )
+    blobs = []
+    for k in range(40):
+        chunks = []
+        for c in range(1 + k % 2):
+            vals = [
+                ((k * 31 + c * 17 + i * 7) % 2003) - 1001
+                for i in range(4 + k % 5)
+            ]
+            chunks.append(struct.pack(f"<{len(vals)}h", *vals))
+        blobs.append((k, bytearray(encode_avi_mjpeg(
+            [frame], width=16, height=8, audio_chunks=chunks,
+            audio_rate=16_000,
+        ))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return avi_audio_features(media, strict=True)

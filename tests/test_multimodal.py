@@ -1708,3 +1708,27 @@ def test_video_dhash_brightness_invariant_and_order_sensitive(spark):
     row_bit = lambda x: "0000" + x + "000"
     assert rows[1][0] == "|".join(
         (row_bit("1") * 8, row_bit("0") * 8, row_bit("0") * 8))
+
+
+def test_avi_audio_demux_and_features(spark):
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import (
+        _parse_avi, avi_audio_features, demux_avi_audio, encode_avi_mjpeg,
+    )
+
+    frame = _flat_jpeg(128)
+    au = [struct.pack("<4h", 100, -200, 300, -32768),
+          struct.pack("<2h", 7, -7)]
+    avi = encode_avi_mjpeg([frame], width=16, height=8,
+                           audio_chunks=au, audio_rate=16_000)
+    rec = _parse_avi(avi, strict=True)
+    assert rec["n_streams"] == 2 and rec["movi_chunks"] == 3
+    assert demux_avi_audio(avi, strict=True) == au
+    df = spark.createDataFrame(
+        [(1, "mem://av/1", bytearray(avi), None)],
+        "media_id long, uri string, content binary, meta map<string,string>",
+    )
+    row = avi_audio_features(df, strict=True).first()
+    assert (row.n_chunks, row.n_samples, row.peak_raw, row.sum_raw) == (
+        2, 6, 32768, 100 - 200 + 300 - 32768 + 7 - 7)
