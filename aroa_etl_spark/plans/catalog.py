@@ -1367,6 +1367,9 @@ BENCH_EXTRA = [
     "s_tar_webdataset",          # tar/WebDataset ingestion family
     "st_windowed_counts",        # structured-streaming drain
     "w_ntile_price_bands",       # exact ntile w/o global sort (round 7 rewrite)
+    # Round-8 additions: the two new heavy families
+    "mm_video_decode_real",      # real video decode (AVI demux + JPEG codec)
+    "text_quality_classifier",   # trained gate, frozen-weight codegen scoring
 ]
 
 
