@@ -803,3 +803,72 @@ def st_tar_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sample_key", "sample_idx", "n_members", "txt", "cls")
         .orderBy("sample_key")
     )
+
+
+@query(
+    "st_video_frames",
+    oracle="""
+    WITH ks AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS k),
+    fr AS (SELECT k, CAST(unnest(range(0, 1 + k % 3)) AS INT) AS frame_index
+           FROM ks)
+    SELECT k AS media_id, frame_index,
+           CAST(128 + 5 * (((k + 7 * frame_index) % 40) - 20) AS DOUBLE)
+             AS mean_intensity
+    FROM fr ORDER BY media_id, frame_index
+    """,
+)
+def st_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × round-8 video: the STREAMING video-ingestion loop — a
+    binaryFile stream tails the clip drop directory (the shape a
+    continuous multimodal loader runs as capture jobs land AVI files),
+    and each drained blob explodes into real decoded frames via the
+    same video_frame_features kernel the batch entry attests (AVI movi
+    demux + vendored JPEG codec, strict=True).  Stages 8 MJPEG AVIs of
+    1-3 flat frames whose DC-exact values the oracle replays per
+    (file, frame).  Scale: file pickup is incremental (source offsets
+    = ingested file list); the decode explosion is per-batch map-only
+    work — no streaming state at all, which is exactly the point: the
+    expensive part rides the batch kernel unchanged."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_avi_mjpeg, video_frame_features,
+    )
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+
+    import numpy as np
+
+    stage = _scratch_stage("st_video", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(8):
+        frames = [
+            encode_baseline_jpeg(
+                np.full((8, 16), 128 + 5 * (((k + 7 * j) % 40) - 20),
+                        dtype=np.uint8),
+                quality=85,
+            )
+            for j in range(1 + k % 3)
+        ]
+        with open(os.path.join(stage, f"clip{k}.avi"), "wb") as fh:
+            fh.write(encode_avi_mjpeg(frames, width=16, height=8))
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(stage)
+        .select(
+            F.regexp_extract("path", r"clip(\d+)\.avi", 1)
+            .cast("long").alias("media_id"),
+            "content",
+        )
+    )
+    _drain(stream, "st_video_frames_sink", "append")
+    blobs = spark.table("st_video_frames_sink")
+    return (
+        video_frame_features(blobs, every_n=1, strict=True)
+        .select("media_id", "frame_index", "mean_intensity")
+        .orderBy("media_id", "frame_index")
+    )
