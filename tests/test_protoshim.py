@@ -145,3 +145,59 @@ def test_unsupported_shapes_raise_cleanly():
         _minipb.decode_varint(b"\x80" * 11, 0)
     with pytest.raises(AttributeError):
         sm.StateResponse(nonexistent=1)
+
+
+def test_descriptor_parser_reads_the_real_statemessage_file():
+    """The FileDescriptorProto parser must recover the full message
+    census of the real gencode's serialized descriptor."""
+    fdesc = sm.DESCRIPTOR
+    names = {m.name for m in fdesc.message_types}
+    assert {"StateRequest", "StateResponse", "ValueStateCall",
+            "ListStateCall", "MapStateCall", "TimerInfo",
+            "StateCallCommand", "TTLConfig"} <= names
+    assert fdesc.package == "org.apache.spark.sql.execution.streaming.state"
+    enum = {e.name: dict(e.values) for e in fdesc.enum_types}
+    assert enum["HandleState"]["PRE_INIT"] == 0
+    assert enum["HandleState"]["CLOSED"] == 5
+    # oneof bookkeeping: StateRequest's five method members share index 0
+    sr = next(m for m in fdesc.message_types if m.name == "StateRequest")
+    assert sr.oneofs == ["method"]
+    oneof_members = [f.name for f in sr.fields if f.oneof_index == 0]
+    assert "statefulProcessorCall" in oneof_members
+    assert "version" not in oneof_members
+
+
+def test_minipb_rejects_unsupported_descriptor_shapes():
+    from aroa_etl_spark._vendor.google.protobuf._minipb import (
+        FileDescriptor, encode_tag, encode_varint,
+    )
+
+    def fdp(message_bytes):
+        # FileDescriptorProto: name(1), package(2), message_type(4)
+        return (
+            encode_tag(1, 2) + encode_varint(1) + b"f"
+            + encode_tag(4, 2) + encode_varint(len(message_bytes))
+            + message_bytes
+        )
+
+    # a message with a nested_type (field 3) must raise, not mis-parse
+    nested = (
+        encode_tag(1, 2) + encode_varint(1) + b"M"
+        + encode_tag(3, 2) + encode_varint(3)
+        + (encode_tag(1, 2) + encode_varint(1) + b"N")
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        FileDescriptor(fdp(nested))
+    # a float field (type 2 = TYPE_FLOAT) must raise
+    floaty = (
+        encode_tag(1, 2) + encode_varint(1) + b"M"
+        + encode_tag(2, 2) + encode_varint(len(
+            encode_tag(1, 2) + encode_varint(1) + b"x"
+            + encode_tag(3, 0) + encode_varint(1)
+            + encode_tag(5, 0) + encode_varint(2)))
+        + encode_tag(1, 2) + encode_varint(1) + b"x"
+        + encode_tag(3, 0) + encode_varint(1)
+        + encode_tag(5, 0) + encode_varint(2)
+    )
+    with pytest.raises(NotImplementedError, match="unsupported type"):
+        FileDescriptor(fdp(floaty))
