@@ -1057,8 +1057,14 @@ def sample_video_frames(df: DataFrame, *, every_n: int = 30, strict: bool = Fals
                 raw = fmt == "rawvideo" and frame_bytes > 0
                 avi_frames = None
                 if fmt == "avi":
-                    avi_frames = demux_avi_frames(content, strict=strict)
-                    n_frames = len(avi_frames)
+                    try:
+                        avi_frames = demux_avi_frames(content, strict=strict)
+                        n_frames = len(avi_frames)
+                    except (ValueError, IndexError):
+                        # mislabeled/corrupt blob: strict raises, the
+                        # lenient contract falls back to fake frames
+                        if strict:
+                            raise
                 elif raw and n_frames == 0:
                     n_frames = len(content) // frame_bytes
                 if strict and not raw and avi_frames is None:
@@ -2506,6 +2512,40 @@ def _walk_riff(data: bytes, pos: int, end: int, *, strict: bool):
         pos = payload + size + (size & 1)
 
 
+def _avi_body_end(content: bytes) -> int:
+    """Validate the RIFF/AVI preamble and return the body end offset
+    (RIFF size clamped to the blob)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file (missing 'RIFF....AVI ' preamble)")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    return min(8 + riff_size, len(content))
+
+
+def _movi_chunks(
+    content: bytes, *, suffixes: tuple, strict: bool
+) -> "list[bytes]":
+    """Payloads of movi chunks whose 2-byte tag suffix is in
+    ``suffixes`` ('dc'/'db' video, 'wb' audio), in stream order with
+    ffmpeg-style 'rec ' list nesting flattened — the ONE movi walk the
+    demux paths and the census share."""
+    end = _avi_body_end(content)
+    out: list[bytes] = []
+
+    def walk_movi(pos: int, stop: int) -> None:
+        for cc, p, sz in _walk_riff(content, pos, stop, strict=strict):
+            if cc == b"LIST" and content[p : p + 4] == b"rec ":
+                walk_movi(p + 4, p + sz)
+            elif cc[2:4] in suffixes:
+                out.append(content[p : p + sz])
+
+    for cc, p, sz in _walk_riff(content, 12, end, strict=strict):
+        if cc == b"LIST" and content[p : p + 4] == b"movi":
+            walk_movi(p + 4, p + sz)
+    return out
+
+
 def _parse_avi(content: bytes, *, strict: bool) -> dict:
     """One pass over the container: header fields from hdrl, frame-chunk
     census from movi (rec-list nesting honored), idx1 entry count.
@@ -2513,10 +2553,8 @@ def _parse_avi(content: bytes, *, strict: bool) -> dict:
     triage scan that routes blobs before any codec runs."""
     import struct
 
-    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI file (missing 'RIFF....AVI ' preamble)")
+    end = _avi_body_end(content)
     (riff_size,) = struct.unpack("<I", content[4:8])
-    end = min(8 + riff_size, len(content))
     if strict and 8 + riff_size > len(content):
         raise ValueError(
             f"RIFF size field {riff_size} overruns the blob ({len(content)} bytes)"
@@ -2527,13 +2565,9 @@ def _parse_avi(content: bytes, *, strict: bool) -> dict:
         "movi_chunks": 0, "idx_entries": 0,
     }
     saw_avih = False
-
-    def census_movi(pos: int, stop: int) -> None:
-        for cc, p, sz in _walk_riff(content, pos, stop, strict=strict):
-            if cc == b"LIST" and content[p : p + 4] == b"rec ":
-                census_movi(p + 4, p + sz)
-            elif cc[2:4] in (b"dc", b"db", b"wb"):
-                out["movi_chunks"] += 1
+    out["movi_chunks"] = len(
+        _movi_chunks(content, suffixes=(b"dc", b"db", b"wb"), strict=strict)
+    )
 
     for cc, p, sz in _walk_riff(content, 12, end, strict=strict):
         if cc == b"LIST":
@@ -2549,27 +2583,35 @@ def _parse_avi(content: bytes, *, strict: bool) -> dict:
                         if out["width"] is None:
                             out["width"], out["height"] = w, h
                     elif c2 == b"LIST" and content[p2 : p2 + 4] == b"strl":
+                        # strh precedes strf within a strl (spec order);
+                        # the strf layout depends on the stream TYPE —
+                        # only a 'vids' strf is a BITMAPINFOHEADER (an
+                        # audio WAVEFORMATEXTENSIBLE is also ≥40 bytes,
+                        # and reading it as dims would report
+                        # width=nSamplesPerSec — review finding)
+                        cur_type = None
                         for c3, p3, s3 in _walk_riff(
                             content, p2 + 4, p2 + s2, strict=strict
                         ):
                             if c3 == b"strh" and s3 >= 48:
-                                ftype = content[p3 : p3 + 4]
+                                cur_type = content[p3 : p3 + 4]
                                 fhandler = content[p3 + 4 : p3 + 8]
                                 sc, rt = struct.unpack(
                                     "<II", content[p3 + 20 : p3 + 28]
                                 )
-                                if ftype == b"vids" and out["video_codec"] is None:
+                                if cur_type == b"vids" and out["video_codec"] is None:
                                     out["video_codec"] = fhandler.decode(
                                         "ascii", "replace"
                                     ).strip("\x00 ")
                                     out["fps_num"], out["fps_den"] = rt, sc
-                            elif c3 == b"strf" and s3 >= 40:
+                            elif (
+                                c3 == b"strf" and s3 >= 40
+                                and cur_type == b"vids"
+                            ):
                                 bw, bh = struct.unpack(
                                     "<ii", content[p3 + 4 : p3 + 12]
                                 )
                                 out["width"], out["height"] = bw, abs(bh)
-            elif ltype == b"movi":
-                census_movi(p + 4, p + sz)
         elif cc == b"idx1":
             out["idx_entries"] = sz // 16
     if strict and not saw_avih:
@@ -2586,25 +2628,7 @@ def demux_avi_frames(content: bytes, *, strict: bool = True) -> "list[bytes]":
     stream order, rec-lists flattened) WITHOUT decoding — the demux
     half of the video path; for MJPEG each payload is a complete
     baseline JPEG the vendored codec decodes."""
-    import struct
-
-    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI file (missing 'RIFF....AVI ' preamble)")
-    (riff_size,) = struct.unpack("<I", content[4:8])
-    end = min(8 + riff_size, len(content))
-    frames: list[bytes] = []
-
-    def walk_movi(pos: int, stop: int) -> None:
-        for cc, p, sz in _walk_riff(content, pos, stop, strict=strict):
-            if cc == b"LIST" and content[p : p + 4] == b"rec ":
-                walk_movi(p + 4, p + sz)
-            elif cc[2:4] in (b"dc", b"db"):
-                frames.append(content[p : p + sz])
-
-    for cc, p, sz in _walk_riff(content, 12, end, strict=strict):
-        if cc == b"LIST" and content[p : p + 4] == b"movi":
-            walk_movi(p + 4, p + sz)
-    return frames
+    return _movi_chunks(content, suffixes=(b"dc", b"db"), strict=strict)
 
 
 def scan_avi_headers(df: DataFrame, *, strict: bool = True) -> DataFrame:
@@ -2656,7 +2680,12 @@ def video_frame_features(
             rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
-                frames = demux_avi_frames(content, strict=strict)
+                try:
+                    frames = demux_avi_frames(content, strict=strict)
+                except (ValueError, IndexError):
+                    if strict:
+                        raise
+                    continue  # lenient: a non-AVI blob yields no frames
                 for i in range(0, len(frames), every_n):
                     try:
                         px = _decode_jpeg(frames[i])
@@ -2796,7 +2825,11 @@ def encode_mkv_stub(
     return header + segment
 
 
-def _read_vint(data: bytes, pos: int, *, keep_marker: bool) -> "tuple[int, int]":
+def _read_vint(data: bytes, pos: int, *, keep_marker: bool) -> "tuple[int | None, int]":
+    """EBML VINT (RFC 8794).  With ``keep_marker=False`` (sizes), the
+    reserved all-ones data value returns None — 'unknown size', which
+    live/stream muxers routinely write for Segment and Cluster (the
+    element then extends to its parent's end)."""
     if pos >= len(data):
         raise ValueError("truncated EBML VINT")
     first = data[pos]
@@ -2808,6 +2841,8 @@ def _read_vint(data: bytes, pos: int, *, keep_marker: bool) -> "tuple[int, int]"
     v = int.from_bytes(data[pos : pos + w], "big")
     if not keep_marker:
         v -= 1 << (7 * w)
+        if v == (1 << (7 * w)) - 1:
+            return None, pos + w
     return v, pos + w
 
 
@@ -2826,6 +2861,10 @@ def _parse_mkv(content: bytes, *, strict: bool) -> dict:
         while pos < end:
             eid, pos = _read_vint(content, pos, keep_marker=True)
             size, pos = _read_vint(content, pos, keep_marker=False)
+            if size is None:
+                # unknown-size element (live-muxed Segment/Cluster):
+                # extends to the end of its parent
+                size = end - pos
             if pos + size > end:
                 if strict:
                     raise ValueError(
@@ -2967,7 +3006,12 @@ def video_dhash(df: DataFrame, *, every_n: int = 1, strict: bool = True) -> Data
             out = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
-                frames = demux_avi_frames(content, strict=strict)
+                try:
+                    frames = demux_avi_frames(content, strict=strict)
+                except (ValueError, IndexError):
+                    if strict:
+                        raise
+                    frames = []  # lenient: sentinel empty fingerprint
                 hashes = []
                 for i in range(0, len(frames), every_n):
                     try:
@@ -3006,25 +3050,7 @@ def demux_avi_audio(content: bytes, *, strict: bool = True) -> "list[bytes]":
     """The audio half of the AVI demux: '##wb' chunk payloads in
     stream order (rec-lists flattened) — for PCM streams the
     concatenation IS the waveform."""
-    import struct
-
-    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI file (missing 'RIFF....AVI ' preamble)")
-    (riff_size,) = struct.unpack("<I", content[4:8])
-    end = min(8 + riff_size, len(content))
-    chunks: list[bytes] = []
-
-    def walk_movi(pos: int, stop: int) -> None:
-        for cc, p, sz in _walk_riff(content, pos, stop, strict=strict):
-            if cc == b"LIST" and content[p : p + 4] == b"rec ":
-                walk_movi(p + 4, p + sz)
-            elif cc[2:4] == b"wb":
-                chunks.append(content[p : p + sz])
-
-    for cc, p, sz in _walk_riff(content, 12, end, strict=strict):
-        if cc == b"LIST" and content[p : p + 4] == b"movi":
-            walk_movi(p + 4, p + sz)
-    return chunks
+    return _movi_chunks(content, suffixes=(b"wb",), strict=strict)
 
 
 def avi_audio_features(df: DataFrame, *, strict: bool = True) -> DataFrame:
@@ -3042,7 +3068,12 @@ def avi_audio_features(df: DataFrame, *, strict: bool = True) -> DataFrame:
             rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
-                chunks = demux_avi_audio(content, strict=strict)
+                try:
+                    chunks = demux_avi_audio(content, strict=strict)
+                except (ValueError, IndexError):
+                    if strict:
+                        raise
+                    chunks = []  # lenient: zero-sample sentinel row
                 raw = b"".join(chunks)
                 if len(raw) % 2:
                     if strict:

@@ -378,14 +378,19 @@ def compact_parquet_dir(
     import os
 
     # mode("overwrite") deletes dst BEFORE the lazy scan of src runs —
-    # a same-dir (or dst-inside-src) call would destroy the source data
+    # a same-dir call, dst inside src, OR src inside dst (overwriting a
+    # parent recursively deletes the nested source) destroys the data
     src_real = os.path.realpath(src_dir)
     dst_real = os.path.realpath(dst_dir)
-    if dst_real == src_real or dst_real.startswith(src_real + os.sep):
+    if (
+        dst_real == src_real
+        or dst_real.startswith(src_real + os.sep)
+        or src_real.startswith(dst_real + os.sep)
+    ):
         raise ValueError(
-            f"compact_parquet_dir: dst_dir {dst_dir!r} equals or is nested "
-            f"in src_dir {src_dir!r}; overwrite would delete the source "
-            "before it is read"
+            f"compact_parquet_dir: dst_dir {dst_dir!r} and src_dir "
+            f"{src_dir!r} overlap (equal or nested either way); overwrite "
+            "would delete the source before it is read"
         )
     df = spark.read.parquet(src_dir)
     # file counts from the scan's file index (metadata only) — a

@@ -1732,3 +1732,95 @@ def test_avi_audio_demux_and_features(spark):
     row = avi_audio_features(df, strict=True).first()
     assert (row.n_chunks, row.n_samples, row.peak_raw, row.sum_raw) == (
         2, 6, 32768, 100 - 200 + 300 - 32768 + 7 - 7)
+
+
+def test_avi_lenient_paths_skip_bad_blobs(spark):
+    """Review fixes: strict=False on a mislabeled/corrupt 'avi' blob
+    falls back (fake frames / skip / sentinel) instead of killing the
+    task."""
+    from aroa_etl_spark.operators.multimodal import (
+        avi_audio_features, sample_video_frames, video_dhash,
+        video_frame_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mem://bad/1", bytearray(b"not an avi at all"),
+          {"format": "avi", "n_frames": "2", "width": "4", "height": "4"})],
+        "media_id long, uri string, content binary, meta map<string,string>",
+    )
+    # sample_video_frames: falls back to the hash-derived fake frames
+    assert sample_video_frames(df, every_n=1, strict=False).count() == 2
+    # features/fingerprint/audio: skip or sentinel, never raise
+    assert video_frame_features(df, strict=False).count() == 0
+    row = video_dhash(df, strict=False).first()
+    assert (row.vhash, row.n_frames) == ("", 0)
+    arow = avi_audio_features(df, strict=False).first()
+    assert (arow.n_chunks, arow.n_samples, arow.peak_raw, arow.sum_raw) == (
+        0, 0, 0, 0)
+
+
+def test_avi_audio_strf_does_not_clobber_video_dims():
+    """Review fix: a ≥40-byte audio strf (WAVEFORMATEXTENSIBLE shape)
+    must not be parsed as a BITMAPINFOHEADER."""
+    import struct
+
+    from aroa_etl_spark.operators.multimodal import _parse_avi, encode_avi_mjpeg
+
+    avi = bytearray(encode_avi_mjpeg(
+        [_flat_jpeg(128)], width=16, height=8,
+        audio_chunks=[struct.pack("<2h", 1, -1)], audio_rate=48_000,
+    ))
+    # widen the audio strf to 40 bytes in-place: find the second strf
+    first = avi.find(b"strf")
+    second = avi.find(b"strf", first + 4)
+    assert second != -1
+    (old_sz,) = struct.unpack("<I", avi[second + 4 : second + 8])
+    pad = 40 - old_sz
+    assert pad > 0
+    widened = (
+        avi[: second + 4] + struct.pack("<I", 40)
+        + avi[second + 8 : second + 8 + old_sz] + b"\x00" * pad
+        + avi[second + 8 + old_sz :]
+    )
+    # fix up the sizes of the enclosing strl, hdrl and RIFF headers
+    widened = bytearray(widened)
+    for fourcc in (b"RIFF",):
+        (sz,) = struct.unpack("<I", widened[4:8])
+        struct.pack_into("<I", widened, 4, sz + pad)
+    hdrl = widened.find(b"hdrl") - 8
+    (sz,) = struct.unpack("<I", widened[hdrl + 4 : hdrl + 8])
+    struct.pack_into("<I", widened, hdrl + 4, sz + pad)
+    strl2 = widened.find(b"strl", widened.find(b"strl") + 4) - 8
+    (sz,) = struct.unpack("<I", widened[strl2 + 4 : strl2 + 8])
+    struct.pack_into("<I", widened, strl2 + 4, sz + pad)
+    rec = _parse_avi(bytes(widened), strict=True)
+    assert (rec["width"], rec["height"]) == (16, 8)
+    assert rec["n_streams"] == 2
+
+
+def test_mkv_unknown_size_segment_and_cluster():
+    """Review fix: the reserved all-ones EBML size ('unknown size',
+    which live muxers write for Segment/Cluster) extends to the
+    parent's end instead of tripping the overrun guard."""
+    from aroa_etl_spark.operators.multimodal import (
+        _ebml_elem, _parse_mkv, _read_vint, encode_mkv_stub,
+    )
+
+    m = bytearray(encode_mkv_stub(
+        video_tracks=[("V_VP8", 320, 240)], cluster_blocks=[2],
+        duration_ticks=77,
+    ))
+    # rewrite the Segment's size VINT to the 1-byte unknown marker 0xFF:
+    # the Segment is the last top-level element, so 'to parent end' is
+    # exactly its real extent — but its size VINT may be >1 byte, so
+    # rebuild the stream instead of patching in place
+    seg_id = bytes.fromhex("18538067")
+    seg_off = bytes(m).find(seg_id)
+    header = bytes(m[:seg_off])
+    size, payload_start = _read_vint(bytes(m), seg_off + 4, keep_marker=False)
+    payload = bytes(m[payload_start:])
+    assert size == len(payload)
+    unknown = header + seg_id + b"\xff" + payload
+    rec = _parse_mkv(unknown, strict=True)
+    assert rec["video_codec"] == "V_VP8" and rec["n_blocks"] == 2
+    assert rec["duration_ticks"] == 77
