@@ -4293,3 +4293,170 @@ def a_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "s_tfrecord_datasource",
+    oracle="""
+    WITH ks AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS k),
+    ri AS (SELECT k, CAST(unnest(range(0, 2 + k % 3)) AS INT) AS i FROM ks)
+    SELECT 'shard' || CAST(k AS VARCHAR) || '.tfrecord' AS file,
+           i AS record_idx,
+           CAST(length('rec-' || CAST(k AS VARCHAR) || '-'
+                       || CAST(i AS VARCHAR)) AS BIGINT) AS n_bytes,
+           md5('rec-' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+             AS payload_md5
+    FROM ri ORDER BY file, record_idx
+    """,
+)
+def s_tfrecord_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shards as a native DataSource
+    (sources/tfrecord.py) — the OTHER canonical training-data
+    packaging next to WebDataset: ``spark.read.format("tfrecord")``
+    explodes each shard into one row per record with the framing
+    FULLY VERIFIED (uint64 length + masked CRC-32C of both the length
+    header and the payload, Castagnoli table built from the public
+    RFC 3720 polynomial — the crc32c('123456789') == 0xE3069283 test
+    vector is pytest-pinned).  Shards are written by the module's own
+    framing writer; the oracle replays record counts, byte lengths,
+    and payload md5s from k-arithmetic.  Scale: one InputPartition
+    per shard (the unit TFRecord corpora are sized for), record
+    explosion fused into the scan, zero shuffle."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.tfrecord import (
+        register_tfrecord_source, write_tfrecords,
+    )
+
+    stage = _scratch_stage("tfrecord_ds", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(10):
+        recs = [f"rec-{k}-{i}".encode() for i in range(2 + k % 3)]
+        with open(os.path.join(stage, f"shard{k}.tfrecord"), "wb") as fh:
+            fh.write(write_tfrecords(recs))
+    register_tfrecord_source(spark)
+    return (
+        spark.read.format("tfrecord").load(stage)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+            "record_idx", "n_bytes", "payload_md5",
+        )
+        .orderBy("file", "record_idx")
+    )
+
+
+@query(
+    "s_tfrecord_examples",
+    oracle="""
+    WITH ks AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS k),
+    ri AS (SELECT k, CAST(unnest(range(0, 2 + k % 3)) AS INT) AS i FROM ks)
+    SELECT 'shard' || CAST(k AS VARCHAR) || '.tfrecord' AS file,
+           i AS record_idx,
+           'doc ' || CAST(k AS VARCHAR) || ' ' || CAST(i AS VARCHAR) AS text,
+           CAST((k * 3 + i) % 7 AS BIGINT) AS label,
+           CAST(3 AS INT) AS emb_len,
+           CAST(k + i + (k + i) AS DOUBLE) AS emb_sum
+    FROM ri ORDER BY file, record_idx
+    """,
+)
+def s_tfrecord_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf.train.Example ingestion end-to-end: TFRecord framing →
+    Example wire decode (public example.proto/feature.proto schema —
+    BytesList / packed-varint Int64List / packed-float32 FloatList,
+    parsed by the repo's own mini-protobuf wire reader) → typed
+    columns via sources/tfrecord.examples_to_columns (mapInPandas,
+    zero shuffle).  Features are planted from k-arithmetic: a text
+    BytesList, a single-label Int64List, a 3-float embedding whose
+    values are small integers so float32 == DOUBLE exactly and the
+    oracle replays text / label / emb length and sum in closed form.
+    The round trip is builder-vs-parser honest: fixtures are written
+    by build_example, read back by parse_example — one schema, two
+    directions."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.tfrecord import (
+        build_example, examples_to_columns, register_tfrecord_source,
+        write_tfrecords,
+    )
+
+    stage = _scratch_stage("tfrecord_ex", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(10):
+        recs = [
+            build_example({
+                "text": f"doc {k} {i}",
+                "label": [(k * 3 + i) % 7],
+                "emb": [float(k), float(i), float(k + i)],
+            })
+            for i in range(2 + k % 3)
+        ]
+        with open(os.path.join(stage, f"shard{k}.tfrecord"), "wb") as fh:
+            fh.write(write_tfrecords(recs))
+    register_tfrecord_source(spark)
+    raw = spark.read.format("tfrecord").option("payload", "true").load(stage)
+    typed = examples_to_columns(
+        raw, {"text": "bytes", "label": "int64", "emb": "float"}
+    )
+    return typed.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+        "record_idx",
+        F.decode("text", "UTF-8").alias("text"),
+        F.element_at("label", 1).alias("label"),
+        F.size("emb").alias("emb_len"),
+        F.aggregate("emb", F.lit(0.0), lambda a, x: a + x).alias("emb_sum"),
+    ).orderBy("file", "record_idx")
+
+
+@query(
+    "st_tfrecord_source",
+    oracle="""
+    WITH ks AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS k),
+    ri AS (SELECT k, CAST(unnest(range(0, 2 + k % 3)) AS INT) AS i FROM ks)
+    SELECT 'shard' || CAST(k AS VARCHAR) || '.tfrecord' AS file,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(length('rec-' || CAST(k AS VARCHAR) || '-'
+                           || CAST(i AS VARCHAR))) AS BIGINT) AS total_bytes
+    FROM ri GROUP BY file ORDER BY file
+    """,
+)
+def st_tfrecord_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × TFRecord: the streaming twin —
+    ``spark.readStream.format("tfrecord")`` tails the shard directory
+    (offsets = ingested [name, size] list, atomic-placement contract
+    shared with the tar/WARC streams), CRC-verifying every record of
+    every new shard per micro-batch.  The drained rows roll up to a
+    per-shard manifest the oracle replays.  Scale: incremental file
+    pickup, one InputPartition per new shard, zero streaming state."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.plans.catalog_st import _drain
+    from aroa_etl_spark.sources.tfrecord import (
+        register_tfrecord_source, write_tfrecords,
+    )
+
+    stage = _scratch_stage("tfrecord_st", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(10):
+        recs = [f"rec-{k}-{i}".encode() for i in range(2 + k % 3)]
+        with open(os.path.join(stage, f"shard{k}.tfrecord"), "wb") as fh:
+            fh.write(write_tfrecords(recs))
+    register_tfrecord_source(spark)
+    stream = spark.readStream.format("tfrecord").load(stage).select(
+        "path", "record_idx", "n_bytes"
+    )
+    _drain(stream, "st_tfrecord_sink", "append")
+    return (
+        spark.table("st_tfrecord_sink")
+        .groupBy(F.regexp_extract("path", r"([^/]+)$", 1).alias("file"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("file")
+    )

@@ -1,0 +1,124 @@
+"""TFRecord source (sources/tfrecord.py): CRC-32C against the public
+test vector, framing round-trip and corruption guards, tf.train.Example
+codec both directions, DataSource batch/streaming reads, and the
+typed-column explode."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aroa_etl_spark.sources.tfrecord import (
+    build_example,
+    crc32c,
+    examples_to_columns,
+    iter_tfrecords,
+    masked_crc32c,
+    parse_example,
+    register_tfrecord_source,
+    write_tfrecords,
+)
+
+
+def test_crc32c_public_vector_and_mask():
+    # RFC 3720 / public check value for CRC-32C
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    # the mask is order-sensitive: rotate-then-add
+    c = crc32c(b"abc")
+    assert masked_crc32c(b"abc") == (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def test_framing_roundtrip_and_corruption():
+    recs = [b"hello", b"", b"x" * 1000]
+    blob = write_tfrecords(recs)
+    assert list(iter_tfrecords(blob)) == recs
+    bad = bytearray(blob)
+    bad[20] ^= 0xFF  # flip a payload byte of record 0
+    with pytest.raises(ValueError, match="payload-CRC"):
+        list(iter_tfrecords(bytes(bad)))
+    assert list(iter_tfrecords(bytes(bad), strict=False)) == []
+    # truncated tail: lenient yields the complete prefix records
+    cut = blob[: len(blob) - 2]
+    with pytest.raises(ValueError):
+        list(iter_tfrecords(cut))
+    assert list(iter_tfrecords(cut, strict=False)) == recs[:2]
+
+
+def test_example_codec_roundtrip():
+    ex = build_example({
+        "text": "héllo wörld",
+        "label": [3, -5],
+        "emb": [1.0, 2.5, -3.0],
+    })
+    parsed = parse_example(ex)
+    assert parsed["text"] == ("bytes", ["héllo wörld".encode()])
+    assert parsed["label"] == ("int64", [3, -5])
+    assert parsed["emb"] == ("float", [1.0, 2.5, -3.0])
+    assert parse_example(build_example({})) in ({}, {"": ("bytes", [])})
+
+
+def _stage(tmp_path, n_files=3):
+    for k in range(n_files):
+        recs = [f"r{k}{i}".encode() for i in range(k + 1)]
+        with open(os.path.join(str(tmp_path), f"s{k}.tfrecord"), "wb") as fh:
+            fh.write(write_tfrecords(recs))
+
+
+def test_datasource_batch_read(spark, tmp_path):
+    _stage(tmp_path)
+    register_tfrecord_source(spark)
+    rows = (
+        spark.read.format("tfrecord").load(str(tmp_path))
+        .orderBy("path", "record_idx").collect()
+    )
+    assert len(rows) == 1 + 2 + 3
+    assert rows[0].n_bytes == 3 and rows[0].record_idx == 0
+    # payload option carries the raw bytes
+    with_payload = (
+        spark.read.format("tfrecord").option("payload", "true")
+        .load(str(tmp_path)).orderBy("path", "record_idx").first()
+    )
+    assert bytes(with_payload.payload) == b"r00"
+
+
+def test_datasource_stream_tails_and_rejects_mutation(spark, tmp_path):
+    from aroa_etl_spark.sources.tfrecord import TFRecordStreamReader
+
+    _stage(tmp_path, n_files=2)
+    reader = TFRecordStreamReader({"path": str(tmp_path)})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert len(parts) == 2
+    # a mutated (grown) seen shard fails planning loudly
+    with open(os.path.join(str(tmp_path), "s0.tfrecord"), "ab") as fh:
+        fh.write(write_tfrecords([b"late"]))
+    with pytest.raises(ValueError, match="changed size"):
+        reader.partitions(end, reader.latestOffset())
+
+
+def test_examples_to_columns_typed_explode(spark, tmp_path):
+    recs = [
+        build_example({"text": f"d{i}", "label": [i], "emb": [float(i), 1.0]})
+        for i in range(4)
+    ]
+    with open(os.path.join(str(tmp_path), "e.tfrecord"), "wb") as fh:
+        fh.write(write_tfrecords(recs))
+    register_tfrecord_source(spark)
+    raw = (
+        spark.read.format("tfrecord").option("payload", "true")
+        .load(str(tmp_path))
+    )
+    typed = examples_to_columns(
+        raw, {"text": "bytes", "label": "int64", "emb": "float",
+              "missing": "int64"}
+    ).orderBy("record_idx").collect()
+    assert [bytes(r.text) for r in typed] == [b"d0", b"d1", b"d2", b"d3"]
+    assert [r.label for r in typed] == [[0], [1], [2], [3]]
+    assert typed[2].emb == [2.0, 1.0]
+    assert all(r.missing is None for r in typed)
+    # kind mismatch fails loudly
+    with pytest.raises(Exception):
+        examples_to_columns(raw, {"text": "int64"}).collect()
