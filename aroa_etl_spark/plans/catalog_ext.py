@@ -4460,3 +4460,75 @@ def st_tfrecord_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+@query(
+    "s_tfrecord_shard_audit",
+    oracle="""
+    WITH t AS (SELECT CAST((COUNT(*) + 99) // 100 AS BIGINT) AS n
+               FROM documents),
+    d AS (SELECT doc_id, text,
+                 ('0x'||substr(md5('shard'||CAST(doc_id AS VARCHAR)),1,15)
+                 )::UBIGINT::BIGINT % t.n AS shard
+          FROM documents, t)
+    SELECT CAST(shard AS INT) AS shard_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_manifest,
+           true AS consistent
+    FROM d GROUP BY shard ORDER BY shard_idx
+    """,
+)
+def s_tfrecord_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord writer-vs-reader integrity audit — the TFRecord twin of
+    s_tar_shard_audit: write_tfrecord_shards packs the documents corpus
+    into Example shards (100 docs/shard, deterministic md5-bucket
+    assignment, atomic placement), the native tfrecord source reads
+    every shard back CRC-verified, and per-shard record counts from
+    the READER sit beside the WRITER's manifest via a FULL OUTER join
+    so a shard present on only one side surfaces as inconsistent
+    instead of vanishing.  The oracle replays the md5-bucket
+    arithmetic from the source table — any drift in sharding, a lost
+    record, or a CRC-corrupt frame breaks the hash.  Scale: one scan
+    of the shard set (one partition per shard) + a broadcast manifest
+    dim."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.tfrecord import (
+        register_tfrecord_source, write_tfrecord_shards,
+    )
+
+    stage = _scratch_stage("tfrecord_audit", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    manifest_rows = write_tfrecord_shards(
+        docs, stage, docs_per_shard=100
+    ).collect()
+    manifest = spark.createDataFrame(
+        manifest_rows,
+        "shard_path string, n_records bigint, shard_bytes bigint",
+    ).select(
+        F.regexp_extract("shard_path", r"shard-(\d+)\.tfrecord$", 1)
+        .cast("int").alias("shard_idx"),
+        F.col("n_records").alias("n_manifest"),
+    )
+    register_tfrecord_source(spark)
+    observed = (
+        spark.read.format("tfrecord").load(os.path.join(stage, "*.tfrecord"))
+        .groupBy(
+            F.regexp_extract("path", r"shard-(\d+)\.tfrecord$", 1)
+            .cast("int").alias("shard_idx")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    return (
+        observed.join(F.broadcast(manifest), "shard_idx", "full_outer")
+        .select(
+            "shard_idx",
+            F.coalesce("n_records", F.lit(0)).alias("n_records"),
+            F.coalesce("n_manifest", F.lit(0)).alias("n_manifest"),
+            (F.col("n_records") == F.col("n_manifest")).alias("consistent"),
+        )
+        .orderBy("shard_idx")
+    )

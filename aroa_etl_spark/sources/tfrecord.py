@@ -431,3 +431,73 @@ def examples_to_columns(df, spec: "dict[str, str]", *, payload_col: str = "paylo
             yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def write_tfrecord_shards(
+    df,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 1000,
+):
+    """Pack (id, text) rows into TFRecord shards of tf.train.Examples —
+    the WRITE half of the TFRecord story (``format("tfrecord")`` is the
+    read half), sharing the tar shard-writer's determinism contract:
+    shard index = engine-standard md5 bucket of the id modulo the exact
+    shard count, records ordered by id within a shard, each shard
+    written by exactly one task and placed atomically (write to
+    ``.inprogress``, rename in — the streaming-source contract).  Each
+    record is an Example with features ``id`` (Int64List) and ``text``
+    (BytesList), so any TFRecord consumer — this repo's source or
+    TF-lineage loaders — reads the corpus back.
+
+    Returns the (shard_path, n_records, shard_bytes) manifest as a
+    DataFrame — the action that runs the write."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T2
+
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // docs_per_shard))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col(id_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % n_shards
+    ).alias("__shard")
+    staged = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(text_col).cast("string").alias("__text"),
+        shard,
+    ).repartition(n_shards, "__shard")
+    manifest_schema = T2.StructType([
+        T2.StructField("shard_path", T2.StringType()),
+        T2.StructField("n_records", T2.LongType()),
+        T2.StructField("shard_bytes", T2.LongType()),
+    ])
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(pdf["__shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{sid:05d}.tfrecord")
+        recs = [
+            build_example({"id": [int(row["__id"])],
+                           "text": str(row["__text"] or "")})
+            for _, row in pdf.sort_values("__id").iterrows()
+        ]
+        blob = write_tfrecords(recs)
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            [{"shard_path": path, "n_records": len(recs),
+              "shard_bytes": len(blob)}]
+        )
+
+    return staged.groupBy("__shard").applyInPandas(pack, manifest_schema)
