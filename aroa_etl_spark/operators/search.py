@@ -122,3 +122,52 @@ def bm25_topk(
         .agg(F.round(F.sum("fp") / 1e8, 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    *,
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: each input frame carries (id, rank) from
+    one retriever (lexical BM25, semantic ANN, …) and the fused score
+    is ``Σ_legs 1/(k + rank)`` with absent legs contributing 0.  Rank
+    positions, not raw scores, enter the sum, so heterogeneous score
+    scales need no calibration — the reason RRF is the default fuser
+    in RAG stacks.
+
+    Returns (id, rank_0..rank_{n-1} with 0 for 'not retrieved',
+    rrf_score rounded to 9 dp) — the integer ranks make the double sum
+    bit-reproducible on any engine.  Scale: each leg is a top-k frame
+    (tiny); the fusion is a broadcast-sized full outer join chain, one
+    final sort of ≤ Σ k rows."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    legs = []
+    for i, df in enumerate(rankings):
+        legs.append(df.select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias(f"rank_{i}"),
+        ))
+    fused = legs[0]
+    for leg in legs[1:]:
+        fused = fused.join(leg, id_col, "full_outer")
+    rank_cols = [f"rank_{i}" for i in range(len(legs))]
+    score = None
+    for c in rank_cols:
+        term = F.when(
+            F.col(c).isNotNull(), F.lit(1.0) / (F.lit(k) + F.col(c))
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        fused.select(
+            id_col,
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in rank_cols],
+            F.round(score, 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(topk)
+    )

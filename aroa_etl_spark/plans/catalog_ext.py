@@ -4532,3 +4532,90 @@ def s_tfrecord_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_idx")
     )
+
+
+_RRF_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_RRF_COS = (
+    _RRF_DOT.format(a="q.embedding", b="c.embedding")
+    + " / (sqrt(" + _RRF_DOT.format(a="q.embedding", b="q.embedding")
+    + ") * sqrt(" + _RRF_DOT.format(a="c.embedding", b="c.embedding") + "))"
+)
+
+
+@query(
+    "search_rrf_fusion",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM toks_t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS doc_len
+           FROM (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM toks_t)
+           GROUP BY doc_id, term),
+    m AS (SELECT * FROM tf WHERE term IN ('spark', 'join', 'window')),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY term),
+    parts AS (SELECT m.doc_id,
+                     CAST(round(
+                       ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+                       * (m.tf * (1.2 + 1.0))
+                       / (m.tf + 1.2 * ((1.0 - 0.75) + (0.75 * m.doc_len) / avgdl))
+                       * 100000000.0) AS BIGINT) AS fp
+              FROM m JOIN dfreq USING (term), stats),
+    lex_scored AS (SELECT doc_id, round(SUM(fp) / 100000000.0, 6) AS score
+                   FROM parts GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM lex_scored
+            ORDER BY score DESC, doc_id LIMIT 20),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (SELECT c.vec_id AS doc_id, {_RRF_COS} AS cos
+                   FROM q, embeddings c WHERE c.vec_id != 0),
+    sem AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+            FROM sem_scored
+            ORDER BY cos DESC, doc_id LIMIT 20),
+    fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                     lex.r AS lr, sem.r AS sr
+              FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id,
+           CAST(COALESCE(lr, 0) AS INT) AS rank_0,
+           CAST(COALESCE(sr, 0) AS INT) AS rank_1,
+           round(CASE WHEN lr IS NOT NULL THEN 1.0 / (60 + lr) ELSE 0 END
+                 + CASE WHEN sr IS NOT NULL THEN 1.0 / (60 + sr) ELSE 0 END,
+                 9) AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion
+    (operators/search.rrf_fuse, Cormack et al. 2009) — the RAG-stack
+    default for combining a LEXICAL and a SEMANTIC retriever without
+    score calibration: BM25 top-20 for ['spark','join','window'] (leg
+    0) fuses with brute-cosine top-20 around query vector 0 (leg 1) by
+    ``Σ 1/(60 + rank)``.  Ranks are deterministic on both engines
+    (fixed-point BM25 scores / exact cosine, id tiebreaks), so the
+    double RRF sum is bit-reproducible and the oracle re-derives BOTH
+    retrievers and the fusion in one independent SQL chain.  Scale:
+    each leg is the already-attested retriever shape (broadcast-pruned
+    postings / broadcast query row); the fusion itself is a ≤40-row
+    full outer join — fusion cost never grows with the corpus."""
+    from pyspark.sql.window import Window as W2
+
+    from aroa_etl_spark.operators.ann import brute_force_topk
+    from aroa_etl_spark.operators.search import bm25_topk, rrf_fuse
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    lex = bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window"], k=20
+    ).select(
+        "doc_id",
+        F.row_number().over(W2.orderBy(F.desc("score"), "doc_id")).alias("rank"),
+    )
+    sem = brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], "doc_id", k=60, topk=10)

@@ -72,3 +72,24 @@ def test_bm25_multi_term_additive(corpus):
     assert abs(both[2] - one[2]) < 1e-9
     # doc 1 matches both terms: strictly higher than its 'join'-only part
     assert both[1] > one[1]
+
+
+def test_rrf_fuse_math_and_sentinels(spark):
+    from aroa_etl_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    rows = {r.doc_id: (r.rank_0, r.rank_1, r.rrf_score)
+            for r in rrf_fuse([lex, sem], "doc_id", k=60, topk=10).collect()}
+    # doc 3 appears in both legs: 1/63 + 1/61
+    assert rows[3] == (3, 1, round(1 / 63 + 1 / 61, 9))
+    # single-leg docs carry the 0 sentinel on the missing leg
+    assert rows[1] == (1, 0, round(1 / 61, 9))
+    assert rows[4] == (0, 2, round(1 / 62, 9))
+    # doc 3 (two legs) outranks every single-leg doc here
+    top = rrf_fuse([lex, sem], "doc_id").first()
+    assert top.doc_id == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([lex], "doc_id")
