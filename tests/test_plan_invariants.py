@@ -46,6 +46,7 @@ _CARTESIAN_OK = {
     "tdp_temperature_mixture",  # 1-row (total, sum_sqrt) broadcast into the per-stratum rate
     "er_blocking_stats",  # (n_cand 1-row) × (hits 1-row) × (n_truth 1-row) metrics
     "search_bm25_topk",  # corpus-stats 1-row broadcast into scoring
+    "search_rrf_fusion",  # same 1-row stats BNLJ via its BM25 leg
     "graph_pagerank",  # node-count 1-row broadcast into rank seed/teleport
     "q11_important_parts",  # 1-row grand-total broadcast into the threshold gate
     "q22_idle_customers",  # 1-row (sum, count) broadcast into the balance gate
