@@ -27,20 +27,20 @@ _VENDOR = os.path.join(
 
 def ensure_protobuf() -> str:
     """Make ``google.protobuf`` importable; returns 'real' when the
-    installed distribution is used, 'vendored' when the mini runtime
-    was activated."""
+    installed distribution is in play, 'vendored' when the mini
+    runtime is (decided by the RESOLVED module's path, so repeated
+    calls after a prior activation still report the truth)."""
     try:
-        importlib.import_module("google.protobuf")
-        return "real"
+        mod = importlib.import_module("google.protobuf")
     except ImportError:
-        pass
-    if _VENDOR not in sys.path:
-        sys.path.insert(0, _VENDOR)
-    prev = os.environ.get("PYTHONPATH", "")
-    parts = prev.split(os.pathsep) if prev else []
-    if _VENDOR not in parts:
-        os.environ["PYTHONPATH"] = (
-            _VENDOR + (os.pathsep + prev if prev else "")
-        )
-    importlib.import_module("google.protobuf")
-    return "vendored"
+        if _VENDOR not in sys.path:
+            sys.path.insert(0, _VENDOR)
+        prev = os.environ.get("PYTHONPATH", "")
+        parts = prev.split(os.pathsep) if prev else []
+        if _VENDOR not in parts:
+            os.environ["PYTHONPATH"] = (
+                _VENDOR + (os.pathsep + prev if prev else "")
+            )
+        mod = importlib.import_module("google.protobuf")
+    vendored = "_vendor" in (getattr(mod, "__file__", "") or "")
+    return "vendored" if vendored else "real"
