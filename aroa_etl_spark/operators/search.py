@@ -150,7 +150,15 @@ def rrf_fuse(
     for i, df in enumerate(rankings):
         legs.append(df.select(
             F.col(id_col),
-            F.col("rank").cast("int").alias(f"rank_{i}"),
+            # ranks must be 1-based: a 0-based leg would both inflate
+            # its top document's 1/(k+rank) AND collide with the 0
+            # "not retrieved" sentinel — fail loudly at execution
+            F.when(
+                F.col("rank") >= 1, F.col("rank").cast("int")
+            ).otherwise(
+                F.expr("raise_error('rrf_fuse: ranks must be 1-based "
+                       "(got a rank < 1)')").cast("int")
+            ).alias(f"rank_{i}"),
         ))
     fused = legs[0]
     for leg in legs[1:]:

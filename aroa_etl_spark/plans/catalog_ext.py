@@ -4522,12 +4522,17 @@ def s_tfrecord_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
     )
+    # a shard present on only one side must read consistent=false, not
+    # NULL (NULL == x is NULL — the tar audit fixed this same hazard)
     return (
         observed.join(F.broadcast(manifest), "shard_idx", "full_outer")
         .select(
             "shard_idx",
             F.coalesce("n_records", F.lit(0)).alias("n_records"),
             F.coalesce("n_manifest", F.lit(0)).alias("n_manifest"),
+        )
+        .select(
+            "shard_idx", "n_records", "n_manifest",
             (F.col("n_records") == F.col("n_manifest")).alias("consistent"),
         )
         .orderBy("shard_idx")

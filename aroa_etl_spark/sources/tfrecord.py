@@ -155,14 +155,31 @@ def build_example(features: "dict[str, object]") -> bytes:
         if isinstance(value, (bytes, bytearray)):
             inner = encode_tag(1, 2) + encode_varint(len(value)) + bytes(value)
             feature = encode_tag(1, 2) + encode_varint(len(inner)) + inner
-        elif isinstance(value, list) and value and isinstance(value[0], float):
-            packed = struct.pack(f"<{len(value)}f", *value)
-            inner = encode_tag(1, 2) + encode_varint(len(packed)) + packed
-            feature = encode_tag(2, 2) + encode_varint(len(inner)) + inner
         elif isinstance(value, list):
-            packed = b"".join(encode_varint(int(v)) for v in value)
-            inner = encode_tag(1, 2) + encode_varint(len(packed)) + packed
-            feature = encode_tag(3, 2) + encode_varint(len(inner)) + inner
+            if not value:
+                # [] is kind-ambiguous on the wire — a silent guess here
+                # would later trip examples_to_columns' kind check
+                raise TypeError(
+                    f"feature {name!r}: empty list is ambiguous — pass "
+                    "b''/omit the feature, or a non-empty typed list"
+                )
+            if not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                       for v in value):
+                raise TypeError(
+                    f"feature {name!r}: list elements must be int or float"
+                )
+            if any(isinstance(v, float) for v in value):
+                # ANY float makes it a FloatList (first-element dispatch
+                # silently truncated mixed lists — review finding)
+                packed = struct.pack(
+                    f"<{len(value)}f", *[float(v) for v in value]
+                )
+                inner = encode_tag(1, 2) + encode_varint(len(packed)) + packed
+                feature = encode_tag(2, 2) + encode_varint(len(inner)) + inner
+            else:
+                packed = b"".join(encode_varint(int(v)) for v in value)
+                inner = encode_tag(1, 2) + encode_varint(len(packed)) + packed
+                feature = encode_tag(3, 2) + encode_varint(len(inner)) + inner
         else:
             raise TypeError(f"unsupported feature value for {name!r}: {value!r}")
         key = name.encode("utf-8")
@@ -309,6 +326,7 @@ class TFRecordStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
         if not self.dir or not os.path.isdir(self.dir):
             raise ValueError("streaming tfrecord source needs a directory path")
+        self._high: dict = {}
 
     def _listing(self) -> "list[list]":
         out = []
@@ -322,7 +340,15 @@ class TFRecordStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": self._listing()}
+        # MONOTONIC offsets (review finding): a seen shard that is
+        # deleted and later re-placed must not be forgotten by the
+        # offset (it would silently re-ingest as "new") — the high
+        # watermark remembers every shard this reader has ever listed;
+        # a reappearance at a DIFFERENT size still fails planning via
+        # the changed-size guard.
+        for n, size in self._listing():
+            self._high[n] = size
+        return {"seen": sorted([n, s] for n, s in self._high.items())}
 
     def partitions(self, start: dict, end: dict):
         seen = dict(map(tuple, start.get("seen", [])))
@@ -392,6 +418,12 @@ def examples_to_columns(df, spec: "dict[str, str]", *, payload_col: str = "paylo
     from pyspark.sql import types as T2
 
     fields = [f for f in df.schema.fields if f.name != payload_col]
+    clash = sorted(set(spec) & {f.name for f in fields})
+    if clash:
+        raise ValueError(
+            f"spec feature names collide with scan columns {clash}; "
+            "rename via withColumnRenamed before exploding"
+        )
     out_fields = list(fields)
     for name, kind in spec.items():
         if kind == "bytes":

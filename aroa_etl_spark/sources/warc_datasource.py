@@ -147,6 +147,7 @@ class WarcStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
         if not self.dir or not os.path.isdir(self.dir):
             raise ValueError("streaming warc source needs a directory path")
+        self._high: dict = {}
 
     def _listing(self) -> list[list]:
         out = []
@@ -160,7 +161,15 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": self._listing()}
+        # MONOTONIC offsets (review finding): a seen shard that is
+        # deleted and later re-placed must not be forgotten by the
+        # offset (it would silently re-ingest as "new") — the high
+        # watermark remembers every shard this reader has ever listed;
+        # a reappearance at a DIFFERENT size still fails planning via
+        # the changed-size guard.
+        for n, size in self._listing():
+            self._high[n] = size
+        return {"seen": sorted([n, s] for n, s in self._high.items())}
 
     def partitions(self, start: dict, end: dict):
         seen = dict(map(tuple, start.get("seen", [])))

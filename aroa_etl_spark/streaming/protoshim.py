@@ -42,5 +42,9 @@ def ensure_protobuf() -> str:
                 _VENDOR + (os.pathsep + prev if prev else "")
             )
         mod = importlib.import_module("google.protobuf")
-    vendored = "_vendor" in (getattr(mod, "__file__", "") or "")
+    # compare against OUR vendor dir, not a '_vendor' substring — a
+    # real runtime installed under a path containing '_vendor' (some
+    # vendoring tools do this) must still report 'real'
+    mod_dir = os.path.dirname(getattr(mod, "__file__", "") or "")
+    vendored = mod_dir.startswith(_VENDOR + os.sep) or mod_dir == _VENDOR
     return "vendored" if vendored else "real"

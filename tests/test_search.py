@@ -93,3 +93,25 @@ def test_rrf_fuse_math_and_sentinels(spark):
 
     with _pytest.raises(ValueError, match="at least two"):
         rrf_fuse([lex], "doc_id")
+
+
+def test_rrf_fuse_rejects_zero_based_ranks(spark):
+    from aroa_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="1-based"):
+        rrf_fuse([a, b], "doc_id").collect()
+
+
+def test_rrf_oracle_cosine_template_matches_tdp():
+    """Drift guard for the duplicated oracle cosine SQL (a cross-module
+    import would reorder catalog registration, which the gate window's
+    stable tiebreak depends on — so the duplication is pinned instead)."""
+    from aroa_etl_spark.plans import catalog_ext, catalog_tdp
+
+    assert catalog_ext._RRF_COS == catalog_tdp._sql_cosine(
+        "q.embedding", "c.embedding"
+    )

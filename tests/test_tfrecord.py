@@ -152,3 +152,55 @@ def test_write_tfrecord_shards_deterministic_and_readable(spark, tmp_path):
     typed = examples_to_columns(raw, {"id": "int64", "text": "bytes"})
     got = {r.id[0]: bytes(r.text).decode() for r in typed.collect()}
     assert got == {i: f"text {i}" for i in range(50)}
+
+
+def test_build_example_mixed_and_empty_lists_fail_or_promote():
+    """Review fixes: ANY float promotes the list to FloatList (no
+    silent int-truncation); empty lists are kind-ambiguous and raise."""
+    mixed = parse_example(build_example({"m": [1, 2.5, 3.0]}))
+    assert mixed["m"] == ("float", [1.0, 2.5, 3.0])
+    with pytest.raises(TypeError, match="ambiguous"):
+        build_example({"e": []})
+    with pytest.raises(TypeError, match="int or float"):
+        build_example({"b": [1, "x"]})
+
+
+def test_examples_to_columns_rejects_scan_column_collision(spark, tmp_path):
+    with open(os.path.join(str(tmp_path), "c.tfrecord"), "wb") as fh:
+        fh.write(write_tfrecords([build_example({"path": b"evil"})]))
+    register_tfrecord_source(spark)
+    raw = (
+        spark.read.format("tfrecord").option("payload", "true")
+        .load(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="collide"):
+        examples_to_columns(raw, {"path": "bytes"})
+
+
+def test_stream_offsets_monotonic_over_delete_and_replace(tmp_path):
+    """Review fix: a seen shard that is deleted and re-placed must NOT
+    re-ingest (same size) and must fail loudly (different size) —
+    offsets are a monotonic high watermark."""
+    from aroa_etl_spark.sources.tfrecord import TFRecordStreamReader
+
+    p = os.path.join(str(tmp_path), "s0.tfrecord")
+    blob = write_tfrecords([b"abc"])
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    reader = TFRecordStreamReader({"path": str(tmp_path)})
+    o1 = reader.latestOffset()
+    assert reader.partitions(reader.initialOffset(), o1)[0].path == p
+    os.remove(p)
+    o2 = reader.latestOffset()
+    assert o2["seen"] == o1["seen"]  # deletion does not forget the shard
+    # re-place byte-identical: nothing new to ingest
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    o3 = reader.latestOffset()
+    parts = reader.partitions(o1, o3)
+    assert [q.path for q in parts if q.path] == []
+    # re-place at a different size: loud failure
+    with open(p, "wb") as fh:
+        fh.write(write_tfrecords([b"abcdef"]))
+    with pytest.raises(ValueError, match="changed size"):
+        reader.partitions(o1, reader.latestOffset())
