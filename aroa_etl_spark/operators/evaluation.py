@@ -139,7 +139,8 @@ def exact_auc(
     and the rounded double is deterministic.
 
     Output columns: n, n_pos, n_neg, auc_num (=2U), auc_den
-    (=2·n_pos·n_neg), auc (double, 9 dp).  Scale: the banded rank's
+    (=2·n_pos·n_neg), auc (double, 9 dp; NULL when the input is
+    single-class — AUC is undefined without both labels).  Scale: the banded rank's
     two passes + one groupBy(score) shuffle + a scalar aggregate;
     nothing quadratic, no data-sized window."""
     from aroa_etl_spark.operators.stats import exact_global_rank
@@ -175,7 +176,16 @@ def exact_auc(
         (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))).alias("auc_den"),
     ).select(
         "n", "n_pos", "n_neg", "auc_num", "auc_den",
-        F.round(
-            F.col("auc_num").cast("double") / F.col("auc_den").cast("double"), 9
-        ).alias("auc"),
+        # AUC is undefined for single-class input (n_pos or n_neg == 0
+        # -> auc_den == 0): return NULL explicitly rather than letting
+        # the division produce NULL/Infinity by accident — callers can
+        # F.assert_true on auc IS NOT NULL if they require both classes
+        F.when(
+            F.col("auc_den") > 0,
+            F.round(
+                F.col("auc_num").cast("double")
+                / F.col("auc_den").cast("double"),
+                9,
+            ),
+        ).otherwise(F.lit(None).cast("double")).alias("auc"),
     )

@@ -175,7 +175,13 @@ def exact_grouped_rank(
     offsets broadcast back.  rank = group-local offset + within-band
     row_number, identical to the per-group window at any partitioning.
     ``descending=True`` ranks highest value first (tiebreak stays
-    ascending), matching the ``ORDER BY v DESC, tb`` leaderboard idiom.
+    ascending), matching the ``ORDER BY v DESC, tb`` leaderboard idiom —
+    implemented by REVERSING the band comparison and the window order
+    (not by negating the value, which breaks on strings/timestamps and
+    under ANSI mode), so it works for any orderable column type.
+    NULL values band to 0 and order first in BOTH directions (the
+    band assignment must agree with the window order; callers wanting
+    SQL's nulls-last-on-DESC should filter or coalesce first).
     Skew note: global bounds mean a group whose values concentrate in
     one band degrades to the plain grouped window for that group —
     correctness unaffected, and re-banding with higher n_bands splits
@@ -184,21 +190,39 @@ def exact_grouped_rank(
     from pyspark.sql.window import Window as W
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    skey = -F.col(value_col) if descending else F.col(value_col)
-    staged = df.withColumn("__skey", skey)
-    bounds = staged.select(
+    srg = _order_surrogate(df, value_col)
+    staged0 = df.withColumn("__srg", srg)
+    bounds = staged0.select(
         F.percentile_approx(
-            "__skey", [i / n_bands for i in range(1, n_bands)], 10_000
+            "__srg", [i / n_bands for i in range(1, n_bands)], 10_000
         ).alias("b")
     ).first()["b"] or []
+    # band index must be non-decreasing along the sort order; for
+    # descending that means counting bounds ABOVE the value (high value
+    # -> low band), with the tie side flipped so equal-to-bound values
+    # agree with the window order in both directions.  The band is a
+    # pure function of the ORDER SURROGATE (monotone in the value), so
+    # equal values always share a band and surrogate ties across
+    # distinct values merely share a (fatter) band — the within-band
+    # window still orders by the real value, so ranks stay exact.
+    # NULL comparisons yield NULL -> otherwise(0): nulls band to 0,
+    # matching asc-nulls-first / desc_nulls_first below.
     band = F.lit(0)
     for b in bounds:
-        band = band + F.when(F.col("__skey") > F.lit(b), 1).otherwise(0)
-    staged = staged.withColumn("__band", band)
+        cmp = (
+            F.col("__srg") < F.lit(b) if descending else F.col("__srg") > F.lit(b)
+        )
+        band = band + F.when(cmp, 1).otherwise(0)
+    staged = staged0.withColumn("__band", band)
     if persist:
         staged = staged.persist()
+    order_key = (
+        F.col(value_col).desc_nulls_first()
+        if descending
+        else F.col(value_col).asc()
+    )
     within = F.row_number().over(
-        W.partitionBy(*groups, "__band").orderBy("__skey", tiebreak_col)
+        W.partitionBy(*groups, "__band").orderBy(order_key, tiebreak_col)
     )
     sizes = staged.groupBy(*groups, "__band").agg(F.count(F.lit(1)).alias("__n"))
     offsets = sizes.select(
@@ -217,5 +241,41 @@ def exact_grouped_rank(
         staged.withColumn("__rn", within)
         .join(F.broadcast(offsets), [*groups, "__band"])
         .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
-        .drop("__band", "__rn", "__off", "__skey")
+        .drop("__band", "__rn", "__off", "__srg")
     )
+
+
+def _order_surrogate(df: DataFrame, value_col: str):
+    """A DOUBLE expression monotone non-decreasing in ``value_col``'s
+    sort order, for the percentile band probe (percentile_approx is
+    numeric-only; negating the value for descending — the old approach
+    — breaks on strings/timestamps and under ANSI mode).  Monotone is
+    all banding needs: surrogate ties across distinct values only
+    fatten a band, never reorder one.  Cast-to-double rounding is
+    monotone, so precision loss is harmless.  Strings/binary map to
+    their first 8 bytes as a big-endian integer (Spark's default
+    UTF8_BINARY collation compares bytewise, so the prefix integer is
+    order-consistent).  Unknown orderable types fall back to a single
+    band — still exact, just a plain grouped window for that column."""
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DateType, NumericType, StringType,
+        TimestampNTZType, TimestampType,
+    )
+
+    dt = df.schema[value_col].dataType
+    c = F.col(value_col)
+    if isinstance(dt, (NumericType, BooleanType)):
+        return c.cast("double")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return c.cast("double")  # epoch seconds, order-preserving
+    if isinstance(dt, DateType):
+        return c.cast("timestamp").cast("double")
+    if isinstance(dt, (StringType, BinaryType)):
+        raw = F.encode(c, "UTF-8") if isinstance(dt, StringType) else c
+        # zero-pad the tail (concat then take 8) so a short string and
+        # its extensions stay order-consistent; conv() parses the
+        # 16-hex-digit prefix as an unsigned 64-bit integer
+        return F.conv(
+            F.hex(F.substring(F.concat(raw, F.lit(b"\x00" * 8)), 1, 8)), 16, 10
+        ).cast("double")
+    return F.lit(0.0)

@@ -154,3 +154,42 @@ def test_rank_movers_has_no_month_wide_window(spark, sf_dir):
     rev_windows = [s for s in specs if "__skey" in s or re.search(r"\br#", s)]
     assert rev_windows, "expected banded rank windows in the plan"
     assert all("__band" in s for s in rev_windows), rev_windows
+
+
+def test_exact_grouped_rank_descending_non_numeric(spark):
+    """descending must NOT negate the value column (fails under ANSI /
+    silently casts otherwise): strings and timestamps rank correctly
+    in both directions via ordering, matching the per-group window."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.stats import exact_grouped_rank
+
+    words = ["pear", "apple", "fig", "date", "plum", "kiwi", "apple", "fig"]
+    df = spark.createDataFrame(
+        [(i, i % 2, words[i % len(words)]) for i in range(64)],
+        "id bigint, g int, w string",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 7).cast("int"))
+        ),
+    )
+    for col in ("w", "ts"):
+        for descending in (False, True):
+            out = exact_grouped_rank(
+                df, "g", col, "id", rank_col="rk", n_bands=4,
+                descending=descending,
+            )
+            order = [
+                F.col("g"),
+                F.desc(col) if descending else F.col(col),
+                F.col("id"),
+            ]
+            per_g = defaultdict(list)
+            for r in out.orderBy(*order).collect():
+                per_g[r.g].append(r.rk)
+            assert all(
+                v == list(range(1, len(v) + 1)) for v in per_g.values()
+            ), (col, descending)

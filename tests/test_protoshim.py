@@ -259,3 +259,53 @@ def test_minipb_rejects_unsupported_descriptor_shapes():
     )
     with pytest.raises(NotImplementedError, match="unsupported type"):
         FileDescriptor(fdp(floaty))
+
+
+def test_packed_repeated_scalars_parse():
+    """proto3's DEFAULT encoding for repeated scalars is packed (one
+    length-delimited run of varints).  Dispatching on declared type
+    before wire type misparsed packed [8, 8] as [2, 8] — the length
+    varint landed as a value and the payload re-parsed as tag bytes."""
+    from aroa_etl_spark._vendor.google.protobuf._minipb import (
+        LABEL_REPEATED, TYPE_INT64, FieldDesc, MessageDesc, MiniMessage,
+        encode_tag, encode_varint,
+    )
+
+    fd = FieldDesc("vals", 1, TYPE_INT64, LABEL_REPEATED, "", None, False)
+    md = MessageDesc("Packed", "t.Packed", [fd], [])
+    cls = type("Packed", (MiniMessage,), {"DESCRIPTOR": md})
+
+    payload = encode_varint(8) + encode_varint(8)
+    m = cls()
+    m.ParseFromString(encode_tag(1, 2) + encode_varint(len(payload)) + payload)
+    assert list(m.vals) == [8, 8]
+
+    # unpacked (proto2-style) encoding of the same field still parses
+    m2 = cls()
+    m2.ParseFromString(
+        encode_tag(1, 0) + encode_varint(3) + encode_tag(1, 0) + encode_varint(4)
+    )
+    assert list(m2.vals) == [3, 4]
+
+    # negative int64 inside a packed run sign-extends like the unpacked path
+    neg = encode_varint((1 << 64) - 1)
+    m3 = cls()
+    m3.ParseFromString(encode_tag(1, 2) + encode_varint(len(neg)) + neg)
+    assert list(m3.vals) == [-1]
+
+    # truncated packed payload raises, never silently truncates
+    with pytest.raises(ValueError, match="packed"):
+        cls().ParseFromString(encode_tag(1, 2) + encode_varint(10) + b"\x01")
+
+
+def test_wrong_wire_type_on_singular_scalar_skips_as_unknown():
+    """A length-delimited body arriving on a SINGULAR varint field
+    contradicts the schema; real protobuf treats it as an unknown
+    field.  StateResponse.statusCode (field 1) is singular int32."""
+    raw = (
+        _minipb.encode_tag(1, 2) + _minipb.encode_varint(2) + b"zz"
+        + _minipb.encode_tag(2, 2) + _minipb.encode_varint(2) + b"ok"
+    )
+    msg = sm.StateResponse()
+    msg.ParseFromString(raw)
+    assert msg.statusCode == 0 and msg.errorMessage == "ok"

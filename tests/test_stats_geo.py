@@ -135,3 +135,21 @@ def test_exact_auc_hand_computed_ties_and_separation(spark):
     # partitioning invariance (banded rank + integer sums)
     again = exact_auc(df.repartition(7), "s", "y", "id").first()
     assert (again.auc_num, again.auc_den) == (10, 12)
+
+
+def test_exact_auc_single_class_yields_null(spark):
+    """AUC is undefined without both labels: the division is guarded,
+    so auc is NULL (not Infinity / silent NULL-by-accident) while the
+    integer counts still report."""
+    from aroa_etl_spark.operators.evaluation import exact_auc
+
+    all_pos = spark.createDataFrame(
+        [(1, 3, 1), (2, 2, 1)], "id long, s int, y int"
+    )
+    row = exact_auc(all_pos, "s", "y", "id").first()
+    assert (row.n, row.n_pos, row.n_neg) == (2, 2, 0)
+    assert row.auc_den == 0 and row.auc is None
+    all_neg = spark.createDataFrame(
+        [(1, 3, 0), (2, 2, 0)], "id long, s int, y int"
+    )
+    assert exact_auc(all_neg, "s", "y", "id").first().auc is None
