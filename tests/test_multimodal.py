@@ -1956,3 +1956,84 @@ def test_mp4_video_frame_features_kernel(spark):
     )
     out = mp4_video_frame_features(mixed, every_n=1, strict=False).collect()
     assert {r.media_id for r in out} == {1}
+
+
+# ---------------------------------------------------------------------------
+# Matroska Cluster/SimpleBlock demux (r8 verdict ask #2)
+# ---------------------------------------------------------------------------
+
+
+def test_mkv_simpleblock_demux_roundtrip():
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mkv_frames, encode_mkv_stub,
+    )
+
+    f0 = encode_baseline_jpeg(np.full((8, 16), 100, dtype=np.uint8), quality=85)
+    f1 = encode_baseline_jpeg(np.full((8, 16), 150, dtype=np.uint8), quality=85)
+    blob = encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 16, 8)],
+        audio_tracks=["A_PCM/INT/LIT"],
+        cluster_frames=[(0, [(0, f0)]), (1000, [(-3, f1)])],
+    )
+    codec, frames = demux_mkv_frames(blob)
+    assert codec == "V_MJPEG"
+    # byte-identical payloads; pts = cluster ts + SIGNED relative ts
+    assert [(fb == f0 or fb == f1, pts) for fb, pts in frames] == [
+        (True, 0), (True, 997),
+    ]
+    assert frames[0][0] == f0 and frames[1][0] == f1
+
+
+def test_mkv_demux_guards_and_lenient():
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mkv_frames, encode_mkv_stub,
+    )
+
+    # non-EBML blob: strict raises, lenient returns empty
+    with _pytest.raises(ValueError, match="EBML"):
+        demux_mkv_frames(b"not ebml")
+    assert demux_mkv_frames(b"not ebml", strict=False) == (None, [])
+    # laced SimpleBlock raises cleanly (flags bit set)
+    blob = bytearray(encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 16, 8)],
+        cluster_frames=[(0, [(0, b"payload")])],
+    ))
+    at = bytes(blob).find(b"\x81\x00\x00\x80payload")
+    assert at > 0
+    blob[at + 3] = 0x80 | 0x02  # Xiph lacing bits
+    with _pytest.raises(NotImplementedError, match="lacing"):
+        demux_mkv_frames(bytes(blob))
+    # audio-track blocks (track 2) are not returned as video frames
+    two = encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 16, 8)],
+        audio_tracks=["A_PCM/INT/LIT"],
+        cluster_frames=[(0, [(0, b"vf")])],
+    )
+    codec, frames = demux_mkv_frames(two)
+    assert [f for f, _ in frames] == [b"vf"]
+
+
+def test_mkv_video_frame_features_codec_boundary(spark):
+    """strict raises NotImplementedError on a non-MJPEG track; lenient
+    routes the blob to zero rows (triage stays with scan_mkv_headers)."""
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mkv_stub, mkv_video_frame_features,
+    )
+
+    blob = encode_mkv_stub(
+        video_tracks=[("V_VP9", 320, 240)],
+        cluster_frames=[(0, [(0, b"\x00" * 16)])],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="V_VP9|Py4J"):
+        mkv_video_frame_features(df, strict=True).collect()
+    assert mkv_video_frame_features(df, strict=False).count() == 0
