@@ -441,6 +441,8 @@ def ivfpq_topk(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     residual: bool = False,
+    centroids: "list[list[float]] | None" = None,
+    codebook: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """IVF + PQ composed — the canonical billion-scale ANN index shape
     (Jégou et al. 2011): coarse KMeans cells prune the candidate set
@@ -455,15 +457,26 @@ def ivfpq_topk(
     within-cell offset, whose spread is much smaller than the raw
     vectors', so the same m/pq_k budget yields finer resolution when
     cells are tight; the query then builds one distance table per
-    probed cell from its own residual."""
+    probed cell from its own residual.
+
+    ``centroids``/``codebook`` accept a PINNED index (the persisted-
+    index lifecycle, like ``ivf_topk(centroids=...)``): training is
+    skipped for whichever is supplied, every distance is then pure
+    literal arithmetic, and the whole search is replayable on any
+    engine — the fixed-index contract a production deployment (train
+    once, search forever) actually runs under."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed).fit(train)
-    cents = [F.array(*[F.lit(float(v)) for v in c]) for c in model.clusterCenters()]
+    if centroids is None:
+        train = corpus.select(
+            array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=seed).fit(train)
+        centroids = [[float(v) for v in c] for c in model.clusterCenters()]
+    n_centroids = len(centroids)
+    nprobe = min(nprobe, n_centroids)
+    cents = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
 
     def dists(vec: str) -> Column:
         return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
@@ -502,7 +515,9 @@ def ivfpq_topk(
         with_res = assigned.withColumn("__rv", _residual("__cv")).localCheckpoint(
             eager=True
         )
-        codebook = pq_train(with_res, m=m, k=pq_k, seed=seed, vec_col="__rv")
+        if codebook is None:
+            codebook = pq_train(with_res, m=m, k=pq_k, seed=seed, vec_col="__rv")
+        m = len(codebook)  # a pinned codebook overrides the m param
         sub = len(codebook[0][0])
         coded = pq_encode(with_res, codebook, vec_col="__rv", code_col="__code").select(
             "neighbor_id", "__cell", "__code"
@@ -525,7 +540,9 @@ def ivfpq_topk(
             )
         )
     else:
-        codebook = pq_train(corpus, m=m, k=pq_k, seed=seed, vec_col=corpus_vec)
+        if codebook is None:
+            codebook = pq_train(corpus, m=m, k=pq_k, seed=seed, vec_col=corpus_vec)
+        m = len(codebook)  # a pinned codebook overrides the m param
         sub = len(codebook[0][0])
         coded = pq_encode(
             assigned, codebook, vec_col="__cv", code_col="__code"

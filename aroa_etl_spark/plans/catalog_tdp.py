@@ -585,6 +585,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    from aroa_etl_spark.plans.ivfpq_pins import cb_values_sql, cents_values_sql
+
+    sqd64 = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i])))"
+    )
+    sqd16 = (
+        "list_sum(list_transform(range(1, 17), i -> "
+        "({a}[{off} + i]::DOUBLE - {b}[i]) * ({a}[{off} + i]::DOUBLE - {b}[i])))"
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES {cents_values_sql()}),
+    cb(s, code, sv) AS (VALUES {cb_values_sql()}),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    cd AS (SELECT c.vec_id, ct.cell,
+                  {sqd64.format(a="c.embedding", b="ct.cv")} AS d
+           FROM embeddings c CROSS JOIN cents ct),
+    cassign AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM cd)
+        WHERE rn = 1),
+    ccd AS (SELECT c.vec_id, b.s, b.code,
+                   {sqd16.format(a="c.embedding", b="b.sv", off="b.s * 16")} AS d
+            FROM embeddings c CROSS JOIN cb b),
+    ccode AS (SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn FROM ccd)
+        WHERE rn = 1),
+    qd AS (SELECT q.vec_id, ct.cell,
+                  {sqd64.format(a="q.embedding", b="ct.cv")} AS d
+           FROM q CROSS JOIN cents ct),
+    qp AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM qd)
+        WHERE rn <= 2),
+    qtd AS (SELECT q.vec_id, b.s, b.code,
+                   {sqd16.format(a="q.embedding", b="b.sv", off="b.s * 16")} AS d
+            FROM q CROSS JOIN cb b),
+    cand AS (SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
+             FROM qp JOIN cassign ca ON ca.cell = qp.cell
+             WHERE qp.vec_id != ca.vec_id),
+    adc AS (SELECT cand.query_id, cand.neighbor_id,
+                   MAX(CASE WHEN t.s = 0 THEN t.d END) AS d0,
+                   MAX(CASE WHEN t.s = 1 THEN t.d END) AS d1,
+                   MAX(CASE WHEN t.s = 2 THEN t.d END) AS d2,
+                   MAX(CASE WHEN t.s = 3 THEN t.d END) AS d3
+            FROM cand
+            JOIN ccode k ON k.vec_id = cand.neighbor_id
+            JOIN qtd t ON t.vec_id = cand.query_id
+                      AND t.s = k.s AND t.code = k.code
+            GROUP BY cand.query_id, cand.neighbor_id)
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY ((d0 + d1) + d2) + d3 ASC, neighbor_id ASC)
+                 AS rank
+        FROM adc)
+    WHERE rank <= 5
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with a PINNED index (r8 verdict ask #4) — the canonical
+    100 TB vector-search memory play: the coarse quantizer prunes to
+    nprobe=2 of 8 cells (the corpus fraction the scan touches) and
+    scoring within probed cells runs on m=4 uint8-range PQ codes via
+    per-query asymmetric distance tables — the scan side reads 4 small
+    ints per row instead of 64 floats.  Both the 8×64 quantizer and
+    the 4×8×16 codebook were trained once (pyspark.ml KMeans, seed 7)
+    and frozen as literals (plans/ivfpq_pins.py), so the ENTIRE search
+    — cell assignment argmin, probe ranking, per-subspace code argmin,
+    ADC table lookups, the 4-term fold — is pure literal arithmetic
+    the DuckDB oracle replays end to end; any drift in slice offsets,
+    tie-breaks (cell/code ascending), or fold order shifts the ranked
+    ids.  Composes ivf_topk's probe shape with pq_topk's ADC scoring
+    (operators/ann.py); recall vs brute force is pytest-bounded
+    (tests/test_ann.py), and nprobe=n_centroids == pq_topk is pinned
+    there too.  Scale: one broadcastable query frame, one equi-join on
+    cell ids, no full-vector math on the scan side."""
+    from aroa_etl_spark.operators.ann import ivfpq_topk
+    from aroa_etl_spark.plans.ivfpq_pins import _IVFPQ_CENTS, _IVFPQ_CODEBOOK
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, nprobe=2,
+        centroids=_IVFPQ_CENTS, codebook=_IVFPQ_CODEBOOK,
+    )
+
+
 @query(
     "text_winnowing",
     oracle=f"""

@@ -237,3 +237,54 @@ def test_ivf_persisted_index_equals_trained(spark, tmp_path):
     a = sorted(map(tuple, ivf_topk(q, emb, k=3, nprobe=2, centroids=cents).collect()))
     b = sorted(map(tuple, ivf_topk(q, emb, k=3, nprobe=2, centroids=loaded).collect()))
     assert a == b and len(a) == 15
+
+
+def test_ivfpq_pinned_index_recall_and_determinism(spark, sf_dir):
+    """The frozen ann_ivfpq_topk index (plans/ivfpq_pins.py): recall@5
+    vs brute force must sit well above chance (5/500 = 0.01) — modest
+    in absolute terms because the synthetic embeddings are near-random
+    (PQ quantization error dominates) and PQ scores Euclidean while
+    the baseline scores cosine — and the search must be partitioning-
+    invariant (pure literal arithmetic end to end)."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.ann import brute_force_topk, ivfpq_topk
+    from aroa_etl_spark.plans.ivfpq_pins import _IVFPQ_CENTS, _IVFPQ_CODEBOOK
+    from aroa_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    approx = ivfpq_topk(
+        q, emb, k=5, nprobe=2,
+        centroids=_IVFPQ_CENTS, codebook=_IVFPQ_CODEBOOK,
+    )
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id)
+         for r in brute_force_topk(q, emb, k=5).collect()}
+    recall = len(a & e) / len(e)
+    assert recall > 0.05, f"recall {recall}"
+    again = ivfpq_topk(
+        q.repartition(7), emb.repartition(13), k=5, nprobe=2,
+        centroids=_IVFPQ_CENTS, codebook=_IVFPQ_CODEBOOK,
+    )
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in again.collect()} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in approx.collect()
+    }
+
+
+def test_ivfpq_pinned_codebook_overrides_m(spark, sf_dir):
+    """A pinned codebook dictates m/sub — mismatched m/pq_k params must
+    not corrupt the ADC table shape."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.operators.ann import ivfpq_topk
+    from aroa_etl_spark.plans.ivfpq_pins import _IVFPQ_CENTS, _IVFPQ_CODEBOOK
+    from aroa_etl_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(
+        q, emb, k=3, nprobe=2, m=8, pq_k=16,   # deliberately wrong m/pq_k
+        centroids=_IVFPQ_CENTS, codebook=_IVFPQ_CODEBOOK,
+    ).collect()
+    assert len(out) == 9 and {r.rank for r in out} == {1, 2, 3}
