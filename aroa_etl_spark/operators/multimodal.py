@@ -3802,3 +3802,224 @@ def mkv_video_frame_features(
             )
 
     return df.mapInPandas(kernel, MKV_FRAME_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 full-file frame walk — per-frame VBR stats + Xing/VBRI tag parse
+# ---------------------------------------------------------------------------
+
+
+def encode_mp3_frames(
+    bitrate_indices: "list[int]",
+    *,
+    sr_idx: int = 0,
+    paddings: "list[int] | None" = None,
+    vbr_tag: "str | None" = None,
+    channel_mode: int = 0,
+    id3_payload: int = -1,
+) -> bytes:
+    """Stdlib-only MPEG-1 Layer III stream writer for frame-walk
+    fixtures: one frame per bitrate index (1..14 into the public
+    ISO 11172-3 table), zero-filled payloads opening with a planted
+    false 0xFFFB sync word (the resync trap), optional ID3v2.4 prefix
+    (``id3_payload`` >= 0 bytes), and an optional VBR tag in frame 0 —
+    'Xing'/'Info' at the post-side-info offset (32 bytes for
+    stereo/joint/dual ``channel_mode``, 17 for mono==3) with the
+    frames+bytes flags, or 'VBRI' at the spec's fixed 32-byte offset.
+    Tag semantics follow the common convention: declared frames
+    EXCLUDE the tag frame itself; declared bytes span the whole frame
+    stream (tag frame included, ID3 excluded)."""
+    import struct
+
+    pads = paddings or [0] * len(bitrate_indices)
+    if len(pads) != len(bitrate_indices):
+        raise ValueError("paddings must match bitrate_indices")
+    sr = MPEG1_SAMPLE_RATES[sr_idx]
+    lens = [
+        144000 * MPEG1_L3_BITRATES[bi - 1] // sr + pad
+        for bi, pad in zip(bitrate_indices, pads)
+    ]
+    total_bytes = sum(lens)
+    frames = []
+    for fi, (bi, pad, flen) in enumerate(zip(bitrate_indices, pads, lens)):
+        b2 = (bi << 4) | (sr_idx << 2) | (pad << 1)
+        hdr = bytes([0xFF, 0xFB, b2, (channel_mode & 3) << 6])
+        body = bytearray(flen - 4)
+        body[0:2] = b"\xff\xfb"  # planted false sync
+        if fi == 0 and vbr_tag in ("Xing", "Info"):
+            off = (17 if channel_mode == 3 else 32)
+            body[off : off + 4] = vbr_tag.encode("ascii")
+            body[off + 4 : off + 8] = struct.pack(">I", 0x3)  # frames|bytes
+            body[off + 8 : off + 12] = struct.pack(
+                ">I", len(bitrate_indices) - 1
+            )
+            body[off + 12 : off + 16] = struct.pack(">I", total_bytes)
+        elif fi == 0 and vbr_tag == "VBRI":
+            body[32 : 32 + 4] = b"VBRI"
+            body[36:38] = struct.pack(">H", 1)   # version
+            body[38:40] = struct.pack(">H", 0)   # delay
+            body[40:42] = struct.pack(">H", 0)   # quality
+            body[42:46] = struct.pack(">I", total_bytes)
+            body[46:50] = struct.pack(">I", len(bitrate_indices) - 1)
+        elif fi == 0 and vbr_tag is not None:
+            raise ValueError(f"unknown vbr_tag {vbr_tag!r}")
+        frames.append(hdr + bytes(body))
+    out = b"".join(frames)
+    if id3_payload >= 0:
+        size = id3_payload
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out = b"ID3\x04\x00\x00" + syncsafe + bytes(size) + out
+    return out
+
+
+MP3_WALK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("is_vbr", T.IntegerType()),
+        T.StructField("bitrate_min_kbps", T.IntegerType()),
+        T.StructField("bitrate_max_kbps", T.IntegerType()),
+        T.StructField("total_frame_bytes", T.LongType()),
+        T.StructField("avg_bitrate_bps", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("vbr_tag", T.StringType()),
+        T.StructField("tag_frames", T.LongType()),
+        T.StructField("tag_bytes", T.LongType()),
+    ]
+)
+
+
+def _walk_mp3(content: bytes, *, strict: bool) -> "dict | None":
+    """Complete frame walk (r8 verdict ask #5): every frame's bitrate
+    from its own header (no CBR assumption), frame lengths from the
+    public 144000·br//sr + padding arithmetic, and the frame-0 VBR tag
+    (Xing/Info at the post-side-info offset by channel mode, VBRI at
+    the fixed 32-byte offset).  Exact integers throughout:
+    ``avg_bitrate_bps = total_bytes·8·sr // (n_frames·1152)``,
+    ``duration_us = n_frames·1152·1_000_000 // sr``."""
+    import struct
+
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        id3 = (
+            ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14)
+            | ((content[8] & 0x7F) << 7) | (content[9] & 0x7F)
+        )
+        pos = 10 + id3
+        if pos > len(content) and strict:
+            raise ValueError(f"ID3 tag (syncsafe size {id3}) overruns the file")
+    n_frames = 0
+    sr0 = 0
+    brs: "list[int]" = []
+    total = 0
+    vbr_tag = None
+    tag_frames = None
+    tag_bytes = None
+    while pos + 4 <= len(content):
+        b0, b1, b2, b3 = content[pos : pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            if strict:
+                raise ValueError(f"lost MPEG sync at byte {pos}")
+            pos += 1
+            continue
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            if strict:
+                raise NotImplementedError(
+                    f"only MPEG-1 Layer III frames are supported "
+                    f"(header byte 2 = 0x{b1:02x})"
+                )
+            pos += 1
+            continue
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            if strict:
+                raise NotImplementedError(
+                    "free-format/invalid bitrate or reserved sample rate"
+                )
+            pos += 1
+            continue
+        br = MPEG1_L3_BITRATES[br_idx - 1]
+        sr = MPEG1_SAMPLE_RATES[sr_idx]
+        frame_len = 144000 * br // sr + padding
+        if pos + frame_len > len(content):
+            if strict:
+                raise ValueError(f"truncated final frame at byte {pos}")
+            break
+        if n_frames == 0:
+            sr0 = sr
+            mode = (b3 >> 6) & 3
+            off = pos + 4 + (17 if mode == 3 else 32)
+            tag4 = content[off : off + 4]
+            if tag4 in (b"Xing", b"Info"):
+                vbr_tag = tag4.decode("ascii")
+                (flags,) = struct.unpack(">I", content[off + 4 : off + 8])
+                p = off + 8
+                if flags & 0x1:
+                    (tag_frames,) = struct.unpack(">I", content[p : p + 4])
+                    p += 4
+                if flags & 0x2:
+                    (tag_bytes,) = struct.unpack(">I", content[p : p + 4])
+            elif content[pos + 36 : pos + 40] == b"VBRI":
+                vbr_tag = "VBRI"
+                (tag_bytes,) = struct.unpack(
+                    ">I", content[pos + 46 : pos + 50]
+                )
+                (tag_frames,) = struct.unpack(
+                    ">I", content[pos + 50 : pos + 54]
+                )
+        elif strict and sr != sr0:
+            raise ValueError("sample rate changed mid-stream")
+        brs.append(br)
+        total += frame_len
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0:
+        if strict:
+            raise ValueError("no complete MPEG frames in file")
+        return None
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sr0,
+        "is_vbr": int(len(set(brs)) > 1),
+        "bitrate_min_kbps": min(brs),
+        "bitrate_max_kbps": max(brs),
+        "total_frame_bytes": total,
+        "avg_bitrate_bps": total * 8 * sr0 // (n_frames * 1152),
+        "duration_us": n_frames * 1152 * 1_000_000 // sr0,
+        "vbr_tag": vbr_tag,
+        "tag_frames": tag_frames,
+        "tag_bytes": tag_bytes,
+    }
+
+
+def mp3_frame_walk(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """MP3 COMPLETE frame walk (r8 verdict ask #5) — upgrades the
+    first-sync triage of :func:`scan_mpeg_frames` to per-frame truth:
+    VBR detection and min/max bitrate from every frame's own header,
+    exact byte totals, the integer average bitrate, and the Xing/Info/
+    VBRI VBR header parsed from frame 0 (tag-declared frame/byte
+    counts surface as columns so consumers can cross-check them
+    against the walked truth — the classic corrupt-VBR-tag detection).
+    All stdlib integer arithmetic a DuckDB oracle replays.  Lenient
+    blobs with zero complete frames are dropped.  Scale: mapInPandas,
+    zero shuffle, O(n_frames) per blob, header bytes only."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = _walk_mp3(bytes(row["content"] or b""), strict=strict)
+                if rec is None:
+                    continue
+                rows.append({"media_id": row["media_id"], **rec})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_WALK_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, MP3_WALK_SCHEMA)

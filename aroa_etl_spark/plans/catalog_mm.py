@@ -2359,3 +2359,102 @@ def mm_avi_audio_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return avi_audio_features(media, strict=True)
+
+
+@query(
+    "mm_mp3_frame_walk",
+    oracle="""
+    WITH br(idx, v) AS (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),
+                               (7,96),(8,112),(9,128),(10,160),(11,192),
+                               (12,224),(13,256),(14,320)),
+    p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+          FROM documents),
+    k2s AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS k2),
+    fr AS (SELECT k2, CAST(unnest(range(0, 3 + k2 % 4)) AS INT) AS i
+           FROM k2s),
+    per AS (SELECT k2, i,
+                   CASE WHEN k2 % 4 = 3 THEN 1 + k2 % 14
+                        ELSE 1 + ((k2 + 3 * i) % 14) END AS bi,
+                   (k2 + i) % 2 AS pad,
+                   ([44100, 48000, 32000])[k2 % 3 + 1] AS sr
+            FROM fr),
+    lens AS (SELECT per.k2, br.v AS brv, per.sr,
+                    (144000 * br.v) // per.sr + per.pad AS flen
+             FROM per JOIN br ON br.idx = per.bi),
+    agg AS (SELECT k2, COUNT(*) AS nf, MIN(brv) AS bmin, MAX(brv) AS bmax,
+                   SUM(flen) AS total, MAX(sr) AS sr,
+                   COUNT(DISTINCT brv) AS ndist
+            FROM lens GROUP BY k2)
+    SELECT media_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(CASE WHEN ndist > 1 THEN 1 ELSE 0 END AS INT) AS is_vbr,
+           CAST(bmin AS INT) AS bitrate_min_kbps,
+           CAST(bmax AS INT) AS bitrate_max_kbps,
+           CAST(total AS BIGINT) AS total_frame_bytes,
+           CAST((total * 8 * sr) // (nf * 1152) AS BIGINT) AS avg_bitrate_bps,
+           CAST((nf * 1152 * 1000000) // sr AS BIGINT) AS duration_us,
+           CASE k % 4 WHEN 0 THEN 'Xing' WHEN 1 THEN 'Info'
+                      WHEN 2 THEN 'VBRI' ELSE 'none' END AS vbr_tag,
+           CAST(CASE WHEN k % 4 = 3 THEN -1 ELSE nf - 1 END AS BIGINT)
+             AS tag_frames,
+           CAST(CASE WHEN k % 4 = 3 THEN -1 ELSE total END AS BIGINT)
+             AS tag_bytes
+    FROM p JOIN agg ON agg.k2 = p.k
+    """,
+)
+def mm_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 COMPLETE frame walk (r8 verdict ask #5) — upgrades
+    mm_mp3_header_scan's first-sync triage to per-frame truth
+    (operators/multimodal.mp3_frame_walk): every frame's bitrate from
+    its own header gives VBR detection and min/max bitrate, byte
+    totals and the exact integer average bitrate come from the
+    144000*br//sr+padding arithmetic, and frame 0's VBR header is
+    parsed — Xing/Info at the post-side-info offset and VBRI at the
+    spec's fixed 32-byte offset, with declared frame/byte counts
+    surfaced for tag-vs-walk cross-checks.  Variant k of the 40
+    stdlib-muxed fixtures: 3+k%4 frames, per-frame bitrate indices
+    1+((k+3i)%14) for tagged (VBR) variants or constant 1+k%14 for
+    untagged CBR ones, padding (k+i)%2, all 3 sample rates, the tag
+    rotating Xing/Info/VBRI/none, an ID3v2.4 prefix on even k, and
+    every payload opening with a planted false sync word (the resync
+    trap).  The oracle replays frame lengths, totals, averages, and
+    tag values in exact integer math.  Untagged files surface as
+    vbr_tag='none' / -1 sentinels AT THIS BOUNDARY (the operator keeps
+    honest NULLs; nullable BIGINTs densify to float64 through the
+    driver's pandas materialization and would repr-mismatch — the r7
+    comparator lesson).  Scale: 40-blob broadcast dim, mapInPandas,
+    zero shuffle, O(n_frames) per blob."""
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mp3_frames, mp3_frame_walk,
+    )
+
+    blobs = []
+    for k in range(40):
+        nf = 3 + k % 4
+        tag = ["Xing", "Info", "VBRI", None][k % 4]
+        if tag is None:
+            bis = [1 + k % 14] * nf
+        else:
+            bis = [1 + ((k + 3 * i) % 14) for i in range(nf)]
+        blobs.append((k, bytearray(encode_mp3_frames(
+            bis,
+            sr_idx=k % 3,
+            paddings=[(k + i) % 2 for i in range(nf)],
+            vbr_tag=tag,
+            id3_payload=17 if k % 2 == 0 else -1,
+        ))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    walked = mp3_frame_walk(media, strict=True)
+    return walked.select(
+        *[c for c in walked.columns if c not in
+          ("vbr_tag", "tag_frames", "tag_bytes")],
+        F.coalesce("vbr_tag", F.lit("none")).alias("vbr_tag"),
+        F.coalesce("tag_frames", F.lit(-1)).cast("long").alias("tag_frames"),
+        F.coalesce("tag_bytes", F.lit(-1)).cast("long").alias("tag_bytes"),
+    )

@@ -2037,3 +2037,70 @@ def test_mkv_video_frame_features_codec_boundary(spark):
     with _pytest.raises(Exception, match="V_VP9|Py4J"):
         mkv_video_frame_features(df, strict=True).collect()
     assert mkv_video_frame_features(df, strict=False).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MP3 complete frame walk (r8 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_frame_walk_vbr_and_tags():
+    from aroa_etl_spark.operators.multimodal import (
+        MPEG1_L3_BITRATES, MPEG1_SAMPLE_RATES, _walk_mp3, encode_mp3_frames,
+    )
+
+    # VBR with a Xing tag, mono side-info offset, ID3 prefix
+    bis, pads = [3, 7, 11, 14], [1, 0, 1, 0]
+    blob = encode_mp3_frames(
+        bis, sr_idx=1, paddings=pads, vbr_tag="Xing",
+        channel_mode=3, id3_payload=5,
+    )
+    rec = _walk_mp3(blob, strict=True)
+    sr = MPEG1_SAMPLE_RATES[1]
+    lens = [144000 * MPEG1_L3_BITRATES[b - 1] // sr + p
+            for b, p in zip(bis, pads)]
+    assert rec["n_frames"] == 4 and rec["is_vbr"] == 1
+    assert rec["total_frame_bytes"] == sum(lens)
+    assert (rec["bitrate_min_kbps"], rec["bitrate_max_kbps"]) == (48, 320)
+    assert rec["vbr_tag"] == "Xing"
+    assert (rec["tag_frames"], rec["tag_bytes"]) == (3, sum(lens))
+    assert rec["avg_bitrate_bps"] == sum(lens) * 8 * sr // (4 * 1152)
+    assert rec["duration_us"] == 4 * 1152 * 1_000_000 // sr
+
+    # VBRI at the fixed 32-byte offset
+    v = encode_mp3_frames([8, 2, 13], sr_idx=0, vbr_tag="VBRI")
+    rv = _walk_mp3(v, strict=True)
+    assert rv["vbr_tag"] == "VBRI" and rv["tag_frames"] == 2
+
+    # CBR, no tag: NULL tag columns, is_vbr 0
+    c = encode_mp3_frames([9, 9, 9], sr_idx=2)
+    rc = _walk_mp3(c, strict=True)
+    assert rc["is_vbr"] == 0 and rc["vbr_tag"] is None
+    assert rc["tag_frames"] is None and rc["tag_bytes"] is None
+
+
+def test_mp3_frame_walk_guards():
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import _walk_mp3, encode_mp3_frames
+
+    blob = encode_mp3_frames([5, 6], sr_idx=0)
+    # truncated final frame: strict raises, lenient reports the intact
+    # prefix only
+    cut = blob[:-3]
+    with _pytest.raises(ValueError, match="truncated final frame"):
+        _walk_mp3(cut, strict=True)
+    rec = _walk_mp3(cut, strict=False)
+    assert rec["n_frames"] == 1
+    # mid-stream sample-rate change raises under strict
+    two = bytearray(encode_mp3_frames([5, 5], sr_idx=0))
+    # second frame header starts after frame 1; flip its sr bits to 48k
+    from aroa_etl_spark.operators.multimodal import MPEG1_L3_BITRATES
+    flen = 144000 * MPEG1_L3_BITRATES[4] // 44100
+    two[flen + 2] = (two[flen + 2] & ~0x0C) | (1 << 2)
+    with _pytest.raises(Exception, match="sample rate|truncated"):
+        _walk_mp3(bytes(two), strict=True)
+    # pure garbage: strict raises, lenient yields None
+    with _pytest.raises(ValueError):
+        _walk_mp3(b"\x00" * 64, strict=True)
+    assert _walk_mp3(b"\x00" * 64, strict=False) is None
