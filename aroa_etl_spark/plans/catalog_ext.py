@@ -4624,3 +4624,103 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0), emb, k=20
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, sem], "doc_id", k=60, topk=10)
+
+
+@query(
+    "st_tfrecord_sink",
+    oracle="""
+    WITH t AS (SELECT CAST((COUNT(*) + 99) // 100 AS BIGINT) AS n
+               FROM documents),
+    d AS (SELECT doc_id,
+                 ('0x'||substr(md5('shard'||CAST(doc_id AS VARCHAR)),1,15)
+                 )::UBIGINT::BIGINT % t.n AS shard
+          FROM documents, t)
+    SELECT CAST(shard AS INT) AS shard_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_manifest,
+           true AS consistent
+    FROM d GROUP BY shard ORDER BY shard_idx
+    """,
+)
+def st_tfrecord_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TFRecord SINK with exactly-once commits (r8 verdict
+    ask #7) — the write half the r8 streaming source left open:
+    readStream over the documents table drains through
+    ``foreachBatch(tfrecord_batch_writer)``
+    (sources/tfrecord.py) into deterministically named per-batch
+    shards plus an atomic per-batch JSON manifest, then the entry
+    SIMULATES THE CRASH-REPLAY MATRIX before auditing: (1) a replay of
+    the committed batch (same batch_id, same rows — what Structured
+    Streaming re-delivers after a crash) must be a manifest-gated
+    NO-OP, and (2) a crash BETWEEN shard placement and manifest commit
+    (manifest deleted, batch re-run) must heal by atomic overwrite,
+    never duplicate.  The audit then reads every shard back through
+    the CRC-verifying native source and full-outer-joins reader counts
+    against the manifests (the s_tfrecord_shard_audit shape) — the
+    oracle replays the md5-bucket shard arithmetic from the source
+    table, so a duplicated record, lost shard, or drifted manifest
+    breaks the hash.  Scale: one shard per (batch, bucket) written by
+    one task, manifests are rows-per-shard small, and the exactly-once
+    discipline is filesystem-atomic (tmp + rename), not
+    lock-protocol."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.plans.catalog_st import _stream_table
+    from aroa_etl_spark.sources.tfrecord import (
+        read_tfrecord_manifests,
+        register_tfrecord_source,
+        stream_tfrecord_sink,
+        tfrecord_batch_writer,
+    )
+
+    stage = _scratch_stage("tfrecord_sink", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    out = os.path.join(stage, "out")
+    ckpt = os.path.join(stage, "ckpt")
+    os.makedirs(out)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stream = _stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream_tfrecord_sink(stream, out, ckpt, docs_per_shard=100)
+
+    writer = tfrecord_batch_writer(out, docs_per_shard=100)
+    batch0 = docs.select("doc_id", "text")
+    # (1) committed-batch replay: must be a no-op (manifest gates it)
+    mpath = os.path.join(out, "_manifests", "batch-00000.json")
+    before = os.stat(mpath).st_mtime_ns
+    writer(batch0, 0)
+    if os.stat(mpath).st_mtime_ns != before:
+        raise ValueError("replay of a committed batch rewrote its manifest")
+    # (2) crash between shards and manifest: re-run must heal, not dupe
+    os.remove(mpath)
+    writer(batch0, 0)
+    if not os.path.exists(mpath):
+        raise ValueError("crash-replay did not restore the manifest")
+
+    register_tfrecord_source(spark)
+    observed = (
+        spark.read.format("tfrecord").load(os.path.join(out, "*.tfrecord"))
+        .groupBy(
+            F.regexp_extract("path", r"shard-(\d+)\.tfrecord$", 1)
+            .cast("int").alias("shard_idx")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    manifest = read_tfrecord_manifests(spark, out).select(
+        F.regexp_extract("shard_path", r"shard-(\d+)\.tfrecord$", 1)
+        .cast("int").alias("shard_idx"),
+        F.col("n_records").alias("n_manifest"),
+    )
+    return (
+        observed.join(F.broadcast(manifest), "shard_idx", "full_outer")
+        .select(
+            "shard_idx",
+            F.coalesce("n_records", F.lit(0)).alias("n_records"),
+            F.coalesce("n_manifest", F.lit(0)).alias("n_manifest"),
+        )
+        .select(
+            "shard_idx", "n_records", "n_manifest",
+            (F.col("n_records") == F.col("n_manifest")).alias("consistent"),
+        )
+        .orderBy("shard_idx")
+    )

@@ -472,6 +472,7 @@ def write_tfrecord_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_shard: int = 1000,
+    prefix: str = "shard",
 ):
     """Pack (id, text) rows into TFRecord shards of tf.train.Examples —
     the WRITE half of the TFRecord story (``format("tfrecord")`` is the
@@ -516,7 +517,7 @@ def write_tfrecord_shards(
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         sid = int(pdf["__shard"].iloc[0])
-        path = os.path.join(out_dir, f"shard-{sid:05d}.tfrecord")
+        path = os.path.join(out_dir, f"{prefix}-{sid:05d}.tfrecord")
         recs = [
             build_example({"id": [int(row["__id"])],
                            "text": str(row["__text"] or "")})
@@ -533,3 +534,107 @@ def write_tfrecord_shards(
         )
 
     return staged.groupBy("__shard").applyInPandas(pack, manifest_schema)
+
+
+def tfrecord_batch_writer(
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 1000,
+):
+    """The foreachBatch function for the EXACTLY-ONCE streaming
+    TFRecord sink (r8 verdict ask #7): per micro-batch, pack the rows
+    into deterministically named shards
+    (``batch-{batch_id:05d}-shard-{sid:05d}.tfrecord``) and then
+    commit a per-batch JSON manifest ATOMICALLY (write ``.inprogress``,
+    rename in) under ``_manifests/``.  The manifest is the commit
+    marker: a replayed batch (Structured Streaming re-delivers the
+    SAME batch_id with the SAME data after a crash) whose manifest
+    exists is a NO-OP, and a crash BETWEEN shard placement and
+    manifest commit is healed by the replay overwriting every shard
+    atomically before re-attempting the manifest — so readers that
+    trust the manifests never observe duplicates or partial batches.
+    This is the same monotonic-commit discipline the streaming
+    TFRecord SOURCE keys its offsets on (ingested-file list), closing
+    the write half of the lifecycle."""
+    import json
+    import os
+
+    def write_batch(bdf, batch_id: int) -> None:
+        mdir = os.path.join(out_dir, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(mdir, f"batch-{int(batch_id):05d}.json")
+        if os.path.exists(mpath):
+            return  # committed: exactly-once replay contract
+        rows = write_tfrecord_shards(
+            bdf, out_dir,
+            id_col=id_col, text_col=text_col,
+            docs_per_shard=docs_per_shard,
+            prefix=f"batch-{int(batch_id):05d}-shard",
+        ).collect()
+        manifest = sorted(
+            (
+                {
+                    "shard_path": r.shard_path,
+                    "n_records": int(r.n_records),
+                    "shard_bytes": int(r.shard_bytes),
+                }
+                for r in rows
+            ),
+            key=lambda m: m["shard_path"],
+        )
+        tmp = mpath + ".inprogress"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": int(batch_id), "shards": manifest}, fh)
+        os.replace(tmp, mpath)
+
+    return write_batch
+
+
+def stream_tfrecord_sink(
+    stream,
+    out_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_shard: int = 1000,
+) -> None:
+    """Drain a streaming DataFrame into exactly-once TFRecord shards
+    (availableNow trigger, blocking) — writeStream.foreachBatch over
+    :func:`tfrecord_batch_writer`, with the checkpoint directory
+    carrying Spark's own batch-id ledger so a restarted query resumes
+    at the right batch and re-delivers any uncommitted one."""
+    q = (
+        stream.writeStream.foreachBatch(
+            tfrecord_batch_writer(
+                out_dir, id_col=id_col, text_col=text_col,
+                docs_per_shard=docs_per_shard,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_tfrecord_manifests(spark, out_dir: str):
+    """The manifests as a DataFrame (batch_id, shard_path, n_records,
+    shard_bytes) — the reader-side half of the audit join."""
+    import glob
+    import json
+    import os
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "_manifests", "*.json"))):
+        with open(path) as fh:
+            m = json.load(fh)
+        for s in m["shards"]:
+            rows.append((int(m["batch_id"]), s["shard_path"],
+                         int(s["n_records"]), int(s["shard_bytes"])))
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, shard_path string, n_records bigint, shard_bytes bigint",
+    )

@@ -204,3 +204,72 @@ def test_stream_offsets_monotonic_over_delete_and_replace(tmp_path):
         fh.write(write_tfrecords([b"abcdef"]))
     with pytest.raises(ValueError, match="changed size"):
         reader.partitions(o1, reader.latestOffset())
+
+
+def test_streaming_sink_exactly_once_crash_replay(spark, tmp_path):
+    """r8 verdict ask #7's 'done' condition: re-running a batch must
+    not duplicate records.  Matrix: (a) replay of a committed batch is
+    a manifest-gated no-op; (b) crash between shard placement and
+    manifest commit (manifest missing) heals by atomic overwrite; (c)
+    the read-back multiset equals the input exactly in every case."""
+    import glob
+    import json
+
+    from aroa_etl_spark.sources.tfrecord import (
+        read_tfrecord_manifests,
+        register_tfrecord_source,
+        tfrecord_batch_writer,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(37)], "doc_id long, text string"
+    )
+    writer = tfrecord_batch_writer(out, docs_per_shard=10)
+    writer(df, 0)
+    mpath = os.path.join(out, "_manifests", "batch-00000.json")
+    assert os.path.exists(mpath)
+    with open(mpath) as fh:
+        m0 = json.load(fh)
+    assert sum(s["n_records"] for s in m0["shards"]) == 37
+
+    register_tfrecord_source(spark)
+
+    def read_ids():
+        raw = spark.read.format("tfrecord").option("payload", "true").load(
+            os.path.join(out, "*.tfrecord")
+        )
+        from aroa_etl_spark.sources.tfrecord import examples_to_columns
+
+        typed = examples_to_columns(raw, {"id": "int64"})
+        return sorted(r[0] for r in typed.selectExpr("element_at(id, 1)").collect())
+
+    assert read_ids() == list(range(37))
+
+    # (a) committed replay: no-op — manifest untouched, no new shards
+    shards_before = sorted(glob.glob(os.path.join(out, "*.tfrecord")))
+    mtime = os.stat(mpath).st_mtime_ns
+    writer(df, 0)
+    assert os.stat(mpath).st_mtime_ns == mtime
+    assert sorted(glob.glob(os.path.join(out, "*.tfrecord"))) == shards_before
+    assert read_ids() == list(range(37))
+
+    # (b) crash before manifest commit: replay heals, never duplicates
+    os.remove(mpath)
+    writer(df, 0)
+    assert os.path.exists(mpath)
+    assert sorted(glob.glob(os.path.join(out, "*.tfrecord"))) == shards_before
+    assert read_ids() == list(range(37))
+
+    # a second batch lands beside the first without touching it
+    df2 = spark.createDataFrame(
+        [(100 + i, f"late-{i}") for i in range(5)], "doc_id long, text string"
+    )
+    writer(df2, 1)
+    assert read_ids() == list(range(37)) + [100 + i for i in range(5)]
+    mdf = read_tfrecord_manifests(spark, out)
+    assert mdf.groupBy("batch_id").count().count() == 2
+    # manifests agree with reader counts per shard
+    total = mdf.agg({"n_records": "sum"}).first()[0]
+    assert total == 42
