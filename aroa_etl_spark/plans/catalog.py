@@ -1370,6 +1370,11 @@ BENCH_EXTRA = [
     # Round-8 additions: the two new heavy families
     "mm_video_decode_real",      # real video decode (AVI demux + JPEG codec)
     "text_quality_classifier",   # trained gate, frozen-weight codegen scoring
+    # Round-9 additions (r8 verdict ask #8): regression-guard the r8
+    # re-plans round over round, plus the new MP4 decode family
+    "w_rank_movers",             # exact_grouped_rank re-plan (banded windows)
+    "eval_classifier_auc",       # tie-correct Mann-Whitney AUC over banded ranks
+    "mm_mp4_video_decode_real",  # BMFF sample-table demux + JPEG codec
 ]
 
 
