@@ -2790,6 +2790,42 @@ def _ebml_uint(v: int) -> bytes:
     return v.to_bytes(n, "big")
 
 
+def _mkv_lace(frames: "list[bytes]", mode: str) -> bytes:
+    """SimpleBlock body (flags byte onward) for a LACED block carrying
+    ``frames``, per the published Matroska lacing tables."""
+    if len(frames) < 1:
+        raise ValueError("laced block needs at least one frame")
+    n = len(frames)
+    if mode == "fixed":
+        if len({len(f) for f in frames}) != 1:
+            raise ValueError("fixed lacing requires equal frame sizes")
+        flags, table = 0x04, b""
+    elif mode == "xiph":
+        flags = 0x02
+        table = b""
+        for f in frames[:-1]:
+            size = len(f)
+            table += b"\xff" * (size // 255) + bytes([size % 255])
+    elif mode == "ebml":
+        flags = 0x06
+        table = _ebml_size(len(frames[0]))
+        prev = len(frames[0])
+        for f in frames[1:-1]:
+            delta = len(f) - prev
+            for w in range(1, 9):
+                bias = (1 << (7 * w - 1)) - 1
+                if -bias <= delta <= bias:
+                    table += _ebml_size(delta + bias)
+                    break
+            else:
+                raise ValueError("lace delta out of range")
+            prev = len(f)
+    else:
+        raise ValueError(f"unknown lacing mode {mode!r}")
+    # keyframe flag + lacing bits, then (frame count - 1), then the table
+    return bytes([0x80 | flags, n - 1]) + table + b"".join(frames)
+
+
 def encode_mkv_stub(
     *,
     doc_type: str = "matroska",
@@ -2808,10 +2844,14 @@ def encode_mkv_stub(
     is triage-level fixture data, consistent with the codec-free scan
     contract).  ``cluster_frames`` upgrades the Clusters to REAL
     track-1 frame payloads for the demux path: each
-    (cluster_timestamp, [(relative_ts, frame_bytes), ...]) becomes a
+    (cluster_timestamp, [(relative_ts, frames), ...]) becomes a
     Cluster with a Timestamp element and spec-shaped SimpleBlocks
     (track VINT + signed 16-bit relative timestamp + keyframe flag +
-    payload, no lacing)."""
+    payload).  ``frames`` is either one ``bytes`` (no lacing) or
+    ``(list[bytes], 'xiph' | 'ebml' | 'fixed')`` — a LACED block
+    carrying several frames with the published lace-size tables
+    (Xiph 255-run sizes, EBML signed-VINT deltas, fixed equal
+    split)."""
     import struct
 
     header = _ebml_elem(
@@ -2854,9 +2894,13 @@ def encode_mkv_stub(
         for cts, blocks in cluster_frames:
             payload = _ebml_elem(b"\xe7", _ebml_uint(cts))   # Timestamp
             for rel, frame in blocks:
+                if isinstance(frame, (bytes, bytearray)):
+                    body = b"\x80" + bytes(frame)            # keyframe, no lacing
+                else:
+                    frames_list, mode = frame
+                    body = _mkv_lace(list(frames_list), mode)
                 payload += _ebml_elem(
-                    b"\xa3",
-                    b"\x81" + struct.pack(">h", rel) + b"\x80" + frame,
+                    b"\xa3", b"\x81" + struct.pack(">h", rel) + body
                 )
             clusters += _ebml_elem(b"\x1f\x43\xb6\x75", payload)
     else:
@@ -3640,10 +3684,13 @@ def demux_mkv_frames(
     Cluster/SimpleBlock frame extraction.  pts_ticks is the cluster
     Timestamp plus the SimpleBlock's signed 16-bit relative timestamp
     (both in TimestampScale ticks, per the published Matroska block
-    structure); lacing is not produced by any fixture here and raises
-    cleanly.  Non-EBML blobs raise under strict, return (None, [])
-    otherwise.  BlockGroup/Block (0xA0/0xA1) frames are out of scope —
-    the SimpleBlock form is what WebM muxers write for keyframe video."""
+    structure).  All three LACING modes decode (Xiph 255-run size
+    table, EBML signed-VINT deltas, fixed equal split — laced frames
+    share the block timestamp, which is how real muxers pack them);
+    corrupt lace tables raise.  Non-EBML blobs raise under strict,
+    return (None, []) otherwise.  BlockGroup/Block (0xA0/0xA1) frames
+    are out of scope — the SimpleBlock form is what WebM muxers write
+    for keyframe video."""
     import struct
 
     if content[:4] != b"\x1a\x45\xdf\xa3":
@@ -3699,16 +3746,57 @@ def demux_mkv_frames(
                 raise ValueError("SimpleBlock header overruns the element")
             (rel,) = struct.unpack(">h", content[p : p + 2])
             flags = content[p + 2]
-            if flags & 0x06:
-                raise NotImplementedError(
-                    "laced SimpleBlock (lacing bits set) — no fixture "
-                    "writes lacing; a real laced stream needs the "
-                    "EBML/Xiph lace-size tables"
-                )
-            if tno == video_track[0]:
-                frames.append(
-                    (content[p + 3 : pos + size], cluster_ts[0] + rel)
-                )
+            end = pos + size
+            if tno != video_track[0]:
+                return
+            pts = cluster_ts[0] + rel
+            lacing = flags & 0x06
+            if not lacing:
+                frames.append((content[p + 3 : end], pts))
+                return
+            # laced block: frame count byte then the lace-size table
+            # (Xiph 255-run sizes / EBML signed-VINT deltas / fixed
+            # equal split), all frames sharing the block timestamp
+            q = p + 3
+            n_lace = content[q] + 1
+            q += 1
+            sizes: "list[int]" = []
+            if lacing == 0x02:  # Xiph
+                for _ in range(n_lace - 1):
+                    s = 0
+                    while True:
+                        b = content[q]
+                        q += 1
+                        s += b
+                        if b != 255:
+                            break
+                    sizes.append(s)
+            elif lacing == 0x06:  # EBML
+                first, q = _read_vint(content, q, keep_marker=False)
+                if first is None:
+                    raise ValueError("reserved all-ones EBML lace size")
+                sizes.append(first)
+                prev = first
+                for _ in range(n_lace - 2):
+                    w = 8 - content[q].bit_length() + 1
+                    raw, q = _read_vint(content, q, keep_marker=False)
+                    if raw is None:
+                        raise ValueError("reserved all-ones EBML lace delta")
+                    prev += raw - ((1 << (7 * w - 1)) - 1)
+                    sizes.append(prev)
+            else:  # 0x04 fixed: equal split of the remaining bytes
+                if (end - q) % n_lace:
+                    raise ValueError(
+                        "fixed lacing: frame data not divisible by count"
+                    )
+                sizes = [(end - q) // n_lace] * (n_lace - 1)
+            used = sum(sizes)
+            if q + used > end:
+                raise ValueError("lace sizes overrun the SimpleBlock")
+            for s in sizes:
+                frames.append((content[q : q + s], pts))
+                q += s
+            frames.append((content[q:end], pts))  # last = remainder
 
     def on_segment(eid, pos, size):
         if eid == 0x1654AE6B:

@@ -1998,15 +1998,16 @@ def test_mkv_demux_guards_and_lenient():
     with _pytest.raises(ValueError, match="EBML"):
         demux_mkv_frames(b"not ebml")
     assert demux_mkv_frames(b"not ebml", strict=False) == (None, [])
-    # laced SimpleBlock raises cleanly (flags bit set)
+    # a corrupt lace table (lacing bits set on a non-laced body) raises
+    # a bounds error, never silently misparses
     blob = bytearray(encode_mkv_stub(
         video_tracks=[("V_MJPEG", 16, 8)],
         cluster_frames=[(0, [(0, b"payload")])],
     ))
     at = bytes(blob).find(b"\x81\x00\x00\x80payload")
     assert at > 0
-    blob[at + 3] = 0x80 | 0x02  # Xiph lacing bits
-    with _pytest.raises(NotImplementedError, match="lacing"):
+    blob[at + 3] = 0x80 | 0x02  # Xiph lacing bits over a non-laced body
+    with _pytest.raises((ValueError, IndexError)):
         demux_mkv_frames(bytes(blob))
     # audio-track blocks (track 2) are not returned as video frames
     two = encode_mkv_stub(
@@ -2104,3 +2105,50 @@ def test_mp3_frame_walk_guards():
     with _pytest.raises(ValueError):
         _walk_mp3(b"\x00" * 64, strict=True)
     assert _walk_mp3(b"\x00" * 64, strict=False) is None
+
+
+
+def test_mkv_lacing_all_modes_roundtrip():
+    """Xiph / EBML / fixed lacing: encoder and demux agree on frame
+    boundaries and the shared block timestamp — including 255-multiple
+    Xiph sizes and shrink-then-grow EBML deltas."""
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mkv_frames, encode_mkv_stub,
+    )
+
+    fa, fb, fc = b"A" * 510, b"B" * 7, b"C" * 255
+    same = [b"X" * 64, b"Y" * 64, b"Z" * 64]
+    for mode, frames in (
+        ("xiph", [fa, fb, fc]),
+        ("ebml", [fa, fb, fc, b"D" * 900]),
+        ("fixed", same),
+    ):
+        blob = encode_mkv_stub(
+            video_tracks=[("V_MJPEG", 16, 8)],
+            cluster_frames=[(500, [(2, (frames, mode))])],
+        )
+        codec, got = demux_mkv_frames(blob)
+        assert codec == "V_MJPEG"
+        assert [f for f, _ in got] == frames, mode
+        assert all(p == 502 for _, p in got), mode
+    # mixed laced + unlaced blocks in one cluster keep stream order
+    blob = encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 16, 8)],
+        cluster_frames=[(0, [(0, b"solo"), (5, ([fa, fb], "xiph"))])],
+    )
+    _, got = demux_mkv_frames(blob)
+    assert [f for f, _ in got] == [b"solo", fa, fb]
+    assert [p for _, p in got] == [0, 5, 5]
+    # fixed lacing with a non-divisible body raises
+    import pytest as _pytest
+
+    bad = bytearray(encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 16, 8)],
+        cluster_frames=[(0, [(0, (same, "fixed"))])],
+    ))
+    at = bytes(bad).find(b"X" * 64)
+    del bad[at]  # drop one byte: 191 % 3 != 0
+    # the enclosing element sizes are now wrong too: any ValueError is
+    # acceptable, silent misparse is not
+    with _pytest.raises((ValueError, IndexError)):
+        demux_mkv_frames(bytes(bad))
