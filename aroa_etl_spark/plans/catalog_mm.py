@@ -2458,3 +2458,72 @@ def mm_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("tag_frames", F.lit(-1)).cast("long").alias("tag_frames"),
         F.coalesce("tag_bytes", F.lit(-1)).cast("long").alias("tag_bytes"),
     )
+
+
+@query(
+    "mm_mkv_laced_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    k2s AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS k2),
+    fr AS (SELECT k2, CAST(unnest(range(0, 2 + k2 % 2)) AS INT) AS g
+           FROM k2s)
+    SELECT media_id,
+           g AS frame_index,
+           CAST(1007 AS BIGINT) AS pts_ticks,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(CASE WHEN k % 3 = 2
+                     THEN 128 + 5 * ((k % 40) - 20)
+                     ELSE 128 + 5 * (((k + 7 * g) % 40) - 20)
+                END AS DOUBLE) AS mean_intensity
+    FROM p JOIN fr ON fr.k2 = p.k
+    """,
+)
+def mm_mkv_laced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska LACED-block decode, oracle-attested: each variant packs
+    its 2-3 MJPEG frames into ONE SimpleBlock using the lacing mode
+    k%3 rotates through — Xiph 255-run size tables, EBML signed-VINT
+    deltas, fixed equal split (the packing real muxers use for
+    subsecond frame runs).  Laced frames share the block timestamp
+    (cluster 1000 + relative 7 = pts 1007 for every frame), and frame
+    g is DC-exact at v = 128 + 5*(((k + 7g) % 40) - 20) for xiph/ebml
+    variants; FIXED lacing requires equal frame sizes, so those
+    variants plant one value per clip (the lace-boundary arithmetic is
+    still attested by the per-frame row count and byte-exact decode).
+    Any slip in the 255-run summation, signed-delta bias, or equal
+    split shifts frame boundaries and the means the oracle replays.
+    Scale: same broadcast-dim mapInPandas shape as the other decode
+    entries."""
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mkv_stub, mkv_video_frame_features,
+    )
+
+    import numpy as np
+
+    modes = ["xiph", "ebml", "fixed"]
+    blobs = []
+    for k in range(40):
+        n = 2 + k % 2
+        mode = modes[k % 3]
+        if mode == "fixed":
+            vals = [128 + 5 * ((k % 40) - 20)] * n
+        else:
+            vals = [128 + 5 * (((k + 7 * g) % 40) - 20) for g in range(n)]
+        frames = [
+            encode_baseline_jpeg(np.full((8, 16), v, dtype=np.uint8), quality=85)
+            for v in vals
+        ]
+        blobs.append((k, bytearray(encode_mkv_stub(
+            video_tracks=[("V_MJPEG", 16, 8)],
+            duration_ticks=2000,
+            cluster_frames=[(1000, [(7, (frames, mode))])],
+        ))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return mkv_video_frame_features(media, every_n=1, strict=True)
