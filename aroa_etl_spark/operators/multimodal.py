@@ -3243,6 +3243,8 @@ def encode_mp4_mjpeg(
     co64: bool = False,
     samples_per_chunk: int = 1,
     sample_format: bytes = b"jpeg",
+    audio_chunks: "list[bytes] | None" = None,
+    audio_rate: int = 8000,
 ) -> bytes:
     """Stdlib-only ISO BMFF (MP4) writer for MJPEG video — the fixture
     generator for the sample-table demux path (the BMFF sibling of
@@ -3256,9 +3258,15 @@ def encode_mp4_mjpeg(
     ``size==1`` largesize mdat header every >4 GiB real-world file
     uses; ``mvhd_version`` selects the 32- vs 64-bit mvhd time layout;
     ``n_extra_traks`` appends minimal trak stubs so track-census
-    arithmetic stays exercisable.  Offsets are computed from the final
-    layout (moov size depends only on table CARDINALITIES, so sizes
-    are resolved before offsets are written)."""
+    arithmetic stays exercisable.  ``audio_chunks`` adds a second trak
+    in the CANONICAL PCM-in-MP4 layout ('soun' handler, 'sowt' s16le
+    AudioSampleEntry, mdhd timescale = sample rate): stsz is the
+    FIXED-size form (2 bytes/sample — the shape the video track never
+    exercises), each provided chunk becomes one stco chunk whose stsc
+    entry carries its sample count, and the chunk bytes land in the
+    shared mdat after the video frames.  Offsets are computed from the
+    final layout (moov size depends only on table CARDINALITIES, so
+    sizes are resolved before offsets are written)."""
     import struct
 
     n = len(frames)
@@ -3359,6 +3367,59 @@ def encode_mp4_mjpeg(
         struct.pack(">II", 0, n)
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
+    # audio trak (canonical PCM-in-MP4): fixed-size stsz, one stco
+    # chunk per provided payload, per-chunk sample counts in stsc
+    a_chunks = [bytes(c) for c in (audio_chunks or [])]
+    if any(len(c) % 2 for c in a_chunks):
+        raise ValueError("PCM s16le audio chunks must have even byte counts")
+    a_counts = [len(c) // 2 for c in a_chunks]
+    a_total = sum(a_counts)
+    a_boxes = b""
+    if a_chunks:
+        a_tkhd = _bmff_full(
+            b"tkhd", 0, 7,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">I", 2) + bytes(4)
+            + struct.pack(">I", movie_duration) + bytes(8)
+            + struct.pack(">hhh", 0, 0, 0x0100) + bytes(2)
+            + _BMFF_UNITY_MATRIX
+            + struct.pack(">II", 0, 0),
+        )
+        a_mdhd = _bmff_full(
+            b"mdhd", 0, 0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", audio_rate, a_total)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        a_hdlr = _bmff_full(
+            b"hdlr", 0, 0,
+            bytes(4) + b"soun" + bytes(12) + b"SoundHandler\x00",
+        )
+        smhd = _bmff_full(b"smhd", 0, 0, struct.pack(">hH", 0, 0))
+        a_entry = _bmff_box(
+            b"sowt",
+            bytes(6) + struct.pack(">H", 1)           # reserved + dref index
+            + bytes(8)                                # version/revision/vendor
+            + struct.pack(">HH", 1, 16)               # channels, sample size
+            + struct.pack(">Hh", 0, 0)                # compression, packet
+            + struct.pack(">I", audio_rate << 16),    # 16.16 rate
+        )
+        a_stsd = _bmff_full(b"stsd", 0, 0, struct.pack(">I", 1) + a_entry)
+        a_stts = _bmff_full(
+            b"stts", 0, 0, struct.pack(">III", 1, a_total, 1)
+        )
+        a_stsc_entries = []
+        cn = 1
+        for run_len, count in _collapse_runs(a_counts):
+            a_stsc_entries.append((cn, count, 1))
+            cn += run_len
+        a_stsc = _bmff_full(
+            b"stsc", 0, 0,
+            struct.pack(">I", len(a_stsc_entries))
+            + b"".join(struct.pack(">III", *e) for e in a_stsc_entries),
+        )
+        a_stsz = _bmff_full(b"stsz", 0, 0, struct.pack(">II", 2, a_total))
+
     # chunk offsets depend on the total moov size; moov size depends
     # only on the NUMBER of chunk entries — resolve sizes first with a
     # placeholder table, then rewrite with real offsets
@@ -3370,21 +3431,29 @@ def encode_mp4_mjpeg(
 
         return _bmff_full(
             off_type, 0, 0,
-            _s.pack(">I", n_chunks)
+            _s.pack(">I", len(offsets))
             + b"".join(_s.pack(off_fmt, o) for o in offsets),
         )
 
-    def moov_box(offsets: "list[int]") -> bytes:
+    def moov_box(offsets: "list[int]", a_offsets: "list[int]") -> bytes:
         stbl = _bmff_box(
             b"stbl", stsd + stts + stsc + stsz + stco_box(offsets)
         )
         minf = _bmff_box(b"minf", vmhd + dinf + stbl)
         mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
         trak = _bmff_box(b"trak", tkhd + mdia)
+        atrak = b""
+        if a_chunks:
+            a_stbl = _bmff_box(
+                b"stbl", a_stsd + a_stts + a_stsc + a_stsz + stco_box(a_offsets)
+            )
+            a_minf = _bmff_box(b"minf", smhd + dinf + a_stbl)
+            a_mdia = _bmff_box(b"mdia", a_mdhd + a_hdlr + a_minf)
+            atrak = _bmff_box(b"trak", a_tkhd + a_mdia)
         extra = _bmff_box(b"trak", bytes(16)) * n_extra_traks
-        return _bmff_box(b"moov", mvhd + trak + extra)
+        return _bmff_box(b"moov", mvhd + trak + atrak + extra)
 
-    moov_size = len(moov_box([0] * n_chunks))
+    moov_size = len(moov_box([0] * n_chunks, [0] * len(a_chunks)))
     mdat_hdr = 16 if largesize_mdat else 8
     data_start = len(ftyp) + moov_size + mdat_hdr
     offsets = []
@@ -3395,9 +3464,16 @@ def encode_mp4_mjpeg(
         for _ in range(count):
             pos += len(frames[i])
             i += 1
-    moov = moov_box(offsets)
+    a_offsets = []
+    for c in a_chunks:
+        a_offsets.append(pos)
+        pos += len(c)
+    moov = moov_box(offsets, a_offsets)
     assert len(moov) == moov_size
-    mdat = _bmff_box(b"mdat", b"".join(frames), largesize=largesize_mdat)
+    mdat = _bmff_box(
+        b"mdat", b"".join(frames) + b"".join(a_chunks),
+        largesize=largesize_mdat,
+    )
     return ftyp + moov + mdat
 
 
@@ -4111,3 +4187,159 @@ def mp3_frame_walk(df: DataFrame, *, strict: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, MP3_WALK_SCHEMA)
+
+
+def _parse_trak_audio(content: bytes, tb: int, te: int) -> "dict | None":
+    """Audio twin of :func:`_parse_trak_samples` — first 'soun' trak
+    with a complete stbl, returning CHUNK extents (offset, bytes)
+    rather than per-sample tuples: PCM tracks carry one stsz entry per
+    2-byte sample, so per-sample expansion would build millions of
+    tuples for seconds of audio; chunk arithmetic (samples-per-chunk ×
+    fixed size) keeps the walk O(#chunks)."""
+    def u32(p):
+        return int.from_bytes(content[p : p + 4], "big")
+
+    try:
+        kids = _bmff_children(content, tb, te)
+    except ValueError:
+        return None
+    if "mdia" not in kids:
+        return None
+    mdia = _bmff_children(content, *kids["mdia"])
+    if "hdlr" not in mdia or "minf" not in mdia or "mdhd" not in mdia:
+        return None
+    hb, _he = mdia["hdlr"]
+    if content[hb + 8 : hb + 12] != b"soun":
+        return None
+    mb, _me = mdia["mdhd"]
+    mdhd_version = content[mb]
+    media_timescale = u32(mb + 12 if mdhd_version == 0 else mb + 20)
+    minf = _bmff_children(content, *mdia["minf"])
+    if "stbl" not in minf:
+        return None
+    stbl = _bmff_children(content, *minf["stbl"])
+    if not {"stsd", "stsc", "stsz"} <= set(stbl) or not (
+        {"stco", "co64"} & set(stbl)
+    ):
+        return None
+    sb, _se = stbl["stsd"]
+    codec = content[sb + 12 : sb + 16].decode("latin-1")
+    zb, _ = stbl["stsz"]
+    fixed = u32(zb + 4)
+    n_samples = u32(zb + 8)
+    if fixed == 0:
+        raise NotImplementedError(
+            "audio demux expects the fixed-size stsz form PCM uses; "
+            "per-sample-sized audio needs the video-style walk"
+        )
+    cb, _ = stbl.get("stco", stbl.get("co64"))
+    is64 = "co64" in stbl and stbl.get("stco") is None
+    n_chunks = u32(cb + 4)
+    if is64:
+        chunk_offsets = [
+            int.from_bytes(content[cb + 8 + 8 * i : cb + 16 + 8 * i], "big")
+            for i in range(n_chunks)
+        ]
+    else:
+        chunk_offsets = [u32(cb + 8 + 4 * i) for i in range(n_chunks)]
+    scb, _ = stbl["stsc"]
+    n_entries = u32(scb + 4)
+    stsc_entries = [
+        (u32(scb + 8 + 12 * i), u32(scb + 12 + 12 * i))
+        for i in range(n_entries)
+    ]
+    chunks: "list[tuple[int, int]]" = []
+    remaining = n_samples
+    for ci in range(n_chunks):
+        spc = 0
+        for first, count in stsc_entries:
+            if first <= ci + 1:
+                spc = count
+            else:
+                break
+        take = min(spc, remaining)
+        chunks.append((chunk_offsets[ci], take * fixed))
+        remaining -= take
+    if remaining:
+        raise ValueError(
+            f"audio sample-table mismatch: stsz declares {n_samples} "
+            f"samples but the chunk map holds {n_samples - remaining}"
+        )
+    return {
+        "codec": codec,
+        "media_timescale": media_timescale,
+        "sample_size": fixed,
+        "n_samples": n_samples,
+        "chunks": chunks,
+    }
+
+
+def demux_mp4_audio(content: bytes, *, strict: bool = True) -> "list[bytes]":
+    """Chunk payloads of the first PCM ('soun') track via the sample
+    tables — the MP4 twin of :func:`demux_avi_audio`; for s16le the
+    concatenation IS the waveform.  Chunk extents are bounds-checked
+    against the blob."""
+    try:
+        for btype, body, bend in _bmff_walk(content, 0, len(content)):
+            if btype != "moov":
+                continue
+            for t, tb, te in _bmff_walk(content, body, bend):
+                if t != "trak":
+                    continue
+                rec = _parse_trak_audio(content, tb, te)
+                if rec is None:
+                    continue
+                out = []
+                for off, size in rec["chunks"]:
+                    if off + size > len(content):
+                        raise ValueError(
+                            f"audio chunk at offset {off} (+{size}) "
+                            f"overruns the blob ({len(content)} bytes)"
+                        )
+                    out.append(content[off : off + size])
+                return out
+    except (ValueError, IndexError):
+        if strict:
+            raise
+        return []
+    if strict:
+        raise ValueError("no PCM audio track with a complete sample table")
+    return []
+
+
+def mp4_audio_features(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """REAL audio extraction from MP4: demux the PCM chunks through the
+    stsc/stco/fixed-stsz arithmetic and interpret the concatenation as
+    s16le, emitting the same exact integer statistics as the AVI twin
+    (:func:`avi_audio_features`) — chunk count, sample count, peak
+    |s|, exact sample sum — all replayable in closed form.  Scale:
+    mapInPandas, zero shuffle; the chunk walk is O(#chunks), video
+    frames are never touched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                try:
+                    chunks = demux_mp4_audio(content, strict=strict)
+                except (ValueError, IndexError):
+                    if strict:
+                        raise
+                    chunks = []
+                raw = b"".join(chunks)
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_chunks": len(chunks),
+                        "n_samples": int(samples.size),
+                        "peak_raw": int(np.abs(samples).max()) if samples.size else 0,
+                        "sum_raw": int(samples.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVI_AUDIO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, AVI_AUDIO_SCHEMA)

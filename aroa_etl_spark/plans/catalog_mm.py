@@ -2527,3 +2527,74 @@ def mm_mkv_laced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return mkv_video_frame_features(media, every_n=1, strict=True)
+
+
+@query(
+    "mm_mp4_audio_extract",
+    oracle="""
+    WITH ks AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS k2),
+    cs AS (SELECT k2, CAST(unnest(range(0, 1 + k2 % 2)) AS INT) AS c FROM ks),
+    si AS (SELECT k2, c, CAST(unnest(range(0, 4 + k2 % 5)) AS INT) AS i
+           FROM cs),
+    v AS (SELECT k2, ((k2 * 37 + c * 19 + i * 11) % 2003) - 1001 AS s FROM si),
+    a AS (SELECT k2, COUNT(*) AS n_samples, MAX(ABS(s)) AS peak,
+                 SUM(s) AS ssum
+          FROM v GROUP BY k2),
+    p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+          FROM documents)
+    SELECT media_id,
+           CAST(1 + k % 2 AS INT) AS n_chunks,
+           CAST(a.n_samples AS BIGINT) AS n_samples,
+           CAST(a.peak AS INT) AS peak_raw,
+           CAST(a.ssum AS BIGINT) AS sum_raw
+    FROM p JOIN a ON a.k2 = p.k
+    """,
+)
+def mm_mp4_audio_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 AUDIO leg (operators/multimodal.mp4_audio_features) — the
+    BMFF twin of mm_avi_audio_extract: the muxer writes the CANONICAL
+    PCM-in-MP4 second trak ('soun' handler, 'sowt' s16le sample entry,
+    FIXED-size stsz at 2 bytes/sample — the stsz form the video track
+    never exercises — per-chunk sample counts in stsc, chunk bytes in
+    the shared mdat after the video frames), and the demux walks the
+    chunk arithmetic pulling exactly the audio extents, interpreting
+    the concatenation as s16le with EXACT integer statistics.  Samples
+    are planted from k-arithmetic the oracle re-derives in pure SQL;
+    stco/co64 and largesize-mdat variants rotate so offset widths are
+    exercised on the audio path too.  Completes MP4 A/V parity:
+    headers+samples (mm_mp4_box_scan), video (mm_mp4_video_decode_
+    real), audio (this).  Scale: 40-blob broadcast dim, mapInPandas,
+    zero shuffle, O(#chunks) per blob."""
+    import struct
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mp4_mjpeg, mp4_audio_features,
+    )
+
+    import numpy as np
+
+    frame = encode_baseline_jpeg(
+        np.full((8, 16), 128, dtype=np.uint8), quality=85
+    )
+    blobs = []
+    for k in range(40):
+        chunks = []
+        for c in range(1 + k % 2):
+            vals = [
+                ((k * 37 + c * 19 + i * 11) % 2003) - 1001
+                for i in range(4 + k % 5)
+            ]
+            chunks.append(struct.pack(f"<{len(vals)}h", *vals))
+        blobs.append((k, bytearray(encode_mp4_mjpeg(
+            [frame], width=16, height=8,
+            audio_chunks=chunks, audio_rate=16_000,
+            co64=(k % 2 == 0), largesize_mdat=(k % 3 == 0),
+        ))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return mp4_audio_features(media, strict=True)

@@ -2152,3 +2152,46 @@ def test_mkv_lacing_all_modes_roundtrip():
     # acceptable, silent misparse is not
     with _pytest.raises((ValueError, IndexError)):
         demux_mkv_frames(bytes(bad))
+
+
+def test_mp4_audio_demux_and_features(spark):
+    """PCM-in-MP4 audio leg: canonical fixed-stsz layout roundtrips
+    byte-exact, the features kernel reports exact integer stats, and
+    the video track is untouched by the audio walk."""
+    import struct
+
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mp4_audio, demux_mp4_frames, encode_mp4_mjpeg,
+        mp4_audio_features,
+    )
+
+    frame = encode_baseline_jpeg(np.full((8, 16), 128, dtype=np.uint8), quality=85)
+    vals0 = [5, -7, 1000, -1000]
+    vals1 = [3, 3, 3, 3, 3]
+    chunks = [struct.pack("<4h", *vals0), struct.pack("<5h", *vals1)]
+    blob = encode_mp4_mjpeg(
+        [frame], width=16, height=8, audio_chunks=chunks, audio_rate=16_000
+    )
+    assert demux_mp4_audio(blob) == chunks
+    assert demux_mp4_frames(blob)[0][0] == frame
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    r = mp4_audio_features(df, strict=True).first()
+    assert (r.n_chunks, r.n_samples) == (2, 9)
+    assert r.peak_raw == 1000 and r.sum_raw == sum(vals0) + sum(vals1)
+    # odd-byte audio chunk rejected at mux time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even byte"):
+        encode_mp4_mjpeg([frame], width=16, height=8, audio_chunks=[b"\x01"])
+    # lenient: no-audio blob yields a zero-sample row
+    noaudio = encode_mp4_mjpeg([frame], width=16, height=8)
+    df2 = spark.createDataFrame(
+        [(2, bytearray(noaudio))], "media_id long, content binary"
+    )
+    r2 = mp4_audio_features(df2, strict=False).first()
+    assert (r2.n_chunks, r2.n_samples, r2.peak_raw, r2.sum_raw) == (0, 0, 0, 0)
