@@ -120,15 +120,23 @@ def sparse_ngram_counts(
     O(buckets) with map lookup, no per-pair rescan.  Documents with no
     grams (short/empty text) keep an all-zero vector via the left join
     back to the input.  ``id_col=None`` tags rows with a transient
-    monotonic id (fine for training, where only the (vector, label)
-    multiset matters); pass a real key column when row identity must
-    survive.  Scale: the (doc, bucket) shuffle is the one cost — keys
-    are near-uniform by construction (md5 buckets), so no skew
-    handling is needed."""
+    monotonic id; because the tagged frame feeds BOTH sides of the
+    join, it is MATERIALIZED first (eager localCheckpoint) —
+    monotonically_increasing_id is plan-nondeterministic, and two
+    independent evaluations could attach features to the wrong rows
+    with no error (review finding).  Pass a real key column to skip
+    the checkpoint and keep row identity.  Scale: the (doc, bucket)
+    shuffle is the one cost — keys are near-uniform by construction
+    (md5 buckets), so no skew handling is needed; at cluster scale
+    prefer a real id column over the checkpointed transient path."""
     transient = id_col is None
     key = id_col or "__sparse_id"
     base = (
-        df.withColumn(key, F.monotonically_increasing_id()) if transient else df
+        df.withColumn(key, F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
+        if transient
+        else df
     )
     grams = gram_bucket_expr(text_col, n=n, buckets=buckets, mode=mode)
     counts = (

@@ -1827,7 +1827,9 @@ def scan_mp4_boxes(df: DataFrame, *, strict: bool = True) -> DataFrame:
     media timescale in integer math — derived from the sample tables
     themselves, not the header duration, so a broken stts parse is
     visible here before any decode stage pays for it.  Files without
-    such a track report NULL/0/0 (triage still completes).
+    such a track — or with a MALFORMED/INCONSISTENT one — report
+    NULL/0/0 in both modes (triage always completes; the decode stage
+    is where sample-table errors raise).
 
     strict=True raises on malformed sizes (box overruns its parent,
     size < header) and on a missing moov/mvhd; MP3-style leniency is
@@ -1838,28 +1840,9 @@ def scan_mp4_boxes(df: DataFrame, *, strict: bool = True) -> DataFrame:
     def _u32(b: bytes, p: int) -> int:
         return int.from_bytes(b[p:p + 4], "big")
 
-    def _walk(content: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            size = _u32(content, pos)
-            btype = content[pos + 4:pos + 8].decode("latin-1")
-            hdr = 8
-            if size == 1:
-                if pos + 16 > end:
-                    raise ValueError(f"truncated largesize header at {pos}")
-                size = int.from_bytes(content[pos + 8:pos + 16], "big")
-                hdr = 16
-            elif size == 0:  # box extends to end of enclosing scope
-                size = end - pos
-            if size < hdr or pos + size > end:
-                raise ValueError(
-                    f"box '{btype}' at {pos} overruns its scope "
-                    f"(size {size}, scope end {end})"
-                )
-            yield btype, pos + hdr, pos + size
-            pos += size
-        if pos != end:
-            raise ValueError(f"trailing {end - pos} bytes after last box")
+    # the box-walk grammar lives ONCE in _bmff_walk (shared with the
+    # demux); keeping a private copy here let the two drift
+    _walk = _bmff_walk
 
     def _scan(content: bytes) -> dict:
         n_top = 0
@@ -1881,9 +1864,18 @@ def scan_mp4_boxes(df: DataFrame, *, strict: bool = True) -> DataFrame:
                     if ctype == "trak":
                         n_tracks += 1
                         if video_rec is None:
-                            video_rec = _parse_trak_samples(
-                                content, cbody, cend
-                            )
+                            try:
+                                video_rec = _parse_trak_samples(
+                                    content, cbody, cend
+                                )
+                            except (ValueError, IndexError,
+                                    NotImplementedError):
+                                # TRIAGE-LEVEL contract (even strict):
+                                # a malformed/inconsistent sample table
+                                # reports NULL/0/0 like an absent one —
+                                # triage routes files, the decode stage
+                                # is where sample-table errors raise
+                                video_rec = None
                     elif ctype == "mvhd":
                         saw_mvhd = True
                         if cend - cbody < 4:
@@ -2808,14 +2800,25 @@ def _mkv_lace(frames: "list[bytes]", mode: str) -> bytes:
             table += b"\xff" * (size // 255) + bytes([size % 255])
     elif mode == "ebml":
         flags = 0x06
-        table = _ebml_size(len(frames[0]))
+        # per RFC the table holds n-1 entries: NONE for a single frame
+        # (writing a first-size entry anyway split that frame in two —
+        # review finding)
+        table = _ebml_size(len(frames[0])) if n > 1 else b""
         prev = len(frames[0])
         for f in frames[1:-1]:
             delta = len(f) - prev
             for w in range(1, 9):
                 bias = (1 << (7 * w - 1)) - 1
                 if -bias <= delta <= bias:
-                    table += _ebml_size(delta + bias)
+                    # the DECODER derives the bias from the encoded
+                    # width, so the biased value must be written in
+                    # EXACTLY width w — _ebml_size would re-minimize
+                    # the width and shift the bias (review finding:
+                    # a frame shrinking by >63 bytes corrupted the
+                    # stream)
+                    v = delta + bias
+                    b = v.to_bytes(w, "big")
+                    table += bytes([b[0] | (1 << (8 - w))]) + b[1:]
                     break
             else:
                 raise ValueError("lace delta out of range")
@@ -3583,24 +3586,46 @@ def _parse_trak_samples(content: bytes, tb: int, te: int) -> "dict | None":
     width = int.from_bytes(content[entry + 32 : entry + 34], "big")
     height = int.from_bytes(content[entry + 34 : entry + 36], "big")
 
-    tb_, _ = stbl["stts"]
+    # COUNT HARDENING: every table cardinality is bounded by its own
+    # box size, and logical totals (samples, stts run sums) by the blob
+    # length — a hostile/corrupt count field must raise, never
+    # materialize a multi-GB list the lenient paths can't catch
+    # (MemoryError is not in their except tuples by design)
+    tb_, tend = stbl["stts"]
     n_runs = u32(tb_ + 4)
+    if tb_ + 8 + 8 * n_runs > tend:
+        raise ValueError(f"stts declares {n_runs} runs beyond its box")
     durations: list[int] = []
     p = tb_ + 8
     for _ in range(n_runs):
         count, delta = u32(p), u32(p + 4)
+        if count > len(content) or len(durations) + count > len(content):
+            raise ValueError(
+                f"stts run count {count} exceeds the blob size — corrupt"
+            )
         durations.extend([delta] * count)
         p += 8
-    zb, _ = stbl["stsz"]
+    zb, zend = stbl["stsz"]
     fixed = u32(zb + 4)
     n_samples = u32(zb + 8)
+    if n_samples > len(content):
+        raise ValueError(
+            f"stsz declares {n_samples} samples, more than the blob's "
+            f"{len(content)} bytes — corrupt"
+        )
     if fixed:
         sizes = [fixed] * n_samples
     else:
+        if zb + 12 + 4 * n_samples > zend:
+            raise ValueError(
+                f"stsz declares {n_samples} per-sample sizes beyond its box"
+            )
         sizes = [u32(zb + 12 + 4 * i) for i in range(n_samples)]
-    cb, _ = stbl.get("stco", stbl.get("co64"))
+    cb, cend = stbl.get("stco", stbl.get("co64"))
     is64 = "co64" in stbl and stbl.get("stco") is None
     n_chunks = u32(cb + 4)
+    if cb + 8 + (8 if is64 else 4) * n_chunks > cend:
+        raise ValueError(f"chunk-offset table declares {n_chunks} entries beyond its box")
     if is64:
         chunk_offsets = [
             int.from_bytes(content[cb + 8 + 8 * i : cb + 16 + 8 * i], "big")
@@ -3608,8 +3633,10 @@ def _parse_trak_samples(content: bytes, tb: int, te: int) -> "dict | None":
         ]
     else:
         chunk_offsets = [u32(cb + 8 + 4 * i) for i in range(n_chunks)]
-    scb, _ = stbl["stsc"]
+    scb, scend = stbl["stsc"]
     n_entries = u32(scb + 4)
+    if scb + 8 + 12 * n_entries > scend:
+        raise ValueError(f"stsc declares {n_entries} entries beyond its box")
     stsc_entries = [
         (u32(scb + 8 + 12 * i), u32(scb + 12 + 12 * i))
         for i in range(n_entries)
@@ -3848,18 +3875,24 @@ def demux_mkv_frames(
                             break
                     sizes.append(s)
             elif lacing == 0x06:  # EBML
-                first, q = _read_vint(content, q, keep_marker=False)
-                if first is None:
-                    raise ValueError("reserved all-ones EBML lace size")
-                sizes.append(first)
-                prev = first
-                for _ in range(n_lace - 2):
-                    w = 8 - content[q].bit_length() + 1
-                    raw, q = _read_vint(content, q, keep_marker=False)
-                    if raw is None:
-                        raise ValueError("reserved all-ones EBML lace delta")
-                    prev += raw - ((1 << (7 * w - 1)) - 1)
-                    sizes.append(prev)
+                # the table holds n-1 entries: a single-frame laced
+                # block has NO first-size entry (review finding: the
+                # unconditional read split the frame in two)
+                if n_lace > 1:
+                    first, q = _read_vint(content, q, keep_marker=False)
+                    if first is None:
+                        raise ValueError("reserved all-ones EBML lace size")
+                    sizes.append(first)
+                    prev = first
+                    for _ in range(n_lace - 2):
+                        w = 8 - content[q].bit_length() + 1
+                        raw, q = _read_vint(content, q, keep_marker=False)
+                        if raw is None:
+                            raise ValueError(
+                                "reserved all-ones EBML lace delta"
+                            )
+                        prev += raw - ((1 << (7 * w - 1)) - 1)
+                        sizes.append(prev)
             else:  # 0x04 fixed: equal split of the remaining bytes
                 if (end - q) % n_lace:
                     raise ValueError(
@@ -4232,9 +4265,13 @@ def _parse_trak_audio(content: bytes, tb: int, te: int) -> "dict | None":
             "audio demux expects the fixed-size stsz form PCM uses; "
             "per-sample-sized audio needs the video-style walk"
         )
-    cb, _ = stbl.get("stco", stbl.get("co64"))
+    cb, cend = stbl.get("stco", stbl.get("co64"))
     is64 = "co64" in stbl and stbl.get("stco") is None
     n_chunks = u32(cb + 4)
+    if cb + 8 + (8 if is64 else 4) * n_chunks > cend:
+        raise ValueError(
+            f"chunk-offset table declares {n_chunks} entries beyond its box"
+        )
     if is64:
         chunk_offsets = [
             int.from_bytes(content[cb + 8 + 8 * i : cb + 16 + 8 * i], "big")
@@ -4242,8 +4279,10 @@ def _parse_trak_audio(content: bytes, tb: int, te: int) -> "dict | None":
         ]
     else:
         chunk_offsets = [u32(cb + 8 + 4 * i) for i in range(n_chunks)]
-    scb, _ = stbl["stsc"]
+    scb, scend = stbl["stsc"]
     n_entries = u32(scb + 4)
+    if scb + 8 + 12 * n_entries > scend:
+        raise ValueError(f"stsc declares {n_entries} entries beyond its box")
     stsc_entries = [
         (u32(scb + 8 + 12 * i), u32(scb + 12 + 12 * i))
         for i in range(n_entries)
@@ -4298,7 +4337,10 @@ def demux_mp4_audio(content: bytes, *, strict: bool = True) -> "list[bytes]":
                         )
                     out.append(content[off : off + size])
                 return out
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, NotImplementedError):
+        # NotImplementedError: a per-sample-sized (non-PCM, e.g. AAC)
+        # audio track — in a mixed crawl that is the COMMON case, and
+        # lenient mode must skip it, not kill the task
         if strict:
             raise
         return []
@@ -4323,7 +4365,7 @@ def mp4_audio_features(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 content = bytes(row["content"] or b"")
                 try:
                     chunks = demux_mp4_audio(content, strict=strict)
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, NotImplementedError):
                     if strict:
                         raise
                     chunks = []

@@ -4685,6 +4685,21 @@ def st_tfrecord_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     writer = tfrecord_batch_writer(out, docs_per_shard=100)
     batch0 = docs.select("doc_id", "text")
+    # the replay below re-delivers the FULL table as batch 0, which is
+    # only what Structured Streaming would do if the drain ran as ONE
+    # micro-batch — assert that before simulating (a split drain would
+    # make the heal step double-write rows owned by later batches)
+    import glob as _glob
+
+    manifests = sorted(
+        os.path.basename(m)
+        for m in _glob.glob(os.path.join(out, "_manifests", "*.json"))
+    )
+    if manifests != ["batch-00000.json"]:
+        raise ValueError(
+            f"expected a single-micro-batch drain for the replay "
+            f"simulation, got manifests {manifests}"
+        )
     # (1) committed-batch replay: must be a no-op (manifest gates it)
     mpath = os.path.join(out, "_manifests", "batch-00000.json")
     before = os.stat(mpath).st_mtime_ns

@@ -1895,7 +1895,9 @@ def test_mp4_demux_guards():
     bad2 = bytearray(blob)
     (old,) = struct.unpack(">I", bad2[count_at:count_at + 4])
     bad2[count_at:count_at + 4] = struct.pack(">I", old + 1)
-    with _pytest.raises(ValueError, match="sample-table mismatch"):
+    with _pytest.raises(
+        ValueError, match="sample-table mismatch|beyond its box"
+    ):
         demux_mp4_frames(bytes(bad2))
     # non-BMFF blob: strict raises, lenient yields no frames
     with _pytest.raises(ValueError):
@@ -2195,3 +2197,137 @@ def test_mp4_audio_demux_and_features(spark):
     )
     r2 = mp4_audio_features(df2, strict=False).first()
     assert (r2.n_chunks, r2.n_samples, r2.peak_raw, r2.sum_raw) == (0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_audio_lenient_skips_non_pcm_tracks(spark):
+    """A per-sample-sized (AAC-style) audio track is the COMMON case in
+    a crawl: lenient mode must skip it (zero-sample row), strict must
+    raise NotImplementedError — never kill the task from lenient."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mp4_audio, encode_mp4_mjpeg, mp4_audio_features,
+    )
+
+    frame = encode_baseline_jpeg(np.full((8, 16), 128, dtype=np.uint8), quality=85)
+    blob = bytearray(encode_mp4_mjpeg(
+        [frame], width=16, height=8,
+        audio_chunks=[struct.pack("<4h", 1, 2, 3, 4)],
+    ))
+    # zero the audio stsz fixed-size field -> per-sample form
+    # audio stsz is the SECOND stsz box in the file
+    first = bytes(blob).find(b"stsz")
+    at = bytes(blob).find(b"stsz", first + 4)
+    assert at > 0
+    blob[at + 8 : at + 12] = struct.pack(">I", 0)
+    with _pytest.raises(NotImplementedError, match="fixed-size"):
+        demux_mp4_audio(bytes(blob))
+    assert demux_mp4_audio(bytes(blob), strict=False) == []
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    r = mp4_audio_features(df, strict=False).first()
+    assert (r.n_chunks, r.n_samples) == (0, 0)
+
+
+def test_mp4_hostile_counts_raise_not_allocate():
+    """Corrupt 32-bit table counts must raise bounds errors, never
+    materialize multi-GB lists (MemoryError is not in any lenient
+    except tuple by design)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mp4_frames, encode_mp4_mjpeg,
+    )
+
+    frame = encode_baseline_jpeg(np.full((8, 16), 128, dtype=np.uint8), quality=85)
+    base = encode_mp4_mjpeg([frame, frame], width=16, height=8,
+                            sample_durations=[1, 2])
+    for four, field_off, label in (
+        (b"stts", 4, "run count"),       # entry count
+        (b"stsz", 8, "sample count"),    # sample count
+        (b"stco", 4, "chunk count"),
+        (b"stsc", 4, "stsc count"),
+    ):
+        blob = bytearray(base)
+        at = bytes(blob).find(four)
+        # box body starts after the fourcc; version/flags is body[0:4],
+        # the count sits at body offset 4 (stts/stco/stsc) or 8 (stsz)
+        blob[at + 4 + field_off : at + 8 + field_off] = struct.pack(
+            ">I", 0x7FFFFFFF
+        )
+        with _pytest.raises(ValueError, match="beyond its box|exceeds the blob|corrupt"):
+            demux_mp4_frames(bytes(blob), strict=True)
+    # stts RUN COUNT huge via its per-run count field (box-size-valid)
+    blob = bytearray(base)
+    at = bytes(blob).find(b"stts")
+    blob[at + 8 : at + 12] = struct.pack(">I", 1)            # 1 run
+    blob[at + 12 : at + 16] = struct.pack(">I", 0x7FFFFFFF)  # count
+    with _pytest.raises(ValueError, match="exceeds the blob"):
+        demux_mp4_frames(bytes(blob), strict=True)
+
+
+def test_mp4_scan_triage_survives_malformed_sample_table(spark):
+    """The triage scan must complete with NULL/0/0 on a trak whose
+    sample tables are inconsistent — decode is where that raises."""
+    import struct
+
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mp4_mjpeg, scan_mp4_boxes,
+    )
+
+    frame = encode_baseline_jpeg(np.full((8, 16), 128, dtype=np.uint8), quality=85)
+    blob = bytearray(encode_mp4_mjpeg([frame], width=16, height=8))
+    # bump stsz count: table now inconsistent with the chunk map
+    at = bytes(blob).find(b"stsz")
+    (old,) = struct.unpack(">I", blob[at + 12 : at + 16])
+    blob[at + 12 : at + 16] = struct.pack(">I", old + 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    r = scan_mp4_boxes(df, strict=True).first()
+    assert r.n_top_boxes == 3 and r.n_tracks == 1
+    assert r.video_codec is None and r.n_samples == 0
+
+
+def test_mkv_ebml_lacing_width_and_single_frame():
+    """Review fixes: EBML lace deltas are written in the width their
+    bias was chosen for (a shrink of >63 bytes needs a 2-byte delta
+    whose value re-minimizes to 1 byte — the old encoder corrupted the
+    stream), and a single-frame laced block carries NO table entries."""
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mkv_frames, encode_mkv_stub,
+    )
+
+    # big shrink: delta -8190 (width-2 bias) whose biased value is 1
+    fr = [b"A" * 8200, b"B" * 10, b"C" * 10]
+    blob = encode_mkv_stub(
+        video_tracks=[("V_MJPEG", 16, 8)],
+        cluster_frames=[(0, [(0, (fr, "ebml"))])],
+    )
+    _, got = demux_mkv_frames(blob)
+    assert [f for f, _ in got] == fr
+    # single-frame laced blocks in all three modes
+    for mode in ("xiph", "ebml", "fixed"):
+        blob = encode_mkv_stub(
+            video_tracks=[("V_MJPEG", 16, 8)],
+            cluster_frames=[(3, [(1, ([b"only-frame"], mode))])],
+        )
+        _, got = demux_mkv_frames(blob)
+        assert got == [(b"only-frame", 4)], mode
