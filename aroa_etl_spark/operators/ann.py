@@ -243,7 +243,10 @@ def ivf_topk(
         )
     # a persisted index fixes the cell count: never probe past it
     nprobe = min(nprobe, len(centroids))
-    cents = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    # ONE array literal per centroid (F.lit on a list), not one py4j
+    # F.lit call per element — per-element construction cost ~20 s of
+    # driver time for an 8x64 quantizer + 4x8x16 codebook (measured)
+    cents = [F.lit([float(v) for v in c]) for c in centroids]
 
     def dists(vec: str) -> Column:
         return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
@@ -331,7 +334,7 @@ def _pq_sub_dists(vec_col: str, codebook, s: int, sub: int) -> Column:
             F.aggregate(
                 F.zip_with(
                     seg,
-                    F.array(*[F.lit(x) for x in cent]),
+                    F.lit([float(x) for x in cent]),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -476,7 +479,10 @@ def ivfpq_topk(
         centroids = [[float(v) for v in c] for c in model.clusterCenters()]
     n_centroids = len(centroids)
     nprobe = min(nprobe, n_centroids)
-    cents = [F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    # ONE array literal per centroid (F.lit on a list), not one py4j
+    # F.lit call per element — per-element construction cost ~20 s of
+    # driver time for an 8x64 quantizer + 4x8x16 codebook (measured)
+    cents = [F.lit([float(v) for v in c]) for c in centroids]
 
     def dists(vec: str) -> Column:
         return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
