@@ -59,7 +59,12 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     link = os.path.join(stage, f"{name}.parquet")
     if not os.path.lexists(link):
         os.symlink(path, link)
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    # driver tables are single FILES at the test scales but Spark-written
+    # DIRECTORIES of part files at the sf1 stress scale; FileStreamSource
+    # lists only the top level, so a directory-shaped table must be
+    # streamed AS the directory (via its symlink), not from the stage
+    stream_path = link if os.path.isdir(path) else stage
+    stream = spark.readStream.schema(raw.schema).parquet(stream_path)
     if name == "events":
         from pyspark.sql.types import LongType
 
