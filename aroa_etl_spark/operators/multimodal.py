@@ -3541,8 +3541,16 @@ def _parse_mp4_samples(content: bytes, *, strict: bool) -> "dict | None":
                 if t != "trak":
                     continue
                 rec = _parse_trak_samples(content, tb, te)
-                if rec is not None:
-                    return rec
+                if rec is None:
+                    continue
+                if not rec["samples"] and b"moof" in content:
+                    # EMPTY stbl tables are the FRAGMENTED-MP4
+                    # signature (CMAF/DASH): the samples live in
+                    # moof/traf/trun runs after the moov
+                    frag = _parse_mp4_fragments(content, rec)
+                    if frag["samples"]:
+                        return frag
+                return rec
     except (ValueError, IndexError):
         if strict:
             raise
@@ -4385,3 +4393,209 @@ def mp4_audio_features(df: DataFrame, *, strict: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, AVI_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fragmented MP4 (CMAF/DASH shape): moof/traf/trun demux
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_fragmented(
+    frames: "list[bytes]",
+    *,
+    width: int,
+    height: int,
+    media_timescale: int = 1000,
+    sample_durations: "list[int] | None" = None,
+    frames_per_fragment: int = 1,
+    sample_format: bytes = b"jpeg",
+    trun_data_offset_bias: int = 0,
+) -> bytes:
+    """Stdlib-only FRAGMENTED MP4 writer (the CMAF/DASH/HLS layout that
+    dominates crawled streaming video): ftyp (iso5), a moov whose stbl
+    tables are EMPTY (the fMP4 signature) plus mvex/trex defaults, then
+    one moof+mdat pair per fragment — mfhd sequence numbers, tfhd with
+    default-base-is-moof, tfdt base decode times (version 1, 64-bit),
+    and a trun carrying per-sample durations and sizes with the
+    data-offset field pointing from the moof START to the first sample
+    byte.  ``trun_data_offset_bias`` exists for corruption fixtures
+    (shifts the written offset without moving the data)."""
+    import struct
+
+    n = len(frames)
+    durs = list(sample_durations or [1] * n)
+    if len(durs) != n:
+        raise ValueError("sample_durations must match frames")
+
+    ftyp = _bmff_box(b"ftyp", b"iso5" + bytes(4) + b"iso5" + b"mp41")
+
+    mvhd = _bmff_full(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 0)                  # timescale, duration 0
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100) + bytes(10)
+        + _BMFF_UNITY_MATRIX + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    tkhd = _bmff_full(
+        b"tkhd", 0, 7,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", 0) + bytes(8)
+        + struct.pack(">hhh", 0, 0, 0) + bytes(2)
+        + _BMFF_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _bmff_full(
+        b"mdhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", media_timescale, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _bmff_full(
+        b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12) + b"VideoHandler\x00"
+    )
+    vmhd = _bmff_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _bmff_box(
+        b"dinf",
+        _bmff_full(b"dref", 0, 0, struct.pack(">I", 1) + _bmff_full(b"url ", 0, 1, b"")),
+    )
+    sample_entry = _bmff_box(
+        sample_format,
+        bytes(6) + struct.pack(">H", 1) + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + bytes(4) + struct.pack(">H", 1) + bytes(32)
+        + struct.pack(">Hh", 24, -1),
+    )
+    stbl = _bmff_box(
+        b"stbl",
+        _bmff_full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+        + _bmff_full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _bmff_full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _bmff_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _bmff_full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    minf = _bmff_box(b"minf", vmhd + dinf + stbl)
+    mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+    trak = _bmff_box(b"trak", tkhd + mdia)
+    trex = _bmff_full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 0, 0, 0)
+    )
+    moov = _bmff_box(b"moov", mvhd + trak + _bmff_box(b"mvex", trex))
+
+    out = ftyp + moov
+    base_dts = 0
+    seq = 1
+    for start in range(0, n, max(1, frames_per_fragment)):
+        chunk = frames[start : start + frames_per_fragment]
+        cdurs = durs[start : start + frames_per_fragment]
+        mfhd = _bmff_full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: track 1, flags 0x20000 (default-base-is-moof)
+        tfhd = _bmff_full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfdt = _bmff_full(b"tfdt", 1, 0, struct.pack(">Q", base_dts))
+        # trun flags: 0x1 data-offset, 0x100 duration, 0x200 size
+        trun_entries = b"".join(
+            struct.pack(">II", d, len(f)) for d, f in zip(cdurs, chunk)
+        )
+        trun_wo_offset = _bmff_full(
+            b"trun", 0, 0x000301,
+            struct.pack(">Ii", len(chunk), 0) + trun_entries,
+        )
+        traf = _bmff_box(b"traf", tfhd + tfdt + trun_wo_offset)
+        moof_size = len(_bmff_box(b"moof", mfhd + traf))
+        data_offset = moof_size + 8 + trun_data_offset_bias
+        trun = _bmff_full(
+            b"trun", 0, 0x000301,
+            struct.pack(">Ii", len(chunk), data_offset) + trun_entries,
+        )
+        traf = _bmff_box(b"traf", tfhd + tfdt + trun)
+        moof = _bmff_box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out += moof + _bmff_box(b"mdat", b"".join(chunk))
+        base_dts += sum(cdurs)
+        seq += 1
+    return out
+
+
+def _parse_mp4_fragments(content: bytes, trak_rec: dict) -> dict:
+    """ISO 14496-12 §8.8 movie-fragment walk: for each top-level moof,
+    parse mfhd/tfhd/tfdt/trun and materialize (offset, size, dts,
+    duration) samples — offsets are moof-relative (default-base-is-
+    moof, the CMAF convention) via the trun data-offset field.  Sample
+    counts are bounded by the trun box size (hostile-count rule)."""
+    import struct
+
+    samples: "list[tuple]" = []
+    running_dts = 0
+    for btype, body, bend in _bmff_walk(content, 0, len(content)):
+        if btype != "moof":
+            continue
+        moof_start = body - 8  # box header precedes the body
+        kids = _bmff_children(content, body, bend)
+        if "traf" not in kids:
+            continue
+        traf = _bmff_children(content, *kids["traf"])
+        base_dts = running_dts
+        if "tfdt" in traf:
+            db, _de = traf["tfdt"]
+            ver = content[db]
+            base_dts = (
+                int.from_bytes(content[db + 4 : db + 12], "big")
+                if ver == 1
+                else int.from_bytes(content[db + 4 : db + 8], "big")
+            )
+        if "trun" not in traf:
+            continue
+        rb, rend = traf["trun"]
+        flags = int.from_bytes(content[rb + 1 : rb + 4], "big")
+        count = int.from_bytes(content[rb + 4 : rb + 8], "big")
+        p = rb + 8
+        data_offset = 0
+        if flags & 0x1:
+            data_offset = int.from_bytes(
+                content[p : p + 4], "big", signed=True
+            )
+            p += 4
+        if flags & 0x4:
+            p += 4  # first-sample-flags
+        per = (
+            (4 if flags & 0x100 else 0)
+            + (4 if flags & 0x200 else 0)
+            + (4 if flags & 0x400 else 0)
+            + (4 if flags & 0x800 else 0)
+        )
+        if p + per * count > rend:
+            raise ValueError(
+                f"trun declares {count} samples beyond its box — corrupt"
+            )
+        if not (flags & 0x200):
+            raise NotImplementedError(
+                "trun without per-sample sizes needs trex/tfhd defaults — "
+                "not written by any fixture here"
+            )
+        off = moof_start + data_offset
+        dts = base_dts
+        for _ in range(count):
+            dur = 0
+            if flags & 0x100:
+                dur = int.from_bytes(content[p : p + 4], "big")
+                p += 4
+            size = int.from_bytes(content[p : p + 4], "big")
+            p += 4
+            if flags & 0x400:
+                p += 4
+            if flags & 0x800:
+                p += 4
+            samples.append((off, size, dts, dur))
+            off += size
+            dts += dur
+        running_dts = dts
+    return {
+        "codec": trak_rec["codec"],
+        "width": trak_rec["width"],
+        "height": trak_rec["height"],
+        "media_timescale": trak_rec["media_timescale"],
+        "samples": samples,
+    }

@@ -2598,3 +2598,83 @@ def mm_mp4_audio_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return mp4_audio_features(media, strict=True)
+
+
+@query(
+    "mm_mp4_fragmented_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    k2s AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS k2),
+    fr AS (SELECT k2,
+                  CAST(unnest(range(0, (1 + k2 % 2) * (1 + k2 % 3))) AS INT)
+                    AS g
+           FROM k2s),
+    w AS (SELECT k2, g,
+                 COALESCE(SUM(10 + ((k2 + g) % 5)) OVER (
+                     PARTITION BY k2 ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS dts
+          FROM fr)
+    SELECT media_id,
+           g AS frame_index,
+           CAST((dts * 1000) // (100 * (1 + k % 4)) AS BIGINT) AS pts_ms,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(128 + 5 * (((k + 7 * g) % 40) - 20) AS DOUBLE)
+             AS mean_intensity
+    FROM p JOIN w ON w.k2 = p.k
+    """,
+)
+def mm_mp4_fragmented_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 decode — the CMAF/DASH/HLS layout that dominates
+    crawled streaming video (moov with EMPTY stbl + mvex, then
+    moof+mdat pairs): the demux walks ISO 14496-12 §8.8 movie
+    fragments — mfhd sequencing, tfhd default-base-is-moof, tfdt
+    64-bit base decode times, trun per-sample duration/size runs with
+    moof-relative data offsets — and decodes each MJPEG sample through
+    the vendored codec via the SAME mp4_video_frame_features kernel as
+    the progressive entry (the fragment fallback lives inside
+    _parse_mp4_samples, so consumers never care which layout arrived).
+    Variant k splits its (1+k%2)·(1+k%3) frames across 1+k%2
+    fragments; pts_ms is the cross-fragment stts-free running sum of
+    VARIANT trun durations — any slip in data-offset arithmetic, tfdt
+    bases, or trun field order shifts the (frame_index, pts_ms, mean)
+    triples the oracle replays in closed form (frames are the DC-exact
+    flat JPEGs).  Scale: same broadcast-dim mapInPandas shape; the
+    fragment walk is O(#fragments + #samples) with hostile counts
+    bounded by box sizes."""
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mp4_fragmented, mp4_video_frame_features,
+    )
+
+    import numpy as np
+
+    blobs = []
+    for k in range(40):
+        nfrag, fpg = 1 + k % 2, 1 + k % 3
+        n = nfrag * fpg
+        frames = [
+            encode_baseline_jpeg(
+                np.full((8, 16), 128 + 5 * (((k + 7 * g) % 40) - 20),
+                        dtype=np.uint8),
+                quality=85,
+            )
+            for g in range(n)
+        ]
+        blobs.append((k, bytearray(encode_mp4_fragmented(
+            frames,
+            width=16,
+            height=8,
+            media_timescale=100 * (1 + k % 4),
+            sample_durations=[10 + ((k + g) % 5) for g in range(n)],
+            frames_per_fragment=fpg,
+        ))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return mp4_video_frame_features(media, every_n=1, strict=True)

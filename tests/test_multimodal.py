@@ -2331,3 +2331,45 @@ def test_mkv_ebml_lacing_width_and_single_frame():
         )
         _, got = demux_mkv_frames(blob)
         assert got == [(b"only-frame", 4)], mode
+
+
+def test_mp4_fragmented_demux_roundtrip_and_guards():
+    """CMAF-shape fragmented MP4: the demux reconstructs samples from
+    moof/traf/trun runs byte-exact with cross-fragment dts, bounds-
+    checks hostile data offsets, and the fragment fallback triggers
+    only on the empty-stbl signature."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        demux_mp4_frames, encode_mp4_fragmented, encode_mp4_mjpeg,
+    )
+
+    frames = [
+        encode_baseline_jpeg(np.full((8, 16), 100 + 10 * g, dtype=np.uint8),
+                             quality=85)
+        for g in range(5)
+    ]
+    durs = [3, 4, 5, 6, 7]
+    blob = encode_mp4_fragmented(
+        frames, width=16, height=8, media_timescale=200,
+        sample_durations=durs, frames_per_fragment=2,
+    )
+    got = demux_mp4_frames(blob)
+    assert [fb for fb, _, _ in got] == frames
+    dts = [0, 3, 7, 12, 18]
+    assert [(d, du) for _, d, du in got] == list(zip(dts, durs))
+    # hostile trun data offset: bounds error, never short reads
+    bad = encode_mp4_fragmented(
+        frames[:1], width=16, height=8, trun_data_offset_bias=10_000_000
+    )
+    with _pytest.raises(ValueError, match="overruns the blob"):
+        demux_mp4_frames(bad)
+    # a PROGRESSIVE file with real stbl tables never takes the
+    # fragment path even if 'moof' appears in a payload
+    prog = encode_mp4_mjpeg(
+        [frames[0] + b"moof"], width=16, height=8
+    )
+    got2 = demux_mp4_frames(prog)
+    assert got2[0][0].endswith(b"moof")
