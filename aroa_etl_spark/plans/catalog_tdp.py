@@ -3012,3 +3012,76 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("y"),
     )
     return exact_auc(lab, "score_milli", "y", "doc_id")
+
+
+@query(
+    "tdp_url_canonicalize",
+    oracle="""
+    WITH p AS (SELECT doc_id, CAST(doc_id % 24 AS INT) AS k FROM documents),
+    raw AS (SELECT doc_id, k,
+        CASE WHEN k % 3 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+        CASE WHEN k % 2 = 0 THEN 'Host' ELSE 'host' END ||
+        CAST(k % 4 AS VARCHAR) || '.example.com' ||
+        CASE WHEN k % 6 = 0 THEN ':80' ELSE '' END ||
+        '/p' || CAST(k % 5 AS VARCHAR) ||
+        CASE WHEN k % 2 = 1 THEN '/' ELSE '' END ||
+        '?b=' || CAST(k % 3 AS VARCHAR) ||
+        '&utm_source=s' || CAST(k AS VARCHAR) ||
+        '&a=' || CAST(k % 2 AS VARCHAR) ||
+        CASE WHEN k % 4 = 0 THEN '#frag' ELSE '' END AS url
+        FROM p),
+    canon AS (SELECT doc_id, k,
+        'http://host' || CAST(k % 4 AS VARCHAR) || '.example.com'
+        || '/p' || CAST(k % 5 AS VARCHAR)
+        || '?a=' || CAST(k % 2 AS VARCHAR) || '&b=' || CAST(k % 3 AS VARCHAR)
+          AS canonical_url
+        FROM raw)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def tdp_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/urls.py): every
+    document synthesizes a URL whose scheme/host case, default :80
+    port, trailing slash, utm_ tracking param (with a UNIQUE-per-doc
+    value so raw-URL grouping CANNOT collapse the duplicates),
+    parameter order, and #fragment all vary by k-arithmetic — the
+    canonicalizer (pure regexp + array_sort exprs, no UDF) collapses
+    the 24 surface variants per (host, path, a, b) resource and the
+    group-by counts the collapsed families.  The oracle derives the
+    canonical form INDEPENDENTLY from the same k-arithmetic (not by
+    reimplementing the normalizer), so a missed rule — port kept,
+    tracking param surviving, unsorted params — splits groups and
+    breaks the hash.  Scale: narrow projection + one groupBy on the
+    canonical key; the normalizer is codegen-only."""
+    from aroa_etl_spark.functions.urls import canonicalize_url
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        "doc_id", (F.col("doc_id") % 24).cast("int").alias("k")
+    )
+    url = F.concat(
+        F.when(F.col("k") % 3 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("k") % 2 == 0, F.lit("Host")).otherwise(F.lit("host")),
+        (F.col("k") % 4).cast("string"),
+        F.lit(".example.com"),
+        F.when(F.col("k") % 6 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"), (F.col("k") % 5).cast("string"),
+        F.when(F.col("k") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b="), (F.col("k") % 3).cast("string"),
+        F.lit("&utm_source=s"), F.col("k").cast("string"),
+        F.lit("&a="), (F.col("k") % 2).cast("string"),
+        F.when(F.col("k") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        staged.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

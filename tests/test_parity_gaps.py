@@ -284,3 +284,32 @@ def test_detect_charset_dirty_boms_and_utf32(spark):
     got = {r.doc_id: (r.charset, r.n_chars) for r in detect_charset(df).collect()}
     for i, _, charset, n in cases:
         assert got[i] == (charset, n), (i, got[i])
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule in isolation, plus the pass-through
+    contract for non-URL junk."""
+    from aroa_etl_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM/x", "http://example.com/x"),        # case
+        ("http://h:80/x", "http://h/x"),                         # default port
+        ("https://h:443/x", "https://h/x"),
+        ("http://h:8080/x", "http://h:8080/x"),                  # real port kept
+        ("ftp://H:21/f", "ftp://h:21/f"),                        # non-http port kept
+        ("http://h", "http://h/"),                               # empty path
+        ("http://h/p/", "http://h/p"),                           # trailing slash
+        ("http://h/", "http://h/"),                              # root slash kept
+        ("http://h/x?b=2&a=1", "http://h/x?a=1&b=2"),            # param sort
+        ("http://h/x?utm_source=a&q=1", "http://h/x?q=1"),       # tracking
+        ("http://h/x?fbclid=zz", "http://h/x"),                  # all-tracking
+        ("http://h/x?gclid", "http://h/x"),                      # bare tracking key
+        ("http://h/x#frag", "http://h/x"),                       # fragment
+        ("http://h/x?utm_campaign=c&utm_medium=m", "http://h/x"),
+        ("not a url", "not a url"),                              # pass-through
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
