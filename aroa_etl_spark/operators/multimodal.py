@@ -3248,6 +3248,7 @@ def encode_mp4_mjpeg(
     sample_format: bytes = b"jpeg",
     audio_chunks: "list[bytes] | None" = None,
     audio_rate: int = 8000,
+    sync_samples: "list[int] | None" = None,
 ) -> bytes:
     """Stdlib-only ISO BMFF (MP4) writer for MJPEG video — the fixture
     generator for the sample-table demux path (the BMFF sibling of
@@ -3370,6 +3371,18 @@ def encode_mp4_mjpeg(
         struct.pack(">II", 0, n)
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
+    # stss (sync samples): ABSENT means every sample is a keyframe
+    # (the spec default, and true for MJPEG); writing it marks only
+    # the listed 1-based samples as sync points
+    stss = b""
+    if sync_samples is not None:
+        if any(x < 1 or x > n for x in sync_samples):
+            raise ValueError("sync_samples are 1-based sample indices")
+        stss = _bmff_full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync_samples))
+            + b"".join(struct.pack(">I", x) for x in sorted(sync_samples)),
+        )
     # audio trak (canonical PCM-in-MP4): fixed-size stsz, one stco
     # chunk per provided payload, per-chunk sample counts in stsc
     a_chunks = [bytes(c) for c in (audio_chunks or [])]
@@ -3440,7 +3453,7 @@ def encode_mp4_mjpeg(
 
     def moov_box(offsets: "list[int]", a_offsets: "list[int]") -> bytes:
         stbl = _bmff_box(
-            b"stbl", stsd + stts + stsc + stsz + stco_box(offsets)
+            b"stbl", stsd + stts + stsc + stsz + stss + stco_box(offsets)
         )
         minf = _bmff_box(b"minf", vmhd + dinf + stbl)
         mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
@@ -3674,12 +3687,22 @@ def _parse_trak_samples(content: bytes, tb: int, te: int) -> "dict | None":
             f"sample-table mismatch: stsz declares {n_samples} samples "
             f"but the stsc/stco chunk map yields {si}"
         )
+    sync = None
+    if "stss" in stbl:
+        xb, xend = stbl["stss"]
+        n_sync = u32(xb + 4)
+        if xb + 8 + 4 * n_sync > xend:
+            raise ValueError(
+                f"stss declares {n_sync} entries beyond its box"
+            )
+        sync = {u32(xb + 8 + 4 * i) for i in range(n_sync)}
     return {
         "codec": codec,
         "width": width,
         "height": height,
         "media_timescale": media_timescale,
         "samples": samples,
+        "sync": sync,  # 1-based sample indices; None = all sync (spec)
     }
 
 
@@ -3718,7 +3741,8 @@ MP4_FRAME_FEATURE_SCHEMA = T.StructType(
 
 
 def mp4_video_frame_features(
-    df: DataFrame, *, every_n: int = 1, strict: bool = True
+    df: DataFrame, *, every_n: int = 1, strict: bool = True,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """REAL video decode from MP4: demux via the ISO BMFF sample
     tables (stsd/stts/stsc/stsz/stco|co64) and decode every n-th
@@ -3729,7 +3753,11 @@ def mp4_video_frame_features(
     frame_index↔pts↔mean triples an oracle replays in closed form.
     MJPEG ('jpeg' sample entries) only: undecodable samples raise
     under strict (the honest codec boundary), are skipped otherwise;
-    non-BMFF blobs raise/skip likewise.  Scale: mapInPandas over the
+    non-BMFF blobs raise/skip likewise.  ``keyframes_only=True``
+    restricts the walk to stss-listed sync samples (seek-point
+    sampling, the cheap thumbnail/fingerprint pass; ``every_n`` then
+    strides over the keyframe list) — an absent stss means every
+    sample is sync, per spec.  Scale: mapInPandas over the
     (typically broadcast) blob column, zero shuffle; decode cost is
     per-sampled-frame so ``every_n`` bounds work on long clips, and
     scan_mp4_boxes is the triage gate that routes non-MJPEG files
@@ -3749,7 +3777,13 @@ def mp4_video_frame_features(
                 if rec is None:
                     continue
                 mts = rec["media_timescale"] or 1
-                for i in range(0, len(rec["samples"]), every_n):
+                idxs = range(len(rec["samples"]))
+                if keyframes_only and rec.get("sync") is not None:
+                    # stss lists 1-based sync samples; an ABSENT stss
+                    # means every sample is sync (spec default) and
+                    # keyframes_only degenerates to the full walk
+                    idxs = [i for i in idxs if (i + 1) in rec["sync"]]
+                for i in list(idxs)[::every_n]:
                     off, size, dts, _dur = rec["samples"][i]
                     if off + size > len(content):
                         raise ValueError(
@@ -4598,4 +4632,5 @@ def _parse_mp4_fragments(content: bytes, trak_rec: dict) -> dict:
         "height": trak_rec["height"],
         "media_timescale": trak_rec["media_timescale"],
         "samples": samples,
+        "sync": None,
     }

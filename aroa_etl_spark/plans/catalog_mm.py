@@ -2678,3 +2678,78 @@ def mm_mp4_fragmented_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 40).cast("int").alias("v_key"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
     return mp4_video_frame_features(media, every_n=1, strict=True)
+
+
+@query(
+    "mm_mp4_keyframe_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    k2s AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS k2),
+    fr AS (SELECT k2, CAST(unnest(range(0, 3 + k2 % 3)) AS INT) AS g
+           FROM k2s),
+    w AS (SELECT k2, g,
+                 COALESCE(SUM(10 + ((k2 + g) % 5)) OVER (
+                     PARTITION BY k2 ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS dts
+          FROM fr)
+    SELECT media_id,
+           g AS frame_index,
+           CAST((dts * 1000) // (100 * (1 + k % 4)) AS BIGINT) AS pts_ms,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(128 + 5 * (((k + 7 * g) % 40) - 20) AS DOUBLE)
+             AS mean_intensity
+    FROM p JOIN w ON w.k2 = p.k
+    WHERE g % 2 = 0
+    """,
+)
+def mm_mp4_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-sample (stss) seek-point decode — the cheap thumbnail/
+    fingerprint pass every video pipeline runs before full decode:
+    variant k's 3+k%3 frames carry an stss marking the even 0-based
+    samples as keyframes, and ``keyframes_only=True`` restricts the
+    walk to exactly those — frame_index and pts_ms keep their
+    FULL-TIMELINE values (the stts running sum over ALL samples, not
+    just decoded ones), so the oracle's even-g filter over the same
+    arithmetic catches both a wrong stss parse (extra/missing rows)
+    and any pts drift from skipping samples without accumulating
+    their durations.  Scale: the decode stage pays only for sync
+    samples — on real GOP-structured video that is the 1-2% of frames
+    a triage pass should touch."""
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mp4_mjpeg, mp4_video_frame_features,
+    )
+
+    import numpy as np
+
+    blobs = []
+    for k in range(40):
+        n = 3 + k % 3
+        frames = [
+            encode_baseline_jpeg(
+                np.full((8, 16), 128 + 5 * (((k + 7 * g) % 40) - 20),
+                        dtype=np.uint8),
+                quality=85,
+            )
+            for g in range(n)
+        ]
+        blobs.append((k, bytearray(encode_mp4_mjpeg(
+            frames,
+            width=16,
+            height=8,
+            media_timescale=100 * (1 + k % 4),
+            sample_durations=[10 + ((k + g) % 5) for g in range(n)],
+            sync_samples=[g + 1 for g in range(n) if g % 2 == 0],
+        ))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return mp4_video_frame_features(
+        media, every_n=1, strict=True, keyframes_only=True
+    )

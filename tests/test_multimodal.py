@@ -2373,3 +2373,45 @@ def test_mp4_fragmented_demux_roundtrip_and_guards():
     )
     got2 = demux_mp4_frames(prog)
     assert got2[0][0].endswith(b"moof")
+
+
+def test_mp4_keyframes_only_sampling(spark):
+    """stss-restricted decode: only sync samples decode, pts stays on
+    the full timeline, every_n strides the keyframe list, and an
+    absent stss means all frames are sync (spec default)."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        encode_mp4_mjpeg, mp4_video_frame_features,
+    )
+
+    frames = [
+        encode_baseline_jpeg(np.full((8, 16), 100 + 10 * g, dtype=np.uint8),
+                             quality=85)
+        for g in range(6)
+    ]
+    durs = [2, 3, 4, 5, 6, 7]
+    blob = encode_mp4_mjpeg(
+        frames, width=16, height=8, media_timescale=100,
+        sample_durations=durs, sync_samples=[1, 3, 6],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    rows = sorted(
+        mp4_video_frame_features(df, keyframes_only=True).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.frame_index for r in rows] == [0, 2, 5]
+    # full-timeline pts: cumulative over ALL samples
+    assert [r.pts_ms for r in rows] == [0, 5 * 1000 // 100, 20 * 1000 // 100]
+    # every_n strides the KEYFRAME list
+    strided = mp4_video_frame_features(df, keyframes_only=True, every_n=2)
+    assert sorted(r.frame_index for r in strided.collect()) == [0, 5]
+    # no stss: keyframes_only degenerates to the full walk
+    blob2 = encode_mp4_mjpeg(frames, width=16, height=8)
+    df2 = spark.createDataFrame(
+        [(1, bytearray(blob2))], "media_id long, content binary"
+    )
+    assert mp4_video_frame_features(df2, keyframes_only=True).count() == 6
