@@ -3085,3 +3085,70 @@ def tdp_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "text_srt_parse",
+    oracle="""
+    WITH p AS (SELECT doc_id, CAST(doc_id % 30 AS INT) AS k FROM documents),
+    cues AS (SELECT doc_id, k, CAST(unnest(range(0, 1 + k % 3)) AS INT) AS i
+             FROM p),
+    t AS (SELECT doc_id, k, i,
+                 (k + 2 * i) * 1000 + ((k + i) * 37) % 1000 AS start_ms
+          FROM cues)
+    SELECT doc_id,
+           CAST(i + 1 AS INT) AS cue_index,
+           CAST(start_ms AS BIGINT) AS start_ms,
+           CAST(start_ms + 500 + (k % 7) * 100 AS BIGINT) AS end_ms,
+           CAST(500 + (k % 7) * 100 AS BIGINT) AS duration_ms,
+           'cue-' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+             || ' alpha beta' AS cue_text
+    FROM t
+    """,
+)
+def text_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip (SRT) caption parsing (functions/subtitles.py) — the
+    TEXT TRACK of the video modality, first-class training data for
+    any video corpus: each document synthesizes a genuine SRT file
+    IN-PLAN (counter line, HH:MM:SS,mmm --> timing line with exact
+    lpad formatting, multi-line cue text, blank-line separators) from
+    k-arithmetic, and the parser — pure posexplode/regexp/integer
+    exprs, no UDF — recovers declared cue indices, exact millisecond
+    start/end/duration, and the line-folded text.  The oracle derives
+    every value INDEPENDENTLY from the same arithmetic (it never
+    parses SRT), so a slip in blank-line splitting, timestamp groups,
+    or line folding breaks the hash.  Scale: one split+explode per
+    document, codegen-only — caption files are KBs, the explode is
+    the standard 1-row→cues shape."""
+    from aroa_etl_spark.functions.subtitles import parse_srt
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = (F.col("doc_id") % 30).cast("int")
+
+    def two(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    def three(c):
+        return F.lpad(c.cast("string"), 3, "0")
+
+    def ts(total_ms):
+        return F.concat(
+            F.lit("00:00:"), two((total_ms / 1000).cast("long")),
+            F.lit(","), three(total_ms % 1000),
+        )
+
+    def cue(i):
+        start = (k + 2 * i) * 1000 + ((k + i) * 37) % 1000
+        end = start + 500 + (k % 7) * 100
+        return F.concat(
+            (i + 1).cast("string"), F.lit("\n"),
+            ts(start), F.lit(" --> "), ts(end), F.lit("\n"),
+            F.lit("cue-"), k.cast("string"), F.lit("-"), i.cast("string"),
+            F.lit("\nalpha beta"),
+        )
+
+    srt = F.array_join(
+        F.transform(F.sequence(F.lit(0), k % 3), cue), "\n\n"
+    )
+    staged = docs.select("doc_id", srt.alias("srt"))
+    return parse_srt(staged, "srt")

@@ -313,3 +313,30 @@ def test_canonicalize_url_rules(spark):
     got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_parse_srt_edges(spark):
+    """SRT parser edge cases: CRLF line endings, dot millisecond
+    separators (the WebVTT-style variant some tools emit), missing
+    counter lines, malformed blocks surfacing as NULL timing, and
+    multi-line folding."""
+    from aroa_etl_spark.functions.subtitles import parse_srt
+
+    srt = (
+        "1\r\n00:00:01,000 --> 00:00:02,000\r\nwindows line\r\n\r\n"
+        "00:00:03.500 --> 00:00:04.000\nno counter, dot millis\n\n"
+        "2\n00:01:02,003 --> 00:01:05,999\nfirst\nsecond\nthird\n\n"
+        "just text, no timing\n"
+    )
+    df = spark.createDataFrame([(7, srt)], "doc_id long, text string")
+    rows = sorted(
+        parse_srt(df, "text").collect(),
+        key=lambda r: (r.start_ms is None, r.start_ms or 0),
+    )
+    assert [r.start_ms for r in rows] == [1000, 3500, 62003, None]
+    assert rows[0].cue_index == 1 and rows[0].cue_text == "windows line"
+    assert rows[1].cue_index is None
+    assert rows[1].cue_text == "no counter, dot millis"
+    assert rows[2].end_ms == 65999 and rows[2].duration_ms == 3996
+    assert rows[2].cue_text == "first second third"
+    assert rows[3].start_ms is None and rows[3].cue_text.startswith("just text")
