@@ -4634,3 +4634,149 @@ def _parse_mp4_fragments(content: bytes, trak_rec: dict) -> dict:
         "samples": samples,
         "sync": None,
     }
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames — MP3 metadata extraction
+# ---------------------------------------------------------------------------
+
+
+def encode_id3v2(
+    frames: "dict[str, str]", *, version: int = 4, padding: int = 0
+) -> bytes:
+    """Stdlib ID3v2.3/2.4 tag writer for fixtures: text frames only
+    (TIT2/TPE1/TALB/...), UTF-8 (encoding byte 3) under v2.4 and
+    Latin-1 (byte 0) under v2.3 — the two encodings real taggers
+    actually emit for ASCII-safe values.  Frame sizes are syncsafe
+    under v2.4 and plain big-endian under v2.3, per spec."""
+    if version not in (3, 4):
+        raise ValueError("ID3v2 version must be 3 or 4")
+
+    def syncsafe(v: int) -> bytes:
+        return bytes(
+            [(v >> 21) & 0x7F, (v >> 14) & 0x7F, (v >> 7) & 0x7F, v & 0x7F]
+        )
+
+    body = b""
+    for fid, text in sorted(frames.items()):
+        if len(fid) != 4 or not fid.startswith("T"):
+            raise ValueError(f"text frame id expected, got {fid!r}")
+        if version == 4:
+            payload = b"\x03" + text.encode("utf-8")
+            size = syncsafe(len(payload))
+        else:
+            payload = b"\x00" + text.encode("latin-1")
+            size = len(payload).to_bytes(4, "big")
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += bytes(padding)
+    return b"ID3" + bytes([version, 0, 0]) + syncsafe(len(body)) + body
+
+
+def parse_id3v2_text_frames(content: bytes) -> "list[tuple[str, str]]":
+    """(frame_id, text) for every ID3v2.3/2.4 TEXT frame at the head
+    of ``content`` — encoding byte 0 (Latin-1), 1 (UTF-16 w/ BOM) and
+    3 (UTF-8) decode; non-text frames are skipped by size arithmetic;
+    a zero frame-id byte ends the walk (padding).  Returns [] when no
+    ID3v2 tag leads the blob."""
+    if content[:3] != b"ID3" or len(content) < 10:
+        return []
+    version = content[3]
+    tag_size = (
+        ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14)
+        | ((content[8] & 0x7F) << 7) | (content[9] & 0x7F)
+    )
+    end = min(10 + tag_size, len(content))
+    pos = 10
+    if content[5] & 0x40:  # extended header present: skip it
+        if pos + 4 > end:
+            return []
+        ext = int.from_bytes(content[pos : pos + 4], "big")
+        if version == 4:  # syncsafe
+            ext = (
+                ((content[pos] & 0x7F) << 21)
+                | ((content[pos + 1] & 0x7F) << 14)
+                | ((content[pos + 2] & 0x7F) << 7)
+                | (content[pos + 3] & 0x7F)
+            )
+            pos += ext
+        else:
+            pos += 4 + ext
+    out: "list[tuple[str, str]]" = []
+    while pos + 10 <= end:
+        fid = content[pos : pos + 4]
+        if fid[0] == 0:
+            break  # padding
+        raw = content[pos + 4 : pos + 8]
+        if version == 4:
+            fsize = (
+                ((raw[0] & 0x7F) << 21) | ((raw[1] & 0x7F) << 14)
+                | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+            )
+        else:
+            fsize = int.from_bytes(raw, "big")
+        payload = content[pos + 10 : pos + 10 + fsize]
+        if pos + 10 + fsize > end:
+            raise ValueError(
+                f"ID3 frame {fid!r} overruns the tag ({fsize} bytes)"
+            )
+        if fid.startswith(b"T") and fsize >= 1:
+            enc = payload[0]
+            body = payload[1:]
+            try:
+                if enc == 0:
+                    text = body.decode("latin-1")
+                elif enc == 1:
+                    text = body.decode("utf-16")
+                elif enc == 3:
+                    text = body.decode("utf-8")
+                else:
+                    text = None  # encodings 2 (UTF-16BE) not emitted here
+            except UnicodeDecodeError:
+                text = None
+            if text is not None:
+                out.append(
+                    (fid.decode("ascii"), text.rstrip("\x00"))
+                )
+        pos += 10 + fsize
+    return out
+
+
+ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def mp3_id3_tags(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """ID3v2 text-frame extraction: one row per (media, frame) — the
+    metadata leg of the MP3 story (mm_mp3_frame_walk is the audio
+    leg): title/artist/album tags are routing/dedup keys for audio
+    corpora.  Both v2.3 (plain frame sizes, Latin-1) and v2.4
+    (syncsafe sizes, UTF-8) parse; blobs without a leading tag yield
+    no rows (that is data, not an error).  Scale: mapInPandas, zero
+    shuffle, O(tag bytes) per blob — audio frames are never touched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                try:
+                    pairs = parse_id3v2_text_frames(content)
+                except (ValueError, IndexError):
+                    if strict:
+                        raise
+                    continue
+                for fid, val in pairs:
+                    rows.append(
+                        {"media_id": row["media_id"], "frame_id": fid,
+                         "value": val}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ID3_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, ID3_SCHEMA)

@@ -2753,3 +2753,56 @@ def mm_mp4_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_video_frame_features(
         media, every_n=1, strict=True, keyframes_only=True
     )
+
+
+@query(
+    "mm_mp3_id3_tags",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    fr AS (SELECT media_id, k, f.frame_id
+           FROM p, (VALUES ('TALB'), ('TIT2'), ('TPE1')) AS f(frame_id)
+           WHERE NOT (k % 5 = 4 AND f.frame_id = 'TALB'))
+    SELECT media_id, frame_id,
+           CASE frame_id
+             WHEN 'TIT2' THEN 'Title ' || CAST(k AS VARCHAR)
+             WHEN 'TPE1' THEN 'Artist ' || CAST(k % 7 AS VARCHAR)
+             ELSE 'Album ' || CAST(k % 3 AS VARCHAR)
+           END AS value
+    FROM fr
+    """,
+)
+def mm_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata extraction (operators/multimodal.mp3_id3_tags) —
+    the metadata leg of the MP3 story: variant k writes a REAL tag
+    (v2.4 syncsafe/UTF-8 for even k, v2.3 plain-size/Latin-1 for odd —
+    both real-world layouts walk) carrying TIT2/TPE1 always and TALB
+    except when k%5==4 (absence must yield absent rows, not NULLs),
+    followed by genuine MPEG frames the walk must NOT read into.
+    Values come from k-arithmetic the oracle replays; v2.4 padding
+    bytes after the frames prove the zero-id stop rule.  One row per
+    (media, frame) — the 1-row→frames explosion.  Scale: 40-blob
+    broadcast dim, mapInPandas, zero shuffle, O(tag bytes) per blob."""
+    from aroa_etl_spark.operators.multimodal import (
+        encode_id3v2, encode_mp3_frames, mp3_id3_tags,
+    )
+
+    blobs = []
+    for k in range(40):
+        frames = {"TIT2": f"Title {k}", "TPE1": f"Artist {k % 7}"}
+        if k % 5 != 4:
+            frames["TALB"] = f"Album {k % 3}"
+        tag = encode_id3v2(
+            frames, version=4 if k % 2 == 0 else 3,
+            padding=6 if k % 2 == 0 else 0,
+        )
+        blobs.append((k, bytearray(
+            tag + encode_mp3_frames([1 + k % 14], sr_idx=k % 3)
+        )))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return mp3_id3_tags(media, strict=True)

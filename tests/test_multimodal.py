@@ -2415,3 +2415,31 @@ def test_mp4_keyframes_only_sampling(spark):
         [(1, bytearray(blob2))], "media_id long, content binary"
     )
     assert mp4_video_frame_features(df2, keyframes_only=True).count() == 6
+
+
+def test_id3v2_parser_both_versions_and_guards():
+    from aroa_etl_spark.operators.multimodal import (
+        encode_id3v2, encode_mp3_frames, parse_id3v2_text_frames,
+    )
+
+    import pytest as _pytest
+
+    for ver in (3, 4):
+        tag = encode_id3v2(
+            {"TIT2": "T", "TPE1": "A"}, version=ver, padding=4
+        )
+        got = parse_id3v2_text_frames(tag + encode_mp3_frames([5], sr_idx=0))
+        assert got == [("TIT2", "T"), ("TPE1", "A")], ver
+    # UTF-16 with BOM (encoding byte 1)
+    body = b"\x01" + "héllo".encode("utf-16")
+    raw = (
+        b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10 + len(body)])
+        + b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+    )
+    assert parse_id3v2_text_frames(raw) == [("TIT2", "héllo")]
+    # no tag -> no rows; frame overrunning the tag -> error
+    assert parse_id3v2_text_frames(b"\xff\xfbxx") == []
+    bad = bytearray(encode_id3v2({"TIT2": "x"}, version=3))
+    bad[14] = 0xFF  # inflate the frame size past the tag
+    with _pytest.raises(ValueError, match="overruns the tag"):
+        parse_id3v2_text_frames(bytes(bad))
