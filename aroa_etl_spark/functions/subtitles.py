@@ -22,7 +22,7 @@ __all__ = ["parse_srt"]
 _TS = r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})"
 
 
-def _ms(cue, pattern_prefix: str, base_group: int):
+def _ms(cue, base_group: int):
     """start/end milliseconds from the timing line: the four capture
     groups of one timestamp, combined in exact integer arithmetic."""
     full = rf"{_TS}\s*-->\s*{_TS}"
@@ -49,18 +49,22 @@ def parse_srt(
     in the wild renumber and skip; reporting the declared value keeps
     gaps visible), NULL when the block carries none."""
     cue = F.col("__cue")
+    # a UTF-8 BOM (the default from many Windows subtitle tools) would
+    # defeat the ^-anchored counter/body regexes for the FIRST cue and
+    # leak the counter+timing lines into its text (review finding)
+    debommed = F.regexp_replace(F.col(text_col), "^\ufeff", "")
     exploded = (
         df.select(
             id_col,
             F.posexplode(
-                F.split(F.col(text_col), r"\r?\n[ \t]*\r?\n")
+                F.split(debommed, r"\r?\n[ \t]*\r?\n")
             ).alias("__pos", "__cue"),
         )
         .where(F.trim(cue) != "")
     )
     idx = F.regexp_extract(cue, r"^\s*(\d+)\s*\r?\n", 1)
-    start = _ms(cue, "", 1)
-    end = _ms(cue, "", 5)
+    start = _ms(cue, 1)
+    end = _ms(cue, 5)
     # drop the counter line (if present) and the timing line; fold the
     # remaining lines into one space-separated string
     body = F.regexp_replace(cue, r"^\s*\d+\s*\r?\n", "")

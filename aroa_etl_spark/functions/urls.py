@@ -42,19 +42,27 @@ def canonicalize_url(col: "Column | str") -> Column:
     Inputs that do not look like scheme://... pass through unchanged
     (the honest choice for mixed junk columns — report, don't guess)."""
     url = F.col(col) if isinstance(col, str) else col
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    authority = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
-    # strip the default port token at end-of-authority per scheme
-    host = F.when(
-        scheme == "http", F.regexp_replace(authority, r":80$", "")
+    # fragment dropped FIRST so a '?' inside the fragment can never be
+    # resurrected as a query string (review finding)
+    pre = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    raw_auth = F.regexp_extract(pre, r"^[^:]+://([^/?#]*)", 1)
+    # userinfo is CASE-SENSITIVE (credentials/tokens) — preserve it
+    # verbatim and lowercase only the host[:port] part (review finding)
+    userinfo = F.regexp_extract(raw_auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(raw_auth, r"^.*@", ""))
+    # strip the default port token per scheme
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
     ).when(
-        scheme == "https", F.regexp_replace(authority, r":443$", "")
-    ).otherwise(authority)
-    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    host = F.concat(userinfo, hostport)
+    path = F.regexp_extract(pre, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(
         F.regexp_replace(path, r"(.)/$", r"$1")
     )
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = F.regexp_extract(pre, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")

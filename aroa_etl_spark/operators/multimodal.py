@@ -3564,7 +3564,10 @@ def _parse_mp4_samples(content: bytes, *, strict: bool) -> "dict | None":
                     if frag["samples"]:
                         return frag
                 return rec
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, NotImplementedError):
+        # NotImplementedError: e.g. a trun relying on trex/tfhd
+        # default sample sizes — lenient mixed-crawl mode must skip,
+        # not kill the task (the same contract the audio path keeps)
         if strict:
             raise
         return None
@@ -3583,6 +3586,12 @@ def _parse_trak_samples(content: bytes, tb: int, te: int) -> "dict | None":
         return None  # minimal trak stubs carry no box grammar
     if "mdia" not in kids:
         return None
+    track_id = None
+    if "tkhd" in kids:
+        kb, _ke = kids["tkhd"]
+        # tkhd v0: track_ID at body+12 (version/flags 4 + times 8);
+        # v1 at body+20 (64-bit times)
+        track_id = u32(kb + 12 if content[kb] == 0 else kb + 20)
     mdia = _bmff_children(content, *kids["mdia"])
     if "hdlr" not in mdia or "minf" not in mdia or "mdhd" not in mdia:
         return None
@@ -3703,6 +3712,7 @@ def _parse_trak_samples(content: bytes, tb: int, te: int) -> "dict | None":
         "media_timescale": media_timescale,
         "samples": samples,
         "sync": sync,  # 1-based sample indices; None = all sync (spec)
+        "track_id": track_id,
     }
 
 
@@ -3770,7 +3780,7 @@ def mp4_video_frame_features(
                 content = bytes(row["content"] or b"")
                 try:
                     rec = _parse_mp4_samples(content, strict=strict)
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, NotImplementedError):
                     if strict:
                         raise
                     continue
@@ -4563,69 +4573,101 @@ def _parse_mp4_fragments(content: bytes, trak_rec: dict) -> dict:
 
     samples: "list[tuple]" = []
     running_dts = 0
+    want_track = trak_rec.get("track_id")
     for btype, body, bend in _bmff_walk(content, 0, len(content)):
         if btype != "moof":
             continue
-        moof_start = body - 8  # box header precedes the body
-        kids = _bmff_children(content, body, bend)
-        if "traf" not in kids:
-            continue
-        traf = _bmff_children(content, *kids["traf"])
-        base_dts = running_dts
-        if "tfdt" in traf:
-            db, _de = traf["tfdt"]
-            ver = content[db]
-            base_dts = (
-                int.from_bytes(content[db + 4 : db + 12], "big")
-                if ver == 1
-                else int.from_bytes(content[db + 4 : db + 8], "big")
-            )
-        if "trun" not in traf:
-            continue
-        rb, rend = traf["trun"]
-        flags = int.from_bytes(content[rb + 1 : rb + 4], "big")
-        count = int.from_bytes(content[rb + 4 : rb + 8], "big")
-        p = rb + 8
-        data_offset = 0
-        if flags & 0x1:
-            data_offset = int.from_bytes(
-                content[p : p + 4], "big", signed=True
-            )
-            p += 4
-        if flags & 0x4:
-            p += 4  # first-sample-flags
-        per = (
-            (4 if flags & 0x100 else 0)
-            + (4 if flags & 0x200 else 0)
-            + (4 if flags & 0x400 else 0)
-            + (4 if flags & 0x800 else 0)
-        )
-        if p + per * count > rend:
-            raise ValueError(
-                f"trun declares {count} samples beyond its box — corrupt"
-            )
-        if not (flags & 0x200):
-            raise NotImplementedError(
-                "trun without per-sample sizes needs trex/tfhd defaults — "
-                "not written by any fixture here"
-            )
-        off = moof_start + data_offset
-        dts = base_dts
-        for _ in range(count):
-            dur = 0
-            if flags & 0x100:
-                dur = int.from_bytes(content[p : p + 4], "big")
-                p += 4
-            size = int.from_bytes(content[p : p + 4], "big")
-            p += 4
-            if flags & 0x400:
-                p += 4
-            if flags & 0x800:
-                p += 4
-            samples.append((off, size, dts, dur))
-            off += size
-            dts += dur
-        running_dts = dts
+        # box START from the actual header width (an 8-byte assumption
+        # shifts every offset by 8 for a largesize moof — review
+        # finding); _bmff_walk yields body AFTER the header
+        hdr = 8 if content[body - 4 : body] == b"moof" else 16
+        moof_start = body - hdr
+        for t, fb, fe in _bmff_walk(content, body, bend):
+            if t != "traf":
+                continue
+            # walk EVERY traf (a multi-track fragment interleaves
+            # audio/video trafs) and EVERY trun within it (review
+            # finding: first-child-only dropped legal runs)
+            traf = _bmff_children(content, fb, fe)
+            if "tfhd" in traf:
+                tb_, tde = traf["tfhd"]
+                if tde - tb_ < 8:
+                    raise ValueError("tfhd too small for its track_ID")
+                traf_track = int.from_bytes(content[tb_ + 4 : tb_ + 8], "big")
+                if want_track is not None and traf_track != want_track:
+                    continue
+            base_dts = running_dts
+            if "tfdt" in traf:
+                db, de = traf["tfdt"]
+                ver = content[db]
+                need = 12 if ver == 1 else 8
+                if de - db < need:
+                    # silent reads past the box handed a bogus base
+                    # time to every sample (review finding)
+                    raise ValueError(
+                        f"tfdt v{ver} body too small ({de - db} < {need})"
+                    )
+                base_dts = (
+                    int.from_bytes(content[db + 4 : db + 12], "big")
+                    if ver == 1
+                    else int.from_bytes(content[db + 4 : db + 8], "big")
+                )
+            dts = base_dts
+            prev_end = None  # where the previous run's samples ended
+            for rt, rb, rend in _bmff_walk(content, fb, fe):
+                if rt != "trun":
+                    continue
+                flags = int.from_bytes(content[rb + 1 : rb + 4], "big")
+                count = int.from_bytes(content[rb + 4 : rb + 8], "big")
+                p = rb + 8
+                data_offset = None
+                if flags & 0x1:
+                    data_offset = int.from_bytes(
+                        content[p : p + 4], "big", signed=True
+                    )
+                    p += 4
+                if flags & 0x4:
+                    p += 4  # first-sample-flags
+                per = (
+                    (4 if flags & 0x100 else 0)
+                    + (4 if flags & 0x200 else 0)
+                    + (4 if flags & 0x400 else 0)
+                    + (4 if flags & 0x800 else 0)
+                )
+                if p + per * count > rend:
+                    raise ValueError(
+                        f"trun declares {count} samples beyond its box — corrupt"
+                    )
+                if not (flags & 0x200):
+                    raise NotImplementedError(
+                        "trun without per-sample sizes needs trex/tfhd "
+                        "defaults — not written by any fixture here"
+                    )
+                # absent data-offset: samples CONTINUE after the
+                # previous run's (spec §8.8.8); first run defaults to
+                # right after the moof header pair
+                if data_offset is not None:
+                    off = moof_start + data_offset
+                elif prev_end is not None:
+                    off = prev_end
+                else:
+                    off = bend + 8  # first byte after moof's mdat header
+                for _ in range(count):
+                    dur = 0
+                    if flags & 0x100:
+                        dur = int.from_bytes(content[p : p + 4], "big")
+                        p += 4
+                    size = int.from_bytes(content[p : p + 4], "big")
+                    p += 4
+                    if flags & 0x400:
+                        p += 4
+                    if flags & 0x800:
+                        p += 4
+                    samples.append((off, size, dts, dur))
+                    off += size
+                    dts += dur
+                prev_end = off
+            running_dts = dts
     return {
         "codec": trak_rec["codec"],
         "width": trak_rec["width"],
@@ -4673,14 +4715,20 @@ def encode_id3v2(
 
 
 def parse_id3v2_text_frames(content: bytes) -> "list[tuple[str, str]]":
-    """(frame_id, text) for every ID3v2.3/2.4 TEXT frame at the head
-    of ``content`` — encoding byte 0 (Latin-1), 1 (UTF-16 w/ BOM) and
-    3 (UTF-8) decode; non-text frames are skipped by size arithmetic;
-    a zero frame-id byte ends the walk (padding).  Returns [] when no
-    ID3v2 tag leads the blob."""
+    """(frame_id, text) for every ID3v2.2/2.3/2.4 TEXT frame at the
+    head of ``content`` — encoding byte 0 (Latin-1), 1 (UTF-16 w/ BOM)
+    and 3 (UTF-8) decode; non-text frames are skipped by size
+    arithmetic; a zero frame-id byte ends the walk (padding).  v2.2
+    uses its own 3-byte id / 3-byte size layout (misreading it with
+    v2.3 arithmetic yields garbage — review finding); ids are reported
+    as written ('TT2' under v2.2, 'TIT2' later).  Returns [] when no
+    ID3v2 tag — or a version this parser does not know — leads the
+    blob."""
     if content[:3] != b"ID3" or len(content) < 10:
         return []
     version = content[3]
+    if version not in (2, 3, 4):
+        return []  # unknown layout: refuse to guess
     tag_size = (
         ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14)
         | ((content[8] & 0x7F) << 7) | (content[9] & 0x7F)
@@ -4701,21 +4749,24 @@ def parse_id3v2_text_frames(content: bytes) -> "list[tuple[str, str]]":
             pos += ext
         else:
             pos += 4 + ext
+    id_len, hdr_len = (3, 6) if version == 2 else (4, 10)
     out: "list[tuple[str, str]]" = []
-    while pos + 10 <= end:
-        fid = content[pos : pos + 4]
+    while pos + hdr_len <= end:
+        fid = content[pos : pos + id_len]
         if fid[0] == 0:
             break  # padding
-        raw = content[pos + 4 : pos + 8]
-        if version == 4:
+        if version == 2:
+            fsize = int.from_bytes(content[pos + 3 : pos + 6], "big")
+        elif version == 4:
+            raw = content[pos + 4 : pos + 8]
             fsize = (
                 ((raw[0] & 0x7F) << 21) | ((raw[1] & 0x7F) << 14)
                 | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
             )
         else:
-            fsize = int.from_bytes(raw, "big")
-        payload = content[pos + 10 : pos + 10 + fsize]
-        if pos + 10 + fsize > end:
+            fsize = int.from_bytes(content[pos + 4 : pos + 8], "big")
+        payload = content[pos + hdr_len : pos + hdr_len + fsize]
+        if pos + hdr_len + fsize > end:
             raise ValueError(
                 f"ID3 frame {fid!r} overruns the tag ({fsize} bytes)"
             )
@@ -4737,7 +4788,7 @@ def parse_id3v2_text_frames(content: bytes) -> "list[tuple[str, str]]":
                 out.append(
                     (fid.decode("ascii"), text.rstrip("\x00"))
                 )
-        pos += 10 + fsize
+        pos += hdr_len + fsize
     return out
 
 

@@ -2443,3 +2443,98 @@ def test_id3v2_parser_both_versions_and_guards():
     bad[14] = 0xFF  # inflate the frame size past the tag
     with _pytest.raises(ValueError, match="overruns the tag"):
         parse_id3v2_text_frames(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 second review pass
+# ---------------------------------------------------------------------------
+
+
+def test_fmp4_multi_track_and_largesize_and_guards():
+    """Second-pass review fixes: the fragment walk filters trafs by the
+    video track_ID (an audio traf preceding the video traf must not be
+    decoded as frames), handles a largesize moof header, bounds tfdt
+    reads, and lenient mode survives a defaults-only trun."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.jpegcodec import encode_baseline_jpeg
+    from aroa_etl_spark.operators.multimodal import (
+        _bmff_box, _bmff_full, demux_mp4_frames, encode_mp4_fragmented,
+    )
+
+    frames = [
+        encode_baseline_jpeg(np.full((8, 16), 110 + 10 * g, dtype=np.uint8),
+                             quality=85)
+        for g in range(2)
+    ]
+    blob = encode_mp4_fragmented(
+        frames, width=16, height=8, sample_durations=[3, 4],
+        frames_per_fragment=2,
+    )
+    # inject an AUDIO traf (track 2) BEFORE the video traf inside the
+    # moof: its trun points at garbage; a walk without track filtering
+    # would demux it as video
+    at = blob.find(b"moof")
+    moof_start = at - 4
+    (msize,) = struct.unpack(">I", blob[moof_start : moof_start + 4])
+    moof_body = blob[moof_start + 8 : moof_start + msize]
+    audio_traf = _bmff_box(
+        b"traf",
+        _bmff_full(b"tfhd", 0, 0x020000, struct.pack(">I", 2))
+        + _bmff_full(
+            b"trun", 0, 0x000301,
+            struct.pack(">Ii", 1, 4096) + struct.pack(">II", 7, 12),
+        ),
+    )
+    # new moof: mfhd + audio traf + original video traf; the video
+    # trun's data offset must be rebuilt for the new moof size
+    kids = moof_body
+    new_body = kids[:16] + audio_traf + kids[16:]  # mfhd is 16 bytes
+    new_moof = _bmff_box(b"moof", new_body)
+    delta = len(new_moof) - msize
+    # rewrite the video trun data_offset (last trun in the new moof)
+    nm = bytearray(new_moof)
+    toff = bytes(nm).rfind(b"trun")
+    (old_off,) = struct.unpack(">i", nm[toff + 12 : toff + 16])
+    nm[toff + 12 : toff + 16] = struct.pack(">i", old_off + delta)
+    patched = blob[:moof_start] + bytes(nm) + blob[moof_start + msize :]
+    got = demux_mp4_frames(patched)
+    assert [fb for fb, _, _ in got] == frames  # audio traf ignored
+
+    # largesize moof header: rebuild the original moof with size==1
+    large = (
+        struct.pack(">I", 1) + b"moof" + struct.pack(">Q", 16 + len(moof_body))
+        + moof_body
+    )
+    lm = bytearray(large)
+    toff = bytes(lm).rfind(b"trun")
+    (old_off,) = struct.unpack(">i", lm[toff + 12 : toff + 16])
+    lm[toff + 12 : toff + 16] = struct.pack(">i", old_off + 8)
+    patched2 = blob[:moof_start] + bytes(lm) + blob[moof_start + msize :]
+    got2 = demux_mp4_frames(patched2)
+    assert [fb for fb, _, _ in got2] == frames
+
+    # defaults-only trun (no per-sample sizes): strict raises
+    # NotImplementedError, lenient returns no frames instead of dying
+    nb = bytearray(blob)
+    toff = bytes(nb).rfind(b"trun")
+    nb[toff + 4 : toff + 8] = struct.pack(">I", 0x000101)  # offset+dur only
+    with _pytest.raises(NotImplementedError):
+        demux_mp4_frames(bytes(nb))
+    assert demux_mp4_frames(bytes(nb), strict=False) == []
+
+
+def test_id3v22_layout_and_unknown_versions():
+    from aroa_etl_spark.operators.multimodal import parse_id3v2_text_frames
+
+    raw = (
+        b"ID3\x02\x00\x00" + bytes([0, 0, 0, 15])
+        + b"TT2" + bytes([0, 0, 9]) + b"\x00My Title"
+    )
+    assert parse_id3v2_text_frames(raw) == [("TT2", "My Title")]
+    # unknown version byte: refuse to guess, no rows
+    v5 = b"ID3\x05\x00\x00" + bytes([0, 0, 0, 4]) + bytes(4)
+    assert parse_id3v2_text_frames(v5) == []
