@@ -122,6 +122,7 @@ def exact_auc(
     tiebreak_col: str,
     *,
     n_bands: int = 32,
+    persist: bool = False,
 ) -> DataFrame:
     """EXACT ROC-AUC as a 1-row frame — the Mann-Whitney rank form
     with proper tie handling, in pure integer arithmetic until the
@@ -142,7 +143,12 @@ def exact_auc(
     (=2·n_pos·n_neg), auc (double, 9 dp; NULL when the input is
     single-class — AUC is undefined without both labels).  Scale: the banded rank's
     two passes + one groupBy(score) shuffle + a scalar aggregate;
-    nothing quadratic, no data-sized window."""
+    nothing quadratic, no data-sized window.  ``persist=True`` caches
+    the 3-column (score, label, tiebreak) projection so the rank's
+    percentile probe, band-size aggregation, and windowed pass scan it
+    once instead of re-running an expensive upstream (e.g. a
+    classifier scoring expression) three times — same cache-ownership
+    contract as exact_global_rank (the caller clears it)."""
     from aroa_etl_spark.operators.stats import exact_global_rank
 
     ranked = exact_global_rank(
@@ -155,6 +161,7 @@ def exact_auc(
         "__t",
         rank_col="__rk",
         n_bands=n_bands,
+        persist=persist,
     )
     groups = ranked.groupBy("__s").agg(
         F.min("__rk").alias("lo"),
