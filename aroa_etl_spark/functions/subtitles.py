@@ -80,3 +80,71 @@ def parse_srt(
         (end - start).alias("duration_ms"),
         text.alias("cue_text"),
     )
+
+
+def parse_webvtt(
+    df: DataFrame, text_col: str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """WebVTT cue parsing — the WEB-NATIVE caption format (YouTube,
+    DASH/HLS sidecars): one row per cue with (id_col, cue_id string —
+    WebVTT identifiers are arbitrary text, not counters — start_ms,
+    end_ms, duration_ms, cue_text, settings string).  Differences from
+    SubRip handled per spec: the mandatory WEBVTT header block (with
+    optional trailing metadata on the same block) is dropped, NOTE /
+    STYLE / REGION blocks are filtered out, timestamps use dot
+    milliseconds with an OPTIONAL hours field, and the timing line may
+    carry cue settings after the end timestamp (preserved verbatim in
+    ``settings``).  Same discipline as :func:`parse_srt`: pure
+    posexplode/regexp/integer expressions, BOM stripped, malformed
+    cue blocks surface with NULL timing."""
+    ts_opt_h = r"(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})"
+    timing = rf"{ts_opt_h}[ \t]*-->[ \t]*{ts_opt_h}[ \t]*(.*)"
+
+    debommed = F.regexp_replace(F.col(text_col), "^﻿", "")
+    cue = F.col("__cue")
+    exploded = (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.split(debommed, r"\r?\n[ \t]*\r?\n")
+            ).alias("__pos", "__cue"),
+        )
+        .where(F.trim(cue) != "")
+        # header block + comment/metadata blocks are not cues
+        .where(~cue.rlike(r"^﻿?(WEBVTT|NOTE|STYLE|REGION)\b"))
+    )
+
+    def ms(base: int):
+        # groups: base+0 = optional hours, base+1 = minutes (always
+        # present when the timing line matched), +2 seconds, +3 millis
+        def g(i):
+            return F.regexp_extract(cue, timing, i)
+
+        h, m, s, mmm = (g(base + j) for j in range(4))
+        return F.when(
+            m != "",
+            F.when(h != "", h.cast("long")).otherwise(F.lit(0)) * 3_600_000
+            + m.cast("long") * 60_000
+            + s.cast("long") * 1_000
+            + mmm.cast("long"),
+        ).otherwise(F.lit(None).cast("long"))
+
+    start = ms(1)
+    end = ms(5)
+    settings = F.regexp_extract(cue, timing, 9)
+    # the optional identifier is any first line NOT containing '-->'
+    cue_id = F.regexp_extract(cue, r"^([^\n]*)\r?\n[^\n]*-->", 1)
+    body = F.regexp_replace(cue, r"^[^\n]*\r?\n(?=[^\n]*-->)", "")
+    body = F.regexp_replace(body, r"^[^\n]*-->[^\n]*(\r?\n|$)", "")
+    text = F.trim(F.regexp_replace(body, r"\s*\r?\n\s*", " "))
+    return exploded.select(
+        id_col,
+        F.when(F.trim(cue_id) != "", F.trim(cue_id))
+        .otherwise(F.lit(None).cast("string")).alias("cue_id"),
+        start.alias("start_ms"),
+        end.alias("end_ms"),
+        (end - start).alias("duration_ms"),
+        text.alias("cue_text"),
+        F.when(F.trim(settings) != "", F.trim(settings))
+        .otherwise(F.lit(None).cast("string")).alias("settings"),
+    )

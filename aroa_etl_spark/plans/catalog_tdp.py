@@ -3156,3 +3156,85 @@ def text_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.select("doc_id", srt.alias("srt"))
     return parse_srt(staged, "srt")
+
+
+@query(
+    "text_webvtt_parse",
+    oracle="""
+    WITH p AS (SELECT doc_id, CAST(doc_id % 30 AS INT) AS k FROM documents),
+    cues AS (SELECT doc_id, k, CAST(unnest(range(0, 1 + k % 3)) AS INT) AS i
+             FROM p),
+    t AS (SELECT doc_id, k, i,
+                 (k + 2 * i) * 1000 + ((k + i) * 37) % 1000 AS start_ms
+          FROM cues)
+    SELECT doc_id,
+           CASE WHEN i % 2 = 0
+                THEN 'c-' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+           END AS cue_id,
+           CAST(start_ms AS BIGINT) AS start_ms,
+           CAST(start_ms + 500 + (k % 7) * 100 AS BIGINT) AS end_ms,
+           CAST(500 + (k % 7) * 100 AS BIGINT) AS duration_ms,
+           'cue-' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+             || ' alpha beta' AS cue_text,
+           CASE WHEN k % 2 = 1 THEN 'align:start position:50%' END
+             AS settings
+    FROM t
+    """,
+)
+def text_webvtt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT caption parsing (functions/subtitles.py parse_webvtt) —
+    the web-native caption format (YouTube, DASH/HLS sidecars), SRT's
+    sibling with the differences that break naive parsers: a mandatory
+    WEBVTT header block (with trailing metadata), NOTE comment blocks,
+    OPTIONAL arbitrary-text cue identifiers (only even-i cues carry
+    one — absence must yield NULL, not a swallowed first text line),
+    dot milliseconds with an OPTIONAL hours field (k parity alternates
+    MM:SS.mmm and 00:MM:SS.mmm so both timestamp shapes walk), and cue
+    settings after the end timestamp (odd-k cues carry them).  Every
+    document builds a genuine VTT file in-plan from k-arithmetic; the
+    oracle derives all values independently (it never parses VTT).
+    Scale: split+posexplode+regexp, codegen-only."""
+    from aroa_etl_spark.functions.subtitles import parse_webvtt
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = (F.col("doc_id") % 30).cast("int")
+
+    def two(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    def three(c):
+        return F.lpad(c.cast("string"), 3, "0")
+
+    def ts(total_ms):
+        mm = (total_ms / 60000).cast("long")
+        ss = (total_ms / 1000).cast("long") % 60
+        base = F.concat(two(mm), F.lit(":"), two(ss),
+                        F.lit("."), three(total_ms % 1000))
+        return F.when(k % 2 == 0, base).otherwise(
+            F.concat(F.lit("00:"), base)
+        )
+
+    def cue(i):
+        start = (k + 2 * i) * 1000 + ((k + i) * 37) % 1000
+        end = start + 500 + (k % 7) * 100
+        ident = F.when(
+            i % 2 == 0,
+            F.concat(F.lit("c-"), k.cast("string"), F.lit("-"),
+                     i.cast("string"), F.lit("\n")),
+        ).otherwise(F.lit(""))
+        setting = F.when(
+            k % 2 == 1, F.lit(" align:start position:50%")
+        ).otherwise(F.lit(""))
+        return F.concat(
+            ident,
+            ts(start), F.lit(" --> "), ts(end), setting, F.lit("\n"),
+            F.lit("cue-"), k.cast("string"), F.lit("-"), i.cast("string"),
+            F.lit("\nalpha beta"),
+        )
+
+    vtt = F.concat(
+        F.lit("WEBVTT - engine fixture\n\nNOTE\nk-arithmetic cues\n\n"),
+        F.array_join(F.transform(F.sequence(F.lit(0), k % 3), cue), "\n\n"),
+    )
+    staged = docs.select("doc_id", vtt.alias("vtt"))
+    return parse_webvtt(staged, "vtt")

@@ -340,3 +340,29 @@ def test_parse_srt_edges(spark):
     assert rows[2].end_ms == 65999 and rows[2].duration_ms == 3996
     assert rows[2].cue_text == "first second third"
     assert rows[3].start_ms is None and rows[3].cue_text.startswith("just text")
+
+
+def test_parse_webvtt_edges(spark):
+    """WebVTT edges: BOM on the WEBVTT header, STYLE/REGION blocks
+    skipped, hourless timestamps, identifiers that look like text, and
+    a timing-less block surfacing with NULL timing."""
+    from aroa_etl_spark.functions.subtitles import parse_webvtt
+
+    vtt = (
+        "﻿WEBVTT\n\n"
+        "STYLE\n::cue { color: red }\n\n"
+        "REGION\nid:r1\n\n"
+        "12 monkeys\n00:03.000 --> 00:04.000\ntext one\n\n"
+        "00:05.500 --> 01:02:06.000 line:0\nsecond <i>cue</i>\n\n"
+        "orphan block with no arrow\n"
+    )
+    df = spark.createDataFrame([(3, vtt)], "doc_id long, text string")
+    rows = sorted(
+        parse_webvtt(df, "text").collect(),
+        key=lambda r: (r.start_ms is None, r.start_ms or 0),
+    )
+    assert [r.start_ms for r in rows] == [3000, 5500, None]
+    assert rows[0].cue_id == "12 monkeys" and rows[0].cue_text == "text one"
+    assert rows[1].cue_id is None and rows[1].end_ms == 3726000
+    assert rows[1].settings == "line:0"
+    assert rows[2].cue_text.startswith("orphan block")
