@@ -755,6 +755,73 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_level_cte(i: int, prev: int, n: int) -> str:
+    """One unrolled level of the Hilbert state machine as SQL: quadrant
+    digit via the arithmetic XOR form, then the ry==0 rotate/flip.
+    MATERIALIZED so DuckDB evaluates each level once instead of
+    inlining the state recurrence into an exponential expression."""
+    s = 1 << i
+    return f"""
+    l{i} AS MATERIALIZED (
+      SELECT p_partkey,
+             CASE WHEN (hy // {s}) % 2 = 0 THEN
+                    (CASE WHEN (hx // {s}) % 2 = 1 THEN {n - 1} - hy ELSE hy END)
+                  ELSE hx END AS hx,
+             CASE WHEN (hy // {s}) % 2 = 0 THEN
+                    (CASE WHEN (hx // {s}) % 2 = 1 THEN {n - 1} - hx ELSE hx END)
+                  ELSE hy END AS hy,
+             hd + {s * s} * (3 * ((hx // {s}) % 2)
+                             + ((hy // {s}) % 2)
+                               * (1 - 2 * ((hx // {s}) % 2))) AS hd
+      FROM l{prev})"""
+
+
+_H_BITS = 10
+_H_ORACLE = (
+    f"""
+    WITH l{_H_BITS} AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS hx,
+                 CAST(p_partkey % {1 << _H_BITS} AS BIGINT) AS hy,
+                 CAST(0 AS BIGINT) AS hd FROM part),"""
+    + ",".join(
+        _hilbert_level_cte(i, i + 1, 1 << _H_BITS)
+        for i in range(_H_BITS - 1, -1, -1)
+    )
+    + """
+    SELECT p_partkey, CAST(hd AS BIGINT) AS hkey
+    FROM l0 ORDER BY hkey DESC, p_partkey LIMIT 25
+    """
+)
+
+
+@query("layout_hilbert_key", oracle=_H_ORACLE)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (operators/layout.hilbert_key_df):
+    the locality-tighter alternative to layout_zorder_key — consecutive
+    key values are ALWAYS spatially adjacent (property-tested), so a
+    range-partitioned write prunes both dimensions with tighter file
+    min/max boxes than Morton near quadrant seams.  Same (p_size,
+    p_partkey%1024) plane as the zorder entry for direct comparison;
+    the 10-level quadrant/rotate state machine unrolls into chained
+    integer-only projections on both engines (no UDF, whole-stage
+    codegen on the Spark side, MATERIALIZED level CTEs on the oracle
+    side). Top-25 keys pin every level's arithmetic."""
+    from aroa_etl_spark.operators.layout import hilbert_key_df
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    keyed = hilbert_key_df(
+        part.select("p_partkey", "p_size"),
+        "p_size",
+        (F.col("p_partkey") % (1 << _H_BITS)),
+        bits=_H_BITS,
+        out="hkey",
+    )
+    return (
+        keyed.select("p_partkey", "hkey")
+        .orderBy(F.col("hkey").desc(), "p_partkey")
+        .limit(25)
+    )
+
+
 @query(
     "dq_profile_orders",
     oracle="""

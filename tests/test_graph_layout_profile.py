@@ -82,6 +82,83 @@ def test_zorder_locality_beats_single_column_sort(spark):
         assert r.sy <= 8, r  # z-order keeps y clustered too; plain sort gives 15
 
 
+def _hilbert_ref(bits, x, y):
+    # independent pure-Python xy2d (Wikipedia form) for cross-checking
+    n = 1 << bits
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    from aroa_etl_spark.operators.layout import hilbert_key_df
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).cast("int").alias("x"),
+        (F.col("id") / 16).cast("int").alias("y"),
+    )
+    rows = hilbert_key_df(df, "x", "y", bits=4).collect()
+    for r in rows:
+        assert r.hkey == _hilbert_ref(4, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_key_is_adjacent_bijection(spark):
+    """The defining Hilbert property: keys are a bijection onto
+    [0, 4^bits) and CONSECUTIVE keys are Manhattan-distance-1 cells —
+    the locality guarantee Morton interleaving does not give."""
+    from aroa_etl_spark.operators.layout import hilbert_key_df
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).cast("int").alias("x"),
+        (F.col("id") / 16).cast("int").alias("y"),
+    )
+    rows = hilbert_key_df(df, "x", "y", bits=4).collect()
+    pos = {r.hkey: (r.x, r.y) for r in rows}
+    assert sorted(pos) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_key_out_of_range_raises(spark):
+    from aroa_etl_spark.operators.layout import hilbert_key_df
+
+    df = spark.createDataFrame([(5, 0)], "x int, y int")
+    with pytest.raises(Exception, match="hilbert_key"):
+        hilbert_key_df(df, "x", "y", bits=2).collect()
+
+
+def test_repartition_by_hilbert_partition_boxes_tight(spark):
+    from aroa_etl_spark.operators.layout import repartition_by_hilbert
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).cast("int").alias("x"),
+        (F.col("id") / 16).cast("int").alias("y"),
+    )
+    h = repartition_by_hilbert(df, "x", "y", bits=4, num_partitions=4)
+    spans = (
+        h.select(F.spark_partition_id().alias("p"), "x", "y")
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) == 4
+    for r in spans:
+        # a contiguous quarter of the curve is one 8x16-or-tighter box
+        assert r.sx <= 8 or r.sy <= 8, r
+
+
 def test_profile_one_row_per_column(spark):
     df = spark.createDataFrame(
         [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
