@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["linkage_eval", "blocking_stats"]
+__all__ = ["linkage_eval", "blocking_stats", "exact_auc", "calibration_bins"]
 
 
 def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
@@ -196,3 +196,65 @@ def exact_auc(
             ),
         ).otherwise(F.lit(None).cast("double")).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for an integer-scored classifier — the
+    calibration companion of :func:`exact_auc` (AUC measures ranking;
+    calibration measures whether the score MAGNITUDE is trustworthy,
+    which decides where a curation pipeline can place its gate
+    threshold).
+
+    ``score_col`` must be an integer score (e.g. the classifier's
+    milli-logit). Bins are equi-width over the observed [min, max]:
+    ``bin = (score - min) * n_bins div (max - min + 1)`` — pure integer
+    arithmetic, so bin assignment is bit-identical on any engine (no
+    float edges, no transcendentals). Per bin: row count, positive
+    count, the exact integer score sum, and the two rounded doubles a
+    reliability diagram plots (mean score vs observed positive rate).
+    The |gap| column is the bin's expected-calibration-error
+    contribution before the n_b/N weighting.
+
+    Scale: one min/max aggregate (broadcast back as a 1-row dim) + one
+    groupBy(bin) — two scans, no window, no sort."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    stats = df.agg(
+        F.min(F.col(score_col).cast("long")).alias("__lo"),
+        F.max(F.col(score_col).cast("long")).alias("__hi"),
+    )
+    binned = (
+        df.select(
+            F.col(score_col).cast("long").alias("__s"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bin",
+            F.expr(f"CAST(((__s - __lo) * {n_bins}) DIV (__hi - __lo + 1) AS INT)"),
+        )
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum("__s").cast("bigint").alias("score_sum"),
+    )
+    mean_score = F.round(
+        F.col("score_sum").cast("double") / F.col("n").cast("double"), 6
+    )
+    frac_pos = F.round(
+        F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        "score_sum",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+    ).orderBy("bin")

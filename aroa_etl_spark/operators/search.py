@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from aroa_etl_spark.functions import text as X
 
-__all__ = ["term_frequencies", "build_inverted_index", "bm25_topk"]
+__all__ = [
+    "term_frequencies",
+    "build_inverted_index",
+    "bm25_topk",
+    "tfidf_top_terms",
+]
 
 
 def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -122,6 +127,64 @@ def bm25_topk(
         .agg(F.round(F.sum("fp") / 1e8, 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    classic keyword-extraction / document-labeling pass of a curation
+    pipeline (what you'd feed a topic-mixture or domain-tagging stage).
+
+    score(d, t) = tf(d, t) * ln(N / df(t)), with N the TOTAL corpus
+    size (empty documents count toward N but contribute no terms).
+
+    Determinism: ln() is double math, so each term's idf rounds to a
+    1e-9 fixed-point BIGINT before the tf multiply and the per-document
+    ranking — identical ranking and 6-decimal scores on any engine
+    (plans/catalog.py determinism rules). Ties break by term ascending.
+
+    Shape at scale: one explode + (doc, term) groupBy for tf, one term
+    groupBy for df, one shuffle join back on term, then a per-document
+    top-k window partitioned by the document id — every stage keyed,
+    nothing global."""
+    tf = term_frequencies(docs, id_col, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs") / F.col("df")) * F.lit(1e9)
+                ).cast("long")
+            ).alias("score_fp"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy(id_col).orderBy(F.col("score_fp").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            "tf",
+            F.round(F.col("score_fp") / F.lit(1e9), 6).alias("tfidf"),
+        )
+    )
 
 
 def rrf_fuse(

@@ -203,6 +203,42 @@ def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_tfidf_topterms",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM toks_t)
+           GROUP BY doc_id, term),
+    n_t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                      tf * CAST(round(ln(n_docs / df) * 1000000000.0) AS BIGINT)
+                        AS score_fp
+               FROM tf JOIN dfreq USING (term), n_t),
+    ranked AS (SELECT doc_id, term, tf, score_fp,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_fp DESC, term) AS rank
+               FROM scored)
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+           round(CAST(score_fp AS DOUBLE) / 1000000000.0, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def search_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/search.tfidf_top_terms):
+    top-3 terms by tf·ln(N/df) for every document — the
+    domain/topic-tagging pass of a curation pipeline.  The idf rounds to
+    1e-9 fixed point BEFORE the tf multiply and ranking so both engines
+    rank identical integers despite the double log; ties break by term.
+    Scale: tf and df are keyed groupBys, the join back is on term, and
+    the top-k window partitions by doc_id — no global sort anywhere."""
+    from aroa_etl_spark.operators.search import tfidf_top_terms
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
     "tdp_line_dedup",
     oracle=f"""
     WITH docs2 AS (SELECT doc_id,

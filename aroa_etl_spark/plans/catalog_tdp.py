@@ -3019,6 +3019,65 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH w AS (SELECT {_QCLF_W_SQL} AS wt),
+    s AS (SELECT doc_id, text,
+                 CAST({_QCLF_B_MILLI} + CASE WHEN length(text) < 3 THEN 0
+                      ELSE list_sum(list_transform(range(1, length(text) - 1),
+                           i -> wt[(('0x' || substr(md5(substr(text, i, 3)),
+                                                    1, 4))::BIGINT % 64) + 1]))
+                      END AS BIGINT) AS score_milli
+          FROM documents, w),
+    lab AS (SELECT s.doc_id, s.score_milli,
+                   CASE WHEN (length(d.text) -
+                              length(regexp_replace(d.text,
+                                     ' the | and | of ', '', 'g'))) * 100
+                             > 3 * greatest(length(d.text), 1)
+                        THEN 1 ELSE 0 END AS y
+            FROM s JOIN documents d USING (doc_id)),
+    mm AS (SELECT MIN(score_milli) AS lo, MAX(score_milli) AS hi FROM lab),
+    binned AS (SELECT CAST(((score_milli - lo) * 10) // (hi - lo + 1) AS INT)
+                        AS bin, score_milli, y
+               FROM lab, mm)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(score_milli) AS BIGINT) AS score_sum,
+           round(CAST(SUM(score_milli) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins
+    (operators/evaluation.calibration_bins) for the frozen quality
+    classifier against its planted stopword-density labels — the
+    calibration complement of eval_classifier_auc (AUC says the score
+    RANKS well; this says where its MAGNITUDE can be thresholded).
+    Equi-width bins over the observed milli-score range are assigned in
+    pure integer arithmetic (``(s - min) * 10 div span``), so bin
+    membership is bit-identical cross-engine; per bin the exact integer
+    score sum and positive count feed the two rounded doubles a
+    reliability plot shows. Scale: one min/max aggregate + one
+    groupBy(bin) — two scans, no window."""
+    from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
+    from aroa_etl_spark.operators.evaluation import calibration_bins
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lab = docs.select(
+        "doc_id",
+        score_hashed_ngrams_milli("text", _QCLF_W_MILLI, _QCLF_B_MILLI)
+        .alias("score_milli"),
+        (
+            (F.length("text")
+             - F.length(F.regexp_replace("text", " the | and | of ", ""))) * 100
+            > 3 * F.greatest(F.length("text"), F.lit(1))
+        ).cast("int").alias("y"),
+    )
+    return calibration_bins(lab, "score_milli", "y", n_bins=10)
+
+
+@query(
     "tdp_url_canonicalize",
     oracle="""
     WITH p AS (SELECT doc_id, CAST(doc_id % 24 AS INT) AS k FROM documents),

@@ -115,3 +115,33 @@ def test_rrf_oracle_cosine_template_matches_tdp():
     assert catalog_ext._RRF_COS == catalog_tdp._sql_cosine(
         "q.embedding", "c.embedding"
     )
+
+
+def test_tfidf_top_terms_ranking(corpus):
+    from aroa_etl_spark.operators.search import tfidf_top_terms
+
+    out = tfidf_top_terms(corpus, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 3: all three terms are corpus-unique (df=1) with tf=1 — equal
+    # scores, term-ascending tiebreak, only k=2 survive
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert [r.term for r in d3] == ["here", "nothing"]
+    # doc 1: 'spark' (tf=2, df=2) outranks 'join'/'window' (tf=1, df=2)
+    assert sorted(by_doc[1], key=lambda r: r.rank)[0].term == "spark"
+    # empty doc contributes nothing but still counted in N
+    assert 5 not in by_doc
+    n, df_spark = 5, 2
+    exp_fp = 2 * round(math.log(n / df_spark) * 1e9)
+    got = [r for r in by_doc[1] if r.term == "spark"][0]
+    assert got.tfidf == round(exp_fp / 1e9, 6)
+    assert got.tf == 2
+
+
+def test_tfidf_rank_never_exceeds_k(corpus):
+    from aroa_etl_spark.operators.search import tfidf_top_terms
+
+    out = tfidf_top_terms(corpus, "doc_id", "text", k=1).collect()
+    assert all(r.rank == 1 for r in out)
+    assert len(out) == 4  # one row per non-empty doc

@@ -153,3 +153,48 @@ def test_exact_auc_single_class_yields_null(spark):
         [(1, 3, 0), (2, 2, 0)], "id long, s int, y int"
     )
     assert exact_auc(all_neg, "s", "y", "id").first().auc is None
+
+
+def test_calibration_bins_hand_computed(spark):
+    from aroa_etl_spark.operators.evaluation import calibration_bins
+
+    # scores 0..9 over span 10 with n_bins=5 -> bins of width 2
+    rows = [(s, 1 if s >= 5 else 0) for s in range(10)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = calibration_bins(df, "s", "y", n_bins=5).collect()
+    assert [r.bin for r in out] == [0, 1, 2, 3, 4]
+    assert all(r.n == 2 for r in out)
+    assert [r.n_pos for r in out] == [0, 0, 1, 2, 2]
+    # bin 0 holds scores {0,1}: exact sum and rounded mean
+    assert out[0].score_sum == 1 and out[0].mean_score == 0.5
+    assert out[2].frac_pos == 0.5
+
+
+def test_calibration_bins_partition_invariant(spark):
+    from aroa_etl_spark.operators.evaluation import calibration_bins
+
+    rows = [(s % 97, (s * 7) % 2) for s in range(500)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    a = {r.bin: (r.n, r.n_pos, r.score_sum)
+         for r in calibration_bins(df, "s", "y").collect()}
+    b = {r.bin: (r.n, r.n_pos, r.score_sum)
+         for r in calibration_bins(df.repartition(13), "s", "y").collect()}
+    assert a == b
+
+
+def test_calibration_bins_constant_score_single_bin(spark):
+    from aroa_etl_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(42, 1), (42, 0)], "s int, y int")
+    out = calibration_bins(df, "s", "y").collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 2
+
+
+def test_calibration_bins_rejects_one_bin(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(1, 0)], "s int, y int")
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "s", "y", n_bins=1)
