@@ -4831,3 +4831,195 @@ def mp3_id3_tags(df: DataFrame, *, strict: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, ID3_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container; VP8 lossy / VP8L lossless / VP8X extended headers)
+# ---------------------------------------------------------------------------
+
+WEBP_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("has_alpha", T.IntegerType()),
+        T.StructField("has_anim", T.IntegerType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def build_webp(
+    kind: str,
+    width: int,
+    height: int,
+    *,
+    alpha: bool = False,
+    anim: bool = False,
+    pad_payload: int = 0,
+) -> bytes:
+    """Assemble a header-valid WebP file from scratch (stdlib only) —
+    the fixture-side twin of :func:`scan_webp`, same play as
+    build_ogg_page / encode_avi_mjpeg: real container bytes, no
+    external encoder.  ``kind`` is 'vp8' (lossy keyframe header),
+    'vp8l' (lossless signature) or 'vp8x' (extended: canvas dims +
+    feature flags wrapping an inner VP8 chunk).  The pixel payload
+    beyond the parsed header is deterministic padding — dimension/flag
+    TRIAGE needs valid headers, not a VP8 entropy decoder (decode stays
+    out of scope the way mm_mkv_header_scan's codecs do)."""
+    if not (1 <= width <= 16383 and 1 <= height <= 16383):
+        raise ValueError("WebP dims must be in [1, 16383]")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    pad = bytes((i * 7 + width) % 256 for i in range(pad_payload))
+    if kind == "vp8":
+        # keyframe frame tag: type=0|version=0|show=1, 19-bit first
+        # partition size (we use the pad length, clamped)
+        tag = (1 << 4) | (min(pad_payload, (1 << 19) - 1) << 5)
+        body = (
+            tag.to_bytes(3, "little")
+            + b"\x9d\x01\x2a"
+            + (width & 0x3FFF).to_bytes(2, "little")
+            + (height & 0x3FFF).to_bytes(2, "little")
+            + pad
+        )
+        chunks = chunk(b"VP8 ", body)
+    elif kind == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14) | ((1 if alpha else 0) << 28)
+        body = b"\x2f" + bits.to_bytes(4, "little") + pad
+        chunks = chunk(b"VP8L", body)
+    elif kind == "vp8x":
+        flags = ((1 << 4) if alpha else 0) | ((1 << 1) if anim else 0)
+        body = (
+            bytes([flags, 0, 0, 0])
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        inner_tag = (1 << 4) | (min(pad_payload, (1 << 19) - 1) << 5)
+        inner = (
+            inner_tag.to_bytes(3, "little")
+            + b"\x9d\x01\x2a"
+            + (width & 0x3FFF).to_bytes(2, "little")
+            + (height & 0x3FFF).to_bytes(2, "little")
+            + pad
+        )
+        chunks = chunk(b"VP8X", body) + chunk(b"VP8 ", inner)
+    else:
+        raise ValueError(f"unknown WebP kind {kind!r}")
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks
+
+
+def scan_webp(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """WebP triage WITHOUT decode — the dominant crawl image container
+    after JPEG/PNG: walk the RIFF chunks (even-padded, length-driven
+    like every scanner in this family) and parse whichever of the three
+    header flavors leads the file:
+
+    - ``VP8 `` lossy: 3-byte frame tag must be a shown keyframe, then
+      the 0x9D012A start code and 14-bit width/height;
+    - ``VP8L`` lossless: 0x2F signature, then 14+14 bit dims and the
+      alpha bit from the packed 32-bit field;
+    - ``VP8X`` extended: feature flags (alpha/animation) + 24-bit
+      canvas dims; inner chunks are counted but not re-parsed.
+
+    strict=True raises on bad magic, non-keyframe/hidden VP8 frames,
+    bad start codes, version != 0, or chunk overruns; strict=False
+    yields a null-dims triage row.  Scale: mapInPandas over the media
+    table, zero shuffle, O(chunks) per blob."""
+
+    def _scan(content: bytes) -> dict:
+        null = {
+            "format": None, "width": None, "height": None,
+            "has_alpha": None, "has_anim": None, "n_chunks": None,
+            "n_bytes": len(content),
+        }
+
+        def fail(msg: str) -> dict:
+            if strict:
+                raise ValueError(msg)
+            return null
+
+        if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+            return fail("not a RIFF/WEBP file")
+        riff_len = int.from_bytes(content[4:8], "little")
+        if 8 + riff_len > len(content):
+            return fail(f"RIFF size {riff_len} overruns the file")
+        end = 8 + riff_len
+        pos = 12
+        first = None
+        n_chunks = 0
+        while pos + 8 <= end:
+            fourcc = content[pos:pos + 4]
+            clen = int.from_bytes(content[pos + 4:pos + 8], "little")
+            body_at = pos + 8
+            if body_at + clen > end:
+                return fail(f"chunk {fourcc!r} overruns the container")
+            if first is None:
+                first = (fourcc, body_at, clen)
+            n_chunks += 1
+            pos = body_at + clen + (clen % 2)
+        if first is None:
+            return fail("no chunks in WEBP container")
+        fourcc, at, clen = first
+        out = dict(null, n_chunks=n_chunks)
+        if fourcc == b"VP8 ":
+            if clen < 10:
+                return fail("VP8 chunk too short for a keyframe header")
+            tag = int.from_bytes(content[at:at + 3], "little")
+            if tag & 1:
+                return fail("VP8 first frame is not a keyframe")
+            if (tag >> 1) & 0x7:
+                return fail("unsupported VP8 bitstream version")
+            if not (tag >> 4) & 1:
+                return fail("VP8 keyframe is not a shown frame")
+            if content[at + 3:at + 6] != b"\x9d\x01\x2a":
+                return fail("bad VP8 keyframe start code")
+            w = int.from_bytes(content[at + 6:at + 8], "little") & 0x3FFF
+            h = int.from_bytes(content[at + 8:at + 10], "little") & 0x3FFF
+            out.update(format="vp8", width=w, height=h,
+                       has_alpha=0, has_anim=0)
+        elif fourcc == b"VP8L":
+            if clen < 5:
+                return fail("VP8L chunk too short")
+            if content[at] != 0x2F:
+                return fail("bad VP8L signature byte")
+            bits = int.from_bytes(content[at + 1:at + 5], "little")
+            if (bits >> 29) & 0x7:
+                return fail("unsupported VP8L version")
+            out.update(
+                format="vp8l",
+                width=(bits & 0x3FFF) + 1,
+                height=((bits >> 14) & 0x3FFF) + 1,
+                has_alpha=(bits >> 28) & 1,
+                has_anim=0,
+            )
+        elif fourcc == b"VP8X":
+            if clen < 10:
+                return fail("VP8X chunk too short")
+            flags = content[at]
+            out.update(
+                format="vp8x",
+                width=int.from_bytes(content[at + 4:at + 7], "little") + 1,
+                height=int.from_bytes(content[at + 7:at + 10], "little") + 1,
+                has_alpha=(flags >> 4) & 1,
+                has_anim=(flags >> 1) & 1,
+            )
+        else:
+            return fail(f"unknown leading chunk {fourcc!r}")
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rec = _scan(bytes(row["content"] or b""))
+                rec["media_id"] = row["media_id"]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in WEBP_SCAN_SCHEMA.fields])
+
+    return df.mapInPandas(kernel, WEBP_SCAN_SCHEMA)

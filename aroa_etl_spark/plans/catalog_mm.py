@@ -1448,6 +1448,75 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_webp_dims_scan",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k,
+                 k % 3 AS kind,
+                 16 + (k * 13) % 1000 AS w,
+                 16 + (k * 7) % 800 AS h,
+                 CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS al,
+                 CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS an,
+                 10 + k % 30 AS pad
+          FROM p)
+    SELECT media_id,
+           CASE kind WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                     ELSE 'vp8x' END AS format,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN kind = 0 THEN 0 ELSE al END AS INT) AS has_alpha,
+           CAST(CASE WHEN kind = 2 THEN an ELSE 0 END AS INT) AS has_anim,
+           CAST(CASE WHEN kind = 2 THEN 2 ELSE 1 END AS INT) AS n_chunks,
+           CAST(12 + CASE kind
+                 WHEN 0 THEN 8 + (10 + pad) + (10 + pad) % 2
+                 WHEN 1 THEN 8 + (5 + pad) + (5 + pad) % 2
+                 ELSE 18 + 8 + (10 + pad) + (10 + pad) % 2
+               END AS BIGINT) AS n_bytes
+    FROM d
+    """,
+)
+def mm_webp_dims_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP triage (operators/multimodal.scan_webp): dimensions, alpha/
+    animation flags, and chunk census for all three header flavors —
+    VP8 lossy keyframe (14-bit dims after the 0x9D012A start code),
+    VP8L lossless (packed 14+14+alpha bits), VP8X extended (24-bit
+    canvas + feature flags) — WebP being the third big crawl image
+    format after JPEG/PNG.  The 40-blob broadcast dim is assembled by
+    build_webp (stdlib RIFF muxer, even-padded chunks); every header
+    field and the total byte count derive from doc_id arithmetic the
+    oracle replays, so a mis-parsed bit anywhere fails the hash.
+    Scale: dim broadcast, fact never shuffles, mapInPandas."""
+    from aroa_etl_spark.operators.multimodal import build_webp, scan_webp
+
+    blobs = []
+    for k in range(40):
+        kind = ("vp8", "vp8l", "vp8x")[k % 3]
+        blobs.append(
+            (
+                k,
+                bytearray(
+                    build_webp(
+                        kind,
+                        16 + (k * 13) % 1000,
+                        16 + (k * 7) % 800,
+                        alpha=k % 4 == 0,
+                        anim=k % 5 == 0,
+                        pad_payload=10 + k % 30,
+                    )
+                ),
+            )
+        )
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return scan_webp(media, strict=True)
+
+
+@query(
     "mm_ogg_page_scan",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

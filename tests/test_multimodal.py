@@ -2538,3 +2538,75 @@ def test_id3v22_layout_and_unknown_versions():
     # unknown version byte: refuse to guess, no rows
     v5 = b"ID3\x05\x00\x00" + bytes([0, 0, 0, 4]) + bytes(4)
     assert parse_id3v2_text_frames(v5) == []
+
+
+def test_webp_scan_all_three_flavors(spark):
+    from aroa_etl_spark.operators.multimodal import build_webp, scan_webp
+
+    rows = [
+        (1, bytearray(build_webp("vp8", 320, 240, pad_payload=11))),
+        (2, bytearray(build_webp("vp8l", 100, 50, alpha=True))),
+        (3, bytearray(build_webp("vp8x", 16383, 200, alpha=True, anim=True))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in scan_webp(df, strict=True).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("vp8", 320, 240)
+    assert out[1].has_alpha == 0 and out[1].n_chunks == 1
+    assert (out[2].format, out[2].width, out[2].height) == ("vp8l", 100, 50)
+    assert out[2].has_alpha == 1
+    assert (out[3].format, out[3].width, out[3].height) == ("vp8x", 16383, 200)
+    assert out[3].has_alpha == 1 and out[3].has_anim == 1 and out[3].n_chunks == 2
+
+
+def test_webp_scan_strict_raises_lenient_nulls(spark):
+    from aroa_etl_spark.operators.multimodal import build_webp, scan_webp
+
+    good = build_webp("vp8", 8, 8)
+    # corrupt the start code
+    bad = bytearray(good)
+    bad[12 + 8 + 3] ^= 0xFF
+    df_bad = spark.createDataFrame(
+        [(1, bytearray(bad))], "media_id long, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="start code"):
+        scan_webp(df_bad, strict=True).collect()
+    row = scan_webp(df_bad, strict=False).collect()[0]
+    assert row.format is None and row.width is None
+    assert row.n_bytes == len(bad)
+
+    # interframe (lowest tag bit set) must be rejected as leading frame
+    inter = bytearray(good)
+    inter[12 + 8] |= 1
+    df_inter = spark.createDataFrame(
+        [(2, bytearray(inter))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="keyframe"):
+        scan_webp(df_inter, strict=True).collect()
+
+
+def test_webp_odd_chunk_even_padding_walk(spark):
+    from aroa_etl_spark.operators.multimodal import build_webp, scan_webp
+
+    # vp8l with even pad -> odd body (5 + pad) -> exercises the pad byte
+    blob = build_webp("vp8l", 10, 10, pad_payload=4)
+    assert (len(blob) - 12 - 8) % 2 == 0  # writer padded to even
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    row = scan_webp(df, strict=True).collect()[0]
+    assert row.n_chunks == 1 and row.width == 10
+
+
+def test_webp_builder_rejects_bad_dims():
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import build_webp
+
+    with _pytest.raises(ValueError, match="dims"):
+        build_webp("vp8", 0, 10)
+    with _pytest.raises(ValueError, match="dims"):
+        build_webp("vp8l", 10, 16384)
+    with _pytest.raises(ValueError, match="kind"):
+        build_webp("av1f", 10, 10)
