@@ -2846,6 +2846,74 @@ def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_mbox_source",
+    oracle="""
+    WITH k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks FROM documents)
+    SELECT doc_id AS blob_id, CAST(0 AS INT) AS msg_idx,
+           'user'||CAST(doc_id % 7 AS VARCHAR)||'@example.com' AS envelope_from,
+           '<msg-'||ks||'-0@example.com>' AS message_id,
+           'user'||CAST(doc_id % 7 AS VARCHAR)||'@example.com' AS from_addr,
+           'Report '||CAST(doc_id % 13 AS VARCHAR)||' continued' AS subject,
+           CAST(3 AS INT) AS n_headers,
+           CAST(2 AS INT) AS body_lines,
+           CAST(22 + len(ks) AS BIGINT) AS body_bytes
+    FROM k
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT),
+           'boss@corp'||CAST(doc_id % 5 AS VARCHAR)||'.example',
+           '<msg-'||ks||'-1@example.com>',
+           'boss@corp'||CAST(doc_id % 5 AS VARCHAR)||'.example',
+           'Re: Report '||CAST(doc_id % 13 AS VARCHAR),
+           CAST(3 AS INT),
+           CAST(1 + doc_id % 4 AS INT),
+           CAST(10 * (1 + doc_id % 4) AS BIGINT)
+    FROM k
+    """,
+)
+def s_mbox_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mail-archive parsing (sources/mbox.py — RFC 4155 +
+    mboxrd): every document becomes a two-message archive built
+    in-plan, exercising the two rules that make mbox tricky — a folded
+    Subject: header (continuation line that must unfold to '...
+    continued') and a quoted '>From me to you' body line that must
+    unquote to a logical 'From ' line WITHOUT splitting the message.
+    The oracle never parses; it replays the construction (ids, addr
+    extraction from both '<...>' and bare forms, header counts, and
+    byte-exact logical body sizes).  Scale shape: binaryFile scan ->
+    mapInPandas explode, zero shuffle — same as the WARC kernel."""
+    from aroa_etl_spark.sources.mbox import parse_mbox_records
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    u = (k % 7).cast("string")
+    c5 = (k % 5).cast("string")
+    r13 = (k % 13).cast("string")
+    msg0 = F.concat(
+        F.lit("From user"), u, F.lit("@example.com Thu Jan  1 00:00:00 1970\n"),
+        F.lit("Message-ID: <msg-"), ks, F.lit("-0@example.com>\n"),
+        F.lit("From: User "), u, F.lit(" <user"), u, F.lit("@example.com>\n"),
+        F.lit("Subject: Report "), r13, F.lit("\n continued\n"),
+        F.lit("\n"),
+        F.lit("Hello "), ks, F.lit("\n>From me to you\n"),
+    )
+    msg1 = F.concat(
+        F.lit("From boss@corp"), c5,
+        F.lit(".example Thu Jan  1 00:00:00 1970\n"),
+        F.lit("Message-ID: <msg-"), ks, F.lit("-1@example.com>\n"),
+        F.lit("From: boss@corp"), c5, F.lit(".example\n"),
+        F.lit("Subject: Re: Report "), r13, F.lit("\n"),
+        F.lit("\n"),
+        F.expr("repeat('data line\\n', CAST(1 + doc_id % 4 AS INT))"),
+    )
+    blobs = docs.select(
+        k.alias("blob_id"),
+        F.encode(F.concat(msg0, msg1), "UTF-8").alias("content"),
+    )
+    return parse_mbox_records(blobs)
+
+
+@query(
     "web_blocklist_filter",
     oracle=r"""
     WITH docs2 AS (SELECT doc_id, source,

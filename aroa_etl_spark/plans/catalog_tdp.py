@@ -389,6 +389,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
+def _sql_brute_top5(queries_pred: str = "vec_id < 20") -> str:
+    """Shared oracle CTE body for exact cosine top-5 over 20 query
+    vectors — reused by ann_cosine_topk and the recall evaluation."""
+    return f"""
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE {queries_pred}),
+    brute_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.embedding", "c.embedding")} AS cos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM brute_scored)
+      WHERE rank <= 5)"""
+
+
 def _sql_sign_key(vec: str, dims: int, flip: int | None = None) -> str:
     parts = []
     for i in range(dims):
@@ -432,6 +451,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return lsh_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, sign_dims=6, probe_hamming=1
+    )
+
+
+@query(
+    "eval_ann_recall",
+    oracle=f"""
+    WITH {_sql_brute_top5()},
+    c AS (SELECT vec_id AS neighbor_id, embedding,
+                 {_sql_sign_key("embedding", 6)} AS k
+          FROM embeddings),
+    ql AS (SELECT vec_id AS query_id, embedding,
+                  unnest([{", ".join(_sql_sign_key("embedding", 6, flip=fl) for fl in [None, 0, 1, 2, 3, 4, 5])}]) AS k
+           FROM embeddings WHERE vec_id < 20),
+    lsh_scored AS (
+      SELECT ql.query_id, c.neighbor_id,
+             {_sql_cosine("ql.embedding", "c.embedding")} AS cos
+      FROM ql JOIN c USING (k)
+      WHERE ql.query_id != c.neighbor_id),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM lsh_scored)
+      WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(5 AS INT) AS k,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS INT) AS n_hit,
+           round(SUM(CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                 / 5.0, 6) AS recall
+    FROM brute b LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH index against exact brute-force cosine,
+    per query — the evaluation loop every production ANN deployment
+    needs (you don't trust an approximate index until its recall is
+    measured on YOUR vectors; this is that measurement as an engine
+    operator).  Both legs replicate the ann_cosine_topk / ann_lsh_topk
+    plans; the recall join is exact-vs-candidate set intersection via a
+    LEFT join so zero-hit queries still report 0.0 rather than
+    vanishing.  Scale: the brute leg is the one you subsample at 100 TB
+    (20 probe queries here); the LSH leg stays a keyed join — the
+    evaluation itself adds one broadcast-sized join over 100 rows."""
+    from aroa_etl_spark.operators.ann import brute_force_topk, lsh_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 20)
+    brute = brute_force_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    lsh = (
+        lsh_topk(qs, emb, k=5, sign_dims=6, probe_hamming=1)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("int").alias("k"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall"),
+        )
     )
 
 

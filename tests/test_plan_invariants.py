@@ -54,6 +54,9 @@ _CARTESIAN_OK = {
     "sk_theta_set_ops",  # (sketch 1-row) × (sketch 1-row) × (exact 1-row) set algebra
     "tdp_quota_apportionment",  # (total 1-row) and (allotted 1-row) broadcasts into the per-source dim
     "s_parquet_compaction",  # (manifest 1-row) × (content-checksum 1-row) assembly
+    "search_tfidf_topterms",  # 1-row corpus-count broadcast into the idf
+    "eval_calibration_bins",  # 1-row (min, max) broadcast into the bin edges
+    "eval_ann_recall",  # brute-force exact leg — the documented reference point (ann_cosine_topk's plan)
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {
