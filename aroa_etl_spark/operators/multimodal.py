@@ -5023,3 +5023,129 @@ def scan_webp(df: DataFrame, *, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in WEBP_SCAN_SCHEMA.fields])
 
     return df.mapInPandas(kernel, WEBP_SCAN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation (energy VAD) — trim-before-train curation
+# ---------------------------------------------------------------------------
+
+SILENCE_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_silent", T.IntegerType()),
+        T.StructField("lead_silent", T.IntegerType()),
+        T.StructField("trail_silent", T.IntegerType()),
+        T.StructField("kept_frames", T.IntegerType()),
+        T.StructField("kept_ms", T.LongType()),
+    ]
+)
+
+
+def build_wav_pcm16(samples: "list[int]", sample_rate: int = 16000) -> bytes:
+    """Canonical 44-byte-header mono PCM16 WAV from integer samples —
+    the stdlib fixture builder beside encode_wav_ima (which covers the
+    ADPCM leg)."""
+    data = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                    # PCM
+        + (1).to_bytes(2, "little")                    # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")      # byte rate
+        + (2).to_bytes(2, "little")                    # block align
+        + (16).to_bytes(2, "little")                   # bits
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_silence_segments(
+    df: DataFrame,
+    *,
+    frame_len: int = 160,
+    threshold_abs_sum: int = 1000,
+    strict: bool = True,
+) -> DataFrame:
+    """Energy-VAD silence accounting per clip — the trim step an audio
+    training pipeline runs before ASR/codec work (leading/trailing
+    silence is storage and GPU time, and duration quotas should count
+    SPEECH, not dead air).
+
+    Mono PCM16 WAVs only (the post-transcode normal form; G.711/ADPCM
+    legs normalize through decode_audio/resample first). Frames of
+    ``frame_len`` samples classify as silent when the frame's EXACT
+    integer sum of |sample| falls below ``threshold_abs_sum`` — all
+    arithmetic stays in int64, so the oracle replays the classification
+    bit-for-bit (no float RMS). A trailing partial frame counts as a
+    frame. All-silent clips report lead_silent = n_frames,
+    trail_silent = 0, kept 0. ``kept_ms`` uses exact integer math:
+    ``kept_frames * frame_len * 1000 // sample_rate``.
+
+    Scale: mapInPandas over the media table, zero shuffle, one
+    vectorized |x| reduction per clip."""
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+
+    def _scan(content: bytes) -> dict:
+        null = {
+            "sample_rate": None, "n_frames": None, "n_silent": None,
+            "lead_silent": None, "trail_silent": None,
+            "kept_frames": None, "kept_ms": None,
+        }
+
+        def fail(exc: Exception) -> dict:
+            if strict:
+                raise exc
+            return null
+
+        try:
+            fmt, data = _wav_chunks(content)
+        except ValueError as e:
+            return fail(e)
+        if fmt["tag"] != 1 or fmt["bits"] != 16 or fmt["channels"] != 1:
+            return fail(
+                NotImplementedError(
+                    "audio_silence_segments expects mono PCM16; got "
+                    f"tag={fmt['tag']} bits={fmt['bits']} ch={fmt['channels']}"
+                )
+            )
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        sr = fmt["rate"]
+        n = x.shape[0]
+        n_frames = (n + frame_len - 1) // frame_len
+        sums = np.add.reduceat(
+            np.abs(x.astype(np.int64)), np.arange(0, n, frame_len)
+        ) if n else np.zeros(0, dtype=np.int64)
+        silent = sums < threshold_abs_sum
+        n_silent = int(silent.sum())
+        lead = int(np.argmax(~silent)) if n_silent < n_frames else n_frames
+        trail = (
+            int(np.argmax(~silent[::-1])) if n_silent < n_frames else 0
+        )
+        kept = n_frames - lead - trail
+        return {
+            "sample_rate": sr,
+            "n_frames": n_frames,
+            "n_silent": n_silent,
+            "lead_silent": lead,
+            "trail_silent": trail,
+            "kept_frames": kept,
+            "kept_ms": kept * frame_len * 1000 // sr if sr else 0,
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rec = _scan(bytes(row["content"] or b""))
+                rec["media_id"] = row["media_id"]
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SILENCE_SCAN_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, SILENCE_SCAN_SCHEMA)

@@ -41,6 +41,8 @@ __all__ = [
     "kmv_distinct_by",
     "cms_build",
     "cms_estimate",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 # 15 hex chars = 60 bits: fits a signed BIGINT on both engines.
@@ -257,4 +259,70 @@ def kmv_distinct_by(
         F.when(n < k, n.cast("double"))
         .otherwise((n - F.lit(1)).cast("double") / u_k)
         .alias("kmv_estimate"),
+    )
+
+
+def _bloom_positions(c: Column, m: int, k: int) -> Column:
+    """The k bit positions of a key: md5-family hashes with per-hash
+    salts, mod m. DuckDB twin: ``('0x'||substr(md5('b{i}:'||x),1,15))
+    ::UBIGINT::BIGINT % m`` (the 60-bit value is non-negative, so %
+    agrees across engines)."""
+    return F.array(
+        *[( _h60(c, salt=f"b{i}:") % m).cast("int") for i in range(k)]
+    )
+
+
+def bloom_build(df: DataFrame, col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """1-row Bloom filter over ``col`` in position-list form: the
+    sorted distinct set bit positions (``bits array<int>``, bounded at
+    m elements) plus ``n_set_bits``.
+
+    Position-list beats a packed bitmap here because it is MERGEABLE
+    with plain array union (two filters with the same (m, k) merge by
+    ``array_distinct(concat(bits_a, bits_b))``) and replayable by an
+    oracle in list arithmetic; at m in the thousands the list is at
+    most a few KiB — broadcast freely. The build is one explode of k
+    positions per key + one distinct — shuffle payload is 4-byte
+    positions capped at m distinct values, NOT the key width.
+
+    The standard use at 100 TB is the same as Spark's built-in
+    bloom_filter_agg (which trades this determinism for speed): build
+    on the small side's join key, broadcast, pre-filter the big side
+    before the real join — j_bloom_prune shows that play; this
+    operator is its deterministic, mergeable, cross-engine-checkable
+    sibling."""
+    if m < 8 or k < 1:
+        raise ValueError(f"need m >= 8 and k >= 1, got m={m} k={k}")
+    pos = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(_bloom_positions(F.col(col), m, k)).alias("p"))
+        .distinct()
+    )
+    return pos.agg(
+        F.array_sort(F.collect_list("p")).alias("bits"),
+        F.count(F.lit(1)).cast("int").alias("n_set_bits"),
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out`` (1 = possibly member, 0 = DEFINITELY not) by
+    testing all k positions of each key against the broadcast 1-row
+    filter. No false negatives by construction — the catalog entry
+    asserts that as an oracle-checked invariant, not a comment."""
+    probed = df.withColumn("__pos", _bloom_positions(F.col(col), m, k))
+    return (
+        probed.crossJoin(F.broadcast(bloom.select("bits")))
+        .withColumn(
+            out,
+            (F.size(F.array_except(F.col("__pos"), F.col("bits"))) == 0)
+            .cast("int"),
+        )
+        .drop("__pos", "bits")
     )

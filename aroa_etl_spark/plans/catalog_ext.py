@@ -126,6 +126,98 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bloom_pos(key: str, i: int, m: int) -> str:
+    return (
+        f"('0x'||substr(md5('b{i}:'||CAST({key} AS VARCHAR)),1,15))"
+        f"::UBIGINT::BIGINT % {m}"
+    )
+
+
+@query(
+    "sk_bloom_membership",
+    oracle=f"""
+    WITH ok AS (SELECT DISTINCT o_custkey AS key FROM orders
+                WHERE o_custkey IS NOT NULL),
+    pos AS (SELECT DISTINCT unnest([{_sql_bloom_pos('key', 0, 4096)},
+                                    {_sql_bloom_pos('key', 1, 4096)},
+                                    {_sql_bloom_pos('key', 2, 4096)}]) AS p
+            FROM ok),
+    bits AS (SELECT list_sort(list(p)) AS bits,
+                    CAST(COUNT(*) AS INT) AS n_set_bits FROM pos),
+    probe AS (SELECT c_custkey AS key,
+                     [{_sql_bloom_pos('c_custkey', 0, 4096)},
+                      {_sql_bloom_pos('c_custkey', 1, 4096)},
+                      {_sql_bloom_pos('c_custkey', 2, 4096)}] AS pp
+              FROM customer),
+    hit AS (SELECT key,
+                   CASE WHEN len(list_filter(list_distinct(pp),
+                                q -> NOT list_contains(bits, q))) = 0
+                        THEN 1 ELSE 0 END AS bloom_hit
+            FROM probe, bits),
+    t AS (SELECT h.key, h.bloom_hit,
+                 CASE WHEN h.key IN (SELECT key FROM ok)
+                      THEN 1 ELSE 0 END AS member
+          FROM hit h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(member) AS BIGINT) AS n_members,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_pos,
+           CAST(SUM(bloom_hit * (1 - member)) AS BIGINT) AS n_false_pos,
+           CAST(SUM((1 - bloom_hit) * member) AS BIGINT) AS n_false_neg,
+           (SELECT n_set_bits FROM bits) AS n_set_bits,
+           round(CAST(SUM(bloom_hit * (1 - member)) AS DOUBLE)
+                 / greatest(CAST(SUM(1 - member) AS DOUBLE), 1.0), 6)
+             AS fp_rate
+    FROM t
+    """,
+)
+def sk_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter (operators/sketches.bloom_build/
+    bloom_probe, m=4096 k=3, md5 hash family): build on orders'
+    customer keys, probe EVERY customer, and score the filter against
+    exact membership — n_false_neg is oracle-pinned and must be 0 (the
+    Bloom guarantee as a checked invariant, not a comment), while
+    n_false_pos/fp_rate quantify the m/k trade the way a join-pruning
+    deployment (j_bloom_prune) would size it.  The filter travels as a
+    sorted position list: mergeable by array union, broadcastable at
+    any scale, replayed by the oracle in pure list arithmetic.  Scale:
+    build = one bounded-position distinct; probe = broadcast 1-row dim,
+    zero fact shuffle; truth = one semi-join for the audit only."""
+    from aroa_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    bloom = bloom_build(orders, "o_custkey", m=4096, k=3)
+    probed = bloom_probe(
+        customer.select(F.col("c_custkey").alias("key")), "key", bloom,
+        m=4096, k=3,
+    )
+    ok = orders.select(F.col("o_custkey").alias("key")).distinct()
+    t = probed.join(
+        ok.withColumn("member", F.lit(1)), "key", "left"
+    ).withColumn("member", F.coalesce(F.col("member"), F.lit(0)))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("member").cast("bigint").alias("n_members"),
+        F.sum("bloom_hit").cast("bigint").alias("n_bloom_pos"),
+        F.sum(F.col("bloom_hit") * (1 - F.col("member"))).cast("bigint")
+        .alias("n_false_pos"),
+        F.sum((1 - F.col("bloom_hit")) * F.col("member")).cast("bigint")
+        .alias("n_false_neg"),
+    )
+    return agg.crossJoin(F.broadcast(bloom.select("n_set_bits"))).select(
+        "n_probes", "n_members", "n_bloom_pos", "n_false_pos", "n_false_neg",
+        "n_set_bits",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / F.greatest(
+                (F.col("n_probes") - F.col("n_members")).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 @query(
     "search_bm25_topk",
     oracle=f"""

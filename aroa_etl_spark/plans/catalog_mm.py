@@ -1448,6 +1448,65 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_silence_trim",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k, k % 4 AS a, 1 + k % 5 AS b, k % 3 AS c,
+                 CASE WHEN k % 19 = 0 THEN 1 ELSE 0 END AS allsil
+          FROM p)
+    SELECT media_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(a + b + c AS INT) AS n_frames,
+           CAST(CASE WHEN allsil = 1 THEN a + b + c ELSE a + c END AS INT)
+             AS n_silent,
+           CAST(CASE WHEN allsil = 1 THEN a + b + c ELSE a END AS INT)
+             AS lead_silent,
+           CAST(CASE WHEN allsil = 1 THEN 0 ELSE c END AS INT)
+             AS trail_silent,
+           CAST(CASE WHEN allsil = 1 THEN 0 ELSE b END AS INT)
+             AS kept_frames,
+           CAST(CASE WHEN allsil = 1 THEN 0 ELSE b * 10 END AS BIGINT)
+             AS kept_ms
+    FROM d
+    """,
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD silence accounting
+    (operators/multimodal.audio_silence_segments): per-clip leading/
+    trailing silent-frame counts and the kept speech duration — the
+    trim step an audio curation pipeline runs so storage and duration
+    quotas count SPEECH, not dead air.  The 40-blob broadcast dim
+    carries real mono PCM16 WAVs (build_wav_pcm16) shaped as
+    silence(a frames) + tone(b) + silence(c) from doc_id arithmetic —
+    plus all-silent clips (k%19==0) pinning the lead=n/trail=0
+    degenerate contract.  Classification is an exact int64 |sample|
+    sum per 160-sample frame vs an integer threshold, so the oracle
+    replays every count and the 10ms-per-frame kept_ms in closed form.
+    Scale: dim broadcast, fact never shuffles, mapInPandas."""
+    from aroa_etl_spark.operators.multimodal import (
+        audio_silence_segments,
+        build_wav_pcm16,
+    )
+
+    blobs = []
+    for k in range(40):
+        a, b, c = k % 4, 1 + k % 5, k % 3
+        amp = 0 if k % 19 == 0 else 500 + 25 * k
+        samples = [0] * (a * 160) + [amp] * (b * 160) + [0] * (c * 160)
+        blobs.append((k, bytearray(build_wav_pcm16(samples, 16000))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return audio_silence_segments(
+        media, frame_len=160, threshold_abs_sum=1000, strict=True
+    )
+
+
+@query(
     "mm_webp_dims_scan",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

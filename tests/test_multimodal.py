@@ -2610,3 +2610,58 @@ def test_webp_builder_rejects_bad_dims():
         build_webp("vp8l", 10, 16384)
     with _pytest.raises(ValueError, match="kind"):
         build_webp("av1f", 10, 10)
+
+
+def test_silence_segments_hand_computed(spark):
+    from aroa_etl_spark.operators.multimodal import (
+        audio_silence_segments,
+        build_wav_pcm16,
+    )
+
+    # 2 silent frames, 3 voiced, 1 silent trailing (frame = 160)
+    samples = [0] * 320 + [800] * 480 + [0] * 160
+    rows = [(1, bytearray(build_wav_pcm16(samples)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    r = audio_silence_segments(df, frame_len=160, threshold_abs_sum=1000).first()
+    assert (r.n_frames, r.n_silent) == (6, 3)
+    assert (r.lead_silent, r.trail_silent, r.kept_frames) == (2, 1, 3)
+    assert r.kept_ms == 30  # 3 frames * 160 samples / 16 kHz
+
+
+def test_silence_segments_all_silent_and_partial_frame(spark):
+    from aroa_etl_spark.operators.multimodal import (
+        audio_silence_segments,
+        build_wav_pcm16,
+    )
+
+    rows = [
+        (1, bytearray(build_wav_pcm16([0] * 480))),       # all silent
+        (2, bytearray(build_wav_pcm16([900] * 200))),     # 1 full + 1 partial voiced
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in audio_silence_segments(df).collect()}
+    assert out[1].lead_silent == 3 and out[1].trail_silent == 0
+    assert out[1].kept_frames == 0 and out[1].kept_ms == 0
+    # 200 samples -> 2 frames (partial trailing counts); partial frame
+    # sum = 40*900 = 36000 >= threshold -> voiced
+    assert out[2].n_frames == 2 and out[2].n_silent == 0
+    assert out[2].kept_frames == 2
+
+
+def test_silence_segments_strict_rejects_stereo(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.multimodal import audio_silence_segments
+
+    # hand-build a stereo PCM16 header
+    from aroa_etl_spark.operators.multimodal import build_wav_pcm16
+
+    blob = bytearray(build_wav_pcm16([0] * 32))
+    blob[22] = 2  # channels field
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="mono PCM16"):
+        audio_silence_segments(df, strict=True).collect()
+    r = audio_silence_segments(df, strict=False).first()
+    assert r.n_frames is None

@@ -57,6 +57,7 @@ _CARTESIAN_OK = {
     "search_tfidf_topterms",  # 1-row corpus-count broadcast into the idf
     "eval_calibration_bins",  # 1-row (min, max) broadcast into the bin edges
     "eval_ann_recall",  # brute-force exact leg — the documented reference point (ann_cosine_topk's plan)
+    "sk_bloom_membership",  # 1-row bloom position-list broadcast into probe + metric assembly
 }
 _SKIP_PREFIXES = ("st_",)
 _SKIP = {

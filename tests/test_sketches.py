@@ -116,3 +116,48 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("t_cms_stream_sink").collect()))
     want = sorted(map(tuple, cms_build(df, "user_id", depth=4, width=64).collect()))
     assert got == want
+
+
+def test_bloom_no_false_negatives(spark):
+    from aroa_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(200).select((F.col("id") * 3).alias("k"))
+    bloom = bloom_build(keys, "k", m=1024, k=3)
+    probed = bloom_probe(keys, "k", bloom, m=1024, k=3)
+    assert probed.filter(F.col("bloom_hit") == 0).count() == 0
+
+
+def test_bloom_rejects_most_non_members(spark):
+    from aroa_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(100).select(F.col("id").alias("k"))
+    others = spark.range(1000, 2000).select(F.col("id").alias("k"))
+    bloom = bloom_build(members, "k", m=4096, k=3)
+    hits = (
+        bloom_probe(others, "k", bloom, m=4096, k=3)
+        .agg(F.sum("bloom_hit")).first()[0]
+    )
+    # 100 keys * 3 hashes in 4096 bits -> fp rate well under 5%
+    assert hits < 50
+
+
+def test_bloom_merge_is_array_union(spark):
+    from aroa_etl_spark.operators.sketches import bloom_build
+
+    a = spark.range(50).select(F.col("id").alias("k"))
+    b = spark.range(50, 100).select(F.col("id").alias("k"))
+    both = spark.range(100).select(F.col("id").alias("k"))
+    bits_a = bloom_build(a, "k", m=512, k=3).first().bits
+    bits_b = bloom_build(b, "k", m=512, k=3).first().bits
+    bits_ab = bloom_build(both, "k", m=512, k=3).first().bits
+    assert sorted(set(bits_a) | set(bits_b)) == list(bits_ab)
+
+
+def test_bloom_build_validates_params(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.sketches import bloom_build
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="m >= 8"):
+        bloom_build(df, "k", m=4, k=3)
