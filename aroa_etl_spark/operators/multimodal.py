@@ -5149,3 +5149,172 @@ def audio_silence_segments(
             )
 
     return df.mapInPandas(kernel, SILENCE_SCAN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Ogg comment headers (VorbisComment / OpusTags) — the ID3 of the Ogg world
+# ---------------------------------------------------------------------------
+
+OGG_COMMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("comment_idx", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def _ogg_stream_packets(
+    content: bytes, *, strict: bool, max_packets: int
+) -> "list[bytes]":
+    """Reassemble the first ``max_packets`` packets of the FIRST (BOS)
+    logical stream, honoring lacing continuation across pages (a 255
+    lacing value means the packet continues; the next page must carry
+    the continuation flag 0x01)."""
+    packets: list[bytes] = []
+    buf = bytearray()
+    bos_serial = None
+    pending = False
+    for htype, _granule, serial, segs, body in _iter_ogg_pages(content, strict):
+        if bos_serial is None:
+            if not htype & 0x02:
+                if strict:
+                    raise ValueError("first Ogg page is not a BOS page")
+                return packets
+            bos_serial = serial
+        if serial != bos_serial:
+            continue
+        if pending and not htype & 0x01:
+            if strict:
+                raise ValueError(
+                    "Ogg packet continuation lost: expected the "
+                    "continued-packet flag on the next page"
+                )
+            buf.clear()
+        pos = 0
+        for v in segs:
+            buf += body[pos:pos + v]
+            pos += v
+            if v < 255:
+                packets.append(bytes(buf))
+                buf.clear()
+                if len(packets) >= max_packets:
+                    return packets
+        pending = bool(segs) and segs[-1] == 255
+    return packets
+
+
+def scan_ogg_comments(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """VorbisComment / OpusTags metadata extraction — the Ogg twin of
+    the MP3 ID3v2 parser (parse_id3v2_text_frames): one output row per
+    user comment, with the vendor string and the codec it came from.
+
+    The comment header is the SECOND packet of the first logical
+    stream (Vorbis I spec 4.2.3 header order; RFC 7845 5 for Opus), so
+    this walk exercises real packet reassembly: lacing values of 255
+    continue a packet across segments AND pages (the catalog fixture
+    plants a >255-byte comment to pin the multi-segment path; the
+    cross-page continuation flag is pinned by a hand-laced unit
+    test).  Structure per the
+    PUBLIC specs: ``0x03 vorbis`` or ``OpusTags`` magic, u32le vendor
+    length + vendor, u32le comment count, then per comment u32le
+    length + ``KEY=value`` UTF-8; keys report upper-cased (the
+    field-name case-insensitivity rule), values verbatim.  The Vorbis
+    flavor additionally requires the framing bit after the list.
+    strict raises on bad magic / length overruns / a missing '=';
+    lenient emits no rows for broken blobs.  Scale: mapInPandas over
+    the media table, zero shuffle, O(header bytes) per blob."""
+
+    def _scan(content: bytes) -> "list[dict]":
+        def fail(msg: str) -> "list[dict]":
+            if strict:
+                raise ValueError(msg)
+            return []
+
+        pkts = _ogg_stream_packets(content, strict=strict, max_packets=2)
+        if len(pkts) < 2:
+            return fail("no comment-header packet in the first stream")
+        ident, pkt = pkts[0], pkts[1]
+        if pkt[:7] == b"\x03vorbis":
+            codec, off = "vorbis", 7
+        elif pkt[:8] == b"OpusTags":
+            codec, off = "opus", 8
+        else:
+            return fail("second packet is not a comment header")
+        if ident[:7] not in (b"\x01vorbis",) and ident[:8] != b"OpusHead":
+            return fail("first packet is not an identification header")
+
+        def u32(at: int) -> int:
+            if at + 4 > len(pkt):
+                raise ValueError("comment header truncated at a length field")
+            return int.from_bytes(pkt[at:at + 4], "little")
+
+        try:
+            vlen = u32(off)
+            off += 4
+            if off + vlen > len(pkt):
+                raise ValueError("vendor string overruns the packet")
+            vendor = pkt[off:off + vlen].decode("utf-8", "replace")
+            off += vlen
+            n = u32(off)
+            off += 4
+            rows = []
+            for i in range(n):
+                clen = u32(off)
+                off += 4
+                if off + clen > len(pkt):
+                    raise ValueError(f"comment {i} overruns the packet")
+                raw = pkt[off:off + clen].decode("utf-8", "replace")
+                off += clen
+                key, sep, val = raw.partition("=")
+                if not sep:
+                    raise ValueError(f"comment {i} has no '=' separator")
+                rows.append(
+                    {
+                        "codec": codec,
+                        "vendor": vendor,
+                        "comment_idx": i,
+                        "tag": key.upper(),
+                        "value": val,
+                    }
+                )
+            if codec == "vorbis":
+                if off >= len(pkt) or not pkt[off] & 0x01:
+                    raise ValueError("Vorbis comment header framing bit unset")
+        except ValueError as e:
+            return fail(str(e))
+        return rows
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                for rec in _scan(bytes(row["content"] or b"")):
+                    rec["media_id"] = row["media_id"]
+                    out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in OGG_COMMENT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, OGG_COMMENT_SCHEMA)
+
+
+def build_comment_packet(
+    codec: str, vendor: str, comments: "list[tuple[str, str]]"
+) -> bytes:
+    """Assemble a VorbisComment/OpusTags packet — fixture twin of
+    :func:`scan_ogg_comments`."""
+    magic = b"\x03vorbis" if codec == "vorbis" else b"OpusTags"
+    out = bytearray(magic)
+    vb = vendor.encode()
+    out += len(vb).to_bytes(4, "little") + vb
+    out += len(comments).to_bytes(4, "little")
+    for key, val in comments:
+        c = f"{key}={val}".encode()
+        out += len(c).to_bytes(4, "little") + c
+    if codec == "vorbis":
+        out += b"\x01"
+    return bytes(out)

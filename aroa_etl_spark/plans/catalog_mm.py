@@ -1448,6 +1448,89 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_ogg_comments",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k,
+                 CASE WHEN k % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+                 'vend' || CAST(k % 3 AS VARCHAR) AS vendor
+          FROM p),
+    legs AS (
+      SELECT media_id, codec, vendor, 0 AS comment_idx, 'TITLE' AS tag,
+             'Track ' || CAST(k AS VARCHAR) AS value
+      FROM d
+      UNION ALL
+      SELECT media_id, codec, vendor, 1, 'ARTIST',
+             'Artist ' || CAST(k % 7 AS VARCHAR)
+      FROM d
+      UNION ALL
+      SELECT media_id, codec, vendor, 2, 'ALBUM',
+             'Album ' || CAST(k % 4 AS VARCHAR)
+      FROM d WHERE k % 2 = 0
+      UNION ALL
+      SELECT media_id, codec, vendor,
+             CASE WHEN k % 2 = 0 THEN 3 ELSE 2 END, 'DESCRIPTION',
+             repeat('x', 300)
+      FROM d WHERE k % 5 = 0)
+    SELECT media_id, codec, vendor, CAST(comment_idx AS INT) AS comment_idx,
+           tag, value
+    FROM legs
+    """,
+)
+def mm_ogg_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VorbisComment/OpusTags extraction
+    (operators/multimodal.scan_ogg_comments) — the Ogg twin of the MP3
+    ID3v2 entry: one row per user comment with vendor + codec, parsed
+    from the SECOND packet of the BOS stream per the Vorbis I /
+    RFC 7845 header order (so the walk reassembles packets through the
+    lacing table; every 5th fixture plants a 300-byte DESCRIPTION
+    comment to pin the multi-segment 255-lacing path, and every page
+    carries a correct Ogg CRC).  Keys are written lower-case and must
+    report upper-cased (the spec's case-insensitivity rule); the
+    Vorbis framing bit is verified.  The oracle replays tags, values,
+    indices, and the codec/vendor arithmetic.  Scale: dim broadcast,
+    fact never shuffles, mapInPandas."""
+    from aroa_etl_spark.operators.multimodal import (
+        build_comment_packet,
+        build_ogg_page,
+        scan_ogg_comments,
+    )
+
+    blobs = []
+    for k in range(40):
+        codec = "vorbis" if k % 2 == 0 else "opus"
+        if codec == "vorbis":
+            ident = (
+                b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+                + (16000).to_bytes(4, "little")
+                + (0).to_bytes(4, "little") * 3 + bytes([0xB8, 0x01])
+            )
+        else:
+            ident = (
+                b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+                + (16000).to_bytes(4, "little")
+                + (0).to_bytes(2, "little") + bytes([0])
+            )
+        comments = [("title", f"Track {k}"), ("artist", f"Artist {k % 7}")]
+        if k % 2 == 0:
+            comments.append(("album", f"Album {k % 4}"))
+        if k % 5 == 0:
+            comments.append(("description", "x" * 300))
+        pkt = build_comment_packet(codec, f"vend{k % 3}", comments)
+        pages = build_ogg_page(k, 0, 0, ident, header_type=0x02)
+        pages += build_ogg_page(k, 1, 0, pkt)
+        blobs.append((k, bytearray(pages)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return scan_ogg_comments(media, strict=True)
+
+
+@query(
     "mm_audio_silence_trim",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

@@ -2665,3 +2665,127 @@ def test_silence_segments_strict_rejects_stereo(spark):
         audio_silence_segments(df, strict=True).collect()
     r = audio_silence_segments(df, strict=False).first()
     assert r.n_frames is None
+
+
+def test_ogg_comments_both_codecs_and_lacing(spark):
+    from aroa_etl_spark.operators.multimodal import (
+        build_comment_packet,
+        build_ogg_page,
+        scan_ogg_comments,
+    )
+
+    vident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+        + (16000).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3 + bytes([0xB8, 0x01])
+    )
+    oident = (
+        b"OpusHead" + bytes([1, 2]) + (0).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + (0).to_bytes(2, "little")
+        + bytes([0])
+    )
+    vpkt = build_comment_packet(
+        "vorbis", "libvorbis", [("title", "A"), ("long", "y" * 600)]
+    )
+    opkt = build_comment_packet("opus", "libopus", [("artist", "B")])
+    b1 = build_ogg_page(1, 0, 0, vident, header_type=0x02) + build_ogg_page(
+        1, 1, 0, vpkt
+    )
+    b2 = build_ogg_page(2, 0, 0, oident, header_type=0x02) + build_ogg_page(
+        2, 1, 0, opkt
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(b1)), (2, bytearray(b2))],
+        "media_id long, content binary",
+    )
+    rows = sorted(
+        scan_ogg_comments(df, strict=True).collect(),
+        key=lambda r: (r.media_id, r.comment_idx),
+    )
+    assert [(r.media_id, r.tag) for r in rows] == [
+        (1, "TITLE"), (1, "LONG"), (2, "ARTIST"),
+    ]
+    assert rows[1].value == "y" * 600  # >2 lacing segments, one page
+    assert rows[0].vendor == "libvorbis" and rows[2].codec == "opus"
+
+
+def test_ogg_comments_cross_page_continuation(spark):
+    """A packet split ACROSS pages: first page's final lacing is 255,
+    the next page carries the continued-packet flag 0x01."""
+    from aroa_etl_spark.operators.multimodal import (
+        build_comment_packet,
+        ogg_page_crc,
+        scan_ogg_comments,
+        build_ogg_page,
+    )
+
+    ident = (
+        b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (0).to_bytes(2, "little")
+        + bytes([0])
+    )
+    pkt = build_comment_packet("opus", "v", [("k", "z" * 300)])
+    part1, part2 = pkt[:255], pkt[255:]
+
+    def page(seq, htype, segs, body):
+        h = (
+            b"OggS" + bytes([0, htype]) + (0).to_bytes(8, "little")
+            + (9).to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs)
+        )
+        p = bytearray(h + body)
+        p[22:26] = ogg_page_crc(bytes(p)).to_bytes(4, "little")
+        return bytes(p)
+
+    blob = (
+        build_ogg_page(9, 0, 0, ident, header_type=0x02)
+        + page(1, 0, [255], part1)           # unterminated packet
+        + page(2, 0x01, [len(part2)], part2)  # continuation page
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    r = scan_ogg_comments(df, strict=True).first()
+    assert r.tag == "K" and r.value == "z" * 300
+
+    # continuation flag missing -> strict raises
+    bad = (
+        build_ogg_page(9, 0, 0, ident, header_type=0x02)
+        + page(1, 0, [255], part1)
+        + page(2, 0, [len(part2)], part2)
+    )
+    df_bad = spark.createDataFrame(
+        [(1, bytearray(bad))], "media_id long, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="continuation"):
+        scan_ogg_comments(df_bad, strict=True).collect()
+
+
+def test_ogg_comments_strict_contract(spark):
+    from aroa_etl_spark.operators.multimodal import (
+        build_comment_packet,
+        build_ogg_page,
+        scan_ogg_comments,
+    )
+
+    ident = (
+        b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (0).to_bytes(2, "little")
+        + bytes([0])
+    )
+    # vorbis comment packet WITHOUT framing bit
+    pkt = bytearray(build_comment_packet("vorbis", "v", [("a", "b")]))
+    pkt[-1] = 0
+    blob = build_ogg_page(3, 0, 0, ident, header_type=0x02) + build_ogg_page(
+        3, 1, 0, bytes(pkt)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="framing"):
+        scan_ogg_comments(df, strict=True).collect()
+    assert scan_ogg_comments(df, strict=False).count() == 0
