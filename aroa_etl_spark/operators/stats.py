@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_linear_stats", "exact_global_rank", "exact_grouped_rank"]
+__all__ = [
+    "exact_linear_stats",
+    "exact_global_rank",
+    "exact_grouped_rank",
+    "exact_weighted_median",
+]
 
 
 def exact_linear_stats(
@@ -279,3 +284,52 @@ def _order_surrogate(df: DataFrame, value_col: str):
             F.hex(F.substring(F.concat(raw, F.lit(b"\x00" * 8)), 1, 8)), 16, 10
         ).cast("double")
     return F.lit(0.0)
+
+
+def exact_weighted_median(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v such
+    that the total weight of rows with value <= v is at least half the
+    group's weight (2·cumw >= total in integer cross-multiplication —
+    no halving, no floats).
+
+    The classic estimator for 'typical' under skewed weights (median
+    price weighted by quantity, median doc length weighted by token
+    count) where a plain median over rows misweights bulk rows.
+
+    Determinism: weights first aggregate per (group, value), so the
+    cumulative sum runs over UNIQUE values per group — tie weights
+    collapse before the window and the result is independent of row
+    order and partitioning. Inputs must be integers (cast money to
+    cents first): integer sums are order-free, and the threshold
+    compare is exact.
+
+    Plan: one (group, value) groupBy, then a cumulative-sum window
+    PARTITIONED BY the group (keyed, never global), then a min-filter
+    aggregate. Output: group cols + weighted_median + total_weight."""
+    from pyspark.sql.window import Window as W
+
+    per_value = df.groupBy(
+        *group_cols, F.col(value_col).alias("__v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    win = (
+        W.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy(*group_cols)
+    cum = per_value.withColumn("__cum", F.sum("__w").over(win)).withColumn(
+        "__tot", F.sum("__w").over(tot)
+    )
+    return (
+        cum.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("weighted_median"),
+            F.first("__tot").alias("total_weight"),
+        )
+    )

@@ -1453,6 +1453,49 @@ def a_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_weighted_median",
+    oracle="""
+    WITH per_value AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice * 100 AS BIGINT) AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM per_value)
+    SELECT l_returnflag,
+           CAST(MIN(v) AS BIGINT) AS weighted_median,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cumw >= tot
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median (operators/stats.
+    exact_weighted_median): quantity-weighted median unit price in
+    integer cents per return flag — 'typical price of a shipped unit',
+    which a row-median misweights when bulk orders dominate.  All
+    integer arithmetic (cents, cross-multiplied threshold), weights
+    pre-aggregated per (group, value) so the cumulative window runs
+    over unique values — deterministic under any partitioning.  Scale:
+    one keyed groupBy + one group-partitioned window; no global sort,
+    nothing quadratic."""
+    from aroa_etl_spark.operators.stats import exact_weighted_median
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        "l_quantity",
+    )
+    return exact_weighted_median(
+        li, ["l_returnflag"], "price_cents", "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+@query(
     "a_pivot_status_by_segment",
     oracle="""
     SELECT c.c_mktsegment,

@@ -848,6 +848,70 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+def _bfs_level_ctes(h: int) -> str:
+    return f"""
+    r{h} AS (SELECT DISTINCT e.dst AS node
+             FROM e JOIN f{h - 1} ON e.src = f{h - 1}.node),
+    f{h} AS (SELECT node FROM r{h}
+             WHERE node NOT IN (SELECT node FROM v{h - 1})),
+    v{h} AS (SELECT node FROM v{h - 1} UNION SELECT node FROM f{h})"""
+
+
+_BFS_ORACLE = (
+    """
+    WITH edges0 AS (SELECT DISTINCT 's'||CAST(l_suppkey AS VARCHAR) AS src,
+                                    'p'||CAST(l_partkey AS VARCHAR) AS dst
+                    FROM lineitem),
+    e AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+    f0 AS (SELECT unnest(['s1', 's2', 's3']) AS node),
+    v0 AS (SELECT node FROM f0),"""
+    + ",".join(_bfs_level_ctes(h) for h in (1, 2, 3))
+    + """,
+    all_d AS (SELECT node, 0 AS dist FROM f0
+              UNION ALL SELECT node, 1 FROM f1
+              UNION ALL SELECT node, 2 FROM f2
+              UNION ALL SELECT node, 3 FROM f3)
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM all_d GROUP BY dist ORDER BY dist
+    """
+)
+
+
+@query("graph_bfs_hops", oracle=_BFS_ORACLE)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.bfs_hops) over
+    the undirected supplier-part graph, seeds {s1, s2, s3}, 3 hops —
+    the k-hop-neighborhood primitive behind 'within N links' crawl
+    scoping.  Frontier expansion is one keyed join + one anti-join per
+    hop (set semantics, partitioning-independent); the oracle unrolls
+    the identical three levels as chained CTEs.  Reported per hop:
+    reach count + lexical min/max node (pins membership without
+    shipping the whole frontier)."""
+    from aroa_etl_spark.operators.graph import bfs_hops
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # NO .distinct() here: bfs_hops tolerates duplicate edges by design
+    # (its per-hop neighborhood distinct absorbs them), and the
+    # whole-graph dedup shuffle was the single largest cost of the walk
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "node string")
+    dists = bfs_hops(edges, seeds, max_hops=3, undirected=True)
+    return (
+        dists.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
 _Z_TERMS = " + ".join(
     f"(((p_size >> {i}) & 1) << {2 * i}) + (((pk >> {i}) & 1) << {2 * i + 1})"
     for i in range(10)

@@ -217,3 +217,45 @@ def test_triangle_count_known_shapes(spark):
     # a path graph has none
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
     assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_bfs_hops_path_graph(spark):
+    from aroa_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.dist for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d is 3 hops, x/y unreachable
+
+
+def test_bfs_hops_directed_vs_undirected(spark):
+    from aroa_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([("b", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    directed = bfs_hops(edges, seeds, max_hops=2, undirected=False).collect()
+    assert {r.node for r in directed} == {"a"}
+    und = bfs_hops(edges, seeds, max_hops=2, undirected=True).collect()
+    assert {(r.node, r.dist) for r in und} == {("a", 0), ("b", 1)}
+
+
+def test_bfs_hops_min_distance_wins(spark):
+    from aroa_etl_spark.operators.graph import bfs_hops
+
+    # diamond: a->b->d and a->c->d plus direct a->d: d must be dist 1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.dist for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out["d"] == 1
+    # partitioning invariance
+    out2 = {
+        r.node: r.dist
+        for r in bfs_hops(edges.repartition(7), seeds, max_hops=3).collect()
+    }
+    assert out == out2

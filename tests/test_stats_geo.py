@@ -198,3 +198,40 @@ def test_calibration_bins_rejects_one_bin(spark):
     df = spark.createDataFrame([(1, 0)], "s int, y int")
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "s", "y", n_bins=1)
+
+
+def test_weighted_median_hand_computed(spark):
+    from aroa_etl_spark.operators.stats import exact_weighted_median
+
+    # group g: values 1 (w=1), 2 (w=1), 10 (w=5): total 7, half 3.5 ->
+    # first v with cumw >= 3.5 is 10
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 10, 5), ("h", 4, 2), ("h", 6, 2)]
+    df = spark.createDataFrame(rows, "grp string, v int, w int")
+    out = {r.grp: r for r in exact_weighted_median(df, ["grp"], "v", "w").collect()}
+    assert out["g"].weighted_median == 10 and out["g"].total_weight == 7
+    # h: even split 2|2 -> lower median is 4 (2*2 >= 4)
+    assert out["h"].weighted_median == 4
+
+
+def test_weighted_median_tie_values_collapse(spark):
+    from aroa_etl_spark.operators.stats import exact_weighted_median
+
+    # the same value appearing as many rows must behave as one bucket
+    rows = [("g", 5, 1)] * 4 + [("g", 9, 3)]
+    df = spark.createDataFrame(rows, "grp string, v int, w int")
+    r = exact_weighted_median(df, ["grp"], "v", "w").first()
+    assert r.weighted_median == 5 and r.total_weight == 7
+    # partitioning invariance
+    r2 = exact_weighted_median(df.repartition(5), ["grp"], "v", "w").first()
+    assert (r.weighted_median, r.total_weight) == (r2.weighted_median, r2.total_weight)
+
+
+def test_weighted_median_equals_plain_median_unit_weights(spark):
+    import statistics
+
+    from aroa_etl_spark.operators.stats import exact_weighted_median
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([("g", v, 1) for v in vals], "grp string, v int, w int")
+    r = exact_weighted_median(df, ["grp"], "v", "w").first()
+    assert r.weighted_median == statistics.median_low(vals)
