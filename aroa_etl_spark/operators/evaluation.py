@@ -220,16 +220,21 @@ def calibration_bins(
     The |gap| column is the bin's expected-calibration-error
     contribution before the n_b/N weighting.
 
+    NULL scores are dropped (they have no bin; min/max already ignore
+    them, so keeping the rows would emit a spurious bin=NULL group and
+    skew the n_b/N weights).
+
     Scale: one min/max aggregate (broadcast back as a 1-row dim) + one
     groupBy(bin) — two scans, no window, no sort."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    stats = df.agg(
+    scored = df.filter(F.col(score_col).isNotNull())
+    stats = scored.agg(
         F.min(F.col(score_col).cast("long")).alias("__lo"),
         F.max(F.col(score_col).cast("long")).alias("__hi"),
     )
     binned = (
-        df.select(
+        scored.select(
             F.col(score_col).cast("long").alias("__s"),
             F.col(label_col).cast("int").alias("__y"),
         )

@@ -52,21 +52,7 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
         raise ValueError("zorder needs at least 2 columns")
     if bits * ncols > 63:
         raise ValueError(f"{bits} bits x {ncols} cols exceeds 63 bits")
-    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    checked = []
-    for c in cs:
-        lc = c.cast("long")
-        checked.append(
-            F.when(
-                (lc < 0) | (lc >= F.lit(1 << bits)),
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"zorder_key: value out of [0, {1 << bits}): "),
-                        lc.cast("string"),
-                    )
-                ).cast("long"),
-            ).otherwise(lc)
-        )
+    checked = [_range_checked(c, bits, "zorder_key") for c in cols]
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(checked):

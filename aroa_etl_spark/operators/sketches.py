@@ -316,13 +316,21 @@ def bloom_probe(
     testing all k positions of each key against the broadcast 1-row
     filter. No false negatives by construction — the catalog entry
     asserts that as an oracle-checked invariant, not a comment."""
-    probed = df.withColumn("__pos", _bloom_positions(F.col(col), m, k))
+    # reserved internal names so a probe frame that itself carries a
+    # 'bits' (or '__pos') column neither collides nor gets dropped
+    probed = df.withColumn("__bloom_pos", _bloom_positions(F.col(col), m, k))
     return (
-        probed.crossJoin(F.broadcast(bloom.select("bits")))
+        probed.crossJoin(
+            F.broadcast(bloom.select(F.col("bits").alias("__bloom_bits")))
+        )
         .withColumn(
             out,
-            (F.size(F.array_except(F.col("__pos"), F.col("bits"))) == 0)
-            .cast("int"),
+            (
+                F.size(
+                    F.array_except(F.col("__bloom_pos"), F.col("__bloom_bits"))
+                )
+                == 0
+            ).cast("int"),
         )
-        .drop("__pos", "bits")
+        .drop("__bloom_pos", "__bloom_bits")
     )

@@ -1457,7 +1457,7 @@ def a_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_value AS (
       SELECT l_returnflag,
-             CAST(l_extendedprice * 100 AS BIGINT) AS v,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
              SUM(CAST(l_quantity AS BIGINT)) AS w
       FROM lineitem GROUP BY 1, 2),
     cum AS (
@@ -1487,7 +1487,12 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
         "l_returnflag",
-        (F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        # round BEFORE the bigint cast: the price is stored as double,
+        # and x.14*100 lands at 113.99..9 — Spark's cast truncates while
+        # DuckDB's rounds, so an unrounded cast diverges on ~half of all
+        # prices (the a_regression_price_qty cents precedent)
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("price_cents"),
         "l_quantity",
     )
     return exact_weighted_median(

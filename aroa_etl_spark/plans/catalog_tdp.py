@@ -362,21 +362,34 @@ def dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 # ---------------------------------------------------------------------------
 
-@query(
-    "ann_cosine_topk",
-    oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
-    scored AS (
+def _sql_brute_top5(queries_pred: str = "vec_id < 20") -> str:
+    """Shared oracle CTE body for exact cosine top-5 over 20 query
+    vectors — the single definition behind BOTH ann_cosine_topk's
+    oracle and eval_ann_recall's exact leg, so the 'reference point'
+    the recall measurement compares against can never drift from the
+    baseline entry."""
+    return f"""
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE {queries_pred}),
+    brute_scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_sql_cosine("q.embedding", "c.embedding")} AS cos
       FROM q CROSS JOIN embeddings c
-      WHERE q.vec_id != c.vec_id)
-    SELECT query_id, rank, neighbor_id FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id ASC) AS rank
-      FROM scored)
-    WHERE rank <= 5
+      WHERE q.vec_id != c.vec_id),
+    brute AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM brute_scored)
+      WHERE rank <= 5)"""
+
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_sql_brute_top5()}
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM brute
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,25 +400,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
-
-
-def _sql_brute_top5(queries_pred: str = "vec_id < 20") -> str:
-    """Shared oracle CTE body for exact cosine top-5 over 20 query
-    vectors — reused by ann_cosine_topk and the recall evaluation."""
-    return f"""
-    q AS (SELECT vec_id, embedding FROM embeddings WHERE {queries_pred}),
-    brute_scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_sql_cosine("q.embedding", "c.embedding")} AS cos
-      FROM q CROSS JOIN embeddings c
-      WHERE q.vec_id != c.vec_id),
-    brute AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
-        FROM brute_scored)
-      WHERE rank <= 5)"""
 
 
 def _sql_sign_key(vec: str, dims: int, flip: int | None = None) -> str:
@@ -3034,9 +3028,11 @@ def tdp_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "eval_classifier_auc",
-    oracle=f"""
+# The scored+labeled CTE block shared VERBATIM by eval_classifier_auc
+# and eval_calibration_bins — one definition so a tweak to the label
+# rule or the classifier constants can never desynchronize the two
+# evaluations (they must measure the same labels to be comparable).
+_QCLF_LAB_CTES = f"""
     WITH w AS (SELECT {_QCLF_W_SQL} AS wt),
     s AS (SELECT doc_id, text,
                  CAST({_QCLF_B_MILLI} + CASE WHEN length(text) < 3 THEN 0
@@ -3051,7 +3047,29 @@ def tdp_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ' the | and | of ', '', 'g'))) * 100
                              > 3 * greatest(length(d.text), 1)
                         THEN 1 ELSE 0 END AS y
-            FROM s JOIN documents d USING (doc_id)),
+            FROM s JOIN documents d USING (doc_id))"""
+
+
+def _qclf_labeled(docs: DataFrame) -> DataFrame:
+    """The Spark twin of _QCLF_LAB_CTES: (doc_id, score_milli, y) from
+    the frozen classifier score + the planted stopword-density label."""
+    from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
+
+    return docs.select(
+        "doc_id",
+        score_hashed_ngrams_milli("text", _QCLF_W_MILLI, _QCLF_B_MILLI)
+        .alias("score_milli"),
+        (
+            (F.length("text")
+             - F.length(F.regexp_replace("text", " the | and | of ", ""))) * 100
+            > 3 * F.greatest(F.length("text"), F.lit(1))
+        ).cast("int").alias("y"),
+    )
+
+
+@query(
+    "eval_classifier_auc",
+    oracle=f"""{_QCLF_LAB_CTES},
     ranked AS (SELECT score_milli, y,
                       row_number() OVER (ORDER BY score_milli, doc_id) AS rk
                FROM lab),
@@ -3084,20 +3102,10 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier was trained on — AUC ≈ 0.95 says the frozen gate
     separates its target signal.  Scale: two banded-rank passes + one
     groupBy(score) + a scalar aggregate."""
-    from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
     from aroa_etl_spark.operators.evaluation import exact_auc
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    lab = docs.select(
-        "doc_id",
-        score_hashed_ngrams_milli("text", _QCLF_W_MILLI, _QCLF_B_MILLI)
-        .alias("score_milli"),
-        (
-            (F.length("text")
-             - F.length(F.regexp_replace("text", " the | and | of ", ""))) * 100
-            > 3 * F.greatest(F.length("text"), F.lit(1))
-        ).cast("int").alias("y"),
-    )
+    lab = _qclf_labeled(docs)
     # persist: the classifier scoring expression is the expensive
     # upstream; caching its 3-col projection collapses the rank's
     # probe + sizes + window from three scoring scans to one
@@ -3107,22 +3115,7 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_calibration_bins",
-    oracle=f"""
-    WITH w AS (SELECT {_QCLF_W_SQL} AS wt),
-    s AS (SELECT doc_id, text,
-                 CAST({_QCLF_B_MILLI} + CASE WHEN length(text) < 3 THEN 0
-                      ELSE list_sum(list_transform(range(1, length(text) - 1),
-                           i -> wt[(('0x' || substr(md5(substr(text, i, 3)),
-                                                    1, 4))::BIGINT % 64) + 1]))
-                      END AS BIGINT) AS score_milli
-          FROM documents, w),
-    lab AS (SELECT s.doc_id, s.score_milli,
-                   CASE WHEN (length(d.text) -
-                              length(regexp_replace(d.text,
-                                     ' the | and | of ', '', 'g'))) * 100
-                             > 3 * greatest(length(d.text), 1)
-                        THEN 1 ELSE 0 END AS y
-            FROM s JOIN documents d USING (doc_id)),
+    oracle=f"""{_QCLF_LAB_CTES},
     mm AS (SELECT MIN(score_milli) AS lo, MAX(score_milli) AS hi FROM lab),
     binned AS (SELECT CAST(((score_milli - lo) * 10) // (hi - lo + 1) AS INT)
                         AS bin, score_milli, y
@@ -3147,21 +3140,12 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     score sum and positive count feed the two rounded doubles a
     reliability plot shows. Scale: one min/max aggregate + one
     groupBy(bin) — two scans, no window."""
-    from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
     from aroa_etl_spark.operators.evaluation import calibration_bins
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    lab = docs.select(
-        "doc_id",
-        score_hashed_ngrams_milli("text", _QCLF_W_MILLI, _QCLF_B_MILLI)
-        .alias("score_milli"),
-        (
-            (F.length("text")
-             - F.length(F.regexp_replace("text", " the | and | of ", ""))) * 100
-            > 3 * F.greatest(F.length("text"), F.lit(1))
-        ).cast("int").alias("y"),
+    return calibration_bins(
+        _qclf_labeled(docs), "score_milli", "y", n_bins=10
     )
-    return calibration_bins(lab, "score_milli", "y", n_bins=10)
 
 
 @query(

@@ -186,7 +186,13 @@ def build_mbox(messages: list[dict]) -> bytes:
         for name, val in m["headers"]:
             out += f"{name}: {val}\n".encode()
         out += b"\n"
-        for ln in m["body"].split("\n"):
+        # a trailing '\n' (and an empty body) must not become an extra
+        # blank body line — the writer newline-terminates each line, so
+        # split's trailing '' is an artifact, not content
+        lines = m["body"].split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for ln in lines:
             raw = ln.encode()
             if re.match(rb"^>*From ", raw):
                 raw = b">" + raw

@@ -87,3 +87,12 @@ def test_parse_mbox_records_explodes(spark):
     assert [r.msg_idx for r in rows] == [0, 1, 2]
     assert all(r.blob_id == 7 for r in rows)
     assert rows[1].body_lines == 2
+
+
+def test_roundtrip_trailing_newline_and_empty_body():
+    # 'line\n' is ONE logical line; '' is an EMPTY body — the writer
+    # must not grow either by a blank line (round-trip contract)
+    blob = build_mbox([_msg(0, "line\n"), _msg(1, "")])
+    msgs = parse_mbox_blob(blob)
+    assert msgs[0]["body_lines"] == 1 and msgs[0]["body_bytes"] == 5
+    assert msgs[1]["body_lines"] == 0 and msgs[1]["body_bytes"] == 0

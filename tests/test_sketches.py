@@ -161,3 +161,18 @@ def test_bloom_build_validates_params(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with _pytest.raises(ValueError, match="m >= 8"):
         bloom_build(df, "k", m=4, k=3)
+
+
+def test_bloom_probe_tolerates_caller_bits_column(spark):
+    from aroa_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(20).select(F.col("id").alias("k"))
+    bloom = bloom_build(members, "k", m=256, k=2)
+    probe = spark.range(5).select(
+        F.col("id").alias("k"), F.array(F.lit(1)).alias("bits")
+    )
+    out = bloom_probe(probe, "k", bloom, m=256, k=2)
+    assert set(out.columns) == {"k", "bits", "bloom_hit"}
+    rows = out.collect()
+    assert all(r.bloom_hit == 1 for r in rows)
+    assert all(list(r.bits) == [1] for r in rows)  # caller column intact

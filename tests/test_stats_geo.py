@@ -235,3 +235,13 @@ def test_weighted_median_equals_plain_median_unit_weights(spark):
     df = spark.createDataFrame([("g", v, 1) for v in vals], "grp string, v int, w int")
     r = exact_weighted_median(df, ["grp"], "v", "w").first()
     assert r.weighted_median == statistics.median_low(vals)
+
+
+def test_calibration_bins_drops_null_scores(spark):
+    from aroa_etl_spark.operators.evaluation import calibration_bins
+
+    rows = [(None, 1), (0, 0), (9, 1)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    out = calibration_bins(df, "s", "y", n_bins=2).collect()
+    assert [r.bin for r in out] == [0, 1]
+    assert sum(r.n for r in out) == 2  # the null-score row is gone
