@@ -1019,3 +1019,70 @@ def decontaminate(
         .withColumn("is_contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
         .drop("__hit")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold_pct: int = 80,
+    block_col: str = "source",
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT — the
+    doc-inside-doc case Jaccard structurally misses: a paragraph fully
+    embedded in a 100x-longer page has Jaccard ~ |A|/|B| ~ 0.01 (below
+    any resemblance threshold) but containment |A∩B|/min(|A|,|B|) = 1.0
+    (Broder 1997's resemblance-vs-containment distinction; quote/
+    boilerplate/excerpt dedup in crawl corpora is the containment
+    problem).
+
+    Emits (id_a, id_b, n_intersect, sz_a, sz_b, containment) for pairs
+    within a block where the SMALLER shingle set is at least
+    ``threshold_pct``% covered by the intersection. The gate compares
+    ``100·|A∩B| >= pct·min(|A|,|B|)`` in exact integer arithmetic —
+    the rounded containment double is display-only, never a filter.
+
+    Plan: the same output-sensitive inverted-index shape as
+    ngram_jaccard_pairs' blocked path — explode distinct shingles,
+    equi-join on (block, shingle), map-side-combinable intersection
+    count, sizes joined back. Only pairs sharing >= 1 shingle ever
+    materialize; containment >= pct > 0 implies a shared shingle, so
+    blocking loses nothing."""
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__b"),
+        F.array_distinct(shingles_from(tokens(text_col), n)).alias("__sh"),
+    ).transform(_barrier)
+    ex = sh.select(F.col(id_col), "__b", F.explode("__sh").alias("__s"))
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    inter = (
+        ex.select(F.col(id_col).alias("id_a"), "__b", "__s")
+        .join(ex.select(F.col(id_col).alias("id_b"), "__b", "__s"), ["__b", "__s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_intersect"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("sz_b")), "id_b")
+        .filter(
+            100 * F.col("n_intersect")
+            >= threshold_pct * F.least(F.col("sz_a"), F.col("sz_b"))
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_intersect",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.round(
+            F.col("n_intersect").cast("double")
+            / F.least(F.col("sz_a"), F.col("sz_b")).cast("double"),
+            6,
+        ).alias("containment"),
+    )

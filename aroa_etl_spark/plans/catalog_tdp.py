@@ -256,6 +256,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_DOCS_PLANTED},
+    sh AS (SELECT doc_id, source, list_distinct({_SHINGLE3}) AS sh
+           FROM (SELECT doc_id, source, {_TOK} AS toks FROM docs))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_intersect,
+           CAST(len(a.sh) AS BIGINT) AS sz_a,
+           CAST(len(b.sh) AS BIGINT) AS sz_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / least(len(a.sh), len(b.sh)), 6) AS containment
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE least(len(a.sh), len(b.sh)) > 0
+      AND 100 * len(list_intersect(a.sh, b.sh))
+          >= 80 * least(len(a.sh), len(b.sh))
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup join
+    (operators/dedup.ngram_containment_pairs): pairs where the smaller
+    3-gram set is >= 80% covered — the doc-inside-doc /
+    excerpt-vs-page case Jaccard structurally misses (a fully embedded
+    paragraph has resemblance ~|A|/|B| but containment 1.0; Broder's
+    distinction).  The planted corpus (original minus its first token)
+    gives near-1.0 containment pairs; the integer cross-multiplied
+    gate keeps the filter exact, and the oracle replays the blocked
+    inverted-index semantics with list algebra.  Scale:
+    output-sensitive (block, shingle) equi-join + map-side-combinable
+    count — same shape as the Jaccard entry, no cross products."""
+    from aroa_etl_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs_with_planted(spark, sf_dir), n=3, threshold_pct=80,
+        block_col="source",
+    )
+
+
 # 60-bit simhash (15 hex chars of md5 — the BIGINT-safe hash family);
 # 4 bands of 15 bits keep per-band bucket occupancy ~corpus/32768 (the
 # r4 sf1 stress run caught the old 32-bit/8-bit config going quadratic)

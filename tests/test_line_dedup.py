@@ -188,3 +188,55 @@ def test_bpe_token_count_cross_engine(spark):
                       [t, BPE_TOKEN_RE]).fetchone()[0] for t in texts]
     assert sp == du
     assert sp[0] == 13  # pinned: contractions + punct clusters split out
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from aroa_etl_spark.operators.dedup import ngram_containment_pairs
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "gamma delta epsilon zeta"  # fully embedded
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, big, "s"), (2, small, "s"), (3, other, "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = ngram_containment_pairs(df, threshold_pct=80).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # small has 2 3-gram shingles, both present in big
+    assert r.n_intersect == 2 and r.sz_b == 2 and r.containment == 1.0
+
+
+def test_containment_low_jaccard_high_containment(spark):
+    from aroa_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 16))
+    df = spark.createDataFrame(
+        [(1, words, "s"), (2, excerpt, "s")],
+        "doc_id long, text string, source string",
+    )
+    # Jaccard at 0.5 misses the pair...
+    jac = ngram_jaccard_pairs(df, threshold=0.5, block_col="source").collect()
+    assert jac == []
+    # ...containment flags it at 1.0
+    cont = ngram_containment_pairs(df, threshold_pct=100).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+
+
+def test_containment_respects_blocks_and_threshold(spark):
+    from aroa_etl_spark.operators.dedup import ngram_containment_pairs
+
+    a = "p q r s t"
+    df = spark.createDataFrame(
+        [(1, a, "x"), (2, a, "y")],  # identical but different blocks
+        "doc_id long, text string, source string",
+    )
+    assert ngram_containment_pairs(df).collect() == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold_pct"):
+        ngram_containment_pairs(df, threshold_pct=0)
