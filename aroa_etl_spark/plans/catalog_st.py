@@ -735,6 +735,78 @@ def st_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_mbox_source",
+    oracle="""
+    WITH msgs AS (
+      SELECT k, i,
+             'user' || CAST((k + i) % 5 AS VARCHAR) || '@example.com'
+               AS from_addr,
+             10 * (1 + i % 3) AS body_bytes
+      FROM (SELECT unnest(range(0, 8)) AS k),
+           (SELECT unnest(range(0, 4)) AS i)
+      WHERE i < 2 + k % 3)
+    SELECT from_addr,
+           CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_files,
+           CAST(SUM(body_bytes) AS BIGINT) AS total_body_bytes
+    FROM msgs GROUP BY from_addr ORDER BY from_addr
+    """,
+)
+def st_mbox_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mbox ingestion (`spark.readStream.format("mbox")`,
+    sources/mbox.py MboxDataSource via the shared container-DataSource
+    model) — the archive-tailing shape: a list server drops finished
+    ``.mbox`` files, each micro-batch ingests the newly appeared ones,
+    one executor-side InputPartition per archive.  The entry stages 8
+    deterministic archives (message counts, senders, and body sizes
+    all (k, i)-arithmetic), drains the stream, and rolls up per-sender
+    message/file/byte counts; the oracle replays the construction.
+    The container model's monotonic offsets + atomic-placement growth
+    guard are pytest-pinned on the WARC instantiation — one
+    implementation, both formats."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+    from aroa_etl_spark.sources.mbox import build_mbox, register_mbox_source
+
+    stage = _scratch_stage("mbox_st_src", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for k in range(8):
+        msgs = []
+        for i in range(2 + k % 3):
+            msgs.append(
+                {
+                    "from_": f"user{(k + i) % 5}@example.com",
+                    "headers": [
+                        ("Message-ID", f"<st-{k}-{i}@example.com>"),
+                        ("From", f"user{(k + i) % 5}@example.com"),
+                        ("Subject", f"batch {k} msg {i}"),
+                    ],
+                    "body": "data line\n" * (1 + i % 3),
+                }
+            )
+        with open(os.path.join(stage, f"arch{k}.mbox"), "wb") as fh:
+            fh.write(build_mbox(msgs))
+    register_mbox_source(spark)
+    stream = spark.readStream.format("mbox").load(stage).select(
+        "path", "from_addr", "body_bytes"
+    )
+    _drain(stream, "st_mbox_source_sink", "append")
+    return (
+        spark.table("st_mbox_source_sink")
+        .groupBy("from_addr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+            F.count_distinct("path").cast("bigint").alias("n_files"),
+            F.sum("body_bytes").cast("bigint").alias("total_body_bytes"),
+        )
+        .orderBy("from_addr")
+    )
+
+
+@query(
     "st_tar_samples",
     oracle="""
     WITH g AS (SELECT k, s

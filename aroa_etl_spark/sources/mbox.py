@@ -42,8 +42,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["MBOX_MESSAGE_SCHEMA", "parse_mbox_blob", "parse_mbox_records",
-           "build_mbox"]
+__all__ = ["MBOX_MESSAGE_SCHEMA", "MBOX_SOURCE_SCHEMA", "MboxDataSource",
+           "parse_mbox_blob", "parse_mbox_records", "build_mbox",
+           "register_mbox_source"]
 
 MBOX_MESSAGE_SCHEMA = T.StructType(
     [
@@ -198,3 +199,31 @@ def build_mbox(messages: list[dict]) -> bytes:
                 raw = b">" + raw
             out += raw + b"\n"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# mbox as a first-class Spark DataSource (batch + streaming)
+# --------------------------------------------------------------------------
+
+from aroa_etl_spark.sources.container_datasource import (  # noqa: E402
+    make_container_datasource,
+)
+
+#: ``spark.read.format("mbox")`` / ``spark.readStream.format("mbox")`` —
+#: the archive-tailing shape (a list server drops finished .mbox files;
+#: the pipeline ingests new ones per micro-batch).  Scan/stream
+#: mechanics are the shared container model
+#: (sources/container_datasource.py): one InputPartition per archive,
+#: monotonic [name, size] offsets, atomic-placement growth guard; the
+#: record parse is parse_mbox_blob VERBATIM, so the DataSource and the
+#: mapInPandas kernel agree on message boundaries by construction.
+MboxDataSource = make_container_datasource(
+    "mbox", (".mbox",), parse_mbox_blob, MBOX_MESSAGE_SCHEMA
+)
+MBOX_SOURCE_SCHEMA = MboxDataSource.source_schema
+
+
+def register_mbox_source(spark) -> None:
+    """Idempotent registration helper (re-registering is a no-op
+    overwrite in the Python DataSource registry)."""
+    spark.dataSource.register(MboxDataSource)

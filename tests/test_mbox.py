@@ -96,3 +96,33 @@ def test_roundtrip_trailing_newline_and_empty_body():
     msgs = parse_mbox_blob(blob)
     assert msgs[0]["body_lines"] == 1 and msgs[0]["body_bytes"] == 5
     assert msgs[1]["body_lines"] == 0 and msgs[1]["body_bytes"] == 0
+
+
+def test_mbox_datasource_batch_and_streaming(spark, tmp_path):
+    from aroa_etl_spark.sources.mbox import build_mbox, register_mbox_source
+
+    (tmp_path / "a.mbox").write_bytes(build_mbox([_msg(0, "x"), _msg(1, "y")]))
+    (tmp_path / "manifest.json").write_bytes(b"{}")  # must be ignored
+    register_mbox_source(spark)
+    df = spark.read.format("mbox").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r.from_addr for r in rows} == {
+        "sender0@example.com", "sender1@example.com"
+    }
+    assert all(r.path.endswith("a.mbox") for r in rows)
+
+    # streaming: second file picked up incrementally
+    q = (
+        spark.readStream.format("mbox").load(str(tmp_path))
+        .writeStream.format("memory").queryName("mbox_inc")
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM mbox_inc").first().c == 2
+        (tmp_path / "b.mbox").write_bytes(build_mbox([_msg(2, "z")]))
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM mbox_inc").first().c == 3
+    finally:
+        q.stop()
