@@ -27,6 +27,8 @@ __all__ = [
     "url_host",
     "normalize_host",
     "registered_domain",
+    "sitemap_urls",
+    "sitemap_is_index",
     "SECOND_LEVEL_TLDS",
 ]
 
@@ -212,3 +214,43 @@ def main_content_keep(
         )
 
     return keep
+
+
+def sitemap_urls(xml: Column | str) -> Column:
+    """Extract the per-URL entries of a sitemap.xml (sitemaps.org
+    protocol) as an array of (loc, lastmod, priority_milli) structs —
+    pure column expressions (regexp over the <url> blocks), no XML
+    library, no UDF.
+
+    ``priority`` parses to EXACT milli units (``'0.8'`` -> 800) so
+    downstream crawl-scheduling arithmetic stays integer;
+    absent <lastmod>/<priority> yield NULL / the protocol default 500.
+    Namespaced or attribute-bearing tags are tolerated by matching the
+    local names.  A <sitemapindex> document simply has no <url> blocks
+    and returns an empty array — route index docs by
+    ``sitemap_is_index`` first."""
+    c = _c(xml)
+    blocks = F.regexp_extract_all(c, F.lit(r"(?s)<url\b[^>]*>(.*?)</url>"), 1)
+    loc = lambda b: F.regexp_extract(b, r"(?s)<loc[^>]*>\s*(.*?)\s*</loc>", 1)  # noqa: E731
+    lastmod = lambda b: F.regexp_extract(b, r"(?s)<lastmod[^>]*>\s*(.*?)\s*</lastmod>", 1)  # noqa: E731
+    prio = lambda b: F.regexp_extract(b, r"(?s)<priority[^>]*>\s*(.*?)\s*</priority>", 1)  # noqa: E731
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            loc(b).alias("loc"),
+            F.when(lastmod(b) == "", F.lit(None)).otherwise(lastmod(b))
+            .alias("lastmod"),
+            F.coalesce(
+                # try_cast: an absent <priority> extracts as '' and must
+                # default, not throw under ANSI
+                F.round(prio(b).try_cast("double") * 1000).try_cast("int"),
+                F.lit(500),
+            ).alias("priority_milli"),
+        ),
+    )
+
+
+def sitemap_is_index(xml: Column | str) -> Column:
+    """True when the document is a <sitemapindex> (pointers to child
+    sitemaps) rather than a <urlset> of pages."""
+    return _c(xml).rlike(r"<sitemapindex\b")

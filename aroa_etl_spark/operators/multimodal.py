@@ -5318,3 +5318,73 @@ def build_comment_packet(
     if codec == "vorbis":
         out += b"\x01"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Image entropy / contrast — low-information image gating
+# ---------------------------------------------------------------------------
+
+IMAGE_ENTROPY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_distinct", T.IntegerType()),
+        T.StructField("v_min", T.IntegerType()),
+        T.StructField("v_max", T.IntegerType()),
+        T.StructField("entropy_fp", T.LongType()),
+        T.StructField("entropy_bits", T.DoubleType()),
+    ]
+)
+
+
+def image_entropy(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Per-image grayscale Shannon entropy + value-range stats — the
+    low-information gate of an image curation pipeline (flat banners,
+    single-color placeholders, and near-empty scans all have entropy
+    near 0 bits; natural photos sit well above): decode through the
+    vendored codecs, reduce to integer luma (channel sum // channels —
+    exact, no float weights), histogram, and
+
+        entropy = Σ_bins round(1e9 · c·log2(N/c)/N) / 1e9
+
+    with the PER-BIN fixed-point rounding BEFORE the integer sum, so
+    the result is order-free and an oracle replays it bin by bin (the
+    same 1e-9 discipline as the unigram-LM log p).  ``entropy_fp``
+    carries the exact integer; ``entropy_bits`` is its display-rounded
+    double.  Scale: mapInPandas over the media table, zero shuffle, one
+    bincount per image."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"] if isinstance(row["meta"], dict) else (row["meta"] or {})
+                content = bytes(row["content"] or b"")
+                px = decode_image(content, dict(meta), strict=strict)
+                ch = px.shape[2] if px.ndim == 3 else 1
+                luma = (
+                    px.reshape(-1, ch).astype(np.int64).sum(axis=1) // ch
+                )
+                n = int(luma.size)
+                counts = np.bincount(luma, minlength=256)
+                nz = counts[counts > 0].astype(np.float64)
+                terms = np.rint(
+                    1e9 * nz * np.log2(n / nz) / n
+                ).astype(np.int64)
+                efp = int(terms.sum())
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_pixels": n,
+                        "n_distinct": int((counts > 0).sum()),
+                        "v_min": int(luma.min()) if n else None,
+                        "v_max": int(luma.max()) if n else None,
+                        "entropy_fp": efp,
+                        "entropy_bits": round(efp / 1e9, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_ENTROPY_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, IMAGE_ENTROPY_SCHEMA)

@@ -3002,6 +3002,91 @@ def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "web_sitemap_parse",
+    oracle="""
+    WITH p AS (SELECT doc_id, CAST(doc_id % 24 AS INT) AS k FROM documents
+               WHERE doc_id % 9 != 0),
+    urls AS (SELECT doc_id, k, unnest(range(0, 1 + k % 4)) AS j FROM p)
+    SELECT doc_id,
+           'https://site' || CAST(k % 7 AS VARCHAR) || '.example/p'
+             || CAST(j AS VARCHAR) AS loc,
+           CASE WHEN j % 2 = 0
+                THEN '2024-0' || CAST(1 + j % 9 AS VARCHAR) || '-01'
+                ELSE NULL END AS lastmod,
+           CAST(CASE WHEN j % 3 = 0
+                     THEN round(CAST('0.' || CAST(j % 10 AS VARCHAR) AS DOUBLE)
+                                * 1000)
+                     ELSE 500 END AS INT) AS priority_milli
+    FROM urls
+    """,
+)
+def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml parsing (functions/web.sitemap_urls — sitemaps.org
+    protocol) as pure column expressions: the crawl-frontier feed that
+    pairs with web_robots_filter.  Every document becomes a urlset
+    built in-plan (1-4 <url> blocks with optional <lastmod>/<priority>,
+    defaults per the protocol: priority 0.5), except every 9th which
+    becomes a <sitemapindex> and is routed away by sitemap_is_index —
+    index documents must NOT contribute page URLs.  Priorities parse to
+    exact milli units for integer crawl-scheduling arithmetic; the
+    oracle replays construction + defaults.  Scale: regexp projection +
+    explode, no UDF, no shuffle before the output."""
+    from aroa_etl_spark.functions.web import sitemap_is_index, sitemap_urls
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = (F.col("doc_id") % 24).cast("int")
+    url_block = F.transform(
+        F.sequence(F.lit(0), k % 4),
+        lambda j: F.concat(
+            F.lit("<url><loc> https://site"), (k % 7).cast("string"),
+            F.lit(".example/p"), j.cast("string"), F.lit(" </loc>"),
+            F.when(
+                j % 2 == 0,
+                F.concat(
+                    F.lit("<lastmod>2024-0"), (1 + j % 9).cast("string"),
+                    F.lit("-01</lastmod>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                j % 3 == 0,
+                F.concat(
+                    F.lit('<priority xmlns="x">0.'),
+                    (j % 10).cast("string"), F.lit("</priority>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        ),
+    )
+    xml = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<sitemap><loc>https://x.example/a.xml</loc></sitemap>"
+              "</sitemapindex>"),
+    ).otherwise(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws("", url_block),
+            F.lit("</urlset>"),
+        )
+    )
+    parsed = docs.select(
+        "doc_id",
+        sitemap_is_index(xml).alias("is_index"),
+        sitemap_urls(xml).alias("urls"),
+    )
+    return (
+        parsed.filter(~F.col("is_index"))
+        .select("doc_id", F.explode("urls").alias("u"))
+        .select(
+            "doc_id",
+            F.col("u.loc").alias("loc"),
+            F.col("u.lastmod").alias("lastmod"),
+            F.col("u.priority_milli").alias("priority_milli"),
+        )
+    )
+
+
+@query(
     "s_mbox_source",
     oracle="""
     WITH k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks FROM documents)

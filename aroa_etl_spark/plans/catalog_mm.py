@@ -1448,6 +1448,73 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_image_entropy",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k,
+                 CASE WHEN k % 11 = 0 THEN 64 ELSE 1 + k % 63 END AS na,
+                 CASE WHEN k % 11 = 0 THEN 0 ELSE 64 - (1 + k % 63) END AS nb,
+                 16 + k AS a
+          FROM p),
+    e AS (SELECT media_id, na, nb, a,
+                 CASE WHEN nb = 0 THEN 0
+                      ELSE CAST(round(1e9 * na * log2(64.0 / na) / 64)
+                                AS BIGINT)
+                           + CAST(round(1e9 * nb * log2(64.0 / nb) / 64)
+                                  AS BIGINT)
+                 END AS efp
+          FROM d)
+    SELECT media_id,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN nb = 0 THEN 1 ELSE 2 END AS INT) AS n_distinct,
+           CAST(a AS INT) AS v_min,
+           CAST(CASE WHEN nb = 0 THEN a ELSE 200 END AS INT) AS v_max,
+           CAST(efp AS BIGINT) AS entropy_fp,
+           round(CAST(efp AS DOUBLE) / 1e9, 6) AS entropy_bits
+    FROM e
+    """,
+)
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-information image gating
+    (operators/multimodal.image_entropy): grayscale Shannon entropy +
+    value range per image — flat placeholders score 0 bits and get
+    culled before any expensive downstream vision step.  The 40-blob
+    dim carries real P6 PPMs (8×8, two-value patterns with
+    doc_id-arithmetic counts; every 11th flat), decoded through the
+    real codec path; per-bin 1e-9 fixed-point rounding before the
+    integer sum makes the entropy order-free, and the oracle replays
+    the two-bin formula (including the flat 0-bit degenerate) in
+    closed form.  Scale: dim broadcast, mapInPandas, one bincount per
+    image."""
+    from aroa_etl_spark.operators.multimodal import image_entropy
+
+    blobs = []
+    for k in range(40):
+        na = 64 if k % 11 == 0 else 1 + k % 63
+        a, b = 16 + k, 200
+        vals = [a] * na + [b] * (64 - na)
+        body = bytes(v for v in vals for _ in range(3))
+        blobs.append((k, bytearray(b"P6 8 8 255\n" + body)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit("ppm").alias("format"),
+        ),
+    )
+    return image_entropy(media, strict=True)
+
+
+@query(
     "mm_ogg_comments",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

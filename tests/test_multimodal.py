@@ -2789,3 +2789,30 @@ def test_ogg_comments_strict_contract(spark):
     with _pytest.raises(Exception, match="framing"):
         scan_ogg_comments(df, strict=True).collect()
     assert scan_ogg_comments(df, strict=False).count() == 0
+
+
+def test_image_entropy_flat_vs_uniform(spark):
+    import math
+
+    from aroa_etl_spark.operators.multimodal import image_entropy
+
+    flat = b"P6 4 4 255\n" + bytes([50, 50, 50]) * 16
+    # half 10s, half 250s -> exactly 1 bit
+    half = b"P6 4 4 255\n" + bytes([10, 10, 10]) * 8 + bytes([250, 250, 250]) * 8
+    meta = {"width": 4, "height": 4, "channels": 3, "format": "ppm"}
+    df = spark.createDataFrame(
+        [(1, bytearray(flat), meta), (2, bytearray(half), meta)],
+        "media_id long, content binary, meta map<string,string>",
+    )
+    out = {r.media_id: r for r in image_entropy(df, strict=True).collect()}
+    assert out[1].entropy_fp == 0 and out[1].n_distinct == 1
+    assert out[2].entropy_bits == 1.0 and out[2].n_distinct == 2
+    assert (out[2].v_min, out[2].v_max) == (10, 250)
+    # 4-value uniform -> 2 bits
+    quarter = b"P6 4 4 255\n" + b"".join(bytes([v] * 3) * 4 for v in (0, 80, 160, 240))
+    df2 = spark.createDataFrame(
+        [(3, bytearray(quarter), meta)],
+        "media_id long, content binary, meta map<string,string>",
+    )
+    r = image_entropy(df2, strict=True).first()
+    assert math.isclose(r.entropy_bits, 2.0, abs_tol=1e-6)

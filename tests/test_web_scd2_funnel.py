@@ -285,3 +285,33 @@ def test_main_content_drops_nav_short_and_linkfarm(spark):
         main_content("html").alias("m")
     ).first().m
     assert empty == ""
+
+
+def test_sitemap_urls_parses_fields_and_defaults(spark):
+    from aroa_etl_spark.functions.web import sitemap_is_index, sitemap_urls
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://a.example/1 </loc>"
+        "<lastmod>2024-03-01</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://a.example/2</loc></url>"
+        "</urlset>"
+    )
+    idx = "<sitemapindex><sitemap><loc>https://a/x.xml</loc></sitemap></sitemapindex>"
+    df = spark.createDataFrame([(1, xml), (2, idx)], "id long, xml string")
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            sitemap_urls("xml").alias("u"),
+            sitemap_is_index("xml").alias("ix"),
+        ).collect()
+    }
+    u = rows[1].u
+    assert not rows[1].ix and rows[2].ix
+    assert [x.loc for x in u] == ["https://a.example/1", "https://a.example/2"]
+    assert u[0].lastmod == "2024-03-01" and u[1].lastmod is None
+    assert u[0].priority_milli == 800 and u[1].priority_milli == 500
+    assert rows[2].u == []  # index docs contribute no page URLs
