@@ -28,7 +28,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert", "snapshot_diff", "scd2_from_changelog", "refresh_aggregate"]
+__all__ = [
+    "upsert",
+    "snapshot_diff",
+    "scd2_from_changelog",
+    "refresh_aggregate",
+    "cdc_apply",
+]
 
 
 def upsert(current: DataFrame, updates: DataFrame, key: Sequence[str] | str) -> DataFrame:
@@ -194,3 +200,84 @@ def refresh_aggregate(
             ).alias(f"sum_{c}")
         )
     return joined.select(*keys, *out_cols)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: Sequence[str] | str,
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC change log (Debezium/DMS shape: per-row ``op`` in
+    {'I', 'U', 'D'} plus a monotone ``seq``) onto a base snapshot —
+    the batch twin of the streaming upsert sink (st_upsert_table):
+    for every key the LATEST change wins; a final 'D' removes the row,
+    a final 'I'/'U' replaces (or inserts) it, and untouched base rows
+    pass through.
+
+    Determinism: the winner per key is selected by ``row_number`` over
+    (seq DESC, tiebreak DESC) — ties in ``seq`` without a tiebreak
+    column raise, because "latest" would then be partition-dependent
+    (same loudness rule as the SCD2 builder).  Unknown op codes raise
+    via an assertion column rather than silently passing through.
+
+    Plan: one window over the changes keyed by ``key`` (the change log
+    is the small side at 100 TB — a day's deltas, not the corpus) +
+    one keyed anti-join + union with the base. No base-side window,
+    no base shuffle beyond the anti-join."""
+    keys = [key] if isinstance(key, str) else list(key)
+    from pyspark.sql.window import Window as W
+
+    checked_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("cdc_apply: unknown op code "), F.col(op_col))
+        )
+    )
+    if tiebreak_col is not None:
+        win = W.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), F.col(tiebreak_col).desc()
+        )
+        latest = (
+            changes.withColumn(op_col, checked_op)
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        # no tiebreak: a tie at the LATEST seq makes "latest" partition-
+        # dependent, so it must raise. rank() keeps every tied winner,
+        # and the guard is woven into the op column itself — an
+        # expression the result actually consumes, so Catalyst cannot
+        # prune the check away (a projected-then-dropped guard column
+        # would be dead code and never evaluate).
+        win = W.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        winners = changes.withColumn("__rk", F.rank().over(win)).filter(
+            F.col("__rk") == 1
+        )
+        n_win = F.count(F.lit(1)).over(W.partitionBy(*keys))
+        latest = winners.withColumn(
+            op_col,
+            F.when(n_win == 1, checked_op).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "cdc_apply: tied seq values for a key need a "
+                            "tiebreak_col; key="
+                        ),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                    )
+                )
+            ),
+        ).drop("__rk")
+    survivors = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    if tiebreak_col is not None:
+        survivors = survivors.drop(tiebreak_col)
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    return untouched.unionByName(survivors)

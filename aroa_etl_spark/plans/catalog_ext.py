@@ -1014,6 +1014,89 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HP_ORACLE = (
+    f"""
+    WITH l{_H_BITS} AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS hx,
+                 CAST(p_partkey % {1 << _H_BITS} AS BIGINT) AS hy,
+                 CAST(0 AS BIGINT) AS hd FROM part),"""
+    + ",".join(
+        _hilbert_level_cte(i, i + 1, 1 << _H_BITS)
+        for i in range(_H_BITS - 1, -1, -1)
+    )
+    + f""",
+    keyed AS (SELECT p.p_partkey, p.p_size,
+                     p.p_partkey % {1 << _H_BITS} AS pk, l0.hd AS hkey
+              FROM part p JOIN l0 USING (p_partkey)),
+    h AS (SELECT 'hilbert' AS strategy,
+                 CAST(hkey // {(1 << (2 * _H_BITS)) // 8} AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(p_size) - MIN(p_size) AS BIGINT) AS size_span,
+                 CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span
+          FROM keyed GROUP BY 2),
+    s AS (SELECT 'single' AS strategy,
+                 CAST(pk // {(1 << _H_BITS) // 8} AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(p_size) - MIN(p_size) AS BIGINT) AS size_span,
+                 CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span
+          FROM keyed GROUP BY 2)
+    SELECT * FROM h UNION ALL SELECT * FROM s
+    ORDER BY strategy, bucket
+    """
+)
+
+
+@query("layout_hilbert_pruning", oracle=_HP_ORACLE)
+def layout_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hilbert layout's pruning value PROVEN through a real
+    partitioned parquet write: part is bucketed into 8 contiguous
+    curve segments (``hkey div 4^bits/8`` — a pure literal, no stats
+    pass), written partitionBy(bucket), read back, and each bucket's
+    min/max SPAN on BOTH dimensions is reported beside the same spans
+    under single-column range bucketing.  Curve segments are tight
+    (x, y) boxes, so the hilbert rows bound size_span AND pk_span
+    simultaneously; the single-column layout pins pk_span but leaves
+    size_span at the full range — exactly what parquet min/max file
+    stats would (or would not) prune.  The oracle replays the
+    10-level key, the bucket arithmetic, and both aggregation legs."""
+    from aroa_etl_spark.operators.layout import hilbert_key_df
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    keyed = hilbert_key_df(
+        part.select(
+            "p_partkey", "p_size",
+            (F.col("p_partkey") % (1 << _H_BITS)).alias("pk"),
+        ),
+        "p_size",
+        "pk",
+        bits=_H_BITS,
+        out="hkey",
+    ).withColumn(
+        "bucket",
+        (F.col("hkey") / F.lit((1 << (2 * _H_BITS)) // 8)).cast("int"),
+    )
+    stage = _scratch_stage("hilbert_layout", sf_dir)
+    keyed.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    back = spark.read.parquet(stage)
+
+    def spans(df: DataFrame, strategy: str, bucket_col) -> DataFrame:
+        return (
+            df.groupBy(bucket_col.cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                (F.max("p_size") - F.min("p_size")).cast("bigint")
+                .alias("size_span"),
+                (F.max("pk") - F.min("pk")).cast("bigint").alias("pk_span"),
+            )
+            .select(F.lit(strategy).alias("strategy"), "*")
+        )
+
+    h = spans(back, "hilbert", F.col("bucket"))
+    s = spans(
+        back, "single", F.col("pk") / F.lit((1 << _H_BITS) // 8)
+    )
+    return h.unionByName(s).orderBy("strategy", "bucket")
+
+
 @query(
     "dq_profile_orders",
     oracle="""
@@ -2186,6 +2269,55 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("prnk"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@query(
+    "inc_cdc_apply",
+    oracle="""
+    WITH base AS (SELECT c_custkey AS k,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                  FROM customer),
+    ch AS (SELECT o_custkey AS k, o_orderkey AS seq,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS bal
+           FROM orders),
+    latest AS (SELECT k, op, bal FROM (
+        SELECT k, op, bal,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    survivors AS (SELECT k, bal FROM latest WHERE op != 'D'),
+    untouched AS (SELECT k, bal FROM base
+                  WHERE k NOT IN (SELECT k FROM latest))
+    SELECT k AS c_custkey, bal AS bal_cents FROM untouched
+    UNION ALL
+    SELECT k, bal FROM survivors
+    """,
+)
+def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC application (operators/incremental.cdc_apply — the
+    Debezium/DMS shape: op in {I, U, D} + a monotone seq): the orders
+    stream becomes a change log over customer balances (every 10th
+    change a delete), latest-per-key wins, deletes drop the row,
+    upserts on unseen keys insert.  The full post-image is the checked
+    output, so any wrong winner, leaked delete, or lost untouched row
+    fails the hash.  Scale: the change log (a day's deltas) carries the
+    only window; the 100 TB base side pays one keyed anti-join."""
+    from aroa_etl_spark.operators.incremental import cdc_apply
+
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = customer.select(
+        F.col("c_custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("bal_cents"),
+    )
+    return cdc_apply(base, changes, "c_custkey", op_col="op", seq_col="seq")
 
 
 @query(

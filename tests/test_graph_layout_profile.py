@@ -259,3 +259,21 @@ def test_bfs_hops_min_distance_wins(spark):
         for r in bfs_hops(edges.repartition(7), seeds, max_hops=3).collect()
     }
     assert out == out2
+
+
+def test_hilbert_buckets_bound_both_dims(spark, sf_dir):
+    """Catalog-level property behind layout_hilbert_pruning: contiguous
+    hilbert-curve segments are tight boxes on BOTH dimensions, while a
+    single-column layout leaves the other dimension at full span."""
+    from aroa_etl_spark.plans import catalog
+
+    rows = catalog.spec("layout_hilbert_pruning").builder(spark, sf_dir).collect()
+    h = [r for r in rows if r.strategy == "hilbert"]
+    s = [r for r in rows if r.strategy == "single"]
+    # the single-column layout cannot constrain p_size at all
+    full_size_span = max(r.size_span for r in s)
+    assert all(r.size_span == full_size_span for r in s)
+    # hilbert constrains both: every bucket's pk span is partial, and
+    # at least some buckets also bound p_size strictly below full range
+    assert all(r.pk_span < 1024 for r in h)
+    assert sum(r.size_span < full_size_span for r in h) >= len(h) // 2

@@ -75,3 +75,65 @@ def test_refresh_aggregate_new_and_untouched_keys(spark):
            refresh_aggregate(base, delta, "k", sum_cols=["v"]).collect()}
     assert out["a"] == (2, 10.0)   # untouched key survives
     assert out["b"] == (2, 10.0)   # new key appears from the delta alone
+
+
+def test_cdc_apply_semantics(spark):
+    from aroa_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "U", "b2"),
+            (2, 2, "U", "b3"),   # later seq wins
+            (3, 1, "D", None),   # delete
+            (9, 1, "I", "new"),  # insert of unseen key
+        ],
+        "k long, seq long, op string, v string",
+    )
+    out = {r.k: r.v for r in cdc_apply(base, changes, "k").collect()}
+    assert out == {1: "a", 2: "b3", 9: "new"}
+
+
+def test_cdc_apply_delete_then_reinsert_order(spark):
+    from aroa_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, 1, "D", None), (1, 2, "I", "back")],
+        "k long, seq long, op string, v string",
+    )
+    out = {r.k: r.v for r in cdc_apply(base, changes, "k").collect()}
+    assert out == {1: "back"}
+    # reversed order: the delete is final
+    changes2 = spark.createDataFrame(
+        [(1, 2, "D", None), (1, 1, "I", "back")],
+        "k long, seq long, op string, v string",
+    )
+    assert cdc_apply(base, changes2, "k").collect() == []
+
+
+def test_cdc_apply_guards(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    tied = spark.createDataFrame(
+        [(1, 5, "U", "x"), (1, 5, "U", "y")],
+        "k long, seq long, op string, v string",
+    )
+    with _pytest.raises(Exception, match="tiebreak"):
+        cdc_apply(base, tied, "k").collect()
+    # a tiebreak column resolves the tie deterministically
+    from pyspark.sql import functions as F
+
+    tied2 = tied.withColumn("tb", F.col("v"))
+    out = cdc_apply(base, tied2, "k", tiebreak_col="tb").collect()
+    assert [r.v for r in out] == ["y"]
+    bad_op = spark.createDataFrame(
+        [(1, 1, "X", "x")], "k long, seq long, op string, v string"
+    )
+    with _pytest.raises(Exception, match="unknown op"):
+        cdc_apply(base, bad_op, "k").collect()
