@@ -1448,6 +1448,60 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_pdf_triage",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents)
+    SELECT media_id,
+           '1.' || CAST(4 + k % 4 AS VARCHAR) AS version,
+           'table' AS xref_kind,
+           CAST(2 + (1 + k % 5)
+                + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_objects,
+           CAST(1 + k % 5 AS INT) AS n_pages,
+           CAST(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS INT) AS encrypted,
+           CAST(1 AS INT) AS xref_ok
+    FROM p
+    """,
+)
+def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF structure triage (operators/pdfscan.scan_pdf_structure —
+    ISO 32000 classic-xref walk): spec version, object/page counts,
+    encryption flag, and offset-verified xref integrity WITHOUT
+    rendering — the well-formed/page-count/encrypted gates a document
+    pipeline applies before OCR or text extraction.  The 40-blob dim
+    carries real PDFs (build_pdf: catalog + pages node + 1-5 page
+    objects, every 7th /Encrypt'ed, versions 1.4-1.7) whose xref
+    offsets the strict scanner verifies byte-by-byte; all reported
+    fields derive from doc_id arithmetic the oracle replays
+    (n_bytes is excluded: offset-digit growth makes it honest to
+    measure, tedious to replay).  Scale: dim broadcast, mapInPandas,
+    O(header+xref) per blob — content streams never read."""
+    from aroa_etl_spark.operators.pdfscan import build_pdf, scan_pdf_structure
+
+    blobs = []
+    for k in range(40):
+        blobs.append(
+            (
+                k,
+                bytearray(
+                    build_pdf(
+                        1 + k % 5,
+                        version=f"1.{4 + k % 4}",
+                        encrypted=k % 7 == 0,
+                    )
+                ),
+            )
+        )
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return scan_pdf_structure(media, strict=True).drop("n_bytes")
+
+
+@query(
     "mm_image_entropy",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

@@ -1,0 +1,60 @@
+"""PDF structure triage tests: builder/scanner round-trip, offset
+verification, capability boundaries."""
+
+import re
+
+import pytest
+
+from aroa_etl_spark.operators.pdfscan import (
+    _scan_blob,
+    build_pdf,
+    scan_pdf_structure,
+)
+
+
+def test_roundtrip_fields():
+    b = build_pdf(4, version="1.7", encrypted=True)
+    r = _scan_blob(b, strict=True)
+    assert r["version"] == "1.7" and r["xref_kind"] == "table"
+    assert r["n_pages"] == 4 and r["encrypted"] == 1
+    assert r["n_objects"] == 7  # catalog + pages + 4 pages + encrypt dict
+    assert r["xref_ok"] == 1 and r["n_bytes"] == len(b)
+
+
+def test_corrupt_offset_strict_vs_lenient():
+    bad = bytearray(build_pdf(2))
+    at = bad.index(b"xref\n")
+    entry0 = at + len(b"xref\n0 4\n") + 20  # skip the free-list head
+    bad[entry0:entry0 + 10] = b"0000000042"
+    with pytest.raises(ValueError, match="corrupt offset"):
+        _scan_blob(bytes(bad), strict=True)
+    r = _scan_blob(bytes(bad), strict=False)
+    assert r["xref_ok"] == 0 and r["n_pages"] == 2  # still triages
+
+
+def test_xref_stream_boundary_and_garbage():
+    # fake a 1.5-style xref stream: startxref points at an object
+    b = build_pdf(1, version="1.5")
+    obj_at = b.index(b"1 0 obj")
+    doctored = re.sub(
+        rb"startxref\s+\d+", b"startxref\n" + str(obj_at).encode(), b
+    )
+    with pytest.raises(NotImplementedError, match="cross-reference streams"):
+        _scan_blob(doctored, strict=True)
+    r = _scan_blob(doctored, strict=False)
+    assert r["xref_kind"] == "stream" and r["n_pages"] is None
+
+    with pytest.raises(ValueError, match="missing %PDF"):
+        _scan_blob(b"GIF89a not a pdf", strict=True)
+    assert _scan_blob(b"junk", strict=False)["version"] is None
+
+
+def test_scan_dataframe_kernel(spark):
+    rows = [
+        (1, bytearray(build_pdf(2))),
+        (2, bytearray(build_pdf(1, encrypted=True))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in scan_pdf_structure(df, strict=True).collect()}
+    assert out[1].n_pages == 2 and out[1].encrypted == 0
+    assert out[2].encrypted == 1 and out[2].n_objects == 4
