@@ -1502,6 +1502,51 @@ def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_pdf_text_extract",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    pg AS (SELECT media_id, k, unnest(range(0, 1 + k % 3)) AS j FROM p)
+    SELECT media_id,
+           CAST(j AS INT) AS page_idx,
+           'Doc ' || CAST(k AS VARCHAR) || ' page ' || CAST(j AS VARCHAR)
+             || ' (note)' AS text,
+           CAST(18 + len(CAST(k AS VARCHAR)) AS INT) AS n_chars,
+           CAST(k % 2 AS INT) AS compressed
+    FROM pg
+    """,
+)
+def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page PDF text extraction (operators/pdfscan.
+    extract_pdf_text): the step that turns a crawled PDF into training
+    text — page objects resolve their /Contents streams, FlateDecode
+    (zlib) inflates where declared, and Tj/TJ show-strings parse with
+    escape-correct unquoting (the planted '(note)' parens round-trip
+    through PDF string escaping).  Half the 40-blob dim compresses its
+    streams, half stores them plain; text, char counts, and the
+    compression flag all replay from doc_id arithmetic.  Scale: dim
+    broadcast, mapInPandas, O(stream bytes) per page."""
+    from aroa_etl_spark.operators.pdfscan import (
+        build_pdf_with_text,
+        extract_pdf_text,
+    )
+
+    blobs = []
+    for k in range(40):
+        texts = [f"Doc {k} page {j} (note)" for j in range(1 + k % 3)]
+        blobs.append(
+            (k, bytearray(build_pdf_with_text(texts, compress=k % 2 == 1)))
+        )
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return extract_pdf_text(media, strict=True)
+
+
+@query(
     "mm_image_entropy",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

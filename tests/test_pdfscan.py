@@ -58,3 +58,60 @@ def test_scan_dataframe_kernel(spark):
     out = {r.media_id: r for r in scan_pdf_structure(df, strict=True).collect()}
     assert out[1].n_pages == 2 and out[1].encrypted == 0
     assert out[2].encrypted == 1 and out[2].n_objects == 4
+
+
+def test_text_extract_escapes_and_flate():
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        build_pdf_with_text,
+    )
+
+    texts = ["Hello (world)", "back\\slash", ""]
+    for compress in (False, True):
+        rows = _extract_blob_text(
+            build_pdf_with_text(texts, compress=compress), strict=True
+        )
+        assert [r["text"] for r in rows] == texts
+        assert all(r["compressed"] == int(compress) for r in rows)
+        assert rows[0]["n_chars"] == 13
+
+
+def test_text_extract_tj_array_and_blank_page():
+    import zlib
+
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        build_pdf_with_text,
+    )
+
+    # hand-patch a TJ array stream into a built PDF
+    b = build_pdf_with_text(["x"], compress=False)
+    old = b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
+    new = b"BT [(a) -120 (b)] TJ ET".ljust(len(old))
+    assert old in b
+    rows = _extract_blob_text(b.replace(old, new), strict=True)
+    assert rows[0]["text"] == "ab"
+
+    # truncated Flate stream must fail loudly in strict mode
+    bad = build_pdf_with_text(["z" * 50], compress=True)
+    comp = zlib.compress(b"BT /F1 12 Tf 72 720 Td (" + b"z" * 50 + b") Tj ET", 6)
+    cut = bad.replace(comp, comp[: len(comp) // 2].ljust(len(comp), b"\x00"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inflate"):
+        _extract_blob_text(cut, strict=True)
+    assert _extract_blob_text(cut, strict=False) == []
+
+
+def test_text_extract_dataframe(spark):
+    from aroa_etl_spark.operators.pdfscan import (
+        build_pdf_with_text,
+        extract_pdf_text,
+    )
+
+    rows = [(1, bytearray(build_pdf_with_text(["p0", "p1"], compress=True)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = extract_pdf_text(df, strict=True).orderBy("page_idx").collect()
+    assert [(r.page_idx, r.text, r.compressed) for r in out] == [
+        (0, "p0", 1), (1, "p1", 1)
+    ]
