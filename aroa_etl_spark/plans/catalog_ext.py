@@ -3134,6 +3134,87 @@ def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_zip_members",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k, k % 3 AS kindc,
+                 CASE WHEN k % 2 = 1 THEN 'deflate' ELSE 'stored' END AS mth,
+                 len(CAST(k AS VARCHAR)) AS kl
+          FROM p),
+    plain AS (SELECT media_id, 'zip' AS kind, CAST(j AS INT) AS member_idx,
+                     'm' || CAST(j AS VARCHAR) || '.txt' AS name,
+                     mth AS method,
+                     CAST(12 + kl AS BIGINT) AS usize,
+                     CAST(1 AS INT) AS crc_ok
+              FROM (SELECT *, unnest(range(0, 2 + k % 3)) AS j FROM d)
+              WHERE kindc = 0),
+    epub AS (SELECT media_id, 'epub', 0, 'mimetype', 'stored',
+                    CAST(20 AS BIGINT), 1
+             FROM d WHERE kindc = 1
+             UNION ALL
+             SELECT media_id, 'epub', 1, 'OEBPS/content.xhtml', mth,
+                    CAST(12 + kl AS BIGINT), 1
+             FROM d WHERE kindc = 1),
+    docx AS (SELECT media_id, 'docx', 0, '[Content_Types].xml', mth,
+                    CAST(8 AS BIGINT), 1
+             FROM d WHERE kindc = 2
+             UNION ALL
+             SELECT media_id, 'docx', 1, 'word/document.xml', mth,
+                    CAST(15 + kl AS BIGINT), 1
+             FROM d WHERE kindc = 2)
+    SELECT * FROM plain UNION ALL SELECT * FROM epub
+    UNION ALL SELECT * FROM docx
+    """,
+)
+def s_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP central-directory triage (sources/zipfmt.parse_zip_records):
+    per-member names, methods, sizes, and CRC-verified integrity for
+    the container behind docx/epub/jar in any document crawl, plus
+    tell-tale-member KIND routing (mimetype→epub,
+    [Content_Types].xml→docx).  The 40-blob dim carries real archives
+    written by stdlib zipfile (plain / epub-shaped / docx-shaped,
+    alternating stored and deflate); strict mode verifies every local
+    header offset AND every member's crc32 after inflation, so a
+    flipped payload bit fails the entry.  The oracle replays names,
+    methods, and uncompressed sizes from doc_id arithmetic (compressed
+    sizes are honest-to-measure but zlib-version-dependent, so they
+    stay out of the checked surface).  Scale: O(central directory) per
+    blob + O(member bytes) only because verification is on;
+    mapInPandas, zero shuffle."""
+    import io
+    import zipfile
+
+    from aroa_etl_spark.sources.zipfmt import parse_zip_records
+
+    blobs = []
+    for k in range(40):
+        comp = zipfile.ZIP_DEFLATED if k % 2 else zipfile.ZIP_STORED
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", comp) as z:
+            if k % 3 == 0:
+                for j in range(2 + k % 3):
+                    z.writestr(f"m{j}.txt", f"member {j} of {k}")
+            elif k % 3 == 1:
+                z.writestr("mimetype", "application/epub+zip",
+                           zipfile.ZIP_STORED)
+                z.writestr("OEBPS/content.xhtml", f"<p>book {k}</p>")
+            else:
+                z.writestr("[Content_Types].xml", "<Types/>")
+                z.writestr("word/document.xml", f"<w:doc>{k}</w:doc>")
+        blobs.append((k, bytearray(buf.getvalue())))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("blob_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return parse_zip_records(
+        media, strict=True, verify_crc=True
+    ).withColumnRenamed("blob_id", "media_id")
+
+
+@query(
     "web_sitemap_parse",
     oracle="""
     WITH p AS (SELECT doc_id, CAST(doc_id % 24 AS INT) AS k FROM documents

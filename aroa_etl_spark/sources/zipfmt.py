@@ -1,0 +1,191 @@
+"""ZIP central-directory triage (APPNOTE.TXT layout) — the container
+behind docx/xlsx/pptx, epub, jar, and plain archives in any document
+crawl.
+
+The walk is the ARCHIVIST's read order, not the streaming one: locate
+the End-Of-Central-Directory record (``PK\\x05\\x06``, scanned back
+through the trailing comment zone), jump to the central directory, and
+read each ``PK\\x01\\x02`` header — names, compression methods, sizes,
+CRCs — WITHOUT touching member data unless integrity verification is
+on.  Strict mode cross-checks the EOCD entry count against the walked
+headers, verifies every member's local header signature sits at its
+recorded offset, and (``verify_crc=True``) inflates each member and
+compares zlib.crc32 against the stored value — a flipped bit anywhere
+in a member fails loudly.
+
+``detect_zip_kind`` routes the archive by its tell-tale members
+(``mimetype`` = epub, ``[Content_Types].xml`` = OOXML/docx family,
+``META-INF/MANIFEST.MF`` = jar) — the dispatch step before a
+format-specific text extractor.
+
+Spark surface: ``parse_zip_records`` explodes (blob_id, content) into
+per-member rows via mapInPandas — zero shuffle, same shape as the
+WARC/tar/mbox kernels.  ZIP64 archives are detected and raise cleanly
+(the 4 GiB+ form needs the 64-bit EOCD locator; out of scope here).
+
+Scale: O(central directory) per blob for triage; O(member bytes) only
+when CRC verification is requested.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "ZIP_MEMBER_SCHEMA",
+    "parse_zip_central",
+    "parse_zip_records",
+    "detect_zip_kind",
+]
+
+ZIP_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("member_idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("usize", T.LongType()),
+        T.StructField("crc_ok", T.IntegerType()),
+    ]
+)
+
+_EOCD_SIG = b"PK\x05\x06"
+_CEN_SIG = b"PK\x01\x02"
+_LOC_SIG = b"PK\x03\x04"
+_METHODS = {0: "stored", 8: "deflate"}
+
+
+def parse_zip_central(
+    blob: bytes, *, strict: bool = True, verify_crc: bool = True
+) -> list[dict]:
+    """Central-directory walk -> member dicts (all but ``blob_id``/
+    ``kind``). See module docstring for the verification ladder."""
+
+    def fail(msg: str) -> list[dict]:
+        if strict:
+            raise ValueError(f"zip: {msg}")
+        return []
+
+    # EOCD is within the last 22 + 65535 bytes (fixed part + max comment)
+    tail_at = max(0, len(blob) - 22 - 65535)
+    eocd_at = blob.rfind(_EOCD_SIG, tail_at)
+    if eocd_at < 0:
+        return fail("no end-of-central-directory record")
+    if len(blob) < eocd_at + 22:
+        return fail("truncated EOCD record")
+    (n_this_disk, n_total, cd_size, cd_off) = struct.unpack(
+        "<HHII", blob[eocd_at + 8:eocd_at + 20]
+    )
+    n_disk = n_total
+    if n_disk == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "zip: ZIP64 archives (65535+ members or 4 GiB+ offsets) are "
+            "out of scope for the 32-bit central-directory walk"
+        )
+    if cd_off + cd_size > len(blob):
+        return fail("central directory overruns the file")
+    out: list[dict] = []
+    pos = cd_off
+    for idx in range(n_disk):
+        if blob[pos:pos + 4] != _CEN_SIG:
+            return fail(f"central header {idx} missing its signature")
+        (
+            method, crc, csize, usize, nlen, xlen, clen
+        ) = struct.unpack("<H4xIIIHHH", blob[pos + 10:pos + 34])
+        loc_off = struct.unpack("<I", blob[pos + 42:pos + 46])[0]
+        name = blob[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        if blob[loc_off:loc_off + 4] != _LOC_SIG:
+            return fail(
+                f"member {name!r}: local header offset {loc_off} does not "
+                "hold a local-file signature (corrupt offset)"
+            )
+        crc_ok = 1
+        if verify_crc:
+            # local header may restate lengths; use the central values
+            lnlen, lxlen = struct.unpack(
+                "<HH", blob[loc_off + 26:loc_off + 30]
+            )
+            data_at = loc_off + 30 + lnlen + lxlen
+            raw = blob[data_at:data_at + csize]
+            if method == 0:
+                data = raw
+            elif method == 8:
+                try:
+                    data = zlib.decompress(raw, -15)
+                except zlib.error:
+                    return fail(f"member {name!r}: deflate stream corrupt")
+            else:
+                return fail(
+                    f"member {name!r}: unsupported compression method "
+                    f"{method}"
+                )
+            if zlib.crc32(data) & 0xFFFFFFFF != crc or len(data) != usize:
+                if strict:
+                    raise ValueError(
+                        f"zip: member {name!r} failed CRC/size verification"
+                    )
+                crc_ok = 0
+        out.append(
+            {
+                "member_idx": idx,
+                "name": name,
+                "method": _METHODS.get(method, str(method)),
+                "usize": usize,
+                "crc_ok": crc_ok,
+            }
+        )
+        pos += 46 + nlen + xlen + clen
+    if strict and len(out) != n_disk:
+        return fail("EOCD entry count does not match walked headers")
+    return out
+
+
+def detect_zip_kind(names: list[str]) -> str:
+    """Route an archive by tell-tale members — epub/docx-family/jar,
+    'zip' otherwise."""
+    ns = set(names)
+    if "mimetype" in ns:
+        return "epub"
+    if "[Content_Types].xml" in ns:
+        return "docx"
+    if "META-INF/MANIFEST.MF" in ns:
+        return "jar"
+    return "zip"
+
+
+def parse_zip_records(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "blob_id",
+    strict: bool = True,
+    verify_crc: bool = True,
+) -> DataFrame:
+    """Explode (blob_id, content binary) into per-member rows plus the
+    archive kind — mapInPandas, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ZIP_MEMBER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(
+                pdf[id_col].to_numpy(), pdf[content_col].to_numpy()
+            ):
+                members = parse_zip_central(
+                    bytes(content or b""), strict=strict, verify_crc=verify_crc
+                )
+                kind = detect_zip_kind([m["name"] for m in members])
+                for m in members:
+                    m["blob_id"] = bid
+                    m["kind"] = kind
+                    rows.append(m)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, ZIP_MEMBER_SCHEMA)

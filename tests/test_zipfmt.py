@@ -1,0 +1,77 @@
+"""ZIP central-directory triage tests."""
+
+import io
+import zipfile
+
+import pytest
+
+from aroa_etl_spark.sources.zipfmt import (
+    detect_zip_kind,
+    parse_zip_central,
+    parse_zip_records,
+)
+
+
+def _zip(members, comp=zipfile.ZIP_DEFLATED):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", comp) as z:
+        for name, data in members:
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_members_methods_sizes():
+    blob = _zip([("a.txt", "hello"), ("b/c.txt", "x" * 100)])
+    ms = parse_zip_central(blob)
+    assert [(m["name"], m["usize"], m["crc_ok"]) for m in ms] == [
+        ("a.txt", 5, 1), ("b/c.txt", 100, 1)
+    ]
+    assert all(m["method"] == "deflate" for m in ms)
+    stored = parse_zip_central(_zip([("s", "data")], zipfile.ZIP_STORED))
+    assert stored[0]["method"] == "stored"
+
+
+def test_kind_routing():
+    assert detect_zip_kind(["mimetype", "x"]) == "epub"
+    assert detect_zip_kind(["[Content_Types].xml"]) == "docx"
+    assert detect_zip_kind(["META-INF/MANIFEST.MF"]) == "jar"
+    assert detect_zip_kind(["a.txt"]) == "zip"
+
+
+def test_corrupt_payload_and_offsets():
+    blob = bytearray(_zip([("k.txt", "payload bytes here")], zipfile.ZIP_STORED))
+    at = blob.index(b"payload")
+    blob[at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC/size"):
+        parse_zip_central(bytes(blob))
+    lenient = parse_zip_central(bytes(blob), strict=False)
+    assert lenient[0]["crc_ok"] == 0
+    # triage-only mode never reads member data, so it stays clean
+    assert parse_zip_central(bytes(blob), verify_crc=False)[0]["crc_ok"] == 1
+
+    with pytest.raises(ValueError, match="end-of-central"):
+        parse_zip_central(b"not a zip at all")
+    assert parse_zip_central(b"junk", strict=False) == []
+
+
+def test_zip64_boundary():
+    blob = bytearray(_zip([("a", "b")]))
+    eocd = blob.rindex(b"PK\x05\x06")
+    blob[eocd + 16:eocd + 20] = b"\xff\xff\xff\xff"  # cd offset sentinel
+    with pytest.raises(NotImplementedError, match="ZIP64"):
+        parse_zip_central(bytes(blob))
+
+
+def test_records_kernel(spark):
+    epub = _zip(
+        [("mimetype", "application/epub+zip"), ("OEBPS/c.xhtml", "<p>t</p>")],
+        zipfile.ZIP_STORED,
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(epub))], "blob_id long, content binary"
+    )
+    rows = parse_zip_records(df).orderBy("member_idx").collect()
+    assert [(r.kind, r.name) for r in rows] == [
+        ("epub", "mimetype"), ("epub", "OEBPS/c.xhtml")
+    ]
+    assert all(r.blob_id == 5 and r.crc_ok == 1 for r in rows)
