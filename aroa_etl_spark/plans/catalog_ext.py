@@ -3134,6 +3134,91 @@ def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_avro_roundtrip",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    r AS (SELECT media_id, k, unnest(range(0, 2 + k % 3)) AS j FROM p)
+    SELECT media_id,
+           CAST(k * 10 + j AS BIGINT) AS id,
+           'rec ' || CAST(j AS VARCHAR) AS name,
+           CAST(k + j * 0.25 AS DOUBLE) AS score,
+           (j % 2 = 0) AS flag,
+           CASE WHEN j % 3 = 0 THEN NULL
+                ELSE 'n' || CAST(j AS VARCHAR) END AS note
+    FROM r
+    """,
+)
+def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File ingestion WITHOUT the spark-avro jar
+    (sources/avro_ocf.py — the OCF spec owned directly: zigzag varints,
+    length-prefixed strings, IEEE doubles, nullable unions, null AND
+    raw-deflate codecs, per-block sync-marker verification).  Every
+    document becomes a 2-4-record OCF (alternating codecs, multi-block
+    when record count exceeds the 2-per-block fixture size) parsed back
+    through the typed mapInPandas kernel; ids, strings, exact
+    quarter-value doubles, booleans, and the null/string union all
+    replay from doc_id arithmetic.  Unsupported constructs (nested
+    records, arrays, snappy) raise by name — boundary, not misparse.
+    Scale: binaryFile-shaped scan -> kernel explode, zero shuffle."""
+    from aroa_etl_spark.sources.avro_ocf import avro_records, build_avro_ocf
+    from pyspark.sql import types as T
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    blobs = []
+    for k in range(40):
+        recs = [
+            {
+                "id": k * 10 + j,
+                "name": f"rec {j}",
+                "score": k + j * 0.25,
+                "flag": j % 2 == 0,
+                "note": None if j % 3 == 0 else f"n{j}",
+            }
+            for j in range(2 + k % 3)
+        ]
+        blobs.append(
+            (
+                k,
+                bytearray(
+                    build_avro_ocf(
+                        schema, recs,
+                        codec="deflate" if k % 2 else "null",
+                        records_per_block=2,
+                    )
+                ),
+            )
+        )
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("blob_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    rec_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    return avro_records(media, rec_schema).withColumnRenamed(
+        "blob_id", "media_id"
+    )
+
+
+@query(
     "s_zip_members",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

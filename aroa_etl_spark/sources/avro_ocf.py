@@ -1,0 +1,287 @@
+"""Avro Object Container Files (OCF) read/write without spark-avro.
+
+Avro is a core data-lake interchange format, but Spark's reader lives
+in the external ``spark-avro`` jar — absent here, and in plenty of
+locked-down clusters.  The OCF layout (Avro 1.11 spec, "Object
+Container Files") is small enough to own:
+
+    'Obj\\x01' | file-metadata map | 16-byte sync marker
+    repeat: [record count: long][serialized size: long]
+            [block payload (codec)] [sync marker]
+
+with every ``long``/``int`` zigzag-varint encoded, strings/bytes
+length-prefixed, doubles little-endian IEEE, booleans one byte, and
+``["null", T]`` unions a varint branch index.  Supported here: record
+schemas over ``long / int / string / double / boolean`` and their
+nullable unions; codecs ``null`` and ``deflate`` (raw zlib, -15).
+Anything else — nested records, arrays, maps, enums, snappy — raises
+``NotImplementedError`` with the offending construct named: the honest
+capability boundary, not a silent misparse.
+
+Integrity: every block's sync marker is compared against the header's
+(the spec's corruption/seek guard), and a block whose payload decodes
+to a different record count than declared fails loudly.
+
+Spark surface: ``parse_avro_blob`` (bytes -> header + row dicts) runs
+inside ``avro_records`` as an Arrow-batched mapInPandas kernel — one
+blob per row in, records exploded out, zero shuffle, the same scale
+shape as the WARC/tar/mbox/zip kernels.  ``build_avro_ocf`` is the
+fixture-side twin used by tests and the catalog oracle's replay
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["build_avro_ocf", "parse_avro_blob", "avro_records"]
+
+_MAGIC = b"Obj\x01"
+_SIMPLE = {"long", "int", "string", "double", "boolean"}
+
+
+# --- primitive binary codec ------------------------------------------------
+
+def _zz_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    u = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("avro: varint overruns the buffer")
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("avro: varint too long")
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _field_type(t) -> tuple[str, bool]:
+    """Normalize a field's type -> (simple name, nullable). Raises on
+    everything outside the supported set."""
+    if isinstance(t, str):
+        if t not in _SIMPLE:
+            raise NotImplementedError(f"avro: unsupported type {t!r}")
+        return t, False
+    if isinstance(t, list):
+        if len(t) == 2 and "null" in t:
+            other = t[0] if t[1] == "null" else t[1]
+            if isinstance(other, str) and other in _SIMPLE:
+                return other, True
+        raise NotImplementedError(f"avro: unsupported union {t!r}")
+    raise NotImplementedError(f"avro: unsupported complex type {t!r}")
+
+
+def _encode_value(t: str, v) -> bytes:
+    if t in ("long", "int"):
+        return _zz_encode(int(v))
+    if t == "string":
+        b = str(v).encode("utf-8")
+        return _zz_encode(len(b)) + b
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise NotImplementedError(t)
+
+
+def _decode_value(t: str, buf: bytes, pos: int):
+    if t in ("long", "int"):
+        return _zz_decode(buf, pos)
+    if t == "string":
+        n, pos = _zz_decode(buf, pos)
+        if pos + n > len(buf):
+            raise ValueError("avro: string overruns the block")
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if t == "double":
+        if pos + 8 > len(buf):
+            raise ValueError("avro: double overruns the block")
+        return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
+    if t == "boolean":
+        return buf[pos] == 1, pos + 1
+    raise NotImplementedError(t)
+
+
+# --- container -------------------------------------------------------------
+
+def build_avro_ocf(
+    schema: dict,
+    records: "list[dict]",
+    *,
+    codec: str = "null",
+    sync: bytes = b"\x00" * 16,
+    records_per_block: int = 1000,
+) -> bytes:
+    """Write an OCF for a supported record schema — deterministic sync
+    marker by default so fixtures are byte-stable."""
+    if schema.get("type") != "record":
+        raise NotImplementedError("avro: only record schemas are supported")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: unsupported codec {codec!r}")
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
+
+    def enc_rec(rec: dict) -> bytes:
+        out = bytearray()
+        for name, t, nullable in fields:
+            v = rec.get(name)
+            if nullable:
+                if v is None:
+                    out += _zz_encode(0)
+                    continue
+                out += _zz_encode(1)
+            elif v is None:
+                raise ValueError(f"avro: field {name!r} is not nullable")
+            out += _encode_value(t, v)
+        return bytes(out)
+
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += _zz_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _zz_encode(len(kb)) + kb + _zz_encode(len(v)) + v
+    out += _zz_encode(0)  # end of metadata map
+    out += sync
+    for at in range(0, len(records), records_per_block):
+        chunk = records[at:at + records_per_block]
+        payload = b"".join(enc_rec(r) for r in chunk)
+        if codec == "deflate":
+            payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
+        out += _zz_encode(len(chunk)) + _zz_encode(len(payload)) + payload
+        out += sync
+    return bytes(out)
+
+
+def parse_avro_blob(blob: bytes) -> tuple[dict, "list[dict]"]:
+    """OCF bytes -> (header info, record dicts). Raises on corruption
+    or unsupported constructs (see module docstring)."""
+    if blob[:4] != _MAGIC:
+        raise ValueError("avro: missing Obj\\x01 magic")
+    pos = 4
+    meta: dict = {}
+    while True:
+        n, pos = _zz_decode(blob, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count carries a byte size to skip
+            n = -n
+            _, pos = _zz_decode(blob, pos)
+        for _ in range(n):
+            klen, pos = _zz_decode(blob, pos)
+            k = blob[pos:pos + klen].decode()
+            pos += klen
+            vlen, pos = _zz_decode(blob, pos)
+            meta[k] = blob[pos:pos + vlen]
+            pos += vlen
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: unsupported codec {codec!r}")
+    if schema.get("type") != "record":
+        raise NotImplementedError("avro: only record schemas are supported")
+    fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
+    sync = blob[pos:pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(blob):
+        count, pos = _zz_decode(blob, pos)
+        size, pos = _zz_decode(blob, pos)
+        payload = blob[pos:pos + size]
+        if len(payload) != size:
+            raise ValueError("avro: block payload overruns the file")
+        pos += size
+        if blob[pos:pos + 16] != sync:
+            raise ValueError(
+                "avro: block sync marker mismatch (corrupt or misaligned)"
+            )
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        p = 0
+        for _ in range(count):
+            rec = {}
+            for name, t, nullable in fields:
+                if nullable:
+                    branch, p = _zz_decode(payload, p)
+                    if branch == 0:
+                        rec[name] = None
+                        continue
+                    if branch != 1:
+                        raise ValueError(
+                            f"avro: union branch {branch} out of range"
+                        )
+                rec[name], p = _decode_value(t, payload, p)
+            records.append(rec)
+        if p != len(payload):
+            raise ValueError(
+                f"avro: block declared {count} records but decoding left "
+                f"{len(payload) - p} trailing bytes"
+            )
+    return {"schema": schema, "codec": codec, "n_records": len(records)}, records
+
+
+def avro_records(
+    df: DataFrame,
+    record_schema: T.StructType,
+    *,
+    content_col: str = "content",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Explode (blob_id, content binary) OCF blobs into typed rows.
+    ``record_schema`` declares the expected Avro record fields as Spark
+    types (the contract a reader pins, exactly like spark-avro's
+    user-specified schema); a blob whose schema lacks a declared field
+    fails in the kernel rather than silently nulling."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *record_schema.fields]
+    )
+    names = [f.name for f in record_schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(
+                pdf[id_col].to_numpy(), pdf[content_col].to_numpy()
+            ):
+                _, recs = parse_avro_blob(bytes(content or b""))
+                for rec in recs:
+                    missing = [n for n in names if n not in rec]
+                    if missing:
+                        raise ValueError(
+                            f"avro: blob {bid} lacks declared fields {missing}"
+                        )
+                    row = {n: rec[n] for n in names}
+                    row[id_col] = bid
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
