@@ -3134,6 +3134,79 @@ def s_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_office_text_extract",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    d AS (SELECT media_id, k, len(CAST(k AS VARCHAR)) AS kl FROM p),
+    docx AS (
+      SELECT media_id, 'docx' AS kind, 'word/document.xml' AS member,
+             list_aggregate(
+               list_transform(range(0, 1 + k % 3),
+                 j -> 'Para ' || CAST(j AS VARCHAR) || ' of '
+                      || CAST(k AS VARCHAR)),
+               'string_agg', chr(10)) AS text,
+             CAST((1 + k % 3) * (10 + kl) + (k % 3) AS INT) AS n_chars
+      FROM d WHERE k % 2 = 0),
+    epub AS (
+      SELECT media_id, 'epub', 'OEBPS/ch1.xhtml',
+             'Ch ' || CAST(k AS VARCHAR) || chr(10) || 'Story & tale '
+               || CAST(k AS VARCHAR),
+             CAST(17 + 2 * kl AS INT)
+      FROM d WHERE k % 2 = 1)
+    SELECT * FROM docx UNION ALL SELECT * FROM epub
+    """,
+)
+def s_office_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docx/epub text extraction composed on the ZIP layer
+    (sources/zipfmt.extract_office_text): word/document.xml w:t runs
+    with w:p paragraph boundaries becoming newlines; epub xhtml
+    members tag-stripped with block-boundary newlines and XML-entity
+    decoding ('&amp;' decoded LAST so '&amp;lt;' cannot double-decode)
+    — the step that turns an office-document crawl into training
+    text.  Real stdlib-zipfile archives alternate docx and epub; every
+    extracted string and char count replays from doc_id arithmetic.
+    Scale: mapInPandas, zero shuffle, O(text member bytes)."""
+    import io
+    import zipfile
+
+    from aroa_etl_spark.sources.zipfmt import extract_office_text
+
+    blobs = []
+    for k in range(40):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            if k % 2 == 0:
+                paras = "".join(
+                    f"<w:p><w:r><w:t>Para {j} of {k}</w:t></w:r></w:p>"
+                    for j in range(1 + k % 3)
+                )
+                z.writestr("[Content_Types].xml", "<Types/>")
+                z.writestr(
+                    "word/document.xml",
+                    f"<w:document><w:body>{paras}</w:body></w:document>",
+                )
+            else:
+                z.writestr("mimetype", "application/epub+zip",
+                           zipfile.ZIP_STORED)
+                z.writestr(
+                    "OEBPS/ch1.xhtml",
+                    f"<html><body><h1>Ch {k}</h1>"
+                    f"<p>Story &amp; tale {k}</p></body></html>",
+                )
+        blobs.append((k, bytearray(buf.getvalue())))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("blob_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    return extract_office_text(media, strict=True).withColumnRenamed(
+        "blob_id", "media_id"
+    )
+
+
+@query(
     "s_avro_roundtrip",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

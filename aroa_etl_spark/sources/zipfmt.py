@@ -29,6 +29,7 @@ when CRC verification is requested.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from typing import Iterator
@@ -39,9 +40,13 @@ from pyspark.sql import types as T
 
 __all__ = [
     "ZIP_MEMBER_SCHEMA",
+    "OFFICE_TEXT_SCHEMA",
     "parse_zip_central",
     "parse_zip_records",
     "detect_zip_kind",
+    "extract_zip_member",
+    "xml_to_text",
+    "extract_office_text",
 ]
 
 ZIP_MEMBER_SCHEMA = T.StructType(
@@ -189,3 +194,120 @@ def parse_zip_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, content_col).mapInPandas(kernel, ZIP_MEMBER_SCHEMA)
+
+
+def extract_zip_member(blob: bytes, name: str) -> bytes:
+    """Decompress one member by name (stored or deflate) — the random-
+    access read the central directory exists for. Raises KeyError when
+    absent; run the verify_crc triage pass first when integrity
+    matters (this read trusts the recorded sizes)."""
+    pos = blob.rfind(_EOCD_SIG, max(0, len(blob) - 22 - 65535))
+    if pos < 0:
+        raise ValueError("zip: no end-of-central-directory record")
+    cd_off = struct.unpack("<I", blob[pos + 16:pos + 20])[0]
+    p = cd_off
+    while blob[p:p + 4] == _CEN_SIG:
+        method, csize, nlen, xlen, clen = struct.unpack(
+            "<H8xI4xHHH", blob[p + 10:p + 34]
+        )
+        loc = struct.unpack("<I", blob[p + 42:p + 46])[0]
+        nm = blob[p + 46:p + 46 + nlen].decode("utf-8", "replace")
+        if nm == name:
+            lnlen, lxlen = struct.unpack("<HH", blob[loc + 26:loc + 30])
+            at = loc + 30 + lnlen + lxlen
+            raw = blob[at:at + csize]
+            if method == 0:
+                return raw
+            if method == 8:
+                return zlib.decompress(raw, -15)
+            raise NotImplementedError(
+                f"zip: member {name!r} uses unsupported method {method}"
+            )
+        p += 46 + nlen + xlen + clen
+    raise KeyError(f"zip member not found: {name!r}")
+
+
+OFFICE_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ]
+)
+
+_BLOCK_TAGS = re.compile(r"</(?:p|h[1-6]|w:p|div|li)>|<br\s*/?>")
+_ANY_TAG = re.compile(r"<[^>]*>")
+
+
+def xml_to_text(xml: str) -> str:
+    """Markup -> text with the block-boundary discipline a curation
+    pipeline needs (concatenating '<p>a</p><p>b</p>' into 'ab' would
+    corrupt sentence statistics): closing block tags become newlines,
+    every other tag drops, the five XML core entities decode (&amp;
+    LAST so '&amp;lt;' cannot double-decode), newline runs collapse,
+    outer whitespace strips."""
+    s = _BLOCK_TAGS.sub("\n", xml)
+    s = _ANY_TAG.sub("", s)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        s = s.replace(ent, ch)
+    s = re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
+
+def extract_office_text(df: DataFrame, *, strict: bool = True) -> DataFrame:
+    """Text extraction for the two big office containers, composed on
+    the ZIP layer: docx reads ``word/document.xml`` (w:t runs, w:p
+    paragraph boundaries), epub reads every ``.xhtml``/``.html``
+    member in name order — one output row per extracted member.
+    Plain/jar archives yield no rows (strict raises: they were routed
+    here by mistake). Scale: mapInPandas, zero shuffle, O(member
+    bytes) for the text members only."""
+
+    def rows_for(blob: bytes) -> "list[dict]":
+        members = parse_zip_central(blob, strict=True, verify_crc=False)
+        names = [m["name"] for m in members]
+        kind = detect_zip_kind(names)
+        if kind == "docx":
+            xml = extract_zip_member(blob, "word/document.xml").decode(
+                "utf-8", "replace"
+            )
+            text = xml_to_text(xml)
+            return [{"kind": kind, "member": "word/document.xml",
+                     "text": text, "n_chars": len(text)}]
+        if kind == "epub":
+            out = []
+            for n in sorted(names):
+                if n.lower().endswith((".xhtml", ".html")):
+                    text = xml_to_text(
+                        extract_zip_member(blob, n).decode("utf-8", "replace")
+                    )
+                    out.append({"kind": kind, "member": n, "text": text,
+                                "n_chars": len(text)})
+            return out
+        if strict:
+            raise ValueError(
+                f"extract_office_text: archive kind {kind!r} has no text "
+                "extraction rule"
+            )
+        return []
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in OFFICE_TEXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for bid, content in zip(
+                pdf["blob_id"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                for rec in rows_for(bytes(content or b"")):
+                    rec["blob_id"] = bid
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("blob_id", "content").mapInPandas(
+        kernel, OFFICE_TEXT_SCHEMA
+    )

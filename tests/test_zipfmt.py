@@ -75,3 +75,57 @@ def test_records_kernel(spark):
         ("epub", "mimetype"), ("epub", "OEBPS/c.xhtml")
     ]
     assert all(r.blob_id == 5 and r.crc_ok == 1 for r in rows)
+
+
+def test_extract_zip_member_both_methods():
+    from aroa_etl_spark.sources.zipfmt import extract_zip_member
+
+    blob = _zip([("s.txt", "stored!")], zipfile.ZIP_STORED)
+    assert extract_zip_member(blob, "s.txt") == b"stored!"
+    blob2 = _zip([("d.txt", "deflated " * 20)])
+    assert extract_zip_member(blob2, "d.txt") == b"deflated " * 20
+    with pytest.raises(KeyError):
+        extract_zip_member(blob, "missing")
+
+
+def test_xml_to_text_rules():
+    from aroa_etl_spark.sources.zipfmt import xml_to_text
+
+    assert xml_to_text("<p>a</p><p>b</p>") == "a\nb"
+    assert xml_to_text("<div>x<br/>y</div>") == "x\ny"
+    # &amp; decodes LAST: '&amp;lt;' is the literal text '&lt;'
+    assert xml_to_text("<p>&amp;lt;</p>") == "&lt;"
+    assert xml_to_text("  <h1></h1>  ") == ""
+
+
+def test_extract_office_text_kinds(spark):
+    from aroa_etl_spark.sources.zipfmt import extract_office_text
+
+    docx = _zip([
+        ("[Content_Types].xml", "<Types/>"),
+        ("word/document.xml",
+         "<w:document><w:p><w:t>one</w:t></w:p>"
+         "<w:p><w:t>two</w:t></w:p></w:document>"),
+    ])
+    epub = _zip([
+        ("mimetype", "application/epub+zip"),
+        ("OEBPS/b.xhtml", "<p>beta</p>"),
+        ("OEBPS/a.xhtml", "<p>alpha</p>"),
+    ])
+    plain = _zip([("x.txt", "no rule")])
+    df = spark.createDataFrame(
+        [(1, bytearray(docx)), (2, bytearray(epub))],
+        "blob_id long, content binary",
+    )
+    rows = extract_office_text(df).orderBy("blob_id", "member").collect()
+    assert [(r.blob_id, r.member, r.text) for r in rows] == [
+        (1, "word/document.xml", "one\ntwo"),
+        (2, "OEBPS/a.xhtml", "alpha"),
+        (2, "OEBPS/b.xhtml", "beta"),
+    ]
+    df_plain = spark.createDataFrame(
+        [(3, bytearray(plain))], "blob_id long, content binary"
+    )
+    with pytest.raises(Exception, match="no text extraction rule"):
+        extract_office_text(df_plain, strict=True).collect()
+    assert extract_office_text(df_plain, strict=False).count() == 0
