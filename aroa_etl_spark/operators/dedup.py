@@ -1052,11 +1052,22 @@ def ngram_containment_pairs(
     blocking loses nothing."""
     if not 1 <= threshold_pct <= 100:
         raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
-    sh = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("__b"),
-        F.array_distinct(shingles_from(tokens(text_col), n)).alias("__sh"),
-    ).transform(_barrier)
+    # tokens materialize in their OWN projection first: shingles_from's
+    # documented contract — an inline tokenizer re-splits the text once
+    # per shingle (measured 5x slowdown; see functions/text.py)
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("__b"),
+            tokens(text_col).alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            "__b",
+            F.array_distinct(shingles_from("__t", n)).alias("__sh"),
+        )
+        .transform(_barrier)
+    )
     ex = sh.select(F.col(id_col), "__b", F.explode("__sh").alias("__s"))
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
     inter = (

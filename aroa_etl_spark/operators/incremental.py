@@ -256,13 +256,18 @@ def cdc_apply(
         # prune the check away (a projected-then-dropped guard column
         # would be dead code and never evaluate).
         win = W.partitionBy(*keys).orderBy(F.col(seq_col).desc())
-        winners = changes.withColumn("__rk", F.rank().over(win)).filter(
-            F.col("__rk") == 1
+        # op validation BEFORE the winner filter: a malformed op code on
+        # a non-latest change is feed corruption too and must raise just
+        # as loudly (the winner-only form fired only sometimes)
+        winners = (
+            changes.withColumn(op_col, checked_op)
+            .withColumn("__rk", F.rank().over(win))
+            .filter(F.col("__rk") == 1)
         )
         n_win = F.count(F.lit(1)).over(W.partitionBy(*keys))
         latest = winners.withColumn(
             op_col,
-            F.when(n_win == 1, checked_op).otherwise(
+            F.when(n_win == 1, F.col(op_col)).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(

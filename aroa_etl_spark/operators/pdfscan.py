@@ -62,6 +62,30 @@ PDF_SCAN_SCHEMA = T.StructType(
 _OBJ_RE = re.compile(rb"(\d+) 0 obj")
 
 
+def _assemble_pdf(
+    objs: "list[bytes]", version: str, trailer_extra: str = ""
+) -> bytes:
+    """Serialize numbered objects + classic xref table + trailer with
+    real 10-digit offsets — the single assembly both fixture builders
+    share, so the strict scanner's offset verification covers the one
+    implementation."""
+    out = bytearray(f"%PDF-{version}\n".encode())
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def build_pdf(
     n_pages: int, *, version: str = "1.4", encrypted: bool = False
 ) -> bytes:
@@ -84,22 +108,8 @@ def build_pdf(
         )
     if encrypted:
         objs.append(b"<< /Filter /Standard /V 1 /R 2 >>")
-    out = bytearray(f"%PDF-{version}\n".encode())
-    offsets = []
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    trailer = f"<< /Size {len(objs) + 1} /Root 1 0 R"
-    if encrypted:
-        trailer += f" /Encrypt {len(objs)} 0 R"
-    trailer += " >>"
-    out += f"trailer\n{trailer}\nstartxref\n{xref_at}\n%%EOF\n".encode()
-    return bytes(out)
+    extra = f" /Encrypt {len(objs)} 0 R" if encrypted else ""
+    return _assemble_pdf(objs, version, extra)
 
 
 def _scan_blob(content: bytes, strict: bool) -> dict:
@@ -136,8 +146,10 @@ def _scan_blob(content: bytes, strict: bool) -> dict:
                 )
             return dict(null, version=version, xref_kind="stream")
         return fail(f"startxref does not point at an xref table ({xref_at})")
+    # \s+ after the count: a CRLF-terminated header line must not
+    # leave a stray \n that misaligns the fixed 20-byte entry stride
     sub = re.match(
-        rb"xref\s+(\d+) (\d+)\s", content[xref_at:xref_at + 64]
+        rb"xref\s+(\d+) (\d+)\s+", content[xref_at:xref_at + 64]
     )
     if not sub:
         return fail("malformed xref subsection header")
@@ -249,21 +261,7 @@ def build_pdf_with_text(
             + stream
             + b"\nendstream"
         )
-    out = bytearray(f"%PDF-{version}\n".encode())
-    offsets = []
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
-    return bytes(out)
+    return _assemble_pdf(objs, version)
 
 
 def _unescape_pdf_string(raw: bytes) -> str:
@@ -297,7 +295,7 @@ def _extract_blob_text(content: bytes, strict: bool) -> "list[dict]":
     rows = []
     for idx, ref in enumerate(page_refs):
         pm = re.search(
-            rb"(?s)%d 0 obj\s*(.*?)endobj" % ref, content
+            rb"(?s)(?<!\d)%d 0 obj\s*(.*?)endobj" % ref, content
         )
         if not pm:
             return fail(f"page object {ref} missing")
@@ -309,7 +307,8 @@ def _extract_blob_text(content: bytes, strict: bool) -> "list[dict]":
             )
             continue
         sm = re.search(
-            rb"(?s)%d 0 obj\s*<<(.*?)>>\s*stream\r?\n" % int(cm.group(1)),
+            rb"(?s)(?<!\d)%d 0 obj\s*<<(.*?)>>\s*stream\r?\n"
+            % int(cm.group(1)),
             content,
         )
         if not sm:
@@ -329,7 +328,11 @@ def _extract_blob_text(content: bytes, strict: bool) -> "list[dict]":
         parts = []
         for s in re.findall(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj", data):
             parts.append(_unescape_pdf_string(s))
-        for arr in re.findall(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", data):
+        # the array may contain ']' INSIDE a string literal, so the
+        # scan consumes complete parenthesis strings as units
+        for arr in re.findall(
+            rb"\[((?:\((?:[^()\\]|\\.)*\)|[^\]()\\]|\\.)*)\]\s*TJ", data
+        ):
             for s in re.findall(rb"\(((?:[^()\\]|\\.)*)\)", arr):
                 parts.append(_unescape_pdf_string(s))
         text = "".join(parts)

@@ -153,17 +153,21 @@ def make_container_datasource(
 
         def partitions(self, start: dict, end: dict):
             seen = dict(map(tuple, start.get("seen", [])))
-            grown = [
+            # ANY size change on a seen file violates atomic placement:
+            # growth means appended records would be dropped, shrinkage
+            # means the file was re-placed with different content that
+            # would silently never be read — both must fail planning
+            changed = [
                 (n, seen[n], size)
                 for n, size in end.get("seen", [])
-                if n in seen and size > seen[n]
+                if n in seen and size != seen[n]
             ]
-            if grown:
+            if changed:
                 raise ValueError(
-                    f"{fmt} stream: already-ingested file(s) grew — "
-                    "segment files must be placed atomically (write to "
-                    "a temp name, rename into the directory): "
-                    f"{grown}"
+                    f"{fmt} stream: already-ingested file(s) changed "
+                    "size — segment files must be placed atomically "
+                    "(write to a temp name, rename into the directory): "
+                    f"{changed}"
                 )
             new = [
                 (n, size) for n, size in end.get("seen", []) if n not in seen

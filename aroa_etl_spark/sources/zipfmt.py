@@ -119,19 +119,30 @@ def parse_zip_central(
             )
             data_at = loc_off + 30 + lnlen + lxlen
             raw = blob[data_at:data_at + csize]
+            # per-member degradation in lenient mode: ONE bad member
+            # must not discard the archive's other (parseable) rows —
+            # the same contract as a CRC mismatch, which flags crc_ok=0
+            # and keeps walking
+            data = None
             if method == 0:
                 data = raw
             elif method == 8:
                 try:
                     data = zlib.decompress(raw, -15)
                 except zlib.error:
-                    return fail(f"member {name!r}: deflate stream corrupt")
+                    if strict:
+                        return fail(f"member {name!r}: deflate stream corrupt")
+                    crc_ok = 0
             else:
-                return fail(
-                    f"member {name!r}: unsupported compression method "
-                    f"{method}"
-                )
-            if zlib.crc32(data) & 0xFFFFFFFF != crc or len(data) != usize:
+                if strict:
+                    return fail(
+                        f"member {name!r}: unsupported compression method "
+                        f"{method}"
+                    )
+                crc_ok = 0
+            if data is not None and (
+                zlib.crc32(data) & 0xFFFFFFFF != crc or len(data) != usize
+            ):
                 if strict:
                     raise ValueError(
                         f"zip: member {name!r} failed CRC/size verification"
@@ -147,8 +158,14 @@ def parse_zip_central(
             }
         )
         pos += 46 + nlen + xlen + clen
-    if strict and len(out) != n_disk:
-        return fail("EOCD entry count does not match walked headers")
+    # the loop walks exactly n_disk headers, so the real integrity
+    # question is the converse: a central directory holding MORE
+    # headers than the EOCD declares (truncated count) must not be
+    # silently half-read
+    if strict and blob[pos:pos + 4] == _CEN_SIG:
+        return fail(
+            "central directory holds more headers than the EOCD declares"
+        )
     return out
 
 
@@ -269,32 +286,41 @@ def extract_office_text(df: DataFrame, *, strict: bool = True) -> DataFrame:
     bytes) for the text members only."""
 
     def rows_for(blob: bytes) -> "list[dict]":
-        members = parse_zip_central(blob, strict=True, verify_crc=False)
-        names = [m["name"] for m in members]
-        kind = detect_zip_kind(names)
-        if kind == "docx":
-            xml = extract_zip_member(blob, "word/document.xml").decode(
-                "utf-8", "replace"
-            )
-            text = xml_to_text(xml)
-            return [{"kind": kind, "member": "word/document.xml",
-                     "text": text, "n_chars": len(text)}]
-        if kind == "epub":
-            out = []
-            for n in sorted(names):
-                if n.lower().endswith((".xhtml", ".html")):
-                    text = xml_to_text(
-                        extract_zip_member(blob, n).decode("utf-8", "replace")
-                    )
-                    out.append({"kind": kind, "member": n, "text": text,
-                                "n_chars": len(text)})
-            return out
-        if strict:
+        # lenient mode must survive ANY bad blob (a corrupt archive, a
+        # docx missing its document part) — one poisoned file in a
+        # crawl must not kill the job, so the whole per-blob path is
+        # gated, not just the kind routing
+        try:
+            members = parse_zip_central(blob, strict=True, verify_crc=False)
+            names = [m["name"] for m in members]
+            kind = detect_zip_kind(names)
+            if kind == "docx":
+                xml = extract_zip_member(blob, "word/document.xml").decode(
+                    "utf-8", "replace"
+                )
+                text = xml_to_text(xml)
+                return [{"kind": kind, "member": "word/document.xml",
+                         "text": text, "n_chars": len(text)}]
+            if kind == "epub":
+                out = []
+                for n in sorted(names):
+                    if n.lower().endswith((".xhtml", ".html")):
+                        text = xml_to_text(
+                            extract_zip_member(blob, n).decode(
+                                "utf-8", "replace"
+                            )
+                        )
+                        out.append({"kind": kind, "member": n, "text": text,
+                                    "n_chars": len(text)})
+                return out
             raise ValueError(
                 f"extract_office_text: archive kind {kind!r} has no text "
                 "extraction rule"
             )
-        return []
+        except (ValueError, KeyError, NotImplementedError):
+            if strict:
+                raise
+            return []
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in OFFICE_TEXT_SCHEMA.fields]

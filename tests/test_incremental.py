@@ -137,3 +137,18 @@ def test_cdc_apply_guards(spark):
     )
     with _pytest.raises(Exception, match="unknown op"):
         cdc_apply(base, bad_op, "k").collect()
+
+
+def test_cdc_apply_bad_op_on_non_latest_row_raises(spark):
+    import pytest as _pytest
+
+    from aroa_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    # the typo'd op is NOT the winner — it must still raise
+    changes = spark.createDataFrame(
+        [(1, 1, "u", "x"), (1, 2, "U", "y")],
+        "k long, seq long, op string, v string",
+    )
+    with _pytest.raises(Exception, match="unknown op"):
+        cdc_apply(base, changes, "k").collect()

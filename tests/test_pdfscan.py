@@ -115,3 +115,43 @@ def test_text_extract_dataframe(spark):
     assert [(r.page_idx, r.text, r.compressed) for r in out] == [
         (0, "p0", 1), (1, "p1", 1)
     ]
+
+
+def test_object_number_boundary_and_crlf_xref():
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        _scan_blob,
+        build_pdf_with_text,
+    )
+
+    # 13 pages -> object ids into two digits; page refs must not match
+    # inside larger ids ('3 0 obj' vs '13 0 obj')
+    texts = [f"pg {j}" for j in range(13)]
+    rows = _extract_blob_text(build_pdf_with_text(texts), strict=True)
+    assert [r["text"] for r in rows] == texts
+
+    # classic xref with CRLF line endings must still parse
+    from aroa_etl_spark.operators.pdfscan import build_pdf
+
+    b = build_pdf(2)
+    xref_at = b.index(b"xref\n")
+    crlf = b[:xref_at] + b.replace(b"xref\n0 4\n", b"xref\r\n0 4\r\n")[xref_at:]
+    # entry stride: rewrite ' n \n' endings to ' n\r\n' to stay 20 bytes
+    crlf = crlf.replace(b" f \n", b" f\r\n").replace(b" n \n", b" n\r\n")
+    # fix startxref (offset unchanged: same length edits)
+    r = _scan_blob(crlf, strict=False)
+    assert r["n_pages"] == 2 and r["xref_ok"] == 1
+
+
+def test_tj_array_bracket_inside_string():
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        build_pdf_with_text,
+    )
+
+    b = build_pdf_with_text(["x"], compress=False)
+    old = b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
+    new = rb"BT [(a\]b) -10 (c)] TJ ET".ljust(len(old))
+    assert old in b
+    rows = _extract_blob_text(b.replace(old, new), strict=True)
+    assert rows[0]["text"] == "a]b" + "c"

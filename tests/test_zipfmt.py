@@ -129,3 +129,46 @@ def test_extract_office_text_kinds(spark):
     with pytest.raises(Exception, match="no text extraction rule"):
         extract_office_text(df_plain, strict=True).collect()
     assert extract_office_text(df_plain, strict=False).count() == 0
+
+
+def test_lenient_unsupported_method_keeps_other_members():
+    import struct
+
+    blob = bytearray(_zip([("good.txt", "fine"), ("bad.bin", "x")],
+                          zipfile.ZIP_STORED))
+    # rewrite bad.bin's central-header method to bzip2 (12)
+    cen = blob.rindex(b"PK\x01\x02")
+    # the LAST central header is bad.bin (insertion order)
+    blob[cen + 10:cen + 12] = struct.pack("<H", 12)
+    import pytest as _pytest
+
+    from aroa_etl_spark.sources.zipfmt import parse_zip_central
+
+    with _pytest.raises(ValueError, match="unsupported compression"):
+        parse_zip_central(bytes(blob))
+    lenient = parse_zip_central(bytes(blob), strict=False)
+    assert [(m["name"], m["crc_ok"]) for m in lenient] == [
+        ("good.txt", 1), ("bad.bin", 0)
+    ]
+
+
+def test_office_text_lenient_survives_bad_blobs(spark):
+    from aroa_etl_spark.sources.zipfmt import extract_office_text
+
+    # docx-flagged archive MISSING word/document.xml + outright junk
+    broken_docx = _zip([("[Content_Types].xml", "<Types/>")])
+    good = _zip([
+        ("[Content_Types].xml", "<Types/>"),
+        ("word/document.xml", "<w:p><w:t>ok</w:t></w:p>"),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(broken_docx)), (2, bytearray(b"junk")),
+         (3, bytearray(good))],
+        "blob_id long, content binary",
+    )
+    rows = extract_office_text(df, strict=False).collect()
+    assert [(r.blob_id, r.text) for r in rows] == [(3, "ok")]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_office_text(df, strict=True).collect()
