@@ -247,3 +247,122 @@ def test_baseline_roundtrip_error_bounded(hw, quality, seed):
     assert out.shape == (h, w, 1)
     # worst-case DCT quantization error at q>=70 stays far under 64
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() < 64
+
+
+# ---------------------------------------------------------------------------
+# round-9 container codecs: builder/parser round-trip properties
+# ---------------------------------------------------------------------------
+
+_body_line = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FF
+    ),
+    max_size=30,
+)
+
+
+@given(st.lists(_body_line, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_mbox_body_roundtrips_any_lines(lines):
+    from aroa_etl_spark.sources.mbox import build_mbox, parse_mbox_blob
+
+    body = "\n".join(lines)
+    blob = build_mbox(
+        [{"from_": "a@b", "headers": [("From", "a@b")], "body": body}]
+    )
+    m = parse_mbox_blob(blob)[0]
+    # logical body round-trips: the writer newline-terminates, so the
+    # parsed byte count is the line bytes + one newline per line
+    expect_lines = [ln for ln in body.split("\n")]
+    if expect_lines and expect_lines[-1] == "":
+        expect_lines.pop()
+    assert m["body_lines"] == len(expect_lines)
+    assert m["body_bytes"] == sum(
+        len(ln.encode()) + 1 for ln in expect_lines
+    )
+
+
+_avro_rec = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**62), max_value=2**62),
+        "name": st.text(max_size=20),
+        "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "flag": st.booleans(),
+        "note": st.one_of(st.none(), st.text(max_size=10)),
+    }
+)
+
+
+@given(st.lists(_avro_rec, max_size=8), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_ocf_roundtrips_any_records(recs, codec):
+    from aroa_etl_spark.sources.avro_ocf import build_avro_ocf, parse_avro_blob
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    hdr, back = parse_avro_blob(
+        build_avro_ocf(schema, recs, codec=codec, records_per_block=3)
+    )
+    assert back == recs and hdr["n_records"] == len(recs)
+
+
+_member_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=12,
+)
+
+
+@given(st.dictionaries(_member_name, st.binary(max_size=200), max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_zip_walk_and_member_extraction_roundtrip(members):
+    import io
+    import zipfile
+
+    from aroa_etl_spark.sources.zipfmt import (
+        extract_zip_member,
+        parse_zip_central,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for n, data in members.items():
+            z.writestr(n, data)
+    blob = buf.getvalue()
+    walked = parse_zip_central(blob)
+    assert {m["name"] for m in walked} == set(members)
+    assert all(m["crc_ok"] == 1 for m in walked)
+    for n, data in members.items():
+        assert extract_zip_member(blob, n) == data
+
+
+@given(st.lists(st.text(max_size=25), min_size=1, max_size=5),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_pdf_text_roundtrips_any_strings(texts, compress):
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        build_pdf_with_text,
+    )
+
+    rows = _extract_blob_text(
+        build_pdf_with_text(texts, compress=compress), strict=True
+    )
+    got = [r["text"] for r in rows]
+    assert len(got) == len(texts)
+    for want, have in zip(texts, got):
+        # the parser is deliberately BYTE-preserving (PDF strings carry
+        # unknown encodings; latin-1 decodes losslessly), so the exact
+        # round-trip property is at the byte level: the parsed text's
+        # latin-1 bytes equal the UTF-8 bytes the builder wrote.
+        # ASCII therefore round-trips at the char level too.
+        assert have.encode("latin-1") == want.encode("utf-8")
+        if want.isascii():
+            assert have == want
