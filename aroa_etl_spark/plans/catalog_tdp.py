@@ -285,7 +285,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate keeps the filter exact, and the oracle replays the blocked
     inverted-index semantics with list algebra.  Scale:
     output-sensitive (block, shingle) equi-join + map-side-combinable
-    count — same shape as the Jaccard entry, no cross products."""
+    count — same shape as the Jaccard entry, no cross products; since
+    round 10 hot (block, shingle) posting lists route through the
+    shared max_bucket_size/salted_hot_join policy (default 'salt' —
+    result-identical, quadratic hot work spread across partitions)."""
     from aroa_etl_spark.operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(
