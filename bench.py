@@ -70,6 +70,31 @@ def main() -> None:
     # so the first timed query doesn't absorb one-time JVM startup cost.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
 
+    # Streaming warmup, same principle: the first streaming query
+    # otherwise absorbs the one-time MicroBatchExecution / state-store /
+    # sink JIT (~3.5 s measured on a fresh session) — r9's
+    # st_windowed_counts median read 1.39 s vs a steady state of ~1.0 s
+    # purely because rep 1 carried that cold cost into a 3-rep median.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.range(1).select(
+            F.col("id"), F.current_timestamp().alias("ts")
+        ).write.parquet(os.path.join(td, "in"))
+        (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(os.path.join(td, "in"))
+            .groupBy(F.window("ts", "1 minute"))
+            .count()
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
     from aroa_etl_spark.operators import dedup as _dedup
 
     timings: dict[str, float] = {}
