@@ -239,15 +239,35 @@ def cdc_apply(
         )
     )
     if tiebreak_col is not None:
+        # same loudness rule as the no-tiebreak branch: a residual tie
+        # on (seq, tiebreak) would make row_number's pick partition-
+        # dependent, so rank() keeps every tied winner and a >1 winner
+        # count raises through an expression the result consumes
         win = W.partitionBy(*keys).orderBy(
             F.col(seq_col).desc(), F.col(tiebreak_col).desc()
         )
-        latest = (
+        winners = (
             changes.withColumn(op_col, checked_op)
-            .withColumn("__rn", F.row_number().over(win))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .withColumn("__rk", F.rank().over(win))
+            .filter(F.col("__rk") == 1)
         )
+        n_win = F.count(F.lit(1)).over(W.partitionBy(*keys))
+        latest = winners.withColumn(
+            op_col,
+            F.when(n_win == 1, F.col(op_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "cdc_apply: tied (seq, tiebreak) values for a "
+                            "key — latest change is ambiguous; key="
+                        ),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                    )
+                )
+            ),
+        ).drop("__rk")
     else:
         # no tiebreak: a tie at the LATEST seq makes "latest" partition-
         # dependent, so it must raise. rank() keeps every tied winner,

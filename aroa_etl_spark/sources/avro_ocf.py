@@ -97,7 +97,13 @@ def _field_type(t) -> tuple[str, bool]:
 
 def _encode_value(t: str, v) -> bytes:
     if t in ("long", "int"):
-        return _zz_encode(int(v))
+        i = int(v)
+        # zigzag assumes 64-bit two's complement: a Python int outside
+        # int64 would encode silently and decode to a DIFFERENT value —
+        # fail loudly instead (module contract)
+        if not -(2**63) <= i < 2**63:
+            raise ValueError(f"avro: {t} value {i} outside int64 range")
+        return _zz_encode(i)
     if t == "string":
         b = str(v).encode("utf-8")
         return _zz_encode(len(b)) + b

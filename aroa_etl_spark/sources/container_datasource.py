@@ -6,11 +6,13 @@ self-contained container files" source share one scan model:
 - batch: one ``InputPartition`` per file (the natural crawl/archive
   unit — thousands of files fan out to thousands of independent
   executor tasks, records explode inside the scan, no shuffle);
-- streaming: offsets are the high-watermark ``[name, size]`` listing
-  of files ever seen, each micro-batch ingests the newly appeared
-  ones, and the atomic-placement contract is enforced LOUDLY (a seen
-  file that grew fails planning instead of silently dropping appended
-  records);
+- streaming: offsets are the high-watermark ``[name, size, mtime_ns]``
+  listing of files ever seen, each micro-batch ingests the newly
+  appeared ones, and the atomic-placement contract is enforced LOUDLY
+  (a seen file that grew, shrank, or was re-placed at the same size
+  with a fresh mtime fails planning instead of silently dropping or
+  skipping records; pre-existing two-field offsets skip the mtime
+  comparison);
 - identity: a stable 60-bit blob id from the file path (15 md5 hex
   chars — the engine's BIGINT-safe hash family).
 
@@ -130,11 +132,17 @@ def make_container_datasource(
             self._high: dict = {}
 
         def _listing(self) -> list:
+            # identity is (name, size, mtime_ns): size alone cannot see
+            # an already-ingested file atomically RE-placed with
+            # different content of the SAME size (round-10 advisor) —
+            # placement is a rename, so the replacement always carries a
+            # fresh mtime even when sizes collide
             out = []
             for n in sorted(os.listdir(self.dir)):
                 p = os.path.join(self.dir, n)
                 if is_container(n) and os.path.isfile(p):
-                    out.append([n, os.path.getsize(p)])
+                    st = os.stat(p)
+                    out.append([n, st.st_size, st.st_mtime_ns])
             return out
 
         def initialOffset(self) -> dict:
@@ -145,32 +153,54 @@ def make_container_datasource(
             # re-placed must not be forgotten by the offset (it would
             # silently re-ingest as "new") — the high watermark
             # remembers every shard this reader has ever listed; a
-            # reappearance at a DIFFERENT size still fails planning via
-            # the changed-size guard
-            for n, size in self._listing():
-                self._high[n] = size
-            return {"seen": sorted([n, s] for n, s in self._high.items())}
+            # reappearance at a DIFFERENT size or mtime still fails
+            # planning via the changed-identity guard
+            for n, size, mtime in self._listing():
+                self._high[n] = (size, mtime)
+            return {
+                "seen": sorted([n, s, m] for n, (s, m) in self._high.items())
+            }
+
+        @staticmethod
+        def _seen_map(offset: dict) -> dict:
+            # pre-round-10 checkpoints hold [name, size] entries — treat
+            # their mtime as unknown (None skips the mtime comparison)
+            out = {}
+            for e in offset.get("seen", []):
+                n, size = e[0], e[1]
+                out[n] = (size, e[2] if len(e) > 2 else None)
+            return out
 
         def partitions(self, start: dict, end: dict):
-            seen = dict(map(tuple, start.get("seen", [])))
-            # ANY size change on a seen file violates atomic placement:
-            # growth means appended records would be dropped, shrinkage
-            # means the file was re-placed with different content that
-            # would silently never be read — both must fail planning
-            changed = [
-                (n, seen[n], size)
-                for n, size in end.get("seen", [])
-                if n in seen and size != seen[n]
-            ]
+            seen = self._seen_map(start)
+            # ANY identity change on a seen file violates atomic
+            # placement: growth means appended records would be dropped,
+            # shrinkage or a same-size mtime change means the file was
+            # re-placed with different content that would silently never
+            # be read — all must fail planning
+            changed = []
+            for n, (size, mtime) in self._seen_map(end).items():
+                if n not in seen:
+                    continue
+                old_size, old_mtime = seen[n]
+                if size != old_size or (
+                    old_mtime is not None
+                    and mtime is not None
+                    and mtime != old_mtime
+                ):
+                    changed.append((n, (old_size, old_mtime), (size, mtime)))
             if changed:
                 raise ValueError(
                     f"{fmt} stream: already-ingested file(s) changed "
-                    "size — segment files must be placed atomically "
-                    "(write to a temp name, rename into the directory): "
+                    "size or mtime — segment files must be placed "
+                    "atomically and never re-placed (write to a temp "
+                    "name, rename into the directory): "
                     f"{changed}"
                 )
             new = [
-                (n, size) for n, size in end.get("seen", []) if n not in seen
+                (n, size)
+                for n, (size, _m) in sorted(self._seen_map(end).items())
+                if n not in seen
             ]
             return [
                 _FilePartition(os.path.join(self.dir, n), size)

@@ -56,6 +56,19 @@ def test_unsupported_constructs_raise_by_name():
     with pytest.raises(ValueError, match="not nullable"):
         build_avro_ocf(SCHEMA, [{"id": None, "name": "x", "score": 0.0,
                                  "flag": True, "note": None}])
+    # round-10 advisor: ints outside int64 would zigzag-encode silently
+    # and decode to a DIFFERENT value — must fail loudly instead
+    for bad in (2**63, -(2**63) - 1):
+        with pytest.raises(ValueError, match="int64"):
+            build_avro_ocf(SCHEMA, [{"id": bad, "name": "x", "score": 0.0,
+                                     "flag": True, "note": None}])
+    # the boundary values themselves round-trip
+    edge = [{"id": 2**63 - 1, "name": "hi", "score": 0.0, "flag": True,
+             "note": None},
+            {"id": -(2**63), "name": "lo", "score": 0.0, "flag": False,
+             "note": None}]
+    _, back = parse_avro_blob(build_avro_ocf(SCHEMA, edge))
+    assert back == edge
 
 
 def test_avro_records_kernel_and_missing_field(spark):

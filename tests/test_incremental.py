@@ -132,6 +132,11 @@ def test_cdc_apply_guards(spark):
     tied2 = tied.withColumn("tb", F.col("v"))
     out = cdc_apply(base, tied2, "k", tiebreak_col="tb").collect()
     assert [r.v for r in out] == ["y"]
+    # round-10 advisor: a RESIDUAL tie on (seq, tiebreak) must raise just
+    # as loudly as a seq tie — the winner would be partition-dependent
+    tied3 = tied.withColumn("tb", F.lit("same"))
+    with _pytest.raises(Exception, match="ambiguous"):
+        cdc_apply(base, tied3, "k", tiebreak_col="tb").collect()
     bad_op = spark.createDataFrame(
         [(1, 1, "X", "x")], "k long, seq long, op string, v string"
     )

@@ -462,6 +462,19 @@ def test_warc_streaming_guards_non_warc_and_growth(spark, tmp_path):
     df = spark.read.format("warc").load(str(tmp_path))
     assert df.count() == 1
 
+    # same-size RE-placement guard (round-10 advisor): identical size
+    # but a fresh mtime means the file was atomically replaced with
+    # different content — must fail planning, not silently skip
+    start = {"seen": [["seg0.warc", 10, 1000]]}
+    end = {"seen": [["seg0.warc", 10, 2000]]}
+    with pytest.raises(ValueError, match="atomically"):
+        r.partitions(start, end)
+    # pre-round-10 two-field offsets skip the mtime comparison
+    legacy = r.partitions(
+        {"seen": [["seg0.warc", 10]]}, {"seen": [["seg0.warc", 10, 2000]]}
+    )
+    assert [p.path for p in legacy] == [""]  # no new files, no error
+
 
 # ---------------------------------------------------------------------------
 # tar (USTAR / WebDataset shard) member extraction
