@@ -3332,8 +3332,12 @@ def s_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     tell-tale-member KIND routing (mimetype→epub,
     [Content_Types].xml→docx).  The 40-blob dim carries real archives
     written by stdlib zipfile (plain / epub-shaped / docx-shaped,
-    alternating stored and deflate); strict mode verifies every local
-    header offset AND every member's crc32 after inflation, so a
+    alternating stored and deflate); every 4th blob is written with
+    shrunken stdlib ZIP64 limits so it carries FULL ZIP64 structures
+    (EOCD64 record + locator, 0xFFFFFFFF central sentinels resolved
+    through 0x0001 extras) — the layout of every >4 GiB crawl archive,
+    attested without the bytes (round 10).  Strict mode verifies every
+    local header offset AND every member's crc32 after inflation, so a
     flipped payload bit fails the entry.  The oracle replays names,
     methods, and uncompressed sizes from doc_id arithmetic (compressed
     sizes are honest-to-measure but zlib-version-dependent, so they
@@ -3349,17 +3353,29 @@ def s_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(40):
         comp = zipfile.ZIP_DEFLATED if k % 2 else zipfile.ZIP_STORED
         buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w", comp) as z:
-            if k % 3 == 0:
-                for j in range(2 + k % 3):
-                    z.writestr(f"m{j}.txt", f"member {j} of {k}")
-            elif k % 3 == 1:
-                z.writestr("mimetype", "application/epub+zip",
-                           zipfile.ZIP_STORED)
-                z.writestr("OEBPS/content.xhtml", f"<p>book {k}</p>")
-            else:
-                z.writestr("[Content_Types].xml", "<Types/>")
-                z.writestr("word/document.xml", f"<w:doc>{k}</w:doc>")
+        # every 4th archive: shrink the stdlib ZIP64 thresholds so the
+        # writer emits the full ZIP64 layout (EOCD64 + locator +
+        # sentinel'd central headers) for small fixtures
+        zip64 = k % 4 == 3
+        saved = (zipfile.ZIP64_LIMIT, zipfile.ZIP_FILECOUNT_LIMIT)
+        if zip64:
+            zipfile.ZIP64_LIMIT, zipfile.ZIP_FILECOUNT_LIMIT = 10, 1
+        try:
+            with zipfile.ZipFile(buf, "w", comp) as z:
+                if k % 3 == 0:
+                    for j in range(2 + k % 3):
+                        z.writestr(f"m{j}.txt", f"member {j} of {k}")
+                elif k % 3 == 1:
+                    z.writestr("mimetype", "application/epub+zip",
+                               zipfile.ZIP_STORED)
+                    z.writestr("OEBPS/content.xhtml", f"<p>book {k}</p>")
+                else:
+                    z.writestr("[Content_Types].xml", "<Types/>")
+                    z.writestr("word/document.xml", f"<w:doc>{k}</w:doc>")
+        finally:
+            zipfile.ZIP64_LIMIT, zipfile.ZIP_FILECOUNT_LIMIT = saved
+        if zip64 and b"PK\x06\x06" not in buf.getvalue():
+            raise AssertionError("zip64 fixture did not produce an EOCD64")
         blobs.append((k, bytearray(buf.getvalue())))
     dim = spark.createDataFrame(blobs, "v_key int, content binary")
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

@@ -20,8 +20,13 @@ format-specific text extractor.
 
 Spark surface: ``parse_zip_records`` explodes (blob_id, content) into
 per-member rows via mapInPandas — zero shuffle, same shape as the
-WARC/tar/mbox kernels.  ZIP64 archives are detected and raise cleanly
-(the 4 GiB+ form needs the 64-bit EOCD locator; out of scope here).
+WARC/tar/mbox kernels.  ZIP64 archives (4 GiB+ members/offsets or
+65535+ entries — exactly where a crawl-scale pipeline lives) are read
+natively: the ZIP64 EOCD locator (``PK\\x06\\x07``) routes to the
+ZIP64 EOCD record (``PK\\x06\\x06``) for the 64-bit directory bounds,
+and per-header 0xFFFFFFFF sentinels resolve through the 0x0001 extra
+field (APPNOTE 4.5.3 field order).  Spanned/multi-disk archives remain
+an explicit NotImplementedError boundary.
 
 Scale: O(central directory) per blob for triage; O(member bytes) only
 when CRC verification is requested.
@@ -62,9 +67,99 @@ ZIP_MEMBER_SCHEMA = T.StructType(
 )
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
 _METHODS = {0: "stored", 8: "deflate"}
+
+
+def _locate_central(blob: bytes) -> tuple[int, int, int]:
+    """(n_total, cd_off, cd_size) from the EOCD, following the ZIP64
+    EOCD locator/record (APPNOTE 4.3.14-4.3.15) when one precedes the
+    EOCD.  Raises ValueError on corruption, NotImplementedError on
+    spanned/multi-disk archives."""
+    # EOCD is within the last 22 + 65535 bytes (fixed part + max comment)
+    tail_at = max(0, len(blob) - 22 - 65535)
+    eocd_at = blob.rfind(_EOCD_SIG, tail_at)
+    if eocd_at < 0:
+        raise ValueError("zip: no end-of-central-directory record")
+    if len(blob) < eocd_at + 22:
+        raise ValueError("zip: truncated EOCD record")
+    (n_this_disk, n_total, cd_size, cd_off) = struct.unpack(
+        "<HHII", blob[eocd_at + 8:eocd_at + 20]
+    )
+    loc_at = eocd_at - 20
+    if loc_at >= 0 and blob[loc_at:loc_at + 4] == _EOCD64_LOC_SIG:
+        _disk, eocd64_off, n_disks = struct.unpack(
+            "<IQI", blob[loc_at + 4:loc_at + 20]
+        )
+        if n_disks > 1:
+            raise NotImplementedError(
+                "zip: spanned/multi-disk archives are not supported"
+            )
+        if blob[eocd64_off:eocd64_off + 4] != _EOCD64_SIG:
+            raise ValueError(
+                "zip: ZIP64 EOCD locator does not point at a ZIP64 EOCD "
+                "record"
+            )
+        if eocd64_off + 56 > len(blob):
+            raise ValueError("zip: truncated ZIP64 EOCD record")
+        (n_this_disk, n_total, cd_size, cd_off) = struct.unpack(
+            "<QQQQ", blob[eocd64_off + 24:eocd64_off + 56]
+        )
+    elif (
+        n_this_disk == 0xFFFF
+        or n_total == 0xFFFF
+        or cd_size == 0xFFFFFFFF
+        or cd_off == 0xFFFFFFFF
+    ):
+        # sentinel fields promise 64-bit values that are not there — a
+        # truncated/corrupt ZIP64 archive, not a readable 32-bit one
+        raise ValueError(
+            "zip: ZIP64 sentinel in the EOCD but no ZIP64 EOCD locator "
+            "precedes it"
+        )
+    if n_this_disk != n_total:
+        raise NotImplementedError(
+            "zip: spanned/multi-disk archives (entries on this disk != "
+            "total entries) are not supported"
+        )
+    if cd_off + cd_size > len(blob):
+        raise ValueError("zip: central directory overruns the file")
+    return n_total, cd_off, cd_size
+
+
+def _zip64_resolve(
+    usize: int, csize: int, loc_off: int, extra: bytes
+) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF central-header sentinels from the 0x0001
+    extra field — values appear in APPNOTE 4.5.3 order (usize, csize,
+    local-header offset, disk-start) and ONLY for the fields whose
+    32-bit slot holds the sentinel."""
+    need = [usize == 0xFFFFFFFF, csize == 0xFFFFFFFF, loc_off == 0xFFFFFFFF]
+    if not any(need):
+        return usize, csize, loc_off
+    p = 0
+    while p + 4 <= len(extra):
+        tag, sz = struct.unpack("<HH", extra[p:p + 4])
+        if tag == 0x0001:
+            q, end = p + 4, p + 4 + sz
+            out = [usize, csize, loc_off]
+            for i, sentinel in enumerate(need):
+                if sentinel:
+                    if q + 8 > end or q + 8 > len(extra):
+                        raise ValueError(
+                            "zip: ZIP64 extra field too short for its "
+                            "sentinel fields"
+                        )
+                    out[i] = struct.unpack("<Q", extra[q:q + 8])[0]
+                    q += 8
+            return out[0], out[1], out[2]
+        p += 4 + sz
+    raise ValueError(
+        "zip: ZIP64 sentinel in a central header but no 0x0001 extra field"
+    )
 
 
 def parse_zip_central(
@@ -78,24 +173,10 @@ def parse_zip_central(
             raise ValueError(f"zip: {msg}")
         return []
 
-    # EOCD is within the last 22 + 65535 bytes (fixed part + max comment)
-    tail_at = max(0, len(blob) - 22 - 65535)
-    eocd_at = blob.rfind(_EOCD_SIG, tail_at)
-    if eocd_at < 0:
-        return fail("no end-of-central-directory record")
-    if len(blob) < eocd_at + 22:
-        return fail("truncated EOCD record")
-    (n_this_disk, n_total, cd_size, cd_off) = struct.unpack(
-        "<HHII", blob[eocd_at + 8:eocd_at + 20]
-    )
-    n_disk = n_total
-    if n_disk == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError(
-            "zip: ZIP64 archives (65535+ members or 4 GiB+ offsets) are "
-            "out of scope for the 32-bit central-directory walk"
-        )
-    if cd_off + cd_size > len(blob):
-        return fail("central directory overruns the file")
+    try:
+        n_disk, cd_off, cd_size = _locate_central(blob)
+    except ValueError as e:
+        return fail(str(e).removeprefix("zip: "))
     out: list[dict] = []
     pos = cd_off
     for idx in range(n_disk):
@@ -106,6 +187,13 @@ def parse_zip_central(
         ) = struct.unpack("<H4xIIIHHH", blob[pos + 10:pos + 34])
         loc_off = struct.unpack("<I", blob[pos + 42:pos + 46])[0]
         name = blob[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        try:
+            usize, csize, loc_off = _zip64_resolve(
+                usize, csize, loc_off,
+                blob[pos + 46 + nlen:pos + 46 + nlen + xlen],
+            )
+        except ValueError as e:
+            return fail(f"member {name!r}: {str(e).removeprefix('zip: ')}")
         if blob[loc_off:loc_off + 4] != _LOC_SIG:
             return fail(
                 f"member {name!r}: local header offset {loc_off} does not "
@@ -217,19 +305,20 @@ def extract_zip_member(blob: bytes, name: str) -> bytes:
     """Decompress one member by name (stored or deflate) — the random-
     access read the central directory exists for. Raises KeyError when
     absent; run the verify_crc triage pass first when integrity
-    matters (this read trusts the recorded sizes)."""
-    pos = blob.rfind(_EOCD_SIG, max(0, len(blob) - 22 - 65535))
-    if pos < 0:
-        raise ValueError("zip: no end-of-central-directory record")
-    cd_off = struct.unpack("<I", blob[pos + 16:pos + 20])[0]
+    matters (this read trusts the recorded sizes).  Shares the ZIP64-
+    aware directory locator with parse_zip_central."""
+    _n, cd_off, _sz = _locate_central(blob)
     p = cd_off
     while blob[p:p + 4] == _CEN_SIG:
-        method, csize, nlen, xlen, clen = struct.unpack(
-            "<H8xI4xHHH", blob[p + 10:p + 34]
+        method, csize, usize, nlen, xlen, clen = struct.unpack(
+            "<H8xIIHHH", blob[p + 10:p + 34]
         )
         loc = struct.unpack("<I", blob[p + 42:p + 46])[0]
         nm = blob[p + 46:p + 46 + nlen].decode("utf-8", "replace")
         if nm == name:
+            _u, csize, loc = _zip64_resolve(
+                usize, csize, loc, blob[p + 46 + nlen:p + 46 + nlen + xlen]
+            )
             lnlen, lxlen = struct.unpack("<HH", blob[loc + 26:loc + 30])
             at = loc + 30 + lnlen + lxlen
             raw = blob[at:at + csize]

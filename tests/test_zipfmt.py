@@ -54,11 +54,69 @@ def test_corrupt_payload_and_offsets():
     assert parse_zip_central(b"junk", strict=False) == []
 
 
-def test_zip64_boundary():
+def _zip64(members, comp=zipfile.ZIP_DEFLATED, monkeypatch=None):
+    """Archive with FULL ZIP64 structures from stdlib zipfile: shrink
+    the module limits so small fixtures get 0xFFFFFFFF central
+    sentinels + 0x0001 extras + the ZIP64 EOCD record/locator — the
+    exact layout a >4 GiB archive carries, without the bytes."""
+    buf = io.BytesIO()
+    monkeypatch.setattr(zipfile, "ZIP64_LIMIT", 10)
+    monkeypatch.setattr(zipfile, "ZIP_FILECOUNT_LIMIT", 1)
+    try:
+        with zipfile.ZipFile(buf, "w", comp) as z:
+            for name, data in members:
+                z.writestr(name, data)
+    finally:
+        monkeypatch.undo()
+    return buf.getvalue()
+
+
+def test_zip64_sentinel_without_locator_is_corrupt():
     blob = bytearray(_zip([("a", "b")]))
     eocd = blob.rindex(b"PK\x05\x06")
     blob[eocd + 16:eocd + 20] = b"\xff\xff\xff\xff"  # cd offset sentinel
-    with pytest.raises(NotImplementedError, match="ZIP64"):
+    with pytest.raises(ValueError, match="ZIP64 sentinel"):
+        parse_zip_central(bytes(blob))
+    assert parse_zip_central(bytes(blob), strict=False) == []
+
+
+def test_zip64_read(monkeypatch):
+    from aroa_etl_spark.sources.zipfmt import extract_zip_member
+
+    members = [("a.txt", "hello zip64"), ("dir/b.txt", "y" * 300),
+               ("c.bin", "z" * 40)]
+    blob = _zip64(members, monkeypatch=monkeypatch)
+    # the fixture really is ZIP64 (locator + record + sentinels present)
+    assert b"PK\x06\x07" in blob and b"PK\x06\x06" in blob
+    assert b"\xff\xff\xff\xff" in blob
+    ms = parse_zip_central(blob, strict=True, verify_crc=True)
+    assert [(m["name"], m["usize"], m["crc_ok"]) for m in ms] == [
+        ("a.txt", 11, 1), ("dir/b.txt", 300, 1), ("c.bin", 40, 1)
+    ]
+    assert extract_zip_member(blob, "dir/b.txt") == b"y" * 300
+    # stored variant + stdlib read-back agreement
+    blob_s = _zip64(members, comp=zipfile.ZIP_STORED, monkeypatch=monkeypatch)
+    ms_s = parse_zip_central(blob_s)
+    with zipfile.ZipFile(io.BytesIO(blob_s)) as z:
+        assert [m["name"] for m in ms_s] == z.namelist()
+        for m in ms_s:
+            assert z.read(m["name"]) == extract_zip_member(blob_s, m["name"])
+
+
+def test_zip64_multidisk_boundary(monkeypatch):
+    blob = bytearray(_zip64([("a", "bcd")], monkeypatch=monkeypatch))
+    loc = blob.rindex(b"PK\x06\x07")
+    blob[loc + 16:loc + 20] = (2).to_bytes(4, "little")  # total disks = 2
+    with pytest.raises(NotImplementedError, match="multi-disk"):
+        parse_zip_central(bytes(blob))
+
+
+def test_spanned_archive_boundary():
+    blob = bytearray(_zip([("a", "b")]))
+    eocd = blob.rindex(b"PK\x05\x06")
+    # entries-on-this-disk (offset 8) != total entries (offset 10)
+    blob[eocd + 8:eocd + 10] = (0).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="spanned"):
         parse_zip_central(bytes(blob))
 
 
