@@ -3218,21 +3218,29 @@ def s_office_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k + j * 0.25 AS DOUBLE) AS score,
            (j % 2 = 0) AS flag,
            CASE WHEN j % 3 = 0 THEN NULL
-                ELSE 'n' || CAST(j AS VARCHAR) END AS note
+                ELSE 'n' || CAST(j AS VARCHAR) END AS note,
+           's' || CAST(k AS VARCHAR) AS meta_src,
+           CAST(k * 100 + j AS BIGINT) AS meta_ver,
+           CASE j % 3 WHEN 0 THEN '' WHEN 1 THEN 't0'
+                ELSE 't0,t1' END AS tags_csv,
+           CAST(j % 3 AS INT) AS n_tags
     FROM r
     """,
 )
 def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro Object Container File ingestion WITHOUT the spark-avro jar
     (sources/avro_ocf.py — the OCF spec owned directly: zigzag varints,
-    length-prefixed strings, IEEE doubles, nullable unions, null AND
-    raw-deflate codecs, per-block sync-marker verification).  Every
-    document becomes a 2-4-record OCF (alternating codecs, multi-block
-    when record count exceeds the 2-per-block fixture size) parsed back
-    through the typed mapInPandas kernel; ids, strings, exact
-    quarter-value doubles, booleans, and the null/string union all
-    replay from doc_id arithmetic.  Unsupported constructs (nested
-    records, arrays, snappy) raise by name — boundary, not misparse.
+    length-prefixed strings, IEEE doubles, nullable unions honoring
+    declared branch order, NESTED records, block-encoded ARRAYS, and
+    the null / raw-deflate / SNAPPY codecs — snappy via the vendored
+    pure-Python block-format decoder with the spec's big-endian CRC32
+    verified; round 10 closed all three former boundaries).  Every
+    document becomes a 2-4-record OCF (codec rotating null/deflate/
+    snappy by blob, multi-block at 2 records per block) parsed back
+    through the typed mapInPandas kernel — struct and array columns
+    land as real Spark STRUCT/ARRAY types and are flattened to scalar
+    columns only for the cross-engine hash surface.  Unsupported
+    constructs (maps, enums, multi-branch unions) still raise by name.
     Scale: binaryFile-shaped scan -> kernel explode, zero shuffle."""
     from aroa_etl_spark.sources.avro_ocf import avro_records, build_avro_ocf
     from pyspark.sql import types as T
@@ -3245,6 +3253,14 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "score", "type": "double"},
             {"name": "flag", "type": "boolean"},
             {"name": "note", "type": ["null", "string"]},
+            {"name": "meta", "type": {
+                "type": "record", "name": "m",
+                "fields": [
+                    {"name": "src", "type": "string"},
+                    {"name": "ver", "type": "long"},
+                ],
+            }},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
         ],
     }
     blobs = []
@@ -3256,6 +3272,8 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score": k + j * 0.25,
                 "flag": j % 2 == 0,
                 "note": None if j % 3 == 0 else f"n{j}",
+                "meta": {"src": f"s{k}", "ver": k * 100 + j},
+                "tags": [f"t{i}" for i in range(j % 3)],
             }
             for j in range(2 + k % 3)
         ]
@@ -3265,7 +3283,7 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bytearray(
                     build_avro_ocf(
                         schema, recs,
-                        codec="deflate" if k % 2 else "null",
+                        codec=("null", "deflate", "snappy")[k % 3],
                         records_per_block=2,
                     )
                 ),
@@ -3284,10 +3302,20 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("score", T.DoubleType()),
             T.StructField("flag", T.BooleanType()),
             T.StructField("note", T.StringType()),
+            T.StructField("meta", T.StructType([
+                T.StructField("src", T.StringType()),
+                T.StructField("ver", T.LongType()),
+            ])),
+            T.StructField("tags", T.ArrayType(T.StringType())),
         ]
     )
-    return avro_records(media, rec_schema).withColumnRenamed(
-        "blob_id", "media_id"
+    return avro_records(media, rec_schema).select(
+        F.col("blob_id").alias("media_id"),
+        "id", "name", "score", "flag", "note",
+        F.col("meta.src").alias("meta_src"),
+        F.col("meta.ver").alias("meta_ver"),
+        F.concat_ws(",", "tags").alias("tags_csv"),
+        F.size("tags").alias("n_tags"),
     )
 
 

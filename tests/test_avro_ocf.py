@@ -26,7 +26,7 @@ RECS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_roundtrip_both_codecs_multiblock(codec):
     blob = build_avro_ocf(SCHEMA, RECS, codec=codec, records_per_block=2)
     hdr, back = parse_avro_blob(blob)
@@ -45,14 +45,20 @@ def test_corruption_and_sync_guard():
 
 
 def test_unsupported_constructs_raise_by_name():
-    arr = {
+    mp = {
         "type": "record", "name": "r",
-        "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}],
+        "fields": [{"name": "a", "type": {"type": "map", "values": "long"}}],
     }
     with pytest.raises(NotImplementedError, match="complex type"):
-        build_avro_ocf(arr, [])
+        build_avro_ocf(mp, [])
+    multi = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": ["null", "long", "string"]}],
+    }
+    with pytest.raises(NotImplementedError, match="union"):
+        build_avro_ocf(multi, [])
     with pytest.raises(NotImplementedError, match="codec"):
-        build_avro_ocf(SCHEMA, [], codec="snappy")
+        build_avro_ocf(SCHEMA, [], codec="zstandard")
     with pytest.raises(ValueError, match="not nullable"):
         build_avro_ocf(SCHEMA, [{"id": None, "name": "x", "score": 0.0,
                                  "flag": True, "note": None}])
@@ -90,3 +96,90 @@ def test_avro_records_kernel_and_missing_field(spark):
     bad_schema = T.StructType([T.StructField("nope", T.LongType())])
     with pytest.raises(Exception, match="lacks declared fields"):
         avro_records(df, bad_schema).collect()
+
+
+NESTED_SCHEMA = {
+    "type": "record", "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "meta", "type": {
+            "type": "record", "name": "m",
+            "fields": [
+                {"name": "src", "type": "string"},
+                {"name": "ver", "type": "long"},
+                {"name": "inner", "type": {
+                    "type": "record", "name": "i",
+                    "fields": [{"name": "d", "type": "double"}],
+                }},
+            ],
+        }},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "scores", "type": {
+            "type": "array", "items": ["null", "double"]}},
+        {"name": "alt", "type": ["string", "null"]},  # null at branch 1
+    ],
+}
+NESTED_RECS = [
+    {"id": 1,
+     "meta": {"src": "a", "ver": 7, "inner": {"d": 0.5}},
+     "tags": ["x", "y", "z"],
+     "scores": [1.0, None, -2.25],
+     "alt": "hi"},
+    {"id": 2,
+     "meta": {"src": "", "ver": 0, "inner": {"d": -1.0}},
+     "tags": [],
+     "scores": [],
+     "alt": None},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_nested_records_and_arrays_roundtrip(codec):
+    blob = build_avro_ocf(NESTED_SCHEMA, NESTED_RECS, codec=codec,
+                          records_per_block=1)
+    hdr, back = parse_avro_blob(blob)
+    assert back == NESTED_RECS
+    assert hdr["codec"] == codec
+
+
+def test_reversed_union_branch_order():
+    # [T, "null"]: null is branch 1 — assuming branch 0 would misparse
+    blob = build_avro_ocf(NESTED_SCHEMA, NESTED_RECS)
+    alt_null = blob  # rec 2 has alt=None
+    _, back = parse_avro_blob(alt_null)
+    assert back[0]["alt"] == "hi" and back[1]["alt"] is None
+
+
+def test_array_negative_block_count_decodes():
+    # a writer may emit count=-n followed by the block byte size
+    from aroa_etl_spark.sources.avro_ocf import (
+        _decode_node, _parse_type, _zz_encode,
+    )
+
+    node = _parse_type({"type": "array", "items": "long"})
+    items = b"".join(_zz_encode(v) for v in (5, -3, 10))
+    buf = _zz_encode(-3) + _zz_encode(len(items)) + items + _zz_encode(0)
+    vals, pos = _decode_node(node, buf, 0)
+    assert vals == [5, -3, 10] and pos == len(buf)
+
+
+def test_snappy_codec_guards():
+    from aroa_etl_spark.sources.avro_ocf import (
+        snappy_compress, snappy_decompress,
+    )
+
+    # raw codec round-trip incl. >60-byte literals
+    for data in (b"", b"abc", b"q" * 70000, bytes(range(256)) * 10):
+        assert snappy_decompress(snappy_compress(data)) == data
+    # handcrafted copy elements: literal 'abcd' + 1-byte-offset copy
+    # (len 4, off 4) = 'abcdabcd'; then overlapping copy (len 5, off 1)
+    lit = bytes([3 << 2]) + b"abcd"
+    copy1 = bytes([(0 << 5) | (0 << 2) | 1, 4])  # len 4-4=0 -> +4, off 4
+    enc = bytes([13]) + lit + copy1 + bytes([((5 - 4) << 2) | 1, 1])
+    assert snappy_decompress(enc) == b"abcdabcdddddd"[:13]
+    # corrupt CRC fails the avro block: flip a byte just before the
+    # final 16-byte sync marker — inside the last block's 4-byte CRC
+    blob = bytearray(build_avro_ocf(SCHEMA, RECS, codec="snappy"))
+    blob[len(blob) - 18] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32|snappy"):
+        parse_avro_blob(bytes(blob))

@@ -293,7 +293,8 @@ _avro_rec = st.fixed_dictionaries(
 )
 
 
-@given(st.lists(_avro_rec, max_size=8), st.sampled_from(["null", "deflate"]))
+@given(st.lists(_avro_rec, max_size=8),
+       st.sampled_from(["null", "deflate", "snappy"]))
 @settings(max_examples=60, deadline=None)
 def test_avro_ocf_roundtrips_any_records(recs, codec):
     from aroa_etl_spark.sources.avro_ocf import build_avro_ocf, parse_avro_blob
@@ -366,3 +367,57 @@ def test_pdf_text_roundtrips_any_strings(texts, compress):
         assert have.encode("latin-1") == want.encode("utf-8")
         if want.isascii():
             assert have == want
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=80, deadline=None)
+def test_snappy_roundtrips_any_bytes(data):
+    from aroa_etl_spark.sources.avro_ocf import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+_nested_rec = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**62), max_value=2**62),
+        "meta": st.fixed_dictionaries(
+            {"src": st.text(max_size=8),
+             "ver": st.integers(min_value=0, max_value=2**31)}
+        ),
+        "tags": st.lists(st.text(max_size=6), max_size=5),
+        "scores": st.lists(
+            st.one_of(st.none(), st.floats(allow_nan=False,
+                                           allow_infinity=False, width=64)),
+            max_size=4,
+        ),
+    }
+)
+
+
+@given(st.lists(_nested_rec, max_size=6),
+       st.sampled_from(["null", "deflate", "snappy"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_nested_and_arrays_roundtrip_any_records(recs, codec):
+    from aroa_etl_spark.sources.avro_ocf import build_avro_ocf, parse_avro_blob
+
+    schema = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": {
+                "type": "record", "name": "m",
+                "fields": [{"name": "src", "type": "string"},
+                           {"name": "ver", "type": "long"}],
+            }},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "scores",
+             "type": {"type": "array", "items": ["null", "double"]}},
+        ],
+    }
+    hdr, back = parse_avro_blob(
+        build_avro_ocf(schema, recs, codec=codec, records_per_block=2)
+    )
+    assert back == recs and hdr["n_records"] == len(recs)
