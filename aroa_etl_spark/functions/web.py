@@ -9,17 +9,24 @@ aggregation's partial combine already absorbs.
 
 Everything is plain regex/string ops (no Python UDF) with patterns kept
 RE2/Java-compatible so the DuckDB oracle evaluates the identical
-expressions. The registered-domain heuristic uses a compact second-level
-TLD list rather than the full Public Suffix List; the PSL is a data
-file, not an algorithm change — swap `_SECOND_LEVEL_TLDS` for the full
-list in production.
+expressions.  Registered domains come in two tiers: the compact
+second-level-TLD heuristic (``registered_domain`` — a pure column
+expression, zero joins) and, since round 10, the REAL Public Suffix
+List path (``registered_domain_psl``): a PSL snapshot is accepted as a
+broadcast dimension and matched with the published algorithm —
+candidate suffixes of 1..k labels, exception rules prevail, then the
+longest rule, wildcard rules (``*.ck``) match any single extra label,
+unmatched hosts fall back to the implicit ``*`` rule.  The join is
+explode(≤k candidate rows per host) → broadcast hash join → one
+max-struct aggregation per host — no shuffle of the corpus beyond the
+final domain rollup the caller was doing anyway.
 
 Extension inventory (SURVEY.md §2.11); the reference has no web surface.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -27,9 +34,11 @@ __all__ = [
     "url_host",
     "normalize_host",
     "registered_domain",
+    "registered_domain_psl",
     "sitemap_urls",
     "sitemap_is_index",
     "SECOND_LEVEL_TLDS",
+    "PSL_SNAPSHOT_MINI",
 ]
 
 # the same URL shape tdp_scrub_pii uses — everything after the scheme up
@@ -89,6 +98,133 @@ def registered_domain(host: Column | str) -> Column:
     )
     return F.when(n <= 2, host).otherwise(
         F.when(last2.isin(*SECOND_LEVEL_TLDS), last3).otherwise(last2)
+    )
+
+
+# A publicsuffix.org-format snapshot slice carrying every RULE SHAPE the
+# algorithm defines (plain multi-label, wildcard, exception, comments) —
+# callers ship the full ~9k-line snapshot the same way; this mini table
+# keeps fixtures/oracles deterministic and self-contained.
+PSL_SNAPSHOT_MINI = (
+    "// ===BEGIN ICANN DOMAINS===",
+    "com", "net", "org", "io", "de", "fr", "jp", "uk", "au", "nz",
+    "co.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au",
+    "co.jp",
+    "co.nz",
+    "ck", "*.ck", "!www.ck",
+    "// ===END ICANN DOMAINS===",
+)
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    psl,
+    out_col: str = "registered_domain",
+    *,
+    max_rule_labels: int = 5,
+) -> DataFrame:
+    """``df`` + ``out_col`` holding the eTLD+1 under a real Public
+    Suffix List snapshot — the published algorithm, not the two-label
+    heuristic (which mis-rolls ``*.ck``-class wildcard suffixes and
+    ``!www.ck``-class exceptions):
+
+    1. every host generates candidate suffixes of its last 1..k labels
+       (k = ``max_rule_labels``, the longest rule in the snapshot —
+       the full PSL's deepest rule is 5 labels);
+    2. candidates join the broadcast rule table twice-shaped: the
+       literal form against plain/exception rules, the first label
+       replaced by ``*`` against wildcard rules;
+    3. the prevailing rule per host is the exception if any, else the
+       longest match (one max-struct aggregation);
+    4. public-suffix length = matched labels (exception: matched - 1;
+       no match: the implicit ``*`` rule, 1), and the registered
+       domain is one label more — hosts that ARE a public suffix pass
+       through unchanged (the heuristic's contract).
+
+    ``psl`` is an iterable of snapshot lines or a one-column DataFrame;
+    ``//`` comments and blanks are dropped here so the raw file
+    broadcasts as-is.  Cost: explode ≤k rows per DISTINCT host,
+    broadcast hash join, one aggregation — the corpus itself is only
+    touched by the final mapping join on the host column."""
+    spark = df.sparkSession
+    if not isinstance(psl, DataFrame):
+        psl = spark.createDataFrame([(r,) for r in psl], "rule string")
+    rules = (
+        psl.select(F.lower(F.trim(F.col(psl.columns[0]))).alias("rule"))
+        .filter((F.length("rule") > 0) & ~F.col("rule").startswith("//"))
+        .select(
+            F.when(
+                F.col("rule").startswith("!"), F.expr("substring(rule, 2)")
+            ).otherwise(F.col("rule")).alias("__key"),
+            F.when(F.col("rule").startswith("!"), F.lit("exception"))
+            .when(F.col("rule").startswith("*."), F.lit("wildcard"))
+            .otherwise(F.lit("normal")).alias("__kind"),
+        )
+        .distinct()
+    )
+    hosts = df.select(F.col(host_col).alias("__h")).filter(
+        F.col("__h").isNotNull()
+    ).distinct()
+    labels = F.split(F.col("__h"), r"\.")
+    n = F.size(labels)
+    cand = hosts.select(
+        "__h",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(n, F.lit(max_rule_labels))),
+                lambda k: F.array_join(
+                    F.slice(labels, F.size(labels) - k + 1, k), "."
+                ),
+            )
+        ).alias("__sfx"),
+    ).select(
+        "__h",
+        F.size(F.split(F.col("__sfx"), r"\.")).alias("__k"),
+        "__sfx",
+    )
+    forms = cand.select(
+        "__h", "__k", F.col("__sfx").alias("__key"), F.lit("lit").alias("__f")
+    ).unionByName(
+        cand.filter(F.col("__k") >= 2).select(
+            "__h",
+            "__k",
+            F.regexp_replace("__sfx", r"^[^.]+", "*").alias("__key"),
+            F.lit("wc").alias("__f"),
+        )
+    )
+    matches = forms.join(F.broadcast(rules), "__key").filter(
+        ((F.col("__f") == "lit") & (F.col("__kind") != "wildcard"))
+        | ((F.col("__f") == "wc") & (F.col("__kind") == "wildcard"))
+    )
+    best = matches.groupBy("__h").agg(
+        F.max(
+            F.struct(
+                (F.col("__kind") == "exception").cast("int").alias("exc"),
+                F.col("__k").alias("k"),
+            )
+        ).alias("__b")
+    )
+    lab = F.split(F.col("__h"), r"\.")
+    nn = F.size(lab)
+    plen = F.coalesce(
+        F.when(F.col("__b.exc") == 1, F.col("__b.k") - 1).otherwise(
+            F.col("__b.k")
+        ),
+        F.lit(1),  # implicit '*' rule: the last label is public
+    )
+    mapping = (
+        hosts.join(best, "__h", "left")
+        .select(
+            "__h",
+            F.when(nn <= plen, F.col("__h"))
+            .otherwise(F.array_join(F.slice(lab, nn - plen, plen + 1), "."))
+            .alias(out_col),
+        )
+    )
+    return df.join(
+        mapping.withColumnRenamed("__h", host_col), host_col, "left"
     )
 
 

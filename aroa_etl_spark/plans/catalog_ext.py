@@ -434,6 +434,54 @@ def tdp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of the Public Suffix List algorithm over a
+# hosts(doc_id, host) CTE -> doms(doc_id, domain).  The rule VALUES
+# mirror functions/web.PSL_SNAPSHOT_MINI with comments dropped and the
+# '!' prefix stripped into the kind column — the same normalization
+# registered_domain_psl applies to the raw snapshot.  Shared by the
+# web_domain_counts and tdp_domain_quota oracles.
+_PSL_DOMAIN_SQL = r"""
+    hl AS (SELECT doc_id, host, string_split(host, '.') AS l FROM hosts),
+    hd AS (SELECT DISTINCT host, l FROM hl),
+    cands AS (SELECT host, l,
+                     unnest(range(1, least(len(l), 5) + 1)) AS kk
+              FROM hd),
+    sfx AS (SELECT host, l, kk,
+                   array_to_string(l[len(l)-kk+1:len(l)], '.') AS lit_key,
+                   CASE WHEN kk >= 2
+                        THEN '*.' || array_to_string(l[len(l)-kk+2:len(l)], '.')
+                   END AS wc_key
+            FROM cands),
+    m AS (SELECT s.host, s.kk, r.kind
+          FROM sfx s JOIN (VALUES
+            ('com','normal'),('net','normal'),('org','normal'),
+            ('io','normal'),('de','normal'),('fr','normal'),
+            ('jp','normal'),('uk','normal'),('au','normal'),
+            ('nz','normal'),
+            ('co.uk','normal'),('ac.uk','normal'),('gov.uk','normal'),
+            ('com.au','normal'),('net.au','normal'),('co.jp','normal'),
+            ('co.nz','normal'),('ck','normal'),
+            ('*.ck','wildcard'),('www.ck','exception')) r(key, kind)
+            ON (r.kind IN ('normal','exception') AND r.key = s.lit_key)
+            OR (r.kind = 'wildcard' AND r.key = s.wc_key)),
+    best AS (SELECT host, kk, kind,
+                    ROW_NUMBER() OVER (PARTITION BY host
+                        ORDER BY (kind = 'exception') DESC, kk DESC) AS rn
+             FROM m),
+    plens AS (SELECT hd.host, hd.l,
+                     coalesce(CASE WHEN b.kind = 'exception' THEN b.kk - 1
+                                   ELSE b.kk END, 1) AS p
+              FROM hd LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                   USING (host)),
+    doms AS (SELECT hl.doc_id,
+                    CASE WHEN len(plens.l) <= plens.p THEN plens.host
+                         ELSE array_to_string(
+                              plens.l[len(plens.l)-plens.p:len(plens.l)], '.')
+                    END AS domain
+             FROM hl JOIN plens USING (host))
+"""
+
+
 @query(
     "web_domain_counts",
     oracle=r"""
@@ -444,22 +492,19 @@ def tdp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE '' END
            || CASE WHEN doc_id % 4 = 0
                    THEN ' http://cdn'||CAST(doc_id % 5 AS VARCHAR)||'.assets.net/img.png'
-                   ELSE '' END AS text
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' https://pages.site'||CAST(doc_id % 3 AS VARCHAR)||'.ck/p'
+                   ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                   THEN ' http://WWW.ck/about' ELSE '' END AS text
         FROM documents),
     urls AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
              FROM docs2),
     hosts AS (SELECT doc_id,
-                     regexp_replace(lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)),
-                                    '^www\.', '') AS host
+                     lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)) AS host
               FROM urls),
-    doms AS (SELECT doc_id,
-                    CASE WHEN len(l) <= 2 THEN host
-                         WHEN l[-2]||'.'||l[-1] IN
-                              ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in',
-                               'com.br','co.nz','com.cn','co.za')
-                         THEN l[-3]||'.'||l[-2]||'.'||l[-1]
-                         ELSE l[-2]||'.'||l[-1] END AS domain
-             FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM hosts))
+    """ + _PSL_DOMAIN_SQL + r"""
     SELECT domain,
            CAST(COUNT(*) AS BIGINT) AS n_urls,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -467,17 +512,24 @@ def tdp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-registered-domain URL statistics (functions/web.py): URLs are
-    planted in-plan (a co.uk shop URL with a www+mixed-case host on
-    every third doc, a bare .net CDN URL on every fourth), extracted
-    with the engine-wide URL regex, hosts normalized (lower, strip www),
-    and rolled up to eTLD+1 via the second-level-TLD heuristic. Pure
-    column expressions + one map-side-combinable groupBy on domain — the
-    crawl-curation shape (domain quotas/blocklists) at any scale."""
+    """Per-registered-domain URL statistics under the REAL Public
+    Suffix List path (functions/web.registered_domain_psl — round 10;
+    the two-label heuristic stays attested as the zero-join fallback
+    via web_blocklist_filter): URLs are planted in-plan (a co.uk shop
+    URL with a www+mixed-case host every third doc, a bare .net CDN URL
+    every fourth, a *.ck WILDCARD-suffix host every fifth — the class
+    the heuristic mis-rolls — and the !www.ck EXCEPTION host every
+    sixth), extracted with the engine-wide URL regex, lowercased, and
+    rolled up to eTLD+1 with the published PSL algorithm over the
+    broadcast snapshot (exception beats longest beats implicit '*';
+    www needs no special-casing — co.uk rules absorb the label).  The
+    oracle replays the identical algorithm in SQL over the same rule
+    table.  Scale: candidates explode ≤5 rows per DISTINCT host,
+    broadcast hash join, one map-side-combinable groupBy on domain."""
     from aroa_etl_spark.functions.web import (
+        PSL_SNAPSHOT_MINI,
         extract_urls,
-        normalize_host,
-        registered_domain,
+        registered_domain_psl,
         url_host,
     )
 
@@ -501,11 +553,23 @@ def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(".assets.net/img.png"),
                 ),
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" https://pages.site"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".ck/p"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit(" http://WWW.ck/about")
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
     urls = docs.select("doc_id", F.explode(extract_urls("text")).alias("url"))
-    doms = urls.select(
-        "doc_id", registered_domain(normalize_host(url_host("url"))).alias("domain")
+    hosts = urls.select("doc_id", F.lower(url_host("url")).alias("host"))
+    doms = registered_domain_psl(
+        hosts, "host", PSL_SNAPSHOT_MINI, out_col="domain"
     )
     return (
         doms.groupBy("domain")
@@ -1806,23 +1870,19 @@ def a_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs2 AS (SELECT doc_id,
            text || CASE WHEN doc_id % 3 = 0
                    THEN ' https://WWW.Shop'||CAST(doc_id % 7 AS VARCHAR)||'.co.uk/x?y=1'
+                   WHEN doc_id % 5 = 1
+                   THEN ' https://pages.site'||CAST(doc_id % 3 AS VARCHAR)||'.ck/p'
+                   WHEN doc_id % 6 = 2
+                   THEN ' http://WWW.ck/about'
                    ELSE ' https://misc'||CAST(doc_id % 97 AS VARCHAR)||'.example.org/p'
                    END AS text
         FROM documents),
     first_url AS (SELECT doc_id, regexp_extract(text, 'https?://[^\s]+') AS url
                   FROM docs2),
-    doms AS (SELECT doc_id,
-                    CASE WHEN len(l) <= 2 THEN host
-                         WHEN l[-2]||'.'||l[-1] IN
-                              ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in',
-                               'com.br','co.nz','com.cn','co.za')
-                         THEN l[-3]||'.'||l[-2]||'.'||l[-1]
-                         ELSE l[-2]||'.'||l[-1] END AS domain
-             FROM (SELECT doc_id, host, string_split(host, '.') AS l
-                   FROM (SELECT doc_id,
-                                regexp_replace(lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)),
-                                               '^www\.', '') AS host
-                         FROM first_url))),
+    hosts AS (SELECT doc_id,
+                     lower(regexp_extract(url, 'https?://([^/\s?#:]+)', 1)) AS host
+              FROM first_url),
+    """ + _PSL_DOMAIN_SQL + r""",
     ranked AS (SELECT doc_id, domain,
                       ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
                FROM doms)
@@ -1835,12 +1895,19 @@ def a_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tdp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document quotas — the crawl-curation cap that stops a
     handful of giant domains from dominating a corpus (C4/RefinedWeb
-    recipe): docs carry a planted URL (one co.uk shop domain family on
-    every third doc, a long tail of example.org subdomains elsewhere),
-    roll up to eTLD+1, and a deterministic row_number per domain keeps
-    the first 10. One shuffle on domain; quota assignment rides the same
-    window partition."""
-    from aroa_etl_spark.functions.web import normalize_host, registered_domain, url_host
+    recipe), rolled up to eTLD+1 under the REAL Public Suffix List
+    path (round 10): the planted URL mix now includes *.ck
+    wildcard-suffix hosts and the !www.ck exception alongside the
+    co.uk family and the example.org long tail, and both engines run
+    the published PSL algorithm over the same broadcast snapshot.  A
+    deterministic row_number per domain keeps the first 10.  One
+    shuffle on domain; quota assignment rides the same window
+    partition."""
+    from aroa_etl_spark.functions.web import (
+        PSL_SNAPSHOT_MINI,
+        registered_domain_psl,
+        url_host,
+    )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
         "doc_id",
@@ -1853,6 +1920,15 @@ def tdp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("doc_id") % 7).cast("string"),
                     F.lit(".co.uk/x?y=1"),
                 ),
+            ).when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit(" https://pages.site"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".ck/p"),
+                ),
+            ).when(
+                F.col("doc_id") % 6 == 2, F.lit(" http://WWW.ck/about")
             ).otherwise(
                 F.concat(
                     F.lit(" https://misc"),
@@ -1865,8 +1941,11 @@ def tdp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_url = docs.select(
         "doc_id", F.regexp_extract("text", r"https?://[^\s]+", 0).alias("url")
     )
-    doms = first_url.select(
-        "doc_id", registered_domain(normalize_host(url_host("url"))).alias("domain")
+    hosts = first_url.select(
+        "doc_id", F.lower(url_host("url")).alias("host")
+    )
+    doms = registered_domain_psl(
+        hosts, "host", PSL_SNAPSHOT_MINI, out_col="domain"
     )
     rn = F.row_number().over(W.partitionBy("domain").orderBy("doc_id"))
     ranked = doms.select("domain", rn.alias("rn"))
