@@ -11,21 +11,42 @@ payload, still without fonts or rendering.
 
 The walk is OFFSET-DRIVEN like every scanner in this family (WARC
 Content-Length, MP4 box sizes, Ogg lacing): ``startxref`` gives the
-xref position, the xref subsection header gives the object count, and
-STRICT mode verifies that every in-use xref entry's 10-digit offset
-actually lands on its ``N 0 obj`` header — a single corrupted offset
-(bit rot, truncated upload) fails loudly instead of producing a
-plausible-looking row.  Classic single-subsection xref tables are in
-scope; cross-reference STREAMS (PDF 1.5+ compressed xref) are detected
-and reported as ``xref_kind='stream'`` with the page/object fields
-NULL in lenient mode (raising in strict) — the honest capability
-boundary, same discipline as the JPEG scanner's unsupported-SOF set.
+xref position, the xref section enumerates the objects, and STRICT
+mode verifies that every in-use entry actually lands on its ``N 0
+obj`` header (or, for compressed objects, that the object stream's
+header names the object at the recorded index) — a single corrupted
+offset (bit rot, truncated upload) fails loudly instead of producing
+a plausible-looking row.
 
-``build_pdf`` is the stdlib fixture writer computing real offsets, so
-the catalog oracle replays every field from construction arithmetic.
+Round 10 closed the PDF 1.5+ boundary: BOTH cross-reference layouts
+parse now —
+
+- classic tables, including multi-subsection bodies and ``/Prev``
+  chains from incremental updates (newest section wins per object);
+- cross-reference STREAMS (ISO 32000 §7.5.8): the ``/Type /XRef``
+  stream object the ``startxref`` points at, its ``/W``-described
+  big-endian fields decoded after FlateDecode and PNG predictor
+  reversal (§7.4.4.4 — real writers emit ``/Predictor 12``; all five
+  PNG row filters are implemented), ``/Index`` subsections, and
+  ``/Prev`` chains;
+- OBJECT streams (§7.5.7): type-2 entries resolve through the
+  ``/Type /ObjStm`` header (N pairs of number+offset after /First),
+  so catalogs/page dicts compressed into object streams triage and
+  extract like direct objects.
+
+Object lookup for text extraction is XREF-DRIVEN (the round-10
+advisor fix): bodies are sliced at their recorded offsets instead of
+regex-scanned across the whole blob, so compressed-stream bytes that
+happen to contain ``N 0 obj`` can never shadow a real object.
+
+``build_pdf`` / ``build_pdf_with_text`` are the stdlib fixture
+writers computing real offsets; both emit the classic layout AND the
+xref-stream/objstm layout (``xref_stream=True``) so the catalog
+oracle replays every field from construction arithmetic across both.
 
 Scale: mapInPandas over the media table, zero shuffle, O(header+xref)
-bytes per blob — content streams are never read.
+bytes per blob for triage — content streams are only read by the text
+extractor.
 """
 
 from __future__ import annotations
@@ -62,6 +83,276 @@ PDF_SCAN_SCHEMA = T.StructType(
 _OBJ_RE = re.compile(rb"(\d+) 0 obj")
 
 
+# --- xref / object-stream infrastructure (round 10) -------------------------
+
+def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    """Reverse the PNG row predictors (ISO 32000 §7.4.4.4 delegates to
+    RFC 2083): each row is one filter byte + ``columns`` data bytes
+    (xref streams use Colors=1/BitsPerComponent=8, so bpp=1).  All five
+    filters implemented; real PDF writers emit /Predictor 12 (Up), but
+    the spec allows any per-row filter once predictors >= 10 are on."""
+    if predictor == 1:
+        return data
+    if predictor < 10:
+        raise NotImplementedError(f"pdf: TIFF predictor {predictor}")
+    stride = columns + 1
+    if len(data) % stride:
+        raise ValueError("pdf: predictor data is not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(columns)
+    for at in range(0, len(data), stride):
+        ft = data[at]
+        row = bytearray(data[at + 1:at + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"pdf: unknown PNG row filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _dict_int(d: bytes, key: bytes):
+    m = re.search(rb"%s\s+(\d+)" % re.escape(key), d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_arr(d: bytes, key: bytes):
+    m = re.search(rb"%s\s*\[([^\]]*)\]" % re.escape(key), d)
+    return [int(x) for x in re.findall(rb"\d+", m.group(1))] if m else None
+
+
+def _stream_payload(obj_body: bytes) -> tuple[bytes, bytes]:
+    """(dict bytes, decoded stream data) of a stream object's body.
+    The dict ends at the LAST '>>' before the ``stream`` keyword
+    (nested /DecodeParms dicts sit inside), data length comes from
+    /Length, and /FlateDecode + PNG predictors are reversed here."""
+    import zlib
+
+    m = re.match(rb"(?s)\s*<<(.*)>>\s*stream\r?\n", obj_body)
+    if not m:
+        raise ValueError("pdf: stream object without a dict+stream header")
+    d = m.group(1)
+    length = _dict_int(d, b"/Length")
+    if length is None:
+        raise ValueError("pdf: stream without /Length")
+    data = obj_body[m.end():m.end() + length]
+    if len(data) != length:
+        raise ValueError("pdf: stream data shorter than its /Length")
+    filt = re.search(rb"/Filter\s*/(\w+)", d)
+    if filt:
+        if filt.group(1) != b"FlateDecode":
+            raise NotImplementedError(
+                f"pdf: stream filter /{filt.group(1).decode()} is not "
+                "supported (FlateDecode only)"
+            )
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            raise ValueError(
+                f"pdf: FlateDecode stream failed to inflate: {e}"
+            ) from None
+        pred = _dict_int(d, b"/Predictor")
+        if pred and pred != 1:
+            cols = _dict_int(d, b"/Columns") or 1
+            data = _png_unpredict(data, pred, cols)
+    return d, data
+
+
+def _parse_xref_at(content: bytes, at: int):
+    """One xref section at ``at`` -> (entries, trailer_dict_bytes, kind).
+    entries: obj_num -> ('n', offset) | ('f',) | ('s', objstm_num, idx).
+    Classic tables read every subsection up to the ``trailer`` keyword;
+    xref streams decode /W-described big-endian rows over /Index."""
+    if content[at:at + 4] == b"xref":
+        entries: dict = {}
+        pos = at + 4
+        while True:
+            sub = re.match(rb"\s*(\d+) (\d+)\s+", content[pos:pos + 64])
+            if not sub:
+                break
+            first, count = int(sub.group(1)), int(sub.group(2))
+            pos += sub.end()
+            for i in range(count):
+                raw = content[pos + 20 * i:pos + 20 * (i + 1)]
+                e = re.match(rb"(\d{10}) (\d{5}) ([nf])", raw)
+                if not e:
+                    raise ValueError(f"pdf: malformed xref entry {first + i}")
+                num = first + i
+                if num not in entries:
+                    entries[num] = (
+                        ("n", int(e.group(1))) if e.group(3) == b"n" else ("f",)
+                    )
+            pos += 20 * count
+        tm = re.match(rb"\s*trailer\s*<<(.*?)>>\s*startxref", content[pos:],
+                      re.DOTALL)
+        if not tm:
+            raise ValueError("pdf: classic xref without a trailer dict")
+        return entries, tm.group(1), "table"
+    om = _OBJ_RE.match(content[at:at + 32])
+    if not om:
+        raise ValueError(
+            f"pdf: startxref/Prev does not point at an xref table or "
+            f"object ({at})"
+        )
+    end = content.find(b"endobj", at)
+    body = content[at + om.end():end if end >= 0 else len(content)]
+    d, data = _stream_payload(body)
+    if not re.search(rb"/Type\s*/XRef\b", d):
+        raise ValueError("pdf: startxref object is not a /Type /XRef stream")
+    w = _dict_arr(d, b"/W")
+    size = _dict_int(d, b"/Size")
+    if not w or size is None:
+        raise ValueError("pdf: xref stream without /W or /Size")
+    index = _dict_arr(d, b"/Index") or [0, size]
+    row_len = sum(w)
+    entries = {}
+    pos = 0
+    for s in range(0, len(index), 2):
+        first, count = index[s], index[s + 1]
+        for i in range(count):
+            row = data[pos:pos + row_len]
+            if len(row) < row_len:
+                raise ValueError("pdf: xref stream data shorter than /Index")
+            pos += row_len
+            fields = []
+            q = 0
+            for width in w:
+                fields.append(
+                    int.from_bytes(row[q:q + width], "big") if width else None
+                )
+                q += width
+            # width-0 type field defaults to 1 (spec table 17)
+            typ = fields[0] if w[0] else 1
+            num = first + i
+            if num in entries:
+                continue
+            if typ == 0:
+                entries[num] = ("f",)
+            elif typ == 1:
+                entries[num] = ("n", fields[1])
+            elif typ == 2:
+                entries[num] = ("s", fields[1], fields[2])
+            else:
+                raise ValueError(f"pdf: unknown xref stream entry type {typ}")
+    return entries, d, "stream"
+
+
+def _load_xref(content: bytes):
+    """Follow startxref and the /Prev chain; the NEWEST section wins
+    per object (incremental-update semantics).  Returns (entries,
+    concatenated trailer/dict bytes, kind of the newest section)."""
+    # the LAST startxref tail governs: an incrementally-updated file
+    # carries one tail per revision and the newest is authoritative
+    tails = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", content[-256:]))
+    if not tails:
+        raise ValueError("pdf: no startxref/%%EOF tail")
+    at = int(tails[-1].group(1))
+    if at >= len(content):
+        raise ValueError(f"pdf: startxref offset {at} beyond file end")
+    entries: dict = {}
+    trailers = []
+    kind0 = None
+    seen: set = set()
+    while at is not None and at not in seen:
+        seen.add(at)
+        e, trailer, kind = _parse_xref_at(content, at)
+        kind0 = kind0 or kind
+        for num, v in e.items():
+            entries.setdefault(num, v)
+        trailers.append(trailer)
+        pm = re.search(rb"/Prev\s+(\d+)", trailer)
+        at = int(pm.group(1)) if pm else None
+    return entries, b" ".join(trailers), kind0
+
+
+def _parse_objstm(content: bytes, entries: dict, stm_num: int) -> list:
+    """Decode a /Type /ObjStm object -> [(obj_num, body_bytes), ...] in
+    stream order (§7.5.7: N pairs of number+offset, bodies after
+    /First)."""
+    body = _direct_object_body(content, entries, stm_num)
+    d, data = _stream_payload(body)
+    if not re.search(rb"/Type\s*/ObjStm\b", d):
+        raise ValueError(f"pdf: object {stm_num} is not a /Type /ObjStm")
+    n = _dict_int(d, b"/N")
+    first = _dict_int(d, b"/First")
+    if n is None or first is None:
+        raise ValueError("pdf: ObjStm without /N or /First")
+    header = data[:first]
+    pairs = [int(x) for x in re.findall(rb"\d+", header)]
+    if len(pairs) < 2 * n:
+        raise ValueError("pdf: ObjStm header shorter than /N pairs")
+    out = []
+    for i in range(n):
+        num, off = pairs[2 * i], pairs[2 * i + 1]
+        nxt = pairs[2 * i + 3] if i + 1 < n else len(data) - first
+        out.append((num, data[first + off:first + nxt]))
+    return out
+
+
+def _direct_object_body(content: bytes, entries: dict, num: int) -> bytes:
+    """Body of a DIRECT (type-1) object, sliced at its xref offset and
+    header-verified — never a whole-blob regex scan."""
+    v = entries.get(num)
+    if v is None or v[0] != "n":
+        raise ValueError(f"pdf: object {num} is not a direct xref entry")
+    off = v[1]
+    m = _OBJ_RE.match(content[off:off + 32])
+    if not m or int(m.group(1)) != num:
+        raise ValueError(
+            f"pdf: xref offset {off} does not hold object {num}'s header "
+            "(corrupt offset)"
+        )
+    end = content.find(b"endobj", off)
+    return content[off + m.end():end if end >= 0 else len(content)]
+
+
+def _object_bytes(
+    content: bytes, entries: dict, num: int, objstm_cache: dict
+) -> bytes:
+    """Object body by number — direct objects slice at their offset,
+    type-2 entries resolve through their (cached) object stream."""
+    v = entries.get(num)
+    if v is None or v[0] == "f":
+        raise ValueError(f"pdf: object {num} not in the xref")
+    if v[0] == "n":
+        return _direct_object_body(content, entries, num)
+    stm_num, idx = v[1], v[2]
+    if stm_num not in objstm_cache:
+        objstm_cache[stm_num] = _parse_objstm(content, entries, stm_num)
+    objs = objstm_cache[stm_num]
+    if idx >= len(objs):
+        raise ValueError(
+            f"pdf: object {num}: index {idx} beyond ObjStm {stm_num}'s /N"
+        )
+    got_num, body = objs[idx]
+    if got_num != num:
+        raise ValueError(
+            f"pdf: ObjStm {stm_num}[{idx}] holds object {got_num}, "
+            f"xref said {num}"
+        )
+    return body
+
+
 def _assemble_pdf(
     objs: "list[bytes]", version: str, trailer_extra: str = ""
 ) -> bytes:
@@ -86,13 +377,107 @@ def _assemble_pdf(
     return bytes(out)
 
 
-def build_pdf(
-    n_pages: int, *, version: str = "1.4", encrypted: bool = False
+def _assemble_pdf_xrefstream(
+    objs: "list[tuple[bytes, bool]]",
+    version: str,
+    trailer_extra: str = "",
+    *,
+    use_objstm: bool = True,
+    predictor: int = 12,
 ) -> bytes:
-    """Assemble a minimal well-formed classic-xref PDF: catalog, pages
-    node, ``n_pages`` page objects (plus an /Encrypt dict when asked),
-    a correct xref table, and a trailer — real 10-digit offsets, so the
-    strict scanner's offset verification passes by construction."""
+    """Serialize with the PDF 1.5+ layout: objects flagged compressible
+    pack into one ``/Type /ObjStm``, the cross-reference is a
+    ``/Type /XRef`` stream (W=[1,4,2] big-endian rows, FlateDecode,
+    optionally PNG ``/Predictor 12`` — the form real writers emit),
+    and ``startxref`` points at the xref stream object."""
+    import zlib
+
+    n = len(objs)
+    objstm_num, xref_num = n + 1, n + 2
+    out = bytearray(f"%PDF-{version}\n".encode())
+    entries: dict = {0: ("f",)}
+    packed: list = []
+    for num, (body, compressible) in enumerate(objs, start=1):
+        if use_objstm and compressible:
+            packed.append((num, body))
+        else:
+            entries[num] = ("n", len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    size = xref_num + 1
+    if packed:
+        hdr_parts = []
+        off = 0
+        for num, body in packed:
+            hdr_parts.append(f"{num} {off}")
+            off += len(body) + 1  # bodies joined by single newlines
+        header = (" ".join(hdr_parts) + "\n").encode()
+        data = header + b"\n".join(b for _n, b in packed)
+        payload = zlib.compress(data, 6)
+        entries[objstm_num] = ("n", len(out))
+        for i, (num, _b) in enumerate(packed):
+            entries[num] = ("s", objstm_num, i)
+        out += (
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+            f"/First {len(header)} /Filter /FlateDecode "
+            f"/Length {len(payload)} >>\nstream\n"
+        ).encode() + payload + b"\nendstream\nendobj\n"
+    else:
+        size = xref_num  # no objstm object is written
+        xref_num = objstm_num
+    xref_at = len(out)
+    entries[xref_num] = ("n", xref_at)
+    rows = bytearray()
+    for num in range(size):
+        v = entries.get(num, ("f",))
+        if v[0] == "f":
+            t, f2, f3 = 0, 0, 65535 if num == 0 else 0
+        elif v[0] == "n":
+            t, f2, f3 = 1, v[1], 0
+        else:
+            t, f2, f3 = 2, v[1], v[2]
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    cols = 7
+    parms = ""
+    if predictor == 12:
+        filtered = bytearray()
+        prev = bytes(cols)
+        for r in range(0, len(rows), cols):
+            row = bytes(rows[r:r + cols])
+            filtered += bytes([2]) + bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(cols)
+            )
+            prev = row
+        rows = filtered
+        parms = f" /DecodeParms << /Predictor 12 /Columns {cols} >>"
+    elif predictor != 1:
+        raise ValueError("fixture builder supports predictor 1 or 12 only")
+    payload = zlib.compress(bytes(rows), 6)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R{trailer_extra} /Filter /FlateDecode{parms} "
+        f"/Length {len(payload)} >>\nstream\n"
+    ).encode() + payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def build_pdf(
+    n_pages: int,
+    *,
+    version: str = "1.4",
+    encrypted: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = True,
+    predictor: int = 12,
+) -> bytes:
+    """Assemble a minimal well-formed PDF: catalog, pages node,
+    ``n_pages`` page objects (plus an /Encrypt dict when asked), and
+    either the classic xref table + trailer (default) or, with
+    ``xref_stream=True``, the PDF 1.5+ layout — dict objects packed
+    into an object stream (``objstm=False`` keeps them direct) and a
+    FlateDecode xref stream with PNG ``/Predictor 12`` by default.
+    Real offsets either way, so strict verification passes by
+    construction."""
     if n_pages < 1:
         raise ValueError("a PDF needs at least one page")
     objs: list[bytes] = []
@@ -109,6 +494,15 @@ def build_pdf(
     if encrypted:
         objs.append(b"<< /Filter /Standard /V 1 /R 2 >>")
     extra = f" /Encrypt {len(objs)} 0 R" if encrypted else ""
+    if xref_stream:
+        # the encryption dict must not live in an object stream (spec)
+        flagged = [
+            (o, not (encrypted and i == len(objs) - 1))
+            for i, o in enumerate(objs)
+        ]
+        return _assemble_pdf_xrefstream(
+            flagged, version, extra, use_objstm=objstm, predictor=predictor
+        )
     return _assemble_pdf(objs, version, extra)
 
 
@@ -128,63 +522,51 @@ def _scan_blob(content: bytes, strict: bool) -> dict:
     if not m:
         return fail("not a PDF: missing %PDF- header")
     version = m.group(1).decode()
-    tail = content[-256:]
-    sx = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not sx:
-        return fail("no startxref/%%EOF tail")
-    xref_at = int(sx.group(1))
-    if xref_at >= len(content):
-        return fail(f"startxref offset {xref_at} beyond file end")
-    if not content[xref_at:xref_at + 4] == b"xref":
-        # PDF 1.5+ cross-reference STREAM: an indirect object at the
-        # offset instead of a classic table — detected, not parsed
-        if _OBJ_RE.match(content[xref_at:xref_at + 32]):
-            if strict:
-                raise NotImplementedError(
-                    "cross-reference streams (PDF 1.5+) are out of "
-                    "scope for the classic-xref scanner"
-                )
-            return dict(null, version=version, xref_kind="stream")
-        return fail(f"startxref does not point at an xref table ({xref_at})")
-    # \s+ after the count: a CRLF-terminated header line must not
-    # leave a stray \n that misaligns the fixed 20-byte entry stride
-    sub = re.match(
-        rb"xref\s+(\d+) (\d+)\s+", content[xref_at:xref_at + 64]
-    )
-    if not sub:
-        return fail("malformed xref subsection header")
-    first, count = int(sub.group(1)), int(sub.group(2))
-    if first != 0:
-        return fail("multi-subsection xref tables are out of scope")
-    entries_at = xref_at + sub.end()
+    null["version"] = version  # lenient rows keep what DID parse
+    try:
+        entries, trailer, kind = _load_xref(content)
+    except NotImplementedError:
+        # named capability boundary (exotic filter/predictor): raise in
+        # strict, degrade per-blob in lenient — one poisoned blob must
+        # not kill the job
+        if strict:
+            raise
+        return null
+    except ValueError as e:
+        return fail(str(e).removeprefix("pdf: "))
+    # offset/index verification: every in-use entry must land on its
+    # object header; type-2 entries verify through the ObjStm header
     ok = 1
-    for i in range(count):
-        raw = content[entries_at + 20 * i: entries_at + 20 * (i + 1)]
-        e = re.match(rb"(\d{10}) (\d{5}) ([nf])", raw)
-        if not e:
-            return fail(f"malformed xref entry {i}")
-        if e.group(3) == b"n":
-            off = int(e.group(1))
-            om = _OBJ_RE.match(content[off:off + 32])
-            if not om or int(om.group(1)) != i:
-                if strict:
-                    raise ValueError(
-                        f"xref entry {i} points at byte {off}, which is "
-                        "not that object's header (corrupt offset)"
-                    )
-                ok = 0
-    trailer_zone = content[entries_at + 20 * count:]
-    enc = 1 if re.search(rb"/Encrypt\b", trailer_zone[:512]) else 0
-    pages = re.search(
-        rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", content
-    )
+    objstm_cache: dict = {}
+    for num, v in sorted(entries.items()):
+        try:
+            if v[0] != "f":
+                _object_bytes(content, entries, num, objstm_cache)
+        except (ValueError, NotImplementedError) as e:
+            if strict:
+                raise ValueError(str(e)) from None
+            ok = 0
+    enc = 1 if re.search(rb"/Encrypt\b", trailer) else 0
+    pages = re.search(rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", content)
+    if pages is None and objstm_cache:
+        # the Pages node may live compressed inside an object stream
+        for objs in objstm_cache.values():
+            for _num, body in objs:
+                pages = re.search(
+                    rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", body
+                )
+                if pages:
+                    break
+            if pages:
+                break
     n_pages = int(pages.group(1)) if pages else None
     if n_pages is None:
         return fail("no /Type /Pages node with /Count")
     return {
         "version": version,
-        "xref_kind": "table",
-        "n_objects": count - 1,  # entry 0 is the free-list head
+        "xref_kind": kind,
+        # free entries (the object-0 list head) are not objects
+        "n_objects": sum(1 for v in entries.values() if v[0] != "f"),
         "n_pages": n_pages,
         "encrypted": enc,
         "xref_ok": ok,
@@ -228,26 +610,42 @@ def build_pdf_with_text(
     *,
     version: str = "1.4",
     compress: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = True,
+    predictor: int = 12,
+    hex_strings: bool = False,
 ) -> bytes:
     """build_pdf's sibling with real per-page content streams: each
-    page shows its text via ``BT .. (escaped) Tj ET``, optionally
-    FlateDecode-compressed (zlib) — the form real generators emit."""
+    page shows its text via ``BT .. (escaped) Tj ET`` — or hex-string
+    ``<..> Tj`` with ``hex_strings=True`` — optionally FlateDecode-
+    compressed, in either the classic or the xref-stream/objstm layout
+    (content stream objects always stay DIRECT: the spec forbids
+    streams inside object streams)."""
     import zlib
 
     n_pages = len(page_texts)
     if n_pages < 1:
         raise ValueError("a PDF needs at least one page")
     objs: list[bytes] = []
+    flags: list[bool] = []
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    flags.append(True)
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
+    flags.append(True)
     for i, text in enumerate(page_texts):
-        esc = (
-            text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-        )
-        stream = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode()
+        if hex_strings:
+            shown = "<" + text.encode("latin-1").hex().upper() + ">"
+        else:
+            esc = (
+                text.replace("\\", "\\\\")
+                .replace("(", "\\(")
+                .replace(")", "\\)")
+            )
+            shown = f"({esc})"
+        stream = f"BT /F1 12 Tf 72 720 Td {shown} Tj ET".encode()
         filt = ""
         if compress:
             stream = zlib.compress(stream, 6)
@@ -256,10 +654,17 @@ def build_pdf_with_text(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {4 + 2 * i} 0 R >>".encode()
         )
+        flags.append(True)
         objs.append(
             f"<< /Length {len(stream)}{filt} >>\nstream\n".encode()
             + stream
             + b"\nendstream"
+        )
+        flags.append(False)  # stream objects may not enter an ObjStm
+    if xref_stream:
+        return _assemble_pdf_xrefstream(
+            list(zip(objs, flags)), version,
+            use_objstm=objstm, predictor=predictor,
         )
     return _assemble_pdf(objs, version)
 
@@ -278,73 +683,99 @@ def _unescape_pdf_string(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+def _hex_pdf_string(raw: bytes) -> str:
+    """PDF hex string body -> text: whitespace drops, an odd final
+    digit implies a trailing 0 (§7.3.4.3), bytes read as latin-1 (the
+    single-byte simple-font case; CID/Type0 multi-byte CMaps remain a
+    named boundary)."""
+    h = re.sub(rb"\s+", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+
+
+# one show-string: (escaped-paren literal) or <hex>
+_STR_RE = rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>"
+
+
+def _shown_parts(data: bytes) -> "list[str]":
+    """Show-string payloads of a content stream in Tj-then-TJ order
+    (the extractor's long-standing concatenation contract), both
+    string forms decoded."""
+    parts = []
+    for m in re.finditer(rb"(?:%s)\s*Tj" % _STR_RE, data):
+        parts.append(
+            _unescape_pdf_string(m.group(1))
+            if m.group(1) is not None
+            else _hex_pdf_string(m.group(2))
+        )
+    # the array may contain ']' INSIDE a string literal, so the scan
+    # consumes complete parenthesis strings as units
+    for am in re.finditer(
+        rb"\[((?:\((?:[^()\\]|\\.)*\)|[^\]()\\]|\\.)*)\]\s*TJ", data
+    ):
+        for m in re.finditer(_STR_RE, am.group(1)):
+            parts.append(
+                _unescape_pdf_string(m.group(1))
+                if m.group(1) is not None
+                else _hex_pdf_string(m.group(2))
+            )
+    return parts
+
+
 def _extract_blob_text(content: bytes, strict: bool) -> "list[dict]":
     def fail(msg: str) -> "list[dict]":
         if strict:
             raise ValueError(msg)
         return []
 
-    import zlib
-
     if not content.startswith(b"%PDF-"):
         return fail("not a PDF: missing %PDF- header")
-    kids = re.search(rb"/Type\s*/Pages[^>]*?/Kids\s*\[([^\]]*)\]", content)
-    if not kids:
-        return fail("no /Type /Pages node with /Kids")
-    page_refs = [int(m) for m in re.findall(rb"(\d+) 0 R", kids.group(1))]
-    rows = []
-    for idx, ref in enumerate(page_refs):
-        pm = re.search(
-            rb"(?s)(?<!\d)%d 0 obj\s*(.*?)endobj" % ref, content
-        )
-        if not pm:
-            return fail(f"page object {ref} missing")
-        cm = re.search(rb"/Contents\s+(\d+) 0 R", pm.group(1))
-        if not cm:
-            # a page with no content stream is legitimately blank
+    try:
+        entries, trailer, _kind = _load_xref(content)
+        cache: dict = {}
+        rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
+        if not rm:
+            raise ValueError("pdf: trailer without /Root")
+        catalog = _object_bytes(content, entries, int(rm.group(1)), cache)
+        pgm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
+        if not pgm:
+            raise ValueError("pdf: catalog without /Pages")
+        pages = _object_bytes(content, entries, int(pgm.group(1)), cache)
+        kids = re.search(rb"/Kids\s*\[([^\]]*)\]", pages)
+        if not kids:
+            raise ValueError("pdf: Pages node without /Kids")
+        page_refs = [int(m) for m in re.findall(rb"(\d+) 0 R", kids.group(1))]
+        rows = []
+        for idx, ref in enumerate(page_refs):
+            page = _object_bytes(content, entries, ref, cache)
+            cm = re.search(rb"/Contents\s+(\d+) 0 R", page)
+            if not cm:
+                # a page with no content stream is legitimately blank
+                rows.append(
+                    {"page_idx": idx, "text": "", "n_chars": 0,
+                     "compressed": 0}
+                )
+                continue
+            sbody = _object_bytes(content, entries, int(cm.group(1)), cache)
+            d, data = _stream_payload(sbody)
+            compressed = 1 if re.search(rb"/FlateDecode", d) else 0
+            text = "".join(_shown_parts(data))
             rows.append(
-                {"page_idx": idx, "text": "", "n_chars": 0, "compressed": 0}
+                {
+                    "page_idx": idx,
+                    "text": text,
+                    "n_chars": len(text),
+                    "compressed": compressed,
+                }
             )
-            continue
-        sm = re.search(
-            rb"(?s)(?<!\d)%d 0 obj\s*<<(.*?)>>\s*stream\r?\n"
-            % int(cm.group(1)),
-            content,
-        )
-        if not sm:
-            return fail(f"content stream object {int(cm.group(1))} missing")
-        lm = re.search(rb"/Length\s+(\d+)", sm.group(1))
-        if not lm:
-            return fail("content stream without /Length")
-        at = sm.end()
-        data = content[at:at + int(lm.group(1))]
-        compressed = 1 if re.search(rb"/FlateDecode", sm.group(1)) else 0
-        if compressed:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                return fail("FlateDecode stream failed to inflate")
-        # Tj shows one string; TJ shows an array of strings/kerns
-        parts = []
-        for s in re.findall(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj", data):
-            parts.append(_unescape_pdf_string(s))
-        # the array may contain ']' INSIDE a string literal, so the
-        # scan consumes complete parenthesis strings as units
-        for arr in re.findall(
-            rb"\[((?:\((?:[^()\\]|\\.)*\)|[^\]()\\]|\\.)*)\]\s*TJ", data
-        ):
-            for s in re.findall(rb"\(((?:[^()\\]|\\.)*)\)", arr):
-                parts.append(_unescape_pdf_string(s))
-        text = "".join(parts)
-        rows.append(
-            {
-                "page_idx": idx,
-                "text": text,
-                "n_chars": len(text),
-                "compressed": compressed,
-            }
-        )
-    return rows
+        return rows
+    except ValueError as e:
+        return fail(str(e).removeprefix("pdf: "))
+    except NotImplementedError:
+        if strict:
+            raise
+        return []
 
 
 def extract_pdf_text(df: DataFrame, *, strict: bool = True) -> DataFrame:

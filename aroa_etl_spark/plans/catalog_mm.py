@@ -1454,9 +1454,10 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT media_id,
            '1.' || CAST(4 + k % 4 AS VARCHAR) AS version,
-           'table' AS xref_kind,
+           CASE WHEN k % 3 = 2 THEN 'stream' ELSE 'table' END AS xref_kind,
            CAST(2 + (1 + k % 5)
-                + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_objects,
+                + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k % 3 = 2 THEN 2 ELSE 0 END AS INT) AS n_objects,
            CAST(1 + k % 5 AS INT) AS n_pages,
            CAST(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS INT) AS encrypted,
            CAST(1 AS INT) AS xref_ok
@@ -1465,17 +1466,22 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF structure triage (operators/pdfscan.scan_pdf_structure —
-    ISO 32000 classic-xref walk): spec version, object/page counts,
-    encryption flag, and offset-verified xref integrity WITHOUT
-    rendering — the well-formed/page-count/encrypted gates a document
-    pipeline applies before OCR or text extraction.  The 40-blob dim
-    carries real PDFs (build_pdf: catalog + pages node + 1-5 page
-    objects, every 7th /Encrypt'ed, versions 1.4-1.7) whose xref
-    offsets the strict scanner verifies byte-by-byte; all reported
-    fields derive from doc_id arithmetic the oracle replays
-    (n_bytes is excluded: offset-digit growth makes it honest to
-    measure, tedious to replay).  Scale: dim broadcast, mapInPandas,
-    O(header+xref) per blob — content streams never read."""
+    the full ISO 32000 cross-reference walk): spec version, object/
+    page counts, encryption flag, and offset-verified xref integrity
+    WITHOUT rendering — the well-formed/page-count/encrypted gates a
+    document pipeline applies before OCR or text extraction.  The
+    40-blob dim carries real PDFs (build_pdf: catalog + pages node +
+    1-5 page objects, every 7th /Encrypt'ed, versions 1.4-1.7); every
+    third blob uses the PDF 1.5+ LAYOUT — dict objects packed into a
+    /Type /ObjStm and a FlateDecode /Type /XRef stream (PNG
+    /Predictor 12 on even k, predictor-free on odd) — which round 10
+    made first-class: W-field rows decode, type-2 entries verify
+    through the ObjStm header, and the objstm + xref-stream objects
+    themselves add 2 to n_objects, all replayed by the oracle from
+    doc_id arithmetic (n_bytes excluded: offset-digit growth makes it
+    honest to measure, tedious to replay).  Scale: dim broadcast,
+    mapInPandas, O(header+xref) per blob — page content streams never
+    read."""
     from aroa_etl_spark.operators.pdfscan import build_pdf, scan_pdf_structure
 
     blobs = []
@@ -1488,6 +1494,8 @@ def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1 + k % 5,
                         version=f"1.{4 + k % 4}",
                         encrypted=k % 7 == 0,
+                        xref_stream=k % 3 == 2,
+                        predictor=12 if k % 2 == 0 else 1,
                     )
                 ),
             )
@@ -1519,12 +1527,15 @@ def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page PDF text extraction (operators/pdfscan.
     extract_pdf_text): the step that turns a crawled PDF into training
-    text — page objects resolve their /Contents streams, FlateDecode
-    (zlib) inflates where declared, and Tj/TJ show-strings parse with
-    escape-correct unquoting (the planted '(note)' parens round-trip
-    through PDF string escaping).  Half the 40-blob dim compresses its
-    streams, half stores them plain; text, char counts, and the
-    compression flag all replay from doc_id arithmetic.  Scale: dim
+    text — objects resolve AT THEIR XREF OFFSETS (round 10: both
+    classic tables and PDF 1.5+ xref streams, page dicts packed into
+    object streams on every third blob), /Contents streams FlateDecode-
+    inflate where declared, and Tj show-strings parse in BOTH forms —
+    escape-correct paren literals (the planted '(note)' parens
+    round-trip through PDF string escaping) and, on every fifth blob,
+    hex strings (<...> Tj).  Layout and string form never change the
+    extracted text, so one oracle covers all variants; half the dim
+    compresses its streams, half stores them plain.  Scale: dim
     broadcast, mapInPandas, O(stream bytes) per page."""
     from aroa_etl_spark.operators.pdfscan import (
         build_pdf_with_text,
@@ -1535,7 +1546,18 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(40):
         texts = [f"Doc {k} page {j} (note)" for j in range(1 + k % 3)]
         blobs.append(
-            (k, bytearray(build_pdf_with_text(texts, compress=k % 2 == 1)))
+            (
+                k,
+                bytearray(
+                    build_pdf_with_text(
+                        texts,
+                        compress=k % 2 == 1,
+                        xref_stream=k % 3 == 2,
+                        predictor=12 if k % 2 == 0 else 1,
+                        hex_strings=k % 5 == 4,
+                    )
+                ),
+            )
         )
     dim = spark.createDataFrame(blobs, "v_key int, content binary")
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

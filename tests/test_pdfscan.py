@@ -32,21 +32,105 @@ def test_corrupt_offset_strict_vs_lenient():
     assert r["xref_ok"] == 0 and r["n_pages"] == 2  # still triages
 
 
-def test_xref_stream_boundary_and_garbage():
-    # fake a 1.5-style xref stream: startxref points at an object
+def test_xref_stream_reads_and_garbage():
+    """Round 10: PDF 1.5+ xref streams PARSE now (the old boundary test
+    became this reads-it test) — every combination of object-stream
+    packing and PNG predictor, plus the encrypted variant."""
+    for objstm in (True, False):
+        for pred in (12, 1):
+            b = build_pdf(3, version="1.6", xref_stream=True,
+                          objstm=objstm, predictor=pred)
+            r = _scan_blob(b, strict=True)
+            assert r["xref_kind"] == "stream" and r["xref_ok"] == 1
+            assert r["n_pages"] == 3 and r["encrypted"] == 0
+            # 5 base objects + xref stream (+ objstm when packing)
+            assert r["n_objects"] == (7 if objstm else 6)
+    enc = _scan_blob(
+        build_pdf(2, version="1.7", encrypted=True, xref_stream=True),
+        strict=True,
+    )
+    assert enc["encrypted"] == 1 and enc["n_pages"] == 2
+
+    # startxref at an object that is NOT a /Type /XRef stream: corrupt
     b = build_pdf(1, version="1.5")
     obj_at = b.index(b"1 0 obj")
     doctored = re.sub(
         rb"startxref\s+\d+", b"startxref\n" + str(obj_at).encode(), b
     )
-    with pytest.raises(NotImplementedError, match="cross-reference streams"):
+    # the catalog dict at that offset is not a stream object at all
+    with pytest.raises(ValueError, match="XRef|stream header"):
         _scan_blob(doctored, strict=True)
     r = _scan_blob(doctored, strict=False)
-    assert r["xref_kind"] == "stream" and r["n_pages"] is None
+    assert r["version"] == "1.5" and r["n_pages"] is None
 
     with pytest.raises(ValueError, match="missing %PDF"):
         _scan_blob(b"GIF89a not a pdf", strict=True)
     assert _scan_blob(b"junk", strict=False)["version"] is None
+
+
+def test_xref_stream_corrupt_entry_and_objstm_mismatch():
+    # flip a type-1 offset INSIDE the (predictor-free) xref stream
+    import zlib
+
+    b = build_pdf(2, version="1.6", xref_stream=True, objstm=True,
+                  predictor=1)
+    from aroa_etl_spark.operators.pdfscan import _load_xref
+
+    entries, _t, kind = _load_xref(b)
+    assert kind == "stream"
+    # rebuild the xref stream payload with object 5's offset +1
+    rows = bytearray()
+    size = max(entries) + 1
+    for num in range(size):
+        v = entries.get(num, ("f",))
+        if v[0] == "f":
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535 if num == 0 else 0).to_bytes(2, "big")
+        elif v[0] == "n":
+            off = v[1] + (1 if num == size - 1 else 0)  # corrupt the xref obj itself
+            rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += bytes([2]) + v[1].to_bytes(4, "big") + v[2].to_bytes(2, "big")
+    new_payload = zlib.compress(bytes(rows), 6)
+    # splice: find the old xref stream payload
+    import re as _re
+
+    m = _re.search(rb"/Type /XRef[^>]*/Length (\d+) >>\nstream\n", b)
+    old_len = int(m.group(1))
+    at = m.end()
+    doctored = (
+        b[:m.start()]
+        + _re.sub(rb"/Length \d+", b"/Length %d" % len(new_payload),
+                  b[m.start():m.end()])
+        + new_payload
+        + b[at + old_len:]
+    )
+    # offsets after the splice shift, so MANY entries are wrong — the
+    # point is strict raises and lenient flags, not which entry
+    with pytest.raises(ValueError, match="corrupt offset|header"):
+        _scan_blob(doctored, strict=True)
+    assert _scan_blob(doctored, strict=False)["xref_ok"] in (0, None)
+
+
+def test_incremental_update_prev_chain():
+    """A classic /Prev chain from an incremental update: the newest
+    section's entry wins, multi-subsection bodies parse."""
+    base = build_pdf(2, version="1.4")
+    new_obj_at = len(base)
+    upd = (b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+           b"/MediaBox [0 0 612 792] /Rotate 90 >>\nendobj\n")
+    prev_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    xref_at = new_obj_at + len(upd)
+    tail = (b"xref\n0 1\n0000000000 65535 f \n3 1\n"
+            + f"{new_obj_at:010d} 00000 n \n".encode()
+            + f"trailer\n<< /Size 5 /Root 1 0 R /Prev {prev_at} >>\n".encode()
+            + f"startxref\n{xref_at}\n%%EOF\n".encode())
+    blob = base + upd + tail
+    from aroa_etl_spark.operators.pdfscan import _load_xref
+
+    entries, _t, kind = _load_xref(blob)
+    assert kind == "table" and entries[3] == ("n", new_obj_at)
+    r = _scan_blob(blob, strict=True)
+    assert r["n_pages"] == 2 and r["xref_ok"] == 1
 
 
 def test_scan_dataframe_kernel(spark):
@@ -155,3 +239,27 @@ def test_tj_array_bracket_inside_string():
     assert old in b
     rows = _extract_blob_text(b.replace(old, new), strict=True)
     assert rows[0]["text"] == "a]b" + "c"
+
+
+def test_hex_string_text_and_objstm_extraction():
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        build_pdf_with_text,
+    )
+
+    # hex-string Tj (round 10): latin-1 bytes, odd digit pads a 0
+    b = build_pdf_with_text(["Héllo <hex>"], xref_stream=True,
+                            hex_strings=True)
+    rows = _extract_blob_text(b, strict=True)
+    assert rows[0]["text"] == "Héllo <hex>"
+    # odd-length hex body: '4' pads to 0x40 = '@' (§7.3.4.3)
+    from aroa_etl_spark.operators.pdfscan import _hex_pdf_string
+
+    assert _hex_pdf_string(b"48 4") == "H@"
+
+    # page dicts inside an ObjStm still extract, with compression
+    b2 = build_pdf_with_text(["p0 (x)", "p1"], compress=True,
+                             xref_stream=True, objstm=True)
+    got = [(r["page_idx"], r["text"], r["compressed"])
+           for r in _extract_blob_text(b2, strict=True)]
+    assert got == [(0, "p0 (x)", 1), (1, "p1", 1)]
