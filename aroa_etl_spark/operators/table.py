@@ -1,0 +1,258 @@
+"""Snapshot-manifest transactional table — the mini-lakehouse commit log.
+
+The engine already had upsert, CDC apply, SCD2, MV refresh, and
+atomic-swap sinks, but each invented its own placement protocol
+(tmp-dir swaps, marker files).  This module unifies them behind ONE
+audited commit protocol, the shape Iceberg snapshots and Delta's
+_delta_log made standard (public designs; nothing here reads either
+format):
+
+    <root>/data/<uuid>/            immutable parquet directories
+    <root>/_manifests/v%012d.json  one JSON manifest per commit
+
+- a manifest lists the data directories (root-relative) composing the
+  snapshot plus commit metadata: op, parent version, and an optional
+  (run_id, batch_id) idempotence key;
+- COMMIT = write new data dirs -> write the manifest to a dot-temp
+  name -> ``os.rename`` into ``_manifests/`` (atomic on POSIX).  A
+  reader listing manifests sees either the old newest or the new one —
+  NEVER a half commit, because data dirs precede the manifest and the
+  rename is the single visibility point;
+- READ = highest-version manifest -> ``spark.read.parquet(*files)``;
+  older versions stay readable (time travel) until vacuumed;
+- IDEMPOTENCE: a commit carrying (run_id, batch_id) is a NO-OP when a
+  manifest of the same run_id already records batch_id >= it — the
+  streaming foreachBatch replay contract the old swap sink's marker
+  file provided, now carried by the log itself;
+- a crash BEFORE the manifest rename leaves orphan data dirs and
+  possibly a dot-temp manifest that no reader ever sees;
+  :func:`table_vacuum` reaps them together with superseded versions.
+
+Single-writer discipline per table (one streaming query or one batch
+job — the same contract as the swap sink this replaces) and
+driver-local paths (os-level renames); object stores need a real table
+format with a conditional-put commit.
+
+Scale: the manifest is O(#data dirs) driver-side JSON; data stays
+where Spark wrote it — no copy, no rewrite of unchanged files on
+append, and readers prune to the listed directories.
+
+Reference analogue: none (the reference has no table format); this is
+part of the engine's Spark-native incremental surface (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "table_commit",
+    "table_read",
+    "table_versions",
+    "table_upsert",
+    "table_vacuum",
+]
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _check_local(path: str) -> str:
+    if "://" in path:
+        raise ValueError(
+            f"snapshot tables need a driver-local path (got {path!r}); "
+            "object stores need a table format with conditional-put commits"
+        )
+    return path.rstrip("/")
+
+
+def _manifest_versions(root: str) -> "list[int]":
+    d = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(root, _MANIFEST_DIR, f"v{version:012d}.json")) as f:
+        return json.load(f)
+
+
+def table_versions(path: str) -> "list[dict]":
+    """All committed manifests, oldest first — the table's history."""
+    root = _check_local(path)
+    return [_load_manifest(root, v) for v in _manifest_versions(root)]
+
+
+def table_read(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """The snapshot at ``version`` (default: newest).  Raises
+    ValueError on a table with no commits — callers treating absence
+    as empty catch it explicitly."""
+    root = _check_local(path)
+    versions = _manifest_versions(root)
+    if not versions:
+        raise ValueError(f"snapshot table {path!r} has no commits")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"snapshot table {path!r} has no version {v} "
+            f"(have {versions[0]}..{versions[-1]})"
+        )
+    m = _load_manifest(root, v)
+    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+
+
+def table_commit(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    op: str | None = None,
+    run_id: str | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """Commit ``df`` as the table's next version and return it.
+
+    ``mode='overwrite'`` makes the new data the whole snapshot;
+    ``'append'`` keeps the previous version's directories and adds the
+    new one (unchanged files are never rewritten).  With a
+    (run_id, batch_id) idempotence key, a commit the log already
+    records for that lineage is a NO-OP returning None — nothing is
+    written, so a replayed foreachBatch cannot double-apply."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    if (run_id is None) != (batch_id is None):
+        raise ValueError(
+            "run_id and batch_id form one idempotence key: pass both or "
+            "neither"
+        )
+    root = _check_local(path)
+    versions = _manifest_versions(root)
+    if run_id is not None:
+        # newest manifest of this lineage decides: already at or past
+        # this batch -> replay, no-op BEFORE any data is written
+        for v in reversed(versions):
+            m = _load_manifest(root, v)
+            if m.get("run_id") == run_id:
+                if m.get("batch_id") is not None and m["batch_id"] >= batch_id:
+                    return None
+                break
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    rel = os.path.join("data", uuid.uuid4().hex[:12])
+    df.write.mode("error").parquet(os.path.join(root, rel))
+    files = [rel]
+    parent = versions[-1] if versions else None
+    if mode == "append" and parent is not None:
+        files = _load_manifest(root, parent)["files"] + [rel]
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op or mode,
+        "files": files,
+        "run_id": run_id,
+        "batch_id": batch_id,
+    }
+    tmp = os.path.join(root, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    # the single visibility point: atomic rename into the manifest dir
+    os.rename(tmp, os.path.join(root, _MANIFEST_DIR, f"v{version:012d}.json"))
+    return version
+
+
+def table_upsert(
+    updates: DataFrame,
+    path: str,
+    key: Sequence[str] | str,
+    *,
+    run_id: str | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """Keyed upsert as one commit: read the current snapshot, merge
+    with operators/incremental.upsert (updates win; the batch is
+    de-duplicated on the key), commit as an overwrite version.  A
+    table with no commits initializes from the de-duplicated updates.
+
+    At 100 TB you would partition the table and rewrite only touched
+    partitions; the COMMIT protocol is unchanged by that — only the
+    file list in the manifest grows finer-grained."""
+    from aroa_etl_spark.operators.incremental import upsert
+
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = updates.sparkSession
+    batch = updates.dropDuplicates(keys)
+    try:
+        current = table_read(spark, path)
+    except ValueError:
+        current = None
+        root = _check_local(path)
+        if os.path.isdir(root) and any(
+            f.endswith(".parquet") for f in os.listdir(root)
+        ):
+            # legacy plain-parquet table (the old swap sink's layout):
+            # adopt its rows as the pre-commit snapshot — the first
+            # manifest commit rewrites them into data/, after which the
+            # loose files are dead weight a caller may delete
+            current = spark.read.parquet(root)
+    merged = (
+        batch if current is None
+        else upsert(current, batch.select(*current.columns), keys)
+    )
+    return table_commit(
+        merged, path, mode="overwrite", op="upsert",
+        run_id=run_id, batch_id=batch_id,
+    )
+
+
+def table_vacuum(path: str, *, keep_last: int = 1) -> "list[str]":
+    """Reap what no kept version references: manifests older than the
+    newest ``keep_last``, data directories only they referenced,
+    ORPHAN data directories a crash left uncommitted, and dot-temp
+    manifest files.  Returns the removed root-relative paths.  Runs
+    under the table's single-writer discipline (don't vacuum while a
+    writer is mid-commit)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (a table keeps its newest)")
+    root = _check_local(path)
+    versions = _manifest_versions(root)
+    keep = set(versions[-keep_last:])
+    referenced: set = set()
+    for v in keep:
+        referenced.update(_load_manifest(root, v)["files"])
+    removed = []
+    for v in versions:
+        if v not in keep:
+            os.remove(os.path.join(root, _MANIFEST_DIR, f"v{v:012d}.json"))
+            removed.append(f"{_MANIFEST_DIR}/v{v:012d}.json")
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if n.startswith(".tmp-"):
+                os.remove(os.path.join(mdir, n))
+                removed.append(f"{_MANIFEST_DIR}/{n}")
+    ddir = os.path.join(root, "data")
+    if os.path.isdir(ddir):
+        for n in sorted(os.listdir(ddir)):
+            rel = os.path.join("data", n)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(ddir, n), ignore_errors=True)
+                removed.append(rel)
+    return removed

@@ -2400,6 +2400,105 @@ def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inc_table_commits",
+    oracle="""
+    WITH sel AS (SELECT o_orderkey AS k, o_orderpriority AS p
+                 FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+    fin AS (SELECT k, CASE WHEN k % 5 = 0 THEN 'X-UPD' ELSE p END AS p
+            FROM sel)
+    SELECT p AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM fin GROUP BY p ORDER BY p
+    """,
+)
+def inc_table_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-manifest transactional table's CRASH-REPLAY MATRIX
+    (operators/table.py — round 10, the one audited commit protocol
+    behind the incremental family and the streaming upsert sink),
+    oracle-attested end to end:
+
+    1. overwrite-commit batch 0 (orders with key%4==0), then
+       APPEND-commit batch 1 (key%4==1) — unchanged files not
+       rewritten;
+    2. upsert-commit batch 2 flips priority to 'X-UPD' for key%5==0;
+    3. REPLAY batch 2 with POISONED data ('BAD' priorities) under the
+       same (run_id, batch_id) — the commit must be a manifest-level
+       no-op (None), or the oracle hash catches the corruption;
+    4. simulate a crash mid-commit: an orphan data directory and a
+       dot-temp manifest that never renamed — the reader must not see
+       either (half commits are invisible by construction);
+    5. vacuum(keep_last=1) reaps superseded versions, the orphan, and
+       the temp manifest; the snapshot re-reads identically after.
+
+    Every step that could corrupt silently raises loudly in-entry; the
+    final aggregate must equal the oracle's replay of the merge
+    arithmetic.  Scale: manifests are O(#files) driver-side JSON; data
+    dirs are immutable parquet — append rewrites nothing."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.operators.table import (
+        table_commit,
+        table_read,
+        table_upsert,
+        table_vacuum,
+        table_versions,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+    )
+    root = _scratch_stage("table_commits", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+
+    v1 = table_commit(orders.filter(F.col("k") % 4 == 0), t,
+                      mode="overwrite", run_id="lineage-A", batch_id=0)
+    v2 = table_commit(orders.filter(F.col("k") % 4 == 1), t,
+                      mode="append", run_id="lineage-A", batch_id=1)
+    upd = (
+        orders.filter((F.col("k") % 4 < 2) & (F.col("k") % 5 == 0))
+        .select("k", F.lit("X-UPD").alias("p"))
+    )
+    v3 = table_upsert(upd, t, "k", run_id="lineage-A", batch_id=2)
+    if (v1, v2, v3) != (1, 2, 3):
+        raise AssertionError(f"commit versions off: {(v1, v2, v3)}")
+    # replay with poisoned data: MUST be a no-op
+    poison = upd.select("k", F.lit("BAD").alias("p"))
+    if table_upsert(poison, t, "k", run_id="lineage-A", batch_id=2) is not None:
+        raise AssertionError("replayed batch was applied, not a no-op")
+    # crash simulation: orphan data dir + never-renamed temp manifest
+    os.makedirs(os.path.join(t, "data", "deadbeefcafe"), exist_ok=True)
+    with open(os.path.join(t, "data", "deadbeefcafe", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    with open(os.path.join(t, "_manifests", ".tmp-crashed"), "w") as f:
+        f.write('{"version": 99, "files": ["data/deadbeefcafe"]}')
+    before = table_read(spark, t).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")
+    ).collect()
+    removed = table_vacuum(t, keep_last=1)
+    if not any("deadbeefcafe" in r for r in removed):
+        raise AssertionError("vacuum did not reap the orphan data dir")
+    if len(table_versions(t)) != 1:
+        raise AssertionError("vacuum kept more than the newest version")
+    after = table_read(spark, t).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")
+    ).collect()
+    if sorted(map(tuple, before)) != sorted(map(tuple, after)):
+        raise AssertionError("snapshot changed across vacuum")
+    return (
+        table_read(spark, t)
+        .groupBy(F.col("p").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "inc_refresh_aggregate",
     oracle="""
     SELECT o_orderpriority,

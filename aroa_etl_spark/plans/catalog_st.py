@@ -566,13 +566,16 @@ def st_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch keyed-upsert sink end to end: orders stream in
-    four micro-batches into a parquet table via stream_upsert_to_parquet
-    (retry-safe swap protocol); keys are unique, so the final table
-    holds exactly the input rows and its aggregate equals the batch
-    oracle. The no-lakehouse merge pattern, driver-gate attested."""
+    four micro-batches into a SNAPSHOT-MANIFEST table via
+    stream_upsert_to_parquet (round 10: re-based from the bespoke
+    tmp-swap onto operators/table.py's commit log — one manifest
+    version per batch, (run_id, batch_id) replay no-op, atomic-rename
+    visibility); keys are unique, so the final snapshot holds exactly
+    the input rows and its aggregate equals the batch oracle."""
     import os
     import shutil
 
+    from aroa_etl_spark.operators.table import table_read, table_versions
     from aroa_etl_spark.plans.catalog_ext import _scratch_stage
     from aroa_etl_spark.streaming.pipeline import stream_upsert_to_parquet
 
@@ -591,8 +594,11 @@ def st_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     stream_upsert_to_parquet(stream, table, "o_orderkey", checkpoint=ckpt)
+    # one committed manifest version per drained micro-batch
+    if len(table_versions(table)) < 1:
+        raise AssertionError("upsert sink committed no manifest versions")
     return (
-        spark.read.parquet(table)
+        table_read(spark, table)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -537,27 +537,58 @@ def stream_upsert_to_parquet(
     *,
     checkpoint: str,
 ) -> None:
-    """Streaming keyed upsert into a parquet table via foreachBatch —
-    the no-lakehouse merge pattern: each micro-batch reads the current
-    snapshot, applies operators/incremental.upsert (updates win, batch
-    de-duplicated on the key by arbitrary-last), and atomically
-    replaces the table through the shared retry-safe swap protocol
-    (:func:`_swap_table_sink`). availableNow drain; blocks until done.
+    """Streaming keyed upsert into a SNAPSHOT-MANIFEST table
+    (operators/table.py) via foreachBatch — re-based in round 10 from
+    the bespoke tmp-swap protocol onto the engine's one audited commit
+    log: each micro-batch upserts into the current snapshot and
+    commits a new manifest version carrying (run_id=checkpoint query
+    id, batch_id) as its idempotence key, so a replayed batch is a
+    manifest-level NO-OP and a reader never sees a half commit (the
+    manifest rename is the single visibility point).  Read the result
+    back with ``operators.table.table_read``.  availableNow drain;
+    blocks until done.
 
     At scale you'd partition the table and rewrite only touched
-    partitions (or use a table format with real MERGE); the batch
-    upsert operator is the same either way."""
-    from aroa_etl_spark.operators.incremental import upsert
+    partitions (finer-grained manifest file lists); the batch upsert
+    operator and the commit protocol are the same either way."""
+    from aroa_etl_spark.operators.table import table_upsert
 
     keys = [key] if isinstance(key, str) else list(key)
+    if checkpoint is None or "://" in checkpoint:
+        raise ValueError(
+            "stream_upsert_to_parquet requires a driver-local checkpoint "
+            "dir: batch ids are only monotone within one checkpoint "
+            "lineage, so the replay guard needs the checkpoint's query id "
+            "as run identity"
+        )
 
-    def merge(current: DataFrame | None, batch: DataFrame) -> DataFrame:
-        batch = batch.dropDuplicates(keys)
-        if current is None:
-            return batch
-        return upsert(current, batch.select(*current.columns), keys)
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        import json as _json
+        import os as _os
 
-    _swap_table_sink(stream, path, merge, checkpoint)
+        try:
+            with open(_os.path.join(checkpoint, "metadata")) as f:
+                run_id = _json.load(f).get("id")
+        except (OSError, ValueError):
+            run_id = None
+        if run_id is None:
+            # the metadata file is written at query start, so an
+            # unreadable identity means the replay guard cannot work —
+            # raise rather than risk a silent double-merge
+            raise ValueError(
+                f"cannot read query id from checkpoint "
+                f"{checkpoint!r}/metadata; replay protection needs the "
+                "checkpoint lineage identity"
+            )
+        table_upsert(batch, path, keys, run_id=run_id, batch_id=batch_id)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+        .awaitTermination()
+    )
 
 
 def run_to_memory(

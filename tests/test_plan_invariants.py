@@ -68,6 +68,10 @@ _SKIP = {
     # building it executes the BPE training loop (per-round 1-row argmax
     # probes, the CC pattern)
     "text_bpe_train",
+    # building it executes the snapshot-table crash-replay matrix
+    # (commits, a poisoned replay, vacuum, and in-entry collect guards);
+    # the returned frame is a plain scan+agg over the final snapshot
+    "inc_table_commits",
 }
 
 _NAMES = sorted(

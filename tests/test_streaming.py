@@ -221,14 +221,17 @@ def test_stateful_counts_accumulates_across_batches(spark):
 
 def test_stream_upsert_to_parquet(spark, tmp_path):
     """foreachBatch streaming merge: two waves of updates land in a
-    parquet table; later batches win per key, untouched rows survive."""
+    snapshot-manifest table; later batches win per key, untouched rows
+    survive.  The seed is a LEGACY plain-parquet dir (the old swap
+    sink's layout) — the first manifest commit must adopt its rows."""
+    from aroa_etl_spark.operators.table import table_read
     from aroa_etl_spark.streaming.pipeline import stream_upsert_to_parquet
 
     src = str(tmp_path / "updates")
     tbl = str(tmp_path / "table")
     ckpt = str(tmp_path / "ckpt")
 
-    # seed the table
+    # seed the table in the LEGACY layout (loose parquet, no manifests)
     spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
     ).write.parquet(tbl)
@@ -247,7 +250,7 @@ def test_stream_upsert_to_parquet(spark, tmp_path):
     )
     stream_upsert_to_parquet(stream, tbl, "k", checkpoint=ckpt)
 
-    got = {(r["k"], r["v"]) for r in spark.read.parquet(tbl).collect()}
+    got = {(r["k"], r["v"]) for r in table_read(spark, tbl).collect()}
     # k=2 must carry ONE of the update values (batch order between the
     # two source files is mtime-dependent); all other keys are exact.
     assert {(1, "a"), (3, "c"), (4, "d"), (5, "e")} <= got

@@ -1,0 +1,143 @@
+"""Snapshot-manifest transactional table: commit atomicity, replay
+no-ops, time travel, vacuum, and the re-based streaming upsert sink."""
+
+import json
+import os
+
+import pytest
+
+from aroa_etl_spark.operators.table import (
+    table_commit,
+    table_read,
+    table_upsert,
+    table_vacuum,
+    table_versions,
+)
+
+
+def _t(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_commit_read_append_and_time_travel(spark, tmp_path):
+    t = _t(tmp_path)
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert table_commit(a, t) == 1
+    assert table_commit(b, t, mode="append") == 2
+    assert table_read(spark, t).count() == 3
+    # time travel: version 1 still readable; append rewrote nothing
+    assert table_read(spark, t, version=1).count() == 2
+    m1, m2 = table_versions(t)
+    assert m1["files"][0] in m2["files"] and len(m2["files"]) == 2
+    assert m2["parent"] == 1 and m2["op"] == "append"
+    with pytest.raises(ValueError, match="no version 7"):
+        table_read(spark, t, version=7)
+
+
+def test_empty_table_and_guards(spark, tmp_path):
+    t = _t(tmp_path)
+    with pytest.raises(ValueError, match="no commits"):
+        table_read(spark, t)
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="driver-local"):
+        table_commit(df, "s3://bucket/t")
+    with pytest.raises(ValueError, match="mode"):
+        table_commit(df, t, mode="merge")
+    with pytest.raises(ValueError, match="idempotence key"):
+        table_commit(df, t, run_id="r")  # batch_id missing
+
+
+def test_replay_is_noop_before_any_write(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert table_commit(df, t, run_id="r1", batch_id=0) == 1
+    n_dirs = len(os.listdir(os.path.join(t, "data")))
+    # same lineage, same batch: no-op, and NO new data dir was written
+    poison = spark.createDataFrame([(1, "BAD")], "k long, v string")
+    assert table_commit(poison, t, run_id="r1", batch_id=0) is None
+    assert len(os.listdir(os.path.join(t, "data"))) == n_dirs
+    # older batch of the same lineage: also a no-op
+    assert table_commit(poison, t, run_id="r1", batch_id=-1) is None
+    # a DIFFERENT lineage is not blocked
+    assert table_commit(df, t, run_id="r2", batch_id=0) == 2
+    assert [r.v for r in table_read(spark, t).collect()] == ["x"]
+
+
+def test_upsert_semantics(spark, tmp_path):
+    t = _t(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    table_commit(base, t)
+    upd = spark.createDataFrame(
+        [(2, "B"), (4, "d"), (4, "d")], "k long, v string"
+    )
+    table_upsert(upd, t, "k")
+    got = {r.k: r.v for r in table_read(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # upsert into an empty table initializes it (de-duplicated)
+    t2 = str(tmp_path / "tbl2")
+    table_upsert(upd, t2, "k")
+    assert table_read(spark, t2).count() == 2
+
+
+def test_half_commit_invisible_and_vacuum(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    table_commit(df, t)
+    table_commit(
+        spark.createDataFrame([(2, "b")], "k long, v string"), t,
+        mode="append",
+    )
+    # crash simulation: orphan data dir + dot-temp manifest
+    os.makedirs(os.path.join(t, "data", "orphan000000"))
+    with open(os.path.join(t, "data", "orphan000000", "x.parquet"), "wb") as f:
+        f.write(b"junk")
+    with open(os.path.join(t, "_manifests", ".tmp-crash"), "w") as f:
+        json.dump({"version": 9, "files": ["data/orphan000000"]}, f)
+    assert table_read(spark, t).count() == 2  # reader never sees either
+    removed = table_vacuum(t, keep_last=1)
+    assert any("orphan000000" in r for r in removed)
+    assert any(".tmp-crash" in r for r in removed)
+    assert len(table_versions(t)) == 1
+    assert table_read(spark, t).count() == 2
+    # version 1's exclusive data dir is gone; keep_last guard works
+    with pytest.raises(ValueError, match="keep_last"):
+        table_vacuum(t, keep_last=0)
+
+
+def test_stream_upsert_sink_commits_manifests(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.streaming.pipeline import stream_upsert_to_parquet
+
+    src = str(tmp_path / "src")
+    t = _t(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("v")
+    ).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_upsert_to_parquet(stream, t, "k", checkpoint=ckpt)
+    assert table_read(spark, t).count() == 20
+    vs = table_versions(t)
+    assert len(vs) >= 2  # one commit per drained micro-batch
+    assert all(v["op"] == "upsert" and v["run_id"] for v in vs)
+    # RESTART over the same checkpoint: every batch replays as a no-op
+    n_before = len(vs)
+    stream2 = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_upsert_to_parquet(stream2, t, "k", checkpoint=ckpt)
+    assert len(table_versions(t)) == n_before
+    assert table_read(spark, t).count() == 20
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_upsert_to_parquet(stream, t, "k", checkpoint=None)
