@@ -871,6 +871,15 @@ _IMAGE_DECODERS = {
     "tif": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
     "tiff": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
     "gif": lambda c: _with_pil_fallback(_decode_gif, c, "exotic GIF"),
+    # VP8L lossless decodes for real (round 10, operators/vp8lcodec.py);
+    # lossy VP8 / extended VP8X fall through to PIL when present
+    "webp": lambda c: _with_pil_fallback(
+        __import__(
+            "aroa_etl_spark.operators.vp8lcodec", fromlist=["decode_webp_vp8l"]
+        ).decode_webp_vp8l,
+        c,
+        "lossy/extended WebP",
+    ),
 }
 
 

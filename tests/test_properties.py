@@ -421,3 +421,27 @@ def test_avro_nested_and_arrays_roundtrip_any_records(recs, codec):
         build_avro_ocf(schema, recs, codec=codec, records_per_block=2)
     )
     assert back == recs and hdr["n_records"] == len(recs)
+
+
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
+    st.sampled_from([{}, {"subtract_green": True}, {"cache_bits": 3},
+                     {"palette": True}]),
+)
+@settings(max_examples=40, deadline=None)
+def test_vp8l_roundtrips_any_image(h, w, seed, kw):
+    import numpy as np
+
+    from aroa_etl_spark.operators.vp8lcodec import (
+        decode_webp_vp8l,
+        encode_webp_vp8l,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    if kw.get("palette"):
+        ncol = int(rng.randint(1, 17))  # bundled palettes incl. 1-color
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        img = pal[rng.randint(0, ncol, (h, w))]
+    else:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_webp_vp8l(encode_webp_vp8l(img, **kw)), img)

@@ -1,0 +1,120 @@
+"""VP8L codec tests: round-trips across the format machinery, pinned
+constants, container guards, and the strict decode path."""
+
+import numpy as np
+import pytest
+
+from aroa_etl_spark.operators.vp8lcodec import (
+    _DIST_MAP,
+    _prefix_encode,
+    _prefix_value,
+    decode_webp_vp8l,
+    encode_webp_vp8l,
+)
+
+
+def _ramp(h=16, w=32, k=7):
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    v = ((k + r * 5 + c * 3) % 256).astype(np.uint8)
+    return np.stack([v, (v * 2 % 256).astype(np.uint8), 255 - v], axis=2)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"subtract_green": True},
+        {"cache_bits": 4},
+        {"subtract_green": True, "cache_bits": 6},
+    ],
+)
+def test_roundtrip_variants(kw):
+    img = _ramp()
+    assert np.array_equal(decode_webp_vp8l(encode_webp_vp8l(img, **kw)), img)
+
+
+@pytest.mark.parametrize("ncol,shape", [(2, (8, 37)), (4, (9, 21)),
+                                        (16, (16, 32)), (200, (20, 25))])
+def test_roundtrip_palette_bundling(ncol, shape):
+    rng = np.random.RandomState(ncol)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, ncol, shape)]
+    assert np.array_equal(decode_webp_vp8l(encode_webp_vp8l(img, palette=True)), img)
+
+
+def test_roundtrip_noise_runs_and_1x1():
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    assert np.array_equal(decode_webp_vp8l(encode_webp_vp8l(noise)), noise)
+    runny = np.tile(np.array([[[10, 20, 30]]], dtype=np.uint8), (8, 40, 1))
+    runny[0, :5] = [1, 2, 3]
+    blob = encode_webp_vp8l(runny)
+    assert np.array_equal(decode_webp_vp8l(blob), runny)
+    assert len(blob) < 120  # LZ77 actually engaged
+    one = np.array([[[9, 8, 7]]], dtype=np.uint8)
+    assert np.array_equal(decode_webp_vp8l(encode_webp_vp8l(one)), one)
+
+
+def test_prefix_value_law_and_dist_map_pins():
+    # encode/decode law over the whole LZ77 value range the codes span
+    class FakeBR:
+        def __init__(self, v, n):
+            self.v, self.n = v, n
+
+        def bits(self, n):
+            assert n == self.n
+            return self.v
+
+    for value in list(range(1, 70)) + [255, 1024, 4096]:
+        code, extra, nbits = _prefix_encode(value)
+        assert _prefix_value(code, FakeBR(extra, nbits)) == value
+    # spec-pinned first map entries + the two the encoder uses
+    assert _DIST_MAP[0] == (0, 1)   # code 1: pixel above
+    assert _DIST_MAP[1] == (1, 0)   # code 2: pixel left
+    assert _DIST_MAP[2] == (1, 1) and _DIST_MAP[3] == (-1, 1)
+    assert _DIST_MAP[4] == (0, 2) and len(_DIST_MAP) == 120
+    # exact window coverage, each offset once: dy 0..7 with dx -7..8
+    # (dx >= 1 on the dy=0 row) is exactly 120 offsets
+    want = {(dx, 0) for dx in range(1, 9)} | {
+        (dx, dy) for dy in range(1, 8) for dx in range(-7, 9)
+    }
+    assert set(_DIST_MAP) == want and len(set(_DIST_MAP)) == 120
+
+
+def test_container_guards():
+    img = _ramp(4, 4)
+    blob = bytearray(encode_webp_vp8l(img))
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_webp_vp8l(b"GIF89a definitely not webp")
+    lossy = bytes(blob).replace(b"VP8L", b"VP8 ", 1)
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp_vp8l(lossy)
+    bad_sig = bytearray(blob)
+    bad_sig[20] = 0x2E
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp_vp8l(bytes(bad_sig))
+    with pytest.raises(ValueError, match="overrun"):
+        decode_webp_vp8l(bytes(blob[:-4]))
+
+
+def test_strict_image_features_path(spark):
+    from aroa_etl_spark.operators.multimodal import image_features
+    from pyspark.sql import functions as F
+
+    img = _ramp(8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_webp_vp8l(img)))], "media_id long, content binary"
+    ).select(
+        "media_id", "content",
+        F.lit("mem://w").alias("uri"),
+        F.struct(
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit("webp").alias("format"),
+        ).alias("meta"),
+    )
+    row = image_features(df, strict=True).collect()[0]
+    assert row.mean_intensity == pytest.approx(float(img.mean()))
+    assert row.aspect_ratio == 1.0
