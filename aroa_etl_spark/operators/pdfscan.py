@@ -93,6 +93,16 @@ def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     the spec allows any per-row filter once predictors >= 10 are on."""
     if predictor == 1:
         return data
+    if predictor == 2:
+        # TIFF horizontal differencing (8-bit, Colors=1): each byte adds
+        # its left neighbor within the row — no per-row filter byte
+        if columns < 1 or len(data) % columns:
+            raise ValueError("pdf: TIFF predictor data not whole rows")
+        out = bytearray(data)
+        for r in range(0, len(out), columns):
+            for i in range(1, columns):
+                out[r + i] = (out[r + i] + out[r + i - 1]) & 0xFF
+        return bytes(out)
     if predictor < 10:
         raise NotImplementedError(f"pdf: TIFF predictor {predictor}")
     stride = columns + 1

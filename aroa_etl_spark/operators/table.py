@@ -57,6 +57,8 @@ __all__ = [
     "table_versions",
     "table_upsert",
     "table_vacuum",
+    "table_compact",
+    "pruned_files",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -96,12 +98,51 @@ def table_versions(path: str) -> "list[dict]":
     return [_load_manifest(root, v) for v in _manifest_versions(root)]
 
 
+def pruned_files(manifest: dict, prune: "dict | None") -> "list[str]":
+    """The manifest's data files that MAY hold rows matching ``prune``
+    (col -> (lo, hi) closed interval): a file is skipped only when its
+    recorded [min, max] for the column cannot overlap the interval.
+    Files without stats for a pruned column are kept — pruning is an
+    I/O optimization, never a correctness filter (callers still apply
+    the exact predicate)."""
+    files = manifest["files"]
+    if not prune:
+        return list(files)
+    stats = manifest.get("file_stats", {})
+    kept = []
+    for f in files:
+        fs = stats.get(f, {})
+        skip = False
+        for col, (lo, hi) in prune.items():
+            mm = fs.get(col)
+            if mm is None or mm[0] is None or mm[1] is None:
+                continue
+            if (hi is not None and mm[0] > hi) or (
+                lo is not None and mm[1] < lo
+            ):
+                skip = True
+                break
+        if not skip:
+            kept.append(f)
+    return kept
+
+
 def table_read(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    prune: "dict | None" = None,
 ) -> DataFrame:
     """The snapshot at ``version`` (default: newest).  Raises
     ValueError on a table with no commits — callers treating absence
-    as empty catch it explicitly."""
+    as empty catch it explicitly.
+
+    ``prune`` (col -> (lo, hi)) skips data files whose commit-recorded
+    min/max cannot overlap the interval (the Iceberg-manifest trick) —
+    at 100 TB this is the difference between scanning one day's files
+    and the whole table.  Rows outside the interval from kept files
+    still flow through; apply the exact filter downstream."""
     root = _check_local(path)
     versions = _manifest_versions(root)
     if not versions:
@@ -113,7 +154,14 @@ def table_read(
             f"(have {versions[0]}..{versions[-1]})"
         )
     m = _load_manifest(root, v)
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    files = pruned_files(m, prune)
+    if not files:
+        # every file pruned: an empty frame with the snapshot's schema
+        full = spark.read.parquet(
+            *[os.path.join(root, f) for f in m["files"]]
+        )
+        return full.filter("1 = 0")
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
 
 def table_commit(
@@ -124,6 +172,7 @@ def table_commit(
     op: str | None = None,
     run_id: str | None = None,
     batch_id: int | None = None,
+    stats_cols: "Sequence[str] | None" = None,
 ) -> int | None:
     """Commit ``df`` as the table's next version and return it.
 
@@ -132,7 +181,13 @@ def table_commit(
     new one (unchanged files are never rewritten).  With a
     (run_id, batch_id) idempotence key, a commit the log already
     records for that lineage is a NO-OP returning None — nothing is
-    written, so a replayed foreachBatch cannot double-apply."""
+    written, so a replayed foreachBatch cannot double-apply.
+
+    ``stats_cols`` records per-file [min, max] for those columns in the
+    manifest (computed from the WRITTEN files, so stats always match
+    the bytes on disk); appended commits carry prior files' stats
+    forward, and :func:`table_read`'s ``prune`` skips files whose
+    range cannot match."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
     if (run_id is None) != (batch_id is None):
@@ -156,15 +211,32 @@ def table_commit(
     rel = os.path.join("data", uuid.uuid4().hex[:12])
     df.write.mode("error").parquet(os.path.join(root, rel))
     files = [rel]
+    file_stats: dict = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        written = df.sparkSession.read.parquet(os.path.join(root, rel))
+        row = written.agg(
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(stats_cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(stats_cols)],
+        ).first()
+        file_stats[rel] = {
+            c: [row[f"mn_{i}"], row[f"mx_{i}"]]
+            for i, c in enumerate(stats_cols)
+        }
     parent = versions[-1] if versions else None
     if mode == "append" and parent is not None:
-        files = _load_manifest(root, parent)["files"] + [rel]
+        pm = _load_manifest(root, parent)
+        files = pm["files"] + [rel]
+        # prior files are immutable: their stats carry forward verbatim
+        file_stats = {**pm.get("file_stats", {}), **file_stats}
     version = (parent or 0) + 1
     manifest = {
         "version": version,
         "parent": parent,
         "op": op or mode,
         "files": files,
+        "file_stats": file_stats,
         "run_id": run_id,
         "batch_id": batch_id,
     }
@@ -220,6 +292,25 @@ def table_upsert(
         merged, path, mode="overwrite", op="upsert",
         run_id=run_id, batch_id=batch_id,
     )
+
+
+def table_compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    stats_cols: "Sequence[str] | None" = None,
+) -> int:
+    """Rewrite the newest snapshot's (possibly many small) data
+    directories into ONE, committed as a new overwrite version with
+    fresh stats — content-identical by construction, and the old
+    version stays readable until vacuumed.  The small-files antidote
+    for streaming-upsert tables (one commit per micro-batch)."""
+    version = table_commit(
+        table_read(spark, path), path,
+        mode="overwrite", op="compact", stats_cols=stats_cols,
+    )
+    assert version is not None  # no idempotence key -> never a no-op
+    return version
 
 
 def table_vacuum(path: str, *, keep_last: int = 1) -> "list[str]":

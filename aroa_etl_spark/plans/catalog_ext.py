@@ -2499,6 +2499,78 @@ def inc_table_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inc_table_pruned_read",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE (o_orderkey % 16) BETWEEN 3 AND 5
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max PRUNING on the snapshot-manifest table
+    (operators/table.py — the Iceberg-manifest trick): 16 append
+    commits each carry one 'day' partition (day = o_orderkey % 16)
+    with per-file [min, max] stats recorded from the written bytes; a
+    pruned read for day BETWEEN 3 AND 5 must plan exactly 3 of the 16
+    data files (guarded in-entry) while the exact filter downstream
+    keeps correctness independent of pruning.  table_compact then
+    rewrites the snapshot into ONE file (the small-files antidote for
+    per-micro-batch commit tables) and the aggregate must survive
+    unchanged.  At 100 TB this is the difference between scanning one
+    day and the whole table.  Scale: manifests are driver-side JSON;
+    pruning is O(#files) metadata work, zero data I/O."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.operators.table import (
+        pruned_files,
+        table_compact,
+        table_read,
+        table_commit,
+        table_versions,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_orderkey") % 16).cast("int").alias("day"),
+    )
+    root = _scratch_stage("table_pruned", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    for day in range(16):
+        table_commit(
+            orders.filter(F.col("day") == day), t,
+            mode="append", op=f"ingest-day-{day}", stats_cols=["day"],
+        )
+    newest = table_versions(t)[-1]
+    kept = pruned_files(newest, {"day": (3, 5)})
+    if len(newest["files"]) != 16 or len(kept) != 3:
+        raise AssertionError(
+            f"pruning planned {len(kept)} of {len(newest['files'])} files, "
+            "wanted 3 of 16"
+        )
+    agg_cols = lambda df: (  # noqa: E731 — tiny local shaper
+        df.filter(F.col("day").between(3, 5))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    before = agg_cols(table_read(spark, t, prune={"day": (3, 5)})).collect()
+    table_compact(spark, t, stats_cols=["day"])
+    if len(table_versions(t)[-1]["files"]) != 1:
+        raise AssertionError("compaction did not produce a single file")
+    out = agg_cols(table_read(spark, t, prune={"day": (3, 5)}))
+    if sorted(map(tuple, out.collect())) != sorted(map(tuple, before)):
+        raise AssertionError("compaction changed the snapshot contents")
+    return out
+
+
+@query(
     "inc_refresh_aggregate",
     oracle="""
     SELECT o_orderpriority,

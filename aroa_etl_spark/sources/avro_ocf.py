@@ -21,8 +21,10 @@ skip hint), and null unions at any position; codecs ``null``,
 most production Avro writers — via a vendored pure-Python decoder for
 the public snappy block format (google/snappy
 format_description.txt), with the spec's trailing 4-byte big-endian
-CRC32 of the uncompressed block verified.  Anything else — maps,
-enums, fixed, bytes, multi-branch unions — raises
+CRC32 of the uncompressed block verified.  Maps (string-keyed,
+block-encoded) and enums (index into the symbol list) decode too.
+Anything else — fixed, bytes, multi-branch unions, named-type
+references — raises
 ``NotImplementedError`` with the offending construct named: the honest
 capability boundary, not a silent misparse.
 
@@ -199,6 +201,8 @@ def _parse_type(t):
     - ``("prim", name)`` — one of the five primitives
     - ``("record", [(field_name, node), ...])`` — nested records nest
     - ``("array", item_node)`` — block-encoded arrays
+    - ``("map", value_node)`` — block-encoded string-keyed maps
+    - ``("enum", [symbols])`` — zigzag index into the symbol list
     - ``("union", null_branch, value_node)`` — two-branch null union;
       ``null_branch`` preserves the DECLARED order (a ``[T, "null"]``
       writer puts null at branch 1, and assuming 0 would misparse)
@@ -222,6 +226,13 @@ def _parse_type(t):
             )
         if k == "array":
             return ("array", _parse_type(t["items"]))
+        if k == "map":
+            return ("map", _parse_type(t["values"]))
+        if k == "enum":
+            symbols = t.get("symbols")
+            if not symbols:
+                raise ValueError("avro: enum without symbols")
+            return ("enum", list(symbols))
         if isinstance(k, str) and k in _SIMPLE:  # {"type": "long"} wrapper
             return ("prim", k)
         raise NotImplementedError(f"avro: unsupported complex type {t!r}")
@@ -245,6 +256,25 @@ def _encode_node(node, v) -> bytes:
             if fv is None and fnode[0] != "union":
                 raise ValueError(f"avro: field {fname!r} is not nullable")
             out += _encode_node(fnode, fv)
+        return bytes(out)
+    if kind == "enum":
+        symbols = node[1]
+        try:
+            return _zz_encode(symbols.index(v))
+        except ValueError:
+            raise ValueError(
+                f"avro: {v!r} is not one of the enum symbols {symbols}"
+            ) from None
+    if kind == "map":
+        items = dict(v)
+        out = bytearray()
+        if items:
+            out += _zz_encode(len(items))
+            for mk in sorted(items):  # deterministic fixture bytes
+                kb = str(mk).encode("utf-8")
+                out += _zz_encode(len(kb)) + kb
+                out += _encode_node(node[1], items[mk])
+        out += _zz_encode(0)
         return bytes(out)
     # array: non-empty block(s) then the 0 terminator
     items = list(v)
@@ -274,6 +304,30 @@ def _decode_node(node, buf: bytes, pos: int):
         for fname, fnode in node[1]:
             rec[fname], pos = _decode_node(fnode, buf, pos)
         return rec, pos
+    if kind == "enum":
+        idx, pos = _zz_decode(buf, pos)
+        symbols = node[1]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(
+                f"avro: enum index {idx} outside {len(symbols)} symbols"
+            )
+        return symbols[idx], pos
+    if kind == "map":
+        out_m: dict = {}
+        while True:
+            n, pos = _zz_decode(buf, pos)
+            if n == 0:
+                return out_m, pos
+            if n < 0:
+                n = -n
+                _, pos = _zz_decode(buf, pos)  # byte-size skip hint
+            for _ in range(n):
+                klen, pos = _zz_decode(buf, pos)
+                if pos + klen > len(buf):
+                    raise ValueError("avro: map key overruns the block")
+                mk = buf[pos:pos + klen].decode("utf-8")
+                pos += klen
+                out_m[mk], pos = _decode_node(node[1], buf, pos)
     out = []
     while True:
         n, pos = _zz_decode(buf, pos)

@@ -45,12 +45,13 @@ def test_corruption_and_sync_guard():
 
 
 def test_unsupported_constructs_raise_by_name():
-    mp = {
+    fx = {
         "type": "record", "name": "r",
-        "fields": [{"name": "a", "type": {"type": "map", "values": "long"}}],
+        "fields": [{"name": "a",
+                    "type": {"type": "fixed", "name": "f", "size": 4}}],
     }
     with pytest.raises(NotImplementedError, match="complex type"):
-        build_avro_ocf(mp, [])
+        build_avro_ocf(fx, [])
     multi = {
         "type": "record", "name": "r",
         "fields": [{"name": "a", "type": ["null", "long", "string"]}],
@@ -183,3 +184,33 @@ def test_snappy_codec_guards():
     blob[len(blob) - 18] ^= 0xFF
     with pytest.raises(ValueError, match="CRC32|snappy"):
         parse_avro_blob(bytes(blob))
+
+
+@pytest.mark.parametrize("codec", ["null", "snappy"])
+def test_maps_and_enums_roundtrip(codec):
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "color", "type": {
+                "type": "enum", "name": "c",
+                "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {"name": "labels", "type": {
+                "type": "map", "values": ["null", "string"]}},
+        ],
+    }
+    recs = [
+        {"id": 1, "color": "GREEN",
+         "attrs": {"a": 5, "b": -3, "ü": 2**40},
+         "labels": {"x": "hi", "y": None}},
+        {"id": 2, "color": "RED", "attrs": {}, "labels": {}},
+    ]
+    _, back = parse_avro_blob(
+        build_avro_ocf(schema, recs, codec=codec, records_per_block=1)
+    )
+    assert back == recs
+    # out-of-vocabulary enum value fails loudly on write
+    with pytest.raises(ValueError, match="enum symbols"):
+        build_avro_ocf(schema, [{"id": 3, "color": "MAUVE",
+                                 "attrs": {}, "labels": {}}])

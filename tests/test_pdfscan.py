@@ -263,3 +263,35 @@ def test_hex_string_text_and_objstm_extraction():
     got = [(r["page_idx"], r["text"], r["compressed"])
            for r in _extract_blob_text(b2, strict=True)]
     assert got == [(0, "p0 (x)", 1), (1, "p1", 1)]
+
+
+def test_png_and_tiff_predictors_unit():
+    import zlib
+
+    from aroa_etl_spark.operators.pdfscan import _png_unpredict, _stream_payload
+
+    # TIFF predictor 2: horizontal byte differencing
+    raw = bytes([10, 5, 3, 200, 56, 0])  # two rows of 3
+    assert _png_unpredict(raw, 2, 3) == bytes([10, 15, 18, 200, 0, 0])
+    # PNG filters: Sub, Average, Paeth round-trip via forward filtering
+    rows = [bytes([7, 9, 250]), bytes([1, 128, 3])]
+    # Sub forward: keep first, diff the rest
+    f_sub = bytes([1, 7, (9 - 7) & 0xFF, (250 - 9) & 0xFF])
+    # Up on row 2 against row 1
+    f_up = bytes([2, (1 - 7) & 0xFF, (128 - 9) & 0xFF, (3 - 250) & 0xFF])
+    assert _png_unpredict(f_sub + f_up, 12, 3) == rows[0] + rows[1]
+    with pytest.raises(ValueError, match="whole number"):
+        _png_unpredict(b"\x00\x01", 12, 3)
+    with pytest.raises(ValueError, match="unknown PNG"):
+        _png_unpredict(bytes([9, 0, 0, 0]), 12, 3)
+    with pytest.raises(NotImplementedError, match="TIFF predictor"):
+        _png_unpredict(b"\x00" * 6, 3, 3)
+
+    # a FlateDecode+Predictor 2 stream decodes through _stream_payload
+    data = bytes([10, 5, 3])
+    comp = zlib.compress(data)
+    body = (f"<< /Length {len(comp)} /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 2 /Columns 3 >> >>\nstream\n"
+            ).encode() + comp + b"\nendstream"
+    _d, out = _stream_payload(body)
+    assert out == bytes([10, 15, 18])

@@ -72,6 +72,8 @@ _SKIP = {
     # (commits, a poisoned replay, vacuum, and in-entry collect guards);
     # the returned frame is a plain scan+agg over the final snapshot
     "inc_table_commits",
+    # same: 16 ingest commits + compaction + in-entry collects at build
+    "inc_table_pruned_read",
 }
 
 _NAMES = sorted(

@@ -141,3 +141,39 @@ def test_stream_upsert_sink_commits_manifests(spark, tmp_path):
 
     with pytest.raises(ValueError, match="checkpoint"):
         stream_upsert_to_parquet(stream, t, "k", checkpoint=None)
+
+
+def test_file_stats_pruning_and_compaction(spark, tmp_path):
+    from aroa_etl_spark.operators.table import pruned_files, table_compact
+
+    t = _t(tmp_path)
+    for day in range(4):
+        df = spark.createDataFrame(
+            [(day * 10 + j, day) for j in range(5)], "k long, day int"
+        )
+        table_commit(df, t, mode="append", stats_cols=["day"])
+    m = table_versions(t)[-1]
+    assert len(m["files"]) == 4 and len(m["file_stats"]) == 4
+    # interval overlapping days 1-2 plans exactly 2 files
+    assert len(pruned_files(m, {"day": (1, 2)})) == 2
+    # open-ended bounds: (None, 0] keeps day 0 only
+    assert len(pruned_files(m, {"day": (None, 0)})) == 1
+    # unknown column: nothing pruned (I/O optimization, never a filter)
+    assert len(pruned_files(m, {"nope": (1, 2)})) == 4
+    got = sorted(
+        r.k for r in table_read(spark, t, prune={"day": (1, 2)})
+        .filter("day between 1 and 2").collect()
+    )
+    assert got == sorted(list(range(10, 15)) + list(range(20, 25)))
+    # fully-pruned read: empty frame, schema intact
+    empty = table_read(spark, t, prune={"day": (99, 100)})
+    assert empty.count() == 0 and set(empty.columns) == {"k", "day"}
+
+    # compaction: one file, content identical, old version still readable
+    all_before = sorted(r.k for r in table_read(spark, t).collect())
+    v = table_compact(spark, t, stats_cols=["day"])
+    m2 = table_versions(t)[-1]
+    assert m2["version"] == v and len(m2["files"]) == 1
+    assert m2["op"] == "compact"
+    assert sorted(r.k for r in table_read(spark, t).collect()) == all_before
+    assert len(table_read(spark, t, version=v - 1).inputFiles()) >= 4
