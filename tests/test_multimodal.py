@@ -223,9 +223,17 @@ def test_decode_wav_real_samples():
 def test_strict_unknown_format_still_raises():
     from aroa_etl_spark.operators.multimodal import decode_audio, decode_image
 
-    with pytest.raises(NotImplementedError):
-        # jpeg and tiff gained real codecs in round 4; webp stays codec-less
+    # webp gained a real VP8L codec in round 10: a truncated RIFF is now
+    # a decode error under strict, and LOSSY VP8 is the named boundary
+    with pytest.raises(ValueError, match="unknown chunk|overrun"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP", {"format": "webp"}, strict=True)
+    with pytest.raises(NotImplementedError, match="WebP|VP8"):
+        decode_image(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00aaaa",
+            {"format": "webp"}, strict=True,
+        )
+    with pytest.raises(NotImplementedError):
+        decode_image(b"????", {"format": "heic"}, strict=True)
     # flac gained a real codec in round 6: a truncated stream is now a
     # decode error under strict, not a missing-codec error
     with pytest.raises(ValueError, match="truncated"):
