@@ -210,6 +210,20 @@ def table_commit(
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     rel = os.path.join("data", uuid.uuid4().hex[:12])
     df.write.mode("error").parquet(os.path.join(root, rel))
+    schema_cols = [[f.name, f.dataType.simpleString()] for f in df.schema]
+    parent_m = _load_manifest(root, versions[-1]) if versions else None
+    if mode == "append" and parent_m is not None:
+        want = parent_m.get("schema_cols")
+        if want is not None and want != schema_cols:
+            # a silent mixed-schema snapshot is the worst failure mode:
+            # spark.read.parquet over divergent files picks one file's
+            # schema arbitrarily — remove the just-written dir and raise
+            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+            raise ValueError(
+                "snapshot table append with a different schema: table has "
+                f"{want}, append has {schema_cols}; overwrite-commit an "
+                "evolved snapshot instead"
+            )
     files = [rel]
     file_stats: dict = {}
     if stats_cols:
@@ -225,11 +239,10 @@ def table_commit(
             for i, c in enumerate(stats_cols)
         }
     parent = versions[-1] if versions else None
-    if mode == "append" and parent is not None:
-        pm = _load_manifest(root, parent)
-        files = pm["files"] + [rel]
+    if mode == "append" and parent_m is not None:
+        files = parent_m["files"] + [rel]
         # prior files are immutable: their stats carry forward verbatim
-        file_stats = {**pm.get("file_stats", {}), **file_stats}
+        file_stats = {**parent_m.get("file_stats", {}), **file_stats}
     version = (parent or 0) + 1
     manifest = {
         "version": version,
@@ -237,6 +250,7 @@ def table_commit(
         "op": op or mode,
         "files": files,
         "file_stats": file_stats,
+        "schema_cols": schema_cols,
         "run_id": run_id,
         "batch_id": batch_id,
     }

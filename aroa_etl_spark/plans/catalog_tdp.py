@@ -3409,3 +3409,114 @@ def text_webvtt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.select("doc_id", vtt.alias("vtt"))
     return parse_webvtt(staged, "vtt")
+
+
+@query(
+    "tdp_chat_flatten",
+    oracle="""
+    WITH p AS (SELECT doc_id,
+                      CAST(doc_id AS VARCHAR) AS ks,
+                      1 + doc_id % 3 AS np,
+                      doc_id % 11 = 0 AS malformed,
+                      doc_id % 7 = 0 AS dang,
+                      doc_id % 13 = 5 AS dup
+               FROM documents)
+    SELECT doc_id,
+       malformed AS is_malformed,
+       CAST(CASE WHEN malformed THEN -1
+            ELSE 2 * np + CASE WHEN dang THEN 1 ELSE 0 END
+                        + CASE WHEN dup THEN 1 ELSE 0 END
+       END AS INT) AS n_turns,
+       CAST(CASE WHEN malformed THEN -1
+            ELSE np + CASE WHEN dang THEN 1 ELSE 0 END
+                    + CASE WHEN dup THEN 1 ELSE 0 END
+       END AS INT) AS n_user,
+       CAST(CASE WHEN malformed THEN -1 ELSE np END AS INT) AS n_assistant,
+       CASE WHEN malformed THEN FALSE ELSE NOT dup END AS alternates,
+       CASE WHEN malformed THEN FALSE ELSE NOT dang END AS ends_assistant,
+       CAST(CASE WHEN malformed THEN -1
+            ELSE 2 * np * (len(ks) + 4)
+                 + CASE WHEN dang THEN 9 + len(ks) ELSE 0 END
+                 + CASE WHEN dup THEN 4 + len(ks) ELSE 0 END
+       END AS BIGINT) AS content_chars,
+       CASE WHEN malformed THEN ''
+            ELSE array_to_string(
+              (CASE WHEN dup THEN ['<|user|>dup ' || ks]
+                    ELSE CAST([] AS VARCHAR[]) END)
+              || list_transform(range(0, np), i ->
+                   '<|user|>q ' || ks || ' ' || CAST(i AS VARCHAR)
+                   || chr(10)
+                   || '<|assistant|>a ' || ks || ' ' || CAST(i AS VARCHAR))
+              || (CASE WHEN dang THEN ['<|user|>dangling ' || ks]
+                       ELSE CAST([] AS VARCHAR[]) END),
+              chr(10))
+       END AS text
+    FROM p
+    """,
+)
+def tdp_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript curation for instruction-tuning corpora
+    (functions/chat.py — round 10): JSON conversations planted in-plan
+    (1-3 user/assistant exchanges per doc; every 7th gains a DANGLING
+    user turn, every doc_id%13==5 a leading double-user ALTERNATION
+    violation, every 11th is MALFORMED JSON) parse through from_json,
+    structural stats come from higher-order array expressions (turn/
+    role counts, alternation via pairwise forall, ends-on-assistant,
+    total content chars), and flatten_turns renders the fixed
+    ``<|role|>content`` training text.  Malformed JSON surfaces as
+    is_malformed=TRUE with sentinel values (the engine-wide COALESCE
+    output-boundary rule) — visible, never silently zero-turn — and
+    the oracle replays
+    every field INCLUDING the flattened text from doc_id arithmetic.
+    Scale: narrow per-row expressions, no shuffle, no Python."""
+    from aroa_etl_spark.functions.chat import (
+        chat_stats,
+        flatten_turns,
+        parse_turns,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    ks = did.cast("string")
+    p = (F.lit(1) + did % 3).cast("int")
+    pair_json = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), p - 1),
+            lambda i: F.concat(
+                F.lit('{"role": "user", "content": "q '), ks, F.lit(" "),
+                i.cast("string"),
+                F.lit('"}, {"role": "assistant", "content": "a '), ks,
+                F.lit(" "), i.cast("string"), F.lit('"}'),
+            ),
+        ),
+        ", ",
+    )
+    dup = F.when(
+        did % 13 == 5,
+        F.concat(F.lit('{"role": "user", "content": "dup '), ks,
+                 F.lit('"}, ')),
+    ).otherwise(F.lit(""))
+    dang = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(', {"role": "user", "content": "dangling '), ks,
+                 F.lit('"}')),
+    ).otherwise(F.lit(""))
+    js = F.when(did % 11 == 0, F.lit("{not json")).otherwise(
+        F.concat(F.lit("["), dup, pair_json, dang, F.lit("]"))
+    )
+    turns = docs.select("doc_id", parse_turns(js).alias("__t"))
+    st = chat_stats("__t")
+    # NULLable numeric/bool/text outputs take COALESCE sentinels (the
+    # engine-wide output-boundary rule: pandas floats NULLable ints) —
+    # is_malformed carries the NULL-ness explicitly
+    return turns.select(
+        "doc_id",
+        F.col("__t").isNull().alias("is_malformed"),
+        F.coalesce(st["n_turns"], F.lit(-1)).alias("n_turns"),
+        F.coalesce(st["n_user"], F.lit(-1)).alias("n_user"),
+        F.coalesce(st["n_assistant"], F.lit(-1)).alias("n_assistant"),
+        F.coalesce(st["alternates"], F.lit(False)).alias("alternates"),
+        F.coalesce(st["ends_assistant"], F.lit(False)).alias("ends_assistant"),
+        F.coalesce(st["content_chars"], F.lit(-1)).alias("content_chars"),
+        F.coalesce(flatten_turns("__t"), F.lit("")).alias("text"),
+    )

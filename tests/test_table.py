@@ -177,3 +177,29 @@ def test_file_stats_pruning_and_compaction(spark, tmp_path):
     assert m2["op"] == "compact"
     assert sorted(r.k for r in table_read(spark, t).collect()) == all_before
     assert len(table_read(spark, t, version=v - 1).inputFiles()) >= 4
+
+
+def test_append_schema_divergence_raises(spark, tmp_path):
+    t = _t(tmp_path)
+    table_commit(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+    # different column set: loud failure, and the half-written data dir
+    # is removed (no orphan accumulation from rejected appends)
+    n_dirs = len(os.listdir(os.path.join(t, "data")))
+    with pytest.raises(ValueError, match="different schema"):
+        table_commit(
+            spark.createDataFrame([(2, 5)], "k long, n long"), t,
+            mode="append",
+        )
+    assert len(os.listdir(os.path.join(t, "data"))) == n_dirs
+    # same columns, different TYPE: also loud
+    with pytest.raises(ValueError, match="different schema"):
+        table_commit(
+            spark.createDataFrame([(2, 5)], "k long, v long"), t,
+            mode="append",
+        )
+    # schema evolution goes through an overwrite commit
+    v = table_commit(
+        spark.createDataFrame([(1, "a", 0)], "k long, v string, extra long"),
+        t,
+    )
+    assert set(table_read(spark, t, version=v).columns) == {"k", "v", "extra"}
