@@ -453,10 +453,10 @@ def _decode_image_stream(
 # --- container ---------------------------------------------------------------
 
 def decode_webp_vp8l(content: bytes) -> np.ndarray:
-    """RIFF/WEBP VP8L bytes -> (H, W, 3) uint8 RGB (alpha is decoded
-    and must be 255 everywhere — fixtures are opaque; a real alpha
-    plane would return RGBA, kept out of scope until a caller needs
-    it).  Lossy VP8 / extended VP8X raise by name."""
+    """RIFF/WEBP VP8L bytes -> (H, W, 3) uint8 RGB for fully-opaque
+    images, (H, W, 4) RGBA when any pixel carries alpha (lossless WebP
+    is the usual PNG replacement, so alpha is common).  Lossy VP8 /
+    extended VP8X raise by name."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("webp: missing RIFF/WEBP header")
     fourcc = content[12:16]
@@ -481,16 +481,14 @@ def decode_webp_vp8l(content: bytes) -> np.ndarray:
         raise ValueError("webp: unknown VP8L version")
     px, w, h = _decode_image_stream(br, w, h, level0=True)
     arr = np.array(px, dtype=np.uint32).reshape(h, w)
-    a = (arr >> 24) & 0xFF
-    if not bool((a == 255).all()):
-        raise NotImplementedError(
-            "webp: VP8L alpha plane decode is out of scope (opaque "
-            "images only)"
-        )
-    out = np.empty((h, w, 3), dtype=np.uint8)
+    a = ((arr >> 24) & 0xFF).astype(np.uint8)
+    opaque = bool((a == 255).all())
+    out = np.empty((h, w, 3 if opaque else 4), dtype=np.uint8)
     out[:, :, 0] = (arr >> 16) & 0xFF
     out[:, :, 1] = (arr >> 8) & 0xFF
     out[:, :, 2] = arr & 0xFF
+    if not opaque:
+        out[:, :, 3] = a
     return out
 
 
@@ -600,19 +598,24 @@ def encode_webp_vp8l(
     palette: bool = False,
     cache_bits: int = 0,
 ) -> bytes:
-    """Fixture-side VP8L encoder: (H, W, 3) uint8 -> RIFF/WEBP bytes.
-    Optional subtract-green transform, color-indexing transform
-    (palette with bundling when <=16 colors), and color cache; LZ77
-    runs against the left/above neighbors exercise both distance-code
-    forms.  Output decodes bit-exactly with :func:`decode_webp_vp8l`
-    (and any spec decoder)."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
-        raise ValueError("encode_webp_vp8l wants (H, W, 3) uint8")
+    """Fixture-side VP8L encoder: (H, W, 3) RGB or (H, W, 4) RGBA
+    uint8 -> RIFF/WEBP bytes.  Optional subtract-green transform,
+    color-indexing transform (palette with bundling when <=16 colors),
+    and color cache; LZ77 runs against the left/above neighbors
+    exercise both distance-code forms.  Output decodes bit-exactly
+    with :func:`decode_webp_vp8l` (and any spec decoder)."""
+    if (
+        pixels.ndim != 3
+        or pixels.shape[2] not in (3, 4)
+        or pixels.dtype != np.uint8
+    ):
+        raise ValueError("encode_webp_vp8l wants (H, W, 3|4) uint8")
     h, w = pixels.shape[:2]
+    has_alpha = pixels.shape[2] == 4
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("vp8l: dimensions must be 1..16384")
     px = [
-        (0xFF << 24)
+        ((int(pixels[y, x, 3]) if has_alpha else 0xFF) << 24)
         | (int(pixels[y, x, 0]) << 16)
         | (int(pixels[y, x, 1]) << 8)
         | int(pixels[y, x, 2])
@@ -623,7 +626,7 @@ def encode_webp_vp8l(
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
+    bw.write(1 if has_alpha else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
     enc_w = w
     if subtract_green and palette:

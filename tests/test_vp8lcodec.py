@@ -118,3 +118,24 @@ def test_strict_image_features_path(spark):
     row = image_features(df, strict=True).collect()[0]
     assert row.mean_intensity == pytest.approx(float(img.mean()))
     assert row.aspect_ratio == 1.0
+
+
+def test_alpha_roundtrip_rgba():
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (9, 14, 4)).astype(np.uint8)
+    img[0, 0, 3] = 7  # definitely not opaque
+    back = decode_webp_vp8l(encode_webp_vp8l(img))
+    assert back.shape == (9, 14, 4) and np.array_equal(back, img)
+    # palette path carries alpha through the ARGB palette entries
+    pal = rng.randint(0, 256, (5, 4)).astype(np.uint8)
+    pimg = pal[rng.randint(0, 5, (8, 11))]
+    back2 = decode_webp_vp8l(encode_webp_vp8l(pimg, palette=True))
+    if back2.shape[2] == 3:  # random palette happened to be opaque
+        pimg = pimg[:, :, :3]
+    assert np.array_equal(back2, pimg)
+    # a fully-opaque RGBA input decodes to compact RGB
+    op = rng.randint(0, 256, (4, 5, 4)).astype(np.uint8)
+    op[:, :, 3] = 255
+    back3 = decode_webp_vp8l(encode_webp_vp8l(op))
+    assert back3.shape == (4, 5, 3)
+    assert np.array_equal(back3, op[:, :, :3])
