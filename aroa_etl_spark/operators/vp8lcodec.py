@@ -566,12 +566,11 @@ def _tokenize(px: "list[int]", w: int, cache_bits: int) -> list:
                 best_len, best_dist = ln, dist
         if best_len >= 3:
             if best_dist == 1:
-                code = 2 if used_plain else 1 + 120  # plain form once
-                if not used_plain:
-                    code = best_dist + 120
-                    used_plain = True
-                else:
+                if used_plain:
                     code = 2  # (1, 0) is map entry 2
+                else:
+                    code = best_dist + 120  # plain form, once per image
+                    used_plain = True
             else:
                 code = 1  # (0, 1) is map entry 1
             for j in range(i, i + best_len):

@@ -955,3 +955,62 @@ def st_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_index", "mean_intensity")
         .orderBy("media_id", "frame_index")
     )
+
+
+@query(
+    "st_table_stream_source",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def st_table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-manifest table consumed as a STREAM
+    (sources/table_datasource.py — round 10): offsets are manifest
+    VERSIONS (monotone integers, no file-listing races), each
+    micro-batch reads exactly the data directories the append commits
+    in (start, end] added, and rows arrive as Arrow record batches
+    straight from pyarrow.  The entry append-commits orders in four
+    slices, drains `readStream.format("snapshot_table")`
+    (availableNow falls back to the documented single-batch execution
+    for Python stream sources), and the landed aggregate must equal
+    the batch oracle over ALL orders — exact change-data capture for
+    an append-only table.  The batch read path is guarded in-entry
+    against the native parquet count.  Scale: planning is driver-side
+    manifest JSON; executors read only added directories."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.operators.table import table_commit
+    from aroa_etl_spark.plans.catalog_ext import _scratch_stage
+    from aroa_etl_spark.sources.table_datasource import register_table_source
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderpriority"
+    )
+    root = _scratch_stage("table_stream_src", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    for i in range(4):
+        table_commit(
+            orders.filter(F.col("o_orderkey") % 4 == i), t, mode="append"
+        )
+    register_table_source(spark)
+    n_batch = spark.read.format("snapshot_table").load(t).count()
+    n_want = orders.count()
+    if n_batch != n_want:
+        raise AssertionError(
+            f"batch snapshot_table read saw {n_batch} rows, want {n_want}"
+        )
+    agg = (
+        spark.readStream.format("snapshot_table").load(t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+    _drain(agg, "tbl_stream_agg", "complete")
+    return spark.table("tbl_stream_agg").orderBy("o_orderpriority")

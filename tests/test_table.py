@@ -203,3 +203,85 @@ def test_append_schema_divergence_raises(spark, tmp_path):
         t,
     )
     assert set(table_read(spark, t, version=v).columns) == {"k", "v", "extra"}
+
+
+def test_snapshot_table_datasource_batch_and_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.sources.table_datasource import register_table_source
+
+    t = _t(tmp_path)
+    for i in range(2):
+        table_commit(
+            spark.range(i * 10, i * 10 + 5).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("v"),
+            ),
+            t, mode="append",
+        )
+    register_table_source(spark)
+    # batch: newest snapshot, schema from the manifest
+    df = spark.read.format("snapshot_table").load(t)
+    assert df.schema.simpleString() == "struct<k:bigint,v:string>"
+    assert df.count() == 10
+
+    # streaming: incremental pickup across restarts on one checkpoint
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table").load(t)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 10
+    table_commit(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ),
+        t, mode="append",
+    )
+    drain()  # only the NEW commit's rows land
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == sorted(list(range(0, 5)) + list(range(10, 15))
+                         + [100, 101, 102])
+
+
+def test_snapshot_table_stream_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.sources.table_datasource import (
+        SnapshotTableDataSource,
+        register_table_source,
+    )
+
+    t = _t(tmp_path)
+    table_commit(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+    table_upsert(
+        spark.createDataFrame([(1, "B")], "k long, v string"), t, "k"
+    )
+    sr = SnapshotTableDataSource.__new__(SnapshotTableDataSource)
+    sr.options = {"path": t}
+    reader = sr.streamReader(None)
+    # version 2 is an upsert (non-append): the change feed must refuse
+    with pytest.raises(ValueError, match="append-only"):
+        reader.partitions({"version": 0}, {"version": 2})
+    # a vacuumed version inside the window: retention-horizon error
+    table_commit(
+        spark.createDataFrame([(2, "c")], "k long, v string"), t,
+        mode="append",
+    )
+    table_vacuum(t, keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        reader.partitions({"version": 0}, {"version": 3})
+    # surfaces as AnalysisException across the Py4J boundary
+    register_table_source(spark)
+    with pytest.raises(Exception, match="no commits"):
+        spark.read.format("snapshot_table").load(str(tmp_path / "nope"))
