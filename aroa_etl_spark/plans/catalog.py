@@ -1375,6 +1375,9 @@ BENCH_EXTRA = [
     "w_rank_movers",             # exact_grouped_rank re-plan (banded windows)
     "eval_classifier_auc",       # tie-correct Mann-Whitney AUC over banded ranks
     "mm_mp4_video_decode_real",  # BMFF sample-table demux + JPEG codec
+    # Round-10 additions: the two new heavy families
+    "mm_webp_decode_real",       # vendored VP8L Huffman+LZ77 decode
+    "inc_table_pruned_read",     # snapshot-table commits + file pruning + compaction
 ]
 
 
