@@ -117,11 +117,16 @@ def pruned_files(manifest: dict, prune: "dict | None") -> "list[str]":
             mm = fs.get(col)
             if mm is None or mm[0] is None or mm[1] is None:
                 continue
-            if (hi is not None and mm[0] > hi) or (
-                lo is not None and mm[1] < lo
-            ):
-                skip = True
-                break
+            try:
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    skip = True
+                    break
+            except TypeError:
+                # incomparable bound/stat types: keep the file (pruning
+                # is an optimization, never a correctness filter)
+                continue
         if not skip:
             kept.append(f)
     return kept
@@ -206,10 +211,6 @@ def table_commit(
                 if m.get("batch_id") is not None and m["batch_id"] >= batch_id:
                     return None
                 break
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
-    rel = os.path.join("data", uuid.uuid4().hex[:12])
-    df.write.mode("error").parquet(os.path.join(root, rel))
     schema_cols = [[f.name, f.dataType.simpleString()] for f in df.schema]
     parent_m = _load_manifest(root, versions[-1]) if versions else None
     if mode == "append" and parent_m is not None:
@@ -217,13 +218,16 @@ def table_commit(
         if want is not None and want != schema_cols:
             # a silent mixed-schema snapshot is the worst failure mode:
             # spark.read.parquet over divergent files picks one file's
-            # schema arbitrarily — remove the just-written dir and raise
-            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+            # schema arbitrarily — refuse BEFORE writing anything
             raise ValueError(
                 "snapshot table append with a different schema: table has "
                 f"{want}, append has {schema_cols}; overwrite-commit an "
                 "evolved snapshot instead"
             )
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    rel = os.path.join("data", uuid.uuid4().hex[:12])
+    df.write.mode("error").parquet(os.path.join(root, rel))
     files = [rel]
     file_stats: dict = {}
     if stats_cols:
@@ -234,8 +238,14 @@ def table_commit(
             *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(stats_cols)],
             *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(stats_cols)],
         ).first()
+        def _js(v):
+            # JSON-safe: dates/timestamps/decimals become ISO-ish
+            # strings, whose lexicographic order matches value order
+            return v if v is None or isinstance(v, (int, float, str, bool)) \
+                else str(v)
+
         file_stats[rel] = {
-            c: [row[f"mn_{i}"], row[f"mx_{i}"]]
+            c: [_js(row[f"mn_{i}"]), _js(row[f"mx_{i}"])]
             for i, c in enumerate(stats_cols)
         }
     parent = versions[-1] if versions else None
