@@ -20,13 +20,19 @@ Supported (round 10):
 - color cache (hash 0x1e35a7bd, 1..11 bits) for literals AND copied
   pixels;
 - meta prefix images (spatial Huffman-group switching at level 0);
-- transforms: SUBTRACT_GREEN and COLOR_INDEXING (palette, including
-  the mandatory pixel bundling at <=16 colors, delta-coded palette).
+- transforms: SUBTRACT_GREEN, COLOR_INDEXING (palette, including the
+  mandatory pixel bundling at <=16 colors, delta-coded palette), and
+  the PREDICTOR transform's linear family — tile-mode sub-image +
+  modes 0-10 (black / L / T / TR / TL / the four Average2 pairs /
+  double-average), with the spec edge rules (top row predicts L, left
+  column predicts T, origin predicts opaque black, last-column TR
+  wraps to the current row's first pixel by buffer contiguity).
 
-Named boundaries: the PREDICTOR and CROSS-COLOR transforms raise (the
-two remaining transform types — header-visible, so triage still
-works), as does the lossy VP8 codec (a full DCT predictor, out of the
-vendored-codec family's scope).
+Named boundaries: predictor modes 11-13 (Select /
+ClampAddSubtractFull / -Half — their tie-break and clamping details
+are where silent misdecodes hide) and the CROSS-COLOR transform
+raise by name, as does the lossy VP8 codec (a full DCT predictor,
+out of the vendored-codec family's scope).
 
 Scale: decode is a per-blob kernel under mapInPandas (multimodal.py's
 image_features) — zero shuffle; cost O(pixels).
@@ -301,6 +307,104 @@ def _prefix_encode(value: int) -> "tuple[int, int, int]":
     rest = v & ((1 << xb) - 1)
     return code + 2, rest, xb
 
+# --- predictor transform (RFC 9649 §4.1.1) ----------------------------------
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel (a + b) >> 1 over packed ARGB."""
+    return (
+        (((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24)
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16)
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """Predictor modes 0-10 — the linear family (black/neighbor/
+    Average2 combinations), arithmetically unambiguous in the spec.
+    Modes 11-13 (Select / ClampAddSubtractFull / -Half) raise by name:
+    their tie-break and clamping details are where silent misdecodes
+    hide, so they stay an explicit boundary."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    raise NotImplementedError(
+        f"vp8l: predictor mode {mode} (Select/ClampAddSubtract) is not "
+        "supported; the linear modes 0-10 are"
+    )
+
+
+def _px_add(residual: int, pred: int) -> int:
+    return (
+        ((((residual >> 24) + (pred >> 24)) & 0xFF) << 24)
+        | ((((residual >> 16) + (pred >> 16)) & 0xFF) << 16)
+        | ((((residual >> 8) + (pred >> 8)) & 0xFF) << 8)
+        | ((residual + pred) & 0xFF)
+    )
+
+
+def _px_sub(pixel: int, pred: int) -> int:
+    return (
+        ((((pixel >> 24) - (pred >> 24)) & 0xFF) << 24)
+        | ((((pixel >> 16) - (pred >> 16)) & 0xFF) << 16)
+        | ((((pixel >> 8) - (pred >> 8)) & 0xFF) << 8)
+        | ((pixel - pred) & 0xFF)
+    )
+
+
+def _predictor_context(out: "list[int]", pos: int, w: int):
+    """(left, top, tl, tr) for pixel ``pos`` in a contiguous buffer.
+    TR of the last column wraps to the CURRENT row's first pixel —
+    the contiguous-indexing behavior (pos - w + 1), already decoded."""
+    return out[pos - 1], out[pos - w], out[pos - w - 1], out[pos - w + 1]
+
+
+def _apply_predictor(
+    px: "list[int]", w: int, modes: "list[int]", size_bits: int, tw: int,
+    *, inverse: bool,
+) -> "list[int]":
+    """Forward (encode: pixel -> residual) or inverse (decode:
+    residual -> pixel) predictor transform.  Edge rules: (0,0) predicts
+    opaque black, the top row predicts L, the left column predicts T —
+    whatever the tile mode says."""
+    out = list(px)
+    src = out if inverse else px  # prediction context is RECONSTRUCTED
+    for pos in range(len(out)):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = src[pos - 1]
+        elif x == 0:
+            pred = src[pos - w]
+        else:
+            mode = modes[(y >> size_bits) * tw + (x >> size_bits)]
+            pred = _predict(mode, *_predictor_context(src, pos, w))
+        out[pos] = (
+            _px_add(px[pos], pred) if inverse else _px_sub(px[pos], pred)
+        )
+    return out
+
+
 # --- entropy-coded image (RFC 9649 §4.2.2) ----------------------------------
 
 _GREEN_BASE = 256 + 24  # literals + length prefix codes
@@ -331,7 +435,16 @@ def _decode_image_stream(
             if t in seen:
                 raise ValueError(f"vp8l: transform {t} repeated")
             seen.add(t)
-            if t == 2:  # subtract green: no payload
+            if t == 0:  # predictor transform: tile-mode sub-image
+                size_bits = br.bits(3) + 2
+                tw = (w + (1 << size_bits) - 1) >> size_bits
+                th = (h + (1 << size_bits) - 1) >> size_bits
+                tile_px, _tw2, _th2 = _decode_image_stream(
+                    br, tw, th, level0=False
+                )
+                modes = [(p >> 8) & 0xFF for p in tile_px]  # green channel
+                transforms.append(("predictor", modes, size_bits, tw))
+            elif t == 2:  # subtract green: no payload
                 transforms.append(("subtract_green",))
             elif t == 3:  # color indexing
                 n_colors = br.bits(8) + 1
@@ -362,10 +475,8 @@ def _decode_image_stream(
                 w = (w + (1 << wbits) - 1) >> wbits  # bundled sub-width
             else:
                 raise NotImplementedError(
-                    "vp8l: transform type "
-                    + ("PREDICTOR" if t == 0 else "CROSS_COLOR")
-                    + " is not supported (subtract-green and "
-                    "color-indexing are)"
+                    "vp8l: the CROSS_COLOR transform is not supported "
+                    "(predictor, subtract-green, and color-indexing are)"
                 )
     cache_bits = br.bits(4) if br.bits(1) else 0
     if cache_bits > 11:
@@ -424,7 +535,12 @@ def _decode_image_stream(
             px.append(cache[s - _GREEN_BASE])
     # inverse transforms, in reverse read order
     for t in reversed(transforms):
-        if t[0] == "subtract_green":
+        if t[0] == "predictor":
+            _, modes, size_bits, tw = t
+            px = _apply_predictor(
+                px, w, modes, size_bits, tw, inverse=True
+            )
+        elif t[0] == "subtract_green":
             px = [
                 (p & 0xFF000000)
                 | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
@@ -595,6 +711,7 @@ def encode_webp_vp8l(
     *,
     subtract_green: bool = False,
     palette: bool = False,
+    predictor: bool = False,
     cache_bits: int = 0,
 ) -> bytes:
     """Fixture-side VP8L encoder: (H, W, 3) RGB or (H, W, 4) RGBA
@@ -628,8 +745,22 @@ def encode_webp_vp8l(
     bw.write(1 if has_alpha else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
     enc_w = w
-    if subtract_green and palette:
+    if sum((subtract_green, palette, predictor)) > 1:
         raise ValueError("fixture encoder: pick one transform per blob")
+    if predictor:
+        size_bits = 4  # 16x16 tiles
+        tw = (w + 15) >> 4
+        th = (h + 15) >> 4
+        # tile modes cycle through the full supported family 0..10
+        modes = [(i * 7 + 3) % 11 for i in range(tw * th)]
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(size_bits - 2, 3)
+        bw.write(0, 1)  # tile image: no color cache
+        _emit_tokens(
+            bw, [("lit", (0xFF << 24) | (m << 8)) for m in modes], 0
+        )
+        px = _apply_predictor(px, w, modes, size_bits, tw, inverse=False)
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)

@@ -1868,18 +1868,20 @@ def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP VP8L lossless decode under strict=True (round 10 —
     operators/vp8lcodec.py, the vendored Huffman+LZ77 codec): 40
     distinct 32x16 grayscale blobs rotate the format's machinery by
-    k%4 — plain prefix-coded literals, the SUBTRACT_GREEN transform,
-    the COLOR_INDEXING transform (a <=13-color palette, so indices
-    BUNDLE two-per-green-byte), and a 4-bit color cache — all over
-    LZ77 left/above back-references in both distance-code forms (the
-    2D neighbor map and plain code-120 distances).  VP8L is lossless,
-    so mean_intensity matches the oracle's pure-arithmetic replay
-    EXACTLY only if the bit reader, canonical prefix decode,
-    code-length codes, transforms, bundling, cache hashing, and the
-    copy loop are all correct — the same exact-oracle discipline as
-    the GIF/PNG/FLAC codecs.  Lossy VP8 stays a named boundary.
-    Scale: 40-blob broadcast dim, fact side never shuffles,
-    Arrow-batched mapInPandas decode."""
+    k%4 — plain prefix-coded literals (half of those blobs instead
+    carrying the PREDICTOR transform, tile modes cycling the linear
+    family 0-10), the SUBTRACT_GREEN transform, the COLOR_INDEXING
+    transform (a <=13-color palette, so indices BUNDLE
+    two-per-green-byte), and a 4-bit color cache — all over LZ77
+    left/above back-references in both distance-code forms (the 2D
+    neighbor map and plain code-120 distances).  VP8L is lossless, so
+    mean_intensity matches the oracle's pure-arithmetic replay EXACTLY
+    only if the bit reader, canonical prefix decode, code-length
+    codes, transforms, bundling, cache hashing, and the copy loop are
+    all correct — the same exact-oracle discipline as the GIF/PNG/FLAC
+    codecs.  Predictor modes 11-13, cross-color, and lossy VP8 stay
+    named boundaries.  Scale: 40-blob broadcast dim, fact side never
+    shuffles, Arrow-batched mapInPandas decode."""
     import numpy as np
 
     from aroa_etl_spark.operators.multimodal import image_features
@@ -1899,6 +1901,7 @@ def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             blob = encode_webp_vp8l(
                 img,
                 subtract_green=k % 4 == 1,
+                predictor=k % 8 == 4,  # half the plain slots
                 cache_bits=4 if k % 4 == 3 else 0,
             )
         blobs.append((k, bytearray(blob)))

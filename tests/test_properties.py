@@ -426,7 +426,7 @@ def test_avro_nested_and_arrays_roundtrip_any_records(recs, codec):
 @given(
     st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
     st.sampled_from([{}, {"subtract_green": True}, {"cache_bits": 3},
-                     {"palette": True}]),
+                     {"palette": True}, {"predictor": True}]),
 )
 @settings(max_examples=40, deadline=None)
 def test_vp8l_roundtrips_any_image(h, w, seed, kw):

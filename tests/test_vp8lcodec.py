@@ -139,3 +139,24 @@ def test_alpha_roundtrip_rgba():
     back3 = decode_webp_vp8l(encode_webp_vp8l(op))
     assert back3.shape == (4, 5, 3)
     assert np.array_equal(back3, op[:, :, :3])
+
+
+def test_predictor_transform_roundtrip_and_boundary():
+    rng = np.random.RandomState(21)
+    for shape in ((16, 32), (33, 50), (5, 7)):
+        img = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        blob = encode_webp_vp8l(img, predictor=True)
+        assert np.array_equal(decode_webp_vp8l(blob), img)
+    # a smooth gradient must COMPRESS under prediction (residuals are
+    # tiny constants) — proof the transform actually engages
+    r = np.arange(48)[:, None] + np.arange(64)[None, :]
+    smooth = np.repeat((r % 256).astype(np.uint8)[..., None], 3, 2)
+    assert len(encode_webp_vp8l(smooth, predictor=True)) < \
+        len(encode_webp_vp8l(smooth)) // 5
+    # modes 11-13 stay a named boundary
+    from aroa_etl_spark.operators.vp8lcodec import _predict
+
+    with pytest.raises(NotImplementedError, match="Select|ClampAdd"):
+        _predict(11, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="one transform"):
+        encode_webp_vp8l(smooth, predictor=True, palette=True)
