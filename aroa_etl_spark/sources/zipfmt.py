@@ -175,6 +175,13 @@ def parse_zip_central(
 
     try:
         n_disk, cd_off, cd_size = _locate_central(blob)
+    except NotImplementedError:
+        # named capability boundary (spanned/multi-disk): raise in
+        # strict, degrade per-blob in lenient — a fuzzed/poisoned
+        # archive must not kill a 100 TB kernel (round-10 fuzz finding)
+        if strict:
+            raise
+        return []
     except ValueError as e:
         return fail(str(e).removeprefix("zip: "))
     out: list[dict] = []
@@ -182,6 +189,8 @@ def parse_zip_central(
     for idx in range(n_disk):
         if blob[pos:pos + 4] != _CEN_SIG:
             return fail(f"central header {idx} missing its signature")
+        if pos + 46 > len(blob):
+            return fail(f"central header {idx} overruns the file")
         (
             method, crc, csize, usize, nlen, xlen, clen
         ) = struct.unpack("<H4xIIIHHH", blob[pos + 10:pos + 34])
@@ -202,6 +211,8 @@ def parse_zip_central(
         crc_ok = 1
         if verify_crc:
             # local header may restate lengths; use the central values
+            if loc_off + 30 > len(blob):
+                return fail(f"member {name!r}: local header overruns the file")
             lnlen, lxlen = struct.unpack(
                 "<HH", blob[loc_off + 26:loc_off + 30]
             )
@@ -319,6 +330,10 @@ def extract_zip_member(blob: bytes, name: str) -> bytes:
             _u, csize, loc = _zip64_resolve(
                 usize, csize, loc, blob[p + 46 + nlen:p + 46 + nlen + xlen]
             )
+            if loc + 30 > len(blob):
+                raise ValueError(
+                    f"zip: member {name!r}: local header overruns the file"
+                )
             lnlen, lxlen = struct.unpack("<HH", blob[loc + 26:loc + 30])
             at = loc + 30 + lnlen + lxlen
             raw = blob[at:at + csize]
@@ -406,7 +421,7 @@ def extract_office_text(df: DataFrame, *, strict: bool = True) -> DataFrame:
                 f"extract_office_text: archive kind {kind!r} has no text "
                 "extraction rule"
             )
-        except (ValueError, KeyError, NotImplementedError):
+        except (ValueError, KeyError, NotImplementedError, struct.error):
             if strict:
                 raise
             return []

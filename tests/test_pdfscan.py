@@ -295,3 +295,32 @@ def test_png_and_tiff_predictors_unit():
             ).encode() + comp + b"\nendstream"
     _d, out = _stream_payload(body)
     assert out == bytes([10, 15, 18])
+
+
+def test_lenient_mode_survives_fuzzed_pdfs():
+    """Same lenient fuzz contract as the ZIP walker: scan and text
+    extraction over mutated xref-stream PDFs must degrade, not raise."""
+    import random
+
+    from aroa_etl_spark.operators.pdfscan import build_pdf_with_text
+
+    blob = build_pdf_with_text(["pg one", "pg two"], compress=True,
+                               xref_stream=True)
+    rng = random.Random(99)
+    for _ in range(400):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0 and len(b) > 4:
+            b = b[:rng.randrange(4, len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(8)) + b[i:]
+        r = _scan_blob(bytes(b), strict=False)
+        assert isinstance(r, dict)
+        from aroa_etl_spark.operators.pdfscan import _extract_blob_text
+
+        rows = _extract_blob_text(bytes(b), strict=False)
+        assert isinstance(rows, list)
