@@ -321,9 +321,11 @@ def _decode_node(node, buf: bytes, pos: int):
             if n < 0:
                 n = -n
                 _, pos = _zz_decode(buf, pos)  # byte-size skip hint
+            if n > len(buf):
+                raise ValueError("avro: map block count exceeds the block")
             for _ in range(n):
                 klen, pos = _zz_decode(buf, pos)
-                if pos + klen > len(buf):
+                if klen < 0 or pos + klen > len(buf):
                     raise ValueError("avro: map key overruns the block")
                 mk = buf[pos:pos + klen].decode("utf-8")
                 pos += klen
@@ -336,6 +338,8 @@ def _decode_node(node, buf: bytes, pos: int):
         if n < 0:  # spec: negative count is followed by the block's
             n = -n  # byte size (a skip hint; we decode anyway)
             _, pos = _zz_decode(buf, pos)
+        if n > len(buf):
+            raise ValueError("avro: array block count exceeds the block")
         for _ in range(n):
             item, pos = _decode_node(node[1], buf, pos)
             out.append(item)
@@ -365,7 +369,7 @@ def _decode_value(t: str, buf: bytes, pos: int):
         return _zz_decode(buf, pos)
     if t == "string":
         n, pos = _zz_decode(buf, pos)
-        if pos + n > len(buf):
+        if n < 0 or pos + n > len(buf):
             raise ValueError("avro: string overruns the block")
         return buf[pos:pos + n].decode("utf-8"), pos + n
     if t == "double":
@@ -373,6 +377,10 @@ def _decode_value(t: str, buf: bytes, pos: int):
             raise ValueError("avro: double overruns the block")
         return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
     if t == "boolean":
+        if pos >= len(buf):
+            # typed error, not IndexError: the module's fail-loudly
+            # taxonomy is ValueError for corruption (round-10 fuzz)
+            raise ValueError("avro: boolean overruns the block")
         return buf[pos] == 1, pos + 1
     raise NotImplementedError(t)
 
@@ -441,20 +449,34 @@ def parse_avro_blob(blob: bytes) -> tuple[dict, "list[dict]"]:
         if n < 0:  # spec: negative count carries a byte size to skip
             n = -n
             _, pos = _zz_decode(blob, pos)
+        if n > len(blob):
+            # corrupted count: bound the walk (each entry needs bytes)
+            raise ValueError("avro: metadata map count exceeds the file")
         for _ in range(n):
             klen, pos = _zz_decode(blob, pos)
-            k = blob[pos:pos + klen].decode()
+            if klen < 0 or pos + klen > len(blob):
+                # negative lengths would walk pos BACKWARD (fuzz: an
+                # unkillable loop); typed corruption error instead
+                raise ValueError("avro: metadata key overruns the buffer")
+            k = blob[pos:pos + klen].decode("utf-8", "replace")
             pos += klen
             vlen, pos = _zz_decode(blob, pos)
+            if vlen < 0 or pos + vlen > len(blob):
+                raise ValueError("avro: metadata value overruns the buffer")
             meta[k] = blob[pos:pos + vlen]
             pos += vlen
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata entry")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in _CODECS:
         raise NotImplementedError(f"avro: unsupported codec {codec!r}")
-    if schema.get("type") != "record":
+    if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("avro: only record schemas are supported")
-    root = _parse_type(schema)
+    try:
+        root = _parse_type(schema)
+    except (KeyError, TypeError, AttributeError) as e:
+        raise ValueError(f"avro: malformed schema: {e!r}") from None
     sync = blob[pos:pos + 16]
     pos += 16
     records: list[dict] = []

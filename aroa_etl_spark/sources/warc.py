@@ -116,9 +116,15 @@ def parse_warc_blob(blob: bytes) -> list[dict]:
             k, _, v = line.partition(b":")
             if not _:
                 raise ValueError(f"malformed WARC: header line without colon: {line!r}")
-            headers[k.strip().lower().decode("ascii")] = v.strip().decode(
-                "utf-8", "replace"
-            )
+            key = k.strip().lower()
+            if not key.isascii():
+                # the module taxonomy: ALL malformed structure raises
+                # ValueError (a raw UnicodeDecodeError here escaped the
+                # per-blob catch of non-strict callers — round-10 fuzz)
+                raise ValueError(
+                    f"malformed WARC: non-ASCII header name {key[:24]!r}"
+                )
+            headers[key.decode("ascii")] = v.strip().decode("utf-8", "replace")
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):

@@ -214,3 +214,38 @@ def test_maps_and_enums_roundtrip(codec):
     with pytest.raises(ValueError, match="enum symbols"):
         build_avro_ocf(schema, [{"id": 3, "color": "MAUVE",
                                  "attrs": {}, "labels": {}}])
+
+
+def test_fuzzed_blobs_raise_typed_errors_only():
+    """The parser's fail-loudly taxonomy under mutation fuzz: corrupted
+    blobs raise ValueError / NotImplementedError — never IndexError or
+    KeyError — and corrupted varint COUNTS can never hang the decode
+    (negative lengths used to walk pos backward; round-10 findings)."""
+    import random
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "f", "type": "boolean"},
+        {"name": "t", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}}]}
+    blob = build_avro_ocf(
+        schema,
+        [{"id": i, "f": i % 2 == 0, "t": ["x", "yy"], "m": {"a": i}}
+         for i in range(5)],
+        codec="snappy",
+    )
+    rng = random.Random(7)
+    for _ in range(800):
+        b = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0 and len(b) > 4:
+            b = b[:rng.randrange(4, len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(8)) + b[i:]
+        try:
+            parse_avro_blob(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # the documented taxonomy

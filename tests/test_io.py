@@ -866,3 +866,31 @@ def test_tar_gnu_magic_never_treated_as_prefix():
         tf.addfile(info, io.BytesIO(b"abc"))
     got = list(parse_tar_blob(buf.getvalue()))
     assert [g[1] for g in got] == ["plain.txt"]
+
+
+def test_warc_fuzz_taxonomy():
+    """parse_warc_blob's documented contract: ALL malformed structure
+    raises ValueError (a non-ASCII header name used to escape as
+    UnicodeDecodeError past per-blob catches; round-10 fuzz)."""
+    import random
+
+    from aroa_etl_spark.sources.warc import parse_warc_blob
+
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    rng = random.Random(11)
+    for _ in range(600):
+        b = bytearray(rec * 3)
+        op = rng.randrange(3)
+        if op == 0 and len(b) > 4:
+            b = b[:rng.randrange(4, len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(8)) + b[i:]
+        try:
+            parse_warc_blob(bytes(b))
+        except ValueError:
+            pass  # the module taxonomy — nothing else may escape
