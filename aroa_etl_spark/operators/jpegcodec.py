@@ -131,6 +131,9 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
     idx = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # only reachable from corrupt DHT data (fuzz, r11)
+                raise ValueError("JPEG: over-subscribed Huffman BITS counts")
             out[values[idx]] = (code, length)
             code += 1
             idx += 1
@@ -237,11 +240,16 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decode_baseline_jpeg(content: bytes) -> np.ndarray:
+def decode_baseline_jpeg(
+    content: bytes, *, max_pixels: int = 1 << 24
+) -> np.ndarray:
     """Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2)
     JPEG to an (H, W, C) uint8 array (C = 1 grayscale, 3 RGB).  Raises
     NotImplementedError for arithmetic / lossless / hierarchical /
-    12-bit streams and ValueError for malformed data."""
+    12-bit streams and ValueError for malformed data.  ``max_pixels``
+    (default 16.7M ~ 16 MP) is a decompression-bomb guard (fuzz, r11):
+    corrupt SOF dims of 65535x65535 would otherwise allocate tens of
+    GB of planes before any entropy data is read."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -266,13 +274,22 @@ def decode_baseline_jpeg(content: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG stream")
         (seglen,) = struct.unpack(">H", content[pos:pos + 2])
+        if seglen < 2:
+            # fuzz finding (r11): a zero seglen would re-parse the same
+            # marker forever
+            raise ValueError("JPEG: segment length < 2")
         seg = content[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
+                need = 64 if pq == 0 else 128
+                if len(seg) - p < need:
+                    raise ValueError("JPEG: truncated DQT segment")
                 if pq == 0:
                     tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
                     p += 64
@@ -284,11 +301,24 @@ def decode_baseline_jpeg(content: bytes) -> np.ndarray:
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            if len(seg) < 6:
+                raise ValueError("JPEG: truncated SOF segment")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if ncomp == 0 or len(seg) < 6 + 3 * ncomp:
+                raise ValueError("JPEG: truncated SOF component list")
+            if h == 0 or w == 0:
+                raise ValueError("JPEG: zero frame dimension")
+            if h * w > max_pixels:
+                raise NotImplementedError(
+                    f"JPEG: {w}x{h} exceeds the decoder's {max_pixels}-pixel "
+                    "cap (decompression-bomb guard)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+                    raise ValueError("JPEG: sampling factor out of range 1-4")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
@@ -311,8 +341,16 @@ def decode_baseline_jpeg(content: bytes) -> np.ndarray:
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
                 bits = list(seg[p + 1:p + 17])
+                # fuzz finding (r11): a truncated DHT slices short and
+                # the canonical builder walked off the value list
+                if len(bits) < 16:
+                    raise ValueError("JPEG: truncated DHT segment")
                 nv = sum(bits)
                 values = list(seg[p + 17:p + 17 + nv])
+                if len(values) < nv:
+                    raise ValueError(
+                        "JPEG: DHT value list shorter than its BITS counts"
+                    )
                 htables[(tc, th)] = _decode_table(bits, values)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
@@ -320,11 +358,22 @@ def decode_baseline_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("JPEG: empty SOS segment")
             ns = seg[0]
+            # T.81 B.2.3: the SOS header is 1 + 2*Ns component specs +
+            # the 3 spectral-selection bytes, in every mode
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG: truncated SOS segment")
+            comp_ids = {c["id"] for c in frame["comps"]}
             scan = {}
             order = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in comp_ids:
+                    raise ValueError(
+                        "JPEG: scan references a component not in the frame"
+                    )
                 scan[cs] = (tt >> 4, tt & 15)
                 order.append(cs)
             data_start = pos + seglen
@@ -334,6 +383,8 @@ def decode_baseline_jpeg(content: bytes) -> np.ndarray:
                     restart_interval,
                 )
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if not (ss <= se <= 63):
+                raise ValueError("JPEG: spectral selection out of range")
             pos = _decode_progressive_scan(
                 content, data_start, frame, order, scan, htables, coefs,
                 ss, se, ahal >> 4, ahal & 15, restart_interval,
@@ -384,7 +435,12 @@ def _decode_scan(content, pos, frame, scan, qtables, htables, ri):
                         "malformed JPEG: scan references an undeclared "
                         "Huffman table"
                     )
-                q = qtables[c["tq"]]
+                q = qtables.get(c["tq"])
+                if q is None or len(q) != 64:
+                    raise ValueError(
+                        "malformed JPEG: scan references an undeclared "
+                        "quantization table"
+                    )
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)

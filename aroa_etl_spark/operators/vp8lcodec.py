@@ -9,7 +9,7 @@ pattern as the JPEG (jpegcodec.py) and FLAC (flaccodec.py) codecs:
 the real decoder, and everything outside the supported set raises
 ``NotImplementedError`` by name.
 
-Supported (round 10):
+Supported (round 10; completed + vectorized round 11):
 
 - RIFF/WEBP container with a VP8L chunk; 14+14-bit dimensions;
 - prefix codes in BOTH forms — simple (1-2 symbols) and normal
@@ -20,19 +20,28 @@ Supported (round 10):
 - color cache (hash 0x1e35a7bd, 1..11 bits) for literals AND copied
   pixels;
 - meta prefix images (spatial Huffman-group switching at level 0);
-- transforms: SUBTRACT_GREEN, COLOR_INDEXING (palette, including the
-  mandatory pixel bundling at <=16 colors, delta-coded palette), and
-  the PREDICTOR transform's linear family — tile-mode sub-image +
-  modes 0-10 (black / L / T / TR / TL / the four Average2 pairs /
-  double-average), with the spec edge rules (top row predicts L, left
-  column predicts T, origin predicts opaque black, last-column TR
-  wraps to the current row's first pixel by buffer contiguity).
+- ALL FOUR transforms: SUBTRACT_GREEN, COLOR_INDEXING (palette,
+  including the mandatory pixel bundling at <=16 colors, delta-coded
+  palette), CROSS_COLOR (per-tile ColorTransformElements, int8 3.5
+  fixed-point deltas with arithmetic shift), and the PREDICTOR
+  transform's FULL family — tile-mode sub-image + modes 0-13 (black /
+  L / T / TR / TL / the four Average2 pairs / double-average / Select
+  with the spec's Manhattan tie-break / ClampAddSubtractFull / -Half
+  with C-truncating halving), with the spec edge rules (top row
+  predicts L, left column predicts T, origin predicts opaque black,
+  last-column TR wraps to the current row's first pixel by buffer
+  contiguity).
 
-Named boundaries: predictor modes 11-13 (Select /
-ClampAddSubtractFull / -Half — their tie-break and clamping details
-are where silent misdecodes hide) and the CROSS-COLOR transform
-raise by name, as does the lossy VP8 codec (a full DCT predictor,
-out of the vendored-codec family's scope).
+Named boundary: the lossy VP8 codec (a full DCT predictor, out of
+the vendored-codec family's scope) raises by name.
+
+Decode hot path (round 11, r10 verdict #2): the bit reader is
+word-buffered (O(1) per read), prefix decode is a flat-table peek
+(zlib-style root+subtable), LZ77 copies extend in slices, and the
+inverse transforms run as vectorized NumPy lane arithmetic over the
+packed ARGB plane — only the left-dependent nonlinear predictor
+modes (5/6/7/10/11/12/13) fall back to a segment-local scalar
+kernel.
 
 Scale: decode is a per-blob kernel under mapInPandas (multimodal.py's
 image_features) — zero shuffle; cost O(pixels).
@@ -74,21 +83,49 @@ _DIST_MAP = (
 
 
 class _BitReader:
-    """LSB-first bit reader over the VP8L payload."""
+    """LSB-first bit reader over the VP8L payload, word-buffered: a
+    64-bit window is reloaded from the byte buffer only when a read
+    crosses it, so ``bits``/``peek``/``skip`` are O(1) int ops (the
+    round-10 per-bit loop dominated decode wall).  ``peek`` zero-pads
+    past the end of data (prefix peeks near the stream tail are
+    legitimate); only actually CONSUMING past the end raises."""
+
+    __slots__ = ("data", "nbits", "pos", "_cur", "_base", "_top")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+        self.pos = 0
+        self._cur = 0
+        self._base = 0
+        self._top = 0  # exclusive bit bound of the loaded window
+
+    def _load(self) -> None:
+        byte = self.pos >> 3
+        self._cur = int.from_bytes(self.data[byte:byte + 8], "little")
+        self._base = byte << 3
+        self._top = self._base + 8 * min(8, len(self.data) - byte)
 
     def bits(self, n: int) -> int:
-        out = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                raise ValueError("vp8l: bitstream overrun")
-            out |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return out
+        pos = self.pos
+        if pos + n > self.nbits:
+            raise ValueError("vp8l: bitstream overrun")
+        if pos + n > self._top:
+            self._load()
+        self.pos = pos + n
+        return (self._cur >> (pos - self._base)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        pos = self.pos
+        if pos + n > self._top:
+            self._load()
+        return (self._cur >> (pos - self._base)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        pos = self.pos + n
+        if pos > self.nbits:
+            raise ValueError("vp8l: bitstream overrun")
+        self.pos = pos
 
 
 class _BitWriter:
@@ -110,11 +147,30 @@ class _BitWriter:
             self.write((code >> i) & 1, 1)
 
 
+_REV8 = tuple(
+    sum(((i >> b) & 1) << (7 - b) for b in range(8)) for i in range(256)
+)
+
+
+def _rev_bits(code: int, n: int) -> int:
+    # bit-reverse the low n (<= 16) bits via the byte-reverse table
+    return ((_REV8[code & 0xFF] << 8) | _REV8[(code >> 8) & 0xFF]) >> (16 - n)
+
+
 class _PrefixCode:
-    """Canonical prefix decoder: (length, code) -> symbol.  A code with
-    a SINGLE used symbol consumes 0 bits (degenerate trees per the
-    reference decoder's table builder), whatever length it declared —
-    the fixture encoder emits matching 0-bit codes."""
+    """Canonical prefix decoder via a flat lookup table: peek
+    ``root_bits`` stream bits (LSB-first), one list index gives
+    (symbol, consumed length) — the zlib-style replacement for the
+    round-10 per-bit dict walk.  Codes longer than the 10-bit root
+    spill into per-prefix subtables (VP8L caps lengths at 15, so at
+    most 5 extra bits).  A code with a SINGLE used symbol consumes 0
+    bits (degenerate trees per the reference decoder's table builder),
+    whatever length it declared — the fixture encoder emits matching
+    0-bit codes.  Over-subscribed length sets (canonical code
+    overflow, only reachable from corrupt streams) raise ValueError."""
+
+    __slots__ = ("single", "root_bits", "root_mask", "root_sym", "root_len", "subs")
+    _ROOT = 10
 
     def __init__(self, lengths: "dict[int, int]"):
         # lengths: symbol -> code length (>0)
@@ -122,27 +178,84 @@ class _PrefixCode:
             raise ValueError("vp8l: empty prefix code")
         if len(lengths) == 1:
             self.single = next(iter(lengths))
-            self.table: dict = {}
             return
         self.single = None
-        self.table = {}
+        by_len: dict[int, list[int]] = {}
+        for s, v in lengths.items():
+            by_len.setdefault(v, []).append(s)
+        maxlen = max(by_len)
+        if maxlen > 15:
+            raise ValueError("vp8l: prefix code length > 15")
+        items = []  # (symbol, canonical code, length)
         code = 0
-        for ln in range(1, max(lengths.values()) + 1):
-            for sym in sorted(s for s, v in lengths.items() if v == ln):
-                self.table[(ln, code)] = sym
+        for ln in range(1, maxlen + 1):
+            for sym in sorted(by_len.get(ln, ())):
+                if code >= (1 << ln):
+                    raise ValueError("vp8l: over-subscribed prefix code")
+                items.append((sym, code, ln))
                 code += 1
             code <<= 1
+        root = self.root_bits = min(maxlen, self._ROOT)
+        self.root_mask = (1 << root) - 1
+        size = 1 << root
+        self.root_sym = [0] * size
+        self.root_len = [0] * size
+        self.subs: list = []
+        sub_index: dict[int, int] = {}
+        for sym, c, ln in items:
+            if ln <= root:
+                # stream sends the code MSB-first; the peeked LSB-first
+                # window therefore holds its bit-reversal
+                pat = _rev_bits(c, ln)
+                step = 1 << ln
+                cnt = size >> ln
+                self.root_sym[pat::step] = [sym] * cnt
+                self.root_len[pat::step] = [ln] * cnt
+            else:
+                pat = _rev_bits(c >> (ln - root), root)
+                si = sub_index.get(pat)
+                if si is None:
+                    si = len(self.subs)
+                    sub_index[pat] = si
+                    sb = maxlen - root
+                    self.subs.append((sb, [0] * (1 << sb), [0] * (1 << sb)))
+                    self.root_sym[pat] = si
+                    self.root_len[pat] = 255  # subtable marker
+                sb, ssym, slen = self.subs[self.root_sym[pat]]
+                extra = ln - root
+                pat2 = _rev_bits(c & ((1 << extra) - 1), extra)
+                step = 1 << extra
+                cnt = (1 << sb) >> extra
+                ssym[pat2::step] = [sym] * cnt
+                slen[pat2::step] = [extra] * cnt
 
     def read(self, br: _BitReader) -> int:
+        # the hot path of the whole decoder: reader state is inlined
+        # (peek+skip as direct field ops) to shave two method calls
+        # per symbol
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, 16):
-            code = (code << 1) | br.bits(1)
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("vp8l: invalid prefix code in stream")
+        pos = br.pos
+        if pos + self.root_bits > br._top:
+            br._load()
+        v = (br._cur >> (pos - br._base)) & self.root_mask
+        ln = self.root_len[v]
+        if ln == 0:
+            raise ValueError("vp8l: invalid prefix code in stream")
+        if ln != 255:
+            pos += ln
+            if pos > br.nbits:
+                raise ValueError("vp8l: bitstream overrun")
+            br.pos = pos
+            return self.root_sym[v]
+        sb, ssym, slen = self.subs[self.root_sym[v]]
+        br.skip(self.root_bits)
+        v2 = br.peek(sb)
+        l2 = slen[v2]
+        if l2 == 0:
+            raise ValueError("vp8l: invalid prefix code in stream")
+        br.skip(l2)
+        return ssym[v2]
 
 
 def _canonical_lengths(freqs: "dict[int, int]", cap: int = 15) -> "dict[int, int]":
@@ -320,11 +433,14 @@ def _avg2(a: int, b: int) -> int:
 
 
 def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
-    """Predictor modes 0-10 — the linear family (black/neighbor/
-    Average2 combinations), arithmetically unambiguous in the spec.
-    Modes 11-13 (Select / ClampAddSubtractFull / -Half) raise by name:
-    their tie-break and clamping details are where silent misdecodes
-    hide, so they stay an explicit boundary."""
+    """Predictor modes 0-13 — the full spec family: the linear modes
+    0-10 (black/neighbor/Average2 combinations), 11 Select (Manhattan
+    tie-break: ``pL < pT`` picks LEFT, ties go TOP — RFC 9649 §4.1.1,
+    matching libwebp's ``pa_minus_pb <= 0 ? top : left``), 12
+    ClampAddSubtractFull (per-channel ``clamp(L + T - TL)``), and 13
+    ClampAddSubtractHalf (per-channel ``clamp(avg + (avg - TL) / 2)``
+    with C-style TRUNCATING division of the possibly-negative delta).
+    A mode byte above 13 is corrupt data, not a boundary."""
     if mode == 0:
         return 0xFF000000
     if mode == 1:
@@ -347,10 +463,32 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         return _avg2(top, tr)
     if mode == 10:
         return _avg2(_avg2(left, tl), _avg2(top, tr))
-    raise NotImplementedError(
-        f"vp8l: predictor mode {mode} (Select/ClampAddSubtract) is not "
-        "supported; the linear modes 0-10 are"
-    )
+    if mode == 11:
+        # P = L + T - TL per channel; pL = Manhattan(P, L) = sum|T-TL|,
+        # pT = Manhattan(P, T) = sum|L-TL|; pL < pT -> L, else T.
+        p_l = 0
+        p_t = 0
+        for s in (24, 16, 8, 0):
+            tl_c = (tl >> s) & 0xFF
+            p_l += abs(((top >> s) & 0xFF) - tl_c)
+            p_t += abs(((left >> s) & 0xFF) - tl_c)
+        return left if p_l < p_t else top
+    if mode == 12:
+        out = 0
+        for s in (24, 16, 8, 0):
+            v = ((left >> s) & 0xFF) + ((top >> s) & 0xFF) - ((tl >> s) & 0xFF)
+            out |= (0 if v < 0 else (255 if v > 255 else v)) << s
+        return out
+    if mode == 13:
+        out = 0
+        for s in (24, 16, 8, 0):
+            ave = (((left >> s) & 0xFF) + ((top >> s) & 0xFF)) >> 1
+            d = ave - ((tl >> s) & 0xFF)
+            # C (a - b) / 2 truncates toward zero; Python // floors
+            v = ave + (d // 2 if d >= 0 else -((-d) // 2))
+            out |= (0 if v < 0 else (255 if v > 255 else v)) << s
+        return out
+    raise ValueError(f"vp8l: predictor mode {mode} out of range (0-13)")
 
 
 def _px_add(residual: int, pred: int) -> int:
@@ -405,6 +543,153 @@ def _apply_predictor(
     return out
 
 
+# --- vectorized inverse transforms (decode hot path) -------------------------
+#
+# Decode-side transform inversion runs over the whole pixel plane as
+# NumPy lane arithmetic on packed ARGB uint32 (r10 verdict #2: the
+# per-pixel Python predictor dominated decode wall).  Predictor rows
+# vectorize per tile-segment for the modes whose context is the row
+# above (0/2/3/4/8/9) and as a per-channel modular cumsum for mode 1
+# (left); only the left-dependent nonlinear modes (5/6/7/10/11/12/13)
+# fall back to the scalar kernel, segment-local.
+
+def _addpx_np(a, b):
+    """Per-channel modular (mod 256) add over packed ARGB lanes."""
+    lo = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    hi = (((a >> 8) & 0x00FF00FF) + ((b >> 8) & 0x00FF00FF)) & 0x00FF00FF
+    return (lo | (hi << 8)).astype(np.uint32)
+
+
+def _avg2_np(a, b):
+    """Per-channel (a + b) >> 1 over packed ARGB lanes (carry-free:
+    (a & b) + ((a ^ b) >> 1 per lane))."""
+    return ((a & b) + (((a ^ b) & 0xFEFEFEFE) >> 1)).astype(np.uint32)
+
+
+def _row_cumsum_px(seg: np.ndarray, seed: int) -> np.ndarray:
+    """Mode-1 (predict-left) inverse over a row segment: per-channel
+    modular cumulative sum seeded by the reconstructed left pixel."""
+    out = np.zeros(len(seg), np.uint32)
+    for s in (24, 16, 8, 0):
+        ch = (np.cumsum((seg >> s) & 0xFF, dtype=np.uint64) + ((seed >> s) & 0xFF)) & 0xFF
+        out |= ch.astype(np.uint32) << s
+    return out
+
+
+def _inverse_predictor_np(
+    A: np.ndarray, modes: "list[int]", size_bits: int, tw: int
+) -> np.ndarray:
+    """Inverse predictor transform over a packed (h, w) uint32 residual
+    plane, in place.  Edge rules as in the scalar kernel: (0,0)
+    predicts opaque black, row 0 predicts L, column 0 predicts T, and
+    the last column's TR wraps to the CURRENT row's first pixel."""
+    h, w = A.shape
+    A[0] = _row_cumsum_px(A[0], 0xFF000000)
+    for y in range(1, h):
+        prev = A[y - 1]
+        row = A[y]
+        resid = row.copy()
+        row[0] = _addpx_np(resid[0:1], prev[0:1])[0]
+        trow = (y >> size_bits) * tw
+        for tx in range(tw):
+            xs = max(1, tx << size_bits)
+            xe = min(w, (tx + 1) << size_bits)
+            if xs >= xe:
+                continue
+            mode = modes[trow + tx]
+            rs = resid[xs:xe]
+            if mode == 0:
+                row[xs:xe] = _addpx_np(rs, np.uint32(0xFF000000))
+            elif mode == 1:
+                row[xs:xe] = _row_cumsum_px(rs, int(row[xs - 1]))
+            elif mode == 2:
+                row[xs:xe] = _addpx_np(rs, prev[xs:xe])
+            elif mode in (3, 9):
+                tr = np.empty(xe - xs, np.uint32)
+                if xe < w:
+                    tr[:] = prev[xs + 1:xe + 1]
+                else:
+                    tr[:-1] = prev[xs + 1:w]
+                    tr[-1] = row[0]
+                pred = tr if mode == 3 else _avg2_np(prev[xs:xe], tr)
+                row[xs:xe] = _addpx_np(rs, pred)
+            elif mode == 4:
+                row[xs:xe] = _addpx_np(rs, prev[xs - 1:xe - 1])
+            elif mode == 8:
+                row[xs:xe] = _addpx_np(
+                    rs, _avg2_np(prev[xs - 1:xe - 1], prev[xs:xe])
+                )
+            elif mode <= 13:
+                # left-dependent nonlinear family: scalar, segment-local
+                seg = rs.tolist()
+                top_l = prev[xs:xe].tolist()
+                tl_l = prev[xs - 1:xe - 1].tolist()
+                if xe < w:
+                    tr_l = prev[xs + 1:xe + 1].tolist()
+                else:
+                    tr_l = prev[xs + 1:w].tolist()
+                    tr_l.append(int(row[0]))
+                left = int(row[xs - 1])
+                out = []
+                for i in range(xe - xs):
+                    pred = _predict(mode, left, top_l[i], tl_l[i], tr_l[i])
+                    left = _px_add(seg[i], pred)
+                    out.append(left)
+                row[xs:xe] = out
+            else:
+                raise ValueError(
+                    f"vp8l: predictor mode {mode} out of range (0-13)"
+                )
+    return A
+
+
+def _s8_np(x: np.ndarray) -> np.ndarray:
+    """Reinterpret a 0..255 lane as two's-complement int8 (the spec's
+    required conversion before ColorTransformDelta)."""
+    return ((x.astype(np.int32) + 128) & 255) - 128
+
+
+def _cross_color_np(
+    A: np.ndarray, coeffs: "list[int]", size_bits: int, tw: int,
+    *, inverse: bool,
+) -> np.ndarray:
+    """Cross-color transform (RFC 9649 §4.1.2) over a packed (h, w)
+    uint32 plane: per-tile ColorTransformElements (green_to_red in the
+    BLUE byte, green_to_blue in GREEN, red_to_blue in RED), deltas
+    ``(int8(t) * int8(c)) >> 5`` with an arithmetic shift.  The r2b
+    delta is computed from the ORIGINAL red in both directions (the
+    inverse reconstructs red first).  Element-local, so fully
+    vectorized — no sequential dependency."""
+    h, w = A.shape
+    th = (len(coeffs) + tw - 1) // tw
+    C = np.asarray(coeffs, np.uint32).reshape(th, tw)
+    grid = np.repeat(
+        np.repeat(C, 1 << size_bits, axis=0), 1 << size_bits, axis=1
+    )[:h, :w]
+    g2r = _s8_np(grid & 0xFF)
+    g2b = _s8_np((grid >> 8) & 0xFF)
+    r2b = _s8_np((grid >> 16) & 0xFF)
+    red = ((A >> 16) & 0xFF).astype(np.int32)
+    green = ((A >> 8) & 0xFF).astype(np.int32)
+    blue = (A & 0xFF).astype(np.int32)
+    gs = _s8_np(green)
+    if inverse:
+        new_red = (red + ((g2r * gs) >> 5)) & 255
+        new_blue = (
+            blue + ((g2b * gs) >> 5) + ((r2b * _s8_np(new_red)) >> 5)
+        ) & 255
+    else:
+        new_red = (red - ((g2r * gs) >> 5)) & 255
+        new_blue = (
+            blue - ((g2b * gs) >> 5) - ((r2b * _s8_np(red)) >> 5)
+        ) & 255
+    return (
+        (A & np.uint32(0xFF00FF00))
+        | (new_red.astype(np.uint32) << 16)
+        | new_blue.astype(np.uint32)
+    )
+
+
 # --- entropy-coded image (RFC 9649 §4.2.2) ----------------------------------
 
 _GREEN_BASE = 256 + 24  # literals + length prefix codes
@@ -421,11 +706,12 @@ def _read_group(br: _BitReader, cache_size: int) -> "list[_PrefixCode]":
 
 def _decode_image_stream(
     br: _BitReader, w: int, h: int, *, level0: bool
-) -> "tuple[list[int], int, int]":
-    """Decode one entropy-coded image -> (argb pixel list, w, h).
-    At level 0, transforms are read (and applied inversely) here; the
-    returned (w, h) are the FINAL dimensions after inverse transforms.
-    Sub-images (meta/palette) recurse with level0=False."""
+):
+    """Decode one entropy-coded image.  Sub-images (meta/palette/tile,
+    level0=False) return ``(argb pixel list, w, h)``; the level-0 call
+    reads transforms, applies them inversely as vectorized NumPy plane
+    ops, and returns ``(packed (h, w) uint32 ndarray, w, h)`` with the
+    FINAL dimensions."""
     transforms = []
     final_w = w
     if level0:
@@ -444,9 +730,18 @@ def _decode_image_stream(
                 )
                 modes = [(p >> 8) & 0xFF for p in tile_px]  # green channel
                 transforms.append(("predictor", modes, size_bits, tw))
+            elif t == 1:  # cross-color: tile ColorTransformElements
+                size_bits = br.bits(3) + 2
+                tw = (w + (1 << size_bits) - 1) >> size_bits
+                th = (h + (1 << size_bits) - 1) >> size_bits
+                tile_px, _tw2, _th2 = _decode_image_stream(
+                    br, tw, th, level0=False
+                )
+                coeffs = [p & 0xFFFFFF for p in tile_px]
+                transforms.append(("cross_color", coeffs, size_bits, tw))
             elif t == 2:  # subtract green: no payload
                 transforms.append(("subtract_green",))
-            elif t == 3:  # color indexing
+            else:  # color indexing
                 n_colors = br.bits(8) + 1
                 pal_px, _pw, _ph = _decode_image_stream(
                     br, n_colors, 1, level0=False
@@ -473,15 +768,11 @@ def _decode_image_stream(
                     wbits = 0
                 transforms.append(("color_index", palette, wbits))
                 w = (w + (1 << wbits) - 1) >> wbits  # bundled sub-width
-            else:
-                raise NotImplementedError(
-                    "vp8l: the CROSS_COLOR transform is not supported "
-                    "(predictor, subtract-green, and color-indexing are)"
-                )
     cache_bits = br.bits(4) if br.bits(1) else 0
     if cache_bits > 11:
         raise ValueError(f"vp8l: color cache bits {cache_bits} > 11")
     cache_size = (1 << cache_bits) if cache_bits else 0
+    ck_shift = 32 - cache_bits if cache_bits else 0
     meta = None
     meta_bits = 0
     n_groups = 1
@@ -495,84 +786,98 @@ def _decode_image_stream(
     groups = [_read_group(br, cache_size) for _ in range(n_groups)]
     cache = [0] * cache_size
     px: "list[int]" = []
+    append = px.append
     total = w * h
     mw = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta else 0
-    while len(px) < total:
+    g = groups[0]
+    g0, g1, g2, g3, g4 = g
+    n = 0
+    while n < total:
         if meta is not None:
-            x, y = len(px) % w, len(px) // w
+            x, y = n % w, n // w
             g = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
-        else:
-            g = groups[0]
-        s = g[0].read(br)
+            g0, g1, g2, g3, g4 = g
+        s = g0.read(br)
         if s < 256:
-            r = g[1].read(br)
-            b = g[2].read(br)
-            a = g[3].read(br)
+            r = g1.read(br)
+            b = g2.read(br)
+            a = g3.read(br)
             p = (a << 24) | (r << 16) | (s << 8) | b
-            px.append(p)
+            append(p)
+            n += 1
             if cache_size:
-                cache[_cache_key(p, cache_bits)] = p
+                cache[((0x1E35A7BD * p) & 0xFFFFFFFF) >> ck_shift] = p
         elif s < _GREEN_BASE:
             length = _prefix_value(s - 256, br)
-            dist_code = _prefix_value(g[4].read(br), br)
+            dist_code = _prefix_value(g4.read(br), br)
             if dist_code <= 120:
                 dx, dy = _DIST_MAP[dist_code - 1]
                 dist = max(1, dx + dy * w)
             else:
                 dist = dist_code - 120
-            if dist > len(px):
+            if dist > n:
                 raise ValueError("vp8l: back-reference before image start")
-            for _ in range(length):
-                p = px[-dist]
-                px.append(p)
-                if cache_size:
-                    cache[_cache_key(p, cache_bits)] = p
-            if len(px) > total:
+            if n + length > total:
                 raise ValueError("vp8l: back-reference overruns the image")
+            if dist >= length:
+                seg = px[n - dist:n - dist + length]
+            else:  # overlapping run: the source repeats with period dist
+                pattern = px[n - dist:]
+                seg = (pattern * (-(-length // dist)))[:length]
+            px.extend(seg)
+            n += length
+            if cache_size:
+                for p in seg:
+                    cache[((0x1E35A7BD * p) & 0xFFFFFFFF) >> ck_shift] = p
         else:
             if s - _GREEN_BASE >= cache_size:
                 raise ValueError("vp8l: color cache index out of range")
-            px.append(cache[s - _GREEN_BASE])
-    # inverse transforms, in reverse read order
+            append(cache[s - _GREEN_BASE])
+            n += 1
+    if not level0:
+        return px, w, h
+    # inverse transforms as NumPy plane ops, in reverse read order
+    A = np.array(px, dtype=np.uint32).reshape(h, w)
     for t in reversed(transforms):
         if t[0] == "predictor":
             _, modes, size_bits, tw = t
-            px = _apply_predictor(
-                px, w, modes, size_bits, tw, inverse=True
-            )
+            A = _inverse_predictor_np(A, modes, size_bits, tw)
+        elif t[0] == "cross_color":
+            _, coeffs, size_bits, tw = t
+            A = _cross_color_np(A, coeffs, size_bits, tw, inverse=True)
         elif t[0] == "subtract_green":
-            px = [
-                (p & 0xFF000000)
-                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
-                | (p & 0xFF00)
-                | ((p + (p >> 8)) & 0xFF)
-                for p in px
-            ]
+            green = (A >> 8) & 0xFF
+            red = (((A >> 16) & 0xFF) + green) & 0xFF
+            blue = ((A & 0xFF) + green) & 0xFF
+            A = (A & np.uint32(0xFF00FF00)) | (red << 16) | blue
         else:  # color_index
             _, palette, wbits = t
             ibits = 8 >> wbits
             mask = (1 << ibits) - 1
-            out = []
-            for y in range(h):
-                row = px[y * w:(y + 1) * w]
-                for x in range(final_w):
-                    packed = (row[x >> wbits] >> 8) & 0xFF  # green holds it
-                    idx = (packed >> ((x & ((1 << wbits) - 1)) * ibits)) & mask
-                    if idx >= len(palette):
-                        raise ValueError("vp8l: palette index out of range")
-                    out.append(palette[idx])
-            px = out
+            xs = np.arange(final_w)
+            src = (A[:, xs >> wbits] >> 8) & 0xFF  # green holds indices
+            idx = (src >> ((xs & ((1 << wbits) - 1)) * ibits)[None, :]) & mask
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("vp8l: palette index out of range")
+            A = np.asarray(palette, dtype=np.uint32)[idx]
             w = final_w
-    return px, w, h
+    return A, w, h
 
 
 # --- container ---------------------------------------------------------------
 
-def decode_webp_vp8l(content: bytes) -> np.ndarray:
+def decode_webp_vp8l(content: bytes, *, max_pixels: int = 1 << 24) -> np.ndarray:
     """RIFF/WEBP VP8L bytes -> (H, W, 3) uint8 RGB for fully-opaque
     images, (H, W, 4) RGBA when any pixel carries alpha (lossless WebP
     is the usual PNG replacement, so alpha is common).  Lossy VP8 /
-    extended VP8X raise by name."""
+    extended VP8X raise by name.
+
+    ``max_pixels`` (default 16.7M ~ 16 MP) is a decompression-bomb
+    guard, the same defense PIL ships: a corrupt or hostile header can
+    declare 16384x16384 dims over a degenerate zero-bit-per-pixel
+    stream, turning decode into unbounded work.  Over-cap images raise
+    NotImplementedError by name (a capability bound of the vendored
+    pure-Python codec, not corrupt data)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("webp: missing RIFF/WEBP header")
     fourcc = content[12:16]
@@ -595,8 +900,12 @@ def decode_webp_vp8l(content: bytes) -> np.ndarray:
     br.bits(1)  # alpha hint
     if br.bits(3) != 0:
         raise ValueError("webp: unknown VP8L version")
-    px, w, h = _decode_image_stream(br, w, h, level0=True)
-    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    if w * h > max_pixels:
+        raise NotImplementedError(
+            f"vp8l: {w}x{h} exceeds the decoder's {max_pixels}-pixel "
+            "cap (decompression-bomb guard)"
+        )
+    arr, w, h = _decode_image_stream(br, w, h, level0=True)
     a = ((arr >> 24) & 0xFF).astype(np.uint8)
     opaque = bool((a == 255).all())
     out = np.empty((h, w, 3 if opaque else 4), dtype=np.uint8)
@@ -712,14 +1021,22 @@ def encode_webp_vp8l(
     subtract_green: bool = False,
     palette: bool = False,
     predictor: bool = False,
+    predictor_size_bits: int = 4,
+    cross_color: bool = False,
     cache_bits: int = 0,
 ) -> bytes:
     """Fixture-side VP8L encoder: (H, W, 3) RGB or (H, W, 4) RGBA
-    uint8 -> RIFF/WEBP bytes.  Optional subtract-green transform,
-    color-indexing transform (palette with bundling when <=16 colors),
-    and color cache; LZ77 runs against the left/above neighbors
-    exercise both distance-code forms.  Output decodes bit-exactly
-    with :func:`decode_webp_vp8l` (and any spec decoder)."""
+    uint8 -> RIFF/WEBP bytes.  Optional transforms — subtract-green,
+    cross-color (per-tile deterministic ColorTransformElements),
+    predictor (tile modes cycling the FULL family 0-13), and
+    color-indexing (palette with bundling when <=16 colors; exclusive
+    with the others, as real encoders treat it) — freely combinable
+    plus a color cache; LZ77 runs against the left/above neighbors
+    exercise both distance-code forms.  Transforms are signalled in
+    stream order subtract-green, cross-color, predictor and applied
+    forward in that same order, so the decoder's reverse-order inverse
+    unwinds them exactly.  Output decodes bit-exactly with
+    :func:`decode_webp_vp8l` (and any spec decoder)."""
     if (
         pixels.ndim != 3
         or pixels.shape[2] not in (3, 4)
@@ -745,22 +1062,10 @@ def encode_webp_vp8l(
     bw.write(1 if has_alpha else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
     enc_w = w
-    if sum((subtract_green, palette, predictor)) > 1:
-        raise ValueError("fixture encoder: pick one transform per blob")
-    if predictor:
-        size_bits = 4  # 16x16 tiles
-        tw = (w + 15) >> 4
-        th = (h + 15) >> 4
-        # tile modes cycle through the full supported family 0..10
-        modes = [(i * 7 + 3) % 11 for i in range(tw * th)]
-        bw.write(1, 1)
-        bw.write(0, 2)
-        bw.write(size_bits - 2, 3)
-        bw.write(0, 1)  # tile image: no color cache
-        _emit_tokens(
-            bw, [("lit", (0xFF << 24) | (m << 8)) for m in modes], 0
+    if palette and (subtract_green or predictor or cross_color):
+        raise ValueError(
+            "fixture encoder: palette excludes the other transforms"
         )
-        px = _apply_predictor(px, w, modes, size_bits, tw, inverse=False)
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)
@@ -771,7 +1076,42 @@ def encode_webp_vp8l(
             | ((p - (p >> 8)) & 0xFF)
             for p in px
         ]
-    elif palette:
+    if cross_color:
+        size_bits = 4  # 16x16 tiles
+        tw = (w + 15) >> 4
+        th = (h + 15) >> 4
+        # deterministic per-tile elements: r2b<<16 | g2b<<8 | g2r
+        coeffs = [
+            (((i * 41 + 11) & 0xFF) << 16)
+            | (((i * 29 + 7) & 0xFF) << 8)
+            | ((i * 17 + 3) & 0xFF)
+            for i in range(tw * th)
+        ]
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(size_bits - 2, 3)
+        bw.write(0, 1)  # tile image: no color cache
+        _emit_tokens(bw, [("lit", (0xFF << 24) | c) for c in coeffs], 0)
+        arr = np.array(px, dtype=np.uint32).reshape(h, w)
+        arr = _cross_color_np(arr, coeffs, size_bits, tw, inverse=False)
+        px = [int(p) for p in arr.reshape(-1)]
+    if predictor:
+        size_bits = predictor_size_bits  # default 16x16 tiles
+        if not 2 <= size_bits <= 9:
+            raise ValueError("vp8l: predictor_size_bits must be 2..9")
+        tw = (w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        # tile modes cycle through the full spec family 0..13
+        modes = [(i * 7 + 3) % 14 for i in range(tw * th)]
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(size_bits - 2, 3)
+        bw.write(0, 1)  # tile image: no color cache
+        _emit_tokens(
+            bw, [("lit", (0xFF << 24) | (m << 8)) for m in modes], 0
+        )
+        px = _apply_predictor(px, w, modes, size_bits, tw, inverse=False)
+    if palette:
         colors = sorted(set(px))
         if len(colors) > 256:
             raise ValueError("palette fixture needs <= 256 distinct colors")

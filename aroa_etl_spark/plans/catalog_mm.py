@@ -1866,22 +1866,30 @@ def mm_webp_dims_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP VP8L lossless decode under strict=True (round 10 —
-    operators/vp8lcodec.py, the vendored Huffman+LZ77 codec): 40
-    distinct 32x16 grayscale blobs rotate the format's machinery by
-    k%4 — plain prefix-coded literals (half of those blobs instead
-    carrying the PREDICTOR transform, tile modes cycling the linear
-    family 0-10), the SUBTRACT_GREEN transform, the COLOR_INDEXING
+    operators/vp8lcodec.py, the vendored Huffman+LZ77 codec; round 11
+    completed + vectorized it per the r10 verdict): 40 distinct 32x16
+    grayscale blobs rotate the format's machinery by k%4 — plain
+    prefix-coded literals, the SUBTRACT_GREEN transform (half of those
+    blobs ALSO carrying CROSS_COLOR on top), the COLOR_INDEXING
     transform (a <=13-color palette, so indices BUNDLE
-    two-per-green-byte), and a 4-bit color cache — all over LZ77
+    two-per-green-byte), and a 4-bit color cache (half of those blobs
+    ALSO carrying the PREDICTOR transform) — with the k%8==4 slots
+    stacking PREDICTOR + CROSS_COLOR and the predictor blobs using
+    4x4 tiles so the mode cycle exercises the FULL family 0-13
+    (including 11 Select / 12-13 ClampAddSubtract) — all over LZ77
     left/above back-references in both distance-code forms (the 2D
     neighbor map and plain code-120 distances).  VP8L is lossless, so
     mean_intensity matches the oracle's pure-arithmetic replay EXACTLY
     only if the bit reader, canonical prefix decode, code-length
-    codes, transforms, bundling, cache hashing, and the copy loop are
-    all correct — the same exact-oracle discipline as the GIF/PNG/FLAC
-    codecs.  Predictor modes 11-13, cross-color, and lossy VP8 stay
-    named boundaries.  Scale: 40-blob broadcast dim, fact side never
-    shuffles, Arrow-batched mapInPandas decode."""
+    codes, all four transforms, bundling, cache hashing, and the copy
+    loop are all correct — the same exact-oracle discipline as the
+    GIF/PNG/FLAC codecs.  Lossy VP8 stays the named boundary.
+    Scale: 40-blob broadcast dim; the fact side is REPARTITIONED to
+    the session's core count before the decode kernel — a decode-bound
+    mapInPandas stage should scale with cores, and at bench scale the
+    small parquet input yields ~4 splits that would starve the other
+    28 threads (at 100 TB the input arrives pre-split and the
+    repartition of pointer-sized rows is noise)."""
     import numpy as np
 
     from aroa_etl_spark.operators.multimodal import image_features
@@ -1901,7 +1909,11 @@ def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             blob = encode_webp_vp8l(
                 img,
                 subtract_green=k % 4 == 1,
-                predictor=k % 8 == 4,  # half the plain slots
+                # 4x4 tiles -> 32 tiles -> the %14 mode cycle covers
+                # the whole predictor family incl. Select/ClampAdd
+                predictor=k % 8 in (4, 7),
+                predictor_size_bits=2,
+                cross_color=k % 8 in (4, 5),
                 cache_bits=4 if k % 4 == 3 else 0,
             )
         blobs.append((k, bytearray(blob)))
@@ -1918,6 +1930,7 @@ def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("webp").alias("format"),
         ).alias("meta"),
     ).join(F.broadcast(dim), "v_key").drop("v_key")
+    media = media.repartition(spark.sparkContext.defaultParallelism)
     return image_features(media, strict=True).select(
         "media_id", "mean_intensity", "aspect_ratio"
     )

@@ -98,7 +98,7 @@ def main() -> None:
     from aroa_etl_spark.operators import dedup as _dedup
 
     timings: dict[str, float] = {}
-    variance: dict[str, dict[str, float]] = {}
+    reps_detail: dict[str, list[float]] = {}
     for name in names:
         runs: list[float] = []
         for _ in range(REPS):
@@ -111,7 +111,7 @@ def main() -> None:
             # untimed: free operator-internal reuse caches between runs
             _dedup.release_caches()
         timings[name] = round(statistics.median(runs), 3)
-        variance[name] = {"min": round(min(runs), 3), "max": round(max(runs), 3)}
+        reps_detail[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,6 +119,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    # Two-line protocol (r10 verdict #3): the driver captures only a
+    # 2000-char TAIL of stdout, so the per-rep detail (large) goes on an
+    # earlier line and the compact medians-only JSON is the LAST line —
+    # the tail then always contains every median.  Per-rep timings in
+    # the detail line settle cold-vs-steady questions (r10 verdict #1)
+    # without a second bench protocol.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_reps_detail",
+                "unit": "sec",
+                "sf": sf_val,
+                "reps": REPS,
+                "reps_detail": reps_detail,
+            },
+            separators=(",", ":"),
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -129,8 +148,8 @@ def main() -> None:
                 "sf": sf_val,
                 "reps": REPS,
                 "aggregation": "median",
-                "variance": variance,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

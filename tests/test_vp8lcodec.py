@@ -153,10 +153,117 @@ def test_predictor_transform_roundtrip_and_boundary():
     smooth = np.repeat((r % 256).astype(np.uint8)[..., None], 3, 2)
     assert len(encode_webp_vp8l(smooth, predictor=True)) < \
         len(encode_webp_vp8l(smooth)) // 5
-    # modes 11-13 stay a named boundary
+    # out-of-range predictor modes are corrupt data, not a boundary
     from aroa_etl_spark.operators.vp8lcodec import _predict
 
-    with pytest.raises(NotImplementedError, match="Select|ClampAdd"):
-        _predict(11, 0, 0, 0, 0)
-    with pytest.raises(ValueError, match="one transform"):
+    with pytest.raises(ValueError, match="out of range"):
+        _predict(14, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="palette excludes"):
         encode_webp_vp8l(smooth, predictor=True, palette=True)
+
+
+def _px(a, r, g, b):
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def test_predictor_modes_11_13_pinned():
+    """Spec-pinned values for Select / ClampAddSubtractFull / -Half
+    (RFC 9649 §4.1.1): the tie-break and clamping details."""
+    from aroa_etl_spark.operators.vp8lcodec import _predict
+
+    # Select: pL = sum|T-TL|, pT = sum|L-TL|; pL < pT -> L, tie -> T
+    left, top, tl = _px(255, 10, 20, 30), _px(255, 11, 21, 31), _px(255, 11, 21, 31)
+    # T == TL -> pL = 0, pT = 3 -> left wins
+    assert _predict(11, left, top, tl, 0) == left
+    # L == TL -> pL = 3, pT = 0 -> top wins
+    assert _predict(11, left, top, _px(255, 10, 20, 30), 0) == top
+    # exact tie -> top (pL < pT is strict)
+    assert _predict(11, left, left, left, 0) == left  # degenerate: all equal
+    t2 = _px(255, 12, 20, 30)  # |T-TL|=2 on red only
+    l2 = _px(255, 8, 20, 30)   # |L-TL|=2 on red only
+    assert _predict(11, l2, t2, _px(255, 10, 20, 30), 0) == t2
+    # ClampAddSubtractFull: clamp(L + T - TL) per channel
+    assert _predict(12, _px(0, 250, 10, 0), _px(0, 10, 250, 0),
+                    _px(0, 5, 255, 0), 0) == _px(0, 255, 5, 0)
+    # ClampAddSubtractHalf: ave = (L+T)>>1; clamp(ave + (ave-TL)/2)
+    # with C-truncating division of the (possibly negative) delta
+    # ave=15, TL=20 -> d=-5 -> trunc(-5/2) = -2 -> 13   (floor would give -3)
+    assert _predict(13, _px(0, 10, 0, 0), _px(0, 20, 0, 0),
+                    _px(0, 20, 0, 0), 0) == _px(0, 13, 0, 0)
+    # ave=200, TL=10 -> 200 + 95 = 295 -> clamps to 255
+    assert _predict(13, _px(0, 200, 0, 0), _px(0, 200, 0, 0),
+                    _px(0, 10, 0, 0), 0) == _px(0, 255, 0, 0)
+
+
+def test_transform_combinations_roundtrip():
+    """All encoder transform combinations (subtract-green x cross-color
+    x predictor, with and without the color cache) decode bit-exactly,
+    including the full predictor mode family 0-13 and RGBA."""
+    rng = np.random.RandomState(44)
+    for sg in (False, True):
+        for cc in (False, True):
+            for pr in (False, True):
+                img = rng.randint(0, 256, (21, 37, 3)).astype(np.uint8)
+                blob = encode_webp_vp8l(
+                    img, subtract_green=sg, cross_color=cc, predictor=pr,
+                    cache_bits=5 if (sg or cc) else 0,
+                )
+                assert np.array_equal(decode_webp_vp8l(blob), img), (sg, cc, pr)
+    # a big-enough image to cycle every predictor mode 0-13 (16x16
+    # tiles; 64x224 -> 4x14 = 56 tiles covers the %14 cycle 4 times)
+    img = rng.randint(0, 256, (64, 224, 4)).astype(np.uint8)
+    img[0, 0, 3] = 3
+    blob = encode_webp_vp8l(img, predictor=True, cross_color=True)
+    assert np.array_equal(decode_webp_vp8l(blob), img)
+
+
+def test_inverse_predictor_np_matches_scalar():
+    """Differential law: the vectorized NumPy inverse predictor equals
+    the scalar reference kernel on random residual planes for every
+    tile-mode assignment."""
+    from aroa_etl_spark.operators.vp8lcodec import (
+        _apply_predictor,
+        _inverse_predictor_np,
+    )
+
+    rng = np.random.RandomState(9)
+    for trial in range(6):
+        h, w = int(rng.randint(2, 40)), int(rng.randint(2, 40))
+        size_bits = int(rng.randint(2, 5))
+        tw = (w + (1 << size_bits) - 1) >> size_bits
+        th = (h + (1 << size_bits) - 1) >> size_bits
+        modes = [int(m) for m in rng.randint(0, 14, tw * th)]
+        resid = [int(p) for p in rng.randint(0, 2**32, h * w, dtype=np.uint64)]
+        want = _apply_predictor(resid, w, modes, size_bits, tw, inverse=True)
+        got = _inverse_predictor_np(
+            np.array(resid, np.uint32).reshape(h, w), modes, size_bits, tw
+        )
+        assert got.reshape(-1).tolist() == want, (h, w, size_bits, trial)
+
+
+def test_cross_color_transform_pinned_and_inverse():
+    """Cross-color delta law: (int8(t) * int8(c)) >> 5 arithmetic
+    shift, r2b applied from the reconstructed red — forward then
+    inverse is the identity, and one hand-computed pixel pins the
+    fixed-point rules."""
+    from aroa_etl_spark.operators.vp8lcodec import _cross_color_np
+
+    # hand-pinned: g2r=0x90 (-112), g2b=0x20 (32), r2b=0xFF (-1)
+    coeffs = [(0xFF << 16) | (0x20 << 8) | 0x90]
+    A = np.array([[_px(255, 100, 200, 50)]], np.uint32)
+    fwd = _cross_color_np(A.copy(), coeffs, 4, 1, inverse=False)
+    # green=200 -> int8 -56; d_r = (-112 * -56) >> 5 = 196
+    # new_red = (100 - 196) & 255 = 160
+    # d_b1 = (32 * -56) >> 5 = -56; d_b2 = (-1 * int8(100)=100) >> 5 = -4
+    # new_blue = (50 + 56 + 4) & 255 = 110
+    assert int(fwd[0, 0]) == _px(255, 160, 200, 110)
+    inv = _cross_color_np(fwd, coeffs, 4, 1, inverse=True)
+    assert int(inv[0, 0]) == _px(255, 100, 200, 50)
+    # property: forward o inverse == id on random planes
+    rng = np.random.RandomState(17)
+    plane = rng.randint(0, 2**32, (24, 33), dtype=np.uint64).astype(np.uint32)
+    cs = [int(c) for c in rng.randint(0, 2**24, 2 * 3, dtype=np.uint64)]
+    f = _cross_color_np(plane.copy(), cs, 4, 3, inverse=False)
+    assert np.array_equal(
+        _cross_color_np(f, cs, 4, 3, inverse=True), plane
+    )
