@@ -1460,6 +1460,7 @@ def mm_tar_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + CASE WHEN k % 3 = 2 THEN 2 ELSE 0 END AS INT) AS n_objects,
            CAST(1 + k % 5 AS INT) AS n_pages,
            CAST(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS INT) AS encrypted,
+           CAST(1 AS INT) AS readable,
            CAST(1 AS INT) AS xref_ok
     FROM p
     """,
@@ -1471,17 +1472,24 @@ def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT rendering — the well-formed/page-count/encrypted gates a
     document pipeline applies before OCR or text extraction.  The
     40-blob dim carries real PDFs (build_pdf: catalog + pages node +
-    1-5 page objects, every 7th /Encrypt'ed, versions 1.4-1.7); every
-    third blob uses the PDF 1.5+ LAYOUT — dict objects packed into a
-    /Type /ObjStm and a FlateDecode /Type /XRef stream (PNG
-    /Predictor 12 on even k, predictor-free on odd) — which round 10
-    made first-class: W-field rows decode, type-2 entries verify
-    through the ObjStm header, and the objstm + xref-stream objects
-    themselves add 2 to n_objects, all replayed by the oracle from
-    doc_id arithmetic (n_bytes excluded: offset-digit growth makes it
-    honest to measure, tedious to replay).  Scale: dim broadcast,
-    mapInPandas, O(header+xref) per blob — page content streams never
-    read."""
+    1-5 page objects, versions 1.4-1.7); every 7th blob is GENUINELY
+    ENCRYPTED (round 11 — operators/pdfcrypt.py, the ISO 32000
+    standard security handler with empty user+owner passwords, modes
+    rotating RC4-128 / AES-128 /AESV2 / AES-256 /AESV3 R6): the
+    scanner authenticates the empty user password against the real
+    /O //U (/UE) material and reports readable=1, and in the objstm
+    layout the object-stream payload is genuinely AES/RC4 ciphertext
+    the verification walk must decrypt with the ObjStm's own object
+    key.  Every third blob uses the PDF 1.5+ LAYOUT — dict objects
+    packed into a /Type /ObjStm and a FlateDecode /Type /XRef stream
+    (PNG /Predictor 12 on even k, predictor-free on odd) — which
+    round 10 made first-class: W-field rows decode, type-2 entries
+    verify through the ObjStm header, and the objstm + xref-stream
+    objects themselves add 2 to n_objects, all replayed by the oracle
+    from doc_id arithmetic (n_bytes excluded: offset-digit growth
+    makes it honest to measure, tedious to replay).  Scale: dim
+    broadcast, mapInPandas, O(header+xref) per blob — page content
+    streams never read."""
     from aroa_etl_spark.operators.pdfscan import build_pdf, scan_pdf_structure
 
     blobs = []
@@ -1494,6 +1502,7 @@ def mm_pdf_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1 + k % 5,
                         version=f"1.{4 + k % 4}",
                         encrypted=k % 7 == 0,
+                        crypt=("rc4", "aesv2", "aesv3")[(k // 7) % 3],
                         xref_stream=k % 3 == 2,
                         predictor=12 if k % 2 == 0 else 1,
                     )
@@ -1533,8 +1542,16 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate where declared, and Tj show-strings parse in BOTH forms —
     escape-correct paren literals (the planted '(note)' parens
     round-trip through PDF string escaping) and, on every fifth blob,
-    hex strings (<...> Tj).  Layout and string form never change the
-    extracted text, so one oracle covers all variants; half the dim
+    hex strings (<...> Tj).  Round 11 adds the two dominant real-world
+    hard cases: every 8th blob shows its text through a REAL
+    Identity-H Type0 font — 2-byte CID codes routed through a
+    /ToUnicode CMap (identity bfrange for ASCII), the path virtually
+    all modern PDF text takes — and every 7th blob is GENUINELY
+    ENCRYPTED (empty user password; RC4-128 / AES-128 / AES-256-R6
+    rotating), so content and CMap streams are ciphertext the
+    extractor must authenticate and decrypt per object.  Layout,
+    string form, font machinery, and encryption never change the
+    extracted text, so ONE oracle covers every variant; half the dim
     compresses its streams, half stores them plain.  Scale: dim
     broadcast, mapInPandas, O(stream bytes) per page."""
     from aroa_etl_spark.operators.pdfscan import (
@@ -1555,6 +1572,12 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         xref_stream=k % 3 == 2,
                         predictor=12 if k % 2 == 0 else 1,
                         hex_strings=k % 5 == 4,
+                        type0=k % 8 == 6,
+                        encrypt=(
+                            ("rc4", "aesv2", "aesv3")[(k // 7) % 3]
+                            if k % 7 == 0
+                            else None
+                        ),
                     )
                 ),
             )
