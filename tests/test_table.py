@@ -285,3 +285,137 @@ def test_snapshot_table_stream_guards(spark, tmp_path):
     register_table_source(spark)
     with pytest.raises(Exception, match="no commits"):
         spark.read.format("snapshot_table").load(str(tmp_path / "nope"))
+
+
+# --- commit protocols (round 11, r10 verdict #4) ----------------------------
+
+
+def test_conditional_put_full_matrix(spark, tmp_path):
+    """The whole commit/append/upsert/replay/vacuum/compact matrix runs
+    unchanged when manifest visibility goes through the object-store
+    conditional-put shim instead of POSIX renames."""
+    from aroa_etl_spark.operators.table import (
+        ConditionalPutCommitProtocol,
+        MemoryObjectStore,
+        table_compact,
+    )
+
+    store = MemoryObjectStore()
+    proto = ConditionalPutCommitProtocol(store)
+    t = _t(tmp_path)
+    a = spark.createDataFrame([(1, "a"), (2, "b"), (5, "e")], "k long, v string")
+    b = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert table_commit(a, t, protocol=proto) == 1
+    assert table_commit(b, t, mode="append", protocol=proto) == 2
+    # NO manifest ever touched the local filesystem
+    assert not os.path.isdir(os.path.join(t, "_manifests"))
+    assert len(store.list_keys(t)) == 2
+    assert table_read(spark, t, protocol=proto).count() == 4
+    assert table_read(spark, t, version=1, protocol=proto).count() == 3
+    # upsert + poisoned replay no-op
+    upd = spark.createDataFrame([(1, "UPD")], "k long, v string")
+    assert table_upsert(upd, t, "k", run_id="L", batch_id=0, protocol=proto) == 3
+    poison = spark.createDataFrame([(1, "BAD")], "k long, v string")
+    assert (
+        table_upsert(poison, t, "k", run_id="L", batch_id=0, protocol=proto)
+        is None
+    )
+    got = {r.k: r.v for r in table_read(spark, t, protocol=proto).collect()}
+    assert got == {1: "UPD", 2: "b", 3: "c", 5: "e"}
+    # crash sim: orphan data dir, then vacuum under the shim
+    os.makedirs(os.path.join(t, "data", "deadbeefcafe"))
+    removed = table_vacuum(t, keep_last=1, protocol=proto)
+    assert any("deadbeefcafe" in r for r in removed)
+    assert len(table_versions(t, protocol=proto)) == 1
+    assert {r.k: r.v for r in table_read(spark, t, protocol=proto).collect()} == got
+    # compact still one version further, one file
+    table_compact(spark, t, protocol=proto)
+    assert len(table_versions(t, protocol=proto)[-1]["files"]) == 1
+
+
+def _stale_once(base_cls, *args):
+    """A protocol whose NEXT list_versions returns a pinned stale view —
+    the read half of a read-then-publish race window."""
+
+    class Stale(base_cls):
+        def __init__(self):
+            super().__init__(*args)
+            self.stale = None
+
+        def list_versions(self, root):
+            if self.stale is not None:
+                v, self.stale = self.stale, None
+                return v
+            return super().list_versions(root)
+
+    return Stale()
+
+
+def test_conditional_put_concurrent_writer_conflict(spark, tmp_path):
+    """Two writers race from the same parent: the loser's conditional
+    put must raise, never fork history."""
+    from aroa_etl_spark.operators.table import (
+        CommitConflict,
+        ConditionalPutCommitProtocol,
+        MemoryObjectStore,
+    )
+
+    store = MemoryObjectStore()
+    proto = ConditionalPutCommitProtocol(store)
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert table_commit(df, t, protocol=proto) == 1
+    # writer A reads the table (sees only v1) ...
+    loser = _stale_once(ConditionalPutCommitProtocol, store)
+    loser.stale = loser.list_versions(t)
+    # ... writer B wins the race to v2 ...
+    assert table_commit(df, t, mode="append", protocol=proto) == 2
+    # ... writer A publishes v2 from its stale view: LOUD conflict
+    with pytest.raises(CommitConflict, match="another writer"):
+        table_commit(df, t, mode="append", protocol=loser)
+    # the winner's v2 is untouched
+    assert len(store.list_keys(t)) == 2
+
+
+def test_rename_protocol_detects_conflict_via_hardlink(spark, tmp_path):
+    from aroa_etl_spark.operators.table import (
+        CommitConflict,
+        RenameCommitProtocol,
+    )
+
+    t = _t(tmp_path)
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert table_commit(df, t) == 1
+    loser = _stale_once(RenameCommitProtocol)
+    loser.stale = loser.list_versions(t)
+    assert table_commit(df, t, mode="append") == 2
+    with pytest.raises(CommitConflict, match="another writer"):
+        table_commit(df, t, mode="append", protocol=loser)
+    # and no temp residue leaked from the losing publish
+    assert not [
+        n for n in os.listdir(os.path.join(t, "_manifests"))
+        if n.startswith(".tmp-")
+    ]
+
+
+def test_memory_object_store_put_if_absent_is_atomic():
+    import threading
+
+    from aroa_etl_spark.operators.table import MemoryObjectStore
+
+    store = MemoryObjectStore()
+    wins: list = []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        if store.put_if_absent("k", f"writer-{i}".encode()):
+            wins.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(wins) == 1
+    assert store.get("k") == f"writer-{wins[0]}".encode()
