@@ -3535,7 +3535,13 @@ def s_office_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k * 100 + j AS BIGINT) AS meta_ver,
            CASE j % 3 WHEN 0 THEN '' WHEN 1 THEN 't0'
                 ELSE 't0,t1' END AS tags_csv,
-           CAST(j % 3 AS INT) AS n_tags
+           CAST(j % 3 AS INT) AS n_tags,
+           CAST(CAST(DATE '2000-01-01' + CAST(k * 20 + j AS INT) AS DATE)
+                AS VARCHAR) AS born,
+           make_timestamp(CAST((k * 1000 + j) AS BIGINT) * 1000000
+                          + CAST(j AS BIGINT) * 250000) AS ts,
+           CAST((k * 37 + j * 13) % 10000 - 5000 AS DOUBLE) / 100 AS amt,
+           'u' || CAST(k AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS uid
     FROM r
     """,
 )
@@ -3551,8 +3557,15 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     snappy by blob, multi-block at 2 records per block) parsed back
     through the typed mapInPandas kernel — struct and array columns
     land as real Spark STRUCT/ARRAY types and are flattened to scalar
-    columns only for the cross-engine hash surface.  Unsupported
-    constructs (maps, enums, multi-branch unions) still raise by name.
+    columns only for the cross-engine hash surface.  Round 11 adds the
+    LOGICAL TYPES production Avro leans on: date (epoch days -> a real
+    DateType column), timestamp-micros (-> TimestampNTZType), decimal
+    over bytes (big-endian unscaled int -> DecimalType(10,2) incl.
+    negative amounts), and uuid (annotated string) — each value-hashed
+    against the oracle's replay, so a unit slip (ms vs us), a sign
+    error in the two's complement, or a scale slip fails the gate.
+    Unsupported constructs (multi-branch unions, named-type refs)
+    still raise by name.
     Scale: binaryFile-shaped scan -> kernel explode, zero shuffle."""
     from aroa_etl_spark.sources.avro_ocf import avro_records, build_avro_ocf
     from pyspark.sql import types as T
@@ -3573,8 +3586,18 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             }},
             {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "born", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "amt", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 10, "scale": 2}},
+            {"name": "uid", "type": {
+                "type": "string", "logicalType": "uuid"}},
         ],
     }
+    import datetime as dt
+    import decimal as dec
     blobs = []
     for k in range(40):
         recs = [
@@ -3586,6 +3609,13 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "note": None if j % 3 == 0 else f"n{j}",
                 "meta": {"src": f"s{k}", "ver": k * 100 + j},
                 "tags": [f"t{i}" for i in range(j % 3)],
+                "born": dt.date(2000, 1, 1) + dt.timedelta(days=k * 20 + j),
+                "ts": dt.datetime(1970, 1, 1) + dt.timedelta(
+                    microseconds=(k * 1000 + j) * 1_000_000 + j * 250_000
+                ),
+                "amt": dec.Decimal((k * 37 + j * 13) % 10000 - 5000)
+                / dec.Decimal(100),
+                "uid": f"u{k}-{j}",
             }
             for j in range(2 + k % 3)
         ]
@@ -3619,6 +3649,10 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("ver", T.LongType()),
             ])),
             T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("born", T.DateType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("amt", T.DecimalType(10, 2)),
+            T.StructField("uid", T.StringType()),
         ]
     )
     return avro_records(media, rec_schema).select(
@@ -3628,6 +3662,14 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.ver").alias("meta_ver"),
         F.concat_ws(",", "tags").alias("tags_csv"),
         F.size("tags").alias("n_tags"),
+        # the kernel's rec_schema pins the TYPED columns (DateType /
+        # TimestampNTZType / DecimalType); the hash surface casts date
+        # and decimal because the comparator materializes DuckDB via
+        # pandas (DATE -> datetime64, DECIMAL -> float64 — round-1 law)
+        F.col("born").cast("string").alias("born"),
+        "ts",
+        F.col("amt").cast("double").alias("amt"),
+        "uid",
     )
 
 

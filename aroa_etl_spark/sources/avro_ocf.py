@@ -13,8 +13,9 @@ with every ``long``/``int`` zigzag-varint encoded, strings/bytes
 length-prefixed, doubles little-endian IEEE, booleans one byte, and
 two-branch null unions a varint branch index that honors the DECLARED
 branch order (``["null", T]`` and ``[T, "null"]`` both occur in the
-wild).  Supported here (round 10 widened): record schemas over
-``long / int / string / double / boolean``, NESTED records, ARRAYS
+wild).  Supported here (round 10 widened; round 11 added bytes/fixed
+and the logical types): record schemas over ``long / int / string /
+double / boolean / bytes``, FIXED blocks, NESTED records, ARRAYS
 (block-encoded, including negative block counts carrying a byte-size
 skip hint), and null unions at any position; codecs ``null``,
 ``deflate`` (raw zlib, -15), and ``snappy`` — the default codec of
@@ -23,8 +24,19 @@ the public snappy block format (google/snappy
 format_description.txt), with the spec's trailing 4-byte big-endian
 CRC32 of the uncompressed block verified.  Maps (string-keyed,
 block-encoded) and enums (index into the symbol list) decode too.
-Anything else — fixed, bytes, multi-branch unions, named-type
-references — raises
+
+LOGICAL TYPES (round 11, r10 verdict #5 — standard in production Avro
+from the Kafka/Debezium ecosystems): ``decimal`` over bytes/fixed
+(big-endian two's complement unscaled int -> ``decimal.Decimal``),
+``date`` over int (epoch days -> ``datetime.date``),
+``timestamp-millis``/``timestamp-micros`` over long (->
+naive-UTC ``datetime.datetime``), each landing as the matching TYPED
+Spark column (DecimalType/DateType/TimestampNTZType) through
+``avro_records``; ``uuid`` keeps its string base (Spark has no uuid
+type) and any UNKNOWN logicalType keeps its base type with the
+annotation surfaced verbatim in the returned header schema.
+
+Anything else — multi-branch unions, named-type references — raises
 ``NotImplementedError`` with the offending construct named: the honest
 capability boundary, not a silent misparse.
 
@@ -60,7 +72,7 @@ __all__ = [
 ]
 
 _MAGIC = b"Obj\x01"
-_SIMPLE = {"long", "int", "string", "double", "boolean"}
+_SIMPLE = {"long", "int", "string", "double", "boolean", "bytes"}
 _CODECS = ("null", "deflate", "snappy")
 
 
@@ -206,6 +218,15 @@ def _parse_type(t):
     - ``("union", null_branch, value_node)`` — two-branch null union;
       ``null_branch`` preserves the DECLARED order (a ``[T, "null"]``
       writer puts null at branch 1, and assuming 0 would misparse)
+    - ``("fixed", size)`` — fixed-size byte blocks
+    - ``("decimal", base_node, scale)`` / ``("date", base_node)`` /
+      ``("timestamp", base_node, unit_us)`` — LOGICAL TYPES (round 11,
+      Avro 1.11 spec): decimal over bytes/fixed (big-endian two's
+      complement unscaled int), date over int (epoch days),
+      timestamp-millis/-micros over long.  ``uuid`` stays its string
+      base (Spark has no uuid type) and any UNKNOWN logicalType keeps
+      its base type — the annotation is still surfaced verbatim in the
+      header schema parse_avro_blob returns.
 
     Raises ``NotImplementedError`` naming anything outside this set."""
     if isinstance(t, str):
@@ -217,8 +238,43 @@ def _parse_type(t):
             nb = t.index("null")
             return ("union", nb, _parse_type(t[1 - nb]))
         raise NotImplementedError(f"avro: unsupported union {t!r}")
+    if isinstance(t, dict) and "logicalType" in t:
+        lt = t["logicalType"]
+        base = {k2: v2 for k2, v2 in t.items() if k2 != "logicalType"}
+        node = _parse_type(base)
+        if lt == "decimal":
+            prec = t.get("precision")
+            scale = t.get("scale", 0)
+            if not (isinstance(prec, int) and prec > 0
+                    and isinstance(scale, int) and 0 <= scale <= prec):
+                raise ValueError(
+                    f"avro: decimal needs 0 <= scale <= precision, got "
+                    f"precision={prec!r} scale={scale!r}"
+                )
+            if node[0] not in ("fixed",) and node != ("prim", "bytes"):
+                raise ValueError(
+                    "avro: decimal logical type requires a bytes or "
+                    f"fixed base, got {base.get('type')!r}"
+                )
+            return ("decimal", node, scale)
+        if lt == "date":
+            if node != ("prim", "int"):
+                raise ValueError("avro: date logical type requires int")
+            return ("date", node)
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            if node != ("prim", "long"):
+                raise ValueError(f"avro: {lt} logical type requires long")
+            return ("timestamp", node, 1000 if lt.endswith("millis") else 1)
+        # uuid and unknown logical types: the base type carries the
+        # value; the annotation stays visible in the header schema
+        return node
     if isinstance(t, dict):
         k = t.get("type")
+        if k == "fixed":
+            size = t.get("size")
+            if not isinstance(size, int) or size < 0:
+                raise ValueError(f"avro: fixed with bad size {size!r}")
+            return ("fixed", size)
         if k == "record":
             return (
                 "record",
@@ -241,6 +297,45 @@ def _parse_type(t):
 
 def _encode_node(node, v) -> bytes:
     kind = node[0]
+    if kind == "decimal":
+        import decimal as _dec
+
+        base, scale = node[1], node[2]
+        unscaled = int(
+            (_dec.Decimal(v).scaleb(scale)).to_integral_value(
+                rounding=_dec.ROUND_HALF_UP
+            )
+        )
+        if base[0] == "fixed":
+            raw = unscaled.to_bytes(base[1], "big", signed=True)
+        else:
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(n, "big", signed=True)
+        return _encode_node(base, raw)
+    if kind == "date":
+        import datetime as _dt
+
+        days = (v - _dt.date(1970, 1, 1)).days if isinstance(
+            v, _dt.date
+        ) else int(v)
+        return _encode_node(node[1], days)
+    if kind == "timestamp":
+        import datetime as _dt
+
+        unit = node[2]
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            us = (v - epoch) // _dt.timedelta(microseconds=1)
+        else:
+            us = int(v) * unit
+        return _encode_node(node[1], us // unit)
+    if kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != node[1]:
+            raise ValueError(
+                f"avro: fixed value is {len(raw)} bytes, schema says {node[1]}"
+            )
+        return raw
     if kind == "union":
         _, nb, inner = node
         if v is None:
@@ -289,6 +384,39 @@ def _encode_node(node, v) -> bytes:
 
 def _decode_node(node, buf: bytes, pos: int):
     kind = node[0]
+    if kind == "decimal":
+        import decimal as _dec
+
+        raw, pos = _decode_node(node[1], buf, pos)
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _dec.Decimal(unscaled).scaleb(-node[2]), pos
+    if kind == "date":
+        import datetime as _dt
+
+        days, pos = _decode_node(node[1], buf, pos)
+        try:
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), pos
+        except (OverflowError, OSError):
+            raise ValueError(f"avro: date {days} days out of range") from None
+    if kind == "timestamp":
+        import datetime as _dt
+
+        v, pos = _decode_node(node[1], buf, pos)
+        try:
+            return (
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=v * node[2]),
+                pos,
+            )
+        except (OverflowError, OSError):
+            raise ValueError(
+                f"avro: timestamp {v} out of datetime range"
+            ) from None
+    if kind == "fixed":
+        size = node[1]
+        if pos + size > len(buf):
+            raise ValueError("avro: fixed value overruns the block")
+        return buf[pos:pos + size], pos + size
     if kind == "union":
         _, nb, inner = node
         branch, pos = _zz_decode(buf, pos)
@@ -357,6 +485,9 @@ def _encode_value(t: str, v) -> bytes:
     if t == "string":
         b = str(v).encode("utf-8")
         return _zz_encode(len(b)) + b
+    if t == "bytes":
+        b = bytes(v)
+        return _zz_encode(len(b)) + b
     if t == "double":
         return struct.pack("<d", float(v))
     if t == "boolean":
@@ -372,6 +503,11 @@ def _decode_value(t: str, buf: bytes, pos: int):
         if n < 0 or pos + n > len(buf):
             raise ValueError("avro: string overruns the block")
         return buf[pos:pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _zz_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("avro: bytes overruns the block")
+        return buf[pos:pos + n], pos + n
     if t == "double":
         if pos + 8 > len(buf):
             raise ValueError("avro: double overruns the block")

@@ -45,13 +45,14 @@ def test_corruption_and_sync_guard():
 
 
 def test_unsupported_constructs_raise_by_name():
-    fx = {
+    # named-type references stay a boundary (fixed itself decodes
+    # since round 11)
+    ref = {
         "type": "record", "name": "r",
-        "fields": [{"name": "a",
-                    "type": {"type": "fixed", "name": "f", "size": 4}}],
+        "fields": [{"name": "a", "type": "SomeNamedType"}],
     }
-    with pytest.raises(NotImplementedError, match="complex type"):
-        build_avro_ocf(fx, [])
+    with pytest.raises(NotImplementedError, match="SomeNamedType"):
+        build_avro_ocf(ref, [])
     multi = {
         "type": "record", "name": "r",
         "fields": [{"name": "a", "type": ["null", "long", "string"]}],
@@ -233,9 +234,23 @@ def test_fuzzed_blobs_raise_typed_errors_only():
          for i in range(5)],
         codec="snappy",
     )
+    # logical-type seed (round 11): fuzzed epoch days/micros/unscaled
+    # ints must surface as ValueError, never OverflowError
+    import datetime as dt
+    import decimal
+
+    lt_schema = {"type": "record", "name": "lt", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {
+            "type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "a", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 8, "scale": 2}}]}
+    lt_blob = build_avro_ocf(lt_schema, [
+        {"d": dt.date(2020, 1, 1), "ts": dt.datetime(2024, 5, 6),
+         "a": decimal.Decimal("12.34")}])
     rng = random.Random(7)
-    for _ in range(800):
-        b = bytearray(blob)
+    for trial in range(1100):
+        b = bytearray(blob if trial % 3 else lt_blob)
         op = rng.randrange(3)
         if op == 0 and len(b) > 4:
             b = b[:rng.randrange(4, len(b))]
@@ -249,3 +264,119 @@ def test_fuzzed_blobs_raise_typed_errors_only():
             parse_avro_blob(bytes(b))
         except (ValueError, NotImplementedError):
             pass  # the documented taxonomy
+
+
+# --- logical types (round 11, r10 verdict #5) --------------------------------
+
+
+def test_logical_types_roundtrip_all_codecs():
+    import datetime as dt
+    import decimal
+
+    schema = {
+        "type": "record", "name": "lt",
+        "fields": [
+            {"name": "born", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts_us", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "amt", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 10, "scale": 2}},
+            {"name": "famt", "type": {
+                "type": "fixed", "name": "f8", "size": 8,
+                "logicalType": "decimal", "precision": 14, "scale": 4}},
+            {"name": "uid", "type": {
+                "type": "string", "logicalType": "uuid"}},
+            {"name": "raw", "type": "bytes"},
+            {"name": "future", "type": {
+                "type": "long", "logicalType": "not-a-real-one"}},
+            {"name": "maybe_d", "type": [
+                "null", {"type": "int", "logicalType": "date"}]},
+        ],
+    }
+    recs = [
+        {
+            "born": dt.date(2001, 2, 3),
+            "ts_us": dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+            "ts_ms": dt.datetime(2020, 6, 7, 8, 9, 10, 500000),
+            "amt": decimal.Decimal("-123.45"),
+            "famt": decimal.Decimal("99999.0001"),
+            "uid": "01234567-89ab-cdef-0123-456789abcdef",
+            "raw": b"\x00\xffraw",
+            "future": 42,
+            "maybe_d": None,
+        },
+        {
+            "born": dt.date(1969, 12, 31),  # negative epoch days
+            "ts_us": dt.datetime(1969, 12, 31, 23, 59, 59),
+            "ts_ms": dt.datetime(1970, 1, 1),
+            "amt": decimal.Decimal("0.05"),
+            "famt": decimal.Decimal("-0.0002"),
+            "uid": "u2",
+            "raw": b"",
+            "future": -7,
+            "maybe_d": dt.date(2030, 1, 1),
+        },
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        hdr, back = parse_avro_blob(build_avro_ocf(schema, recs, codec=codec))
+        assert back == recs, codec
+        # unknown logicalType stays surfaced in the header schema
+        assert "not-a-real-one" in str(hdr["schema"])
+
+
+def test_logical_type_schema_guards():
+    def one(field_type):
+        return {"type": "record", "name": "r",
+                "fields": [{"name": "a", "type": field_type}]}
+
+    with pytest.raises(ValueError, match="scale"):
+        build_avro_ocf(one({"type": "bytes", "logicalType": "decimal",
+                            "precision": 4, "scale": 9}), [])
+    with pytest.raises(ValueError, match="bytes or"):
+        build_avro_ocf(one({"type": "string", "logicalType": "decimal",
+                            "precision": 4, "scale": 2}), [])
+    with pytest.raises(ValueError, match="requires int"):
+        build_avro_ocf(one({"type": "long", "logicalType": "date"}), [])
+    with pytest.raises(ValueError, match="requires long"):
+        build_avro_ocf(
+            one({"type": "int", "logicalType": "timestamp-micros"}), []
+        )
+    with pytest.raises(ValueError, match="fixed value is"):
+        build_avro_ocf(
+            one({"type": "fixed", "name": "f", "size": 2}), [{"a": b"xxx"}]
+        )
+
+
+def test_logical_decode_out_of_range_is_valueerror():
+    """A fuzzed epoch-days/micros field must surface as the ValueError
+    taxonomy, not OverflowError (the codec-fuzz contract)."""
+    import datetime as dt
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}}]}
+    blob = bytearray(build_avro_ocf(schema, [{"d": dt.date(2020, 1, 1)}]))
+    # splice an absurd zigzag varint as the record payload: find the
+    # encoded day count and replace the block with days ~ 2**40
+    from aroa_etl_spark.sources.avro_ocf import _zz_encode
+
+    good = _zz_encode((dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days)
+    bad = _zz_encode(2**40)
+    i = bytes(blob).rindex(good)
+    patched = bytes(blob[:i]) + bad + bytes(blob[i + len(good):])
+    # block size field must grow too: rebuild via the builder instead
+    schema2 = {"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": "int"}]}
+    raw = build_avro_ocf(schema2, [{"d": 2**40 // 86400}])
+    # reinterpret the same bytes under the DATE logical schema
+    import json as _json
+
+    raw = raw.replace(
+        _json.dumps(schema2, separators=(",", ":")).encode(),
+        _json.dumps(schema, separators=(",", ":")).encode(),
+    )
+    del patched
+    with pytest.raises(ValueError):
+        parse_avro_blob(raw)
