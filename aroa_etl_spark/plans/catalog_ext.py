@@ -435,12 +435,27 @@ def tdp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB replay of the Public Suffix List algorithm over a
-# hosts(doc_id, host) CTE -> doms(doc_id, domain).  The rule VALUES
-# mirror functions/web.PSL_SNAPSHOT_MINI with comments dropped and the
-# '!' prefix stripped into the kind column — the same normalization
-# registered_domain_psl applies to the raw snapshot.  Shared by the
-# web_domain_counts and tdp_domain_quota oracles.
+# hosts(doc_id, host) CTE -> doms(doc_id, domain).  The rule table is
+# the COMPLETE vendored publicsuffix.org snapshot (round 11) read from
+# the very same file functions/web.load_psl_snapshot ships — ~9.5k
+# rules — with comments dropped and the '!' prefix stripped into the
+# kind column, the same normalization registered_domain_psl applies to
+# the raw snapshot.  Shared by the web_domain_counts and
+# tdp_domain_quota oracles.
+from aroa_etl_spark.functions.web import PSL_SNAPSHOT_PATH as _PSL_PATH
+
 _PSL_DOMAIN_SQL = r"""
+    psl_raw AS (SELECT trim(rule) AS rule
+                FROM read_csv('__PSL_PATH__', header=false,
+                              delim='', quote='',
+                              columns={'rule': 'VARCHAR'})),
+    psl AS (SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
+                        ELSE rule END AS key,
+                   CASE WHEN rule LIKE '!%' THEN 'exception'
+                        WHEN rule LIKE '*.%' THEN 'wildcard'
+                        ELSE 'normal' END AS kind
+            FROM psl_raw
+            WHERE length(rule) > 0 AND rule NOT LIKE '//%'),
     hl AS (SELECT doc_id, host, string_split(host, '.') AS l FROM hosts),
     hd AS (SELECT DISTINCT host, l FROM hl),
     cands AS (SELECT host, l,
@@ -453,15 +468,7 @@ _PSL_DOMAIN_SQL = r"""
                    END AS wc_key
             FROM cands),
     m AS (SELECT s.host, s.kk, r.kind
-          FROM sfx s JOIN (VALUES
-            ('com','normal'),('net','normal'),('org','normal'),
-            ('io','normal'),('de','normal'),('fr','normal'),
-            ('jp','normal'),('uk','normal'),('au','normal'),
-            ('nz','normal'),
-            ('co.uk','normal'),('ac.uk','normal'),('gov.uk','normal'),
-            ('com.au','normal'),('net.au','normal'),('co.jp','normal'),
-            ('co.nz','normal'),('ck','normal'),
-            ('*.ck','wildcard'),('www.ck','exception')) r(key, kind)
+          FROM sfx s JOIN psl r
             ON (r.kind IN ('normal','exception') AND r.key = s.lit_key)
             OR (r.kind = 'wildcard' AND r.key = s.wc_key)),
     best AS (SELECT host, kk, kind,
@@ -479,7 +486,7 @@ _PSL_DOMAIN_SQL = r"""
                               plens.l[len(plens.l)-plens.p:len(plens.l)], '.')
                     END AS domain
              FROM hl JOIN plens USING (host))
-"""
+""".replace("__PSL_PATH__", _PSL_PATH)
 
 
 @query(
@@ -522,13 +529,15 @@ def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sixth), extracted with the engine-wide URL regex, lowercased, and
     rolled up to eTLD+1 with the published PSL algorithm over the
     broadcast snapshot (exception beats longest beats implicit '*';
-    www needs no special-casing — co.uk rules absorb the label).  The
-    oracle replays the identical algorithm in SQL over the same rule
-    table.  Scale: candidates explode ≤5 rows per DISTINCT host,
+    www needs no special-casing — co.uk rules absorb the label) — and
+    since round 11 the snapshot is the COMPLETE vendored
+    publicsuffix.org list (~9.5k rules), with the oracle replaying the
+    identical algorithm in SQL over the VERY SAME file via read_csv,
+    so both engines see all wildcards/exceptions, not a curated slice.  Scale: candidates explode ≤5 rows per DISTINCT host,
     broadcast hash join, one map-side-combinable groupBy on domain."""
     from aroa_etl_spark.functions.web import (
-        PSL_SNAPSHOT_MINI,
         extract_urls,
+        load_psl_snapshot,
         registered_domain_psl,
         url_host,
     )
@@ -569,7 +578,7 @@ def web_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = docs.select("doc_id", F.explode(extract_urls("text")).alias("url"))
     hosts = urls.select("doc_id", F.lower(url_host("url")).alias("host"))
     doms = registered_domain_psl(
-        hosts, "host", PSL_SNAPSHOT_MINI, out_col="domain"
+        hosts, "host", load_psl_snapshot(punycode=False), out_col="domain"
     )
     return (
         doms.groupBy("domain")
@@ -1896,15 +1905,17 @@ def tdp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document quotas — the crawl-curation cap that stops a
     handful of giant domains from dominating a corpus (C4/RefinedWeb
     recipe), rolled up to eTLD+1 under the REAL Public Suffix List
-    path (round 10): the planted URL mix now includes *.ck
-    wildcard-suffix hosts and the !www.ck exception alongside the
-    co.uk family and the example.org long tail, and both engines run
-    the published PSL algorithm over the same broadcast snapshot.  A
+    path (round 10; round 11 swapped in the COMPLETE vendored
+    publicsuffix.org snapshot on both engines): the planted URL mix
+    includes *.ck wildcard-suffix hosts and the !www.ck exception
+    alongside the co.uk family and the example.org long tail, and both
+    engines run the published PSL algorithm over the same ~9.5k-rule
+    file.  A
     deterministic row_number per domain keeps the first 10.  One
     shuffle on domain; quota assignment rides the same window
     partition."""
     from aroa_etl_spark.functions.web import (
-        PSL_SNAPSHOT_MINI,
+        load_psl_snapshot,
         registered_domain_psl,
         url_host,
     )
@@ -1945,7 +1956,7 @@ def tdp_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(url_host("url")).alias("host")
     )
     doms = registered_domain_psl(
-        hosts, "host", PSL_SNAPSHOT_MINI, out_col="domain"
+        hosts, "host", load_psl_snapshot(punycode=False), out_col="domain"
     )
     rn = F.row_number().over(W.partitionBy("domain").orderBy("doc_id"))
     ranked = doms.select("domain", rn.alias("rn"))

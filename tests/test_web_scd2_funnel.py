@@ -354,3 +354,56 @@ def test_registered_domain_psl_all_rule_shapes(spark):
         for r in registered_domain_psl(df, "host", psl_df).collect()
     }
     assert got2 == dict(cases)
+
+
+def test_psl_full_snapshot_behaviors(spark):
+    """The COMPLETE vendored publicsuffix.org list (round 11): private
+    suffixes (github.io / blogspot.com), exceptions at depth
+    (!city.kawasaki.jp under *.kawasaki.jp), deep wildcards, and IDNA —
+    a punycoded host must match the list's UNICODE rule through
+    load_psl_snapshot's punycode augmentation."""
+    from aroa_etl_spark.functions.web import (
+        load_psl_snapshot,
+        registered_domain_psl,
+    )
+
+    full = load_psl_snapshot()
+    hosts = [
+        ("a.b.example.com", "example.com"),          # plain
+        ("deep.user.github.io", "user.github.io"),   # private suffix
+        ("x.myshop.blogspot.com", "myshop.blogspot.com"),
+        # *.ck wildcard: 'site.ck' IS a public suffix, so www.site.ck
+        # is itself the registered domain (and a bare suffix passes
+        # through unchanged)
+        ("www.site.ck", "www.site.ck"),
+        ("site.ck", "site.ck"),
+        ("www.ck", "www.ck"),                        # !www.ck exception
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),  # deep exception
+        ("a.b.foo.kawasaki.jp", "b.foo.kawasaki.jp"),  # *.kawasaki.jp
+        # IDNA: xn--55qx5d.hk is the punycode of a unicode list rule
+        ("shop.xn--55qx5d.hk", "shop.xn--55qx5d.hk"),
+        ("x.shop.xn--55qx5d.hk", "shop.xn--55qx5d.hk"),
+        ("onlytld.com", "onlytld.com"),
+        ("unlisted.tld.zzx", "tld.zzx"),              # implicit * rule
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in registered_domain_psl(df, "host", full).collect()
+    }
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_psl_loader_punycode_augmentation():
+    from aroa_etl_spark.functions.web import load_psl_snapshot
+
+    raw = load_psl_snapshot(punycode=False)
+    aug = load_psl_snapshot()
+    rules_raw = [r for r in raw if r.strip() and not r.startswith("//")]
+    rules_aug = [r for r in aug if r.strip() and not r.startswith("//")]
+    assert len(rules_raw) > 9000  # the full list, not a slice
+    extra = set(rules_aug) - set(rules_raw)
+    assert extra and all("xn--" in r for r in extra)
+    # every augmented rule decodes back to a unicode rule in the list
+    assert "xn--55qx5d.hk" in extra
