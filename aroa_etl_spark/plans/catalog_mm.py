@@ -1938,6 +1938,8 @@ def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 predictor_size_bits=2,
                 cross_color=k % 8 in (4, 5),
                 cache_bits=4 if k % 4 == 3 else 0,
+                # the k%8==1 slots wrap in a VP8X extended container
+                extended=k % 8 == 1,
             )
         blobs.append((k, bytearray(blob)))
     dim = spark.createDataFrame(blobs, "v_key int, content binary")

@@ -267,3 +267,25 @@ def test_cross_color_transform_pinned_and_inverse():
     assert np.array_equal(
         _cross_color_np(f, cs, 4, 3, inverse=True), plane
     )
+
+
+def test_vp8x_extended_container_roundtrip_and_boundary():
+    """VP8X-wrapped VP8L (round 11): the chunk walk finds the lossless
+    stream; VP8X wrapping only a lossy VP8 chunk stays a named
+    boundary."""
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (11, 23, 3)).astype(np.uint8)
+    blob = encode_webp_vp8l(img, extended=True, predictor=True,
+                            cross_color=True)
+    assert blob[12:16] == b"VP8X"
+    assert np.array_equal(decode_webp_vp8l(blob), img)
+    # RGBA through the wrapper
+    imga = rng.randint(0, 256, (6, 9, 4)).astype(np.uint8)
+    imga[0, 0, 3] = 9
+    assert np.array_equal(
+        decode_webp_vp8l(encode_webp_vp8l(imga, extended=True)), imga
+    )
+    from aroa_etl_spark.operators.multimodal import build_webp
+
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        decode_webp_vp8l(build_webp("vp8x", 20, 10))
