@@ -3685,6 +3685,224 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_delta_snapshot_read",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    d AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                 CAST((o_orderkey * 4) // (m + 1) AS INT) AS band
+          FROM orders, mx)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(COUNT(DISTINCT p) AS INT) AS n_prio
+    FROM d GROUP BY band ORDER BY band
+    """,
+)
+def s_delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake table READ without delta-spark (round 11 —
+    sources/delta_log.py, the public Delta Transaction Log Protocol
+    replayed directly): orders split into four key-range bands become
+    a PARTITIONED Delta table built by the fixture twin — real
+    part-files, JSON commits with per-file numRecords/min/max STATS,
+    a genuine parquet CHECKPOINT + _last_checkpoint pointer mid-log,
+    and a COMPACTION commit (remove + content-identical re-add).  The
+    entry then attests, loudly in-entry:
+
+    1. TIME TRAVEL: version 0 holds bands 0-1, version 1 adds band 2,
+       and the compaction at version 2 is content-identical to v1;
+    2. CHECKPOINT REPLAY: the newest snapshot resolves from the v2
+       checkpoint plus ONE replayed commit (not the whole log);
+    3. STATS PRUNING: a key-interval prune must plan a strict subset
+       of files (I/O-only — rows still verified by the final hash);
+    4. PROTOCOL HONESTY: a sibling log demanding deletionVectors
+       raises NotImplementedError by name instead of misreading;
+    5. PARTITION VALUES come from the LOG (they are not in the data
+       files) via one input_file_name() broadcast mapping join —
+       the final rollup groups by that reconstructed column, so a
+       mis-attached partition value fails the oracle hash.
+
+    Scale: log replay is O(#actions) driver-side; data is ONE
+    spark.read.parquet over the live files plus a broadcast dim —
+    high partition cardinality costs a join, not plan branches."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.delta_log import (
+        build_delta_table,
+        delta_read,
+        delta_snapshot,
+    )
+    from pyspark.sql import types as T
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+    )
+    maxk = orders.agg(F.max("k")).first()[0]
+    banded = orders.withColumn(
+        "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
+    )
+    root = _scratch_stage("delta_snapshot", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("p", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+    ])
+    part = [
+        banded.filter(F.col("band") == b).select("k", "p") for b in range(4)
+    ]
+    build_delta_table(
+        spark, t, schema, ["band"],
+        [
+            {"adds": [({"band": 0}, part[0]), ({"band": 1}, part[1])]},
+            {"adds": [({"band": 2}, part[2])]},
+        ],
+        stats_cols=["k"],
+    )
+    # compaction commit: band 1 rewritten content-identically
+    b1_file = [
+        p for p, i in delta_snapshot(t)["files"].items()
+        if i["partitionValues"].get("band") == "1"
+    ][0]
+    build_more = delta_read(spark, t).filter(F.col("band") == 1).select("k", "p")
+    # versions continue where the builder stopped: write v2 (compact)
+    # and v3 (band 3) through a second builder call is not possible
+    # (it restarts at 0), so extend the log with the same primitives
+    from aroa_etl_spark.sources import delta_log as dl
+    import json as _json
+    import uuid as _uuid
+
+    def _append_commit(version, adds, removes=()):
+        actions = []
+        for pv, rows_df in adds:
+            fname = f"part-{_uuid.uuid4().hex[:16]}.parquet"
+            tmp = os.path.join(t, f".tmp-{_uuid.uuid4().hex[:8]}")
+            rows_df.coalesce(1).write.mode("error").parquet(tmp)
+            pf = [n for n in os.listdir(tmp) if n.endswith(".parquet")][0]
+            os.replace(os.path.join(tmp, pf), os.path.join(t, fname))
+            shutil.rmtree(tmp)
+            written = spark.read.parquet(os.path.join(t, fname))
+            agg = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("k").alias("mn"), F.max("k").alias("mx"),
+            ).first()
+            actions.append({"add": {
+                "path": fname,
+                "partitionValues": {kk: str(vv) for kk, vv in pv.items()},
+                "size": os.path.getsize(os.path.join(t, fname)),
+                "modificationTime": 0, "dataChange": True,
+                "stats": _json.dumps({
+                    "numRecords": agg["n"],
+                    "minValues": {"k": agg["mn"]},
+                    "maxValues": {"k": agg["mx"]},
+                }),
+            }})
+        for rp in removes:
+            actions.append({"remove": {
+                "path": rp, "deletionTimestamp": 0, "dataChange": True}})
+        with open(os.path.join(
+            t, "_delta_log", f"{version:020d}.json"
+        ), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    _append_commit(2, [({"band": 1}, build_more)], removes=[b1_file])
+    # checkpoint covering v0-2 via the builder's own writer shape is
+    # emulated: re-derive state and write the parquet + pointer
+    snap2 = delta_snapshot(t, version=2)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    str_map = pa.map_(pa.string(), pa.string())
+    ck_schema = pa.schema([
+        ("add", pa.struct([
+            ("path", pa.string()), ("partitionValues", str_map),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()), ("stats", pa.string())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()), ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map), ("createdTime", pa.int64())])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32())])),
+    ])
+    ck_rows = [
+        {"add": {"path": p, "partitionValues": i["partitionValues"],
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "stats": i["stats"]},
+         "metaData": None, "protocol": None}
+        for p, i in sorted(snap2["files"].items())
+    ]
+    ck_rows.append({"add": None, "metaData": {
+        "id": "ck", "schemaString": _json.dumps(schema.jsonValue()),
+        "partitionColumns": ["band"], "configuration": {},
+        "createdTime": 0}, "protocol": None})
+    ck_rows.append({"add": None, "metaData": None,
+                    "protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 2}})
+    pq.write_table(
+        pa.Table.from_pylist(ck_rows, schema=ck_schema),
+        os.path.join(t, "_delta_log", f"{2:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(t, "_delta_log", "_last_checkpoint"), "w") as f:
+        _json.dump({"version": 2, "size": len(ck_rows)}, f)
+    _append_commit(3, [({"band": 3}, part[3])])
+
+    # --- in-entry attestations ---
+    snap = delta_snapshot(t)
+    if snap["version"] != 3 or snap["n_commits_replayed"] != 1:
+        raise AssertionError(
+            f"checkpoint replay off: {snap['version']}, "
+            f"{snap['n_commits_replayed']} commits replayed"
+        )
+    agg = lambda df: sorted(  # noqa: E731
+        map(tuple, df.groupBy("band").count().collect())
+    )
+    if agg(delta_read(spark, t, version=1)) != agg(
+        delta_read(spark, t, version=2)
+    ):
+        raise AssertionError("compaction changed the snapshot content")
+    if delta_read(spark, t, version=0).select("band").distinct().count() != 2:
+        raise AssertionError("time travel to v0 saw the wrong bands")
+    from aroa_etl_spark.sources.delta_log import _stats_prunable
+
+    hi = (maxk * 3) // 4 + 1
+    kept = [p for p, i in snap["files"].items()
+            if not _stats_prunable(i["stats"], {"k": (hi, None)})]
+    if not kept or len(kept) >= len(snap["files"]):
+        raise AssertionError(
+            f"stats pruning ineffective: {len(kept)}/{len(snap['files'])}"
+        )
+    # protocol honesty on a sibling log
+    t2 = os.path.join(root, "t_features")
+    os.makedirs(os.path.join(t2, "_delta_log"), exist_ok=True)
+    with open(os.path.join(t2, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "x", "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": [], "configuration": {}}}) + "\n")
+    try:
+        delta_read(spark, t2)
+        raise AssertionError("deletionVectors table read without refusing")
+    except NotImplementedError:
+        pass
+    return (
+        delta_read(spark, t)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.count_distinct("p").cast("int").alias("n_prio"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "s_zip_members",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

@@ -73,7 +73,7 @@ __all__ = [
 
 _MAGIC = b"Obj\x01"
 _SIMPLE = {"long", "int", "string", "double", "boolean", "bytes"}
-_CODECS = ("null", "deflate", "snappy")
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
 
 
 # --- vendored snappy block format -------------------------------------------
@@ -560,6 +560,14 @@ def build_avro_ocf(
         payload = b"".join(enc_rec(r) for r in chunk)
         if codec == "deflate":
             payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
         elif codec == "snappy":
             # spec: snappy block + 4-byte BIG-endian CRC32 of the
             # UNCOMPRESSED data
@@ -630,6 +638,20 @@ def parse_avro_blob(blob: bytes) -> tuple[dict, "list[dict]"]:
         pos += 16
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
+        elif codec == "bzip2":
+            import bz2
+
+            try:
+                payload = bz2.decompress(payload)
+            except (OSError, ValueError) as e:
+                raise ValueError(f"avro: bzip2 block failed: {e}") from None
+        elif codec == "xz":
+            import lzma
+
+            try:
+                payload = lzma.decompress(payload)
+            except lzma.LZMAError as e:
+                raise ValueError(f"avro: xz block failed: {e}") from None
         elif codec == "snappy":
             if len(payload) < 4:
                 raise ValueError("avro: snappy block too short for its CRC")

@@ -1,0 +1,459 @@
+"""Delta Lake table READER without delta-spark (transaction-log replay).
+
+Plenty of 100 TB estates keep their curated corpora in Delta tables;
+reading one from a locked-down Spark (no ``delta-spark`` jar, no
+catalog) only needs the PUBLIC Delta Transaction Log Protocol
+(delta-io PROTOCOL.md; nothing here reads Delta source code):
+
+    <root>/_delta_log/%020d.json                 one commit per version
+    <root>/_delta_log/%020d.checkpoint.parquet   periodic full state
+    <root>/_delta_log/_last_checkpoint           JSON pointer
+
+Each commit is JSON-lines of ACTIONS: ``metaData`` (schemaString — a
+Spark JSON schema — plus partitionColumns), ``protocol`` (reader
+version gate), ``add`` (a live data file: path, partitionValues,
+optional stats with numRecords/minValues/maxValues), ``remove`` (a
+file leaving the snapshot), ``commitInfo`` (ignored).  A snapshot at
+version V = the latest checkpoint at or below V (full state) plus the
+JSON commits after it, last action per path winning.
+
+Reader posture:
+
+- LOG REPLAY IS DRIVER-SIDE, O(#actions) — checkpoint parquet is read
+  through pyarrow (it is metadata, not data).  Data files are read by
+  Spark in ONE ``spark.read.parquet(*files)`` call;
+- PARTITION COLUMNS are not stored in Delta data files — their values
+  live in the log.  They are attached via ``input_file_name()`` plus a
+  BROADCAST file->partition-values mapping join (O(#files) dim), so a
+  high-partition-cardinality table costs one broadcast join, not one
+  plan branch per partition;
+- ``prune`` (col -> (lo, hi)) skips files whose add-action stats
+  cannot overlap — the same manifest-pruning contract as
+  operators/table.pruned_files, and the 100 TB point of a log-backed
+  table.  Pruning is an I/O optimization, never a correctness filter;
+- protocol gating is HONEST: minReaderVersion > 3, reader features
+  beyond plain reads (deletionVectors, columnMapping, v2Checkpoint),
+  or a column-mapping mode in the table config raise
+  ``NotImplementedError`` by name — a silently wrong snapshot is the
+  one unacceptable outcome for a table reader;
+- time travel: any version between the oldest reachable checkpoint/
+  commit and the newest.
+
+``build_delta_table`` is the fixture-side twin: it writes real data
+files, JSON commits, and a real parquet checkpoint + ``_last_
+checkpoint`` pointer, so tests and the catalog oracle exercise the
+same layout a Delta writer produces.
+
+Reference analogue: none (the reference has no lakehouse surface);
+extension inventory SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["delta_snapshot", "delta_read", "build_delta_table"]
+
+_LOG_DIR = "_delta_log"
+
+# reader features this reader actually implements (protocol v3 tables
+# list required features explicitly; anything else must refuse)
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+def _as_dict(v):
+    """Arrow map columns materialize as [(k, v), ...]; JSON actions as
+    dicts — normalize both."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _commit_versions(root: str) -> "list[int]":
+    d = _log_path(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json") and len(n) == 25 and n[:20].isdigit():
+            out.append(int(n[:20]))
+    return sorted(out)
+
+
+def _checkpoint_versions(root: str) -> "list[int]":
+    d = _log_path(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".checkpoint.parquet") and n[:20].isdigit():
+            out.append(int(n[:20]))
+    return sorted(out)
+
+
+def _check_protocol(proto: dict) -> None:
+    mrv = proto.get("minReaderVersion", 1)
+    if mrv > 3:
+        raise NotImplementedError(
+            f"delta: minReaderVersion {mrv} is beyond this reader (<= 3)"
+        )
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if mrv >= 3 and unsupported:
+        raise NotImplementedError(
+            f"delta: reader features {sorted(unsupported)} are not "
+            "supported (plain parquet reads are)"
+        )
+
+
+def _check_metadata(meta: dict) -> None:
+    conf = meta.get("configuration") or {}
+    cmode = conf.get("delta.columnMapping.mode", "none")
+    if cmode != "none":
+        raise NotImplementedError(
+            f"delta: columnMapping.mode={cmode!r} is not supported "
+            "(physical-name indirection)"
+        )
+
+
+def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
+    """Replay the log -> {'version', 'schema' (StructType),
+    'partition_columns', 'files': {path: {'partitionValues', 'stats'}},
+    'n_commits_replayed'}.  Raises ValueError for a missing/empty log
+    or unknown version, NotImplementedError for protocol features this
+    reader must not guess at."""
+    root = root.rstrip("/")
+    commits = _commit_versions(root)
+    checkpoints = _checkpoint_versions(root)
+    if not commits and not checkpoints:
+        raise ValueError(f"delta: no _delta_log commits under {root!r}")
+    newest = max(commits[-1] if commits else -1,
+                 checkpoints[-1] if checkpoints else -1)
+    v = newest if version is None else version
+    if v < 0 or (v not in commits and v not in checkpoints):
+        raise ValueError(
+            f"delta: version {version} not in the log (newest {newest})"
+        )
+    meta: "dict | None" = None
+    files: dict = {}
+    start = 0
+    ck = [c for c in checkpoints if c <= v]
+    replayed = 0
+    if ck:
+        import pyarrow.parquet as pq
+
+        cv = ck[-1]
+        tbl = pq.read_table(
+            os.path.join(_log_path(root), f"{cv:020d}.checkpoint.parquet")
+        ).to_pylist()
+        for row in tbl:
+            if row.get("protocol") and row["protocol"].get(
+                "minReaderVersion"
+            ) is not None:
+                _check_protocol(row["protocol"])
+            if row.get("metaData") and row["metaData"].get("schemaString"):
+                meta = dict(row["metaData"])
+                meta["configuration"] = _as_dict(meta.get("configuration"))
+            add = row.get("add")
+            if add and add.get("path"):
+                files[add["path"]] = {
+                    "partitionValues": _as_dict(add.get("partitionValues")),
+                    "stats": add.get("stats"),
+                }
+            # checkpoint 'remove' rows are vacuum tombstones — not part
+            # of the snapshot state
+        start = cv + 1
+    for c in commits:
+        if c < start or c > v:
+            continue
+        replayed += 1
+        path = os.path.join(_log_path(root), f"{c:020d}.json")
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    act = json.loads(line)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"delta: malformed action in {path}: {e}"
+                    ) from None
+                if "protocol" in act:
+                    _check_protocol(act["protocol"])
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "add" in act:
+                    a = act["add"]
+                    files[a["path"]] = {
+                        "partitionValues": a.get("partitionValues") or {},
+                        "stats": a.get("stats"),
+                    }
+                elif "remove" in act:
+                    files.pop(act["remove"]["path"], None)
+    if meta is None:
+        raise ValueError("delta: no metaData action reachable in the log")
+    _check_metadata(meta)
+    try:
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    except (KeyError, ValueError, TypeError) as e:
+        raise ValueError(f"delta: bad schemaString: {e!r}") from None
+    return {
+        "version": v,
+        "schema": schema,
+        "partition_columns": list(meta.get("partitionColumns") or []),
+        "files": files,
+        "n_commits_replayed": replayed,
+    }
+
+
+def _partition_literal(value: "str | None", dtype: T.DataType):
+    """Delta serializes partition values as strings (null as JSON
+    null); cast to the schema's type at plan time."""
+    if value is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def _stats_prunable(stats_json: "str | None", prune: dict) -> bool:
+    """True when the file's add-action stats PROVE no row can match."""
+    if not stats_json:
+        return False
+    try:
+        st = json.loads(stats_json)
+    except json.JSONDecodeError:
+        return False
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    for col, (lo, hi) in prune.items():
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue
+        try:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def delta_read(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: "int | None" = None,
+    prune: "dict | None" = None,
+) -> DataFrame:
+    """The Delta snapshot as a DataFrame (see module docstring for the
+    scale shape).  Partition columns come back typed per the table
+    schema; ``prune`` skips files via add-action stats."""
+    root = path.rstrip("/")
+    snap = delta_snapshot(root, version=version)
+    schema: T.StructType = snap["schema"]
+    pcols = snap["partition_columns"]
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    entries = sorted(snap["files"].items())
+    if prune:
+        entries = [
+            (p, info) for p, info in entries
+            if not _stats_prunable(info.get("stats"), prune)
+        ]
+    if not entries:
+        empty = spark.createDataFrame([], schema)
+        return empty.select(*[f.name for f in schema.fields])
+    abs_paths = [os.path.join(root, p) for p, _ in entries]
+    df = spark.read.parquet(*abs_paths)
+    if pcols:
+        # file -> partition values as a broadcast dim keyed on the
+        # absolute file path input_file_name() reports
+        rows = []
+        for p, info in entries:
+            pv = info["partitionValues"]
+            rows.append(
+                (
+                    "file:" + os.path.abspath(os.path.join(root, p)),
+                    *[pv.get(c) for c in pcols],
+                )
+            )
+        dim_schema = T.StructType(
+            [T.StructField("__delta_file", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+        )
+        dim = spark.createDataFrame(rows, dim_schema)
+        df = (
+            df.withColumn(
+                "__delta_file",
+                F.regexp_replace(F.input_file_name(), "^file://", "file:"),
+            )
+            .join(F.broadcast(dim), "__delta_file")
+            .drop("__delta_file")
+        )
+        for c in pcols:
+            df = df.withColumn(c, F.col(f"__pv_{c}").cast(dtypes[c])).drop(
+                f"__pv_{c}"
+            )
+    return df.select(*[f.name for f in schema.fields])
+
+
+# --- fixture-side twin --------------------------------------------------------
+
+def build_delta_table(
+    spark: SparkSession,
+    root: str,
+    schema: T.StructType,
+    partition_columns: "list[str]",
+    commits: "list[dict]",
+    *,
+    checkpoint_at: "int | None" = None,
+    stats_cols: "list[str] | None" = None,
+    reader_version: int = 1,
+) -> None:
+    """Write a real Delta-layout table: version 0 carries protocol +
+    metaData; each ``commits[i]`` is {'adds': [(partition_values_dict,
+    rows_df)], 'removes': [paths]} becoming version i.  Data files are
+    single-file parquet directories' parts moved to the protocol's flat
+    ``part-*.parquet`` names; add actions carry partitionValues and,
+    for ``stats_cols``, real numRecords/minValues/maxValues stats.
+    ``checkpoint_at=v`` also writes ``v.checkpoint.parquet`` (pyarrow,
+    add+metaData+protocol rows) and the ``_last_checkpoint`` pointer —
+    the full layout a reader must navigate."""
+    import shutil
+
+    root = root.rstrip("/")
+    log = _log_path(root)
+    os.makedirs(log, exist_ok=True)
+    data_cols = [f for f in schema.fields if f.name not in partition_columns]
+    meta_action = {
+        "metaData": {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema.jsonValue()),
+            "partitionColumns": partition_columns,
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    proto_action = {
+        "protocol": {
+            "minReaderVersion": reader_version,
+            "minWriterVersion": 2,
+        }
+    }
+    all_adds: dict = {}
+    for v, commit in enumerate(commits):
+        actions = []
+        if v == 0:
+            actions += [proto_action, meta_action]
+        for pv, rows_df in commit.get("adds", ()):
+            fname = f"part-{uuid.uuid4().hex[:16]}.parquet"
+            tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
+            rows_df.select(
+                *[f.name for f in data_cols]
+            ).coalesce(1).write.mode("error").parquet(tmp)
+            part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+            assert len(part) == 1
+            os.replace(os.path.join(tmp, part[0]), os.path.join(root, fname))
+            shutil.rmtree(tmp)
+            stats = None
+            if stats_cols:
+                from pyspark.sql import functions as SF
+
+                written = spark.read.parquet(os.path.join(root, fname))
+                agg = written.agg(
+                    SF.count(SF.lit(1)).alias("__n"),
+                    *[SF.min(c).alias(f"mn_{i}")
+                      for i, c in enumerate(stats_cols)],
+                    *[SF.max(c).alias(f"mx_{i}")
+                      for i, c in enumerate(stats_cols)],
+                ).first()
+                stats = json.dumps({
+                    "numRecords": agg["__n"],
+                    "minValues": {
+                        c: agg[f"mn_{i}"] for i, c in enumerate(stats_cols)
+                    },
+                    "maxValues": {
+                        c: agg[f"mx_{i}"] for i, c in enumerate(stats_cols)
+                    },
+                })
+            add = {
+                "path": fname,
+                "partitionValues": {
+                    k: (None if val is None else str(val))
+                    for k, val in pv.items()
+                },
+                "size": os.path.getsize(os.path.join(root, fname)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if stats:
+                add["stats"] = stats
+            all_adds[fname] = add
+            actions.append({"add": add})
+        for rp in commit.get("removes", ()):
+            all_adds.pop(rp, None)
+            actions.append(
+                {"remove": {"path": rp, "deletionTimestamp": 0,
+                            "dataChange": True}}
+            )
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        if checkpoint_at == v:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            # explicit arrow schema: partitionValues/configuration are
+            # map<string,string> (pyarrow cannot infer empty structs)
+            str_map = pa.map_(pa.string(), pa.string())
+            add_t = pa.struct([
+                ("path", pa.string()), ("partitionValues", str_map),
+                ("size", pa.int64()), ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()), ("stats", pa.string()),
+            ])
+            meta_t = pa.struct([
+                ("id", pa.string()), ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", str_map), ("createdTime", pa.int64()),
+            ])
+            proto_t = pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+            ])
+            ck_schema = pa.schema([
+                ("add", add_t), ("metaData", meta_t), ("protocol", proto_t),
+            ])
+            rows = [
+                {"add": {**a, "stats": a.get("stats")},
+                 "metaData": None, "protocol": None}
+                for a in all_adds.values()
+            ]
+            m = meta_action["metaData"]
+            rows.append({"add": None,
+                         "metaData": {
+                             "id": m["id"],
+                             "schemaString": m["schemaString"],
+                             "partitionColumns": m["partitionColumns"],
+                             "configuration": m["configuration"],
+                             "createdTime": m["createdTime"],
+                         },
+                         "protocol": None})
+            rows.append({"add": None, "metaData": None,
+                         "protocol": proto_action["protocol"]})
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=ck_schema),
+                os.path.join(log, f"{v:020d}.checkpoint.parquet"),
+            )
+            with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+                json.dump({"version": v, "size": len(rows)}, f)

@@ -26,7 +26,7 @@ RECS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_roundtrip_both_codecs_multiblock(codec):
     blob = build_avro_ocf(SCHEMA, RECS, codec=codec, records_per_block=2)
     hdr, back = parse_avro_blob(blob)
@@ -61,6 +61,12 @@ def test_unsupported_constructs_raise_by_name():
         build_avro_ocf(multi, [])
     with pytest.raises(NotImplementedError, match="codec"):
         build_avro_ocf(SCHEMA, [], codec="zstandard")
+    # a corrupt bzip2/xz block is typed corruption, not OSError
+    for codec in ("bzip2", "xz"):
+        blob = bytearray(build_avro_ocf(SCHEMA, RECS, codec=codec))
+        blob[len(blob) - 30] ^= 0xFF
+        with pytest.raises(ValueError):
+            parse_avro_blob(bytes(blob))
     with pytest.raises(ValueError, match="not nullable"):
         build_avro_ocf(SCHEMA, [{"id": None, "name": "x", "score": 0.0,
                                  "flag": True, "note": None}])
