@@ -370,8 +370,7 @@ def build_delta_table(
             if stats_cols:
                 from pyspark.sql import functions as SF
 
-                written = spark.read.parquet(os.path.join(root, fname))
-                agg = written.agg(
+                agg = rows_df.agg(
                     SF.count(SF.lit(1)).alias("__n"),
                     *[SF.min(c).alias(f"mn_{i}")
                       for i, c in enumerate(stats_cols)],

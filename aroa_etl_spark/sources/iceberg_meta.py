@@ -1,0 +1,423 @@
+"""Apache Iceberg table READER without iceberg-spark (metadata walk).
+
+The second big lakehouse format next to Delta: an Iceberg table is a
+tree of PUBLIC-spec metadata (iceberg.apache.org/spec; nothing here
+reads Iceberg source code) —
+
+    <root>/metadata/vN.metadata.json      table metadata + snapshots
+    <root>/metadata/version-hint.text     optional newest-N pointer
+    snapshot.manifest-list  -> Avro of ``manifest_file`` records
+    manifest_file.manifest_path -> Avro of ``manifest_entry`` records
+    manifest_entry.data_file.file_path -> parquet data
+
+and BOTH Avro layers are read by the engine's own OCF reader
+(sources/avro_ocf.py) — the round-11 logical-type/bytes/fixed work is
+exactly what Iceberg's manifest schemas exercise.
+
+Unlike Delta there is NO log replay: every snapshot's manifest list
+enumerates the COMPLETE file set, so time travel is "pick the
+snapshot, read its tree".  Reader posture:
+
+- metadata/manifests are DRIVER-SIDE, O(#manifests + #files); data is
+  one ``spark.read.parquet(*files)`` (identity-partition columns are
+  stored IN Iceberg data files, so no reconstruction join is needed —
+  the opposite of Delta, and the reason this reader has zero joins);
+- ``prune`` (col -> (lo, hi)) drops data files whose
+  ``data_file.partition`` value for an identity-partitioned column
+  cannot overlap — manifest-tree pruning, I/O-only as always;
+- HONEST gates: format-version > 2, DELETE manifests (v2
+  ``manifest_file.content = 1``) and delete data files
+  (``data_file.content != 0``) raise ``NotImplementedError`` by name —
+  merge-on-read semantics must not be silently ignored;
+- ``manifest_entry.status = 2`` (DELETED) rows are history, not state:
+  they are skipped, which is the spec's read path.
+
+``build_iceberg_table`` is the fixture twin: real parquet data files,
+real Avro manifests/manifest lists written by the engine's own OCF
+writer with spec-shaped schemas, metadata.json + version-hint — the
+full tree a reader must navigate.
+
+Reference analogue: none; extension inventory SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["iceberg_snapshot", "iceberg_read", "build_iceberg_table"]
+
+
+def _metadata_path(root: str) -> str:
+    mdir = os.path.join(root, "metadata")
+    if not os.path.isdir(mdir):
+        raise ValueError(f"iceberg: no metadata/ directory under {root!r}")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        p = os.path.join(mdir, f"v{n}.metadata.json")
+        if os.path.exists(p):
+            return p
+    cands = []
+    for name in os.listdir(mdir):
+        if name.endswith(".metadata.json") and name.startswith("v"):
+            try:
+                cands.append((int(name[1:-len(".metadata.json")]), name))
+            except ValueError:
+                continue
+    if not cands:
+        raise ValueError(f"iceberg: no vN.metadata.json under {mdir!r}")
+    return os.path.join(mdir, max(cands)[1])
+
+
+def _resolve(root: str, path: str) -> str:
+    """Spec paths are absolute URIs of the writing environment; treat
+    anything under the table location as root-relative (the portable
+    reading every engine applies to relocated tables)."""
+    if "://" in path:
+        path = path.split("://", 1)[1]
+    if not os.path.isabs(path):
+        return os.path.join(root, path)
+    # absolute path from another environment: re-anchor at the table
+    marker = "/metadata/"
+    for m in (marker, "/data/"):
+        if m in path:
+            return os.path.join(root, path[path.index(m) + 1:])
+    return path
+
+
+def iceberg_snapshot(
+    root: str, *, snapshot_id: "int | None" = None
+) -> dict:
+    """Walk the metadata tree -> {'snapshot_id', 'files': {path:
+    {'partition', 'record_count'}}, 'schema' (the metadata's JSON
+    schema dict), 'partition_fields', 'n_manifests'}."""
+    from aroa_etl_spark.sources.avro_ocf import parse_avro_blob
+
+    root = root.rstrip("/")
+    with open(_metadata_path(root), encoding="utf-8") as f:
+        meta = json.load(f)
+    fv = meta.get("format-version", 1)
+    if fv > 2:
+        raise NotImplementedError(
+            f"iceberg: format-version {fv} is beyond this reader (<= 2)"
+        )
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise ValueError("iceberg: table has no snapshots")
+    sid = meta.get("current-snapshot-id") if snapshot_id is None \
+        else snapshot_id
+    chosen = [s for s in snaps if s.get("snapshot-id") == sid]
+    if not chosen:
+        raise ValueError(
+            f"iceberg: snapshot {snapshot_id} not in the metadata "
+            f"(have {[s.get('snapshot-id') for s in snaps]})"
+        )
+    snap = chosen[0]
+    ml_path = _resolve(root, snap["manifest-list"])
+    with open(ml_path, "rb") as f:
+        _hdr, manifests = parse_avro_blob(f.read())
+    files: dict = {}
+    for mf in manifests:
+        if mf.get("content", 0) == 1:
+            raise NotImplementedError(
+                "iceberg: DELETE manifests (v2 merge-on-read) are not "
+                "supported; copy-on-write tables are"
+            )
+        mpath = _resolve(root, mf["manifest_path"])
+        with open(mpath, "rb") as f:
+            _h2, entries = parse_avro_blob(f.read())
+        for e in entries:
+            if e.get("status") == 2:  # DELETED: history, not state
+                continue
+            df_ = e["data_file"]
+            if df_.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "iceberg: delete data files (position/equality "
+                    "deletes) are not supported"
+                )
+            fmt = (df_.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg: data file format {fmt} is not supported"
+                )
+            files[df_["file_path"]] = {
+                "partition": df_.get("partition") or {},
+                "record_count": df_.get("record_count"),
+            }
+    # identity partition fields of the current spec (for prune checks)
+    pfields = []
+    for spec in meta.get("partition-specs") or []:
+        if spec.get("spec-id") == meta.get("default-spec-id", 0):
+            pfields = [
+                f["name"] for f in spec.get("fields", ())
+                if f.get("transform") == "identity"
+            ]
+    return {
+        "snapshot_id": sid,
+        "files": files,
+        "schema": meta.get("schemas", [meta.get("schema")])[-1],
+        "partition_fields": pfields,
+        "n_manifests": len(manifests),
+    }
+
+
+def iceberg_read(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: "int | None" = None,
+    prune: "dict | None" = None,
+) -> DataFrame:
+    """The Iceberg snapshot as a DataFrame.  ``prune`` (col ->
+    (lo, hi)) drops files by their identity-partition value — I/O-only,
+    rows still flow for kept files."""
+    root = path.rstrip("/")
+    snap = iceberg_snapshot(root, snapshot_id=snapshot_id)
+    entries = sorted(snap["files"].items())
+    if prune:
+        def keep(info) -> bool:
+            part = info["partition"]
+            for col, (lo, hi) in prune.items():
+                v = part.get(col)
+                if v is None:
+                    continue
+                try:
+                    if (hi is not None and v > hi) or (
+                        lo is not None and v < lo
+                    ):
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        entries = [(p, i) for p, i in entries if keep(i)]
+    if not entries:
+        raise ValueError(
+            "iceberg: every file pruned/empty — read without prune to "
+            "get the schema-bearing frame"
+        )
+    return spark.read.parquet(
+        *[_resolve(root, p) for p, _ in entries]
+    )
+
+
+# --- fixture-side twin ---------------------------------------------------------
+
+# spec-shaped Avro schemas (field subsets this reader consumes; real
+# writers add more optional fields, which the OCF reader's record walk
+# tolerates only if declared — fixtures declare exactly these)
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+    ],
+}
+
+
+def _manifest_entry_schema(partition_fields: "list[tuple[str, str]]"):
+    part_fields = [
+        {"name": n, "type": ["null", t], "field-id": 1000 + i}
+        for i, (n, t) in enumerate(partition_fields)
+    ]
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part_fields,
+                    }},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            }},
+        ],
+    }
+
+
+def build_iceberg_table(
+    spark: SparkSession,
+    root: str,
+    schema_fields: "list[tuple[str, str]]",
+    partition_fields: "list[tuple[str, str]]",
+    snapshots: "list[list[dict]]",
+    *,
+    format_version: int = 2,
+) -> "list[int]":
+    """Write a real Iceberg-layout table.  ``snapshots[i]`` is a list
+    of manifest specs {'adds': [(partition_values, rows_df)],
+    'deletes': [file_paths], 'delete_where': {col: value}} — each
+    spec's adds become ONE manifest
+    Avro file, so multi-spec snapshots produce MULTI-MANIFEST lists.
+    Deletes REWRITE the affected older manifest with the deleted
+    entries flipped to status 2 (the copy-on-write metadata rewrite a
+    real compaction performs), and the rewritten manifest stays in the
+    list — the reader must skip status-2 rows, which is exactly the
+    spec's read path.  Returns snapshot ids."""
+    import shutil
+
+    root = root.rstrip("/")
+    mdir = os.path.join(root, "metadata")
+    ddir = os.path.join(root, "data")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    from aroa_etl_spark.sources.avro_ocf import build_avro_ocf
+
+    entry_schema = _manifest_entry_schema(partition_fields)
+
+    def _entry(status, sid, fp, pv, n, sz):
+        return {
+            "status": status,
+            "snapshot_id": sid,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": pv,
+                "record_count": n,
+                "file_size_in_bytes": sz,
+            },
+        }
+
+    def _write_manifest(entries):
+        name = f"metadata/manifest-{uuid.uuid4().hex[:12]}.avro"
+        blob = build_avro_ocf(entry_schema, entries, codec="deflate")
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(blob)
+        n_added = sum(1 for e in entries if e["status"] == 1)
+        return (name, len(blob), n_added, entries)
+
+    snap_ids = []
+    snaps_meta = []
+    manifests: list = []  # (name, length, n_added, entries) in list order
+    for i, manifest_specs in enumerate(snapshots):
+        sid = 1000 + i
+        snap_ids.append(sid)
+        for spec in manifest_specs:
+            # delete selectors resolve against the PRE-add state, so a
+            # compaction spec (delete_where + re-add in one manifest
+            # spec) does not swallow its own replacement file
+            pre_manifests = list(manifests)
+            adds = []
+            for pv, rows_df in spec.get("adds", ()):
+                fname = f"data/part-{uuid.uuid4().hex[:16]}.parquet"
+                tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
+                n_rows = rows_df.count()
+                rows_df.coalesce(1).write.mode("error").parquet(tmp)
+                part = [n for n in os.listdir(tmp)
+                        if n.endswith(".parquet")][0]
+                os.replace(os.path.join(tmp, part),
+                           os.path.join(root, fname))
+                shutil.rmtree(tmp)
+                adds.append(_entry(
+                    1, sid, fname, dict(pv), n_rows,
+                    os.path.getsize(os.path.join(root, fname)),
+                ))
+            if adds:
+                manifests.append(_write_manifest(adds))
+            dels = set(spec.get("deletes") or ())
+            if spec.get("delete_where"):
+                want = spec["delete_where"]
+                for _name, _ln, _na, entries in pre_manifests:
+                    for e in entries:
+                        if e["status"] == 2:
+                            continue
+                        pv = e["data_file"]["partition"]
+                        if all(pv.get(k) == v for k, v in want.items()):
+                            dels.add(e["data_file"]["file_path"])
+            if dels:
+                rewritten = []
+                for name, ln, na, entries in manifests:
+                    touched = [
+                        e for e in entries
+                        if e["data_file"]["file_path"] in dels
+                        and e["status"] != 2
+                    ]
+                    if not touched:
+                        rewritten.append((name, ln, na, entries))
+                        continue
+                    new_entries = [
+                        (
+                            {**e, "status": 2, "snapshot_id": sid}
+                            if e["data_file"]["file_path"] in dels
+                            else e
+                        )
+                        for e in entries
+                    ]
+                    rewritten.append(_write_manifest(new_entries))
+                manifests = rewritten
+        manifest_paths = [(n, ln, na) for n, ln, na, _e in manifests]
+        ml_name = f"metadata/snap-{sid}-manifest-list.avro"
+        ml_records = [
+            {
+                "manifest_path": mp,
+                "manifest_length": ln,
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": sid,
+                "added_files_count": ne,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+            }
+            for mp, ln, ne in manifest_paths
+        ]
+        with open(os.path.join(root, ml_name), "wb") as f:
+            f.write(build_avro_ocf(_MANIFEST_FILE_SCHEMA, ml_records))
+        snaps_meta.append({
+            "snapshot-id": sid,
+            "timestamp-ms": 0,
+            "manifest-list": ml_name,
+            "summary": {"operation": "append"},
+        })
+        meta = {
+            "format-version": format_version,
+            "table-uuid": "00000000-0000-0000-0000-000000000000",
+            "location": root,
+            "current-snapshot-id": sid,
+            "snapshots": snaps_meta,
+            "schemas": [{
+                "type": "struct", "schema-id": 0,
+                "fields": [
+                    {"id": j + 1, "name": n, "required": False, "type": t}
+                    for j, (n, t) in enumerate(schema_fields)
+                ],
+            }],
+            "current-schema-id": 0,
+            "partition-specs": [{
+                "spec-id": 0,
+                "fields": [
+                    {"name": n, "transform": "identity",
+                     "source-id": 1 + [f[0] for f in schema_fields].index(n),
+                     "field-id": 1000 + j}
+                    for j, (n, _t) in enumerate(partition_fields)
+                ],
+            }],
+            "default-spec-id": 0,
+        }
+        with open(os.path.join(mdir, f"v{i + 1}.metadata.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write(str(i + 1))
+    return snap_ids
