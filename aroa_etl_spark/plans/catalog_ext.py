@@ -3564,8 +3564,9 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the null / raw-deflate / SNAPPY codecs — snappy via the vendored
     pure-Python block-format decoder with the spec's big-endian CRC32
     verified; round 10 closed all three former boundaries).  Every
-    document becomes a 2-4-record OCF (codec rotating null/deflate/
-    snappy by blob, multi-block at 2 records per block) parsed back
+    document becomes a 2-4-record OCF (codec rotating ALL SIX — null/
+    deflate/snappy/bzip2/xz/zstandard — by blob, multi-block at 2
+    records per block) parsed back
     through the typed mapInPandas kernel — struct and array columns
     land as real Spark STRUCT/ARRAY types and are flattened to scalar
     columns only for the cross-engine hash surface.  Round 11 adds the
@@ -3636,7 +3637,8 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bytearray(
                     build_avro_ocf(
                         schema, recs,
-                        codec=("null", "deflate", "snappy")[k % 3],
+                        codec=("null", "deflate", "snappy", "bzip2",
+                               "xz", "zstandard")[k % 6],
                         records_per_block=2,
                     )
                 ),

@@ -73,7 +73,7 @@ __all__ = [
 
 _MAGIC = b"Obj\x01"
 _SIMPLE = {"long", "int", "string", "double", "boolean", "bytes"}
-_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
 
 
 # --- vendored snappy block format -------------------------------------------
@@ -176,6 +176,41 @@ def snappy_compress(data: bytes) -> bytes:
 
 
 # --- primitive binary codec ------------------------------------------------
+
+def _zstd_content_size(buf: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1):
+    pyarrow's bundled zstd can decompress only with the expected size,
+    and Avro's zstandard codec is raw frames — writers that know their
+    input size (pyarrow, python-zstandard, zstd-jni defaults) always
+    record it.  Frames without it raise NotImplementedError by name."""
+    if len(buf) < 5 or buf[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("avro: zstandard block without a zstd frame magic")
+    fhd = buf[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_flag = fhd & 3
+    pos = 5
+    if not single_segment:
+        pos += 1  # Window_Descriptor
+    pos += (0, 1, 2, 4)[did_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            raise NotImplementedError(
+                "avro: zstd frame does not record its content size "
+                "(streaming-mode writer); size-carrying frames are "
+                "supported"
+            )
+        size_len = 1
+    else:
+        size_len = (0, 2, 4, 8)[fcs_flag]
+    raw = buf[pos:pos + size_len]
+    if len(raw) != size_len:
+        raise ValueError("avro: zstd frame header truncated")
+    n = int.from_bytes(raw, "little")
+    if fcs_flag == 1:
+        n += 256
+    return n
+
 
 def _zz_encode(n: int) -> bytes:
     u = (n << 1) ^ (n >> 63)
@@ -568,6 +603,10 @@ def build_avro_ocf(
             import lzma
 
             payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            payload = bytes(pa.Codec("zstd").compress(payload))
         elif codec == "snappy":
             # spec: snappy block + 4-byte BIG-endian CRC32 of the
             # UNCOMPRESSED data
@@ -652,6 +691,21 @@ def parse_avro_blob(blob: bytes) -> tuple[dict, "list[dict]"]:
                 payload = lzma.decompress(payload)
             except lzma.LZMAError as e:
                 raise ValueError(f"avro: xz block failed: {e}") from None
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            n = _zstd_content_size(payload)
+            if n > 1 << 31:
+                raise ValueError(
+                    f"avro: zstd block declares {n} bytes (corrupt or "
+                    "hostile frame header)"
+                )
+            try:
+                payload = bytes(pa.Codec("zstd").decompress(payload, n))
+            except (pa.lib.ArrowException, OSError, ValueError) as e:
+                raise ValueError(
+                    f"avro: zstandard block failed: {e}"
+                ) from None
         elif codec == "snappy":
             if len(payload) < 4:
                 raise ValueError("avro: snappy block too short for its CRC")

@@ -26,7 +26,7 @@ RECS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"])
 def test_roundtrip_both_codecs_multiblock(codec):
     blob = build_avro_ocf(SCHEMA, RECS, codec=codec, records_per_block=2)
     hdr, back = parse_avro_blob(blob)
@@ -60,7 +60,16 @@ def test_unsupported_constructs_raise_by_name():
     with pytest.raises(NotImplementedError, match="union"):
         build_avro_ocf(multi, [])
     with pytest.raises(NotImplementedError, match="codec"):
-        build_avro_ocf(SCHEMA, [], codec="zstandard")
+        build_avro_ocf(SCHEMA, [], codec="lz4")
+    # a zstd frame that does not record its content size is a named
+    # boundary (streaming writers), not a crash
+    from aroa_etl_spark.sources.avro_ocf import _zstd_content_size
+
+    with pytest.raises(NotImplementedError, match="content size"):
+        #  magic + FHD(fcs=0, not single-segment) + window byte
+        _zstd_content_size(b"\x28\xb5\x2f\xfd\x00\x00rest")
+    with pytest.raises(ValueError, match="magic"):
+        _zstd_content_size(b"nope")
     # a corrupt bzip2/xz block is typed corruption, not OSError
     for codec in ("bzip2", "xz"):
         blob = bytearray(build_avro_ocf(SCHEMA, RECS, codec=codec))
