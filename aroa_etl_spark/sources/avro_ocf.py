@@ -676,7 +676,14 @@ def parse_avro_blob(blob: bytes) -> tuple[dict, "list[dict]"]:
             )
         pos += 16
         if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
+            try:
+                payload = zlib.decompress(payload, -15)
+            except zlib.error as e:
+                # fuzz finding (r11): raw zlib.error leaked past the
+                # ValueError taxonomy on corrupted deflate blocks
+                raise ValueError(
+                    f"avro: deflate block failed to inflate: {e}"
+                ) from None
         elif codec == "bzip2":
             import bz2
 

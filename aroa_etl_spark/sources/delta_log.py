@@ -155,9 +155,15 @@ def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
         import pyarrow.parquet as pq
 
         cv = ck[-1]
-        tbl = pq.read_table(
-            os.path.join(_log_path(root), f"{cv:020d}.checkpoint.parquet")
-        ).to_pylist()
+        try:
+            tbl = pq.read_table(
+                os.path.join(_log_path(root), f"{cv:020d}.checkpoint.parquet")
+            ).to_pylist()
+        except Exception as e:  # pyarrow raises OSError/ArrowInvalid
+            # fuzz finding (r11): a corrupt checkpoint leaked OSError
+            raise ValueError(
+                f"delta: unreadable checkpoint v{cv}: {e}"
+            ) from None
         for row in tbl:
             if row.get("protocol") and row["protocol"].get(
                 "minReaderVersion"
@@ -191,19 +197,29 @@ def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
                     raise ValueError(
                         f"delta: malformed action in {path}: {e}"
                     ) from None
-                if "protocol" in act:
-                    _check_protocol(act["protocol"])
-                elif "metaData" in act:
-                    meta = act["metaData"]
-                elif "add" in act:
-                    a = act["add"]
-                    files[a["path"]] = {
-                        "partitionValues": a.get("partitionValues") or {},
-                        "stats": a.get("stats"),
-                    }
-                elif "remove" in act:
-                    files.pop(act["remove"]["path"], None)
-    if meta is None:
+                if not isinstance(act, dict):
+                    raise ValueError(
+                        f"delta: action is not an object in {path}"
+                    )
+                try:
+                    if "protocol" in act:
+                        _check_protocol(act["protocol"] or {})
+                    elif "metaData" in act:
+                        meta = act["metaData"]
+                    elif "add" in act:
+                        a = act["add"]
+                        files[a["path"]] = {
+                            "partitionValues": a.get("partitionValues")
+                            or {},
+                            "stats": a.get("stats"),
+                        }
+                    elif "remove" in act:
+                        files.pop(act["remove"]["path"], None)
+                except (KeyError, TypeError, AttributeError) as e:
+                    raise ValueError(
+                        f"delta: malformed action fields in {path}: {e!r}"
+                    ) from None
+    if not isinstance(meta, dict):
         raise ValueError("delta: no metaData action reachable in the log")
     _check_metadata(meta)
     try:

@@ -100,8 +100,15 @@ def iceberg_snapshot(
 
     root = root.rstrip("/")
     with open(_metadata_path(root), encoding="utf-8") as f:
-        meta = json.load(f)
+        try:
+            meta = json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"iceberg: malformed metadata json: {e}") from None
+    if not isinstance(meta, dict):
+        raise ValueError("iceberg: metadata json is not an object")
     fv = meta.get("format-version", 1)
+    if not isinstance(fv, int):
+        raise ValueError("iceberg: non-integer format-version")
     if fv > 2:
         raise NotImplementedError(
             f"iceberg: format-version {fv} is beyond this reader (<= 2)"
@@ -118,11 +125,17 @@ def iceberg_snapshot(
             f"(have {[s.get('snapshot-id') for s in snaps]})"
         )
     snap = chosen[0]
-    ml_path = _resolve(root, snap["manifest-list"])
+    if not isinstance(snap, dict) or "manifest-list" not in snap:
+        raise ValueError("iceberg: snapshot without a manifest-list")
+    ml_path = _resolve(root, str(snap["manifest-list"]))
     with open(ml_path, "rb") as f:
         _hdr, manifests = parse_avro_blob(f.read())
     files: dict = {}
     for mf in manifests:
+        if not isinstance(mf, dict) or "manifest_path" not in mf:
+            raise ValueError(
+                "iceberg: manifest-list record without manifest_path"
+            )
         if mf.get("content", 0) == 1:
             raise NotImplementedError(
                 "iceberg: DELETE manifests (v2 merge-on-read) are not "
@@ -134,7 +147,11 @@ def iceberg_snapshot(
         for e in entries:
             if e.get("status") == 2:  # DELETED: history, not state
                 continue
-            df_ = e["data_file"]
+            df_ = e.get("data_file") if isinstance(e, dict) else None
+            if not isinstance(df_, dict) or "file_path" not in df_:
+                raise ValueError(
+                    "iceberg: manifest entry without a data_file path"
+                )
             if df_.get("content", 0) != 0:
                 raise NotImplementedError(
                     "iceberg: delete data files (position/equality "

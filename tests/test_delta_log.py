@@ -149,3 +149,38 @@ def test_malformed_action_is_valueerror(spark, tmp_path):
         f.write('{"add": {"path"::: garbage\n')
     with pytest.raises(ValueError, match="malformed action"):
         delta_read(spark, root)
+
+
+def test_fuzz_delta_log_taxonomy(spark, tmp_path):
+    """Mutated commit JSON / checkpoint bytes surface as ValueError /
+    NotImplementedError, never KeyError/TypeError/json passthroughs."""
+    import random
+
+    root = str(tmp_path / "dfz")
+    _build(spark, root, checkpoint_at=1)
+    log = os.path.join(root, "_delta_log")
+    names = sorted(os.listdir(log))
+    rng = random.Random(5)
+    originals = {n: open(os.path.join(log, n), "rb").read() for n in names}
+    for _ in range(250):
+        victim = rng.choice(names)
+        b = bytearray(originals[victim])
+        op = rng.randrange(3)
+        if op == 0 and len(b) > 4:
+            b = b[: rng.randrange(4, len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(8)) + b[i:]
+        with open(os.path.join(log, victim), "wb") as f:
+            f.write(bytes(b))
+        try:
+            delta_snapshot(root)
+        except (ValueError, NotImplementedError, KeyError) as e:
+            # KeyError would be a taxonomy leak: fail loudly if seen
+            assert not isinstance(e, KeyError), (victim, e)
+        finally:
+            with open(os.path.join(log, victim), "wb") as f:
+                f.write(originals[victim])

@@ -115,3 +115,39 @@ def test_version_hint_and_missing_table(spark, tmp_path):
         [1, 2, 3, 9]
     with pytest.raises(ValueError, match="no metadata"):
         iceberg_read(spark, str(tmp_path / "nope"))
+
+
+def test_fuzz_iceberg_metadata_taxonomy(spark, tmp_path):
+    """Mutated metadata.json / manifest-list / manifest Avro bytes
+    surface as ValueError / NotImplementedError only."""
+    import random
+
+    root = str(tmp_path / "ifz")
+    _build(spark, root)
+    mdir = os.path.join(root, "metadata")
+    names = [os.path.join("metadata", n) for n in sorted(os.listdir(mdir))]
+    rng = random.Random(6)
+    originals = {n: open(os.path.join(root, n), "rb").read() for n in names}
+    for _ in range(250):
+        victim = rng.choice(names)
+        b = bytearray(originals[victim])
+        op = rng.randrange(3)
+        if op == 0 and len(b) > 4:
+            b = b[: rng.randrange(4, len(b))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(8)) + b[i:]
+        with open(os.path.join(root, victim), "wb") as f:
+            f.write(bytes(b))
+        try:
+            iceberg_snapshot(root)
+        except (ValueError, NotImplementedError):
+            pass
+        except FileNotFoundError:
+            pass  # a mutated path pointing nowhere is an I/O miss
+        finally:
+            with open(os.path.join(root, victim), "wb") as f:
+                f.write(originals[victim])
