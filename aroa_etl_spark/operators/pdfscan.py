@@ -558,14 +558,20 @@ def _parse_tounicode(data: bytes) -> "dict[int, str]":
                 raise ValueError("pdf: ToUnicode bfrange out of bounds")
             if rm.group(3) is not None:
                 h = rm.group(3)
-                width = max(2, len(h) + len(h) % 2) // 2
+                # at least one UTF-16 code unit (review finding r11:
+                # the old max() applied before //2, flooring 2-digit
+                # dsts to width 1 and mis-decoding the whole range)
+                width = max(2, (len(h) + len(h) % 2) // 2)
                 base = int(h, 16) if h else 0
                 for c in range(lo, hi + 1):
-                    cmap[c] = (
-                        (base + c - lo)
-                        .to_bytes(width, "big")
-                        .decode("utf-16-be", "replace")
-                    )
+                    try:
+                        raw = (base + c - lo).to_bytes(width, "big")
+                    except OverflowError:
+                        raise ValueError(
+                            "pdf: bfrange increment overflows its dst "
+                            "width"
+                        ) from None
+                    cmap[c] = raw.decode("utf-16-be", "replace")
             else:
                 dsts = re.findall(rb"<([0-9A-Fa-f]*)>", rm.group(4))
                 for c, h in zip(range(lo, hi + 1), dsts):

@@ -3762,95 +3762,28 @@ def s_delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         stats_cols=["k"],
     )
-    # compaction commit: band 1 rewritten content-identically
+    import json as _json
+
+    # compaction commit: band 1 rewritten content-identically —
+    # expressed through the builder's log-continuation mode (r11
+    # review: the hand-rolled commit/checkpoint writer duplicated
+    # build_delta_table), with the real parquet checkpoint +
+    # _last_checkpoint pointer written at version 2
     b1_file = [
         p for p, i in delta_snapshot(t)["files"].items()
         if i["partitionValues"].get("band") == "1"
     ][0]
     build_more = delta_read(spark, t).filter(F.col("band") == 1).select("k", "p")
-    # versions continue where the builder stopped: write v2 (compact)
-    # and v3 (band 3) through a second builder call is not possible
-    # (it restarts at 0), so extend the log with the same primitives
-    from aroa_etl_spark.sources import delta_log as dl
-    import json as _json
-    import uuid as _uuid
-
-    def _append_commit(version, adds, removes=()):
-        actions = []
-        for pv, rows_df in adds:
-            fname = f"part-{_uuid.uuid4().hex[:16]}.parquet"
-            tmp = os.path.join(t, f".tmp-{_uuid.uuid4().hex[:8]}")
-            rows_df.coalesce(1).write.mode("error").parquet(tmp)
-            pf = [n for n in os.listdir(tmp) if n.endswith(".parquet")][0]
-            os.replace(os.path.join(tmp, pf), os.path.join(t, fname))
-            shutil.rmtree(tmp)
-            written = spark.read.parquet(os.path.join(t, fname))
-            agg = written.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("k").alias("mn"), F.max("k").alias("mx"),
-            ).first()
-            actions.append({"add": {
-                "path": fname,
-                "partitionValues": {kk: str(vv) for kk, vv in pv.items()},
-                "size": os.path.getsize(os.path.join(t, fname)),
-                "modificationTime": 0, "dataChange": True,
-                "stats": _json.dumps({
-                    "numRecords": agg["n"],
-                    "minValues": {"k": agg["mn"]},
-                    "maxValues": {"k": agg["mx"]},
-                }),
-            }})
-        for rp in removes:
-            actions.append({"remove": {
-                "path": rp, "deletionTimestamp": 0, "dataChange": True}})
-        with open(os.path.join(
-            t, "_delta_log", f"{version:020d}.json"
-        ), "w") as f:
-            for a in actions:
-                f.write(_json.dumps(a) + "\n")
-
-    _append_commit(2, [({"band": 1}, build_more)], removes=[b1_file])
-    # checkpoint covering v0-2 via the builder's own writer shape is
-    # emulated: re-derive state and write the parquet + pointer
-    snap2 = delta_snapshot(t, version=2)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    str_map = pa.map_(pa.string(), pa.string())
-    ck_schema = pa.schema([
-        ("add", pa.struct([
-            ("path", pa.string()), ("partitionValues", str_map),
-            ("size", pa.int64()), ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_()), ("stats", pa.string())])),
-        ("metaData", pa.struct([
-            ("id", pa.string()), ("schemaString", pa.string()),
-            ("partitionColumns", pa.list_(pa.string())),
-            ("configuration", str_map), ("createdTime", pa.int64())])),
-        ("protocol", pa.struct([
-            ("minReaderVersion", pa.int32()),
-            ("minWriterVersion", pa.int32())])),
-    ])
-    ck_rows = [
-        {"add": {"path": p, "partitionValues": i["partitionValues"],
-                 "size": 1, "modificationTime": 0, "dataChange": True,
-                 "stats": i["stats"]},
-         "metaData": None, "protocol": None}
-        for p, i in sorted(snap2["files"].items())
-    ]
-    ck_rows.append({"add": None, "metaData": {
-        "id": "ck", "schemaString": _json.dumps(schema.jsonValue()),
-        "partitionColumns": ["band"], "configuration": {},
-        "createdTime": 0}, "protocol": None})
-    ck_rows.append({"add": None, "metaData": None,
-                    "protocol": {"minReaderVersion": 1,
-                                 "minWriterVersion": 2}})
-    pq.write_table(
-        pa.Table.from_pylist(ck_rows, schema=ck_schema),
-        os.path.join(t, "_delta_log", f"{2:020d}.checkpoint.parquet"),
+    build_delta_table(
+        spark, t, schema, ["band"],
+        [{"adds": [({"band": 1}, build_more)], "removes": [b1_file]}],
+        start_version=2, checkpoint_at=2, stats_cols=["k"],
     )
-    with open(os.path.join(t, "_delta_log", "_last_checkpoint"), "w") as f:
-        _json.dump({"version": 2, "size": len(ck_rows)}, f)
-    _append_commit(3, [({"band": 3}, part[3])])
+    build_delta_table(
+        spark, t, schema, ["band"],
+        [{"adds": [({"band": 3}, part[3])]}],
+        start_version=3, stats_cols=["k"],
+    )
 
     # --- in-entry attestations ---
     snap = delta_snapshot(t)

@@ -359,7 +359,14 @@ def _encode_node(node, v) -> bytes:
 
         unit = node[2]
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # review finding (r11): an epoch carrying the VALUE's own
+            # tzinfo cancels the offset — a +05:00 datetime encoded as
+            # if it were UTC.  Anchor at UTC for aware values, at the
+            # naive epoch for naive ones.
+            if v.tzinfo is not None:
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            else:
+                epoch = _dt.datetime(1970, 1, 1)
             us = (v - epoch) // _dt.timedelta(microseconds=1)
         else:
             us = int(v) * unit

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,14 +236,6 @@ def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
     }
 
 
-def _partition_literal(value: "str | None", dtype: T.DataType):
-    """Delta serializes partition values as strings (null as JSON
-    null); cast to the schema's type at plan time."""
-    if value is None:
-        return F.lit(None).cast(dtype)
-    return F.lit(value).cast(dtype)
-
-
 def _stats_prunable(stats_json: "str | None", prune: dict) -> bool:
     """True when the file's add-action stats PROVE no row can match."""
     if not stats_json:
@@ -289,20 +282,35 @@ def delta_read(
     if not entries:
         empty = spark.createDataFrame([], schema)
         return empty.select(*[f.name for f in schema.fields])
-    abs_paths = [os.path.join(root, p) for p, _ in entries]
+    # add.path is percent-encoded per the protocol: decode before disk
+    abs_paths = [
+        os.path.join(root, urllib.parse.unquote(p)) for p, _ in entries
+    ]
     df = spark.read.parquet(*abs_paths)
     if pcols:
-        # file -> partition values as a broadcast dim keyed on the
-        # absolute file path input_file_name() reports
-        rows = []
-        for p, info in entries:
-            pv = info["partitionValues"]
-            rows.append(
-                (
-                    "file:" + os.path.abspath(os.path.join(root, p)),
-                    *[pv.get(c) for c in pcols],
-                )
+        # file -> partition values as a broadcast dim.  Keyed on the
+        # file BASENAME, not the full URI: input_file_name() reports a
+        # percent-encoded URI whose exact escaping is the JVM's, and
+        # matching full strings silently drops rows for any table path
+        # needing encoding (review finding, r11).  Delta data-file
+        # names carry writer UUIDs, so basenames are unique per table;
+        # a pathological duplicate refuses loudly instead of guessing.
+        # url_decode() is form-decoding ('+' -> space); mirror that on
+        # the dim side so the keys stay bit-identical either way
+        basenames = [
+            os.path.basename(urllib.parse.unquote(p)).replace("+", " ")
+            for p, _ in entries
+        ]
+        if len(set(basenames)) != len(basenames):
+            raise NotImplementedError(
+                "delta: duplicate data-file basenames in one snapshot "
+                "(non-standard writer); partition reconstruction needs "
+                "unique names"
             )
+        rows = []
+        for bn, (p, info) in zip(basenames, entries):
+            pv = info["partitionValues"]
+            rows.append((bn, *[pv.get(c) for c in pcols]))
         dim_schema = T.StructType(
             [T.StructField("__delta_file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
@@ -311,7 +319,9 @@ def delta_read(
         df = (
             df.withColumn(
                 "__delta_file",
-                F.regexp_replace(F.input_file_name(), "^file://", "file:"),
+                F.url_decode(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1)
+                ),
             )
             .join(F.broadcast(dim), "__delta_file")
             .drop("__delta_file")
@@ -335,10 +345,14 @@ def build_delta_table(
     checkpoint_at: "int | None" = None,
     stats_cols: "list[str] | None" = None,
     reader_version: int = 1,
+    start_version: int = 0,
 ) -> None:
     """Write a real Delta-layout table: version 0 carries protocol +
     metaData; each ``commits[i]`` is {'adds': [(partition_values_dict,
-    rows_df)], 'removes': [paths]} becoming version i.  Data files are
+    rows_df)], 'removes': [paths]} becoming version ``start_version +
+    i`` — a non-zero ``start_version`` CONTINUES an existing log (the
+    prior snapshot's live files seed the checkpoint state; protocol/
+    metaData are already in the log).  Data files are
     single-file parquet directories' parts moved to the protocol's flat
     ``part-*.parquet`` names; add actions carry partitionValues and,
     for ``stats_cols``, real numRecords/minValues/maxValues stats.
@@ -368,7 +382,20 @@ def build_delta_table(
         }
     }
     all_adds: dict = {}
-    for v, commit in enumerate(commits):
+    if start_version > 0:
+        prior = delta_snapshot(root, version=start_version - 1)
+        for p, info in prior["files"].items():
+            a = {
+                "path": p,
+                "partitionValues": info["partitionValues"],
+                "size": os.path.getsize(os.path.join(root, p)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if info.get("stats"):
+                a["stats"] = info["stats"]
+            all_adds[p] = a
+    for v, commit in enumerate(commits, start=start_version):
         actions = []
         if v == 0:
             actions += [proto_action, meta_action]

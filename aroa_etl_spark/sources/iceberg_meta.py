@@ -83,10 +83,16 @@ def _resolve(root: str, path: str) -> str:
     if not os.path.isabs(path):
         return os.path.join(root, path)
     # absolute path from another environment: re-anchor at the table
-    marker = "/metadata/"
-    for m in (marker, "/data/"):
-        if m in path:
-            return os.path.join(root, path[path.index(m) + 1:])
+    # using the RIGHTMOST marker — a table located under a directory
+    # itself named data/ (e.g. /data/warehouse/tbl) must not re-anchor
+    # at its own prefix (review finding, r11)
+    best = -1
+    for m in ("/metadata/", "/data/"):
+        i = path.rfind(m)
+        if i > best:
+            best = i
+    if best >= 0:
+        return os.path.join(root, path[best + 1:])
     return path
 
 
@@ -183,6 +189,33 @@ def iceberg_snapshot(
     }
 
 
+_ICEBERG_SPARK_TYPES = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "date": "date", "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp", "binary": "binary", "uuid": "string",
+}
+
+
+def _spark_schema_ddl(schema: dict) -> str:
+    """Iceberg struct schema json -> a Spark DDL string (the primitive
+    subset this reader's tables use; nested/unknown types refuse by
+    name — only needed to type an EMPTY snapshot's frame)."""
+    parts = []
+    for f in (schema or {}).get("fields", ()):
+        t = f.get("type")
+        if isinstance(t, str) and t.startswith("decimal("):
+            spark_t = t
+        elif isinstance(t, str) and t in _ICEBERG_SPARK_TYPES:
+            spark_t = _ICEBERG_SPARK_TYPES[t]
+        else:
+            raise NotImplementedError(
+                f"iceberg: cannot type an empty frame for field type {t!r}"
+            )
+        parts.append(f"`{f['name']}` {spark_t}")
+    return ", ".join(parts)
+
+
 def iceberg_read(
     spark: SparkSession,
     path: str,
@@ -192,10 +225,14 @@ def iceberg_read(
 ) -> DataFrame:
     """The Iceberg snapshot as a DataFrame.  ``prune`` (col ->
     (lo, hi)) drops files by their identity-partition value — I/O-only,
-    rows still flow for kept files."""
+    rows still flow for kept files.  An EMPTY snapshot (the format
+    allows delete-all states) yields an empty frame typed from the
+    metadata schema, matching delta_read's contract."""
     root = path.rstrip("/")
     snap = iceberg_snapshot(root, snapshot_id=snapshot_id)
     entries = sorted(snap["files"].items())
+    if not entries:
+        return spark.createDataFrame([], _spark_schema_ddl(snap["schema"]))
     if prune:
         def keep(info) -> bool:
             part = info["partition"]
@@ -214,10 +251,8 @@ def iceberg_read(
 
         entries = [(p, i) for p, i in entries if keep(i)]
     if not entries:
-        raise ValueError(
-            "iceberg: every file pruned/empty — read without prune to "
-            "get the schema-bearing frame"
-        )
+        # every file pruned: empty frame, same schema contract
+        return spark.createDataFrame([], _spark_schema_ddl(snap["schema"]))
     return spark.read.parquet(
         *[_resolve(root, p) for p, _ in entries]
     )
