@@ -425,10 +425,20 @@ def test_avro_nested_and_arrays_roundtrip_any_records(recs, codec):
 
 @given(
     st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
-    st.sampled_from([{}, {"subtract_green": True}, {"cache_bits": 3},
-                     {"palette": True}, {"predictor": True}]),
+    # round 11: the law covers the FULL predictor family (4x4 tiles
+    # cycle modes 0-13 incl. Select/ClampAddSubtract), cross-color,
+    # their combinations, and the VP8X extended container
+    st.sampled_from([
+        {}, {"subtract_green": True}, {"cache_bits": 3},
+        {"palette": True}, {"predictor": True},
+        {"predictor": True, "predictor_size_bits": 2},
+        {"cross_color": True},
+        {"predictor": True, "predictor_size_bits": 2,
+         "cross_color": True, "subtract_green": True, "cache_bits": 4},
+        {"extended": True, "predictor": True, "predictor_size_bits": 2},
+    ]),
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=60, deadline=None)
 def test_vp8l_roundtrips_any_image(h, w, seed, kw):
     import numpy as np
 
