@@ -214,9 +214,13 @@ def _stream_payload(obj_body: bytes, decrypt=None) -> tuple[bytes, bytes]:
 
 def _parse_xref_at(content: bytes, at: int):
     """One xref section at ``at`` -> (entries, trailer_dict_bytes, kind).
-    entries: obj_num -> ('n', offset) | ('f',) | ('s', objstm_num, idx).
-    Classic tables read every subsection up to the ``trailer`` keyword;
-    xref streams decode /W-described big-endian rows over /Index."""
+    entries: obj_num -> ('n', offset, gen) | ('f',) | ('s', objstm_num,
+    idx).  The in-use generation rides along because RC4/AES-128 object
+    keys are salted with (num, gen) — hardcoding gen 0 silently
+    mis-decrypts a gen>0 object (advice finding, r12; objects inside an
+    ObjStm are gen 0 by spec).  Classic tables read every subsection up
+    to the ``trailer`` keyword; xref streams decode /W-described
+    big-endian rows over /Index."""
     if content[at:at + 4] == b"xref":
         entries: dict = {}
         pos = at + 4
@@ -234,7 +238,8 @@ def _parse_xref_at(content: bytes, at: int):
                 num = first + i
                 if num not in entries:
                     entries[num] = (
-                        ("n", int(e.group(1))) if e.group(3) == b"n" else ("f",)
+                        ("n", int(e.group(1)), int(e.group(2)))
+                        if e.group(3) == b"n" else ("f",)
                     )
             pos += 20 * count
         tm = re.match(rb"\s*trailer\s*<<(.*?)>>\s*startxref", content[pos:],
@@ -283,7 +288,12 @@ def _parse_xref_at(content: bytes, at: int):
             if typ == 0:
                 entries[num] = ("f",)
             elif typ == 1:
-                entries[num] = ("n", fields[1])
+                # third /W field of a type-1 row is the generation
+                # (width 0 defaults it to 0, spec table 18)
+                entries[num] = (
+                    "n", fields[1],
+                    fields[2] if len(fields) > 2 and fields[2] else 0,
+                )
             elif typ == 2:
                 entries[num] = ("s", fields[1], fields[2])
             else:
@@ -509,14 +519,32 @@ def _encryption_context(content: bytes, entries: dict, trailer: bytes):
     return {"key": key, "aes": aes, "v": v}
 
 
-def _make_decryptor(ctx):
+def _generation_map(entries: dict) -> "dict[int, int]":
+    """obj_num -> generation for the in-use direct entries whose gen is
+    non-zero (the only ones whose RC4/AES-128 object key differs from
+    the gen-0 default; ObjStm-packed objects are gen 0 by spec)."""
+    return {
+        num: v[2]
+        for num, v in entries.items()
+        if v[0] == "n" and len(v) > 2 and v[2]
+    }
+
+
+def _make_decryptor(ctx, entries: "dict | None" = None):
     """(obj_num, raw) -> plaintext decryptor bound to a context from
-    ``_encryption_context`` (generation 0: the fixture and crawl-PDF
-    common case; xref entries here carry no generation)."""
+    ``_encryption_context``.  RC4/AES-128 object keys are salted with
+    (num, gen): the per-object generation from the xref rides along via
+    ``entries`` (advice finding, r12 — gen was hardcoded 0, silently
+    mis-decrypting gen>0 objects; V5 is unaffected, its file key is
+    object-independent)."""
     from aroa_etl_spark.operators.pdfcrypt import decrypt_data, object_key
 
+    gens = _generation_map(entries) if entries else {}
+
     def dec(num: int, data: bytes) -> bytes:
-        key = object_key(ctx["key"], num, 0, aes=ctx["aes"], v=ctx["v"])
+        key = object_key(
+            ctx["key"], num, gens.get(num, 0), aes=ctx["aes"], v=ctx["v"]
+        )
         return decrypt_data(data, key, aes=ctx["aes"])
 
     return dec
@@ -933,7 +961,7 @@ def _scan_blob(content: bytes, strict: bool) -> dict:
         if ctx == "locked" or ctx is None:
             readable = 0
         else:
-            dec = _make_decryptor(ctx)
+            dec = _make_decryptor(ctx, entries)
     # offset/index verification: every in-use entry must land on its
     # object header; type-2 entries verify through the ObjStm header
     # (skipped for a LOCKED document — object streams are ciphertext
@@ -1243,7 +1271,7 @@ def _extract_blob_text(content: bytes, strict: bool) -> "list[dict]":
                     "empty-user-password decryption is supported)"
                 )
             if ctx is not None:
-                dec = _make_decryptor(ctx)
+                dec = _make_decryptor(ctx, entries)
         rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
         if not rm:
             raise ValueError("pdf: trailer without /Root")

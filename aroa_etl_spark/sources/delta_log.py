@@ -286,7 +286,17 @@ def delta_read(
     abs_paths = [
         os.path.join(root, urllib.parse.unquote(p)) for p, _ in entries
     ]
-    df = spark.read.parquet(*abs_paths)
+    # apply the LOG's schemaString (the protocol's source of truth), not
+    # a footer-inferred schema: on a schema-evolved table the inferred
+    # schema depends on which file Spark samples — a column added in a
+    # later commit can vanish or mis-type (advice finding, r12).  Files
+    # written before the evolution simply lack the column; declaring the
+    # snapshot schema makes the parquet reader null-fill it, and older
+    # narrower physical types (int files under a long schema) up-cast.
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    df = spark.read.schema(data_schema).parquet(*abs_paths)
     if pcols:
         # file -> partition values as a broadcast dim.  Keyed on the
         # file BASENAME, not the full URI: input_file_name() reports a
@@ -296,9 +306,12 @@ def delta_read(
         # names carry writer UUIDs, so basenames are unique per table;
         # a pathological duplicate refuses loudly instead of guessing.
         # url_decode() is form-decoding ('+' -> space); mirror that on
-        # the dim side so the keys stay bit-identical either way
+        # the dim side with unquote_plus on the RAW percent-encoded
+        # basename — unquote-then-replace turned an encoded plus (%2B)
+        # into a space and silently dropped that file's rows (advice
+        # finding, r12)
         basenames = [
-            os.path.basename(urllib.parse.unquote(p)).replace("+", " ")
+            urllib.parse.unquote_plus(os.path.basename(p))
             for p, _ in entries
         ]
         if len(set(basenames)) != len(basenames):

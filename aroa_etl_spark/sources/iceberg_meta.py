@@ -180,10 +180,24 @@ def iceberg_snapshot(
                 f["name"] for f in spec.get("fields", ())
                 if f.get("transform") == "identity"
             ]
+    # the CURRENT schema is the entry whose schema-id matches
+    # current-schema-id, not the last list element — metadata written
+    # with historical schemas out of order would otherwise type an
+    # empty snapshot's frame from the wrong schema (advice finding,
+    # r12); v1 metadata may carry only a bare 'schema'
+    schemas = meta.get("schemas") or []
+    cur_id = meta.get("current-schema-id")
+    cur_schema = next(
+        (s for s in schemas if isinstance(s, dict)
+         and s.get("schema-id") == cur_id),
+        None,
+    )
+    if cur_schema is None:
+        cur_schema = meta.get("schema") or (schemas[-1] if schemas else None)
     return {
         "snapshot_id": sid,
         "files": files,
-        "schema": meta.get("schemas", [meta.get("schema")])[-1],
+        "schema": cur_schema,
         "partition_fields": pfields,
         "n_manifests": len(manifests),
     }

@@ -175,3 +175,39 @@ def test_type0_without_tounicode_raises_via_real_blob():
     blob2 = blob[: m.start()] + repl + blob[m.end():]
     with pytest.raises(NotImplementedError, match="ToUnicode"):
         _extract_blob_text(blob2, True)
+
+
+def test_decryptor_uses_xref_generation():
+    """RC4/AES-128 object keys are salted with (num, gen): the
+    decryptor must derive gen>0 keys from the xref entries instead of
+    hardcoding 0 (advice finding, r12) — and V5 must stay unaffected."""
+    from aroa_etl_spark.operators.pdfscan import (
+        _generation_map,
+        _make_decryptor,
+    )
+
+    mat = make_encrypt_material("aesv2", seed=4)
+    ctx = {"key": mat["file_key"], "aes": mat["aes"], "v": mat["v"]}
+    entries = {7: ("n", 0, 5), 8: ("n", 64), 9: ("s", 7, 0), 10: ("f",)}
+    assert _generation_map(entries) == {7: 5}
+    data = b"BT (gen five) Tj ET"
+    ct = encrypt_data(
+        data, object_key(mat["file_key"], 7, 5, aes=True, v=mat["v"]),
+        bytes(range(16)), aes=True,
+    )
+    assert _make_decryptor(ctx, entries)(7, ct) == data
+    # the old hardcoded-gen-0 derivation yields a wrong key: garbage
+    # bytes or a CBC padding error, never the plaintext
+    try:
+        assert _make_decryptor(ctx, None)(7, ct) != data
+    except ValueError:
+        pass
+    # V5: file key is object-independent, gen cannot matter
+    m5 = make_encrypt_material("aesv3", seed=4)
+    c5 = {"key": m5["file_key"], "aes": m5["aes"], "v": m5["v"]}
+    ct5 = encrypt_data(
+        data, object_key(m5["file_key"], 7, 5, aes=True, v=m5["v"]),
+        bytes(range(16)), aes=True,
+    )
+    assert _make_decryptor(c5, entries)(7, ct5) == data
+    assert _make_decryptor(c5, None)(7, ct5) == data

@@ -128,7 +128,7 @@ def test_incremental_update_prev_chain():
     from aroa_etl_spark.operators.pdfscan import _load_xref
 
     entries, _t, kind = _load_xref(blob)
-    assert kind == "table" and entries[3] == ("n", new_obj_at)
+    assert kind == "table" and entries[3] == ("n", new_obj_at, 0)
     r = _scan_blob(blob, strict=True)
     assert r["n_pages"] == 2 and r["xref_ok"] == 1
 
