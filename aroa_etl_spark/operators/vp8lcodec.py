@@ -869,6 +869,46 @@ def _decode_image_stream(
 
 # --- container ---------------------------------------------------------------
 
+def decode_vp8l_payload(
+    payload: bytes, *, max_pixels: int = 1 << 24
+) -> "tuple[np.ndarray, int, int]":
+    """A bare VP8L chunk payload (signature byte + 14+14-bit dims +
+    image stream) -> (flat uint32 ARGB array, w, h).  Split out of
+    ``decode_webp_vp8l`` (r12) so the extended-container and lossy
+    alpha paths share one stream decoder."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("webp: bad VP8L signature byte")
+    br = _BitReader(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("webp: unknown VP8L version")
+    if w * h > max_pixels:
+        raise NotImplementedError(
+            f"vp8l: {w}x{h} exceeds the decoder's {max_pixels}-pixel "
+            "cap (decompression-bomb guard)"
+        )
+    return _decode_image_stream(br, w, h, level0=True)
+
+
+def decode_vp8l_alpha_stream(
+    data: bytes, w: int, h: int, *, max_pixels: int = 1 << 24
+) -> np.ndarray:
+    """A HEADERLESS VP8L image stream (the lossy-WebP ALPH chunk's
+    compression method 1: no signature byte, no dims — they come from
+    the VP8 frame header) -> (h, w) uint8 alpha plane taken from the
+    GREEN channel, per the WebP container spec's alpha section."""
+    if w * h > max_pixels:
+        raise NotImplementedError(
+            f"vp8l-alpha: {w}x{h} exceeds the {max_pixels}-pixel cap"
+        )
+    arr, w2, _h2 = _decode_image_stream(_BitReader(data), w, h, level0=True)
+    if w2 != w:
+        raise ValueError("vp8l-alpha: color-indexing changed the width")
+    return ((arr >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+
+
 def decode_webp_vp8l(content: bytes, *, max_pixels: int = 1 << 24) -> np.ndarray:
     """RIFF/WEBP VP8L bytes -> (H, W, 3) uint8 RGB for fully-opaque
     images, (H, W, 4) RGBA when any pixel carries alpha (lossless WebP
@@ -921,20 +961,7 @@ def decode_webp_vp8l(content: bytes, *, max_pixels: int = 1 << 24) -> np.ndarray
         payload = content[20:20 + size]
         if len(payload) != size:
             raise ValueError("webp: VP8L chunk overruns the file")
-    if payload[0] != 0x2F:
-        raise ValueError("webp: bad VP8L signature byte")
-    br = _BitReader(payload[1:])
-    w = br.bits(14) + 1
-    h = br.bits(14) + 1
-    br.bits(1)  # alpha hint
-    if br.bits(3) != 0:
-        raise ValueError("webp: unknown VP8L version")
-    if w * h > max_pixels:
-        raise NotImplementedError(
-            f"vp8l: {w}x{h} exceeds the decoder's {max_pixels}-pixel "
-            "cap (decompression-bomb guard)"
-        )
-    arr, w, h = _decode_image_stream(br, w, h, level0=True)
+    arr, w, h = decode_vp8l_payload(payload, max_pixels=max_pixels)
     a = ((arr >> 24) & 0xFF).astype(np.uint8)
     opaque = bool((a == 255).all())
     out = np.empty((h, w, 3 if opaque else 4), dtype=np.uint8)
