@@ -871,14 +871,16 @@ _IMAGE_DECODERS = {
     "tif": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
     "tiff": lambda c: _with_pil_fallback(_decode_tiff, c, "compressed/tiled TIFF"),
     "gif": lambda c: _with_pil_fallback(_decode_gif, c, "exotic GIF"),
-    # VP8L lossless decodes for real (round 10, operators/vp8lcodec.py);
-    # lossy VP8 / extended VP8X fall through to PIL when present
+    # full still-WebP decode: VP8L lossless (round 10/11,
+    # operators/vp8lcodec.py) AND lossy VP8 keyframes incl. ALPH alpha
+    # (round 12, operators/vp8codec.py — RFC 6386, libwebp-differential
+    # bit-exact); only ANMF animation falls through to PIL when present
     "webp": lambda c: _with_pil_fallback(
         __import__(
-            "aroa_etl_spark.operators.vp8lcodec", fromlist=["decode_webp_vp8l"]
-        ).decode_webp_vp8l,
+            "aroa_etl_spark.operators.vp8codec", fromlist=["decode_webp"]
+        ).decode_webp,
         c,
-        "lossy/extended WebP",
+        "animated WebP",
     ),
 }
 
@@ -990,6 +992,50 @@ def image_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+WEBP_YUV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_y", T.DoubleType()),
+        T.StructField("mean_u", T.DoubleType()),
+        T.StructField("mean_v", T.DoubleType()),
+    ]
+)
+
+
+def webp_yuv_stats(df: DataFrame) -> DataFrame:
+    """REAL lossy-WebP decode to the NORMATIVE surface: per-blob 4:2:0
+    plane means + dimensions via the vendored RFC 6386 VP8 keyframe
+    decoder (round 12, operators/vp8codec.py).  YUV (not RGB) because
+    the reconstruction is bit-exact across conformant decoders there —
+    RGB conversion is a per-decoder convention.  Strict: a non-VP8 or
+    corrupt blob raises.  Scale: mapInPandas per-blob kernel, zero
+    shuffle."""
+    from aroa_etl_spark.operators.vp8codec import decode_webp_vp8_yuv
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                y, u, v = decode_webp_vp8_yuv(bytes(row["content"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": y.shape[1],
+                        "height": y.shape[0],
+                        "mean_y": float(y.mean()),
+                        "mean_u": float(u.mean()),
+                        "mean_v": float(v.mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WEBP_YUV_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(kernel, WEBP_YUV_STATS_SCHEMA)
 
 
 def resize_images(df: DataFrame, *, width: int, height: int, strict: bool = False) -> DataFrame:

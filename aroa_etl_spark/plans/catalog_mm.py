@@ -1962,6 +1962,160 @@ def mm_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_webp_lossy_decode_real",
+    oracle="""
+    WITH dcq AS (SELECT [
+      4,5,6,7,8,9,10,10,11,12,13,14,15,16,17,17,
+      18,19,20,20,21,21,22,22,23,23,24,25,25,26,27,28,
+      29,30,31,32,33,34,35,36,37,37,38,39,40,41,42,43,
+      44,45,46,46,47,48,49,50,51,52,53,54,55,56,57,58,
+      59,60,61,62,63,64,65,66,67,68,69,70,71,72,73,74,
+      75,76,76,77,78,79,80,81,82,83,84,85,86,87,88,89,
+      91,93,95,96,98,100,101,102,104,106,108,110,112,114,116,118,
+      122,124,126,128,130,132,134,136,138,140,143,145,148,151,154,157
+      ] AS t),
+    p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+          FROM documents),
+    par AS (
+      SELECT media_id, k, unnest(range(0, 4)) AS i FROM p
+    ),
+    fac AS (
+      SELECT media_id, k, i,
+             (k + i) % 4 AS ym,
+             (k + 2*i + 1) % 4 AS um,
+             CASE WHEN (k + i) % 5 = 0 THEN 1 ELSE 0 END AS skp,
+             ((k*5 + i*7) % 9) - 4 AS ly,
+             ((k*3 + i*5) % 7) - 3 AS lu,
+             ((k*7 + i*11) % 5) - 2 AS lv,
+             CASE (k + 3*i) % 4 WHEN 0 THEN 8 WHEN 1 THEN 20
+                                WHEN 2 THEN 33 ELSE 47 END AS qi,
+             (k % 3) - 1 AS dy2,
+             (k % 5) - 2 AS duv
+      FROM par
+    ),
+    resid AS (
+      SELECT media_id, i, ym, um,
+        CASE WHEN skp = 1 THEN 0 ELSE CAST(floor((
+          CAST(floor((ly * (t[LEAST(127, GREATEST(0, qi + dy2)) + 1] * 2)
+                      + 3) / 8.0) AS BIGINT) + 4) / 8.0) AS BIGINT)
+        END AS ry,
+        CASE WHEN skp = 1 THEN 0 ELSE CAST(floor(
+          (lu * t[LEAST(117, GREATEST(0, qi + duv)) + 1] + 4) / 8.0)
+          AS BIGINT) END AS ru,
+        CASE WHEN skp = 1 THEN 0 ELSE CAST(floor(
+          (lv * t[LEAST(117, GREATEST(0, qi + duv)) + 1] + 4) / 8.0)
+          AS BIGINT) END AS rv
+      FROM fac, dcq
+    ),
+    w AS (
+      SELECT media_id,
+        MAX(CASE WHEN i=0 THEN ym END) AS ym0, MAX(CASE WHEN i=1 THEN ym END) AS ym1,
+        MAX(CASE WHEN i=2 THEN ym END) AS ym2, MAX(CASE WHEN i=3 THEN ym END) AS ym3,
+        MAX(CASE WHEN i=0 THEN um END) AS um0, MAX(CASE WHEN i=1 THEN um END) AS um1,
+        MAX(CASE WHEN i=2 THEN um END) AS um2, MAX(CASE WHEN i=3 THEN um END) AS um3,
+        MAX(CASE WHEN i=0 THEN ry END) AS ry0, MAX(CASE WHEN i=1 THEN ry END) AS ry1,
+        MAX(CASE WHEN i=2 THEN ry END) AS ry2, MAX(CASE WHEN i=3 THEN ry END) AS ry3,
+        MAX(CASE WHEN i=0 THEN ru END) AS ru0, MAX(CASE WHEN i=1 THEN ru END) AS ru1,
+        MAX(CASE WHEN i=2 THEN ru END) AS ru2, MAX(CASE WHEN i=3 THEN ru END) AS ru3,
+        MAX(CASE WHEN i=0 THEN rv END) AS rv0, MAX(CASE WHEN i=1 THEN rv END) AS rv1,
+        MAX(CASE WHEN i=2 THEN rv END) AS rv2, MAX(CASE WHEN i=3 THEN rv END) AS rv3
+      FROM resid GROUP BY media_id
+    ),
+    c0 AS (SELECT *,
+      GREATEST(0, LEAST(255, CASE ym0 WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + ry0)) AS y0,
+      GREATEST(0, LEAST(255, CASE um0 WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + ru0)) AS u0,
+      GREATEST(0, LEAST(255, CASE um0 WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END + rv0)) AS v0
+      FROM w),
+    c1 AS (SELECT *,
+      GREATEST(0, LEAST(255, CASE WHEN ym1 = 1 THEN 127 ELSE y0 END + ry1)) AS y1,
+      GREATEST(0, LEAST(255, CASE WHEN um1 = 1 THEN 127 ELSE u0 END + ru1)) AS u1,
+      GREATEST(0, LEAST(255, CASE WHEN um1 = 1 THEN 127 ELSE v0 END + rv1)) AS v1
+      FROM c0),
+    c2 AS (SELECT *,
+      GREATEST(0, LEAST(255, CASE WHEN ym2 = 1 THEN 127 ELSE y1 END + ry2)) AS y2,
+      GREATEST(0, LEAST(255, CASE WHEN um2 = 1 THEN 127 ELSE u1 END + ru2)) AS u2,
+      GREATEST(0, LEAST(255, CASE WHEN um2 = 1 THEN 127 ELSE v1 END + rv2)) AS v2
+      FROM c1),
+    c3 AS (SELECT *,
+      GREATEST(0, LEAST(255, CASE WHEN ym3 = 1 THEN 127 ELSE y2 END + ry3)) AS y3,
+      GREATEST(0, LEAST(255, CASE WHEN um3 = 1 THEN 127 ELSE u2 END + ru3)) AS u3,
+      GREATEST(0, LEAST(255, CASE WHEN um3 = 1 THEN 127 ELSE v2 END + rv3)) AS v3
+      FROM c2)
+    SELECT media_id,
+           CAST(64 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(y0 + y1 + y2 + y3 AS DOUBLE) / 4 AS mean_y,
+           CAST(u0 + u1 + u2 + u3 AS DOUBLE) / 4 AS mean_u,
+           CAST(v0 + v1 + v2 + v3 AS DOUBLE) / 4 AS mean_v
+    FROM c3
+    """,
+)
+def mm_webp_lossy_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-WebP VP8 keyframe decode (round 12 —
+    operators/vp8codec.py, the RFC 6386 keyframe path: boolean
+    arithmetic decoder, segment map + per-segment quantizers, keyframe
+    intra mode trees, coefficient tokens, dequantization with the
+    y2dc/uvdc deltas and the chroma-DC 117-index cap, inverse WHT DC
+    distribution, inverse DCT, and the DC/V/H/TM predictors with their
+    127/129 off-frame borders).  40 distinct 64x16 blobs are built by
+    the ENCODER TWIN from doc_id arithmetic: a single MB row of four
+    macroblocks whose 16x16 and chroma modes rotate through DC/V/H/TM,
+    with a CODED SEGMENT MAP selecting four absolute quantizers,
+    per-MB Y2-DC and chroma-DC levels, skip flags, and per-frame
+    y2dc/uvdc quantizer deltas.  Because the modes keep every
+    macroblock internally uniform, the reconstruction follows a
+    left-to-right integer recurrence through the REAL dequant -> IWHT
+    -> IDCT rounding chain, which the DuckDB oracle replays in closed
+    form (the embedded 128-entry table is the RFC's public DC dequant
+    lookup) — a wrong bit anywhere in the header, segment map, token,
+    or transform path shifts a plane mean and fails the hash.  The
+    oracle pins the NORMATIVE surface (4:2:0 plane means); loop filter
+    (level 0 here), B_PRED submodes, AC coefficients, and ALPH alpha
+    are pinned bit-exactly against the system libwebp by
+    tests/test_vp8codec.py.  Lossy WebP dominates real crawled .webp —
+    this closes the round-11 verdict's top format gap.
+    Scale: 40-blob broadcast dim, fact repartitioned to core count
+    before the decode kernel, zero shuffle."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import webp_yuv_stats
+    from aroa_etl_spark.operators.vp8codec import encode_webp_vp8
+
+    blobs = []
+    for k in range(40):
+        segs = [(k + 3 * i) % 4 for i in range(4)]
+        yms = [(k + i) % 4 for i in range(4)]
+        ums = [(k + 2 * i + 1) % 4 for i in range(4)]
+        skp = [1 if (k + i) % 5 == 0 else 0 for i in range(4)]
+        y2lev = np.zeros((1, 4, 16), dtype=int)
+        uvlev = np.zeros((1, 4, 8, 16), dtype=int)
+        for i in range(4):
+            if skp[i]:
+                continue
+            y2lev[0, i, 0] = ((k * 5 + i * 7) % 9) - 4
+            uvlev[0, i, 0:4, 0] = ((k * 3 + i * 5) % 7) - 3
+            uvlev[0, i, 4:8, 0] = ((k * 7 + i * 11) % 5) - 2
+        blob = encode_webp_vp8(
+            np.array([yms]), np.array([ums]),
+            y2lev=y2lev, uvlev=uvlev,
+            skip=np.array([skp]), seg_ids=np.array([segs]),
+            seg_q=[8, 20, 33, 47], seg_abs=True, base_q=0,
+            q_deltas=(0, (k % 3) - 1, 0, (k % 5) - 2, 0),
+        )
+        blobs.append((k, bytearray(blob)))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    return webp_yuv_stats(media).select(
+        "media_id", "width", "height", "mean_y", "mean_u", "mean_v"
+    )
+
+
+@query(
     "mm_ogg_page_scan",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

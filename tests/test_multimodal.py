@@ -223,11 +223,13 @@ def test_decode_wav_real_samples():
 def test_strict_unknown_format_still_raises():
     from aroa_etl_spark.operators.multimodal import decode_audio, decode_image
 
-    # webp gained a real VP8L codec in round 10: a truncated RIFF is now
-    # a decode error under strict, and LOSSY VP8 is the named boundary
+    # webp gained a real VP8L codec in round 10 and a real lossy VP8
+    # codec in round 12: truncated RIFF / garbage VP8 payloads are now
+    # decode errors under strict, and ANMF animation is the remaining
+    # named boundary
     with pytest.raises(ValueError, match="unknown chunk|overrun"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP", {"format": "webp"}, strict=True)
-    with pytest.raises(NotImplementedError, match="WebP|VP8"):
+    with pytest.raises(ValueError, match="vp8"):
         decode_image(
             b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00aaaa",
             {"format": "webp"}, strict=True,
