@@ -3825,19 +3825,21 @@ def s_delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"stats pruning ineffective: {len(kept)}/{len(snap['files'])}"
         )
-    # protocol honesty on a sibling log
+    # protocol honesty on a sibling log (deletionVectors became a
+    # SUPPORTED feature in round 12 — the refusal surface moved to
+    # v2Checkpoint, which stays unimplemented)
     t2 = os.path.join(root, "t_features")
     os.makedirs(os.path.join(t2, "_delta_log"), exist_ok=True)
     with open(os.path.join(t2, "_delta_log", f"{0:020d}.json"), "w") as f:
         f.write(_json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"]}}) + "\n")
+            "readerFeatures": ["v2Checkpoint"]}}) + "\n")
         f.write(_json.dumps({"metaData": {
             "id": "x", "schemaString": _json.dumps(schema.jsonValue()),
             "partitionColumns": [], "configuration": {}}}) + "\n")
     try:
         delta_read(spark, t2)
-        raise AssertionError("deletionVectors table read without refusing")
+        raise AssertionError("v2Checkpoint table read without refusing")
     except NotImplementedError:
         pass
     return (
@@ -3965,7 +3967,11 @@ def s_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if pruned_inputs != sorted(os.path.basename(p) for p in kept):
         raise AssertionError("pruned read planned the wrong file set")
-    # merge-on-read refusal on a sibling table (1-row fixture)
+    # merge-on-read honesty on a sibling table (1-row fixture).
+    # POSITION deletes apply since round 12 (s_iceberg_pos_deletes
+    # attests the read); the refusal surfaces that remain: EQUALITY
+    # delete files refuse by name, and a "delete" manifest carrying
+    # plain data entries is malformed and fails loudly.
     t2 = os.path.join(root, "t_mor")
     build_iceberg_table(
         spark, t2, [("k", "long")], [],
@@ -3977,19 +3983,234 @@ def s_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_avro_ocf,
         parse_avro_blob,
     )
-    from aroa_etl_spark.sources.iceberg_meta import _MANIFEST_FILE_SCHEMA
+    from aroa_etl_spark.sources.iceberg_meta import (
+        _MANIFEST_FILE_SCHEMA,
+        _manifest_entry_schema,
+    )
 
     meta = _json.load(open(os.path.join(t2, "metadata", "v1.metadata.json")))
     ml = meta["snapshots"][0]["manifest-list"]
     _h, recs = parse_avro_blob(open(os.path.join(t2, ml), "rb").read())
+    mpath = recs[0]["manifest_path"]
+    _h2, ents = parse_avro_blob(open(os.path.join(t2, mpath), "rb").read())
     recs[0]["content"] = 1
     with open(os.path.join(t2, ml), "wb") as f:
         f.write(build_avro_ocf(_MANIFEST_FILE_SCHEMA, recs))
     try:
         iceberg_read(spark, t2)
-        raise AssertionError("delete-manifest table read without refusing")
+        raise AssertionError("malformed delete manifest read silently")
+    except ValueError:
+        pass
+    for e in ents:
+        e["data_file"]["content"] = 2  # equality delete
+    with open(os.path.join(t2, mpath), "wb") as f:
+        f.write(build_avro_ocf(_manifest_entry_schema([]), ents))
+    try:
+        iceberg_read(spark, t2)
+        raise AssertionError("equality-delete table read without refusing")
     except NotImplementedError:
         pass
+    return (
+        iceberg_read(spark, t)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.count_distinct("p").cast("int").alias("n_prio"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "s_delta_deletion_vectors",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    d AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                 CAST((o_orderkey * 4) // (m + 1) AS INT) AS band
+          FROM orders, mx),
+    r AS (SELECT k, p, band,
+                 ROW_NUMBER() OVER (PARTITION BY band ORDER BY k) - 1 AS rk
+          FROM d),
+    s AS (SELECT * FROM r WHERE NOT (
+            (band = 0 AND rk % 5 = 0) OR
+            (band = 1 AND rk >= 10 AND rk < 40) OR
+            (band = 2 AND rk % 7 = 1)))
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(COUNT(DISTINCT p) AS INT) AS n_prio
+    FROM s GROUP BY band ORDER BY band
+    """,
+)
+def s_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS read for real (round 12 —
+    sources/delta_dv.py + delta_log.py; the round-11 verdict's #2 ask:
+    modern Delta writers default to DVs for row-level deletes, so a
+    reader that refuses them refuses most actively-updated tables).
+    Orders split into four key-sorted band files; a second commit
+    attaches three descriptor/container shapes the decoder must parse:
+
+    - band 0: INLINE ('i') Z85 descriptor, sparse ARRAY containers
+      (every 5th row index);
+    - band 1: FILE ('u') descriptor — v1-framed
+      ``deletion_vector_<uuid>.bin`` with size/CRC words — holding one
+      RUN container (ranks 10..39);
+    - band 2: a second DV in the SAME file (offset-addressed), array
+      containers at a 7-stride;
+    - band 3: no DV (untouched files must not lose rows).
+
+    Because each band file is written in key order, a row's
+    ``_metadata.row_index`` equals its in-band key rank — the oracle
+    replays the deleted set with ROW_NUMBER arithmetic, so a bitmap
+    mis-decode, a CRC/framing slip, or an anti-join keying bug shifts
+    a band's count/sum and fails the hash.  The final read also
+    reconstructs partition values AFTER the DV anti-join (the
+    file-identity key is derived once at the scan — input_file_name
+    evaluates empty past a join, found by this fixture).
+    Scale: descriptors resolve driver-side (metadata); the deleted set
+    joins as a normal frame, AQE-sized — a million-row DV never has to
+    fit in a broadcast."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.delta_dv import (
+        build_dv_file,
+        encode_inline_dv,
+    )
+    from aroa_etl_spark.sources.delta_log import (
+        build_delta_table,
+        delta_read,
+        delta_snapshot,
+    )
+    from pyspark.sql import types as T
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+    )
+    maxk = orders.agg(F.max("k")).first()[0]
+    banded = orders.withColumn(
+        "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
+    ).persist()
+    counts = {
+        r["band"]: r["count"]
+        for r in banded.groupBy("band").count().collect()
+    }
+    root = _scratch_stage("delta_dv", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("p", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+    ])
+    part = [
+        banded.filter(F.col("band") == b).select("k", "p")
+        .repartition(1).sortWithinPartitions("k")
+        for b in range(4)
+    ]
+    build_delta_table(
+        spark, t, schema, ["band"],
+        [{"adds": [({"band": b}, part[b]) for b in range(4)]}],
+    )
+    banded.unpersist()
+    paths = {
+        i["partitionValues"]["band"]: p
+        for p, i in delta_snapshot(t)["files"].items()
+    }
+    dv0 = encode_inline_dv(list(range(0, counts[0], 5)))
+    dv1, dv2 = build_dv_file(
+        t, [list(range(10, 40)), list(range(1, counts[2], 7))]
+    )
+    build_delta_table(
+        spark, t, schema, ["band"],
+        [{"attach_dvs": [(paths["0"], dv0), (paths["1"], dv1),
+                         (paths["2"], dv2)]}],
+        start_version=1, checkpoint_at=1,
+    )
+    return (
+        delta_read(spark, t)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.count_distinct("p").cast("int").alias("n_prio"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "s_iceberg_pos_deletes",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    d AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                 CAST((o_orderkey * 4) // (m + 1) AS INT) AS band
+          FROM orders, mx),
+    r AS (SELECT k, p, band,
+                 ROW_NUMBER() OVER (PARTITION BY band ORDER BY k) - 1 AS rk
+          FROM d),
+    s AS (SELECT * FROM r WHERE NOT (
+            (band = 0 AND rk % 5 = 0) OR
+            (band = 2 AND rk >= 5 AND rk < 25)))
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(COUNT(DISTINCT p) AS INT) AS n_prio
+    FROM s GROUP BY band ORDER BY band
+    """,
+)
+def s_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ position deletes (round 12 — the
+    round-11 verdict's #2 ask: positional deletes are standard output
+    of Flink/streaming Iceberg writers, so a copy-on-write-only reader
+    cannot read other teams' tables).  Snapshot 1 appends four
+    key-sorted identity-partitioned band files; snapshot 2 adds a
+    DELETE manifest (``manifest_file.content = 1``) whose
+    position-delete parquet (file_path, pos) removes every 5th rank of
+    band 0 and ranks 5..24 of band 2 — applied by ``iceberg_read`` as
+    one anti-join on (data-file basename, ``_metadata.row_index``).
+    The delete manifest is written by the engine's own Avro OCF writer
+    and parsed back by its own reader, like every other manifest.
+    Key-sorted files make rank == row position, so the oracle replays
+    the deleted set with ROW_NUMBER arithmetic; resurrected or
+    over-deleted rows shift a band's count/sum and fail the hash.
+    Equality deletes (content=2) still refuse by name.
+    Scale: the delete files are read by Spark (not the driver) and the
+    anti-join is AQE-sized; the manifest walk stays O(#manifests)."""
+    import os
+    import shutil
+
+    from aroa_etl_spark.sources.iceberg_meta import (
+        build_iceberg_table,
+        iceberg_read,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+    )
+    maxk = orders.agg(F.max("k")).first()[0]
+    banded = orders.withColumn(
+        "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
+    ).persist()
+    n0 = banded.filter(F.col("band") == 0).count()
+    root = _scratch_stage("iceberg_posdel", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    part = [
+        banded.filter(F.col("band") == b)
+        .repartition(1).sortWithinPartitions("k")
+        for b in range(4)
+    ]
+    build_iceberg_table(
+        spark, t,
+        [("k", "long"), ("p", "string"), ("band", "int")],
+        [("band", "int")],
+        [
+            [{"adds": [({"band": b}, part[b]) for b in range(4)]}],
+            [{"pos_deletes": [({"band": 0}, list(range(0, n0, 5))),
+                              ({"band": 2}, list(range(5, 25)))]}],
+        ],
+    )
+    banded.unpersist()
     return (
         iceberg_read(spark, t)
         .groupBy("band")

@@ -31,9 +31,14 @@ Reader posture:
   cannot overlap — the same manifest-pruning contract as
   operators/table.pruned_files, and the 100 TB point of a log-backed
   table.  Pruning is an I/O optimization, never a correctness filter;
+- DELETION VECTORS apply (round 12, sources/delta_dv.py): an add
+  action's descriptor resolves driver-side (Z85 inline or the v1
+  framed ``deletion_vector_*.bin`` file) to RoaringBitmapArray row
+  indexes, dropped from the data read with one anti-join on
+  (file basename, ``_metadata.row_index``);
 - protocol gating is HONEST: minReaderVersion > 3, reader features
-  beyond plain reads (deletionVectors, columnMapping, v2Checkpoint),
-  or a column-mapping mode in the table config raise
+  beyond those implemented (columnMapping, v2Checkpoint), or a
+  column-mapping mode in the table config raise
   ``NotImplementedError`` by name — a silently wrong snapshot is the
   one unacceptable outcome for a table reader;
 - time travel: any version between the oldest reachable checkpoint/
@@ -64,8 +69,11 @@ __all__ = ["delta_snapshot", "delta_read", "build_delta_table"]
 _LOG_DIR = "_delta_log"
 
 # reader features this reader actually implements (protocol v3 tables
-# list required features explicitly; anything else must refuse)
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# list required features explicitly; anything else must refuse).
+# deletionVectors landed round 12 (sources/delta_dv.py: Z85 +
+# RoaringBitmapArray + v1 file framing, applied as a row_index
+# anti-join); columnMapping / v2Checkpoint still refuse by name.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 def _as_dict(v):
@@ -175,9 +183,12 @@ def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
                 meta["configuration"] = _as_dict(meta.get("configuration"))
             add = row.get("add")
             if add and add.get("path"):
+                dv = add.get("deletionVector")
                 files[add["path"]] = {
                     "partitionValues": _as_dict(add.get("partitionValues")),
                     "stats": add.get("stats"),
+                    "deletionVector":
+                        dict(dv) if dv and dv.get("storageType") else None,
                 }
             # checkpoint 'remove' rows are vacuum tombstones — not part
             # of the snapshot state
@@ -213,6 +224,7 @@ def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
                             "partitionValues": a.get("partitionValues")
                             or {},
                             "stats": a.get("stats"),
+                            "deletionVector": a.get("deletionVector"),
                         }
                     elif "remove" in act:
                         files.pop(act["remove"]["path"], None)
@@ -297,6 +309,45 @@ def delta_read(
         [f for f in schema.fields if f.name not in pcols]
     )
     df = spark.read.schema(data_schema).parquet(*abs_paths)
+    # deletion vectors (round 12): resolve each file's descriptor to
+    # deleted row indexes driver-side (descriptors are metadata), then
+    # drop those rows with ONE anti-join on (file basename, row index)
+    # — _metadata.row_index is the parquet reader's per-file position,
+    # exactly the index space the DV bitmaps address.  AQE picks
+    # broadcast vs shuffle by the deleted-set size, so a million-row
+    # DV does not have to fit in a broadcast.
+    dv_files = [
+        (p, info["deletionVector"]) for p, info in entries
+        if info.get("deletionVector")
+    ]
+    # the file-identity key must be derived ONCE, at the scan —
+    # input_file_name()/_metadata evaluate to empty beyond a join
+    # boundary, which would silently empty the partition-values join
+    # below (found by the round-12 DV fixtures)
+    if dv_files or pcols:
+        df = df.withColumn(
+            "__delta_file",
+            F.url_decode(
+                F.element_at(F.split(F.input_file_name(), "/"), -1)
+            ),
+        )
+    if dv_files:
+        from aroa_etl_spark.sources.delta_dv import read_dv_descriptor
+
+        deleted = []
+        for p, dv in dv_files:
+            bn = urllib.parse.unquote_plus(os.path.basename(p))
+            deleted.extend(
+                (bn, int(i)) for i in read_dv_descriptor(root, dv)
+            )
+        del_dim = spark.createDataFrame(
+            deleted, "__delta_file string, __row_idx long"
+        )
+        df = (
+            df.withColumn("__row_idx", F.col("_metadata.row_index"))
+            .join(del_dim, ["__delta_file", "__row_idx"], "left_anti")
+            .drop("__row_idx")
+        )
     if pcols:
         # file -> partition values as a broadcast dim.  Keyed on the
         # file BASENAME, not the full URI: input_file_name() reports a
@@ -329,20 +380,13 @@ def delta_read(
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
         )
         dim = spark.createDataFrame(rows, dim_schema)
-        df = (
-            df.withColumn(
-                "__delta_file",
-                F.url_decode(
-                    F.element_at(F.split(F.input_file_name(), "/"), -1)
-                ),
-            )
-            .join(F.broadcast(dim), "__delta_file")
-            .drop("__delta_file")
-        )
+        df = df.join(F.broadcast(dim), "__delta_file")
         for c in pcols:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(dtypes[c])).drop(
                 f"__pv_{c}"
             )
+    if dv_files or pcols:
+        df = df.drop("__delta_file")
     return df.select(*[f.name for f in schema.fields])
 
 
@@ -407,6 +451,8 @@ def build_delta_table(
             }
             if info.get("stats"):
                 a["stats"] = info["stats"]
+            if info.get("deletionVector"):
+                a["deletionVector"] = info["deletionVector"]
             all_adds[p] = a
     for v, commit in enumerate(commits, start=start_version):
         actions = []
@@ -456,6 +502,19 @@ def build_delta_table(
                 add["stats"] = stats
             all_adds[fname] = add
             actions.append({"add": add})
+        for rp, desc in commit.get("attach_dvs", ()):
+            # row-level delete: the protocol re-adds the SAME file with
+            # a deletionVector descriptor (plus a remove of the old
+            # add) — the replay's last-action-per-path rule applies it
+            prev_add = all_adds[rp]
+            actions.append(
+                {"remove": {"path": rp, "deletionTimestamp": 0,
+                            "dataChange": True}}
+            )
+            a = dict(prev_add)
+            a["deletionVector"] = desc
+            all_adds[rp] = a
+            actions.append({"add": a})
         for rp in commit.get("removes", ()):
             all_adds.pop(rp, None)
             actions.append(
@@ -472,10 +531,18 @@ def build_delta_table(
             # explicit arrow schema: partitionValues/configuration are
             # map<string,string> (pyarrow cannot infer empty structs)
             str_map = pa.map_(pa.string(), pa.string())
+            dv_t = pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ])
             add_t = pa.struct([
                 ("path", pa.string()), ("partitionValues", str_map),
                 ("size", pa.int64()), ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()), ("stats", pa.string()),
+                ("deletionVector", dv_t),
             ])
             meta_t = pa.struct([
                 ("id", pa.string()), ("schemaString", pa.string()),
@@ -490,7 +557,8 @@ def build_delta_table(
                 ("add", add_t), ("metaData", meta_t), ("protocol", proto_t),
             ])
             rows = [
-                {"add": {**a, "stats": a.get("stats")},
+                {"add": {**a, "stats": a.get("stats"),
+                         "deletionVector": a.get("deletionVector")},
                  "metaData": None, "protocol": None}
                 for a in all_adds.values()
             ]

@@ -25,17 +25,22 @@ snapshot, read its tree".  Reader posture:
 - ``prune`` (col -> (lo, hi)) drops data files whose
   ``data_file.partition`` value for an identity-partitioned column
   cannot overlap — manifest-tree pruning, I/O-only as always;
-- HONEST gates: format-version > 2, DELETE manifests (v2
-  ``manifest_file.content = 1``) and delete data files
-  (``data_file.content != 0``) raise ``NotImplementedError`` by name —
-  merge-on-read semantics must not be silently ignored;
+- v2 MERGE-ON-READ position deletes apply (round 12): DELETE
+  manifests (``manifest_file.content = 1``) contribute position-delete
+  parquet files of (file_path, pos), dropped from the data read with
+  one anti-join on (data-file basename, ``_metadata.row_index``) —
+  the in-file position space the spec's ``pos`` column addresses;
+- HONEST gates: format-version > 2 and EQUALITY delete files
+  (``data_file.content = 2``) raise ``NotImplementedError`` by name —
+  unimplemented merge-on-read semantics must not be silently ignored;
 - ``manifest_entry.status = 2`` (DELETED) rows are history, not state:
   they are skipped, which is the spec's read path.
 
 ``build_iceberg_table`` is the fixture twin: real parquet data files,
 real Avro manifests/manifest lists written by the engine's own OCF
 writer with spec-shaped schemas, metadata.json + version-hint — the
-full tree a reader must navigate.
+full tree a reader must navigate, including delete manifests +
+position-delete parquet via each manifest spec's ``pos_deletes``.
 
 Reference analogue: none; extension inventory SURVEY §2.11.
 """
@@ -137,16 +142,13 @@ def iceberg_snapshot(
     with open(ml_path, "rb") as f:
         _hdr, manifests = parse_avro_blob(f.read())
     files: dict = {}
+    pos_delete_files: list = []
     for mf in manifests:
         if not isinstance(mf, dict) or "manifest_path" not in mf:
             raise ValueError(
                 "iceberg: manifest-list record without manifest_path"
             )
-        if mf.get("content", 0) == 1:
-            raise NotImplementedError(
-                "iceberg: DELETE manifests (v2 merge-on-read) are not "
-                "supported; copy-on-write tables are"
-            )
+        is_delete_manifest = mf.get("content", 0) == 1
         mpath = _resolve(root, mf["manifest_path"])
         with open(mpath, "rb") as f:
             _h2, entries = parse_avro_blob(f.read())
@@ -158,15 +160,31 @@ def iceberg_snapshot(
                 raise ValueError(
                     "iceberg: manifest entry without a data_file path"
                 )
-            if df_.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "iceberg: delete data files (position/equality "
-                    "deletes) are not supported"
-                )
             fmt = (df_.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg: data file format {fmt} is not supported"
+                )
+            content = df_.get("content", 0)
+            if is_delete_manifest:
+                # v2 merge-on-read (round 12): POSITION delete files
+                # (parquet of file_path + pos) are applied by
+                # iceberg_read; EQUALITY deletes still refuse by name
+                if content == 2:
+                    raise NotImplementedError(
+                        "iceberg: equality delete files are not "
+                        "supported (position deletes are)"
+                    )
+                if content != 1:
+                    raise ValueError(
+                        "iceberg: delete manifest entry with "
+                        f"content={content}"
+                    )
+                pos_delete_files.append(df_["file_path"])
+                continue
+            if content != 0:
+                raise ValueError(
+                    f"iceberg: DATA manifest entry with content={content}"
                 )
             files[df_["file_path"]] = {
                 "partition": df_.get("partition") or {},
@@ -197,6 +215,7 @@ def iceberg_snapshot(
     return {
         "snapshot_id": sid,
         "files": files,
+        "position_delete_files": pos_delete_files,
         "schema": cur_schema,
         "partition_fields": pfields,
         "n_manifests": len(manifests),
@@ -267,9 +286,43 @@ def iceberg_read(
     if not entries:
         # every file pruned: empty frame, same schema contract
         return spark.createDataFrame([], _spark_schema_ddl(snap["schema"]))
-    return spark.read.parquet(
-        *[_resolve(root, p) for p, _ in entries]
-    )
+    df = spark.read.parquet(*[_resolve(root, p) for p, _ in entries])
+    dels = snap["position_delete_files"]
+    if dels:
+        # v2 position deletes (round 12): delete files are plain
+        # parquet of (file_path, pos); drop matching rows with ONE
+        # anti-join on (data-file basename, row position) —
+        # _metadata.row_index is the parquet reader's in-file position,
+        # the exact space the spec's pos column addresses.  Basenames
+        # are the join key (UUID-named files are unique per table;
+        # as-written paths differ from the reader's resolved URIs).
+        # A delete row naming a file absent from the snapshot is inert
+        # (its data file was rewritten away) — the anti-join gives
+        # that for free.  AQE sizes the join; no driver materialize.
+        from pyspark.sql import functions as F
+
+        del_df = spark.read.parquet(*[_resolve(root, p) for p in dels])
+        if set(del_df.columns) < {"file_path", "pos"}:
+            raise ValueError(
+                "iceberg: position-delete parquet without file_path/pos"
+            )
+        del_dim = del_df.select(
+            F.element_at(F.split(F.col("file_path"), "/"), -1)
+            .alias("__ib_file"),
+            F.col("pos").cast("long").alias("__ib_pos"),
+        )
+        df = (
+            df.withColumn(
+                "__ib_file",
+                F.url_decode(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1)
+                ),
+            )
+            .withColumn("__ib_pos", F.col("_metadata.row_index"))
+            .join(del_dim, ["__ib_file", "__ib_pos"], "left_anti")
+            .drop("__ib_file", "__ib_pos")
+        )
+    return df
 
 
 # --- fixture-side twin ---------------------------------------------------------
@@ -353,12 +406,12 @@ def build_iceberg_table(
 
     entry_schema = _manifest_entry_schema(partition_fields)
 
-    def _entry(status, sid, fp, pv, n, sz):
+    def _entry(status, sid, fp, pv, n, sz, content=0):
         return {
             "status": status,
             "snapshot_id": sid,
             "data_file": {
-                "content": 0,
+                "content": content,
                 "file_path": fp,
                 "file_format": "PARQUET",
                 "partition": pv,
@@ -367,13 +420,13 @@ def build_iceberg_table(
             },
         }
 
-    def _write_manifest(entries):
+    def _write_manifest(entries, content=0):
         name = f"metadata/manifest-{uuid.uuid4().hex[:12]}.avro"
         blob = build_avro_ocf(entry_schema, entries, codec="deflate")
         with open(os.path.join(root, name), "wb") as f:
             f.write(blob)
         n_added = sum(1 for e in entries if e["status"] == 1)
-        return (name, len(blob), n_added, entries)
+        return (name, len(blob), n_added, entries, content)
 
     snap_ids = []
     snaps_meta = []
@@ -403,10 +456,50 @@ def build_iceberg_table(
                 ))
             if adds:
                 manifests.append(_write_manifest(adds))
+            if spec.get("pos_deletes"):
+                # v2 merge-on-read fixture: one parquet of
+                # (file_path, pos) + a DELETE manifest (content=1).
+                # Targets are named by an identity-partition selector
+                # (files get their uuid names only at build time).
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                rows_fp, rows_pos = [], []
+                for want, positions in spec["pos_deletes"]:
+                    targets = [
+                        e["data_file"]["file_path"]
+                        for _n, _l, _na, ents, ct in manifests if ct == 0
+                        for e in ents
+                        if e["status"] != 2 and all(
+                            e["data_file"]["partition"].get(k) == v
+                            for k, v in want.items()
+                        )
+                    ]
+                    if len(targets) != 1:
+                        raise ValueError(
+                            f"pos_deletes selector {want} matched "
+                            f"{len(targets)} files"
+                        )
+                    rows_fp.extend([targets[0]] * len(positions))
+                    rows_pos.extend(int(x) for x in positions)
+                dname = f"data/delete-{uuid.uuid4().hex[:16]}.parquet"
+                pq.write_table(
+                    pa.table({"file_path": pa.array(rows_fp, pa.string()),
+                              "pos": pa.array(rows_pos, pa.int64())}),
+                    os.path.join(root, dname),
+                )
+                dentry = _entry(
+                    1, sid, dname,
+                    {n: None for n, _t in partition_fields},
+                    len(rows_pos),
+                    os.path.getsize(os.path.join(root, dname)),
+                    content=1,
+                )
+                manifests.append(_write_manifest([dentry], content=1))
             dels = set(spec.get("deletes") or ())
             if spec.get("delete_where"):
                 want = spec["delete_where"]
-                for _name, _ln, _na, entries in pre_manifests:
+                for _name, _ln, _na, entries, _ct in pre_manifests:
                     for e in entries:
                         if e["status"] == 2:
                             continue
@@ -415,14 +508,14 @@ def build_iceberg_table(
                             dels.add(e["data_file"]["file_path"])
             if dels:
                 rewritten = []
-                for name, ln, na, entries in manifests:
+                for name, ln, na, entries, ct in manifests:
                     touched = [
                         e for e in entries
                         if e["data_file"]["file_path"] in dels
                         and e["status"] != 2
                     ]
                     if not touched:
-                        rewritten.append((name, ln, na, entries))
+                        rewritten.append((name, ln, na, entries, ct))
                         continue
                     new_entries = [
                         (
@@ -432,22 +525,22 @@ def build_iceberg_table(
                         )
                         for e in entries
                     ]
-                    rewritten.append(_write_manifest(new_entries))
+                    rewritten.append(_write_manifest(new_entries, ct))
                 manifests = rewritten
-        manifest_paths = [(n, ln, na) for n, ln, na, _e in manifests]
+        manifest_paths = [(n, ln, na, ct) for n, ln, na, _e, ct in manifests]
         ml_name = f"metadata/snap-{sid}-manifest-list.avro"
         ml_records = [
             {
                 "manifest_path": mp,
                 "manifest_length": ln,
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": ct,
                 "added_snapshot_id": sid,
                 "added_files_count": ne,
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
             }
-            for mp, ln, ne in manifest_paths
+            for mp, ln, ne, ct in manifest_paths
         ]
         with open(os.path.join(root, ml_name), "wb") as f:
             f.write(build_avro_ocf(_MANIFEST_FILE_SCHEMA, ml_records))

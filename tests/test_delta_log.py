@@ -101,7 +101,14 @@ def test_protocol_and_column_mapping_gates(spark, tmp_path):
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"]}}) + "\n")
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    # deletionVectors became a SUPPORTED reader feature in round 12:
+    # a v3 protocol demanding it must now read, not refuse
+    assert delta_read(spark, root).count() == 5
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         delta_read(spark, root)
     # older versions before the feature bump still read
     assert delta_read(spark, root, version=2).count() == 5

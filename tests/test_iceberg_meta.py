@@ -101,7 +101,10 @@ def test_merge_on_read_gates(spark, tmp_path):
     recs[0]["content"] = 1
     with open(os.path.join(root, ml_rel), "wb") as f:
         f.write(build_avro_ocf(_MANIFEST_FILE_SCHEMA, recs))
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+    # position deletes APPLY since round 12 — but a "delete" manifest
+    # whose entries are plain data files (content=0) is malformed and
+    # must fail loudly rather than resurrect or drop rows
+    with pytest.raises(ValueError, match="delete manifest entry"):
         iceberg_read(spark, root)
 
 
