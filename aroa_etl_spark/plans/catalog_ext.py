@@ -3552,7 +3552,10 @@ def s_office_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            make_timestamp(CAST((k * 1000 + j) AS BIGINT) * 1000000
                           + CAST(j AS BIGINT) * 250000) AS ts,
            CAST((k * 37 + j * 13) % 10000 - 5000 AS DOUBLE) / 100 AS amt,
-           'u' || CAST(k AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS uid
+           'u' || CAST(k AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS uid,
+           CAST(j % 3 AS INT) AS u_kind,
+           CAST(CASE WHEN j % 3 = 1 THEN k * 31 + j ELSE -1 END AS BIGINT) AS u_long,
+           CASE WHEN j % 3 = 2 THEN 'x' || CAST(k % 7 AS VARCHAR) ELSE '~' END AS u_str
     FROM r
     """,
 )
@@ -3576,8 +3579,11 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative amounts), and uuid (annotated string) — each value-hashed
     against the oracle's replay, so a unit slip (ms vs us), a sign
     error in the two's complement, or a scale slip fails the gate.
-    Unsupported constructs (multi-branch unions, named-type refs)
-    still raise by name.
+    Round 12 adds MULTI-BRANCH unions — the Kafka event-envelope
+    ["null", long, string] decodes to a nullable memberK struct
+    honoring declared branch order, flattened here with an explicit
+    kind + sentinels for the hash surface.  Named-type refs still
+    raise by name.
     Scale: binaryFile-shaped scan -> kernel explode, zero shuffle."""
     from aroa_etl_spark.sources.avro_ocf import avro_records, build_avro_ocf
     from pyspark.sql import types as T
@@ -3606,6 +3612,9 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "precision": 10, "scale": 2}},
             {"name": "uid", "type": {
                 "type": "string", "logicalType": "uuid"}},
+            # MULTI-BRANCH union (round 12, r11 verdict #4): the
+            # Kafka-style event-envelope shape ["null", A, B]
+            {"name": "u", "type": ["null", "long", "string"]},
         ],
     }
     import datetime as dt
@@ -3628,6 +3637,9 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "amt": dec.Decimal((k * 37 + j * 13) % 10000 - 5000)
                 / dec.Decimal(100),
                 "uid": f"u{k}-{j}",
+                "u": (None if j % 3 == 0 else
+                      {"member0": k * 31 + j} if j % 3 == 1 else
+                      {"member1": f"x{k % 7}"}),
             }
             for j in range(2 + k % 3)
         ]
@@ -3666,6 +3678,10 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("ts", T.TimestampNTZType()),
             T.StructField("amt", T.DecimalType(10, 2)),
             T.StructField("uid", T.StringType()),
+            T.StructField("u", T.StructType([
+                T.StructField("member0", T.LongType()),
+                T.StructField("member1", T.StringType()),
+            ])),
         ]
     )
     return avro_records(media, rec_schema).select(
@@ -3683,6 +3699,15 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("amt").cast("double").alias("amt"),
         "uid",
+        # union branch flattened with explicit kind + sentinels (house
+        # rule: nullable numeric outputs float in pandas and break the
+        # hash — emit a flag + COALESCE on BOTH engines)
+        F.when(F.col("u").isNull(), F.lit(0))
+        .when(F.col("u.member0").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2)).cast("int").alias("u_kind"),
+        F.coalesce(F.col("u.member0"), F.lit(-1))
+        .cast("bigint").alias("u_long"),
+        F.coalesce(F.col("u.member1"), F.lit("~")).alias("u_str"),
     )
 
 

@@ -36,7 +36,8 @@ Spark column (DecimalType/DateType/TimestampNTZType) through
 type) and any UNKNOWN logicalType keeps its base type with the
 annotation surfaced verbatim in the returned header schema.
 
-Anything else — multi-branch unions, named-type references — raises
+Multi-branch unions decode to nullable memberK dicts (round 12).
+Anything else — named-type references — raises
 ``NotImplementedError`` with the offending construct named: the honest
 capability boundary, not a silent misparse.
 
@@ -269,10 +270,34 @@ def _parse_type(t):
             return ("prim", t)
         raise NotImplementedError(f"avro: unsupported type {t!r}")
     if isinstance(t, list):
+        if any(isinstance(bt, list) for bt in t):
+            raise ValueError(
+                "avro: unions may not immediately contain unions"
+            )
         if len(t) == 2 and "null" in t:
             nb = t.index("null")
             return ("union", nb, _parse_type(t[1 - nb]))
-        raise NotImplementedError(f"avro: unsupported union {t!r}")
+        # MULTI-BRANCH unions (round 12): ["null", A, B, ...] or
+        # [A, B] — decoded to a dict of nullable "memberK" entries
+        # (K indexes the NON-NULL branches in declared order, the
+        # same member naming Spark's own Avro connector surfaces),
+        # with the null branch decoding to None.  The spec forbids
+        # immediately-nested unions and duplicate branches.
+        if len(t) < 2:
+            raise ValueError(f"avro: union with {len(t)} branches")
+        branches = []
+        for bt in t:
+            if bt == "null":
+                branches.append(None)
+            elif isinstance(bt, list):
+                raise ValueError(
+                    "avro: unions may not immediately contain unions"
+                )
+            else:
+                branches.append(_parse_type(bt))
+        if sum(1 for b in branches if b is None) > 1:
+            raise ValueError("avro: union with duplicate null branches")
+        return ("multiunion", branches)
     if isinstance(t, dict) and "logicalType" in t:
         lt = t["logicalType"]
         base = {k2: v2 for k2, v2 in t.items() if k2 != "logicalType"}
@@ -383,6 +408,34 @@ def _encode_node(node, v) -> bytes:
         if v is None:
             return _zz_encode(nb)
         return _zz_encode(1 - nb) + _encode_node(inner, v)
+    if kind == "multiunion":
+        branches = node[1]
+        if v is None:
+            for i, b in enumerate(branches):
+                if b is None:
+                    return _zz_encode(i)
+            raise ValueError("avro: None for a union without a null branch")
+        if not isinstance(v, dict):
+            raise ValueError(
+                "avro: multi-branch union values are {'memberK': value} "
+                "dicts with exactly one non-null member"
+            )
+        set_members = [(k2, v2) for k2, v2 in v.items() if v2 is not None]
+        if len(set_members) != 1:
+            raise ValueError(
+                f"avro: union dict must set exactly one member, got "
+                f"{len(set_members)}"
+            )
+        mk, mv = set_members[0]
+        want = int(mk.removeprefix("member"))
+        m = 0
+        for i, b in enumerate(branches):
+            if b is None:
+                continue
+            if m == want:
+                return _zz_encode(i) + _encode_node(b, mv)
+            m += 1
+        raise ValueError(f"avro: union has no member {want}")
     if kind == "prim":
         return _encode_value(node[1], v)
     if kind == "record":
@@ -390,7 +443,7 @@ def _encode_node(node, v) -> bytes:
         rec = v if isinstance(v, dict) else {}
         for fname, fnode in node[1]:
             fv = rec.get(fname)
-            if fv is None and fnode[0] != "union":
+            if fv is None and fnode[0] not in ("union", "multiunion"):
                 raise ValueError(f"avro: field {fname!r} is not nullable")
             out += _encode_node(fnode, fv)
         return bytes(out)
@@ -467,6 +520,24 @@ def _decode_node(node, buf: bytes, pos: int):
         if branch == 1 - nb:
             return _decode_node(inner, buf, pos)
         raise ValueError(f"avro: union branch {branch} out of range")
+    if kind == "multiunion":
+        branches = node[1]
+        branch, pos = _zz_decode(buf, pos)
+        if not 0 <= branch < len(branches):
+            raise ValueError(
+                f"avro: union branch {branch} outside {len(branches)}"
+            )
+        chosen = branches[branch]
+        if chosen is None:
+            return None, pos
+        v, pos = _decode_node(chosen, buf, pos)
+        members = [b for b in branches if b is not None]
+        hit = sum(1 for b in branches[:branch] if b is not None)
+        return (
+            {f"member{i}": (v if i == hit else None)
+             for i in range(len(members))},
+            pos,
+        )
     if kind == "prim":
         return _decode_value(node[1], buf, pos)
     if kind == "record":

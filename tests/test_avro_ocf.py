@@ -53,12 +53,23 @@ def test_unsupported_constructs_raise_by_name():
     }
     with pytest.raises(NotImplementedError, match="SomeNamedType"):
         build_avro_ocf(ref, [])
-    multi = {
-        "type": "record", "name": "r",
-        "fields": [{"name": "a", "type": ["null", "long", "string"]}],
-    }
-    with pytest.raises(NotImplementedError, match="union"):
-        build_avro_ocf(multi, [])
+    # multi-branch unions DECODE since round 12 — the remaining union
+    # boundaries are structural spec violations, loudly typed
+    with pytest.raises(ValueError, match="unions may not"):
+        build_avro_ocf({
+            "type": "record", "name": "r",
+            "fields": [{"name": "a", "type": ["null", ["long"]]}],
+        }, [])
+    with pytest.raises(ValueError, match="exactly one member"):
+        build_avro_ocf({
+            "type": "record", "name": "r",
+            "fields": [{"name": "a", "type": ["null", "long", "string"]}],
+        }, [{"a": {"member0": 1, "member1": "x"}}])
+    with pytest.raises(ValueError, match="null branch"):
+        build_avro_ocf({
+            "type": "record", "name": "r",
+            "fields": [{"name": "a", "type": ["long", "string"]}],
+        }, [{"a": None}])
     with pytest.raises(NotImplementedError, match="codec"):
         build_avro_ocf(SCHEMA, [], codec="lz4")
     # a zstd frame that does not record its content size is a named

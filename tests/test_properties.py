@@ -423,6 +423,46 @@ def test_avro_nested_and_arrays_roundtrip_any_records(recs, codec):
     assert back == recs and hdr["n_records"] == len(recs)
 
 
+_union_val = st.one_of(
+    st.none(),
+    st.builds(lambda v: {"member0": v},
+              st.integers(min_value=-(2**62), max_value=2**62)),
+    st.builds(lambda v: {"member1": v}, st.text(max_size=8)),
+    st.builds(lambda v: {"member2": v}, st.booleans()),
+)
+
+
+@given(st.lists(_union_val, max_size=8),
+       st.sampled_from(["null", "deflate", "snappy"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_multibranch_union_roundtrip_law(vals, codec):
+    """Round 12: ["null", A, B, C] unions round-trip for any branch
+    choice, honoring declared branch order; the decoder returns full
+    memberK dicts (all members present, exactly one non-null)."""
+    from aroa_etl_spark.sources.avro_ocf import build_avro_ocf, parse_avro_blob
+
+    schema = {
+        "type": "record", "name": "e",
+        "fields": [
+            {"name": "u", "type": ["null", "long", "string", "boolean"]},
+        ],
+    }
+    recs = [{"u": v} for v in vals]
+    _hdr, back = parse_avro_blob(
+        build_avro_ocf(schema, recs, codec=codec, records_per_block=3)
+    )
+    assert len(back) == len(recs)
+    for got, want in zip(back, recs):
+        u = got["u"]
+        if want["u"] is None:
+            assert u is None
+            continue
+        assert set(u) == {"member0", "member1", "member2"}
+        (mk, mv), = [(k, v) for k, v in want["u"].items()]
+        assert u[mk] == mv
+        assert all(v is None for k, v in u.items() if k != mk)
+
+
 @given(
     st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
     # round 11: the law covers the FULL predictor family (4x4 tiles
