@@ -71,6 +71,7 @@ __all__ = [
     "table_upsert",
     "table_vacuum",
     "table_compact",
+    "table_export_delta",
     "pruned_files",
 ]
 
@@ -568,3 +569,105 @@ def table_vacuum(path: str, *, keep_last: int = 1, protocol=None) -> "list[str]"
             p.remove_data_dir(root, rel)
             removed.append(rel)
     return removed
+
+
+def table_export_delta(path: str, *, protocol=None) -> int:
+    """Export the snapshot table's WHOLE manifest history as a Delta
+    Lake transaction log (round 12, r11 verdict #5 — the interop
+    MIGRATION.md promised inward only; this closes the outward half).
+
+    Writes ``<root>/_delta_log/%020d.json`` next to the existing
+    ``_manifests``: manifest version N becomes Delta version N-1, each
+    carrying add actions for the version's parquet part files (paths
+    root-relative, exactly where the snapshot table wrote them — no
+    data is copied or rewritten) and remove actions for the parent
+    files that left the snapshot.  Version 0 carries protocol
+    (minReaderVersion 1) + metaData with the schema converted from the
+    manifest's recorded columns; a schema-evolving overwrite emits a
+    fresh metaData action in its version.  Dir-level [min, max] stats
+    carry over as per-file minValues/maxValues (valid, possibly loose,
+    bounds — pruning stays an I/O optimization) with numRecords read
+    from each parquet footer.  The export is a DERIVED artifact and is
+    regenerated from scratch on every call (idempotent); the snapshot
+    table remains the source of truth.  Returns the number of Delta
+    versions written.  Any delta-protocol reader — including this
+    repo's own ``sources/delta_log.py`` — can then read and
+    time-travel the engine-produced table."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    p = _proto(protocol)
+    root = _check_local(path)
+    versions = p.list_versions(root)
+    if not versions:
+        raise ValueError(f"table: no manifests to export under {path!r}")
+    log = os.path.join(root, "_delta_log")
+    shutil.rmtree(log, ignore_errors=True)
+    os.makedirs(log)
+
+    def _part_files(rel_dir: str) -> "list[str]":
+        d = os.path.join(root, rel_dir)
+        return sorted(
+            os.path.join(rel_dir, n) for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+
+    prev_parts: "list[str]" = []
+    prev_schema = None
+    table_id = uuid.uuid4().hex
+    for i, v in enumerate(versions):
+        m = p.read_manifest(root, v)
+        schema_cols = m.get("schema_cols") or []
+        actions: "list[dict]" = []
+        if i == 0:
+            actions.append({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2,
+            }})
+        if schema_cols != prev_schema:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in schema_cols)
+            spark_schema = T.StructType.fromDDL(ddl)
+            actions.append({"metaData": {
+                "id": table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(spark_schema.jsonValue()),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }})
+            prev_schema = schema_cols
+        parts: "list[str]" = []
+        stats = m.get("file_stats", {})
+        for rel in m["files"]:
+            dir_stats = stats.get(rel)
+            for fp in _part_files(rel):
+                parts.append(fp)
+                if fp in prev_parts:
+                    continue  # carried forward by an append: no action
+                add = {
+                    "path": fp.replace(os.sep, "/"),
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, fp)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                st = {"numRecords": pq.read_metadata(
+                    os.path.join(root, fp)).num_rows}
+                if dir_stats:
+                    st["minValues"] = {c: mn for c, (mn, _mx)
+                                       in dir_stats.items()}
+                    st["maxValues"] = {c: mx for c, (_mn, mx)
+                                       in dir_stats.items()}
+                add["stats"] = json.dumps(st)
+                actions.append({"add": add})
+        for fp in prev_parts:
+            if fp not in parts:
+                actions.append({"remove": {
+                    "path": fp.replace(os.sep, "/"),
+                    "deletionTimestamp": 0, "dataChange": True,
+                }})
+        prev_parts = parts
+        with open(os.path.join(log, f"{i:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    return len(versions)
