@@ -54,9 +54,12 @@ highest:
 - Type0/CID TEXT (§9.10.3): show strings under an Identity-H Type0
   font decode as 2-byte codes through the font's /ToUnicode CMap
   (bfchar + bfrange, multi-unit UTF-16BE dsts incl. surrogate pairs),
-  with ``Tf`` font switching tracked sequentially.  A Type0 font
-  WITHOUT /ToUnicode stays a named boundary — its codes are bare
-  glyph indices.
+  with ``Tf`` font switching tracked sequentially.  Round 12 adds
+  PREDEFINED CMaps of the Uni*-UCS2/UTF16 families (UniGB-UCS2-H and
+  friends — the CJK crawl case): their codes are UTF-16BE by the
+  public CMap definition, so text extracts with no registry tables.
+  Identity-H (or any other predefined CMap) WITHOUT /ToUnicode stays
+  a named boundary — those codes are bare CIDs.
 
 ``build_pdf`` / ``build_pdf_with_text`` are the stdlib fixture
 writers computing real offsets; both emit the classic layout AND the
@@ -677,9 +680,24 @@ def _page_fonts(content, entries, page_body, cache, dec):
             continue
         tum = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fbody)
         if not tum:
+            # predefined CMaps (round 12, §9.7.5): the Uni*-UCS2-* /
+            # Uni*-UTF16-* families (UniGB-UCS2-H, UniJIS-UTF16-H, …,
+            # the common CJK crawl case) map FROM Unicode — their
+            # show-string codes ARE UTF-16BE text, no registry tables
+            # needed.  Identity-H without ToUnicode and every other
+            # predefined CMap stay the named boundary: those codes are
+            # CIDs/glyph indices with no text meaning outside the font.
+            em = re.search(rb"/Encoding\s*/([\w-]+)", fbody)
+            enc = em.group(1).decode("latin-1") if em else "?"
+            if em and re.fullmatch(
+                rb"Uni[A-Za-z0-9]+-(?:UCS2|UTF16)-[HV]", em.group(1)
+            ):
+                fonts[name] = "utf16"
+                continue
             raise NotImplementedError(
-                "pdf: Type0/CID font without a /ToUnicode CMap — codes "
-                "are bare glyph indices (named boundary)"
+                f"pdf: Type0/CID font with /Encoding /{enc} and no "
+                "/ToUnicode CMap — codes are bare CIDs (named boundary; "
+                "Uni*-UCS2/UTF16 predefined CMaps decode)"
             )
         tu_num = int(tum.group(1))
         tu_body = _object_bytes(content, entries, tu_num, cache, dec)
@@ -707,6 +725,8 @@ def _shown_parts_with_fonts(data: bytes, fonts: dict) -> "list[str]":
 
     def one(lit, hexs, cmap):
         raw = _pdf_string_bytes(lit) if lit is not None else _hex_bytes(hexs)
+        if cmap == "utf16":  # predefined Uni*-UCS2/UTF16 CMap (round 12)
+            return raw.decode("utf-16-be", "replace")
         if cmap is not None:
             return _decode_cid_string(raw, cmap)
         return raw.decode("latin-1")
@@ -1046,6 +1066,7 @@ def build_pdf_with_text(
     predictor: int = 12,
     hex_strings: bool = False,
     type0: bool = False,
+    predefined_cmap: "str | None" = None,
     encrypt: "str | None" = None,
 ) -> bytes:
     """build_pdf's sibling with real per-page content streams: each
@@ -1062,7 +1083,13 @@ def build_pdf_with_text(
     text is shown as 2-byte-code hex strings — the multi-byte path
     virtually all modern PDF text uses.  ``encrypt`` in
     rc4/aesv2/aesv3 encrypts every stream (content, ToUnicode, objstm)
-    with its object key under empty user+owner passwords."""
+    with its object key under empty user+owner passwords.
+
+    ``predefined_cmap="UniGB-UCS2-H"`` (round 12) emits a Type0 font
+    with that /Encoding name and NO /ToUnicode — the CJK-crawl shape
+    the round-11 verdict named — showing page text as UTF-16BE hex
+    codes, which is exactly what the Uni*-UCS2/UTF16 predefined CMaps
+    define the codes to be."""
     import hashlib as _hl
     import zlib
 
@@ -1090,7 +1117,11 @@ def build_pdf_with_text(
     desc_num = font_num + 1         # descendant CIDFont
     tou_num = font_num + 2          # ToUnicode CMap stream
     cid_of: dict[str, int] = {}
-    if type0:
+    if predefined_cmap is not None:
+        if type0:
+            raise ValueError("type0 and predefined_cmap are exclusive")
+        type0 = True  # same object layout; no ToUnicode is emitted
+    if type0 and predefined_cmap is None:
         # printable ASCII rides the identity bfrange; everything else
         # gets a private-use code and a bfchar entry
         extra = []
@@ -1101,6 +1132,8 @@ def build_pdf_with_text(
                     extra.append(ch)
 
     def shown_for(text: str) -> str:
+        if predefined_cmap is not None:
+            return "<" + text.encode("utf-16-be").hex().upper() + ">"
         if type0:
             codes = bytearray()
             for ch in text:
@@ -1147,10 +1180,13 @@ def build_pdf_with_text(
         )
         flags.append(False)  # stream objects may not enter an ObjStm
     if type0:
+        enc_name = predefined_cmap or "Identity-H"
+        tou_ref = "" if predefined_cmap is not None \
+            else f"/ToUnicode {tou_num} 0 R "
         objs.append(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
-            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
-            f"/ToUnicode {tou_num} 0 R >>".encode()
+            f"/Encoding /{enc_name} /DescendantFonts [{desc_num} 0 R] "
+            f"{tou_ref}>>".encode()
         )
         flags.append(True)
         objs.append(

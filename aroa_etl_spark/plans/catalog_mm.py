@@ -1546,8 +1546,11 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard cases: every 8th blob shows its text through a REAL
     Identity-H Type0 font — 2-byte CID codes routed through a
     /ToUnicode CMap (identity bfrange for ASCII), the path virtually
-    all modern PDF text takes — and every 7th blob is GENUINELY
-    ENCRYPTED (empty user password; RC4-128 / AES-128 / AES-256-R6
+    all modern PDF text takes — round 12 adds the CJK-crawl shape on
+    another 8th of the dim: a Type0 font with the PREDEFINED
+    /UniGB-UCS2-H encoding and NO /ToUnicode, whose 2-byte codes are
+    UTF-16BE by the CMap family's public definition — and every 7th
+    blob is GENUINELY ENCRYPTED (empty user password; RC4-128 / AES-128 / AES-256-R6
     rotating), so content and CMap streams are ciphertext the
     extractor must authenticate and decrypt per object.  Layout,
     string form, font machinery, and encryption never change the
@@ -1573,6 +1576,12 @@ def mm_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         predictor=12 if k % 2 == 0 else 1,
                         hex_strings=k % 5 == 4,
                         type0=k % 8 == 6,
+                        # round 12: every 8th blob shows text through a
+                        # PREDEFINED CMap (UniGB-UCS2-H, no /ToUnicode)
+                        # whose codes are UTF-16BE by definition
+                        predefined_cmap=(
+                            "UniGB-UCS2-H" if k % 8 == 3 else None
+                        ),
                         encrypt=(
                             ("rc4", "aesv2", "aesv3")[(k // 7) % 3]
                             if k % 7 == 0

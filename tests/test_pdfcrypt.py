@@ -211,3 +211,34 @@ def test_decryptor_uses_xref_generation():
     )
     assert _make_decryptor(c5, entries)(7, ct5) == data
     assert _make_decryptor(c5, None)(7, ct5) == data
+
+
+def test_predefined_cmap_type0_text():
+    """Round 12: Type0 fonts with a predefined Uni*-UCS2/UTF16 CMap
+    and NO /ToUnicode extract text — their codes are UTF-16BE by the
+    CMap family's public definition (ISO 32000 §9.7.5.2).  Identity-H
+    without /ToUnicode stays the named boundary."""
+    from aroa_etl_spark.operators.pdfscan import (
+        _extract_blob_text,
+        build_pdf_with_text,
+    )
+
+    texts = ["中文测试 Hello", "日本語テキスト 🎉"]
+    for name, kwargs in (
+        ("UniGB-UCS2-H", {}),
+        ("UniJIS-UTF16-H", {"xref_stream": True, "compress": True}),
+        ("UniKS-UCS2-V", {"encrypt": "aesv2"}),
+    ):
+        blob = build_pdf_with_text(texts, predefined_cmap=name, **kwargs)
+        got = [r["text"] for r in _extract_blob_text(blob, True)]
+        assert got == texts, (name, got)
+    bad = build_pdf_with_text(["abc"], type0=True).replace(
+        b"/ToUnicode", b"/XXUnicode"
+    )
+    with pytest.raises(NotImplementedError, match="Identity-H"):
+        _extract_blob_text(bad, True)
+    # a NON-decodable predefined CMap names itself in the refusal
+    gbk = build_pdf_with_text(["abc"], predefined_cmap="UniGB-UCS2-H")
+    gbk = gbk.replace(b"/UniGB-UCS2-H", b"/GBK-EUC-H \x20\x20")
+    with pytest.raises(NotImplementedError, match="GBK-EUC-H"):
+        _extract_blob_text(gbk, True)
