@@ -1378,6 +1378,13 @@ BENCH_EXTRA = [
     # Round-10 additions: the two new heavy families
     "mm_webp_decode_real",       # vendored VP8L Huffman+LZ77 decode
     "inc_table_pruned_read",     # snapshot-table commits + file pruning + compaction
+    # Round-12 additions (r11 verdict ask #7 + the round's new heavy
+    # families): the lakehouse readers, PDF text extraction, and the
+    # lossy VP8 keyframe decoder become round-over-round visible
+    "s_delta_snapshot_read",     # Delta log replay + checkpoint + partition join
+    "s_iceberg_snapshot_read",   # Iceberg metadata tree via own Avro reader
+    "mm_pdf_text_extract",       # xref-driven text extraction incl. crypt/CMaps
+    "mm_webp_lossy_decode_real",  # RFC 6386 VP8 keyframe decode
 ]
 
 

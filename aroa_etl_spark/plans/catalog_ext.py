@@ -2608,7 +2608,7 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         "o_orderkey", "o_orderpriority",
         (F.col("o_orderkey") % 16).cast("int").alias("day"),
-    )
+    ).persist()  # 16 per-day commits scan memory, not parquet (r12 trim)
     root = _scratch_stage("table_pruned", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     t = os.path.join(root, "t")
@@ -2617,6 +2617,7 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("day") == day), t,
             mode="append", op=f"ingest-day-{day}", stats_cols=["day"],
         )
+    orders.unpersist()
     newest = table_versions(t)[-1]
     kept = pruned_files(newest, {"day": (3, 5)})
     if len(newest["files"]) != 16 or len(kept) != 3:
@@ -2624,8 +2625,16 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pruning planned {len(kept)} of {len(newest['files'])} files, "
             "wanted 3 of 16"
         )
-    agg_cols = lambda df: (  # noqa: E731 — tiny local shaper
-        df.filter(F.col("day").between(3, 5))
+    table_compact(spark, t, stats_cols=["day"])
+    if len(table_versions(t)[-1]["files"]) != 1:
+        raise AssertionError("compaction did not produce a single file")
+    # the returned frame reads the POST-compaction snapshot, so the
+    # oracle's value hash IS the compaction content-identity check —
+    # the old in-entry before/after collect doubled the read for a
+    # guarantee the gate already provides (r11 verdict finding #2)
+    return (
+        table_read(spark, t, prune={"day": (3, 5)})
+        .filter(F.col("day").between(3, 5))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2633,14 +2642,6 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-    before = agg_cols(table_read(spark, t, prune={"day": (3, 5)})).collect()
-    table_compact(spark, t, stats_cols=["day"])
-    if len(table_versions(t)[-1]["files"]) != 1:
-        raise AssertionError("compaction did not produce a single file")
-    out = agg_cols(table_read(spark, t, prune={"day": (3, 5)}))
-    if sorted(map(tuple, out.collect())) != sorted(map(tuple, before)):
-        raise AssertionError("compaction changed the snapshot contents")
-    return out
 
 
 @query(
