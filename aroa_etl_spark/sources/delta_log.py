@@ -36,11 +36,15 @@ Reader posture:
   framed ``deletion_vector_*.bin`` file) to RoaringBitmapArray row
   indexes, dropped from the data read with one anti-join on
   (file basename, ``_metadata.row_index``);
+- NAME-mode columnMapping reads (round 12): data files carry the
+  schemaString's per-field ``delta.columnMapping.physicalName`` (at
+  every nesting level) — the reader scans with the physical schema
+  and renames back, maps partitionValues/stats keys, and translates
+  ``prune`` to physical names;
 - protocol gating is HONEST: minReaderVersion > 3, reader features
-  beyond those implemented (columnMapping, v2Checkpoint), or a
-  column-mapping mode in the table config raise
-  ``NotImplementedError`` by name — a silently wrong snapshot is the
-  one unacceptable outcome for a table reader;
+  beyond those implemented (v2Checkpoint), or id-mode column mapping
+  raise ``NotImplementedError`` by name — a silently wrong snapshot
+  is the one unacceptable outcome for a table reader;
 - time travel: any version between the oldest reachable checkpoint/
   commit and the newest.
 
@@ -72,8 +76,11 @@ _LOG_DIR = "_delta_log"
 # list required features explicitly; anything else must refuse).
 # deletionVectors landed round 12 (sources/delta_dv.py: Z85 +
 # RoaringBitmapArray + v1 file framing, applied as a row_index
-# anti-join); columnMapping / v2Checkpoint still refuse by name.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# anti-join), as did NAME-mode columnMapping (physical-name
+# indirection; id-mode refuses at the metadata gate); v2Checkpoint
+# still refuses by name.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors",
+                              "columnMapping"}
 
 
 def _as_dict(v):
@@ -130,11 +137,40 @@ def _check_protocol(proto: dict) -> None:
 def _check_metadata(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     cmode = conf.get("delta.columnMapping.mode", "none")
-    if cmode != "none":
+    # NAME-mode column mapping reads since round 12 (physical-name
+    # indirection through the schemaString's per-field
+    # delta.columnMapping.physicalName metadata); ID-mode (parquet
+    # field-id matching) still refuses by name.
+    if cmode not in ("none", "name"):
         raise NotImplementedError(
             f"delta: columnMapping.mode={cmode!r} is not supported "
-            "(physical-name indirection)"
+            "(none and name are)"
         )
+
+
+def _physical_name(field: "T.StructField") -> str:
+    """The on-disk column name under columnMapping (the field's own
+    name when no mapping metadata is present)."""
+    md = field.metadata or {}
+    return md.get("delta.columnMapping.physicalName", field.name)
+
+
+def _physical_type(dt: "T.DataType") -> "T.DataType":
+    """Recursively rename nested struct fields to their physical
+    names (arrays/maps of structs included)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(_physical_name(f), _physical_type(f.dataType),
+                          f.nullable)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_physical_type(dt.keyType),
+                         _physical_type(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
 
 
 def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
@@ -239,12 +275,14 @@ def delta_snapshot(root: str, *, version: "int | None" = None) -> dict:
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     except (KeyError, ValueError, TypeError) as e:
         raise ValueError(f"delta: bad schemaString: {e!r}") from None
+    conf = meta.get("configuration") or {}
     return {
         "version": v,
         "schema": schema,
         "partition_columns": list(meta.get("partitionColumns") or []),
         "files": files,
         "n_commits_replayed": replayed,
+        "column_mapping": conf.get("delta.columnMapping.mode", "none"),
     }
 
 
@@ -287,6 +325,11 @@ def delta_read(
     dtypes = {f.name: f.dataType for f in schema.fields}
     entries = sorted(snap["files"].items())
     if prune:
+        # add-action stats are keyed by PHYSICAL names under
+        # columnMapping; callers prune by logical name
+        if snap["column_mapping"] == "name":
+            l2p = {f.name: _physical_name(f) for f in schema.fields}
+            prune = {l2p.get(c, c): b for c, b in prune.items()}
         entries = [
             (p, info) for p, info in entries
             if not _stats_prunable(info.get("stats"), prune)
@@ -305,9 +348,20 @@ def delta_read(
     # written before the evolution simply lack the column; declaring the
     # snapshot schema makes the parquet reader null-fill it, and older
     # narrower physical types (int files under a long schema) up-cast.
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
-    )
+    mapped = snap["column_mapping"] == "name"
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    if mapped:
+        # columnMapping name mode (round 12): data files carry the
+        # schemaString's physicalName for every (nested) field — read
+        # with the physical schema, then rename back below; the
+        # struct-to-struct cast renames nested fields positionally
+        data_schema = T.StructType([
+            T.StructField(_physical_name(f), _physical_type(f.dataType),
+                          f.nullable)
+            for f in data_fields
+        ])
+    else:
+        data_schema = T.StructType(data_fields)
     df = spark.read.schema(data_schema).parquet(*abs_paths)
     # deletion vectors (round 12): resolve each file's descriptor to
     # deleted row indexes driver-side (descriptors are metadata), then
@@ -348,6 +402,14 @@ def delta_read(
             .join(del_dim, ["__delta_file", "__row_idx"], "left_anti")
             .drop("__row_idx")
         )
+    if mapped:
+        # rename physical -> logical AFTER the scan-derived keys exist
+        # (_metadata and input_file_name are scan-only surfaces)
+        df = df.select(
+            *[F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+              for f in data_fields],
+            *(["__delta_file"] if pcols else []),
+        )
     if pcols:
         # file -> partition values as a broadcast dim.  Keyed on the
         # file BASENAME, not the full URI: input_file_name() reports a
@@ -371,10 +433,15 @@ def delta_read(
                 "(non-standard writer); partition reconstruction needs "
                 "unique names"
             )
+        # partitionValues are keyed by PHYSICAL names under columnMapping
+        pmap = {
+            f.name: (_physical_name(f) if mapped else f.name)
+            for f in schema.fields if f.name in pcols
+        }
         rows = []
         for bn, (p, info) in zip(basenames, entries):
             pv = info["partitionValues"]
-            rows.append((bn, *[pv.get(c) for c in pcols]))
+            rows.append((bn, *[pv.get(pmap[c]) for c in pcols]))
         dim_schema = T.StructType(
             [T.StructField("__delta_file", T.StringType())]
             + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
@@ -403,6 +470,7 @@ def build_delta_table(
     stats_cols: "list[str] | None" = None,
     reader_version: int = 1,
     start_version: int = 0,
+    column_mapping: bool = False,
 ) -> None:
     """Write a real Delta-layout table: version 0 carries protocol +
     metaData; each ``commits[i]`` is {'adds': [(partition_values_dict,
@@ -422,13 +490,34 @@ def build_delta_table(
     log = _log_path(root)
     os.makedirs(log, exist_ok=True)
     data_cols = [f for f in schema.fields if f.name not in partition_columns]
+    phys = {f.name: f.name for f in schema.fields}
+    conf: dict = {}
+    if column_mapping:
+        # name-mode columnMapping: deterministic physical names in the
+        # schemaString metadata, files written under those names, and
+        # partitionValues/stats keyed by them — the real writer layout
+        phys = {f.name: f"col-{i:02x}-{f.name}"
+                for i, f in enumerate(schema.fields)}
+        schema = T.StructType([
+            T.StructField(f.name, f.dataType, f.nullable, {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys[f.name],
+            })
+            for i, f in enumerate(schema.fields)
+        ])
+        conf = {"delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": len(schema.fields)}
+        if reader_version < 2:
+            reader_version = 2
+        data_cols = [f for f in schema.fields
+                     if f.name not in partition_columns]
     meta_action = {
         "metaData": {
             "id": uuid.uuid4().hex,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(schema.jsonValue()),
             "partitionColumns": partition_columns,
-            "configuration": {},
+            "configuration": conf,
             "createdTime": 0,
         }
     }
@@ -462,7 +551,7 @@ def build_delta_table(
             fname = f"part-{uuid.uuid4().hex[:16]}.parquet"
             tmp = os.path.join(root, f".tmp-{uuid.uuid4().hex[:8]}")
             rows_df.select(
-                *[f.name for f in data_cols]
+                *[F.col(f.name).alias(phys[f.name]) for f in data_cols]
             ).coalesce(1).write.mode("error").parquet(tmp)
             part = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
             assert len(part) == 1
@@ -482,16 +571,18 @@ def build_delta_table(
                 stats = json.dumps({
                     "numRecords": agg["__n"],
                     "minValues": {
-                        c: agg[f"mn_{i}"] for i, c in enumerate(stats_cols)
+                        phys[c]: agg[f"mn_{i}"]
+                        for i, c in enumerate(stats_cols)
                     },
                     "maxValues": {
-                        c: agg[f"mx_{i}"] for i, c in enumerate(stats_cols)
+                        phys[c]: agg[f"mx_{i}"]
+                        for i, c in enumerate(stats_cols)
                     },
                 })
             add = {
                 "path": fname,
                 "partitionValues": {
-                    k: (None if val is None else str(val))
+                    phys.get(k, k): (None if val is None else str(val))
                     for k, val in pv.items()
                 },
                 "size": os.path.getsize(os.path.join(root, fname)),

@@ -212,3 +212,77 @@ def test_iceberg_position_deletes_end_to_end(spark, tmp_path):
     assert iceberg_read(spark, root, snapshot_id=sids[0]).count() == 100
     # partition pruning composes with the delete anti-join
     assert iceberg_read(spark, root, prune={"band": (1, None)}).count() == 40
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Round 12: name-mode columnMapping — physical names at every
+    nesting level, partitionValues/stats under physical keys, logical
+    prune keys, and DV composition; id-mode still refuses by name."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from aroa_etl_spark.sources.delta_log import (
+        build_delta_table,
+        delta_read,
+        delta_snapshot,
+    )
+
+    root = str(tmp_path / "cm")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("src", T.StringType()),
+        ])),
+        T.StructField("band", T.IntegerType()),
+    ])
+    rows = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.struct(F.concat(F.lit("s"), F.col("id")).alias("src"))
+        .alias("meta"),
+    )
+    b0 = rows.filter("k < 10").orderBy("k")
+    b1 = rows.filter("k >= 10").orderBy("k")
+    build_delta_table(
+        spark, root, schema, ["band"],
+        [{"adds": [({"band": 0}, b0), ({"band": 1}, b1)]}],
+        column_mapping=True, stats_cols=["k"],
+    )
+    got = delta_read(spark, root)
+    assert set(got.columns) == {"k", "meta", "band"}
+    assert got.count() == 20 and got.filter("band = 1").count() == 10
+    assert got.orderBy("k").selectExpr("meta.src").first()[0] == "s0"
+    # prune by LOGICAL name hits the physical stats keys
+    pr = delta_read(spark, root, prune={"k": (15, None)})
+    assert len(pr.inputFiles()) == 1
+    # deletion vectors compose with the mapping
+    snap = delta_snapshot(root)
+    p0 = [p for p, i in snap["files"].items()
+          if i["partitionValues"].get("col-02-band") == "0"][0]
+    build_delta_table(
+        spark, root, schema, ["band"],
+        [{"attach_dvs": [(p0, encode_inline_dv([0, 1, 2]))]}],
+        start_version=1, column_mapping=True,
+    )
+    assert delta_read(spark, root).count() == 17
+    # id-mode refuses at the metadata gate
+    import json
+    import os
+
+    meta = json.loads(open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json")
+    ).readline().strip())
+    # rewrite commit 0 with an id-mode config
+    lines = open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json")
+    ).read().splitlines()
+    out = []
+    for ln in lines:
+        act = json.loads(ln)
+        if "metaData" in act:
+            act["metaData"]["configuration"][
+                "delta.columnMapping.mode"] = "id"
+        out.append(json.dumps(act))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        delta_read(spark, root, version=0)

@@ -117,12 +117,13 @@ def test_protocol_and_column_mapping_gates(spark, tmp_path):
                                          "minWriterVersion": 7}}) + "\n")
     with pytest.raises(NotImplementedError, match="minReaderVersion 4"):
         delta_read(spark, root)
-    # column mapping is a metadata gate
+    # column mapping: NAME mode reads since round 12; ID mode is the
+    # remaining metadata gate
     with open(os.path.join(log, f"{3:020d}.json"), "w") as f:
         f.write(json.dumps({"metaData": {
             "id": "x", "schemaString": json.dumps(SCHEMA.jsonValue()),
             "partitionColumns": ["bucket"],
-            "configuration": {"delta.columnMapping.mode": "name"}}}) + "\n")
+            "configuration": {"delta.columnMapping.mode": "id"}}}) + "\n")
     with pytest.raises(NotImplementedError, match="columnMapping"):
         delta_read(spark, root)
 
