@@ -3583,8 +3583,8 @@ def s_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 12 adds MULTI-BRANCH unions — the Kafka event-envelope
     ["null", long, string] decodes to a nullable memberK struct
     honoring declared branch order, flattened here with an explicit
-    kind + sentinels for the hash surface.  Named-type refs still
-    raise by name.
+    kind + sentinels for the hash surface; named-type references
+    resolve too (pytest-pinned).
     Scale: binaryFile-shaped scan -> kernel explode, zero shuffle."""
     from aroa_etl_spark.sources.avro_ocf import avro_records, build_avro_ocf
     from pyspark.sql import types as T

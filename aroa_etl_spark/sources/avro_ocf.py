@@ -36,10 +36,14 @@ Spark column (DecimalType/DateType/TimestampNTZType) through
 type) and any UNKNOWN logicalType keeps its base type with the
 annotation surfaced verbatim in the returned header schema.
 
-Multi-branch unions decode to nullable memberK dicts (round 12).
-Anything else — named-type references — raises
-``NotImplementedError`` with the offending construct named: the honest
-capability boundary, not a silent misparse.
+Multi-branch unions decode to nullable memberK dicts, and NAMED-TYPE
+REFERENCES resolve (both round 12) — records/enums/fixed register
+under their (namespace-qualified) names as defined, later bare names
+follow the definition, and self-referential records (linked lists —
+the data terminates via null unions) decode with bounded recursion.
+Anything outside this set still raises ``NotImplementedError`` with
+the offending construct named: the honest capability boundary, not a
+silent misparse.
 
 Integrity: every block's sync marker is compared against the header's
 (the spec's corruption/seek guard), and a block whose payload decodes
@@ -243,7 +247,7 @@ def _zz_decode(buf: bytes, pos: int) -> tuple[int, int]:
     return (u >> 1) ^ -(u & 1), pos
 
 
-def _parse_type(t):
+def _parse_type(t, env=None, ns=None):
     """Avro schema type -> decode/encode node:
 
     - ``("prim", name)`` — one of the five primitives
@@ -264,10 +268,21 @@ def _parse_type(t):
       its base type — the annotation is still surfaced verbatim in the
       header schema parse_avro_blob returns.
 
+    NAMED-TYPE REFERENCES resolve since round 12: records/enums/fixed
+    register under their (namespace-qualified) names in ``env`` as they
+    are defined — forward cells, so SELF-referential records (linked
+    lists, trees — terminated by null unions in the data) parse too —
+    and a later bare name becomes a ``("ref", cell)`` node following
+    the registered definition.
+
     Raises ``NotImplementedError`` naming anything outside this set."""
+    if env is None:
+        env = {}
     if isinstance(t, str):
         if t in _SIMPLE:
             return ("prim", t)
+        if t in env:
+            return ("ref", env[t])
         raise NotImplementedError(f"avro: unsupported type {t!r}")
     if isinstance(t, list):
         if any(isinstance(bt, list) for bt in t):
@@ -276,7 +291,7 @@ def _parse_type(t):
             )
         if len(t) == 2 and "null" in t:
             nb = t.index("null")
-            return ("union", nb, _parse_type(t[1 - nb]))
+            return ("union", nb, _parse_type(t[1 - nb], env, ns))
         # MULTI-BRANCH unions (round 12): ["null", A, B, ...] or
         # [A, B] — decoded to a dict of nullable "memberK" entries
         # (K indexes the NON-NULL branches in declared order, the
@@ -294,14 +309,14 @@ def _parse_type(t):
                     "avro: unions may not immediately contain unions"
                 )
             else:
-                branches.append(_parse_type(bt))
+                branches.append(_parse_type(bt, env, ns))
         if sum(1 for b in branches if b is None) > 1:
             raise ValueError("avro: union with duplicate null branches")
         return ("multiunion", branches)
     if isinstance(t, dict) and "logicalType" in t:
         lt = t["logicalType"]
         base = {k2: v2 for k2, v2 in t.items() if k2 != "logicalType"}
-        node = _parse_type(base)
+        node = _parse_type(base, env, ns)
         if lt == "decimal":
             prec = t.get("precision")
             scale = t.get("scale", 0)
@@ -330,25 +345,50 @@ def _parse_type(t):
         return node
     if isinstance(t, dict):
         k = t.get("type")
+
+        # nested named types INHERIT the enclosing namespace (spec
+        # "Names"); a local namespace attribute overrides it
+        ns_here = t.get("namespace", ns)
+
+        def _register(node):
+            nm = t.get("name")
+            if nm:
+                cell = [node]
+                env[nm] = cell
+                if ns_here:
+                    env[f"{ns_here}.{nm}"] = cell
+            return node
+
         if k == "fixed":
             size = t.get("size")
             if not isinstance(size, int) or size < 0:
                 raise ValueError(f"avro: fixed with bad size {size!r}")
-            return ("fixed", size)
+            return _register(("fixed", size))
         if k == "record":
-            return (
+            # forward cell first: self-references inside the fields
+            # (linked lists) resolve to this record's own node
+            cell = [None]
+            nm = t.get("name")
+            if nm:
+                env[nm] = cell
+                if ns_here:
+                    env[f"{ns_here}.{nm}"] = cell
+            node = (
                 "record",
-                [(f["name"], _parse_type(f["type"])) for f in t["fields"]],
+                [(f["name"], _parse_type(f["type"], env, ns_here))
+                 for f in t["fields"]],
             )
+            cell[0] = node
+            return node
         if k == "array":
-            return ("array", _parse_type(t["items"]))
+            return ("array", _parse_type(t["items"], env, ns))
         if k == "map":
-            return ("map", _parse_type(t["values"]))
+            return ("map", _parse_type(t["values"], env, ns))
         if k == "enum":
             symbols = t.get("symbols")
             if not symbols:
                 raise ValueError("avro: enum without symbols")
-            return ("enum", list(symbols))
+            return _register(("enum", list(symbols)))
         if isinstance(k, str) and k in _SIMPLE:  # {"type": "long"} wrapper
             return ("prim", k)
         raise NotImplementedError(f"avro: unsupported complex type {t!r}")
@@ -357,6 +397,11 @@ def _parse_type(t):
 
 def _encode_node(node, v) -> bytes:
     kind = node[0]
+    if kind == "ref":  # named-type reference: follow the forward cell
+        target = node[1][0]
+        if target is None:
+            raise ValueError("avro: reference to an undefined named type")
+        return _encode_node(target, v)
     if kind == "decimal":
         import decimal as _dec
 
@@ -479,6 +524,11 @@ def _encode_node(node, v) -> bytes:
 
 def _decode_node(node, buf: bytes, pos: int):
     kind = node[0]
+    if kind == "ref":
+        target = node[1][0]
+        if target is None:
+            raise ValueError("avro: reference to an undefined named type")
+        return _decode_node(target, buf, pos)
     if kind == "decimal":
         import decimal as _dec
 

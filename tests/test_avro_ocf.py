@@ -406,3 +406,40 @@ def test_logical_decode_out_of_range_is_valueerror():
     del patched
     with pytest.raises(ValueError):
         parse_avro_blob(raw)
+
+
+def test_named_type_references_roundtrip():
+    """Round 12: records/enums/fixed register under their (namespace-
+    qualified) names and later bare names follow the definition —
+    including SELF-referential records (linked lists terminated by
+    null unions).  Unknown names still refuse (covered above)."""
+    schema = {
+        "type": "record", "name": "outer", "namespace": "com.x",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "pt",
+                                   "fields": [{"name": "x", "type": "int"},
+                                              {"name": "y", "type": "int"}]}},
+            {"name": "b", "type": "pt"},
+            {"name": "b2", "type": "com.x.pt"},
+            {"name": "c", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["R", "G"]}},
+            {"name": "d", "type": "col"},
+            {"name": "e", "type": {"type": "fixed", "name": "f4",
+                                   "size": 4}},
+            {"name": "f", "type": "f4"},
+            {"name": "lst", "type": {
+                "type": "record", "name": "node",
+                "fields": [{"name": "v", "type": "long"},
+                           {"name": "next", "type": ["null", "node"]}]}},
+        ],
+    }
+    deep = None
+    for v in range(40, 0, -1):  # 40-deep list: recursion stays bounded
+        deep = {"v": v, "next": deep}
+    recs = [{
+        "a": {"x": 1, "y": 2}, "b": {"x": 3, "y": 4}, "b2": {"x": 5, "y": 6},
+        "c": "R", "d": "G", "e": b"abcd", "f": b"wxyz", "lst": deep,
+    }]
+    for codec in ("null", "deflate", "snappy"):
+        _h, back = parse_avro_blob(build_avro_ocf(schema, recs, codec=codec))
+        assert back == recs
