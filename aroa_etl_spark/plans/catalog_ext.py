@@ -3994,10 +3994,11 @@ def s_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pruned_inputs != sorted(os.path.basename(p) for p in kept):
         raise AssertionError("pruned read planned the wrong file set")
     # merge-on-read honesty on a sibling table (1-row fixture).
-    # POSITION deletes apply since round 12 (s_iceberg_pos_deletes
-    # attests the read); the refusal surfaces that remain: EQUALITY
-    # delete files refuse by name, and a "delete" manifest carrying
-    # plain data entries is malformed and fails loudly.
+    # POSITION and EQUALITY deletes both apply since round 12
+    # (s_iceberg_pos_deletes attests the reads); what remains are the
+    # LOUDNESS surfaces: an equality-delete entry without its
+    # equality_ids, and a "delete" manifest carrying plain data
+    # entries — both malformed, both must fail rather than guess.
     t2 = os.path.join(root, "t_mor")
     build_iceberg_table(
         spark, t2, [("k", "long")], [],
@@ -4028,13 +4029,13 @@ def s_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     for e in ents:
-        e["data_file"]["content"] = 2  # equality delete
+        e["data_file"]["content"] = 2  # "equality delete" w/o ids
     with open(os.path.join(t2, mpath), "wb") as f:
         f.write(build_avro_ocf(_manifest_entry_schema([]), ents))
     try:
         iceberg_read(spark, t2)
-        raise AssertionError("equality-delete table read without refusing")
-    except NotImplementedError:
+        raise AssertionError("id-less equality delete read silently")
+    except ValueError:
         pass
     return (
         iceberg_read(spark, t)
@@ -4261,7 +4262,8 @@ def s_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d),
     s AS (SELECT * FROM r WHERE NOT (
             (band = 0 AND rk % 5 = 0) OR
-            (band = 2 AND rk >= 5 AND rk < 25)))
+            (band = 2 AND rk >= 5 AND rk < 25) OR
+            p = '1-URGENT'))
     SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(k) AS BIGINT) AS key_sum,
            CAST(COUNT(DISTINCT p) AS INT) AS n_prio
@@ -4277,7 +4279,10 @@ def s_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELETE manifest (``manifest_file.content = 1``) whose
     position-delete parquet (file_path, pos) removes every 5th rank of
     band 0 and ranks 5..24 of band 2 — applied by ``iceberg_read`` as
-    one anti-join on (data-file basename, ``_metadata.row_index``).
+    one anti-join on (data-file basename, ``_metadata.row_index``) —
+    and a third snapshot adds an EQUALITY delete (content=2, one
+    priority value) applied null-safely to strictly-older sequences,
+    the Flink-upsert shape (round 12).
     The delete manifest is written by the engine's own Avro OCF writer
     and parsed back by its own reader, like every other manifest.
     Key-sorted files make rank == row position, so the oracle replays
@@ -4318,6 +4323,9 @@ def s_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"adds": [({"band": b}, part[b]) for b in range(4)]}],
             [{"pos_deletes": [({"band": 0}, list(range(0, n0, 5))),
                               ({"band": 2}, list(range(5, 25)))]}],
+            # seq 3: EQUALITY delete by priority value — applies to all
+            # strictly-older data across every band (round 12)
+            [{"eq_deletes": (["p"], [("1-URGENT",)])}],
         ],
     )
     banded.unpersist()

@@ -25,22 +25,27 @@ snapshot, read its tree".  Reader posture:
 - ``prune`` (col -> (lo, hi)) drops data files whose
   ``data_file.partition`` value for an identity-partitioned column
   cannot overlap — manifest-tree pruning, I/O-only as always;
-- v2 MERGE-ON-READ position deletes apply (round 12): DELETE
-  manifests (``manifest_file.content = 1``) contribute position-delete
-  parquet files of (file_path, pos), dropped from the data read with
-  one anti-join on (data-file basename, ``_metadata.row_index``) —
-  the in-file position space the spec's ``pos`` column addresses;
-- HONEST gates: format-version > 2 and EQUALITY delete files
-  (``data_file.content = 2``) raise ``NotImplementedError`` by name —
-  unimplemented merge-on-read semantics must not be silently ignored;
+- v2 MERGE-ON-READ deletes apply (round 12): DELETE manifests
+  (``manifest_file.content = 1``) contribute POSITION deletes
+  (parquet of file_path + pos, anti-joined on data-file basename +
+  ``_metadata.row_index``, applied to data_seq <= delete_seq) and
+  EQUALITY deletes (parquet of the ``equality_ids`` columns, matched
+  null-safely, applied to STRICTLY older sequences — the rule that
+  makes Flink upsert streams read correctly: a same-sequence
+  re-insert survives its own delete).  Sequence numbers come from
+  per-entry fields with manifest-list inheritance;
+- HONEST gates: format-version > 2 raises by name, and malformed
+  delete metadata (id-less equality entries, data entries inside a
+  delete manifest) fails loudly instead of guessing;
 - ``manifest_entry.status = 2`` (DELETED) rows are history, not state:
   they are skipped, which is the spec's read path.
 
 ``build_iceberg_table`` is the fixture twin: real parquet data files,
 real Avro manifests/manifest lists written by the engine's own OCF
 writer with spec-shaped schemas, metadata.json + version-hint — the
-full tree a reader must navigate, including delete manifests +
-position-delete parquet via each manifest spec's ``pos_deletes``.
+full tree a reader must navigate, including delete manifests with
+position-delete parquet (``pos_deletes``) and equality-delete parquet
+(``eq_deletes``), all sequence-numbered.
 
 Reference analogue: none; extension inventory SURVEY §2.11.
 """
@@ -143,12 +148,14 @@ def iceberg_snapshot(
         _hdr, manifests = parse_avro_blob(f.read())
     files: dict = {}
     pos_delete_files: list = []
+    eq_delete_files: list = []
     for mf in manifests:
         if not isinstance(mf, dict) or "manifest_path" not in mf:
             raise ValueError(
                 "iceberg: manifest-list record without manifest_path"
             )
         is_delete_manifest = mf.get("content", 0) == 1
+        mf_seq = mf.get("sequence_number") or 0
         mpath = _resolve(root, mf["manifest_path"])
         with open(mpath, "rb") as f:
             _h2, entries = parse_avro_blob(f.read())
@@ -165,22 +172,37 @@ def iceberg_snapshot(
                 raise NotImplementedError(
                     f"iceberg: data file format {fmt} is not supported"
                 )
+            # data sequence number (v2): explicit per entry, else
+            # inherited from the manifest-list entry (spec inheritance)
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf_seq
             content = df_.get("content", 0)
             if is_delete_manifest:
-                # v2 merge-on-read (round 12): POSITION delete files
-                # (parquet of file_path + pos) are applied by
-                # iceberg_read; EQUALITY deletes still refuse by name
+                # v2 merge-on-read (round 12): POSITION deletes apply to
+                # data with data_seq <= delete_seq, EQUALITY deletes to
+                # data with data_seq < delete_seq (strictly older) —
+                # both enforced in iceberg_read's anti-join conditions
                 if content == 2:
-                    raise NotImplementedError(
-                        "iceberg: equality delete files are not "
-                        "supported (position deletes are)"
+                    ids = df_.get("equality_ids")
+                    if not ids:
+                        raise ValueError(
+                            "iceberg: equality delete file without "
+                            "equality_ids"
+                        )
+                    eq_delete_files.append(
+                        {"path": df_["file_path"], "seq": seq,
+                         "equality_ids": list(ids)}
                     )
+                    continue
                 if content != 1:
                     raise ValueError(
                         "iceberg: delete manifest entry with "
                         f"content={content}"
                     )
-                pos_delete_files.append(df_["file_path"])
+                pos_delete_files.append(
+                    {"path": df_["file_path"], "seq": seq}
+                )
                 continue
             if content != 0:
                 raise ValueError(
@@ -189,6 +211,7 @@ def iceberg_snapshot(
             files[df_["file_path"]] = {
                 "partition": df_.get("partition") or {},
                 "record_count": df_.get("record_count"),
+                "seq": seq,
             }
     # identity partition fields of the current spec (for prune checks)
     pfields = []
@@ -216,6 +239,7 @@ def iceberg_snapshot(
         "snapshot_id": sid,
         "files": files,
         "position_delete_files": pos_delete_files,
+        "equality_delete_files": eq_delete_files,
         "schema": cur_schema,
         "partition_fields": pfields,
         "n_manifests": len(manifests),
@@ -287,29 +311,28 @@ def iceberg_read(
         # every file pruned: empty frame, same schema contract
         return spark.createDataFrame([], _spark_schema_ddl(snap["schema"]))
     df = spark.read.parquet(*[_resolve(root, p) for p, _ in entries])
-    dels = snap["position_delete_files"]
-    if dels:
-        # v2 position deletes (round 12): delete files are plain
-        # parquet of (file_path, pos); drop matching rows with ONE
-        # anti-join on (data-file basename, row position) —
-        # _metadata.row_index is the parquet reader's in-file position,
-        # the exact space the spec's pos column addresses.  Basenames
-        # are the join key (UUID-named files are unique per table;
-        # as-written paths differ from the reader's resolved URIs).
-        # A delete row naming a file absent from the snapshot is inert
-        # (its data file was rewritten away) — the anti-join gives
-        # that for free.  AQE sizes the join; no driver materialize.
+    pos_dels = snap["position_delete_files"]
+    eq_dels = snap["equality_delete_files"]
+    if pos_dels or eq_dels:
+        # v2 merge-on-read (round 12): drop deleted rows with anti-
+        # joins.  POSITION deletes are parquet of (file_path, pos) —
+        # matched on (data-file basename, _metadata.row_index), the
+        # exact space the spec's pos column addresses — and apply to
+        # data with data_seq <= delete_seq.  EQUALITY deletes are
+        # parquet of the equality_ids columns, matched NULL-SAFELY and
+        # applied to STRICTLY OLDER data (data_seq < delete_seq) — the
+        # spec's rule that makes upsert streams correct (the row a
+        # writer re-inserts in the same sequence survives its own
+        # delete).  Sequence numbers ride a broadcast basename dim;
+        # delete rows naming rewritten-away files are inert via the
+        # join.  AQE sizes everything; no driver materialize.
         from pyspark.sql import functions as F
 
-        del_df = spark.read.parquet(*[_resolve(root, p) for p in dels])
-        if set(del_df.columns) < {"file_path", "pos"}:
-            raise ValueError(
-                "iceberg: position-delete parquet without file_path/pos"
-            )
-        del_dim = del_df.select(
-            F.element_at(F.split(F.col("file_path"), "/"), -1)
-            .alias("__ib_file"),
-            F.col("pos").cast("long").alias("__ib_pos"),
+        data_cols = df.columns
+        seq_dim = spark.createDataFrame(
+            [(os.path.basename(_resolve(root, p)), int(i["seq"]))
+             for p, i in entries],
+            "__ib_file string, __ib_seq long",
         )
         df = (
             df.withColumn(
@@ -319,9 +342,72 @@ def iceberg_read(
                 ),
             )
             .withColumn("__ib_pos", F.col("_metadata.row_index"))
-            .join(del_dim, ["__ib_file", "__ib_pos"], "left_anti")
-            .drop("__ib_file", "__ib_pos")
+            .join(F.broadcast(seq_dim), "__ib_file")
         )
+        if pos_dels:
+            del_df = spark.read.parquet(
+                *[_resolve(root, d["path"]) for d in pos_dels]
+            )
+            if set(del_df.columns) < {"file_path", "pos"}:
+                raise ValueError(
+                    "iceberg: position-delete parquet without file_path/pos"
+                )
+            seq_of = {
+                os.path.basename(_resolve(root, d["path"])): int(d["seq"])
+                for d in pos_dels
+            }
+            dseq = spark.createDataFrame(
+                list(seq_of.items()), "__del_file string, __del_seq long"
+            )
+            del_dim = (
+                del_df.withColumn(
+                    "__del_file",
+                    F.url_decode(
+                        F.element_at(F.split(F.input_file_name(), "/"), -1)
+                    ),
+                )
+                .join(F.broadcast(dseq), "__del_file")
+                .select(
+                    F.element_at(F.split(F.col("file_path"), "/"), -1)
+                    .alias("__ib_file"),
+                    F.col("pos").cast("long").alias("__ib_pos"),
+                    "__del_seq",
+                )
+            )
+            df = df.join(
+                del_dim,
+                (df["__ib_file"] == del_dim["__ib_file"])
+                & (df["__ib_pos"] == del_dim["__ib_pos"])
+                & (del_dim["__del_seq"] >= df["__ib_seq"]),
+                "left_anti",
+            )
+        # resolve equality_ids (schema field ids) -> column names once
+        if eq_dels:
+            id2name = {
+                f.get("id"): f.get("name")
+                for f in (snap["schema"] or {}).get("fields", ())
+            }
+            for d in eq_dels:
+                cols = [id2name.get(i) for i in d["equality_ids"]]
+                if any(c is None for c in cols):
+                    raise ValueError(
+                        f"iceberg: equality_ids {d['equality_ids']} not in "
+                        "the current schema"
+                    )
+                eq_df = spark.read.parquet(_resolve(root, d["path"]))
+                missing = [c for c in cols if c not in eq_df.columns]
+                if missing:
+                    raise ValueError(
+                        f"iceberg: equality-delete file lacks {missing}"
+                    )
+                eq_dim = eq_df.select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
+                )
+                cond = F.lit(int(d["seq"])) > df["__ib_seq"]
+                for c in cols:
+                    cond = cond & df[c].eqNullSafe(eq_dim[f"__eq_{c}"])
+                df = df.join(eq_dim, cond, "left_anti")
+        df = df.select(*data_cols)
     return df
 
 
@@ -337,6 +423,7 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
         {"name": "added_files_count", "type": "int", "field-id": 504},
         {"name": "existing_files_count", "type": "int", "field-id": 505},
@@ -355,6 +442,8 @@ def _manifest_entry_schema(partition_fields: "list[tuple[str, str]]"):
         "fields": [
             {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
             {"name": "data_file", "field-id": 2, "type": {
                 "type": "record", "name": "r2",
                 "fields": [
@@ -370,6 +459,8 @@ def _manifest_entry_schema(partition_fields: "list[tuple[str, str]]"):
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    {"name": "equality_ids", "field-id": 135,
+                     "type": ["null", {"type": "array", "items": "int"}]},
                 ],
             }},
         ],
@@ -406,10 +497,12 @@ def build_iceberg_table(
 
     entry_schema = _manifest_entry_schema(partition_fields)
 
-    def _entry(status, sid, fp, pv, n, sz, content=0):
+    def _entry(status, sid, fp, pv, n, sz, content=0, seq=None,
+               equality_ids=None):
         return {
             "status": status,
             "snapshot_id": sid,
+            "sequence_number": seq,
             "data_file": {
                 "content": content,
                 "file_path": fp,
@@ -417,6 +510,7 @@ def build_iceberg_table(
                 "partition": pv,
                 "record_count": n,
                 "file_size_in_bytes": sz,
+                "equality_ids": equality_ids,
             },
         }
 
@@ -433,6 +527,7 @@ def build_iceberg_table(
     manifests: list = []  # (name, length, n_added, entries) in list order
     for i, manifest_specs in enumerate(snapshots):
         sid = 1000 + i
+        seq = i + 1  # v2 data sequence number of this snapshot
         snap_ids.append(sid)
         for spec in manifest_specs:
             # delete selectors resolve against the PRE-add state, so a
@@ -453,6 +548,7 @@ def build_iceberg_table(
                 adds.append(_entry(
                     1, sid, fname, dict(pv), n_rows,
                     os.path.getsize(os.path.join(root, fname)),
+                    seq=seq,
                 ))
             if adds:
                 manifests.append(_write_manifest(adds))
@@ -493,9 +589,32 @@ def build_iceberg_table(
                     {n: None for n, _t in partition_fields},
                     len(rows_pos),
                     os.path.getsize(os.path.join(root, dname)),
-                    content=1,
+                    content=1, seq=seq,
                 )
                 manifests.append(_write_manifest([dentry], content=1))
+            if spec.get("eq_deletes"):
+                # v2 EQUALITY deletes: parquet of the equality columns
+                # + a content=2 entry carrying their schema field ids
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                cols, rows_vals = spec["eq_deletes"]
+                ids = [1 + [f[0] for f in schema_fields].index(c)
+                       for c in cols]
+                arrays = {
+                    c: pa.array([r[j] for r in rows_vals])
+                    for j, c in enumerate(cols)
+                }
+                ename = f"data/eq-delete-{uuid.uuid4().hex[:16]}.parquet"
+                pq.write_table(pa.table(arrays), os.path.join(root, ename))
+                eentry = _entry(
+                    1, sid, ename,
+                    {n: None for n, _t in partition_fields},
+                    len(rows_vals),
+                    os.path.getsize(os.path.join(root, ename)),
+                    content=2, seq=seq, equality_ids=ids,
+                )
+                manifests.append(_write_manifest([eentry], content=1))
             dels = set(spec.get("deletes") or ())
             if spec.get("delete_where"):
                 want = spec["delete_where"]
@@ -535,6 +654,7 @@ def build_iceberg_table(
                 "manifest_length": ln,
                 "partition_spec_id": 0,
                 "content": ct,
+                "sequence_number": seq,
                 "added_snapshot_id": sid,
                 "added_files_count": ne,
                 "existing_files_count": 0,

@@ -286,3 +286,48 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
         f.write("\n".join(out) + "\n")
     with pytest.raises(NotImplementedError, match="columnMapping"):
         delta_read(spark, root, version=0)
+
+
+def test_iceberg_equality_deletes_sequence_scoping(spark, tmp_path):
+    """Round 12: equality deletes match null-safely on the
+    equality_ids columns and apply ONLY to strictly-older sequences —
+    a row re-inserted in the delete's own sequence survives (the
+    Flink-upsert contract)."""
+    from pyspark.sql import functions as F
+
+    from aroa_etl_spark.sources.iceberg_meta import (
+        build_iceberg_table,
+        iceberg_read,
+        iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "eq")
+    rows = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    b0 = rows.filter("k < 50").orderBy("k").withColumn("band", F.lit(0))
+    b1 = rows.filter("k >= 50").orderBy("k").withColumn("band", F.lit(1))
+    late = spark.createDataFrame(
+        [(7, 7, 0), (200, 3, 0)], "k long, g long, band int"
+    )
+    sids = build_iceberg_table(
+        spark, root,
+        [("k", "long"), ("g", "long"), ("band", "int")], [("band", "int")],
+        [
+            [{"adds": [({"band": 0}, b0), ({"band": 1}, b1)]}],   # seq 1
+            # seq 2: delete g in (3, 7) AND re-add g=7/g=3 rows in the
+            # same sequence — the re-adds must survive (strict <)
+            [{"eq_deletes": (["g"], [(3,), (7,)])},
+             {"adds": [({"band": 0}, late)]}],
+            # seq 3: position deletes compose on top
+            [{"pos_deletes": [({"band": 1}, list(range(5)))]}],
+        ],
+    )
+    snap = iceberg_snapshot(root)
+    assert len(snap["equality_delete_files"]) == 1
+    assert snap["equality_delete_files"][0]["seq"] == 2
+    surv = sorted(r["k"] for r in iceberg_read(spark, root).collect())
+    base = [k for k in range(100) if k % 10 not in (3, 7)]
+    assert surv == sorted((set(base) - set(range(50, 55))) | {7, 200})
+    # time travel before any delete sees everything
+    assert iceberg_read(spark, root, snapshot_id=sids[0]).count() == 100
