@@ -1388,7 +1388,9 @@ def _walk_container(content: bytes):
             raise ValueError("webp: chunk overruns the file")
         if fc == b"ANMF" or fc == b"ANIM":
             raise NotImplementedError(
-                "webp: ANMF animation is not supported (still images are)"
+                "webp: this is an ANMF animation — a single still is "
+                "ill-defined; decode_webp_anim returns the frames and "
+                "composited canvases"
             )
         if fc == b"ALPH":
             alpha = body
@@ -1756,4 +1758,201 @@ def _mux_webp(vp8_payload: bytes, width: int, height: int, alpha) -> bytes:
         inner = chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph) \
             + chunk(b"VP8 ", vp8_payload)
     riff = b"WEBP" + inner
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# --- ANMF animation (WebP container spec) ------------------------------------
+
+def decode_webp_anim(
+    content: bytes, *, max_pixels: int = 1 << 24, max_frames: int = 256,
+    composite: bool = True,
+):
+    """Animated WebP (VP8X + ANIM + ANMF chains) -> {'width', 'height',
+    'loop_count', 'bg_bgra', 'frames': [...]} — closing the last WebP
+    boundary (round 12).  Each frame dict carries the container
+    metadata (x, y, w, h, duration_ms, dispose, blend), the decoded
+    frame ``pixels`` (RGBA; lossy VP8 with optional ALPH, or VP8L),
+    and, with ``composite=True``, the full ``canvas`` after the frame
+    is composited: canvas starts transparent black, 'background'
+    disposal clears the previous frame's rectangle, and frames either
+    alpha-blend (straight-alpha over operator, the spec's formulas in
+    integer math) or overwrite per their blend bit.  (The ANIM
+    background color is surfaced but not painted — the convention of
+    the reference animation decoder; transparent initialization keeps
+    frame sampling for training data well-defined.)  The frame COUNT
+    cap is the animation twin of the pixel bomb guard."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("webp: missing RIFF/WEBP header")
+    if content[12:16] != b"VP8X":
+        raise ValueError("webp: animations require a VP8X container")
+    pos = 12
+    canvas_w = canvas_h = None
+    loop = 0
+    bg = (0, 0, 0, 0)
+    frames = []
+    while pos + 8 <= len(content):
+        fc = content[pos:pos + 4]
+        size = int.from_bytes(content[pos + 4:pos + 8], "little")
+        body = content[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("webp: chunk overruns the file")
+        if fc == b"VP8X":
+            if size < 10:
+                raise ValueError("webp: short VP8X chunk")
+            canvas_w = int.from_bytes(body[4:7], "little") + 1
+            canvas_h = int.from_bytes(body[7:10], "little") + 1
+            if canvas_w * canvas_h > max_pixels:
+                raise NotImplementedError(
+                    f"webp-anim: {canvas_w}x{canvas_h} canvas exceeds the "
+                    f"{max_pixels}-pixel cap"
+                )
+        elif fc == b"ANIM":
+            if size < 6:
+                raise ValueError("webp: short ANIM chunk")
+            bg = tuple(body[0:4])  # BGRA per the container spec
+            loop = int.from_bytes(body[4:6], "little")
+        elif fc == b"ANMF":
+            if size < 16:
+                raise ValueError("webp: short ANMF chunk")
+            if len(frames) >= max_frames:
+                raise NotImplementedError(
+                    f"webp-anim: more than {max_frames} frames "
+                    "(decompression-bomb guard)"
+                )
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            frames.append({
+                "x": fx, "y": fy, "w": fw, "h": fh,
+                "duration_ms": dur,
+                "dispose": flags & 1,          # 1 = dispose to background
+                "blend": 0 if flags & 2 else 1,  # 1 = alpha-blend
+                "_payload": body[16:],
+            })
+        pos += 8 + size + (size & 1)
+    if canvas_w is None:
+        raise ValueError("webp: VP8X chunk missing")
+    if not frames:
+        raise ValueError("webp-anim: no ANMF frames (still VP8X image?)")
+
+    from aroa_etl_spark.operators.vp8lcodec import decode_vp8l_payload
+
+    canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8) \
+        if composite else None
+    for f in frames:
+        sub = f.pop("_payload")
+        # frame data = optional ALPH chunk + one VP8/VP8L chunk
+        spos = 0
+        alpha_chunk = None
+        px = None
+        while spos + 8 <= len(sub):
+            sfc = sub[spos:spos + 4]
+            ssz = int.from_bytes(sub[spos + 4:spos + 8], "little")
+            sbody = sub[spos + 8:spos + 8 + ssz]
+            if len(sbody) != ssz:
+                raise ValueError("webp-anim: frame chunk overruns ANMF")
+            if sfc == b"ALPH":
+                alpha_chunk = sbody
+            elif sfc == b"VP8 ":
+                y, u, v, w, h, _hdr = _decode_frame(
+                    sbody, max_pixels=max_pixels
+                )
+                rgb = _yuv420_to_rgb(y, u, v, w, h)
+                if alpha_chunk is not None:
+                    a = _decode_alpha(alpha_chunk, w, h,
+                                      max_pixels=max_pixels)
+                else:
+                    a = np.full((h, w), 255, dtype=np.uint8)
+                px = np.dstack([rgb, a])
+            elif sfc == b"VP8L":
+                arr, w, h = decode_vp8l_payload(sbody, max_pixels=max_pixels)
+                px = np.empty((h, w, 4), dtype=np.uint8)
+                px[:, :, 0] = (arr >> 16) & 0xFF
+                px[:, :, 1] = (arr >> 8) & 0xFF
+                px[:, :, 2] = arr & 0xFF
+                px[:, :, 3] = (arr >> 24) & 0xFF
+            spos += 8 + ssz + (ssz & 1)
+        if px is None:
+            raise ValueError("webp-anim: ANMF frame without image data")
+        if px.shape[:2] != (f["h"], f["w"]):
+            raise ValueError(
+                f"webp-anim: frame pixels {px.shape[1]}x{px.shape[0]} != "
+                f"declared {f['w']}x{f['h']}"
+            )
+        if f["x"] + f["w"] > canvas_w or f["y"] + f["h"] > canvas_h:
+            raise ValueError("webp-anim: frame rectangle outside the canvas")
+        f["pixels"] = px
+        if composite:
+            ys, xs = slice(f["y"], f["y"] + f["h"]), \
+                slice(f["x"], f["x"] + f["w"])
+            if f["blend"]:
+                # straight-alpha OVER in integer math (the spec's
+                # formulas, rounding via the +127 // 255 idiom)
+                dst = canvas[ys, xs].astype(np.int64)
+                src = px.astype(np.int64)
+                sa, da = src[..., 3], dst[..., 3]
+                oa = sa + (da * (255 - sa) + 127) // 255
+                num = (src[..., :3] * sa[..., None] * 255
+                       + dst[..., :3] * da[..., None] * (255 - sa[..., None]))
+                den = np.maximum(oa[..., None], 1) * 255
+                out = np.empty_like(src)
+                out[..., :3] = (num + den // 2) // den
+                out[..., 3] = oa
+                out[oa == 0] = 0
+                canvas[ys, xs] = out.astype(np.uint8)
+            else:
+                canvas[ys, xs] = px
+            f["canvas"] = canvas.copy()
+            if f["dispose"]:
+                canvas[ys, xs] = 0
+    return {
+        "width": canvas_w, "height": canvas_h, "loop_count": loop,
+        "bg_bgra": bg, "frames": frames,
+    }
+
+
+def encode_webp_anim(
+    canvas_w: int, canvas_h: int,
+    frames: "list[dict]", *, loop: int = 0, bg=(255, 255, 255, 255),
+) -> bytes:
+    """Fixture-twin animation muxer: each frame dict carries x, y,
+    duration_ms, dispose, blend, and ``webp`` (a full still RIFF from
+    ``encode_webp_vp8`` / ``encode_webp_vp8l`` whose image + ALPH
+    chunks are rewrapped into the ANMF)."""
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    out = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0]) \
+        + (canvas_w - 1).to_bytes(3, "little") \
+        + (canvas_h - 1).to_bytes(3, "little")
+    out += chunk(b"VP8X", vp8x)
+    out += chunk(b"ANIM", bytes(bg) + int(loop).to_bytes(2, "little"))
+    for f in frames:
+        still = f["webp"]
+        kind, payload, alpha = _walk_container(still)
+        if kind == "vp8":
+            w = (int.from_bytes(payload[6:8], "little")) & 0x3FFF
+            h = (int.from_bytes(payload[8:10], "little")) & 0x3FFF
+            inner = (chunk(b"ALPH", alpha) if alpha is not None else b"") \
+                + chunk(b"VP8 ", payload)
+        else:
+            from aroa_etl_spark.operators.vp8lcodec import (
+                decode_vp8l_payload,  # dims only; cheap for fixtures
+            )
+
+            _arr, w, h = decode_vp8l_payload(payload)
+            inner = chunk(b"VP8L", payload)
+        hdr = (f["x"] // 2).to_bytes(3, "little") \
+            + (f["y"] // 2).to_bytes(3, "little") \
+            + (w - 1).to_bytes(3, "little") \
+            + (h - 1).to_bytes(3, "little") \
+            + int(f.get("duration_ms", 100)).to_bytes(3, "little") \
+            + bytes([(0 if f.get("blend", 1) else 2) | (f.get("dispose", 0) & 1)])
+        out += chunk(b"ANMF", hdr + inner)
+    riff = b"WEBP" + bytes(out)
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -2125,6 +2125,105 @@ def mm_webp_lossy_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_webp_anim_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k
+               FROM documents),
+    fr AS (
+      SELECT media_id, k, 2 + k % 3 AS n,
+             unnest(range(0, 2 + k % 3)) AS i
+      FROM p
+    ),
+    fv AS (
+      SELECT media_id, k, n, i,
+             ((k*7 + i*13) % 200) - 100 AS lv,
+             CASE WHEN (k + i) % 3 = 0 THEN 1 ELSE 0 END AS disp,
+             CAST(30 + (k + i*7) % 100 AS INT) AS dur
+      FROM fr
+    ),
+    val AS (
+      SELECT *, GREATEST(0, LEAST(255, 128 + CAST(floor((
+               CAST(floor((lv * 8 + 3) / 8.0) AS BIGINT) + 4) / 8.0)
+               AS BIGINT))) AS v
+      FROM fv
+    ),
+    vis AS (
+      SELECT a.media_id, a.i AS j, a.n, a.dur, b.v
+      FROM val a JOIN val b
+        ON b.media_id = a.media_id
+       AND b.i <= a.i AND (b.i = a.i OR b.disp = 0)
+    )
+    SELECT media_id,
+           CAST(j AS INT) AS frame_idx,
+           CAST(n AS INT) AS n_frames,
+           CAST(2 AS INT) AS loop_count,
+           dur AS duration_ms,
+           CAST(SUM(3 * v + 255) AS DOUBLE) / 16 AS canvas_mean
+    FROM vis
+    GROUP BY media_id, j, n, dur
+    ORDER BY media_id, frame_idx
+    """,
+)
+def mm_webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED WebP decode for real (round 12 — the LAST WebP
+    boundary: operators/vp8codec.decode_webp_anim walks VP8X + ANIM +
+    ANMF, decodes each frame through the vendored lossy VP8 keyframe
+    codec, and COMPOSITES the canvas per the container spec: frames
+    placed at their even-valued offsets, 'background' disposal
+    clearing the previous frame's rectangle, blend bits honored —
+    with opaque frames, alpha-blend and overwrite coincide, so the
+    fixture rotates BOTH blend paths under one oracle; straight-alpha
+    blending itself is pinned by pytest).  40 blobs of 2-4 single-MB
+    frames in distinct quadrants of a 32x32 canvas; each frame's flat
+    value follows the same dequant->IWHT->IDCT closed form as
+    mm_webp_lossy_decode_real, and the oracle replays per-frame
+    COMPOSITED canvas means via a visibility self-join (a quadrant is
+    visible at frame j iff painted at i<=j and not disposed before
+    j).  Loop count and per-frame durations ride the same hash.
+    Scale: 40-blob broadcast dim, repartitioned decode kernel, zero
+    shuffle; frame-count and pixel bomb caps."""
+    import numpy as np
+
+    from aroa_etl_spark.operators.multimodal import webp_anim_stats
+    from aroa_etl_spark.operators.vp8codec import (
+        encode_webp_anim,
+        encode_webp_vp8,
+    )
+
+    blobs = []
+    for k in range(40):
+        n = 2 + k % 3
+        frames = []
+        for i in range(n):
+            lv = ((k * 7 + i * 13) % 200) - 100
+            y2 = np.zeros((1, 1, 16), dtype=int)
+            y2[0, 0, 0] = lv
+            still = encode_webp_vp8(
+                np.zeros((1, 1), dtype=int), y2lev=y2, base_q=0
+            )
+            frames.append({
+                "x": (i % 2) * 16, "y": ((i // 2) % 2) * 16,
+                "webp": still,
+                "duration_ms": 30 + (k + i * 7) % 100,
+                "dispose": 1 if (k + i) % 3 == 0 else 0,
+                "blend": i % 2,  # opaque: both paths, same pixels
+            })
+        blobs.append((k, bytearray(encode_webp_anim(32, 32, frames,
+                                                    loop=2))))
+    dim = spark.createDataFrame(blobs, "v_key int, content binary")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40).cast("int").alias("v_key"),
+    ).join(F.broadcast(dim), "v_key").drop("v_key")
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    return webp_anim_stats(media).select(
+        "media_id", "frame_idx", "n_frames", "loop_count",
+        "duration_ms", "canvas_mean",
+    )
+
+
+@query(
     "mm_ogg_page_scan",
     oracle="""
     WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 40 AS INT) AS k

@@ -352,3 +352,64 @@ def test_mutation_fuzz_taxonomy():
             decode_webp(blob)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_anim_frames_compose_dispose_blend():
+    """Round 12: ANMF animations decode frame-by-frame with spec
+    compositing — transparent-canvas init, background disposal,
+    overwrite vs straight-alpha OVER (integer math pinned here on a
+    half-transparent frame), durations/loop metadata."""
+    from aroa_etl_spark.operators.vp8codec import (
+        decode_webp_anim,
+        encode_webp_anim,
+    )
+    from aroa_etl_spark.operators.vp8lcodec import encode_webp_vp8l
+
+    def flat_vp8(val):
+        for lv in range(-2000, 2001):
+            t = (lv * 8 + 3) >> 3
+            if max(0, min(255, 128 + ((t + 4) >> 3))) == val:
+                y2 = np.zeros((1, 1, 16), dtype=int)
+                y2[0, 0, 0] = lv
+                return encode_webp_vp8(np.zeros((1, 1), dtype=int),
+                                       y2lev=y2, base_q=0)
+        raise AssertionError(val)
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :] = (10, 20, 30)
+    blob = encode_webp_anim(32, 32, [
+        {"x": 0, "y": 0, "webp": flat_vp8(100), "duration_ms": 40,
+         "dispose": 1, "blend": 0},
+        {"x": 16, "y": 16, "webp": flat_vp8(200), "duration_ms": 50},
+        {"x": 16, "y": 0, "webp": encode_webp_vp8l(img),
+         "duration_ms": 60},
+    ], loop=3)
+    out = decode_webp_anim(blob)
+    fr = out["frames"]
+    assert (out["width"], out["height"], out["loop_count"]) == (32, 32, 3)
+    assert [f["duration_ms"] for f in fr] == [40, 50, 60]
+    c0, c1, c2 = fr[0]["canvas"], fr[1]["canvas"], fr[2]["canvas"]
+    assert (c0[:16, :16, :3] == 100).all() and (c0[16:, :, 3] == 0).all()
+    assert (c1[:16, :16, 3] == 0).all()          # disposed
+    assert (c1[16:, 16:, :3] == 200).all()
+    assert (c2[:16, 16:, 0] == 10).all() and (c2[16:, 16:, :3] == 200).all()
+    # straight-alpha OVER: half-transparent red over opaque gray
+    semi = np.zeros((16, 16, 4), np.uint8)
+    semi[..., 0] = 255
+    semi[..., 3] = 128
+    blob2 = encode_webp_anim(16, 16, [
+        {"x": 0, "y": 0, "webp": flat_vp8(100), "blend": 0},
+        {"x": 0, "y": 0, "webp": encode_webp_vp8l(semi), "blend": 1},
+    ])
+    c = decode_webp_anim(blob2)["frames"][1]["canvas"]
+    exp_r = round((255 * 128 * 255 + 100 * 255 * 127) / (255 * 255))
+    assert abs(int(c[0, 0, 0]) - exp_r) <= 1 and c[0, 0, 3] == 255
+    # bomb guards + malformed
+    with pytest.raises(NotImplementedError, match="frames"):
+        decode_webp_anim(blob, max_frames=2)
+    with pytest.raises(ValueError, match="rectangle"):
+        decode_webp_anim(encode_webp_anim(16, 16, [
+            {"x": 8, "y": 8, "webp": flat_vp8(100)}]))
+    # still decode_webp names the animation boundary
+    with pytest.raises(NotImplementedError, match="decode_webp_anim"):
+        decode_webp(blob)
