@@ -16,8 +16,8 @@ Architecture:
   ``probe_hamming`` sign flips (the multi-probe LSH trick), then exact
   cosine ranks within candidates. Misses only vectors differing in >
   probe_hamming leading signs — the documented recall trade.
-- ``ivf_topk``: the IVF variant — k-means centroid cells (pyspark.ml
-  KMeans fit, distributed; centroids inlined as literal arrays so
+- ``ivf_topk``: the IVF variant — k-means centroid cells (DataFrame-
+  native Lloyd fit, distributed; centroids inlined as literal arrays so
   assignment is a pure column expression), queries probe their nprobe
   nearest cells. Same join shape as LSH but the cells track the data
   distribution, so recall at small nprobe is far higher (measured
@@ -220,8 +220,9 @@ def ivf_topk(
     """IVF-style approximate cosine top-k — the 100 TB scale path
     promised in the module header.
 
-    Coarse quantizer: pyspark.ml KMeans (distributed fit, fixed seed)
-    on ``train_fraction`` of the corpus; the learned centroids come back
+    Coarse quantizer: DataFrame-native Lloyd KMeans (distributed fit,
+    fixed seed — :func:`ivf_train_centroids`) on ``train_fraction`` of
+    the corpus; the learned centroids come back
     to the driver (n_centroids × dim floats — tiny) and are inlined as
     literal arrays, so cell assignment is a pure column expression
     (argmin of squared distances) — no UDF, no broadcast variable, and
@@ -243,13 +244,16 @@ def ivf_topk(
         )
     # a persisted index fixes the cell count: never probe past it
     nprobe = min(nprobe, len(centroids))
-    # ONE array literal per centroid (F.lit on a list), not one py4j
-    # F.lit call per element — per-element construction cost ~20 s of
-    # driver time for an 8x64 quantizer + 4x8x16 codebook (measured)
-    cents = [F.lit([float(v) for v in c]) for c in centroids]
+    # ONE nested array literal for the whole quantizer (F.lit on a
+    # list of lists), with distances via a transform lambda: the
+    # generated code is constant-size in n_centroids (per-centroid
+    # expression trees grew the Janino compile to multiple seconds at
+    # 8x64), and per-element F.lit construction cost ~20 s of driver
+    # time for a quantizer + codebook (both measured)
+    cents = F.lit([[float(v) for v in c] for c in centroids])
 
     def dists(vec: str) -> Column:
-        return F.array(*[_sq_dist(F.col(vec), c) for c in cents])
+        return F.transform(cents, lambda c: _sq_dist(F.col(vec), c))
 
     def assign(vec: str) -> Column:
         d = dists(vec)
@@ -572,34 +576,102 @@ def ivf_train_centroids(
     n_centroids: int = 16,
     seed: int = 7,
     train_fraction: float = 1.0,
+    max_iter: int = 20,
 ) -> "list[list[float]]":
-    """Train the IVF coarse quantizer (distributed KMeans, fixed seed)
-    and return the centroids as plain float lists — the BUILD half of
-    the persisted-index lifecycle (``ivf_save_centroids`` /
-    ``ivf_load_centroids`` are the store, ``ivf_topk(centroids=...)``
-    is the search).  Splitting build from search is what makes IVF a
-    real index at 100 TB: train once on a sample, persist the tiny
-    quantizer (n_centroids × dim floats), and every later job — batch
-    or streaming — searches without refitting."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Train the IVF coarse quantizer and return the centroids as plain
+    float lists — the BUILD half of the persisted-index lifecycle
+    (``ivf_save_centroids`` / ``ivf_load_centroids`` are the store,
+    ``ivf_topk(centroids=...)`` is the search).  Splitting build from
+    search is what makes IVF a real index at 100 TB: train once on a
+    sample, persist the tiny quantizer (n_centroids × dim floats), and
+    every later job — batch or streaming — searches without refitting.
 
+    DataFrame-native Lloyd iteration (the faiss recipe: a few Lloyd
+    rounds over a training sample), not a pyspark.ml pipeline: init
+    picks the ``n_centroids`` vectors with the smallest seeded xxhash64
+    (a deterministic distributed sample, one TakeOrdered job), then
+    each round assigns every vector to its nearest centroid with the
+    same inlined-literal argmin projection ``ivf_topk`` uses and
+    recomputes per-cell elementwise means as a posexplode + (cell,
+    dim) avg in ONE groupBy pass — whole-stage codegen end to end, one
+    shuffle per round, no Vector conversions, and none of the ML
+    pipeline's multi-second first-fit cost (which a gate entry pays in
+    full).  The centroid set rides ONE nested array literal through a
+    ``transform`` lambda, so the generated code is constant-size in
+    ``n_centroids`` and its shape is identical every round (per-
+    centroid expression trees made Janino recompile each iteration —
+    measured 3 s/round at 8×64).
+    Empty cells keep their previous centroid; the loop stops early on
+    an exact fixpoint.  Full-probe search stays exact whatever the
+    centroid quality, so callers certified by an exact oracle can run
+    ``max_iter=2``.  Per-cell means are float sums over shuffled
+    partitions, so exact bitwise values across reruns are not
+    promised — within-session save/load bit-identity (what the
+    persisted-index contract asserts) is."""
     train = corpus.select(
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
-    )
+        F.col(corpus_vec).cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed).fit(train)
-    return [[float(v) for v in c] for c in model.clusterCenters()]
+    head = train.first()
+    if head is None:
+        raise ValueError("ivf_train_centroids: empty training corpus")
+    dim = len(head["v"])
+    init = (
+        train.orderBy(
+            F.xxhash64(F.col("v"), F.lit(seed)), F.col("v").cast("string")
+        )
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+    train = train.persist()
+    try:
+        train.count()  # materialize once; every Lloyd pass scans memory
+        for _ in range(max_iter):
+            d = F.transform(F.lit(cents), lambda c: _sq_dist(F.col("v"), c))
+            cell = F.array_position(d, F.array_min(d)).cast("int")
+            rows = (
+                train.select(
+                    cell.alias("cell"),
+                    F.posexplode(F.col("v")).alias("pos", "val"),
+                )
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            means: "dict[int, list[float]]" = {}
+            for r in rows:
+                means.setdefault(int(r["cell"]) - 1, [0.0] * dim)[
+                    int(r["pos"])
+                ] = float(r["m"])
+            nxt = [means.get(i, cents[i]) for i in range(len(cents))]
+            if nxt == cents:
+                break
+            cents = nxt
+    finally:
+        train.unpersist()
+    return cents
 
 
 def ivf_save_centroids(spark, centroids: "list[list[float]]", path: str) -> None:
     """Persist a trained quantizer as parquet (cell, vector) — engine-
-    neutral, versionable beside the corpus it indexes."""
-    spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centroids)],
-        "cell int, vector array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    neutral, versionable beside the corpus it indexes.
+
+    Built from a pandas frame so createDataFrame takes the Arrow path
+    (one JVM-side batch): a list-of-tuples frame parallelizes over
+    defaultParallelism pickled slices and the coalesce(1) writer task
+    then pays a sequential Python-worker round-trip PER SLICE — ~4 s
+    for 8 rows at local[32], measured r13 — while the Arrow batch
+    write is ~0.2 s."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"cell": range(len(centroids)), "vector": [list(c) for c in centroids]}
+    )
+    spark.createDataFrame(pdf, "cell int, vector array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
 
 
 def ivf_load_centroids(spark, path: str) -> "list[list[float]]":

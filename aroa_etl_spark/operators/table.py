@@ -435,17 +435,27 @@ def table_commit(
             )
     p.ensure_dirs(root)
     rel = os.path.join("data", uuid.uuid4().hex[:12])
+    obs = None
+    if stats_cols:
+        # stats ride the WRITE job itself as an Observation (zero extra
+        # Spark job, and the observed rows ARE the written rows — the
+        # same bytes-match guarantee the old written-files re-read agg
+        # gave at twice the job count; r12 verdict #2, the re-read was
+        # half of every stats-bearing commit's cost)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(stats_cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(stats_cols)],
+        )
     df.write.mode("error").parquet(os.path.join(root, rel))
     files = [rel]
     file_stats: dict = {}
     if stats_cols:
-        from pyspark.sql import functions as F
-
-        written = df.sparkSession.read.parquet(os.path.join(root, rel))
-        row = written.agg(
-            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(stats_cols)],
-            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(stats_cols)],
-        ).first()
+        row = obs.get  # blocks until the finished write's metrics land
         def _js(v):
             # JSON-safe: dates/timestamps/decimals become ISO-ish
             # strings, whose lexicographic order matches value order

@@ -2594,6 +2594,7 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.  At 100 TB this is the difference between scanning one
     day and the whole table.  Scale: manifests are driver-side JSON;
     pruning is O(#files) metadata work, zero data I/O."""
+    import json
     import os
     import shutil
 
@@ -2605,27 +2606,48 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_versions,
     )
 
-    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
-        "o_orderkey", "o_orderpriority",
-        (F.col("o_orderkey") % 16).cast("int").alias("day"),
-    ).persist()  # 16 per-day commits scan memory, not parquet (r12 trim)
     root = _scratch_stage("table_pruned", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
     t = os.path.join(root, "t")
-    for day in range(16):
-        table_commit(
-            orders.filter(F.col("day") == day), t,
-            mode="append", op=f"ingest-day-{day}", stats_cols=["day"],
-        )
-    orders.unpersist()
-    newest = table_versions(t)[-1]
-    kept = pruned_files(newest, {"day": (3, 5)})
-    if len(newest["files"]) != 16 or len(kept) != 3:
+    # Stage-once discipline (r12 verdict #2: don't re-pay the 16-commit
+    # fixture build per rep — the entry attests a READ-side property).
+    # A marker written only after a complete staging makes reuse safe;
+    # bump _LAYOUT when the manifest format or fixture recipe changes.
+    _LAYOUT = {"layout": 1, "days": 16}
+    marker = os.path.join(root, "STAGED.json")
+    staged = False
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            staged = json.load(fh) == _LAYOUT
+    except (OSError, ValueError):
+        staged = False
+    if not staged:
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("o_orderkey") % 16).cast("int").alias("day"),
+        ).persist()  # 16 per-day commits scan memory, not parquet
+        for day in range(16):
+            table_commit(
+                orders.filter(F.col("day") == day), t,
+                mode="append", op=f"ingest-day-{day}", stats_cols=["day"],
+            )
+        orders.unpersist()
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump(_LAYOUT, fh)
+    # Every assertion stays LIVE on reuse: pruning is re-planned from
+    # the 16-file pre-compaction manifest each call, and the returned
+    # frame re-reads the post-compaction snapshot (its value hash is
+    # the oracle's content-identity check either way).
+    versions = table_versions(t)
+    base = versions[15]
+    kept = pruned_files(base, {"day": (3, 5)})
+    if len(base["files"]) != 16 or len(kept) != 3:
         raise AssertionError(
-            f"pruning planned {len(kept)} of {len(newest['files'])} files, "
+            f"pruning planned {len(kept)} of {len(base['files'])} files, "
             "wanted 3 of 16"
         )
-    table_compact(spark, t, stats_cols=["day"])
+    if len(versions) == 16:  # not yet compacted (first call on a staging)
+        table_compact(spark, t, stats_cols=["day"])
     if len(table_versions(t)[-1]["files"]) != 1:
         raise AssertionError("compaction did not produce a single file")
     # the returned frame reads the POST-compaction snapshot, so the
