@@ -36,6 +36,10 @@ def _scratch_stage(kind: str, sf_dir: str) -> str:
 # 2^60 as an exact double literal (hash space of the 60-bit md5 family)
 _POW60 = "1152921504606846976"
 
+# roots whose inc_table_pruned_read fixture was fully staged BY THIS
+# PROCESS (reuse never crosses process/run boundaries — see the entry)
+_PRUNED_STAGED_ROOTS: set = set()
+
 
 @query(
     "sk_kmv_distinct",
@@ -2594,7 +2598,6 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.  At 100 TB this is the difference between scanning one
     day and the whole table.  Scale: manifests are driver-side JSON;
     pruning is O(#files) metadata work, zero data I/O."""
-    import json
     import os
     import shutil
 
@@ -2610,16 +2613,11 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = os.path.join(root, "t")
     # Stage-once discipline (r12 verdict #2: don't re-pay the 16-commit
     # fixture build per rep — the entry attests a READ-side property).
-    # A marker written only after a complete staging makes reuse safe;
-    # bump _LAYOUT when the manifest format or fixture recipe changes.
-    _LAYOUT = {"layout": 1, "days": 16}
-    marker = os.path.join(root, "STAGED.json")
-    staged = False
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            staged = json.load(fh) == _LAYOUT
-    except (OSError, ValueError):
-        staged = False
+    # Reuse is PER-PROCESS ONLY: every new process (each bench/oracle
+    # invocation) rebuilds the fixture from the parquet inputs, so no
+    # staged intermediate survives across runs; within one bench process
+    # reps 2..N time only the read, which is the property under test.
+    staged = root in _PRUNED_STAGED_ROOTS
     if not staged:
         shutil.rmtree(root, ignore_errors=True)
         orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
@@ -2632,8 +2630,7 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mode="append", op=f"ingest-day-{day}", stats_cols=["day"],
             )
         orders.unpersist()
-        with open(marker, "w", encoding="utf-8") as fh:
-            json.dump(_LAYOUT, fh)
+        _PRUNED_STAGED_ROOTS.add(root)
     # Every assertion stays LIVE on reuse: pruning is re-planned from
     # the 16-file pre-compaction manifest each call, and the returned
     # frame re-reads the post-compaction snapshot (its value hash is
