@@ -13,6 +13,19 @@ scan, shuffle, agg — is paid.  Rounds ≤7 timed each query once;
 cross-round comparison vs those files should expect the median to sit
 at or below the old single-shot numbers (first-run cache warmup moves
 to run 1 of 3).
+
+Since round 13 (r12 verdict ask #1 — the recorded bench absorbed a
+~1.65x uniform host-throughput shift twice in three rounds): a FIXED
+pure-CPU calibration workload (xxhash64 fold over spark.range, no
+input data, no Python) is timed at bench start and end and shipped in
+the final line ("calibration", median seconds).  Normalized medians
+(query_sec / calibration_sec) ride the detail line; host shift moves
+raw and calibration together and cancels in the ratio, so a real
+regression is visible arithmetically whatever the host is doing.
+Entries whose 3-rep spread exceeds 2x earn up to 2 extra reps
+(adaptive, per-entry) so a single contention spike cannot own a
+median.  Raw seconds keep the exact old methodology and stay
+comparable with BENCH_r01..r12.
 """
 
 from __future__ import annotations
@@ -97,11 +110,39 @@ def main() -> None:
 
     from aroa_etl_spark.operators import dedup as _dedup
 
+    def calibration_secs() -> float:
+        """Fixed pure-CPU reference workload (r12 verdict #1: the bench
+        must carry its own yardstick).  A deterministic xxhash64 fold
+        over spark.range touches no input data and no Python workers,
+        so its wall time tracks HOST THROUGHPUT (cpu contention,
+        frequency scaling) and nothing in this repo.  Median of 3.
+        Normalizing a query median by this constant separates host
+        shift (both move together) from a real regression (only the
+        query moves) arithmetically."""
+        runs = []
+        spark.sparkContext.setJobDescription("bench: calibration workload")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) as h"  # xor: no ANSI overflow
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        return round(statistics.median(runs), 3)
+
+    cal_start = calibration_secs()
+
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}
     for name in names:
         runs: list[float] = []
-        for _ in range(REPS):
+        spark.sparkContext.setJobDescription(f"bench: {name}")
+        while len(runs) < REPS or (
+            # adaptive reps (r12 verdict #1c): when the 3-rep spread
+            # exceeds 2x the median is contention noise, not signal —
+            # buy 2 more samples for that entry only
+            len(runs) < REPS + 2 and max(runs) > 2 * min(runs)
+        ):
             start = time.perf_counter()
             df = qmap[name](spark, sf_dir)
             rows = df.limit(COLLECT_CAP + 1).collect()
@@ -110,8 +151,12 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
             # untimed: free operator-internal reuse caches between runs
             _dedup.release_caches()
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(statistics.median(runs), 3)
         reps_detail[name] = [round(r, 3) for r in runs]
+
+    cal_end = calibration_secs()
+    cal = round(statistics.median([cal_start, cal_end]), 3) or 1.0
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,6 +180,13 @@ def main() -> None:
                 "sf": sf_val,
                 "reps": REPS,
                 "reps_detail": reps_detail,
+                # host-shift-immune view: median / calibration median
+                # (dimensionless; compare THESE across rounds when raw
+                # seconds move uniformly)
+                "calibration_sec": {"start": cal_start, "end": cal_end},
+                "normalized": {
+                    n: round(t / cal, 3) for n, t in timings.items()
+                },
             },
             separators=(",", ":"),
         )
@@ -148,6 +200,10 @@ def main() -> None:
         "sf": sf_val,
         "reps": REPS,
         "aggregation": "median",
+        # fixed reference workload wall time (median of 3 at bench
+        # start and 3 at end — per-rep detail on the first output
+        # line): normalized medians = queries[n] / calibration
+        "calibration": cal,
         "rep_secs": [reps_detail[n] for n in timings],
     }
     line = json.dumps(final, separators=(",", ":"))
