@@ -387,23 +387,62 @@ def iceberg_read(
                 f.get("id"): f.get("name")
                 for f in (snap["schema"] or {}).get("fields", ())
             }
+            # ONE anti-join per equality_ids SIGNATURE, not per delete
+            # file (r12 verdict #4 / r13 optimization): a Flink upsert
+            # stream emits one delete file per checkpoint, all with the
+            # same equality_ids — chaining an anti-join per file makes
+            # the plan (and Catalyst analysis time) linear in checkpoint
+            # count.  Same-signature files are read as one scan; each
+            # delete row carries its own __del_seq via a broadcast
+            # basename→seq dim (the position-delete trick), and the
+            # strictly-older rule rides the join condition per row —
+            # semantics identical to the per-file chain.
+            by_sig: dict[tuple, list] = {}
             for d in eq_dels:
-                cols = [id2name.get(i) for i in d["equality_ids"]]
+                by_sig.setdefault(tuple(d["equality_ids"]), []).append(d)
+            for sig, ds in by_sig.items():
+                cols = [id2name.get(i) for i in sig]
                 if any(c is None for c in cols):
                     raise ValueError(
-                        f"iceberg: equality_ids {d['equality_ids']} not in "
+                        f"iceberg: equality_ids {list(sig)} not in "
                         "the current schema"
                     )
-                eq_df = spark.read.parquet(_resolve(root, d["path"]))
-                missing = [c for c in cols if c not in eq_df.columns]
-                if missing:
-                    raise ValueError(
-                        f"iceberg: equality-delete file lacks {missing}"
-                    )
-                eq_dim = eq_df.select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols]
+                paths = [_resolve(root, d["path"]) for d in ds]
+                # per-file strictness is kept: a malformed file missing
+                # an equality column must RAISE, not null-match — check
+                # each footer (cheap driver-side metadata) because the
+                # merged scan would silently null-fill a missing column
+                import pyarrow.parquet as _pq
+
+                for p in paths:
+                    have = set(_pq.read_schema(p).names)
+                    missing = [c for c in cols if c not in have]
+                    if missing:
+                        raise ValueError(
+                            f"iceberg: equality-delete file lacks {missing}"
+                        )
+                dseq = spark.createDataFrame(
+                    [(os.path.basename(p), int(d["seq"]))
+                     for p, d in zip(paths, ds)],
+                    "__del_file string, __del_seq long",
                 )
-                cond = F.lit(int(d["seq"])) > df["__ib_seq"]
+                eq_dim = (
+                    spark.read.parquet(*paths)
+                    .withColumn(
+                        "__del_file",
+                        F.url_decode(
+                            F.element_at(
+                                F.split(F.input_file_name(), "/"), -1
+                            )
+                        ),
+                    )
+                    .join(F.broadcast(dseq), "__del_file")
+                    .select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                        "__del_seq",
+                    )
+                )
+                cond = eq_dim["__del_seq"] > df["__ib_seq"]
                 for c in cols:
                     cond = cond & df[c].eqNullSafe(eq_dim[f"__eq_{c}"])
                 df = df.join(eq_dim, cond, "left_anti")
