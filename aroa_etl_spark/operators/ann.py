@@ -201,6 +201,44 @@ def _sq_dist(x: Column, y: Column) -> Column:
     )
 
 
+def _cents_col(centroids: "list[list[float]]") -> Column:
+    """The quantizer as ONE plan node: a from_json over a single string
+    literal.  A nested F.lit embeds every double as a source-level
+    constant in the generated Java, so any change to the centroid
+    values (every Lloyd round, every fresh search) is a fresh Janino
+    compile (~0.5-2 s at 8×64, measured r13); the json string rides the
+    codegen references array instead, making the generated source
+    byte-identical across rounds and calls — compiled once per session.
+    json.dumps repr round-trips finite doubles exactly, so distances
+    are bit-identical to the literal form (differential-checked r13)."""
+    import json as _json
+
+    return F.from_json(
+        F.lit(_json.dumps([[float(v) for v in c] for c in centroids])),
+        "array<array<double>>",
+    )
+
+
+def _spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin a frame up to core-count partitions when its scan
+    plans FEWER — higher-order-function kernels (distance lambdas) are
+    interpreted, so a small single-file input otherwise evaluates them
+    serially on one task (guide §2.5: input skew; measured ~2 s/round
+    serial vs ~0.15 s spread on the 500-row gate fixture).  Inputs
+    that already have >= defaultParallelism partitions — any corpus at
+    scale — pass through untouched, so no shuffle is ever added to a
+    big scan."""
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: keep the input
+        return df
+    if 0 < nparts < dp:
+        return df.repartition(dp)
+    return df
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -216,6 +254,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     centroids: "list[list[float]] | None" = None,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k — the 100 TB scale path
     promised in the module header.
@@ -240,17 +279,17 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_train_centroids(
             corpus, corpus_vec=corpus_vec, n_centroids=n_centroids,
-            seed=seed, train_fraction=train_fraction,
+            seed=seed, train_fraction=train_fraction, max_iter=max_iter,
         )
     # a persisted index fixes the cell count: never probe past it
     nprobe = min(nprobe, len(centroids))
-    # ONE nested array literal for the whole quantizer (F.lit on a
-    # list of lists), with distances via a transform lambda: the
-    # generated code is constant-size in n_centroids (per-centroid
-    # expression trees grew the Janino compile to multiple seconds at
-    # 8x64), and per-element F.lit construction cost ~20 s of driver
-    # time for a quantizer + codebook (both measured)
-    cents = F.lit([[float(v) for v in c] for c in centroids])
+    # the whole quantizer as ONE plan node via _cents_col: constant-
+    # size generated code in n_centroids AND a generated source that
+    # does not change with the centroid VALUES, so the Janino compile
+    # happens once per session instead of once per search (per-centroid
+    # expression trees, and later per-value literals, both measured in
+    # seconds of recompiles at 8×64 — see _cents_col)
+    cents = _cents_col(centroids)
 
     def dists(vec: str) -> Column:
         return F.transform(cents, lambda c: _sq_dist(F.col(vec), c))
@@ -269,7 +308,10 @@ def ivf_topk(
         )
         return F.slice(F.transform(ranked, lambda s: s["c"]), 1, nprobe)
 
-    c = corpus.select(
+    # cell assignment runs the interpreted distance lambda per corpus
+    # row BEFORE any exchange, i.e. at the scan's parallelism — spread
+    # small single-file corpora so it isn't one serial task
+    c = _spread_small(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
         assign(corpus_vec).alias("__cell"),
@@ -613,23 +655,32 @@ def ivf_train_centroids(
     ).filter(F.col("v").isNotNull())
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
-    head = train.first()
-    if head is None:
-        raise ValueError("ivf_train_centroids: empty training corpus")
-    dim = len(head["v"])
-    init = (
-        train.orderBy(
-            F.xxhash64(F.col("v"), F.lit(seed)), F.col("v").cast("string")
-        )
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = [[float(x) for x in r["v"]] for r in init]
+    # Higher-order-function distance kernels are interpreted (no
+    # codegen), so a training sample that scans as FEWER partitions
+    # than cores runs the whole assignment serially — the r13 profile
+    # put ~2 s/round on ONE task for a 1-file 500-row fixture.  Spread
+    # small inputs to core count; at scale the sample already has >=
+    # core-count partitions and this is a no-op (scale-adaptive, not a
+    # local[] constant — guide §2.5 input-skew rule).
+    train = _spread_small(train)
     train = train.persist()
     try:
-        train.count()  # materialize once; every Lloyd pass scans memory
+        # first materialization doubles as the emptiness check and the
+        # seeded init sample — the old separate .first() probe and
+        # .count() warm-up were two extra full jobs per train call
+        init = (
+            train.orderBy(
+                F.xxhash64(F.col("v"), F.lit(seed)), F.col("v").cast("string")
+            )
+            .limit(n_centroids)
+            .collect()
+        )
+        if not init:
+            raise ValueError("ivf_train_centroids: empty training corpus")
+        dim = len(init[0]["v"])
+        cents = [[float(x) for x in r["v"]] for r in init]
         for _ in range(max_iter):
-            d = F.transform(F.lit(cents), lambda c: _sq_dist(F.col("v"), c))
+            d = F.transform(_cents_col(cents), lambda c: _sq_dist(F.col("v"), c))
             cell = F.array_position(d, F.array_min(d)).cast("int")
             rows = (
                 train.select(
@@ -658,20 +709,33 @@ def ivf_save_centroids(spark, centroids: "list[list[float]]", path: str) -> None
     """Persist a trained quantizer as parquet (cell, vector) — engine-
     neutral, versionable beside the corpus it indexes.
 
-    Built from a pandas frame so createDataFrame takes the Arrow path
-    (one JVM-side batch): a list-of-tuples frame parallelizes over
-    defaultParallelism pickled slices and the coalesce(1) writer task
-    then pays a sequential Python-worker round-trip PER SLICE — ~4 s
-    for 8 rows at local[32], measured r13 — while the Arrow batch
-    write is ~0.2 s."""
-    import pandas as pd
+    Written DRIVER-SIDE with pyarrow, no Spark job at all: the
+    quantizer is n_centroids × dim floats of metadata, exactly the
+    "driver does metadata, executors do data" split (guide §5).  The
+    r12 createDataFrame routes both cost seconds for 8 rows — the
+    pickled path pays a sequential Python-worker round-trip per
+    parallelize slice under coalesce(1) (~4 s at local[32]), and the
+    pandas/Arrow path silently falls back to pickled rows on any
+    session without spark.sql.execution.arrow.pyspark.enabled (the
+    correctness driver's plain session — measured 5.5-6.8 s there,
+    r13).  The pyarrow write is ~0.01 s on every session and
+    spark.read.parquet reads the single file unchanged."""
+    import os
 
-    pdf = pd.DataFrame(
-        {"cell": range(len(centroids)), "vector": [list(c) for c in centroids]}
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    table = pa.table(
+        {
+            "cell": pa.array(range(len(centroids)), pa.int32()),
+            "vector": pa.array(
+                [[float(v) for v in c] for c in centroids],
+                pa.list_(pa.float64()),
+            ),
+        }
     )
-    spark.createDataFrame(pdf, "cell int, vector array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(path)
+    pq.write_table(table, path)
 
 
 def ivf_load_centroids(spark, path: str) -> "list[list[float]]":

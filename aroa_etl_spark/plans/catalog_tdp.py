@@ -695,15 +695,20 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 at nprobe = n_centroids, which degenerates to an exact
-    full scan — so the whole IVF machinery (distributed KMeans fit,
-    literal-centroid cell assignment, probe explode, cell equi-join)
-    runs under the SAME brute-force oracle. The recall/nprobe trade is
-    covered by tests/test_ann.py."""
+    full scan — so the whole IVF machinery (distributed Lloyd fit,
+    quantizer cell assignment, probe explode, cell equi-join) runs
+    under the SAME brute-force oracle. The recall/nprobe trade is
+    covered by tests/test_ann.py.  Training runs 2 Lloyd rounds (init
+    round + one refinement — every trainer code path exercised): cells
+    partition the corpus whatever the centroids are, so the full-probe
+    result is identical at any iteration count while the entry stops
+    paying ~20 rounds of fit the oracle never observes (r13)."""
     from aroa_etl_spark.operators.ann import ivf_topk
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=8, nprobe=8
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=8, nprobe=8,
+        max_iter=2,
     )
 
 
