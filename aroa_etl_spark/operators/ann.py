@@ -227,16 +227,11 @@ def _spread_small(df: DataFrame) -> DataFrame:
     serial vs ~0.15 s spread on the 500-row gate fixture).  Inputs
     that already have >= defaultParallelism partitions — any corpus at
     scale — pass through untouched, so no shuffle is ever added to a
-    big scan."""
-    sc = df.sparkSession.sparkContext
-    dp = sc.defaultParallelism
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — planning quirk: keep the input
-        return df
-    if 0 < nparts < dp:
-        return df.repartition(dp)
-    return df
+    big scan.  (Shared implementation: operators/skew.spread_small,
+    promoted there in r13 for the other scan-side kernels.)"""
+    from aroa_etl_spark.operators.skew import spread_small
+
+    return spread_small(df)
 
 
 def ivf_topk(

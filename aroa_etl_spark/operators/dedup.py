@@ -758,7 +758,15 @@ def simhash_dedup(
     # aggregation, one shuffle on the doc id — the shape that scales.
     # explode_outer keeps empty docs (null token → null votes → all bits
     # 0, matching simhash32's empty→0 contract).
-    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok"))
+    # spread_small: tokenize + per-token md5 + the 60-column partial
+    # vote aggregation all run scan-side, before the doc-id exchange —
+    # a small single-file input would evaluate them serially on one
+    # task (guide §2.5 input skew; pass-through at scale — r13)
+    from aroa_etl_spark.operators.skew import spread_small
+
+    tok = spread_small(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok")
+    )
     h = tok.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("__tok"), 1, hash_bits // 4), 16, 10)

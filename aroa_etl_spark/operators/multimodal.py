@@ -40,6 +40,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+from collections import deque
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,6 +48,41 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def task_blob_memo(max_entries: int = 64):
+    """Content-addressed decode cache for per-blob kernels, ONE PER
+    TASK (construct it at kernel start, before the batch loop — guide
+    §4.5's once-per-task state).  ``get(key, fn)`` returns the cached
+    value for ``key`` or computes it via ``fn``.
+
+    Crawl corpora are heavily duplicated (CDN re-uploads, mirrored
+    assets, thumbnail farms), so a decode-bound kernel that decodes
+    each DISTINCT payload once and re-emits the result is the standard
+    content-addressable trick; the memoized value is a pure function
+    of the key (the blob bytes + any decode parameters), so every
+    output row is byte-identical to the uncached kernel.  Bounded FIFO
+    (``max_entries``) so a task over high-cardinality content degrades
+    to plain decode instead of hoarding memory.  The cache lives
+    inside one task invocation — nothing survives the task, the query,
+    or the process (this is NOT cross-run result caching).
+    """
+    memo: dict = {}
+    order: deque = deque()
+
+    def get(key, fn):
+        try:
+            return memo[key]
+        except KeyError:
+            v = fn()
+            memo[key] = v
+            order.append(key)
+            if len(order) > max_entries:
+                memo.pop(order.popleft(), None)
+            return v
+
+    return get
+
 
 # ---------------------------------------------------------------------------
 # schemas
@@ -972,21 +1008,35 @@ def image_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
     aspect ratio, and a perceptual-hash-shaped digest (here: sha256 of
     the decoded/fake pixel grid — deterministic, so tests pin it)."""
 
+    def feats(content: bytes, meta: dict) -> tuple:
+        px = decode_image(content, dict(meta), strict=strict)
+        h, w = px.shape[0], px.shape[1]
+        return (
+            float(px.mean()),
+            (w / h) if h else 0.0,
+            hashlib.sha256(px.tobytes()).hexdigest()[:16],
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # decode each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"] if isinstance(row["meta"], dict) else (row["meta"] or {})
-                content = bytes(row["content"] or b"")
-                px = decode_image(content, dict(meta), strict=strict)
-                h, w = px.shape[0], px.shape[1]
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                meta = meta if isinstance(meta, dict) else (meta or {})
+                content = bytes(content or b"")
+                mean, aspect, phash = memo(
+                    (content, tuple(sorted(meta.items()))),
+                    lambda: feats(content, meta),
+                )
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "n_bytes": len(content),
-                        "mean_intensity": float(px.mean()),
-                        "aspect_ratio": (w / h) if h else 0.0,
-                        "phash": hashlib.sha256(px.tobytes()).hexdigest()[:16],
+                        "mean_intensity": mean,
+                        "aspect_ratio": aspect,
+                        "phash": phash,
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
@@ -1016,19 +1066,28 @@ def webp_yuv_stats(df: DataFrame) -> DataFrame:
     shuffle."""
     from aroa_etl_spark.operators.vp8codec import decode_webp_vp8_yuv
 
+    def stats(content: bytes) -> tuple:
+        y, u, v = decode_webp_vp8_yuv(content)
+        return (
+            y.shape[1], y.shape[0],
+            float(y.mean()), float(u.mean()), float(v.mean()),
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # decode each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                y, u, v = decode_webp_vp8_yuv(bytes(row["content"]))
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                w, h, my, mu, mv = memo(content, lambda: stats(content))
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "width": y.shape[1],
-                        "height": y.shape[0],
-                        "mean_y": float(y.mean()),
-                        "mean_u": float(u.mean()),
-                        "mean_v": float(v.mean()),
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "mean_y": my,
+                        "mean_u": mu,
+                        "mean_v": mv,
                     }
                 )
             yield pd.DataFrame(
@@ -1059,20 +1118,31 @@ def webp_anim_stats(df: DataFrame) -> DataFrame:
     zero shuffle; pixel/frame bomb caps inherited from the codec."""
     from aroa_etl_spark.operators.vp8codec import decode_webp_anim
 
+    def frames(content: bytes) -> list:
+        anim = decode_webp_anim(content)
+        n = len(anim["frames"])
+        return [
+            (j, n, anim["loop_count"], f["duration_ms"],
+             float(f["canvas"].mean()))
+            for j, f in enumerate(anim["frames"])
+        ]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # decode each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                anim = decode_webp_anim(bytes(row["content"]))
-                n = len(anim["frames"])
-                for j, f in enumerate(anim["frames"]):
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                for j, n, loop, dur, mean in memo(
+                    content, lambda: frames(content)
+                ):
                     out.append({
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "frame_idx": j,
                         "n_frames": n,
-                        "loop_count": anim["loop_count"],
-                        "duration_ms": f["duration_ms"],
-                        "canvas_mean": float(f["canvas"].mean()),
+                        "loop_count": loop,
+                        "duration_ms": dur,
+                        "canvas_mean": mean,
                     })
             yield pd.DataFrame(
                 out, columns=[f.name for f in WEBP_ANIM_STATS_SCHEMA.fields]
@@ -1750,14 +1820,17 @@ def scan_mpeg_frames(df: DataFrame, *, strict: bool = True) -> DataFrame:
         return n_frames, bitrate, rate, id3_size, len(content)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # walk each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
-                n_frames, br, sr, id3, total = _scan(content)
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                n_frames, br, sr, id3, total = memo(
+                    content, lambda: _scan(content)
+                )
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "n_frames": n_frames,
                         "bitrate_kbps": br,
                         "sample_rate": sr,
@@ -1864,13 +1937,14 @@ def scan_jpeg_markers(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # walk each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
-                w, h, nc, prog = _scan(content)
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                w, h, nc, prog = memo(content, lambda: _scan(content))
                 rec = {
-                    "media_id": row["media_id"],
+                    "media_id": media_id,
                     "width": w,
                     "height": h,
                     "n_components": nc,
@@ -2793,34 +2867,46 @@ def video_frame_features(
     on long clips, and the triage scan (scan_avi_headers) routes
     non-MJPEG blobs away before this stage ever sees them."""
 
+    def decode_blob(content: bytes) -> "list[tuple] | None":
+        """Pure per-content demux+decode (media_id-free) so the task
+        memo can re-emit it for duplicated payloads."""
+        try:
+            frames = demux_avi_frames(content, strict=strict)
+        except (ValueError, IndexError):
+            if strict:
+                raise
+            return None  # lenient: a non-AVI blob yields no frames
+        out = []
+        for i in range(0, len(frames), every_n):
+            try:
+                px = _decode_jpeg(frames[i])
+            except (ValueError, NotImplementedError):
+                if strict:
+                    raise
+                continue
+            out.append(
+                (i, px.shape[1], px.shape[0],
+                 float(px.astype(np.float64).mean()))
+            )
+        return out
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # decode each distinct blob once/task
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
-                try:
-                    frames = demux_avi_frames(content, strict=strict)
-                except (ValueError, IndexError):
-                    if strict:
-                        raise
-                    continue  # lenient: a non-AVI blob yields no frames
-                for i in range(0, len(frames), every_n):
-                    try:
-                        px = _decode_jpeg(frames[i])
-                    except (ValueError, NotImplementedError):
-                        if strict:
-                            raise
-                        continue
-                    h, w = px.shape[0], px.shape[1]
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                frames = memo(content, lambda: decode_blob(content))
+                if frames is None:
+                    continue
+                for i, w, h, mean in frames:
                     rows.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "frame_index": i,
                             "width": w,
                             "height": h,
-                            "mean_intensity": float(
-                                px.astype(np.float64).mean()
-                            ),
+                            "mean_intensity": mean,
                         }
                     )
             yield pd.DataFrame(
@@ -3871,49 +3957,63 @@ def mp4_video_frame_features(
     scan_mp4_boxes is the triage gate that routes non-MJPEG files
     away before this stage."""
 
+    def decode_blob(content: bytes) -> "list[tuple] | None":
+        """Pure per-content demux+decode: list of frame-feature tuples
+        (or None for skip under lenient mode) — media_id-free so the
+        task memo can re-emit it for duplicated payloads."""
+        try:
+            rec = _parse_mp4_samples(content, strict=strict)
+        except (ValueError, IndexError, NotImplementedError):
+            if strict:
+                raise
+            return None
+        if rec is None:
+            return None
+        mts = rec["media_timescale"] or 1
+        idxs = range(len(rec["samples"]))
+        if keyframes_only and rec.get("sync") is not None:
+            # stss lists 1-based sync samples; an ABSENT stss
+            # means every sample is sync (spec default) and
+            # keyframes_only degenerates to the full walk
+            idxs = [i for i in idxs if (i + 1) in rec["sync"]]
+        frames = []
+        for i in list(idxs)[::every_n]:
+            off, size, dts, _dur = rec["samples"][i]
+            if off + size > len(content):
+                raise ValueError(
+                    f"sample at offset {off} (+{size}) overruns "
+                    f"the blob ({len(content)} bytes)"
+                )
+            try:
+                px = _decode_jpeg(content[off : off + size])
+            except (ValueError, NotImplementedError):
+                if strict:
+                    raise
+                continue
+            frames.append(
+                (i, dts * 1000 // mts, px.shape[1], px.shape[0],
+                 float(px.astype(np.float64).mean()))
+            )
+        return frames
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = task_blob_memo()  # decode each distinct blob once/task
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
-                try:
-                    rec = _parse_mp4_samples(content, strict=strict)
-                except (ValueError, IndexError, NotImplementedError):
-                    if strict:
-                        raise
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                frames = memo(content, lambda: decode_blob(content))
+                if frames is None:
                     continue
-                if rec is None:
-                    continue
-                mts = rec["media_timescale"] or 1
-                idxs = range(len(rec["samples"]))
-                if keyframes_only and rec.get("sync") is not None:
-                    # stss lists 1-based sync samples; an ABSENT stss
-                    # means every sample is sync (spec default) and
-                    # keyframes_only degenerates to the full walk
-                    idxs = [i for i in idxs if (i + 1) in rec["sync"]]
-                for i in list(idxs)[::every_n]:
-                    off, size, dts, _dur = rec["samples"][i]
-                    if off + size > len(content):
-                        raise ValueError(
-                            f"sample at offset {off} (+{size}) overruns "
-                            f"the blob ({len(content)} bytes)"
-                        )
-                    try:
-                        px = _decode_jpeg(content[off : off + size])
-                    except (ValueError, NotImplementedError):
-                        if strict:
-                            raise
-                        continue
+                for i, pts_ms, w, h, mean in frames:
                     rows.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "frame_index": i,
-                            "pts_ms": dts * 1000 // mts,
-                            "width": px.shape[1],
-                            "height": px.shape[0],
-                            "mean_intensity": float(
-                                px.astype(np.float64).mean()
-                            ),
+                            "pts_ms": pts_ms,
+                            "width": w,
+                            "height": h,
+                            "mean_intensity": mean,
                         }
                     )
             yield pd.DataFrame(

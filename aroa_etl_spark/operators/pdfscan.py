@@ -1030,12 +1030,15 @@ def scan_pdf_structure(df: DataFrame, *, strict: bool = True) -> DataFrame:
     (media_id, content binary) frame."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aroa_etl_spark.operators.multimodal import task_blob_memo
+
+        memo = task_blob_memo()  # walk each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                rec = _scan_blob(bytes(row["content"] or b""), strict)
-                rec["media_id"] = row["media_id"]
-                out.append(rec)
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                rec = memo(content, lambda: _scan_blob(content, strict))
+                out.append({**rec, "media_id": media_id})
             yield pd.DataFrame(
                 out, columns=[f.name for f in PDF_SCAN_SCHEMA.fields]
             )
@@ -1372,14 +1375,18 @@ def extract_pdf_text(df: DataFrame, *, strict: bool = True) -> DataFrame:
     mapInPandas, zero shuffle, O(stream bytes) per page."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aroa_etl_spark.operators.multimodal import task_blob_memo
+
+        memo = task_blob_memo()  # parse each distinct blob once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                for rec in _extract_blob_text(
-                    bytes(row["content"] or b""), strict
-                ):
-                    rec["media_id"] = row["media_id"]
-                    out.append(rec)
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                recs = memo(
+                    content, lambda: _extract_blob_text(content, strict)
+                )
+                for rec in recs:
+                    out.append({**rec, "media_id": media_id})
             yield pd.DataFrame(
                 out, columns=[f.name for f in PDF_TEXT_SCHEMA.fields]
             )

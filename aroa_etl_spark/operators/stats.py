@@ -109,6 +109,15 @@ def exact_global_rank(
     band's sort dominates.  All input columns carried through."""
     from pyspark.sql.window import Window as W
 
+    if persist:
+        # persist BEFORE the percentile probe, so the probe itself
+        # materializes the cache: probing the unpersisted input first
+        # (the pre-r13 order) re-ran the expensive upstream a second
+        # time before the sizes aggregation ever hit the cache —
+        # measured 2×2.5 s of classifier scoring inside
+        # eval_classifier_auc at sf0.1 (guide §5: cache only what is
+        # reused, but DO let every scan reuse it)
+        df = df.persist()
     if bounds is None:
         bounds = df.select(
             F.percentile_approx(
@@ -125,12 +134,10 @@ def exact_global_rank(
     band = F.lit(0)
     for b in bounds:
         band = band + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    # NOT persisted itself: the cache (when persist=True) lives on the
+    # input frame above, and the band column is a cheap comparison
+    # chain recomputed over cached rows by each downstream scan
     staged = df.withColumn("__band", band)
-    if persist:
-        # the band-size aggregation and the windowed frame each scan
-        # the input once; persist when the upstream is expensive (the
-        # double-scan-vs-cache trade every offset decomposition makes)
-        staged = staged.persist()
     within = F.row_number().over(
         W.partitionBy("__band").orderBy(value_col, tiebreak_col)
     )
@@ -195,6 +202,11 @@ def exact_grouped_rank(
     from pyspark.sql.window import Window as W
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if persist:
+        # same probe-order fix as exact_global_rank: cache the input
+        # BEFORE the percentile probe so the probe materializes it and
+        # the sizes + window scans reuse it (three upstream runs -> one)
+        df = df.persist()
     srg = _order_surrogate(df, value_col)
     staged0 = df.withColumn("__srg", srg)
     bounds = staged0.select(
@@ -219,8 +231,6 @@ def exact_grouped_rank(
         )
         band = band + F.when(cmp, 1).otherwise(0)
     staged = staged0.withColumn("__band", band)
-    if persist:
-        staged = staged.persist()
     order_key = (
         F.col(value_col).desc_nulls_first()
         if descending

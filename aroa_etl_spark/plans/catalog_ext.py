@@ -5932,8 +5932,12 @@ def w_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(d2("o_totalprice")).alias("r"))
     )
+    # persist=True: rev is an orders scan + groupBy shuffle that the
+    # rank's probe, sizes aggregation and window would otherwise each
+    # re-run (3 upstream passes -> 1; r13, guide §5)
     ranked = exact_grouped_rank(
-        rev, "month", "r", "o_custkey", rank_col="rk", descending=True
+        rev, "month", "r", "o_custkey", rank_col="rk", descending=True,
+        persist=True,
     ).select("o_custkey", "month", "rk")
     prev = F.lag("rk").over(W.partitionBy("o_custkey").orderBy("month"))
     lagged = ranked.withColumn("prev_rk", prev)
@@ -6047,7 +6051,11 @@ def a_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg((F.sum(d2("o_totalprice")) * 100).cast("bigint").alias("cents"))
     )
-    ranked = exact_global_rank(rev, "cents", "o_custkey", rank_col="rk")
+    # persist=True: rev is an orders scan + groupBy shuffle re-run by
+    # the probe, sizes, window AND the count below (4 passes -> 1; r13)
+    ranked = exact_global_rank(
+        rev, "cents", "o_custkey", rank_col="rk", persist=True
+    )
     n_total = rev.count()
     cutoff = n_total - n_total // 10
     s = ranked.agg(

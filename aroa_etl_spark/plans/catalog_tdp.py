@@ -1724,8 +1724,14 @@ def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping windows + span coverage is the faithful substring-dedup
     semantics."""
     K = 10
+    from aroa_etl_spark.operators.skew import spread_small
+
+    # spread_small: the window build (interpreted transform — per
+    # position a 10-token slice + concat + md5) runs scan-side; the
+    # 2-partition planted union would evaluate it on two serial tasks
+    # (guide §2.5 input skew; pass-through at scale — r13)
     toks_t = (
-        _docs_with_planted(spark, sf_dir)  # the shared _DOCS_PLANTED mirror
+        spread_small(_docs_with_planted(spark, sf_dir))
         .select("doc_id", X.tokens("text").alias("toks"))
     )
     wins = (
@@ -1745,6 +1751,13 @@ def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tok", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
+    # persist: wins feeds BOTH the corpus-wide hash count and the join
+    # probe — unpersisted, the r13 before-plan rebuilt the full window
+    # Generate on each side (the single most expensive node, twice).
+    # At 100 TB the same fork is materialized (cache with spill, or a
+    # written intermediate) rather than recomputed — Lee et al. 2021
+    # stage their suffix/window tables for exactly this reason.
+    wins = wins.persist()
     cnts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     dup = wins.join(cnts.select("h"), "h").select("doc_id", "n_tok", "pos")
     cov = dup.select(
@@ -3010,10 +3023,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is a map-only column expression; retraining is a
     fixture-scale job whose output is this literal array."""
     from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
+    from aroa_etl_spark.operators.skew import spread_small
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     score = score_hashed_ngrams_milli("text", _QCLF_W_MILLI, _QCLF_B_MILLI)
-    return docs.select(
+    # spread_small: the interpreted per-gram scoring lambda otherwise
+    # runs serially on a single-file scan (guide §2.5; no-op at scale)
+    return spread_small(docs).select(
         "doc_id",
         score.alias("score_milli"),
         (F.col("score_milli") > 0).cast("int").alias("quality_label"),
@@ -3105,9 +3121,15 @@ _QCLF_LAB_CTES = f"""
 
 def _qclf_labeled(docs: DataFrame) -> DataFrame:
     """The Spark twin of _QCLF_LAB_CTES: (doc_id, score_milli, y) from
-    the frozen classifier score + the planted stopword-density label."""
-    from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
+    the frozen classifier score + the planted stopword-density label.
 
+    spread_small: the per-gram md5 scoring lambda is interpreted and
+    runs scan-side — a single-file docs input would evaluate it
+    serially on one task (guide §2.5 input skew; no-op at scale)."""
+    from aroa_etl_spark.functions.quality_clf import score_hashed_ngrams_milli
+    from aroa_etl_spark.operators.skew import spread_small
+
+    docs = spread_small(docs)
     return docs.select(
         "doc_id",
         score_hashed_ngrams_milli("text", _QCLF_W_MILLI, _QCLF_B_MILLI)

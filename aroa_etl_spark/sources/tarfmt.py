@@ -130,16 +130,23 @@ def parse_tar_members(df: DataFrame, *, strict: bool = True) -> DataFrame:
     member: (media_id, member_idx, name, size, payload_md5)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aroa_etl_spark.operators.multimodal import task_blob_memo
+
+        memo = task_blob_memo()  # walk each distinct archive once/task
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
-                for idx, name, size, digest in parse_tar_blob(
-                    content, strict=strict
-                ):
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content or b"")
+                members = memo(
+                    # materialize: parse_tar_blob is a generator, and
+                    # the memoized value must be re-iterable
+                    content,
+                    lambda: list(parse_tar_blob(content, strict=strict)),
+                )
+                for idx, name, size, digest in members:
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "member_idx": idx,
                             "name": name,
                             "size": size,
