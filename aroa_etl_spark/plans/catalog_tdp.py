@@ -1751,13 +1751,12 @@ def tdp_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tok", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
-    # persist: wins feeds BOTH the corpus-wide hash count and the join
-    # probe — unpersisted, the r13 before-plan rebuilt the full window
-    # Generate on each side (the single most expensive node, twice).
-    # At 100 TB the same fork is materialized (cache with spill, or a
-    # written intermediate) rather than recomputed — Lee et al. 2021
-    # stage their suffix/window tables for exactly this reason.
-    wins = wins.persist()
+    # wins feeds BOTH the corpus-wide hash count and the join probe;
+    # the window Generate does run on each side, but once spread it is
+    # cheap and an A/B at r13 measured persisting it a wash warm (and
+    # slower cold: the cache write serializes 10x the corpus) — so no
+    # cache, matching the at-scale answer (recompute a cheap map-side
+    # derivation rather than materialize a 10x-corpus intermediate).
     cnts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     dup = wins.join(cnts.select("h"), "h").select("doc_id", "n_tok", "pos")
     cov = dup.select(
@@ -2115,6 +2114,10 @@ def tdp_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aroa_etl_spark.operators.sampling import grouped_sample_exact_k
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # (deliberately NOT spread here: this plan consumes the gated scan
+    # in several subtrees — a head exchange re-executes per subtree and
+    # measured slower than the serial regexp gate at r13; the heavy
+    # tokenize path is spread inside bigram_logprob_scores instead)
     planted = docs.select(
         "doc_id",
         "lang",
