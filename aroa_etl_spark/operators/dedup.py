@@ -787,7 +787,10 @@ def simhash_dedup(
             F.lit(0).cast("long")
         )
         simhash_col = bit if simhash_col is None else simhash_col + bit
-    sh = _barrier(votes.select(F.col(id_col), simhash_col.alias("__sh")))
+    # NOT barriered: sh has exactly one consumer (banded, which IS
+    # persisted below) — a cache here only added a second
+    # InMemoryRelation fill pass for rows banded already holds (r13)
+    sh = votes.select(F.col(id_col), simhash_col.alias("__sh"))
     mask = (1 << band_bits) - 1
     banded = sh.select(
         F.col(id_col),

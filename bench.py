@@ -83,6 +83,22 @@ def main() -> None:
     # so the first timed query doesn't absorb one-time JVM startup cost.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
 
+    # Python-worker warmup, same principle (r13): the first
+    # mapInPandas/Arrow entry otherwise absorbs the one-time daemon +
+    # per-core worker spawn and Arrow serializer init (measured ~9 s
+    # extra on mm_jpeg_dims_scan's first rep at local[32]) — spawn one
+    # worker per core on a core-count range so that cost lands here,
+    # outside every timed region.
+    def _noop_kernel(batches):
+        yield from batches
+
+    n_cores = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, n_cores, 1, n_cores)
+        .mapInPandas(_noop_kernel, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     # Streaming warmup, same principle: the first streaming query
     # otherwise absorbs the one-time MicroBatchExecution / state-store /
     # sink JIT (~3.5 s measured on a fresh session) — r9's
