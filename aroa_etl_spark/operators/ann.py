@@ -721,6 +721,13 @@ def ivf_save_centroids(spark, centroids: "list[list[float]]", path: str) -> None
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # a previous run (or the old Spark writer) may have left a
+    # DIRECTORY at path — pq.write_table writes a single file and
+    # would raise on it (r13 verdict #7)
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     table = pa.table(
         {
             "cell": pa.array(range(len(centroids)), pa.int32()),

@@ -148,7 +148,9 @@ def exact_auc(
     percentile probe, band-size aggregation, and windowed pass scan it
     once instead of re-running an expensive upstream (e.g. a
     classifier scoring expression) three times — same cache-ownership
-    contract as exact_global_rank (the caller clears it)."""
+    contract as exact_global_rank (registered in
+    ``operators.stats``'s cache registry; call
+    ``stats.release_caches()`` after materializing)."""
     from aroa_etl_spark.operators.stats import exact_global_rank
 
     ranked = exact_global_rank(

@@ -66,20 +66,45 @@ def task_blob_memo(max_entries: int = 64):
     to plain decode instead of hoarding memory.  The cache lives
     inside one task invocation — nothing survives the task, the query,
     or the process (this is NOT cross-run result caching).
+
+    Reserve it for kernels whose per-blob work clearly exceeds a hash
+    of the payload (full decoders, frame composition); a memo wrapped
+    around an O(header) walk costs more than it saves (measured r13:
+    mm_jpeg_dims_scan 0.78x, s_tar_webdataset 0.74x — both reverted).
+
+    Keys: byte payloads above a small threshold are replaced by their
+    128-bit BLAKE2 digest, so the cache never pins up to 64 full blobs
+    (plus values) in task memory; an unhashable key component (e.g. an
+    array-valued map in a meta struct) degrades to an uncached compute
+    instead of raising.
     """
     memo: dict = {}
     order: deque = deque()
+    _MISS = object()
+
+    def _norm(key):
+        if isinstance(key, (bytes, bytearray)):
+            return (
+                hashlib.blake2b(key, digest_size=16).digest()
+                if len(key) > 64 else bytes(key)
+            )
+        if isinstance(key, tuple):
+            return tuple(_norm(k) for k in key)
+        return key
 
     def get(key, fn):
         try:
-            return memo[key]
-        except KeyError:
+            key = _norm(key)
+            v = memo.get(key, _MISS)
+        except TypeError:  # unhashable component — compute uncached
+            return fn()
+        if v is _MISS:
             v = fn()
             memo[key] = v
             order.append(key)
             if len(order) > max_entries:
                 memo.pop(order.popleft(), None)
-            return v
+        return v
 
     return get
 
@@ -1937,12 +1962,14 @@ def scan_jpeg_markers(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo = task_blob_memo()  # walk each distinct blob once/task
+        # no task_blob_memo: the marker walk is O(header) — hashing the
+        # full payload per row to look it up costs more than the walk
+        # (r13 measured 0.78x with the memo; reverted r14)
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(content or b"")
-                w, h, nc, prog = memo(content, lambda: _scan(content))
+                w, h, nc, prog = _scan(content)
                 rec = {
                     "media_id": media_id,
                     "width": w,

@@ -30,7 +30,41 @@ __all__ = [
     "exact_global_rank",
     "exact_grouped_rank",
     "exact_weighted_median",
+    "release_caches",
 ]
+
+# Frames persisted by the persist=True rank/AUC paths, released by
+# release_caches() — the dedup.py registry pattern (r13 verdict #3):
+# the returned frame is lazy, so the operator cannot unpersist eagerly,
+# and "the caller clears it" left nothing ever unpersisting in a
+# long-lived session (InMemoryRelations accumulate per invocation, and
+# Spark's CacheManager plan-matching silently lets a LATER identical
+# invocation reuse the stale cache).  Harnesses (bench.py reps loop,
+# the mirror sweep) call release_caches() after each materialization.
+_CACHED_FRAMES: list = []
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    """Persist ``df`` as a reuse point and register it for
+    :func:`release_caches`."""
+    df = df.persist()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every frame cached by this module's persist=True paths
+    (including :func:`aroa_etl_spark.operators.evaluation.exact_auc`,
+    which delegates here) since the last call.  Returns the count."""
+    n = 0
+    for df in _CACHED_FRAMES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _CACHED_FRAMES.clear()
+    return n
 
 
 def exact_linear_stats(
@@ -100,10 +134,10 @@ def exact_global_rank(
     when the upstream is expensive, or precomputed ``bounds`` to skip
     the percentile probe (callers can fold it into their own scalar
     aggregate).  CACHE OWNERSHIP: with ``persist=True`` the staged
-    frame stays cached for the application lifetime — the caller owns
-    it and should ``spark.catalog.clearCache()`` (or keep a handle and
-    ``unpersist()``) once the result is materialized; this function
-    cannot unpersist eagerly because the returned frame is lazy.  Skew note: boundaries are
+    frame is registered in this module's cache registry — call
+    :func:`release_caches` once the result is materialized (this
+    function cannot unpersist eagerly because the returned frame is
+    lazy; bench/mirror harnesses release between reps).  Skew note: boundaries are
     approximate, so a band can be fat (heavy duplicate values) — rank
     correctness is unaffected; re-band with higher n_bands if a fat
     band's sort dominates.  All input columns carried through."""
@@ -117,7 +151,7 @@ def exact_global_rank(
         # measured 2×2.5 s of classifier scoring inside
         # eval_classifier_auc at sf0.1 (guide §5: cache only what is
         # reused, but DO let every scan reuse it)
-        df = df.persist()
+        df = _barrier(df)
     if bounds is None:
         bounds = df.select(
             F.percentile_approx(
@@ -206,7 +240,7 @@ def exact_grouped_rank(
         # same probe-order fix as exact_global_rank: cache the input
         # BEFORE the percentile probe so the probe materializes it and
         # the sizes + window scans reuse it (three upstream runs -> one)
-        df = df.persist()
+        df = _barrier(df)
     srg = _order_surrogate(df, value_col)
     staged0 = df.withColumn("__srg", srg)
     bounds = staged0.select(

@@ -125,6 +125,7 @@ def main() -> None:
         )
 
     from aroa_etl_spark.operators import dedup as _dedup
+    from aroa_etl_spark.operators import stats as _stats
 
     def calibration_secs() -> float:
         """Fixed pure-CPU reference workload (r12 verdict #1: the bench
@@ -166,7 +167,12 @@ def main() -> None:
                 df.count()
             runs.append(time.perf_counter() - start)
             # untimed: free operator-internal reuse caches between runs
+            # (dedup barriers + the stats/evaluation persist=True rank
+            # caches — without the latter, reps 2..N of
+            # eval_classifier_auc reused rep 1's cached scoring
+            # projection via CacheManager plan-matching, r13 verdict #3)
             _dedup.release_caches()
+            _stats.release_caches()
         spark.sparkContext.setJobDescription(None)
         timings[name] = round(statistics.median(runs), 3)
         reps_detail[name] = [round(r, 3) for r in runs]

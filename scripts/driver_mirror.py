@@ -57,6 +57,13 @@ def main() -> int:
         except Exception:
             results[name] = {"status": "ERROR", "detail": traceback.format_exc()[-500:]}
         results[name]["sec"] = round(time.time() - t0, 2)
+        # free operator-internal reuse caches at entry exit so storage
+        # does not accumulate across the sweep (r13 verdict #3)
+        from aroa_etl_spark.operators import dedup as _dedup
+        from aroa_etl_spark.operators import stats as _stats
+
+        _dedup.release_caches()
+        _stats.release_caches()
         print(f"{name:40s} {results[name]['status']:10s} {results[name]['sec']}s", flush=True)
 
     bad = {k: v for k, v in results.items() if v["status"] not in ("ok", "rows_only")}

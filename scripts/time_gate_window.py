@@ -54,6 +54,12 @@ def main() -> None:
         if dt > THRESHOLD_S:
             slow.append((n, round(dt, 1)))
         compare(df, sf_dir, spec.oracle, name=n)
+        # free operator-internal caches at entry exit (r13 verdict #3)
+        from aroa_etl_spark.operators import dedup as _dedup
+        from aroa_etl_spark.operators import stats as _stats
+
+        _dedup.release_caches()
+        _stats.release_caches()
     print(
         f"spark-side total: {spark_total:.1f}s over {len(names)} entries "
         f"(wall incl. oracles: {time.time() - t0:.1f}s)"

@@ -143,10 +143,36 @@ def test_dedup_release_caches(spark):
     # blocks in the shared session, so assert on what the operator
     # actually registered and released, not on global storage totals.
     released = dedup.release_caches()
-    # minhash sh + keys, simhash sh + banded (banded persisted since
-    # round 6: it feeds both join sides plus the hot-bucket size agg)
-    assert released == 4
+    # minhash sh + keys, simhash banded (banded persisted since round 6:
+    # it feeds both join sides plus the hot-bucket size agg; the simhash
+    # sh barrier was dropped in r13 — single consumer, banded holds it)
+    assert released == 3
     assert dedup.release_caches() == 0
+
+
+def test_stats_release_caches(spark):
+    """persist=True rank/AUC frames are registered in the stats cache
+    registry and released by stats.release_caches() — the r13 'caller
+    clears it' contract left them cached for the application lifetime
+    (and CacheManager plan-matching let later identical invocations
+    silently reuse a stale cache)."""
+    from aroa_etl_spark.operators import stats
+    from aroa_etl_spark.operators.evaluation import exact_auc
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), i % 2) for i in range(50)],
+        ["doc_id", "score", "y"],
+    )
+    stats.release_caches()  # clean slate
+    stats.exact_global_rank(df, "score", "doc_id", persist=True).count()
+    exact_auc(df, "score", "y", "doc_id", persist=True).collect()
+    # one barrier per persist=True call (exact_auc delegates to
+    # exact_global_rank, so its persist lands in the same registry)
+    assert stats.release_caches() == 2
+    assert stats.release_caches() == 0
+    # persist=False paths register nothing
+    stats.exact_global_rank(df, "score", "doc_id").count()
+    assert stats.release_caches() == 0
 
 
 def test_winnowing_guarantee_and_shapes(spark):
