@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from aroa_etl_spark.operators.skew import persist_coalesced as _persist_coalesced
+
 # Tiny per-language stopword vocabularies (public common function words).
 # Deliberately small: the heuristic is "which vocabulary hits most
 # tokens", not a trained model.
@@ -953,7 +955,7 @@ def bpe_train(
         df.select(F.explode(toks).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
         .select(F.regexp_replace("w", "(.)", "<$1>").alias("w"), "freq")
-        .persist()
+        .transform(_persist_coalesced)
     )
     wf = base
     try:

@@ -95,11 +95,20 @@ def brute_force_topk(
     Broadcast the (small) query set against the corpus scan; rank with
     a per-query window. Ties break by neighbor id ascending so results
     are total-ordered and reproducible."""
+    from aroa_etl_spark.operators.skew import spread_small
+
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    # spread_small: the interpreted zip_with/aggregate dot products run
+    # scan-side against the broadcast query set — a small single-file
+    # corpus scan plans ONE partition and evaluates #queries x #corpus
+    # lambdas serially (guide §2.5 input skew; pass-through at scale,
+    # where the corpus already plans >= defaultParallelism partitions)
+    c = spread_small(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        )
     )
     scored = (
         F.broadcast(q)
@@ -657,8 +666,10 @@ def ivf_train_centroids(
     # small inputs to core count; at scale the sample already has >=
     # core-count partitions and this is a no-op (scale-adaptive, not a
     # local[] constant — guide §2.5 input-skew rule).
+    from aroa_etl_spark.operators.skew import persist_coalesced
+
     train = _spread_small(train)
-    train = train.persist()
+    train = persist_coalesced(train)
     try:
         # first materialization doubles as the emptiness check and the
         # seeded init sample — the old separate .first() probe and

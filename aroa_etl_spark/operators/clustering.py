@@ -40,6 +40,13 @@ from aroa_etl_spark.functions.simkernels import person_similarity
 from aroa_etl_spark.functions.vocab import has_value
 from aroa_etl_spark.operators.matching import _score_udf, candidate_pairs
 
+# Cached plans compile without AQE partition coalescing unless this
+# session flag is on; the iterative loops below persist per-round
+# frames, so they enable it for their lifetime (details in
+# connected_components' docstring).  Module switch for A/B harnesses.
+_AQE_CACHE = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+_AQE_CACHE_ON = True
+
 
 def connected_components(
     edges: DataFrame,
@@ -93,17 +100,33 @@ def connected_components(
     leaves the session conf alone. The edge derivation upstream of the
     loop materializes inside it (the sym persist), so its shuffles are
     pinned too.
+
+    The loop additionally enables
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` for
+    its lifetime (restored on exit): every round persists a labels
+    frame, and with the flag at its default (false) cached plans
+    compile WITHOUT AQE partition coalescing, so each round's tiny
+    label shuffle materializes at the full pinned width — dozens of
+    near-empty tasks per round whose scheduling dominates small/medium
+    graphs (measured r14: 3.60 s → 2.25 s at sf0.1, interleaved
+    medians).  With the flag on, AQE sizes every round by the 64 MB
+    advisory instead — width follows the data at any scale (guide §2.2
+    fewer-larger partitions; no constant tuned to either local mode or
+    a cluster).
     """
     spark = edges.sparkSession
     conf_before: str | None = None
+    aqe_before = spark.conf.get(_AQE_CACHE, "false")
     if num_partitions is not None:
         conf_before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    spark.conf.set(_AQE_CACHE, "true" if _AQE_CACHE_ON else aqe_before)
     try:
         return _connected_components_loop(
             edges, src, dst, max_iter, dedup_edges, checkpoint_every
         )
     finally:
+        spark.conf.set(_AQE_CACHE, aqe_before)
         if conf_before is not None:
             spark.conf.set("spark.sql.shuffle.partitions", conf_before)
 
@@ -217,13 +240,20 @@ def connected_components_star(
     reports the converged round count (for tests and tuning).
     """
     spark = edges.sparkSession
+    # same cached-plan AQE-coalescing scope as connected_components:
+    # the oriented edge set is persisted and every round re-scans it —
+    # without the flag it materializes at full pinned width however
+    # small the graph is
     conf_before: str | None = None
+    aqe_before = spark.conf.get(_AQE_CACHE, "false")
     if num_partitions is not None:
         conf_before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    spark.conf.set(_AQE_CACHE, "true" if _AQE_CACHE_ON else aqe_before)
     try:
         return _connected_components_star_loop(edges, src, dst, max_iter, stats)
     finally:
+        spark.conf.set(_AQE_CACHE, aqe_before)
         if conf_before is not None:
             spark.conf.set("spark.sql.shuffle.partitions", conf_before)
 

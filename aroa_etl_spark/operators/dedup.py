@@ -52,8 +52,18 @@ _CACHED_FRAMES: list[DataFrame] = []
 
 def _barrier(df: DataFrame) -> DataFrame:
     """Persist ``df`` as an optimizer barrier + reuse point and register
-    it for :func:`release_caches`."""
-    df = df.persist()
+    it for :func:`release_caches`.
+
+    The cached plan is compiled WITH AQE partition coalescing
+    (``canChangeCachedPlanOutputPartitioning`` binds at persist time,
+    verified r14): without it a barrier materializes at the session's
+    full shuffle width — under the correctness driver's plain session
+    that is 200 near-empty tasks per cache fill for frames of a few MB
+    (guide §2.2 fewer-larger partitions; at scale AQE's 64 MB advisory
+    keeps the width large)."""
+    from aroa_etl_spark.operators.skew import persist_coalesced
+
+    df = persist_coalesced(df)
     _CACHED_FRAMES.append(df)
     return df
 
@@ -265,8 +275,15 @@ def _lsh_shingles_and_keys(
     (id, __bucket) band-key frame (feeds candidate joins).  See the
     barrier notes in :func:`minhash_lsh_dedup`."""
     rows = num_perm // bands
+    # spread_small: tokenize + shingle + array_distinct (and the
+    # signature/band-key higher-order lambdas over the persisted frame,
+    # which inherit its partitioning) otherwise evaluate serially under
+    # a small single-file scan's ONE partition (guide §2.5 input skew;
+    # pass-through at scale — the r13 simhash template)
+    from aroa_etl_spark.operators.skew import spread_small
+
     sh = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small(df).select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(
             F.col(id_col), F.array_distinct(shingles_from("__t", shingle_n)).alias("__sh")
         )

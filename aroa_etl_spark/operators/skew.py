@@ -29,6 +29,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_AQE_CACHE = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+def persist_coalesced(df: DataFrame) -> DataFrame:
+    """``persist()`` with the cached plan compiled under AQE partition
+    coalescing.
+
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    defaults to false, so a cached plan normally compiles WITHOUT AQE
+    and materializes at the session's full shuffle width — under the
+    correctness driver's plain session that is 200 near-empty tasks
+    per cache fill for frames of a few MB.  The flag binds at persist
+    time (verified r14: on@persist/off@action coalesces, the reverse
+    does not), so scoping it here covers every caller without touching
+    session state elsewhere.  Scale-adaptive by construction: AQE's
+    64 MB advisory keeps genuinely large caches wide (guide §2.2)."""
+    spark = df.sparkSession
+    before = spark.conf.get(_AQE_CACHE, "false")
+    spark.conf.set(_AQE_CACHE, "true")
+    try:
+        return df.persist()
+    finally:
+        spark.conf.set(_AQE_CACHE, before)
+
 
 def spread_small(df: DataFrame) -> DataFrame:
     """Round-robin a frame up to core-count partitions when its plan

@@ -46,8 +46,13 @@ _CACHED_FRAMES: list = []
 
 def _barrier(df: DataFrame) -> DataFrame:
     """Persist ``df`` as a reuse point and register it for
-    :func:`release_caches`."""
-    df = df.persist()
+    :func:`release_caches`.  Compiled WITH AQE partition coalescing
+    (the flag binds at persist time — see dedup._barrier): without it
+    the staged frame materializes at the session's full shuffle width,
+    200 near-empty tasks under the driver's plain session."""
+    from aroa_etl_spark.operators.skew import persist_coalesced
+
+    df = persist_coalesced(df)
     _CACHED_FRAMES.append(df)
     return df
 

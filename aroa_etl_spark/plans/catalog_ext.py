@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from aroa_etl_spark.operators.skew import persist_coalesced
 from aroa_etl_spark.plans.catalog import query
 from aroa_etl_spark.session import load_tables
 
@@ -2629,7 +2630,7 @@ def inc_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
             "o_orderkey", "o_orderpriority",
             (F.col("o_orderkey") % 16).cast("int").alias("day"),
-        ).persist()  # 16 per-day commits scan memory, not parquet
+        ).transform(persist_coalesced)  # 16 per-day commits scan memory, not parquet
         for day in range(16):
             table_commit(
                 orders.filter(F.col("day") == day), t,
@@ -3816,7 +3817,7 @@ def s_delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 8 s driver cap)
         banded = orders.withColumn(
             "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
-        ).persist()
+        ).transform(persist_coalesced)
         part = [
             banded.filter(F.col("band") == b).select("k", "p")
             for b in range(4)
@@ -3986,7 +3987,7 @@ def s_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # memory, not parquet (gate-cap trim, r12 — see the Delta twin)
         banded = orders.withColumn(
             "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
-        ).persist()
+        ).transform(persist_coalesced)
         part = [banded.filter(F.col("band") == b) for b in range(4)]
         sids = build_iceberg_table(
             spark, t,
@@ -4144,7 +4145,7 @@ def inc_table_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
-    ).persist()
+    ).transform(persist_coalesced)
     n_all = orders.count()
     half = orders.filter(F.col("k") % 2 == 0)
     n_half = half.count()
@@ -4255,7 +4256,7 @@ def s_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxk = orders.agg(F.max("k")).first()[0]
     banded = orders.withColumn(
         "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
-    ).persist()
+    ).transform(persist_coalesced)
     counts = {
         r["band"]: r["count"]
         for r in banded.groupBy("band").count().collect()
@@ -4359,7 +4360,7 @@ def s_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxk = orders.agg(F.max("k")).first()[0]
     banded = orders.withColumn(
         "band", F.floor(F.col("k") * 4 / (maxk + 1)).cast("int")
-    ).persist()
+    ).transform(persist_coalesced)
     n0 = banded.filter(F.col("band") == 0).count()
     root = _scratch_stage("iceberg_posdel", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
@@ -6086,7 +6087,14 @@ def a_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg((F.sum(d2("o_totalprice")) * 100).cast("bigint").alias("cents"))
     )
-    ranked = exact_global_rank(rev, "cents", "o_custkey", rank_col="rk")
+    # persist=True (the exact_auc probe-order template, r13 verdict #4):
+    # rev is scanned by the rank's percentile probe, its band-size agg,
+    # its windowed pass, AND the n_total count below — without the
+    # barrier the orders scan+groupBy runs 4x.  The frame registers in
+    # stats' cache registry; harnesses release it after materializing.
+    ranked = exact_global_rank(
+        rev, "cents", "o_custkey", rank_col="rk", persist=True
+    )
     n_total = rev.count()
     cutoff = n_total - n_total // 10
     s = ranked.agg(

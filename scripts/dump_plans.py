@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for catalog queries to plans/r13/.
+"""Dump .explain("formatted") for catalog queries to plans/r14/.
 
 Usage: python scripts/dump_plans.py <suffix> [name ...]
-Writes plans/r13/<name>_<suffix>.txt for each query (default: the
+Writes plans/r14/<name>_<suffix>.txt for each query (default: the
 bench headliner set).  suffix is typically "before" or "after".
 """
 
@@ -33,7 +33,7 @@ def main() -> int:
             for n in getattr(catalog, "BENCH_EXTRA", [])
             if n in qmap and n not in names
         ]
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     spark = (
         SparkSession.builder.appName("dump_plans")
