@@ -318,8 +318,20 @@ def _connected_components_star_loop(
         # becomes the cost (measured: rounds 1-2 ≈ 1 s, round 3 ≈ 18 s
         # with persist-only). The eager checkpoint materializes the
         # (tiny) edge set and makes every round's plan constant-size.
-        new_e = new_e.localCheckpoint(eager=True)
-        cur = probe(new_e)
+        # The convergence probe rides the SAME materialization as an
+        # Observation (verified r14: observed metrics fire on an eager
+        # localCheckpoint) — one job per round instead of two; per-round
+        # cost here is job/stage overhead, not data (guide §1.2).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_e = new_e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        cur = (got["n"], got["s"])
         e = new_e
         if cur == prev:
             break

@@ -790,19 +790,26 @@ def simhash_dedup(
         .cast("long")
         .alias("__h"),
     )
+    # vote via ONES-COUNT, not +1/-1 conditionals: sum((h>>b)&1) drops
+    # the per-row 60-way when/otherwise chain from the partial-agg
+    # update path (measured r14: 1.88 s -> 1.46 s interleaved on the
+    # sf0.1 vote stage).  bit set <=> votes_b > 0 <=> 2*ones_b > n —
+    # exact integer equivalence, ties and the empty-doc contract
+    # included (empty doc: the explode_outer null row makes n=1,
+    # ones NULL->0, 0 > 1 false -> sh=0, same as the -1 vote form).
     votes = h.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__v{b}")
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
             for b in range(hash_bits)
-        ]
+        ],
     )
     simhash_col = None
     for b in range(hash_bits):
-        bit = F.when(F.col(f"__v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.coalesce(F.col(f"__o{b}"), F.lit(0)) * 2 > F.col("__n"),
+            F.lit(2**b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         simhash_col = bit if simhash_col is None else simhash_col + bit
     # NOT barriered: sh has exactly one consumer (banded, which IS
     # persisted below) — a cache here only added a second
